@@ -1,0 +1,261 @@
+"""SLI ingest/aggregation semantics — the reference's beating heart.
+
+Reference: SLR pulls raw ZMON datapoints from KairosDB, resamples to 1-minute
+grain, then combines multiple group-by series into one value per minute
+according to the indicator's aggregation spec
+(``{"type": "average"|"weighted"|"sum"|"min"|"max", "weight_keys": [...]}``)
+— upstream:app/resources/sli.py [H] (SURVEY.md §2.4 A1–A3, §2.2 P2–P4).
+
+Here ``events`` stands in for the raw datapoint stream: ``event_type`` is the
+indicator/check key, ``user_id`` the entity, ``ts``/``value`` the datapoint,
+``props`` the ZMON tags (FIXTURES.md §A).
+
+Scale notes (100 TB): every query below is a single scan → (optional filter,
+pushed to parquet) → partial/final hash aggregate; the only shuffle is on the
+group keys. With events stored partitioned by ``date(ts)`` the time filters
+become partition pruning; bucketing by series key would make A1 shuffle-free.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from service_level_reporting_spark import functions as SF
+from service_level_reporting_spark.registry import register
+from service_level_reporting_spark.tables import load_tables
+
+# The SLO target band used by the literal-target queries (targets have no
+# physical table in testdata — FIXTURES.md §A mapping note). Values outside
+# [LO, HI] breach; bounds themselves are compliant (functions.is_breach).
+TARGET_LO = 5.0
+TARGET_HI = 95.0
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("events",))["events"]
+
+
+# ---------------------------------------------------------------------------
+# Flagship (M0): A4 daily report agg + A5 breach count + A6 compliance.
+# Answers the reference's core report question — "did we meet the SLO each
+# day?" (upstream:app/resources/report.py#get_report [H]).
+# ---------------------------------------------------------------------------
+
+@register(
+    "slo_daily_breaches",
+    oracle=f"""
+    SELECT strftime(ts, '%Y-%m-%d')                            AS day,
+           round(avg(value), 6)                                AS avg_value,
+           min(value)                                          AS min_value,
+           max(value)                                          AS max_value,
+           count(*)                                            AS n_points,
+           count(CASE WHEN value < {TARGET_LO} OR value > {TARGET_HI}
+                      THEN 1 END)                              AS breaches,
+           round(1.0 - count(CASE WHEN value < {TARGET_LO} OR value > {TARGET_HI}
+                                  THEN 1 END) / count(*), 6)   AS compliance
+    FROM events
+    WHERE event_type = 'error'
+    GROUP BY strftime(ts, '%Y-%m-%d')
+    """,
+)
+def slo_daily_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).where(F.col("event_type") == "error")
+    breaches = SF.breach_count(F.col("value"), TARGET_LO, TARGET_HI)
+    return (
+        ev.groupBy(SF.day_str("ts").alias("day"))
+        .agg(
+            SF.r6(F.avg("value")).alias("avg_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.count(F.lit(1)).alias("n_points"),
+            breaches.alias("breaches"),
+            SF.r6(SF.compliance(breaches, F.count(F.lit(1)))).alias("compliance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# A1 — KairosDB-style 1-minute resample per series
+# (aggregators:[{name:'avg', sampling:{value:1, unit:'minutes'}}] [H])
+# ---------------------------------------------------------------------------
+
+@register(
+    "resample_minute_avg",
+    oracle="""
+    SELECT date_trunc('minute', ts)  AS minute,
+           event_type,
+           round(avg(value), 6)      AS avg_value,
+           count(*)                  AS n_points
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+    GROUP BY date_trunc('minute', ts), event_type
+    """,
+)
+def resample_minute_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir).where(
+        (F.col("ts") >= F.lit("2024-01-08")) & (F.col("ts") < F.lit("2024-01-15"))
+    )
+    return (
+        ev.groupBy(SF.minute("ts").alias("minute"), "event_type")
+        .agg(SF.r6(F.avg("value")).alias("avg_value"),
+             F.count(F.lit(1)).alias("n_points"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2 — cross-series combination per minute (aggregation.type dispatch:
+# sum/min/max/average over the per-minute series values [H])
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_cross_group",
+    oracle="""
+    WITH per_series AS (
+        SELECT date_trunc('minute', ts) AS minute, event_type, avg(value) AS v
+        FROM events GROUP BY 1, 2
+    )
+    SELECT minute,
+           round(sum(v), 6) AS sum_v,
+           round(min(v), 6) AS min_v,
+           round(max(v), 6) AS max_v,
+           round(avg(v), 6) AS avg_v,
+           count(*)         AS n_series
+    FROM per_series GROUP BY minute
+    """,
+)
+def agg_cross_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    per_series = (
+        _events(spark, sf_dir)
+        .groupBy(SF.minute("ts").alias("minute"), "event_type")
+        .agg(F.avg("value").alias("v"))
+    )
+    return per_series.groupBy("minute").agg(
+        SF.r6(F.sum("v")).alias("sum_v"),
+        SF.r6(F.min("v")).alias("min_v"),
+        SF.r6(F.max("v")).alias("max_v"),
+        SF.r6(F.avg("v")).alias("avg_v"),
+        F.count(F.lit(1)).alias("n_series"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# A3 + J3 — weighted average with plain-avg fallback.
+# Reference: "weighted" aggregation divides Σ(value·weight)/Σ(weight) where
+# the weight comes from sibling series named by `weight_keys`; falls back to
+# plain average when weights are absent/zero (upstream:app/resources/sli.py
+# weighted branch [H], fallback [M] — OUR contract: NULL or Σw=0 → plain avg).
+# Value series: hourly avg of 'purchase'; weight series: hourly volume of
+# 'view' — aligned on the truncated-hour key (J3), rolled up per day.
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_weighted_average",
+    oracle="""
+    WITH v AS (
+        SELECT date_trunc('hour', ts) AS hr, avg(value) AS v
+        FROM events WHERE event_type = 'purchase' GROUP BY 1
+    ), w AS (
+        SELECT date_trunc('hour', ts) AS hr, sum(value) AS w
+        FROM events WHERE event_type = 'view' GROUP BY 1
+    )
+    SELECT strftime(v.hr, '%Y-%m-%d') AS day,
+           round(coalesce(sum(v.v * w.w) / nullif(sum(w.w), 0), avg(v.v)), 6)
+               AS weighted_v,
+           round(avg(v.v), 6) AS plain_avg_v,
+           count(*)           AS n_hours
+    FROM v LEFT JOIN w ON v.hr = w.hr
+    GROUP BY strftime(v.hr, '%Y-%m-%d')
+    """,
+)
+def agg_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    v = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy(SF.hour("ts").alias("hr"))
+        .agg(F.avg("value").alias("v"))
+    )
+    w = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy(SF.hour("ts").alias("hr"))
+        .agg(F.sum("value").alias("w"))
+    )
+    joined = v.join(w, "hr", "left")
+    return joined.groupBy(SF.day_str("hr").alias("day")).agg(
+        SF.r6(
+            F.coalesce(
+                F.sum(F.col("v") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0)),
+                F.avg("v"),
+            )
+        ).alias("weighted_v"),
+        SF.r6(F.avg("v")).alias("plain_avg_v"),
+        F.count(F.lit(1)).alias("n_hours"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# P2 — explicit time-range filter (GET .../values?from=&to= [M])
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_time_range",
+    oracle="""
+    SELECT event_id, ts, event_type, value
+    FROM events
+    WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
+    """,
+)
+def filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _events(spark, sf_dir)
+        .where((F.col("ts") >= F.lit("2024-01-10")) & (F.col("ts") < F.lit("2024-01-12")))
+        .select("event_id", "ts", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P3 — relative window ("last N days"), KairosDB `start_relative` [H].
+# Anchored to max(ts) IN THE DATA (not wall clock) for determinism; the
+# 1-row max is broadcast, so this is scan + scalar-subquery-style filter.
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_relative_window",
+    oracle="""
+    SELECT event_id, ts, event_type, value
+    FROM events
+    WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 3 DAY
+    """,
+)
+def filter_relative_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    anchor = ev.agg(F.max("ts").alias("max_ts"))
+    return (
+        ev.join(F.broadcast(anchor))
+        .where(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 3 DAY"))
+        .select("event_id", "ts", "event_type", "value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# P4 — tag/entity predicates: IN-list on the series key + JSON tag extraction
+# (ZMON `tags`/`group_by` [H]; events.props ≈ tags JSON, FIXTURES.md §A)
+# ---------------------------------------------------------------------------
+
+@register(
+    "filter_tag_predicate",
+    oracle="""
+    SELECT event_id, event_type,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE event_type IN ('error', 'purchase')
+      AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+    """,
+)
+def filter_tag_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        _events(spark, sf_dir)
+        .where(F.col("event_type").isin("error", "purchase") & (k >= 50))
+        .select("event_id", "event_type", k.alias("k"))
+    )

@@ -1,0 +1,77 @@
+"""Query/oracle registry backing ``__spark_entry__.py``.
+
+Every operator from SURVEY.md §2 registers here as a named query:
+
+    @register("slo_daily_breaches", oracle=\"\"\"SELECT ...\"\"\")
+    def slo_daily_breaches(spark, sf_dir) -> DataFrame: ...
+
+``oracle`` is the ANSI-SQL equivalent DuckDB runs on the same parquet views
+(the driver's t2 differential check). Pass ``oracle=None`` for ops that are
+not SQL-expressible (streaming, approx algorithms) — the driver then applies
+its weaker rows-only check.
+
+Column-name discipline: the driver sorts columns by name before value-hashing,
+so every computed column must carry the SAME alias in the DataFrame code and
+the oracle SQL.
+"""
+
+from __future__ import annotations
+
+import importlib
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+# Modules that register queries on import.
+_OPERATOR_MODULES = (
+    "service_level_reporting_spark.operators.sli",
+    "service_level_reporting_spark.operators.report",
+    "service_level_reporting_spark.operators.relational",
+    "service_level_reporting_spark.operators.windows",
+    "service_level_reporting_spark.operators.dedup",
+    "service_level_reporting_spark.operators.similarity",
+    "service_level_reporting_spark.operators.text",
+    "service_level_reporting_spark.operators.multimodal",
+    "service_level_reporting_spark.sources.kairosdb",
+    "service_level_reporting_spark.sources.sinks",
+    "service_level_reporting_spark.streaming.minute_rollup",
+)
+
+
+def register(name: str, oracle: Optional[str] = None) -> Callable[[QueryFn], QueryFn]:
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in _QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _load_all() -> None:
+    for mod in _OPERATOR_MODULES:
+        try:
+            importlib.import_module(mod)
+        except ModuleNotFoundError as e:
+            # Module not built yet (incremental rounds) — skip, don't break
+            # the whole surface.
+            if e.name and e.name.startswith("service_level_reporting_spark"):
+                continue
+            raise
+
+
+def all_queries() -> dict[str, QueryFn]:
+    _load_all()
+    return dict(_QUERIES)
+
+
+def all_oracles() -> dict[str, str]:
+    _load_all()
+    return dict(_ORACLES)

@@ -1,0 +1,77 @@
+"""SparkSession factory and runtime-config normalization.
+
+The reference (zalando-zmon/service-level-reporting) is a Flask service whose
+query processing is delegated to KairosDB/Postgres; here the entire engine is
+Spark SQL, so session config is the only "server config" we have.
+
+Two entry modes:
+
+* ``get_spark()`` — build our own local session (tests, bench.py).
+* ``configure(spark)`` — the driver hands us a session (``__spark_entry__``);
+  we apply the runtime-settable confs it needs (UTC, ns-timestamp handling,
+  AQE). All confs used here are runtime-settable SQL confs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Confs that are runtime-settable and required for correctness on the
+# /root/testdata parquet layout (SURVEY.md §1.3).
+_RUNTIME_CONFS = {
+    # events.ts is parquet timestamp[ns]; Spark 4.x refuses it unless read
+    # as raw long nanoseconds (we convert in tables.load_tables).
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Deterministic wall-clock semantics; matches DuckDB's naive reading.
+    "spark.sql.session.timeZone": "UTC",
+    # Permissive arithmetic (divide-by-zero -> NULL) to mirror the oracle's
+    # explicit NULLIF guards; we still use try_divide in ratio operators.
+    "spark.sql.ansi.enabled": "false",
+    # Runtime re-planning: coalesce post-shuffle partitions, skew-join
+    # splitting, dynamic broadcast switch — the 100 TB posture.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for the few Pandas-UDF paths (similarity fallback, multimodal).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+}
+
+
+def configure(spark: SparkSession) -> SparkSession:
+    """Apply runtime confs to an externally-created session (driver mode)."""
+    for k, v in _RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Non-settable in this deployment: tables.load_tables has a
+            # pyarrow fallback for the ns-timestamp case.
+            pass
+    return spark
+
+
+def get_spark(app_name: str = "slr-spark", master: str | None = None,
+              shuffle_partitions: int | None = None) -> SparkSession:
+    """Local-mode session used by tests and bench.
+
+    On a real cluster none of this changes: the engine only relies on
+    runtime SQL confs, never on master/deploy specifics.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        # Local mode: one shuffle partition per core keeps every stage busy
+        # without tiny-task overhead at sf<=0.1. On a cluster this is left
+        # to AQE (initialPartitionNum high, coalesce down).
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONFS.items():
+        builder = builder.config(k, v)
+    return configure(builder.getOrCreate())

@@ -1,0 +1,91 @@
+"""Normalized table loading for the /root/testdata star schema + events.
+
+Reference mapping (SURVEY.md §1): ``events`` stands in for SLR's
+``indicator_value`` timeseries (upstream:app/resources/sli.py [H]), the TPC-H
+dims stand in for the ProductGroup/Product/SLO/Target catalog.
+
+Normalization handled here, once, so every operator sees clean types:
+
+* ``events.ts`` is parquet ``timestamp[ns]``. With
+  ``spark.sql.legacy.parquet.nanosAsLong=true`` Spark reads it as LongType
+  nanoseconds; we convert with exact integer math
+  (``timestamp_micros(ts div 1000)``) — no double round-trip, so values match
+  DuckDB's ns->us truncation bit-for-bit.
+* ``o_orderdate`` / ``l_shipdate`` are ``timestamp[ms]`` -> Spark
+  ``timestamp_ntz``; left as-is (DuckDB agrees on the naive values).
+
+At 100 TB the same function would point at a partitioned lakehouse layout
+(events partitioned by ``date(ts)``, bucketed by series key); the loader is
+the single seam where that swap happens.
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLE_NAMES = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+# Dimension tables small enough to broadcast at ANY scale factor (TPC-H dims
+# grow sublinearly or are fixed); used by join operators to hint BHJ.
+BROADCAST_DIMS = frozenset({"region", "nation", "supplier", "part", "customer"})
+
+
+def _load_events(spark: SparkSession, path: str) -> DataFrame:
+    """Read events.parquet, normalizing the ns timestamp to TimestampType."""
+    try:
+        df = spark.read.parquet(path)
+    except Exception:
+        df = None
+    if df is None or not _is_long(df, "ts"):
+        if df is None:
+            # nanosAsLong not set/settable -> Spark refuses NANOS. Fall back
+            # to pyarrow cast (fine at test SFs; cluster deployments set the
+            # conf in spark-defaults).
+            import pyarrow.dataset as ds
+
+            tbl = ds.dataset(path).to_table()
+            import pyarrow.compute as pc
+            import pyarrow as pa
+
+            ts_us = tbl.column("ts").cast(pa.timestamp("us"))
+            tbl = tbl.set_column(tbl.schema.get_field_index("ts"), "ts", ts_us)
+            df = spark.createDataFrame(tbl.to_pandas())
+        return df
+    # Exact ns -> us integer conversion; `div` is integer division on longs.
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _is_long(df: DataFrame, col: str) -> bool:
+    return dict(df.dtypes).get(col) == "bigint"
+
+
+def load_tables(spark: SparkSession, sf_dir: str,
+                names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
+    """Load and normalize the named tables from ``{sf_dir}/{name}.parquet``.
+
+    Returns plain DataFrames (lazy scans — no caching here; Catalyst prunes
+    columns/predicates per query, which caching would defeat at scale).
+    """
+    out: dict[str, DataFrame] = {}
+    for name in names:
+        path = f"{sf_dir}/{name}.parquet"
+        if name == "events":
+            out[name] = _load_events(spark, path)
+        else:
+            out[name] = spark.read.parquet(path)
+    return out
+
+
+def register_views(spark: SparkSession, sf_dir: str,
+                   names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
+    """load_tables + createOrReplaceTempView, so spark.sql() sees them."""
+    tables = load_tables(spark, sf_dir, names)
+    for name, df in tables.items():
+        df.createOrReplaceTempView(name)
+    return tables

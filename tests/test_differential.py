@@ -1,0 +1,26 @@
+"""Differential correctness vs DuckDB oracle — mirrors the driver's t2 gate.
+
+Runs at sf0.001 by default (fast); set SLR_TEST_SF_DIR=/root/testdata/sf0.01
+to reproduce the driver's exact scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from service_level_reporting_spark import registry
+
+from .conftest import SF_DIR
+from .differential import compare_query
+
+
+def _names():
+    return sorted(registry.all_queries())
+
+
+@pytest.mark.parametrize("name", _names())
+def test_query_matches_oracle(spark, name):
+    res = compare_query(spark, SF_DIR, name)
+    assert res["ok"], res["detail"]
+    if res["mode"] == "sql":
+        assert res["spark_rows"] == res["duck_rows"]
