@@ -1,0 +1,292 @@
+"""Relational completeness operators over the star schema.
+
+The reference's catalog queries are simple FK joins + sorts (SQLAlchemy over
+Postgres); these queries extend that surface to the full join/set-op algebra
+an analytics engine needs at scale (SURVEY.md §2.3 J2/J4–J6, §2.6 O4,
+§2.4 A10) — origin N (scale mandate), marked as such in SURVEY §2.
+
+Scale notes:
+* `pricing_summary` / `top_revenue_orders` are the bench headliners — single
+  scan each, partial agg before shuffle, broadcast for the small side.
+* `join_large_smj` explicitly disables broadcast to exercise the sort-merge
+  path that a 100 TB fact⋈fact join must take; AQE handles skew/coalesce.
+* `join_asof` uses the union+last(ignorenulls) window trick — one shuffle on
+  the series key, no per-row subqueries; this is the standard Spark as-of
+  pattern when there is no native ASOF join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from service_level_reporting_spark import functions as SF
+from service_level_reporting_spark.registry import register
+from service_level_reporting_spark.tables import load_tables
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q1-style pricing summary (BASELINE.md headline #1)
+# ---------------------------------------------------------------------------
+
+@register(
+    "pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 6)                                    AS avg_qty,
+           round(avg(l_extendedprice), 6)                               AS avg_price,
+           round(avg(l_discount), 6)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2000-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_tables(spark, sf_dir, ("lineitem",))["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("2000-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            SF.r2(F.sum("l_quantity")).alias("sum_qty"),
+            SF.r2(F.sum("l_extendedprice")).alias("sum_base_price"),
+            SF.r2(F.sum(disc_price)).alias("sum_disc_price"),
+            SF.r2(F.sum(charge)).alias("sum_charge"),
+            SF.r6(F.avg("l_quantity")).alias("avg_qty"),
+            SF.r6(F.avg("l_extendedprice")).alias("avg_price"),
+            SF.r6(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q3-style: 3-way join + agg + top-10 (BASELINE.md headline #2).
+# Deterministic top-10: order by rounded revenue, then orderkey.
+# ---------------------------------------------------------------------------
+
+@register(
+    "top_revenue_orders",
+    oracle="""
+    SELECT l.l_orderkey AS o_orderkey,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           strftime(o.o_orderdate, '%Y-%m-%d') AS order_day
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY l.l_orderkey, strftime(o.o_orderdate, '%Y-%m-%d')
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+    """,
+)
+def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
+    cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.col("l_orderkey").alias("o_orderkey"),
+                 SF.day_str("o_orderdate").alias("order_day"))
+        .agg(SF.r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "revenue", "order_day")
+    )
+
+
+# ---------------------------------------------------------------------------
+# J2 — large⋈large sort-merge join (fact⋈fact; broadcast explicitly off so
+# the SMJ path is exercised — the only viable strategy at 100 TB)
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_large_smj",
+    oracle="""
+    SELECT o.o_orderpriority,
+           count(DISTINCT o.o_orderkey) AS n_orders,
+           count(*) AS n_lineitems,
+           round(sum(l.l_extendedprice), 2) AS total_price
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderstatus = 'F'
+    GROUP BY o.o_orderpriority
+    """,
+)
+def join_large_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("orders", "lineitem"))
+    orders = t["orders"].where(F.col("o_orderstatus") == "F").hint("merge")
+    return (
+        orders.join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.count(F.lit(1)).alias("n_lineitems"),
+            SF.r2(F.sum("l_extendedprice")).alias("total_price"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# J4 — semi/anti joins (report skips products without data in window [M])
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_semi_anti",
+    oracle="""
+    SELECT 'with_orders' AS segment, count(*) AS n_customers
+    FROM customer c WHERE c.c_custkey IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'without_orders' AS segment, count(*) AS n_customers
+    FROM customer c WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders)
+    """,
+)
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders"))
+    on = F.col("c_custkey") == F.col("o_custkey")
+    semi = (t["customer"].join(t["orders"], on, "left_semi")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+            .select(F.lit("with_orders").alias("segment"), "n_customers"))
+    anti = (t["customer"].join(t["orders"], on, "left_anti")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+            .select(F.lit("without_orders").alias("segment"), "n_customers"))
+    return semi.unionByName(anti)
+
+
+# ---------------------------------------------------------------------------
+# J5 — range/interval join: classify each value into its enclosing band
+# (target bands as a JOIN instead of literal predicates — the general form
+# of SLR's target check). Tiny band table is broadcast → BNLJ, no shuffle.
+# ---------------------------------------------------------------------------
+
+BANDS = [  # (band, lo, hi) — half-open [lo, hi) so bands partition the line
+    ("low", 0.0, 25.0),
+    ("mid", 25.0, 75.0),
+    ("high", 75.0, 150.0),
+    ("extreme", 150.0, 1e9),
+]
+
+
+@register(
+    "join_range_bands",
+    oracle="""
+    WITH bands(band, lo, hi) AS (
+        VALUES ('low', 0.0, 25.0), ('mid', 25.0, 75.0),
+               ('high', 75.0, 150.0), ('extreme', 150.0, 1e9)
+    )
+    SELECT b.band AS band, count(*) AS n, round(avg(e.value), 6) AS avg_value
+    FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+    GROUP BY b.band
+    """,
+)
+def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    bands = spark.createDataFrame(BANDS, "band string, lo double, hi double")
+    return (
+        ev.join(F.broadcast(bands),
+                (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n"), SF.r6(F.avg("value")).alias("avg_value"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# J6 — as-of join: for each purchase, the latest error value for the same
+# user at-or-before the purchase time ("latest target/config version at event
+# time" pattern). Spark has no ASOF JOIN: union both sides, carry the error
+# value forward with last(ignorenulls) over (user, ts), keep purchase rows.
+# One shuffle on user_id; no per-row lookups. Oracle: DuckDB native ASOF.
+# ---------------------------------------------------------------------------
+
+@register(
+    "join_asof",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id AS user_id,
+           p.ts AS purchase_ts,
+           e.value AS last_error_value
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id AND p.ts >= e.ts
+    """,
+)
+def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.lit(None).cast("double").alias("err_v"),
+        F.lit(1).alias("is_p"))
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+        F.col("value").alias("err_v"), F.lit(0).alias("is_p"))
+    unioned = purchases.unionByName(errors)
+    # Order by (ts, is_p): an error AT the same instant as a purchase sorts
+    # first, matching ASOF's p.ts >= e.ts inclusivity.
+    w = (Window.partitionBy("user_id")
+         .orderBy(F.col("ts").asc(), F.col("is_p").asc())
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        unioned.withColumn("last_error_value", F.last("err_v", ignorenulls=True).over(w))
+        .where(F.col("is_p") == 1)
+        .select(F.col("event_id").alias("purchase_id"), "user_id",
+                F.col("ts").alias("purchase_ts"), "last_error_value")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O4 — set ops on entity keys across windows (retained/churned users)
+# ---------------------------------------------------------------------------
+
+@register(
+    "set_ops_users",
+    oracle="""
+    WITH w1 AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15'),
+         w2 AS (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15')
+    SELECT 'retained' AS segment, count(*) AS n_users
+    FROM (SELECT user_id FROM w1 INTERSECT SELECT user_id FROM w2)
+    UNION ALL
+    SELECT 'churned' AS segment, count(*) AS n_users
+    FROM (SELECT user_id FROM w1 EXCEPT SELECT user_id FROM w2)
+    """,
+)
+def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    cut = F.lit("2024-01-15")
+    w1 = ev.where(F.col("ts") < cut).select("user_id").distinct()
+    w2 = ev.where(F.col("ts") >= cut).select("user_id").distinct()
+    retained = (w1.intersect(w2).agg(F.count(F.lit(1)).alias("n_users"))
+                .select(F.lit("retained").alias("segment"), "n_users"))
+    churned = (w1.exceptAll(w2).agg(F.count(F.lit(1)).alias("n_users"))
+               .select(F.lit("churned").alias("segment"), "n_users"))
+    return retained.unionByName(churned)
+
+
+# ---------------------------------------------------------------------------
+# A10 — partial/final aggregation identity: avg computed by the engine's
+# two-phase hash agg must equal sum/count done explicitly (guards against
+# avg-of-avgs style bugs in any future custom aggregate)
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_partial_final_identity",
+    oracle="""
+    SELECT event_type,
+           round(avg(value), 6) AS avg_direct,
+           round(sum(value) / count(value), 6) AS avg_manual,
+           count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def agg_partial_final_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ev.groupBy("event_type").agg(
+        SF.r6(F.avg("value")).alias("avg_direct"),
+        SF.r6(F.sum("value") / F.count("value")).alias("avg_manual"),
+        F.count(F.lit(1)).alias("n"),
+    )
