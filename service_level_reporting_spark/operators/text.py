@@ -1,0 +1,272 @@
+"""Text-analysis operators over the `documents` corpus (SURVEY.md §2.8 D5/D6
+plus the north-star text family: language-ID, quality scoring, token
+counting, fingerprinting).
+
+Origin N — LLM-pipeline mandate (BASELINE.json:6). Everything except the
+fingerprint is expressible in both Spark SQL and DuckDB SQL, so these carry
+full value-hash oracles.
+
+Note on language-ID: the testdata `lang` column is synthetic and UNCORRELATED
+with the text (all langs share one vocabulary — verified at build time), so no
+classifier can recover it. The operator is still implemented for real: it
+scores each doc against per-language marker-word profiles and argmaxes —
+the machinery (profile scoring, tie-breaking) is what the oracle verifies.
+
+Scale notes: token explode → groupBy is the classic map-reduce wordcount
+(combiner-friendly, no skew at realistic vocabularies); per-doc stats are
+single-pass scans with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from service_level_reporting_spark import functions as SF
+from service_level_reporting_spark.registry import register
+from service_level_reporting_spark.tables import load_tables
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_tables(spark, sf_dir, ("documents",))["documents"]
+
+
+# ---------------------------------------------------------------------------
+# D5 — per-corpus text stats by (lang, source): doc counts, token counts,
+# char counts, and validation that the redundant n_chars column agrees
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_stats",
+    oracle="""
+    SELECT lang, source,
+           count(*) AS n_docs,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars_total,
+           round(avg(length(text)), 6) AS avg_chars,
+           count(CASE WHEN length(text) != n_chars THEN 1 END) AS n_chars_mismatch
+    FROM documents
+    GROUP BY lang, source
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    n_tok = F.size(F.split("text", " "))
+    return d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(n_tok).cast("long").alias("n_tokens"),
+        F.sum(F.length("text")).cast("long").alias("n_chars_total"),
+        SF.r6(F.avg(F.length("text"))).alias("avg_chars"),
+        F.count(F.when(F.length("text") != F.col("n_chars"), F.lit(1)))
+        .alias("n_chars_mismatch"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# D6 — corpus token frequency top-k (map-reduce wordcount)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_token_topk",
+    oracle="""
+    SELECT token, count(*) AS n
+    FROM (SELECT unnest(string_split(lower(text), ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY n DESC, token
+    LIMIT 20
+    """,
+)
+def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return (
+        d.select(F.explode(F.split(F.lower("text"), " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quality scoring: length/stopword/diversity heuristics per doc, aggregated
+# per source (the pipeline's "filter low-quality shards" signal)
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "a", "of", "and", "to")
+_STOP_SQL = "('the', 'a', 'of', 'and', 'to')"
+
+
+@register(
+    "text_quality_by_source",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq,
+               len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL}))
+                   AS n_stop
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           round(avg(n_tok), 6) AS avg_tokens,
+           round(avg(n_uniq / n_tok), 6) AS avg_diversity,
+           round(avg(n_stop / n_tok), 6) AS avg_stopword_ratio,
+           count(CASE WHEN n_tok >= 20 AND n_uniq / n_tok >= 0.3 THEN 1 END)
+               AS n_quality_docs
+    FROM scored
+    GROUP BY source
+    """,
+)
+def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    scored = d.select(
+        "source", n_tok.alias("n_tok"), n_uniq.alias("n_uniq"), n_stop.alias("n_stop"))
+    diversity = F.col("n_uniq") / F.col("n_tok")
+    return scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        SF.r6(F.avg("n_tok")).alias("avg_tokens"),
+        SF.r6(F.avg(diversity)).alias("avg_diversity"),
+        SF.r6(F.avg(F.col("n_stop") / F.col("n_tok"))).alias("avg_stopword_ratio"),
+        F.count(F.when((F.col("n_tok") >= 20) & (diversity >= 0.3), F.lit(1)))
+        .alias("n_quality_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID: marker-word profile scoring + deterministic argmax.
+# (Labels are synthetic — see module docstring — so this verifies the scoring
+# machinery, not classifier accuracy.)
+# ---------------------------------------------------------------------------
+
+LANG_PROFILES = {
+    "en": ("the", "a", "value", "fast"),
+    "de": ("table", "hash", "join", "group"),
+    "es": ("data", "row", "stream", "small"),
+    "fr": ("window", "query", "agg", "line"),
+    "zh": ("merge", "batch", "big", "slow"),
+}
+
+
+def _profile_sql(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in LANG_PROFILES[lang])
+    return f"len(list_filter(string_split(text, ' '), t -> t IN ({words})))"
+
+
+@register(
+    "text_language_id",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang AS actual_lang,
+               {_profile_sql('en')} AS s_en,
+               {_profile_sql('de')} AS s_de,
+               {_profile_sql('es')} AS s_es,
+               {_profile_sql('fr')} AS s_fr,
+               {_profile_sql('zh')} AS s_zh
+        FROM documents
+    ), best AS (
+        SELECT doc_id, actual_lang,
+               CASE greatest(s_en, s_de, s_es, s_fr, s_zh)
+                   WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
+                   WHEN s_fr THEN 'fr' WHEN s_zh THEN 'zh' END AS predicted_lang
+        FROM scored
+    )
+    SELECT predicted_lang, actual_lang, count(*) AS n_docs
+    FROM best GROUP BY predicted_lang, actual_lang
+    """,
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    def member_of(words):
+        # Single-arg lambda required: PySpark reads the lambda arity to pick
+        # the HOF signature, so a defaulted second arg breaks it.
+        return lambda t: t.isin(*words)
+
+    scores = {
+        lang: F.size(F.filter(toks, member_of(words)))
+        for lang, words in LANG_PROFILES.items()
+    }
+    best = F.greatest(*scores.values())
+    # Tie-break order must match the oracle's CASE order: de,en,es,fr,zh
+    predicted = (
+        F.when(scores["de"] == best, "de")
+        .when(scores["en"] == best, "en")
+        .when(scores["es"] == best, "es")
+        .when(scores["fr"] == best, "fr")
+        .otherwise("zh")
+    )
+    return (
+        d.select(predicted.alias("predicted_lang"), F.col("lang").alias("actual_lang"))
+        .groupBy("predicted_lang", "actual_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Regex (BPE-ish) token counting — subword-style segmentation: runs of
+# letters, runs of digits, or single punctuation marks
+# ---------------------------------------------------------------------------
+
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "text_token_count_regex",
+    oracle=f"""
+    SELECT lang,
+           CAST(sum(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT)
+               AS n_regex_tokens,
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
+           count(*) AS n_docs
+    FROM documents
+    GROUP BY lang
+    """,
+)
+def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    return d.groupBy("lang").agg(
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX), 0)))
+        .cast("long").alias("n_regex_tokens"),
+        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_ws_tokens"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Document fingerprint: rolling polynomial hash over tokens — deterministic
+# across engines ONLY because we define the arithmetic ourselves (mod 2^31-1,
+# base 131, over token lengths+first-char codes). SQL-expressible both sides.
+# ---------------------------------------------------------------------------
+
+FP_MOD = 2147483647
+FP_BASE = 131
+
+
+@register(
+    "text_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(list_reduce(
+               list_prepend(CAST(0 AS BIGINT),
+                   list_transform(string_split(text, ' '),
+                                  t -> CAST(length(t) * 256 + ord(t[1]) AS BIGINT))),
+               (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}
+           ) AS BIGINT) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    token_code = lambda t: (F.length(t) * 256 + F.ascii(F.substring(t, 1, 1))).cast("long")  # noqa: E731
+    fp = F.aggregate(
+        toks,
+        F.lit(0).cast("long"),
+        lambda acc, t: (acc * FP_BASE + token_code(t)) % FP_MOD,
+    )
+    return d.select("doc_id", fp.alias("fingerprint"))

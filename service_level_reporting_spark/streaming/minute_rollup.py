@@ -1,0 +1,141 @@
+"""Streaming operators T1–T5: the reference's updater loop as real streams.
+
+Reference analog: SLR's updater re-polls KairosDB every interval and upserts
+the last N minutes (upstream:app/updater.py#update_all_indicators [M]) — a
+hand-rolled micro-batch pipeline. Structured Streaming IS that model with
+exactly-once state, so each operator below is the declarative form.
+
+Test harness shape: file-source replay of the events parquet with
+`trigger(availableNow=True)` into a memory sink, returning the final table —
+batch-equivalent by construction, which pytest asserts (SURVEY §5.3).
+
+Scale notes: in production the source is Kafka/files-on-arrival; watermarks
+bound state (late points beyond 10 min are dropped exactly like the
+reference's bounded backfill window); `dropDuplicatesWithinWatermark` gives
+the idempotent-ingest guarantee S4 provides at rest.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from service_level_reporting_spark.registry import register
+
+RAW_EVENTS_SCHEMA = ("event_id bigint, ts bigint, user_id bigint, "
+                     "event_type string, value double, props string")
+
+
+def _staged_dir(sf_dir: str) -> str:
+    """Spark's file streaming source needs a DIRECTORY; testdata ships a bare
+    file. Stage a copy under /tmp once per sf (idempotent, mtime-checked)."""
+    src = f"{sf_dir}/events.parquet"
+    tag = sf_dir.strip("/").replace("/", "_")
+    dst_dir = os.path.join(tempfile.gettempdir(), f"slr_stream_{tag}")
+    dst = os.path.join(dst_dir, "events.parquet")
+    if not (os.path.exists(dst)
+            and os.path.getmtime(dst) >= os.path.getmtime(src)):
+        os.makedirs(dst_dir, exist_ok=True)
+        shutil.copy2(src, dst)
+    return dst_dir
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet as a file-source stream with the ns→timestamp fix."""
+    raw = (
+        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+        .format("parquet")
+        .load(_staged_dir(sf_dir))
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def _run_to_table(df: DataFrame, mode: str, name_prefix: str) -> DataFrame:
+    """Execute the streaming df to completion into a memory sink."""
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).trigger(availableNow=True).start())
+    q.awaitTermination()
+    spark = df.sparkSession
+    return spark.table(name)
+
+
+# T1 — tumbling 1-minute windows (the A1 resample, streaming)
+@register("stream_minute_tumbling")  # rows-only: streaming, batch-equiv in pytest
+def stream_minute_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = stream_events(spark, sf_dir).where(F.col("ts") < F.lit("2024-01-02"))
+    agg = (
+        s.groupBy(F.window("ts", "1 minute"), "event_type")
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_table(agg, "complete", "t1_tumbling")
+    return out.select(F.col("window.start").alias("minute"), "event_type",
+                      "avg_value", "n")
+
+
+# T2 — sliding windows (10-minute window, 1-minute slide)
+@register("stream_sliding_window")  # rows-only
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = stream_events(spark, sf_dir).where(
+        (F.col("event_type") == "error") & (F.col("ts") < F.lit("2024-01-02")))
+    agg = (
+        s.groupBy(F.window("ts", "10 minutes", "1 minute"))
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_table(agg, "complete", "t2_sliding")
+    return out.select(F.col("window.start").alias("win_start"),
+                      F.col("window.end").alias("win_end"), "avg_value", "n")
+
+
+# T3 — session windows (bursts per user, 5-minute gap)
+@register("stream_session_window")  # rows-only
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = stream_events(spark, sf_dir).where(F.col("ts") < F.lit("2024-01-03"))
+    agg = (
+        s.groupBy(F.session_window("ts", "5 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.avg("value"), 6).alias("avg_value"))
+    )
+    out = _run_to_table(agg, "complete", "t3_session")
+    return (
+        out.select("user_id", F.col("session_window.start").alias("session_start"),
+                   "n_events", "avg_value")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_sessions"),
+             F.sum("n_events").alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+# T4 — watermark + append mode: late data beyond 10 minutes is dropped,
+# finalized windows are emitted exactly once
+@register("stream_watermark_late")  # rows-only
+def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (stream_events(spark, sf_dir)
+         .where(F.col("ts") < F.lit("2024-01-02"))
+         .withWatermark("ts", "10 minutes"))
+    agg = (
+        s.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    out = _run_to_table(agg, "append", "t4_watermark")
+    return out.select(F.col("window.start").alias("hour"), "event_type", "n")
+
+
+# T5 — stateful dedup on event_id within the watermark (idempotent ingest)
+@register("stream_stateful_dedup")  # rows-only
+def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = (stream_events(spark, sf_dir)
+         .where(F.col("ts") < F.lit("2024-01-02"))
+         .withWatermark("ts", "10 minutes")
+         .dropDuplicatesWithinWatermark(["event_id"]))
+    agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_events"))
+    out = _run_to_table(agg, "complete", "t5_dedup")
+    return out.orderBy("event_type")

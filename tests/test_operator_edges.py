@@ -1,0 +1,118 @@
+"""Edge-case unit tests on tiny inline fixtures (FIXTURES.md §B, SURVEY §5.3).
+
+These pin the SEMANTIC CONTRACTS that the oracle can't distinguish:
+weighted-average fallback rules, breach bound inclusivity, empty windows,
+dedup/fingerprint invariances.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from service_level_reporting_spark import functions as SF
+
+
+def _ts(minute: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1, 0, minute)
+
+
+def test_breach_bounds_inclusive(spark):
+    """Values exactly AT the target bounds are compliant (our documented
+    contract); NULL values are not breaches."""
+    df = spark.createDataFrame(
+        [(5.0,), (95.0,), (4.999,), (95.001,), (50.0,), (None,)],
+        "value double")
+    out = df.agg(SF.breach_count(F.col("value"), 5.0, 95.0).alias("b")).collect()[0]
+    assert out["b"] == 2
+
+
+def test_compliance_empty_window_is_null(spark):
+    """Zero rows in window -> NULL compliance, not an error (A6)."""
+    df = spark.createDataFrame([], "value double")
+    row = df.agg(
+        SF.compliance(SF.breach_count(F.col("value"), 0, 1),
+                      F.count(F.lit(1))).alias("c")).collect()[0]
+    assert row["c"] is None
+
+
+def test_weighted_average_fallback(spark):
+    """Minute with weights -> Σvw/Σw; all-NULL weights -> plain avg;
+    weights summing to zero -> plain avg (no div-by-zero)."""
+    rows = [
+        # minute 0: weights present
+        (_ts(0), 10.0, 1.0), (_ts(0), 20.0, 3.0),
+        # minute 1: weights all NULL
+        (_ts(1), 10.0, None), (_ts(1), 30.0, None),
+        # minute 2: weights sum to zero
+        (_ts(2), 10.0, 0.0), (_ts(2), 50.0, 0.0),
+    ]
+    df = spark.createDataFrame(rows, "minute timestamp, v double, w double")
+    out = {
+        r["minute"].minute: r["wavg"]
+        for r in df.groupBy("minute").agg(
+            F.coalesce(
+                F.sum(F.col("v") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0)),
+                F.avg("v"),
+            ).alias("wavg")
+        ).collect()
+    }
+    assert out[0] == (10 * 1 + 20 * 3) / 4.0   # weighted
+    assert out[1] == 20.0                       # fallback: plain avg
+    assert out[2] == 30.0                       # Σw=0 fallback: plain avg
+
+
+def test_minute_resample_does_not_invent_rows(spark):
+    """A1 must not fabricate buckets for missing minutes (gap stays a gap)."""
+    rows = [(_ts(0), 1.0), (_ts(0), 3.0), (_ts(5), 10.0)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    out = df.groupBy(SF.minute("ts").alias("m")).agg(F.avg("value").alias("v"))
+    got = {r["m"].minute: r["v"] for r in out.collect()}
+    assert got == {0: 2.0, 5: 10.0}
+
+
+def test_cosine_and_dot(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0]),
+         ([0.0, 0.0], [1.0, 1.0])],
+        "a array<double>, b array<double>")
+    got = df.select(SF.cosine("a", "b").alias("c")).collect()
+    assert got[0]["c"] == 1.0
+    assert got[1]["c"] == 0.0
+    assert got[2]["c"] is None  # zero-norm -> NULL, not NaN/error
+
+
+def test_simhash_identical_docs_share_signature(spark, monkeypatch):
+    from service_level_reporting_spark.operators import dedup as D
+    docs = spark.createDataFrame(
+        [(1, "spark hash join fast table"), (2, "spark hash join fast table"),
+         (3, "completely different words entirely here")],
+        "doc_id long, text string")
+    monkeypatch.setattr(D, "_docs", lambda s, d: docs)
+    out = D.dedup_simhash(spark, "ignored").collect()
+    assert len(out) == 1
+    assert out[0]["n_docs"] == 2 and out[0]["keeper_doc_id"] == 1
+
+
+def test_fingerprint_invariance(spark, monkeypatch):
+    from service_level_reporting_spark.operators import text as T
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "c b a")],
+        "doc_id long, text string")
+    monkeypatch.setattr(T, "_docs", lambda s, d: docs)
+    fps = {r["doc_id"]: r["fingerprint"] for r in T.text_fingerprint(spark, "x").collect()}
+    assert fps[1] == fps[2]          # identical text -> identical fingerprint
+    assert fps[1] != fps[3]          # order matters (rolling, not bag-of-words)
+
+
+def test_exact_dedup_micro(spark, monkeypatch):
+    from service_level_reporting_spark.operators import dedup as D
+    docs = spark.createDataFrame(
+        [(1, "x y z"), (2, "x y z"), (3, "x y w"), (4, "q r s")],
+        "doc_id long, text string")
+    monkeypatch.setattr(D, "_docs", lambda s, d: docs)
+    stats = D.dedup_exact_stats(spark, "x").collect()[0]
+    assert (stats["n_total"], stats["n_distinct"], stats["n_dup_rows"]) == (4, 3, 1)
+    groups = D.dedup_exact_groups(spark, "x").collect()
+    assert len(groups) == 1 and groups[0]["keeper_doc_id"] == 1

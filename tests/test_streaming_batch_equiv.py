@@ -1,0 +1,49 @@
+"""Streaming-vs-batch equivalence (SURVEY §5.3): the same aggregation run
+through Structured Streaming (availableNow replay) and as a plain batch
+query must agree exactly."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from service_level_reporting_spark import functions as SF
+from service_level_reporting_spark.streaming import minute_rollup as S
+from service_level_reporting_spark.tables import load_tables
+
+from .conftest import SF_DIR_001
+
+
+def test_tumbling_equals_batch(spark):
+    streamed = S.stream_minute_tumbling(spark, SF_DIR_001)
+    ev = load_tables(spark, SF_DIR_001, ("events",))["events"]
+    batch = (
+        ev.where(F.col("ts") < F.lit("2024-01-02"))
+        .groupBy(SF.minute("ts").alias("minute"), "event_type")
+        .agg(F.round(F.avg("value"), 6).alias("avg_value"),
+             F.count(F.lit(1)).alias("n"))
+    )
+    got = {(r["minute"], r["event_type"]): (r["avg_value"], r["n"])
+           for r in streamed.collect()}
+    want = {(r["minute"], r["event_type"]): (r["avg_value"], r["n"])
+            for r in batch.collect()}
+    assert got == want
+
+
+def test_stateful_dedup_equals_batch_distinct(spark):
+    streamed = {r["event_type"]: r["n_unique_events"]
+                for r in S.stream_stateful_dedup(spark, SF_DIR_001).collect()}
+    ev = load_tables(spark, SF_DIR_001, ("events",))["events"]
+    batch = {
+        r["event_type"]: r["n"]
+        for r in ev.where(F.col("ts") < F.lit("2024-01-02"))
+        .groupBy("event_type").agg(F.countDistinct("event_id").alias("n")).collect()
+    }
+    assert streamed == batch
+
+
+def test_session_window_counts_conserve_events(spark):
+    out = S.stream_session_window(spark, SF_DIR_001)
+    total_in_sessions = out.agg(F.sum("n_events").alias("s")).collect()[0]["s"]
+    ev = load_tables(spark, SF_DIR_001, ("events",))["events"]
+    n = ev.where(F.col("ts") < F.lit("2024-01-03")).count()
+    assert total_in_sessions == n
