@@ -1,0 +1,104 @@
+"""Scan/projection/scalar-function surface (SURVEY.md §2.1 S1, §2.2 P1, §2.7).
+
+These are the "plumbing" rows of the operator inventory — trivial on purpose,
+but each carries an oracle so the type-normalization layer (ns timestamps,
+UTC session, cast policy) is hash-checked end to end, not just assumed.
+
+S3 (JDBC catalog source) is intentionally deferred: testdata is parquet-only
+(SURVEY §2.1) — `spark.read.format("jdbc")` would exercise nothing here. The
+loader seam in tables.py is where it would plug in.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from service_level_reporting_spark.registry import register
+from service_level_reporting_spark.tables import load_tables
+
+
+# S1 — normalized parquet scan: the ns-timestamp fix + schema is what's
+# actually under test (every other query builds on this layer)
+@register(
+    "scan_events_normalized",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(DISTINCT event_type) AS n_types,
+           min(ts) AS min_ts,
+           max(ts) AS max_ts,
+           CAST(min(event_id) AS BIGINT) AS min_event_id,
+           CAST(max(event_id) AS BIGINT) AS max_event_id
+    FROM events
+    """,
+)
+def scan_events_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ev.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_type").alias("n_types"),
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.min("event_id").alias("min_event_id"),
+        F.max("event_id").alias("max_event_id"),
+    )
+
+
+# P1 — projection / rename / cast (API serializers expose typed subsets [M])
+@register(
+    "project_rename_cast",
+    oracle="""
+    SELECT event_id AS id,
+           CAST(user_id AS VARCHAR) AS entity,
+           upper(event_type) AS indicator,
+           CAST(trunc(value) AS BIGINT) AS value_int,  -- Spark CAST truncates; DuckDB rounds
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
+    FROM events
+    WHERE event_id < 500
+    """,
+)
+def project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return ev.where(F.col("event_id") < 500).select(
+        F.col("event_id").alias("id"),
+        F.col("user_id").cast("string").alias("entity"),
+        F.upper("event_type").alias("indicator"),
+        F.col("value").cast("long").alias("value_int"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+    )
+
+
+# F1/F2/F3/F4/F6 — scalar-function families in one checked query:
+# date/time (day-of-week buckets), string (slug), math (clamp/safe-div),
+# JSON (props tag), conditional (band CASE)
+@register(
+    "scalar_functions_showcase",
+    oracle="""
+    SELECT strftime(ts, '%a')                                   AS weekday,
+           lower(replace(event_type, 'e', '3'))                 AS slug,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)    AS tag_k,
+           round(greatest(least(value, 95.0), 5.0), 6)          AS clamped,
+           CASE WHEN value > 95.0 THEN 'high'
+                WHEN value < 5.0  THEN 'low'
+                ELSE 'ok' END                                   AS band,
+           round(coalesce(value / nullif(CAST(json_extract_string(props, '$.k')
+                                              AS BIGINT), 0), -1.0), 6) AS per_tag
+    FROM events
+    WHERE event_id < 200
+    """,
+)
+def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.where(F.col("event_id") < 200).select(
+        F.date_format("ts", "E").alias("weekday"),
+        F.lower(F.regexp_replace("event_type", "e", "3")).alias("slug"),
+        k.alias("tag_k"),
+        F.round(F.greatest(F.least("value", F.lit(95.0)), F.lit(5.0)), 6)
+        .alias("clamped"),
+        F.when(F.col("value") > 95.0, "high")
+        .when(F.col("value") < 5.0, "low")
+        .otherwise("ok").alias("band"),
+        F.round(F.coalesce(F.col("value") / F.nullif(k, F.lit(0)), F.lit(-1.0)), 6)
+        .alias("per_tag"),
+    )

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from service_level_reporting_spark import functions as SF
+from service_level_reporting_spark import tables
 from service_level_reporting_spark.registry import register
 from service_level_reporting_spark.tables import load_tables
 
@@ -93,9 +94,9 @@ def slo_daily_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def resample_minute_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).where(
-        (F.col("ts") >= F.lit("2024-01-08")) & (F.col("ts") < F.lit("2024-01-15"))
-    )
+    # events_between pushes the range onto the RAW int64 ts column, so the
+    # parquet reader skips row groups (a post-conversion filter cannot push)
+    ev = tables.events_between(spark, sf_dir, "2024-01-08", "2024-01-15")
     return (
         ev.groupBy(SF.minute("ts").alias("minute"), "event_type")
         .agg(SF.r6(F.avg("value")).alias("avg_value"),
@@ -207,8 +208,7 @@ def agg_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
-        _events(spark, sf_dir)
-        .where((F.col("ts") >= F.lit("2024-01-10")) & (F.col("ts") < F.lit("2024-01-12")))
+        tables.events_between(spark, sf_dir, "2024-01-10", "2024-01-12")
         .select("event_id", "ts", "event_type", "value")
     )
 

@@ -30,6 +30,7 @@ _ORACLES: dict[str, str] = {}
 
 # Modules that register queries on import.
 _OPERATOR_MODULES = (
+    "service_level_reporting_spark.operators.scan",
     "service_level_reporting_spark.operators.sli",
     "service_level_reporting_spark.operators.report",
     "service_level_reporting_spark.operators.relational",

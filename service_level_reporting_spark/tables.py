@@ -82,6 +82,40 @@ def load_tables(spark: SparkSession, sf_dir: str,
     return out
 
 
+def events_between(spark: SparkSession, sf_dir: str,
+                   lo: str | None = None, hi: str | None = None) -> DataFrame:
+    """Time-range scan of events with parquet-pushdown-friendly predicates.
+
+    The normalized `ts` is `timestamp_micros(raw div 1000)` — a filter on
+    that EXPRESSION cannot reach the parquet reader, so a naive
+    `load_tables()[...].where(ts >= lo)` scans every row group. This helper
+    translates the bounds to raw int64 nanoseconds and filters BEFORE the
+    conversion: the predicate lands in PushedFilters and row groups outside
+    [lo, hi) are skipped via column statistics. At 100 TB the same bounds
+    also select date partitions (layout seam in write path).
+    """
+    import datetime as dt
+
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    if not _is_long(df, "ts"):  # pyarrow fallback path: ts already timestamp
+        out = _load_events(spark, f"{sf_dir}/events.parquet")
+        if lo is not None:
+            out = out.where(F.col("ts") >= F.lit(lo))
+        if hi is not None:
+            out = out.where(F.col("ts") < F.lit(hi))
+        return out
+
+    def to_ns(s: str) -> int:
+        d = dt.datetime.fromisoformat(s).replace(tzinfo=dt.timezone.utc)
+        return int(d.timestamp()) * 1_000_000_000
+
+    if lo is not None:
+        df = df.where(F.col("ts") >= F.lit(to_ns(lo)))
+    if hi is not None:
+        df = df.where(F.col("ts") < F.lit(to_ns(hi)))
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
 def register_views(spark: SparkSession, sf_dir: str,
                    names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
     """load_tables + createOrReplaceTempView, so spark.sql() sees them."""

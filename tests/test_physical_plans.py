@@ -1,0 +1,63 @@
+"""Physical-plan assertions (SURVEY §4 / §6 scale posture).
+
+Correct results are not enough at 100 TB — these tests pin the plan shapes
+that make the operators scale: predicate pushdown into the parquet scan,
+broadcast joins for dims, whole-stage codegen on the agg hot path, and
+partial (map-side) aggregation before the shuffle.
+"""
+
+from __future__ import annotations
+
+from service_level_reporting_spark.operators.relational import pricing_summary
+from service_level_reporting_spark.operators.report import report_region_revenue
+from service_level_reporting_spark.operators.sli import filter_time_range
+from service_level_reporting_spark.tables import events_between
+
+from .conftest import SF_DIR_001
+
+
+def plan_str(df) -> str:
+    # formatted explain via the public API
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_time_range_filter_pushes_to_parquet(spark):
+    p = plan_str(filter_time_range(spark, SF_DIR_001))
+    assert "PushedFilters: [" in p
+    # the raw int64 ts bounds must appear as pushed gte/lt filters
+    assert "GreaterThanOrEqual(ts" in p and "LessThan(ts" in p, p
+
+
+def test_events_between_prunes_columns(spark):
+    p = plan_str(events_between(spark, SF_DIR_001, "2024-01-02", "2024-01-03")
+                 .select("event_id", "value"))
+    # ReadSchema must not include unused wide columns like props
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "props" not in read_schema[0], p
+
+
+def test_region_revenue_broadcasts_dims(spark):
+    p = plan_str(report_region_revenue(spark, SF_DIR_001))
+    assert p.count("BroadcastHashJoin") >= 3, p  # customer, nation, region
+    assert "SortMergeJoin" not in p, p
+
+
+def test_pricing_summary_codegen_and_partial_agg(spark):
+    df = pricing_summary(spark, SF_DIR_001)
+    df.collect()  # finalize the AQE plan so codegen ids materialize
+    p = plan_str(df)
+    assert "codegen id" in p, p  # hot path inside whole-stage codegen
+    # partial (map-side) + final HashAggregate around the exchange
+    assert p.count("HashAggregate") >= 2, p
+    assert "partial_sum" in p and "Exchange" in p
+
+
+def test_pricing_summary_pushes_shipdate(spark):
+    p = plan_str(pricing_summary(spark, SF_DIR_001))
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p, p
