@@ -126,6 +126,51 @@ ROUND_AVG = 6
 ROUND_SUM = 2
 
 
+# ---------------------------------------------------------------------------
+# Skew handling: salted two-phase aggregation. AQE's skew-join split covers
+# joins; for a groupBy on a pathologically hot key (one entity owning most of
+# a 100 TB stream), salt the key into N subkeys, aggregate partially per
+# (key, salt), then merge per key. Only algebraic aggregates compose this
+# way — helpers below cover the count/sum/min/max family the SLI specs use.
+# ---------------------------------------------------------------------------
+
+SALT_COL = "__salt"
+
+
+def with_salt(df, n_salts: int = 16):
+    """Deterministic salt derived from a uniformly-distributed source column
+    is preferable, but a random salt is fine for aggregation (any row may
+    land in any subgroup)."""
+    return df.withColumn(SALT_COL, (F.rand(seed=42) * n_salts).cast("int"))
+
+
+def salted_agg(df, key_cols: list[str], aggs: dict[str, str], n_salts: int = 16):
+    """Two-phase salted aggregation for algebraic functions.
+
+    aggs: {column: one of 'sum'|'count'|'min'|'max'}. Returns one row per
+    key with the same column names as a direct groupBy().agg() would.
+    """
+    phase1_exprs, phase2_exprs = [], []
+    for col, how in aggs.items():
+        if how == "count":
+            phase1_exprs.append(F.count(F.lit(1)).alias(col))
+            phase2_exprs.append(F.sum(col).alias(col))
+        elif how == "sum":
+            phase1_exprs.append(F.sum(col).alias(col))
+            phase2_exprs.append(F.sum(col).alias(col))
+        elif how == "min":
+            phase1_exprs.append(F.min(col).alias(col))
+            phase2_exprs.append(F.min(col).alias(col))
+        elif how == "max":
+            phase1_exprs.append(F.max(col).alias(col))
+            phase2_exprs.append(F.max(col).alias(col))
+        else:
+            raise ValueError(f"non-algebraic aggregate: {how}")
+    partial = (with_salt(df, n_salts)
+               .groupBy(*key_cols, SALT_COL).agg(*phase1_exprs))
+    return partial.groupBy(*key_cols).agg(*phase2_exprs)
+
+
 def r6(c: Column) -> Column:
     return F.round(c, ROUND_AVG)
 

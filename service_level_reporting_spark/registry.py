@@ -39,6 +39,7 @@ _OPERATOR_MODULES = (
     "service_level_reporting_spark.operators.similarity",
     "service_level_reporting_spark.operators.text",
     "service_level_reporting_spark.operators.multimodal",
+    "service_level_reporting_spark.operators.udfs",
     "service_level_reporting_spark.sources.kairosdb",
     "service_level_reporting_spark.sources.sinks",
     "service_level_reporting_spark.streaming.minute_rollup",
