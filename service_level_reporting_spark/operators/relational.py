@@ -89,10 +89,17 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_revenue_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir, ("customer", "orders", "lineitem"))
     cust = t["customer"].where(F.col("c_mktsegment") == "BUILDING")
+    # Join order matters at scale: broadcast the filtered customer dim onto
+    # orders FIRST (map-side, no shuffle), so only the ~1/5 of orders in the
+    # segment reach the big lineitem join's shuffle.
+    orders_in_seg = (
+        t["orders"]
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select("o_orderkey", "o_orderdate")
+    )
     return (
         t["lineitem"]
-        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(orders_in_seg, F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("l_orderkey").alias("o_orderkey"),
                  SF.day_str("o_orderdate").alias("order_day"))
         .agg(SF.r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))

@@ -71,6 +71,10 @@ def get_spark(app_name: str = "slr-spark", master: str | None = None,
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        # Local mode: every "executor" is this JVM, so locality preference
+        # waits (default 3s tiers) only delay task launch. On a cluster this
+        # stays default — it's a startup conf, not baked into any plan.
+        .config("spark.locality.wait", "0")
     )
     for k, v in _RUNTIME_CONFS.items():
         builder = builder.config(k, v)

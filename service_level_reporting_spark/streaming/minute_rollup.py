@@ -56,12 +56,26 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _run_to_table(df: DataFrame, mode: str, name_prefix: str) -> DataFrame:
-    """Execute the streaming df to completion into a memory sink."""
-    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
-    q = (df.writeStream.format("memory").queryName(name)
-         .outputMode(mode).trigger(availableNow=True).start())
-    q.awaitTermination()
+    """Execute the streaming df to completion into a memory sink.
+
+    AQE does not apply to streams, so the stateful exchange runs at the raw
+    ``spark.sql.shuffle.partitions`` (200 in a default session) — 200 state
+    stores for a test-size replay is pure scheduling overhead. Pin a sane
+    local state-partition count for the lifetime of the query and restore the
+    caller's conf after; a production deployment sizes this to the cluster
+    ONCE at first start (it is frozen into the checkpoint thereafter).
+    """
     spark = df.sparkSession
+    name = f"{name_prefix}_{uuid.uuid4().hex[:8]}"
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(min(int(prev), 32)))
+        q = (df.writeStream.format("memory").queryName(name)
+             .outputMode(mode).trigger(availableNow=True).start())
+        q.awaitTermination()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
 
 
