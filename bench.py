@@ -52,10 +52,13 @@ def main() -> None:
     cache_tables(spark, sf_dir, ("customer", "orders", "lineitem", "events",
                                  "documents", "embeddings"))
 
-    # Median of 3 timed runs per query: steady-state plan-execution cost,
-    # insensitive to one-off scheduler hiccups in local mode.
+    # One untimed warm-up run per query at the bench SF (JMH-style warm-up
+    # iteration: pays first-run broadcast builds and AQE stage
+    # materialization), then median of 3 timed runs — steady-state
+    # plan-execution cost, insensitive to one-off scheduler hiccups.
     timings: dict[str, float] = {}
     for name in HEADLINERS:
+        qs[name](spark, sf_dir).collect()
         runs = []
         for _ in range(3):
             t0 = time.perf_counter()
