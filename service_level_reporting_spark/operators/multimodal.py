@@ -118,6 +118,122 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Resize: binary→binary transform keeping the payload opaque. The stub
+# "resize" deterministically truncates/pads the payload to a size derived
+# from the target dims — the Spark-side contract (schema, batch shape,
+# payload stays out of any shuffle until reduced) is the real artifact.
+# ---------------------------------------------------------------------------
+
+RESIZED_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("media_type", StringType(), False),
+    StructField("payload", BinaryType(), False),
+    StructField("target_w", LongType(), False),
+    StructField("target_h", LongType(), False),
+])
+
+
+def resize_image(payload: bytes, w: int, h: int, *, fake: bool = False) -> bytes:
+    """STUB — real resampling needs an image library not in this container.
+
+    fake=True: deterministic size-changing transform (truncate or
+    zero-pad to w*h//64 bytes) standing in for an actual resize."""
+    if not fake:
+        raise NotImplementedError(
+            "image resize requires an image library not present in this "
+            "environment; pass fake=True for the deterministic test double")
+    n = max(1, (w * h) // 64)
+    return payload[:n] + b"\x00" * max(0, n - len(payload))
+
+
+def resize_assets(assets: DataFrame, w: int = 64, h: int = 64) -> DataFrame:
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "media_type": pdf["media_type"],
+                "payload": [resize_image(p, w, h, fake=True)
+                            for p in pdf["payload"]],
+                "target_w": w,
+                "target_h": h,
+            })
+
+    return assets.mapInPandas(batches, schema=RESIZED_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Frame sampling: UDTF-style 1→N fan-out (one video row yields one row per
+# sampled frame). The batch shape — input rows and output rows need not
+# align — is exactly what mapInPandas exists for; explode() can't, because
+# the frames don't exist as an array column until a decoder runs.
+# ---------------------------------------------------------------------------
+
+FRAME_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("frame_idx", LongType(), False),
+    StructField("frame_payload", BinaryType(), False),
+    StructField("n_frame_bytes", LongType(), False),
+])
+
+
+def sample_frames(assets: DataFrame, every_n_bytes: int = 256,
+                  max_frames: int = 8) -> DataFrame:
+    """Sample up to max_frames deterministic 'frames' per video asset.
+
+    Stub decode: a frame = the every_n_bytes-wide byte slice at each stride
+    (a real build swaps the slicing for an actual codec's keyframe reads —
+    signature and fan-out shape identical)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, frames = [], [], []
+            for aid, media, payload in zip(
+                    pdf["asset_id"], pdf["media_type"], pdf["payload"]):
+                if media != "video/mp4":
+                    continue
+                for i in range(min(max_frames,
+                                   max(1, len(payload) // every_n_bytes))):
+                    frame = bytes(payload[i * every_n_bytes:
+                                          (i + 1) * every_n_bytes])
+                    ids.append(aid)
+                    idxs.append(i)
+                    frames.append(frame)
+            yield pd.DataFrame({
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "frame_payload": pd.Series(frames, dtype="object"),
+                "n_frame_bytes": pd.Series([len(f) for f in frames],
+                                           dtype="int64"),
+            })
+
+    return assets.mapInPandas(batches, schema=FRAME_SCHEMA)
+
+
+@register("multimodal_resize_pipeline")  # rows-only: stub transform
+def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    resized = resize_assets(assets_from_documents(docs), w=64, h=64)
+    return (
+        resized.groupBy("media_type", "target_w", "target_h")
+        .agg(F.count(F.lit(1)).alias("n_assets"),
+             F.sum(F.octet_length("payload")).cast("long").alias("total_bytes"))
+        .orderBy("media_type")
+    )
+
+
+@register("multimodal_frame_sample")  # rows-only: stub decode, 1→N fan-out
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    frames = sample_frames(assets_from_documents(docs))
+    return (
+        frames.groupBy("frame_idx")
+        .agg(F.count(F.lit(1)).alias("n_frames"),
+             F.sum("n_frame_bytes").alias("total_bytes"))
+        .orderBy("frame_idx")
+    )
+
+
 # The metadata/binary plumbing IS SQL-expressible (byte length, header hex) —
 # that part carries a real oracle so the driver hash-checks the binary path.
 @register(

@@ -219,6 +219,89 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 N_HYPERPLANES = 8
 LSH_SEED = 42
 
+# --- IVF (inverted-file) ANN ----------------------------------------------
+# The other standard scale path: train a small codebook of centroids on a
+# BOUNDED sample (collected to the driver — fixed-size, like any broadcast
+# dim), assign every vector to its nearest centroid (one vectorized Arrow
+# pass), and answer queries by probing only the nprobe nearest buckets.
+# Search cost drops from O(n) per query to O(n * nprobe / k) with recall
+# controlled by nprobe — at 10^9 vectors this is the faiss-style IVF-flat
+# layout expressed as a DataFrame: (centroid_id, vec_id, embedding),
+# partitioned by centroid_id so one probe touches few partitions.
+
+IVF_K = 16           # codebook size (sqrt-ish of test corpus; tuned per SF)
+IVF_NPROBE = 4       # buckets probed per query
+IVF_TRAIN_CAP = 2048  # driver-side training sample bound
+
+
+def _train_centroids(e: DataFrame, k: int = IVF_K):
+    """Deterministic centroid training: stride-sample ≤ IVF_TRAIN_CAP unit
+    vectors (no RNG — resume-safe), k-means++-free init on the first k,
+    one Lloyd refinement in numpy. Returns a (k, dim) unit-row matrix."""
+    import numpy as np
+
+    n = e.count()
+    stride = max(1, n // IVF_TRAIN_CAP)
+    sample = (e.where(F.col("vec_id") % stride == 0)
+              .select("nemb").limit(IVF_TRAIN_CAP).collect())
+    x = np.array([r["nemb"] for r in sample], dtype=np.float64)
+    c = x[:k].copy()
+    for _ in range(2):  # Lloyd iterations
+        assign = (x @ c.T).argmax(axis=1)
+        for j in range(k):
+            members = x[assign == j]
+            if len(members):
+                c[j] = members.mean(axis=0)
+        norms = np.linalg.norm(c, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        c = c / norms
+    return c
+
+
+def _assign_udf(centroids):
+    """Vectorized nearest-centroid assignment (one GEMM per Arrow batch)."""
+    import numpy as np
+
+    from pyspark.sql.functions import pandas_udf
+
+    c = centroids
+
+    def assign(embs):
+        import pandas as pd
+
+        m = np.vstack(embs.to_numpy()).astype(np.float64, copy=False)
+        return pd.Series((m @ c.T).argmax(axis=1).astype(np.int32))
+
+    # annotation-free callable -> legacy SCALAR pandas_udf inference (module
+    # uses future-annotations, which breaks string-hint resolution here)
+    return pandas_udf(assign, "int")
+
+
+@register("similarity_knn_ivf")  # rows-only: approximate by design
+def similarity_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _normalized(_emb(spark, sf_dir))
+    centroids = _train_centroids(e)
+    assign = _assign_udf(centroids)
+    indexed = e.withColumn("centroid_id", assign("nemb"))
+
+    import numpy as np
+
+    q_row = e.where(F.col("vec_id") == KNN_QUERY_VEC_ID).select("nemb").first()
+    q = np.asarray(q_row["nemb"], dtype=np.float64)
+    probe = np.argsort(-(centroids @ q))[:IVF_NPROBE].tolist()
+
+    qdf = (e.where(F.col("vec_id") == KNN_QUERY_VEC_ID)
+           .select(F.col("nemb").alias("ea")))
+    cos = SF.dot_fixed("ea", "nemb", EMB_DIM)
+    return (
+        indexed.where(F.col("centroid_id").isin([int(p) for p in probe]))
+        .where(F.col("vec_id") != KNN_QUERY_VEC_ID)
+        .join(F.broadcast(qdf))
+        .select("vec_id", "label", F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(KNN_K)
+    )
+
 
 def _hyperplanes():
     import numpy as np

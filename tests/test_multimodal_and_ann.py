@@ -56,3 +56,58 @@ def test_ann_lsh_pairs_have_exact_cosines(spark):
                       F.round(SF.cosine("ea", "eb"), 6).alias("true_cos")))
     for r in joined.collect():
         assert r["cos_sim"] == r["true_cos"], r
+
+
+def test_resize_stub_and_pipeline(spark):
+    assert MM.resize_image(b"abc", 64, 64, fake=True)[:3] == b"abc"
+    assert len(MM.resize_image(b"abc", 64, 64, fake=True)) == 64 * 64 // 64
+    with pytest.raises(NotImplementedError):
+        MM.resize_image(b"abc", 64, 64)
+    docs = load_tables(spark, SF_DIR_001, ("documents",))["documents"]
+    resized = MM.resize_assets(MM.assets_from_documents(docs), w=64, h=64)
+    rows = resized.collect()
+    assert len(rows) == docs.count()
+    assert all(len(r["payload"]) == 64 for r in rows)  # 64*64//64
+
+
+def test_frame_sample_fanout(spark):
+    """1→N fan-out: only video assets yield frames; frame slices tile the
+    payload deterministically."""
+    docs = load_tables(spark, SF_DIR_001, ("documents",))["documents"]
+    assets = MM.assets_from_documents(docs)
+    frames = MM.sample_frames(assets, every_n_bytes=64, max_frames=4)
+    n_videos = assets.where(F.col("media_type") == "video/mp4").count()
+    got = frames.collect()
+    assert {r["asset_id"] % 3 for r in got} == {2}          # videos only
+    per_asset = {}
+    for r in got:
+        per_asset.setdefault(r["asset_id"], []).append(r)
+    assert len(per_asset) == n_videos
+    for rows in per_asset.values():
+        assert sorted(r["frame_idx"] for r in rows) == list(range(len(rows)))
+        assert all(r["n_frame_bytes"] <= 64 for r in rows)
+
+
+def test_ivf_knn_recall_and_exactness(spark):
+    """IVF probe must return KNN_K rows with TRUE cosines; recall vs the
+    exact scan must clear a floor at nprobe=4/k=16 on the fixture corpus."""
+    exact = {r["vec_id"] for r in SIM.similarity_knn_query(spark, SF_DIR_001).collect()}
+    approx_rows = SIM.similarity_knn_ivf(spark, SF_DIR_001).collect()
+    assert len(approx_rows) == SIM.KNN_K
+    approx = {r["vec_id"] for r in approx_rows}
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.4, f"IVF recall {recall} below floor (got {approx} want {exact})"
+
+
+def test_jdbc_option_construction():
+    from service_level_reporting_spark.sources.jdbc import jdbc_options
+
+    opts = jdbc_options("jdbc:postgresql://db/slr", "indicator_value",
+                        partition_column="indicator_id", lower_bound=0,
+                        upper_bound=1000, num_partitions=16)
+    assert opts["partitionColumn"] == "indicator_id"
+    assert opts["numPartitions"] == "16"
+    assert opts["fetchsize"] == "10000"
+    assert opts["pushDownPredicate"] == "true"
+    with pytest.raises(ValueError):
+        jdbc_options("jdbc:postgresql://db/slr", "t", partition_column="id")
