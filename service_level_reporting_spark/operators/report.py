@@ -296,3 +296,61 @@ def report_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("report_json")
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pivot / unpivot — report matrix shaping (the nested product→slo→day report
+# is a pivot in disguise; first-class here). Explicit value list => single
+# pass, stable schema (no distinct-scan), which is the 100 TB form.
+# ---------------------------------------------------------------------------
+
+EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
+
+
+@register(
+    "report_pivot_daily_matrix",
+    oracle="""
+    SELECT strftime(ts, '%Y-%m-%d') AS day,
+           round(avg(CASE WHEN event_type = 'click'    THEN value END), 6) AS click,
+           round(avg(CASE WHEN event_type = 'error'    THEN value END), 6) AS error,
+           round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+           round(avg(CASE WHEN event_type = 'signup'   THEN value END), 6) AS signup,
+           round(avg(CASE WHEN event_type = 'view'     THEN value END), 6) AS view
+    FROM events GROUP BY 1
+    """,
+)
+def report_pivot_daily_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    return (
+        ev.groupBy(SF.day_str("ts").alias("day"))
+        .pivot("event_type", list(EVENT_TYPES))
+        .agg(SF.r6(F.avg("value")))
+    )
+
+
+@register(
+    "report_unpivot_metrics",
+    oracle="""
+    WITH d AS (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               round(avg(value), 6) AS avg_value,
+               round(min(value), 6) AS min_value,
+               round(max(value), 6) AS max_value
+        FROM events GROUP BY 1
+    )
+    SELECT day, 'avg_value' AS metric, avg_value AS value FROM d
+    UNION ALL SELECT day, 'min_value', min_value FROM d
+    UNION ALL SELECT day, 'max_value', max_value FROM d
+    """,
+)
+def report_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    wide = (
+        ev.groupBy(SF.day_str("ts").alias("day"))
+        .agg(SF.r6(F.avg("value")).alias("avg_value"),
+             SF.r6(F.min("value")).alias("min_value"),
+             SF.r6(F.max("value")).alias("max_value"))
+    )
+    return wide.unpivot(
+        ids=["day"], values=["avg_value", "min_value", "max_value"],
+        variableColumnName="metric", valueColumnName="value")

@@ -143,3 +143,116 @@ def cumulative_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type", "day", "breaches",
         F.sum("breaches").over(w).alias("cum_breaches"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Multi-window SLO burn rate (Google-SRE alerting pattern; natural extension
+# of the reference's breach/compliance math). Burn rate = error-rate /
+# error-budget; an alert needs BOTH a short and a long trailing window hot,
+# which suppresses blips while catching sustained burn. Hot path: one hourly
+# aggregation, then two tiny window frames over ~720 rows/month per series.
+# ---------------------------------------------------------------------------
+
+SLO_TARGET = 0.95
+BURN_WINDOW_H = 6
+
+
+@register(
+    "slo_burn_rate_multiwindow",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
+               count(CASE WHEN event_type = 'error' THEN 1 END)
+                 * 1.0 / count(*) AS err_rate
+        FROM events GROUP BY 1
+    )
+    SELECT hour,
+           round(err_rate / (1 - {SLO_TARGET}), 6) AS burn_1h,
+           round(avg(err_rate) OVER (ORDER BY hour
+                     ROWS BETWEEN {BURN_WINDOW_H - 1} PRECEDING AND CURRENT ROW)
+                 / (1 - {SLO_TARGET}), 6) AS burn_6h,
+           (err_rate / (1 - {SLO_TARGET}) > 1.0
+            AND avg(err_rate) OVER (ORDER BY hour
+                     ROWS BETWEEN {BURN_WINDOW_H - 1} PRECEDING AND CURRENT ROW)
+                / (1 - {SLO_TARGET}) > 1.0) AS alert
+    FROM hourly
+    """,
+)
+def slo_burn_rate_multiwindow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    budget = 1.0 - SLO_TARGET
+    hourly = (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd HH").alias("hour"))
+        .agg((F.count(F.when(F.col("event_type") == "error", 1))
+              / F.count(F.lit(1))).alias("err_rate"))
+    )
+    w = (Window.orderBy("hour")
+         .rowsBetween(-(BURN_WINDOW_H - 1), Window.currentRow))
+    burn_1h = F.col("err_rate") / F.lit(budget)
+    burn_6h = F.avg("err_rate").over(w) / F.lit(budget)
+    return hourly.select(
+        "hour",
+        SF.r6(burn_1h).alias("burn_1h"),
+        SF.r6(burn_6h).alias("burn_6h"),
+        ((burn_1h > 1.0) & (burn_6h > 1.0)).alias("alert"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch sessionization: gap > 30 min starts a new session per user (batch
+# twin of the streaming session_window T3). lag + cumulative-sum-of-starts
+# is the classic one-shuffle formulation: partition by user, sort by ts.
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_MIN = 30
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL {SESSION_GAP_MIN} MINUTE
+                    THEN 0 ELSE 1 END AS is_start
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts,
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           count(DISTINCT session_id) AS n_sessions,
+           CAST(sum(cnt) AS BIGINT) AS n_events,
+           max(cnt) AS longest_session_events
+    FROM (SELECT user_id, session_id, count(*) AS cnt
+          FROM sessions GROUP BY user_id, session_id)
+    GROUP BY user_id
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w_user = Window.partitionBy("user_id").orderBy("ts")
+    gap_s = SESSION_GAP_MIN * 60
+    # cast-to-double = fractional epoch seconds; unix_timestamp would
+    # truncate to whole seconds and disagree with the oracle's exact
+    # INTERVAL comparison on sub-second gap boundaries
+    ts_s = F.col("ts").cast("double")
+    prev_s = F.lag(ts_s).over(w_user)
+    marked = ev.select(
+        "user_id", "ts",
+        F.when((ts_s - prev_s) <= gap_s, F.lit(0))
+        .otherwise(F.lit(1)).alias("is_start"),
+    )
+    sessions = marked.withColumn(
+        "session_id",
+        F.sum("is_start").over(w_user.rowsBetween(Window.unboundedPreceding, 0)))
+    per_session = (sessions.groupBy("user_id", "session_id")
+                   .agg(F.count(F.lit(1)).alias("cnt")))
+    return per_session.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.sum("cnt").alias("n_events"),
+        F.max("cnt").alias("longest_session_events"),
+    )
