@@ -70,3 +70,53 @@ def sink_upsert_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("value"), 4).alias("sum_value"))
         .orderBy("indicator")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketed layout — the storage seam that deletes the shuffle (SURVEY §4,
+# M6). Writing a fact table bucketed + sorted by its join/agg key means
+# every later groupBy/join ON that key is exchange-free: Spark trusts the
+# on-disk hash layout (`spark.sql.sources.bucketing.enabled`). At 100 TB
+# this is THE difference between re-shuffling 100 TB per query and reading
+# co-located buckets; the equivalent lakehouse feature is storage-partitioned
+# joins. Bucketed tables require the session catalog (saveAsTable) — the
+# path option keeps the data in an explicit external location.
+# ---------------------------------------------------------------------------
+
+N_BUCKETS = 8
+
+
+def write_bucketed(df: DataFrame, table: str, path: str, key: str,
+                   n_buckets: int = N_BUCKETS) -> None:
+    spark = df.sparkSession
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    (
+        df.write.mode("overwrite")
+        .bucketBy(n_buckets, key)
+        .sortBy(key)
+        .option("path", path)
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+@register("sink_bucketed_user_stats")  # rows-only: sink + catalog semantics
+def sink_bucketed_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write events bucketed by user_id, then run the bucket-key groupBy on
+    the bucketed table. The plan for the returned frame contains NO shuffle
+    before the aggregate (asserted in tests/test_physical_plans.py) — the
+    shuffle was paid once at write time, amortized over every later query."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    table = f"slr_events_by_user_{tag}"
+    path = os.path.join(tempfile.gettempdir(), f"slr_bucketed_{tag}")
+    if not spark.catalog.tableExists(table):
+        write_bucketed(ev.select("user_id", "event_type", "ts", "value"),
+                       table, path, "user_id")
+    bucketed = spark.table(table)
+    return (
+        bucketed.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"),
+             F.round(F.avg("value"), 6).alias("avg_value"))
+        .orderBy("user_id")
+    )

@@ -61,3 +61,50 @@ def test_pricing_summary_codegen_and_partial_agg(spark):
 def test_pricing_summary_pushes_shipdate(spark):
     p = plan_str(pricing_summary(spark, SF_DIR_001))
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in p, p
+
+
+def test_bucketed_groupby_has_no_exchange(spark):
+    """Bucketed-by-key table: groupBy(key) must read the bucket layout
+    instead of shuffling (SelectedBucketsCount in scan, no Exchange)."""
+    from service_level_reporting_spark.sources.sinks import (
+        sink_bucketed_user_stats)
+
+    df = sink_bucketed_user_stats(spark, SF_DIR_001)
+    df.collect()
+    p = plan_str(df)
+    assert "Bucketed: true" in p, p
+    # the agg pipeline must not contain a hashpartitioning exchange on
+    # user_id — the on-disk buckets already partition by it (the only
+    # allowed exchange is the final orderBy's range partitioning)
+    assert "hashpartitioning(user_id" not in p, p
+
+
+def test_bucketed_join_is_shuffle_free(spark):
+    """Two tables bucketed on the same key join with zero exchanges."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from service_level_reporting_spark.sources.sinks import write_bucketed
+    from service_level_reporting_spark.tables import load_tables
+
+    ev = load_tables(spark, SF_DIR_001, ("events",))["events"]
+    a = ev.select("user_id", "value")
+    b = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+    ta, tb = "slr_bkt_a", "slr_bkt_b"
+    write_bucketed(a, ta, os.path.join(tempfile.gettempdir(), ta), "user_id")
+    write_bucketed(b, tb, os.path.join(tempfile.gettempdir(), tb), "user_id")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = (spark.table(ta).join(spark.table(tb), "user_id")
+                  .groupBy("user_id")
+                  .agg(F.sum("value").alias("s"), F.max("n").alias("n")))
+        joined.collect()
+        p = plan_str(joined)
+        assert "SortMergeJoin" in p, p
+        assert "Exchange" not in p, p  # bucket layout feeds both join sides
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql(f"DROP TABLE IF EXISTS {ta}")
+        spark.sql(f"DROP TABLE IF EXISTS {tb}")
