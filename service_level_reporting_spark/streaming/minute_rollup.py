@@ -153,3 +153,96 @@ def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     agg = s.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_unique_events"))
     out = _run_to_table(agg, "complete", "t5_dedup")
     return out.orderBy("event_type")
+
+
+# ---------------------------------------------------------------------------
+# T6 — CUSTOM stateful operator via applyInPandasWithState: per-series SLO
+# compliance accumulated across micro-batches. This is the escape hatch for
+# stateful semantics the built-in windowed aggs can't express (the runbook
+# example: "current compliance since month start, updated per batch, with
+# arbitrary Python math"). State = (n, breaches) per event_type — tiny,
+# bounded by series cardinality, exactly what GroupState is for.
+#
+# The replay is staged as MULTIPLE files with maxFilesPerTrigger=1 so the
+# state genuinely carries across micro-batches (a single-batch run would
+# never exercise state merge).
+# ---------------------------------------------------------------------------
+
+STATEFUL_TARGET_LO = 10.0
+STATEFUL_TARGET_HI = 90.0
+
+
+def _staged_chunks_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
+    """Stage events as n_chunks parquet files (idempotent per sf)."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    dst_dir = os.path.join(tempfile.gettempdir(), f"slr_stream_chunks_{tag}")
+    marker = os.path.join(dst_dir, "_STAGED")
+    src = f"{sf_dir}/events.parquet"
+    if not (os.path.exists(marker)
+            and os.path.getmtime(marker) >= os.path.getmtime(src)):
+        from service_level_reporting_spark.tables import load_tables
+
+        shutil.rmtree(dst_dir, ignore_errors=True)
+        ev = load_tables(spark, sf_dir, ("events",))["events"]
+        ev.repartition(n_chunks).write.mode("overwrite").parquet(dst_dir)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return dst_dir
+
+
+def compliance_state_func(key, pdfs, state):
+    """GroupState update: fold each batch's (n, breaches) into the running
+    totals and emit the post-batch compliance for this series."""
+    import pandas as pd
+
+    n, breaches = state.get if state.exists else (0, 0)
+    for pdf in pdfs:
+        n += len(pdf)
+        v = pdf["value"]
+        breaches += int(((v < STATEFUL_TARGET_LO)
+                         | (v > STATEFUL_TARGET_HI)).sum())
+    state.update((n, breaches))
+    yield pd.DataFrame({
+        "event_type": [key[0]],
+        "n": [n],
+        "breaches": [breaches],
+        "compliance_pct": [round(100.0 * (1 - breaches / n), 6) if n else None],
+    })
+
+
+@register("stream_stateful_compliance")  # rows-only: custom stateful operator
+def stream_stateful_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    chunks = _staged_chunks_dir(spark, sf_dir)
+    # chunks were staged from the NORMALIZED table — ts is already a
+    # timestamp here, unlike the raw ns-long testdata file
+    normalized_schema = ("event_id bigint, ts timestamp, user_id bigint, "
+                         "event_type string, value double, props string")
+    s = (
+        spark.readStream.schema(normalized_schema)
+        .format("parquet")
+        .option("maxFilesPerTrigger", "1")   # one micro-batch per file
+        .load(chunks)
+        .where(F.col("ts") < F.lit("2024-01-08"))
+    )
+    updated = s.groupBy("event_type").applyInPandasWithState(
+        compliance_state_func,
+        outputStructType=("event_type string, n long, breaches long, "
+                          "compliance_pct double"),
+        stateStructType="n long, breaches long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    out = _run_to_table(updated, "update", "t6_stateful")
+    # the memory sink accumulates one row per (series, batch); the final
+    # state per series is the row with the largest n (monotone accumulator)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("event_type").orderBy(F.desc("n"))
+    return (
+        out.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") == 1)
+        .select("event_type", "n", "breaches", "compliance_pct")
+        .orderBy("event_type")
+    )

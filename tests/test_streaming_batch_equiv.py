@@ -47,3 +47,24 @@ def test_session_window_counts_conserve_events(spark):
     ev = load_tables(spark, SF_DIR_001, ("events",))["events"]
     n = ev.where(F.col("ts") < F.lit("2024-01-03")).count()
     assert total_in_sessions == n
+
+
+def test_stateful_compliance_equals_batch(spark):
+    """T6 applyInPandasWithState across multiple micro-batches must equal
+    the one-shot batch computation of the same compliance."""
+    from service_level_reporting_spark.streaming.minute_rollup import (
+        STATEFUL_TARGET_HI, STATEFUL_TARGET_LO, stream_stateful_compliance)
+    from service_level_reporting_spark.tables import load_tables
+
+    got = {r["event_type"]: (r["n"], r["breaches"], r["compliance_pct"])
+           for r in stream_stateful_compliance(spark, SF_DIR_001).collect()}
+    ev = load_tables(spark, SF_DIR_001, ("events",))["events"].where(
+        F.col("ts") < F.lit("2024-01-08"))
+    breach = (F.col("value") < STATEFUL_TARGET_LO) | (F.col("value") > STATEFUL_TARGET_HI)
+    want = {r["event_type"]: (r["n"], r["breaches"], r["compliance_pct"])
+            for r in ev.groupBy("event_type").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count(F.when(breach, 1)).alias("breaches"),
+                F.round(100.0 * (1 - F.count(F.when(breach, 1)) / F.count(F.lit(1))), 6)
+                .alias("compliance_pct")).collect()}
+    assert got == want
