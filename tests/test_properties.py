@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis) — semantic invariants the example-based
+suites can't sweep: random value/weight distributions for the weighted-avg
+fallback, random skew for salted aggregation, random gap patterns for
+sessionization, random vectors for the fixed-width dot product.
+
+Spark round-trips are expensive, so examples are capped and each example
+uses a tiny createDataFrame — the point is adversarial VALUE coverage, not
+volume.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from service_level_reporting_spark import functions as SF
+
+_SETTINGS = dict(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+finite = st.floats(min_value=-1e6, max_value=1e6,
+                   allow_nan=False, allow_infinity=False)
+weights = st.one_of(st.none(), st.floats(min_value=0.0, max_value=1e3,
+                                         allow_nan=False, allow_infinity=False))
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(finite, weights), min_size=1, max_size=12))
+def test_weighted_average_fallback_property(spark, pairs):
+    """coalesce(Σvw/nullif(Σw,0), avg(v)) — for ANY mix of null/zero/positive
+    weights the result equals the python reference: weighted mean when
+    Σw > 0, plain mean otherwise (the A3 fallback contract)."""
+    df = spark.createDataFrame([(v, w) for v, w in pairs], "v double, w double")
+    got = df.agg(
+        F.coalesce(
+            F.sum(F.col("v") * F.col("w")) / F.nullif(F.sum("w"), F.lit(0.0)),
+            F.avg("v"),
+        ).alias("x")
+    ).collect()[0]["x"]
+    sw = sum(w for _, w in pairs if w is not None)
+    svw = sum(v * w for v, w in pairs if w is not None)
+    want = svw / sw if sw > 0 else sum(v for v, _ in pairs) / len(pairs)
+    assert got is not None
+    assert math.isclose(got, want, rel_tol=1e-9, abs_tol=1e-9), (got, want)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=3), finite),
+                min_size=1, max_size=40),
+       st.integers(min_value=2, max_value=8))
+def test_salted_agg_equals_direct_property(spark, rows, n_salts):
+    """Salted two-phase aggregation ≡ direct groupBy for any distribution
+    and any salt fan-out."""
+    df = spark.createDataFrame([(f"k{k}", v) for k, v in rows],
+                               "k string, v double")
+    pre = df.select("k", F.col("v").alias("s"))
+    got = {r["k"]: (r["n"], r["s"])
+           for r in SF.salted_agg(
+               pre.withColumn("n", F.lit(1)), ["k"],
+               {"n": "count", "s": "sum"}, n_salts=n_salts).collect()}
+    want = {r["k"]: (r["n"], r["s"])
+            for r in df.groupBy("k").agg(
+                F.count(F.lit(1)).alias("n"), F.sum("v").alias("s")).collect()}
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0]
+        assert math.isclose(got[k][1], want[k][1], rel_tol=1e-9), (k, got[k], want[k])
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=0, max_value=7200), min_size=1,
+                max_size=30).map(sorted))
+def test_sessionize_gap_property(spark, offsets):
+    """For one user: n_sessions == 1 + (# gaps > threshold) and event count
+    is conserved — for ANY ordered gap pattern (30 s threshold here; the
+    operator's logic is threshold-independent)."""
+    base = dt.datetime(2024, 1, 1)
+    rows = [(1, base + dt.timedelta(seconds=s)) for s in offsets]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    gap_s = 30
+    from pyspark.sql import Window
+
+    w_user = Window.partitionBy("user_id").orderBy("ts")
+    ts_s = F.col("ts").cast("double")
+    marked = df.select(
+        "user_id", "ts",
+        F.when((ts_s - F.lag(ts_s).over(w_user)) <= gap_s, F.lit(0))
+        .otherwise(F.lit(1)).alias("is_start"))
+    sessions = marked.withColumn(
+        "session_id",
+        F.sum("is_start").over(w_user.rowsBetween(Window.unboundedPreceding, 0)))
+    agg = sessions.groupBy("user_id").agg(
+        F.countDistinct("session_id").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events")).collect()[0]
+    uniq = sorted(set(offsets))
+    # duplicates share a timestamp -> gap 0 -> never a new session
+    n_gaps = sum(1 for a, b in zip(uniq, uniq[1:]) if b - a > gap_s)
+    # sessions are counted over distinct start positions in the full list;
+    # expected = 1 + gaps-over-threshold between CONSECUTIVE events
+    full = sorted(offsets)
+    n_gaps_full = sum(1 for a, b in zip(full, full[1:]) if b - a > gap_s)
+    assert n_gaps_full == n_gaps  # duplicates can't open a session
+    assert agg["n_sessions"] == 1 + n_gaps
+    assert agg["n_events"] == len(offsets)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False,
+                          allow_infinity=False, width=32),
+                min_size=4, max_size=4),
+       st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False,
+                          allow_infinity=False, width=32),
+                min_size=4, max_size=4))
+def test_dot_fixed_matches_numpy(spark, a, b):
+    """The codegen-friendly unrolled dot product equals numpy for any
+    finite vectors (dim pinned to 4 for test speed; unrolling is uniform)."""
+    import numpy as np
+
+    df = spark.createDataFrame([(a, b)], "a array<float>, b array<float>")
+    got = df.select(SF.dot_fixed("a", "b", 4).alias("d")).collect()[0]["d"]
+    want = float(np.dot(np.array(a, dtype=np.float32).astype(np.float64),
+                        np.array(b, dtype=np.float32).astype(np.float64)))
+    assert math.isclose(got, want, rel_tol=1e-6, abs_tol=1e-6), (got, want)
