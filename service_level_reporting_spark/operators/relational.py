@@ -297,3 +297,52 @@ def agg_partial_final_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
         SF.r6(F.sum("value") / F.count("value")).alias("avg_manual"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H Q5-style: 5-way star join (region-filtered local-supplier volume).
+# The deep-star shape exercises Catalyst's join reordering: all four dims
+# broadcast, the lineitem⋈orders backbone is the only shuffled pair.
+# ---------------------------------------------------------------------------
+
+@register(
+    "regional_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           count(*) AS n_lineitems
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+    GROUP BY n.n_name
+    """,
+)
+def regional_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir,
+                    ("customer", "orders", "lineitem", "supplier",
+                     "nation", "region"))
+    nr = (t["nation"]
+          .join(F.broadcast(t["region"].where(F.col("r_name") == "ASIA")),
+                F.col("n_regionkey") == F.col("r_regionkey"))
+          .select("n_nationkey", "n_name"))
+    sup = (t["supplier"]
+           .join(F.broadcast(nr), F.col("s_nationkey") == F.col("n_nationkey"))
+           .select("s_suppkey", "s_nationkey", "n_name"))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["customer"].select("c_custkey", "c_nationkey")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(sup),
+              (F.col("l_suppkey") == F.col("s_suppkey"))
+              & (F.col("c_nationkey") == F.col("s_nationkey")))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(SF.r2(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+             .alias("revenue"),
+             F.count(F.lit(1)).alias("n_lineitems"))
+    )

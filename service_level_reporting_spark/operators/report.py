@@ -354,3 +354,37 @@ def report_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wide.unpivot(
         ids=["day"], values=["avg_value", "min_value", "max_value"],
         variableColumnName="metric", valueColumnName="value")
+
+
+# ---------------------------------------------------------------------------
+# A9 sibling — CUBE with grouping_id: all 4 grouping combinations of
+# (event_type, user-bucket) in one pass. grouping_id disambiguates real
+# NULLs from subtotal rows — the robust form of the coalesce('ALL') idiom.
+# ---------------------------------------------------------------------------
+
+@register(
+    "report_cube_grouping_id",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(CAST(user_id % 10 AS VARCHAR), 'ALL') AS user_bucket,
+           GROUPING(event_type) * 2 + GROUPING(user_id % 10) AS gid,
+           count(*) AS n,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY CUBE(event_type, user_id % 10)
+    """,
+)
+def report_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    bucket = (F.col("user_id") % 10).cast("string").alias("user_bucket")
+    return (
+        ev.cube(F.col("event_type"), bucket)
+        .agg(F.grouping_id().alias("gid"),
+             F.count(F.lit(1)).alias("n"),
+             SF.r6(F.avg("value")).alias("avg_value"))
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("user_bucket", F.lit("ALL")).alias("user_bucket"),
+            "gid", "n", "avg_value",
+        )
+    )
