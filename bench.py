@@ -54,17 +54,18 @@ def main() -> None:
 
     # One untimed warm-up run per query at the bench SF (JMH-style warm-up
     # iteration: pays first-run broadcast builds and AQE stage
-    # materialization), then median of 3 timed runs — steady-state
-    # plan-execution cost, insensitive to one-off scheduler hiccups.
+    # materialization), then median of 5 timed runs — steady-state
+    # plan-execution cost, insensitive to scheduler/GC hiccups (local-mode
+    # run-to-run variance is ±30% on sub-second queries).
     timings: dict[str, float] = {}
     for name in HEADLINERS:
         qs[name](spark, sf_dir).collect()
         runs = []
-        for _ in range(3):
+        for _ in range(5):
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).collect()
             runs.append(time.perf_counter() - t0)
-        timings[name] = round(sorted(runs)[1], 4)
+        timings[name] = round(sorted(runs)[2], 4)
 
     print(json.dumps({
         "metric": "headline_queries_total_sec",

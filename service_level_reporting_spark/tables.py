@@ -109,8 +109,12 @@ def load_tables(spark: SparkSession, sf_dir: str,
     for name in names:
         key = (sf_dir.rstrip("/"), name)
         if key in _CACHE:
-            out[name] = _CACHE[key]
-            continue
+            cached = _CACHE[key]
+            # a cached frame from a stopped/old session is unusable — drop it
+            if cached.sparkSession is spark:
+                out[name] = cached
+                continue
+            _CACHE.pop(key, None)
         path = f"{sf_dir}/{name}.parquet"
         if name == "events":
             out[name] = _load_events(spark, path)
