@@ -246,3 +246,48 @@ def stream_stateful_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "n", "breaches", "compliance_pct")
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# T7 — checkpointed parquet file sink: the full source→transform→sink leg
+# with exactly-once restart semantics. The file sink's output manifest plus
+# the checkpoint's source offsets make a restart process ZERO new rows when
+# the input is unchanged — the streaming analog of S4's idempotent upsert
+# (re-running an overlapping window never duplicates). The query runs the
+# stream TWICE against one checkpoint and returns stats the test pins.
+# ---------------------------------------------------------------------------
+
+@register("stream_sink_checkpointed")  # rows-only: sink + restart semantics
+def stream_sink_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    out_dir = os.path.join(tempfile.gettempdir(), f"slr_stream_sink_{tag}")
+    ckpt_dir = os.path.join(tempfile.gettempdir(), f"slr_stream_ckpt_{tag}")
+    # fresh run each invocation: restart idempotence is demonstrated WITHIN
+    # one invocation (two starts against one checkpoint)
+    shutil.rmtree(out_dir, ignore_errors=True)
+    shutil.rmtree(ckpt_dir, ignore_errors=True)
+
+    def run_once() -> None:
+        s = (stream_events(spark, sf_dir)
+             .where((F.col("event_type") == "error")
+                    & (F.col("ts") < F.lit("2024-01-08")))
+             .select("event_id", "ts", "user_id", "value"))
+        q = (s.writeStream.format("parquet")
+             .option("path", out_dir)
+             .option("checkpointLocation", ckpt_dir)
+             .outputMode("append")
+             .trigger(availableNow=True)
+             .start())
+        q.awaitTermination()
+
+    run_once()
+    first = spark.read.parquet(out_dir)
+    n_first = first.count()
+    run_once()  # restart against the same checkpoint: no new input → no rows
+    sunk = spark.read.parquet(out_dir)
+    return sunk.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("event_id").alias("n_distinct_ids"),
+        F.lit(n_first).alias("n_rows_first_run"),
+        F.round(F.sum("value"), 4).alias("sum_value"),
+    )

@@ -68,3 +68,19 @@ def test_stateful_compliance_equals_batch(spark):
                 F.round(100.0 * (1 - F.count(F.when(breach, 1)) / F.count(F.lit(1))), 6)
                 .alias("compliance_pct")).collect()}
     assert got == want
+
+
+def test_checkpointed_sink_exactly_once(spark):
+    """Restarting the checkpointed file-sink stream over unchanged input
+    must add zero rows, and the sunk rows must equal the batch filter."""
+    from service_level_reporting_spark.streaming.minute_rollup import (
+        stream_sink_checkpointed)
+    from service_level_reporting_spark.tables import load_tables
+
+    row = stream_sink_checkpointed(spark, SF_DIR_001).collect()[0]
+    assert row["n_rows"] == row["n_rows_first_run"]  # second start: no dupes
+    assert row["n_rows"] == row["n_distinct_ids"]
+    ev = load_tables(spark, SF_DIR_001, ("events",))["events"]
+    want = ev.where((F.col("event_type") == "error")
+                    & (F.col("ts") < F.lit("2024-01-08"))).count()
+    assert row["n_rows"] == want
