@@ -16,15 +16,7 @@ from service_level_reporting_spark.tables import events_between
 from .conftest import SF_DIR_001
 
 
-def plan_str(df) -> str:
-    # formatted explain via the public API
-    import contextlib
-    import io
-
-    buf = io.StringIO()
-    with contextlib.redirect_stdout(buf):
-        df.explain("formatted")
-    return buf.getvalue()
+from service_level_reporting_spark.plans import formatted_plan as plan_str
 
 
 def test_time_range_filter_pushes_to_parquet(spark):
@@ -108,3 +100,23 @@ def test_bucketed_join_is_shuffle_free(spark):
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql(f"DROP TABLE IF EXISTS {ta}")
         spark.sql(f"DROP TABLE IF EXISTS {tb}")
+
+
+def test_registry_wide_plan_lint(spark):
+    """Every registered batch query's plan is free of cartesian products
+    and row-at-a-time Python eval (the similarity/ANN/kNN paths are
+    cross-join-by-construction over block/probe tables and are whitelisted
+    explicitly — their Python is Arrow-batched, never BatchEvalPython)."""
+    from service_level_reporting_spark import registry
+    from service_level_reporting_spark.plans import lint
+
+    ALLOW_CARTESIAN = {
+        # broadcast cross joins of a 1-row probe / tiny block table
+        "similarity_topk_pairs", "dedup_embedding_cosine",
+        "similarity_knn_query", "similarity_knn_ivf",
+    }
+    for name, fn in sorted(registry.all_queries().items()):
+        if name.startswith("stream_") or name.startswith("sink_"):
+            continue  # sinks/streams execute eagerly; covered elsewhere
+        allow = ("CartesianProduct",) if name in ALLOW_CARTESIAN else ()
+        lint(fn(spark, SF_DIR_001), allow=allow)
