@@ -120,3 +120,40 @@ def test_registry_wide_plan_lint(spark):
             continue  # sinks/streams execute eagerly; covered elsewhere
         allow = ("CartesianProduct",) if name in ALLOW_CARTESIAN else ()
         lint(fn(spark, SF_DIR_001), allow=allow)
+
+
+def test_aqe_splits_skewed_join_partitions(spark):
+    """The SCALE.md skew posture is real: a hot-key SMJ gets its oversized
+    partition split by AQE (skew=true in the final adaptive plan). Thresholds
+    are lowered to trigger at test size; the mechanism is identical at 100 TB
+    defaults. Downstream of the join must NOT require the join key's
+    partitioning (AQE skips the split when it would break a reuse)."""
+    from pyspark.sql import functions as F
+
+    saved = {k: spark.conf.get(k, None) for k in (
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor")}
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        hot = spark.range(200_000).select(F.lit(1).alias("k"),
+                                          F.col("id").alias("v"))
+        cold = spark.range(2_000).select((F.col("id") % 100 + 2).alias("k"),
+                                         F.col("id").alias("v"))
+        right = spark.range(5_000).select((F.col("id") % 103).alias("k"),
+                                          F.rand(7).alias("w"))
+        j = (hot.unionByName(cold).join(right, "k")
+             .select(F.sum(F.col("v") * F.col("w")).alias("s")))
+        j.collect()
+        assert "skew=true" in plan_str(j)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
