@@ -270,3 +270,72 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda acc, t: (acc * FP_BASE + token_code(t)) % FP_MOD,
     )
     return d.select("doc_id", fp.alias("fingerprint"))
+
+
+# ---------------------------------------------------------------------------
+# Integrative training-corpus pipeline: the composed form of the LLM-data
+# ops — exact-dedup (keep lowest doc_id), quality gate (token count +
+# lexical diversity), language gate — with per-source survival accounting
+# at each stage. This is the query a data-curation run executes before
+# tokenization; every stage is the registered operator's expression reused,
+# so the composition carries the same oracle-checked semantics.
+# ---------------------------------------------------------------------------
+
+MIN_TOKENS = 8
+MIN_DIVERSITY = 0.3
+
+
+@register(
+    "training_corpus_pipeline",
+    oracle=f"""
+    WITH ranked AS (
+        SELECT doc_id, source, lang, text,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' ')))
+                 * 1.0 / len(string_split(text, ' ')) AS diversity,
+               row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        FROM documents
+    ),
+    flags AS (
+        SELECT source,
+               rn = 1 AS keep_dedup,
+               (rn = 1 AND n_tok >= {MIN_TOKENS}
+                AND diversity >= {MIN_DIVERSITY}) AS keep_quality,
+               (rn = 1 AND n_tok >= {MIN_TOKENS}
+                AND diversity >= {MIN_DIVERSITY} AND lang = 'en') AS keep_final
+        FROM ranked
+    )
+    SELECT source,
+           count(*) AS n_total,
+           count(CASE WHEN keep_dedup THEN 1 END) AS n_after_dedup,
+           count(CASE WHEN keep_quality THEN 1 END) AS n_after_quality,
+           count(CASE WHEN keep_final THEN 1 END) AS n_final,
+           round(count(CASE WHEN keep_final THEN 1 END) * 1.0 / count(*), 6)
+               AS pct_kept
+    FROM flags GROUP BY source
+    """,
+)
+def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    d = _docs(spark, sf_dir)
+    toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    diversity = F.size(F.array_distinct(toks)) / n_tok
+    rn = F.row_number().over(Window.partitionBy("text").orderBy("doc_id"))
+    ranked = d.select(
+        "doc_id", "source", "lang",
+        n_tok.alias("n_tok"), diversity.alias("diversity"),
+        rn.alias("rn"),
+    )
+    keep_dedup = F.col("rn") == 1
+    keep_quality = (keep_dedup & (F.col("n_tok") >= MIN_TOKENS)
+                    & (F.col("diversity") >= MIN_DIVERSITY))
+    keep_final = keep_quality & (F.col("lang") == "en")
+    return ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.count(F.when(keep_dedup, 1)).alias("n_after_dedup"),
+        F.count(F.when(keep_quality, 1)).alias("n_after_quality"),
+        F.count(F.when(keep_final, 1)).alias("n_final"),
+        SF.r6(F.count(F.when(keep_final, 1)) / F.count(F.lit(1))).alias("pct_kept"),
+    )

@@ -116,3 +116,19 @@ def test_exact_dedup_micro(spark, monkeypatch):
     assert (stats["n_total"], stats["n_distinct"], stats["n_dup_rows"]) == (4, 3, 1)
     groups = D.dedup_exact_groups(spark, "x").collect()
     assert len(groups) == 1 and groups[0]["keeper_doc_id"] == 1
+
+
+def test_float_parity_across_partitionings(spark):
+    """FIXTURES §B.8: the rounding policy must make aggregates partition-
+    order independent — sum/avg of 0.1/0.2-style accumulations rounded at
+    the policy precision are identical whether computed in 1 or 8
+    partitions."""
+    from service_level_reporting_spark import functions as SF
+
+    rows = [(i % 7, 0.1 if i % 2 else 0.2) for i in range(10_000)]
+    df = spark.createDataFrame(rows, "k int, v double")
+    def agg(d):
+        return {r["k"]: (r["s"], r["a"]) for r in
+                d.groupBy("k").agg(SF.r6(F.sum("v")).alias("s"),
+                                   SF.r6(F.avg("v")).alias("a")).collect()}
+    assert agg(df.coalesce(1)) == agg(df.repartition(8))
