@@ -388,3 +388,114 @@ def report_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
             "gid", "n", "avg_value",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-series SLO targets as a DIMENSION (the reference's real shape: each
+# Indicator has its own Target row, applied by join — not a global literal
+# band). Tiny targets dim broadcasts; breach logic is the same A5 CASE.
+# ---------------------------------------------------------------------------
+
+SERIES_TARGETS = [  # (event_type, target_lo, target_hi)
+    ("click", 5.0, 95.0),
+    ("error", 0.0, 60.0),
+    ("purchase", 10.0, 99.0),
+    ("signup", 2.0, 90.0),
+    ("view", 1.0, 98.0),
+]
+
+_TARGETS_SQL = ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in SERIES_TARGETS)
+
+
+@register(
+    "slo_breaches_per_target_dim",
+    oracle=f"""
+    WITH targets(event_type, lo, hi) AS (VALUES {_TARGETS_SQL})
+    SELECT e.event_type,
+           strftime(e.ts, '%Y-%m-%d') AS day,
+           count(*) AS n,
+           count(CASE WHEN e.value < t.lo OR e.value > t.hi THEN 1 END)
+               AS breaches,
+           round(1.0 - count(CASE WHEN e.value < t.lo OR e.value > t.hi
+                                  THEN 1 END) * 1.0 / count(*), 6)
+               AS compliance
+    FROM events e JOIN targets t USING (event_type)
+    GROUP BY e.event_type, strftime(e.ts, '%Y-%m-%d')
+    """,
+)
+def slo_breaches_per_target_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    targets = spark.createDataFrame(
+        SERIES_TARGETS, "event_type string, lo double, hi double")
+    breach = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        ev.join(F.broadcast(targets), "event_type")
+        .groupBy("event_type", SF.day_str("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.count(F.when(breach, 1)).alias("breaches"),
+             SF.r6(1.0 - F.count(F.when(breach, 1)) / F.count(F.lit(1)))
+             .alias("compliance"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# GROUPING SETS through the engine's SQL entry path: the same Catalyst plan
+# the DataFrame API produces, declared as SQL over registered views —
+# demonstrating that the full spark.sql() surface is first-class here.
+# ---------------------------------------------------------------------------
+
+@register(
+    "report_grouping_sets_sql",
+    oracle="""
+    SELECT coalesce(event_type, 'ALL') AS event_type,
+           coalesce(lang, 'ALL') AS dim2,
+           count(*) AS n
+    FROM (SELECT e.event_type, d.lang
+          FROM events e JOIN documents d ON e.event_id % 50 = d.doc_id % 50)
+    GROUP BY GROUPING SETS ((event_type), (lang))
+    """,
+)
+def report_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from service_level_reporting_spark.tables import register_views
+
+    register_views(spark, sf_dir, ("events", "documents"))
+    return spark.sql("""
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(lang, 'ALL') AS dim2,
+               count(*) AS n
+        FROM (SELECT e.event_type, d.lang
+              FROM events e JOIN documents d ON e.event_id % 50 = d.doc_id % 50)
+        GROUP BY GROUPING SETS ((event_type), (lang))
+    """)
+
+
+# ---------------------------------------------------------------------------
+# NTILE quartiles — distribution reporting (latency-quartile style).
+# ---------------------------------------------------------------------------
+
+@register(
+    "report_value_quartiles",
+    oracle="""
+    SELECT event_type, q,
+           count(*) AS n,
+           round(min(value), 6) AS lo,
+           round(max(value), 6) AS hi
+    FROM (SELECT event_type, value,
+                 ntile(4) OVER (PARTITION BY event_type ORDER BY value, event_id)
+                     AS q
+          FROM events)
+    GROUP BY event_type, q
+    """,
+)
+def report_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.select("event_type", "value", F.ntile(4).over(w).alias("q"))
+        .groupBy("event_type", "q")
+        .agg(F.count(F.lit(1)).alias("n"),
+             SF.r6(F.min("value")).alias("lo"),
+             SF.r6(F.max("value")).alias("hi"))
+    )
