@@ -20,15 +20,17 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from service_level_reporting_spark import registry
 from service_level_reporting_spark.session import get_spark
 
-HEADLINERS = [
-    "pricing_summary",        # BASELINE: Q1-style lineitem agg, 0.292 s
-    "top_revenue_orders",     # BASELINE: 3-way join + top-10, 0.348 s
-    "resample_minute_avg",    # BASELINE: A1 minute resample, 0.203 s
-    "slo_daily_breaches",     # BASELINE: A4+A5 daily breaches, 0.023 s
-    "report_error_rate_daily",  # BASELINE: A7 ratio, 0.015 s
-    "similarity_topk_pairs",  # BASELINE: D3 cosine top-10, 0.25 s
-    "dedup_exact_groups",     # BASELINE: D1 dup groups, 0.06 s
-]
+# name -> DuckDB oracle seconds at sf0.1 from BASELINE.md (measured rows)
+BASELINE_SEC = {
+    "pricing_summary": 0.292,        # Q1-style lineitem agg
+    "top_revenue_orders": 0.348,     # 3-way join + top-10
+    "resample_minute_avg": 0.203,    # A1 minute resample
+    "slo_daily_breaches": 0.023,     # A4+A5 daily breaches
+    "report_error_rate_daily": 0.015,  # A7 ratio
+    "similarity_topk_pairs": 0.25,   # D3 cosine top-10
+    "dedup_exact_groups": 0.06,      # D1 dup groups
+}
+HEADLINERS = list(BASELINE_SEC)
 
 
 def main() -> None:
@@ -67,12 +69,18 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         timings[name] = round(sorted(runs)[2], 4)
 
+    total = round(sum(timings.values()), 4)
+    baseline_total = round(sum(BASELINE_SEC.values()), 4)
     print(json.dumps({
         "metric": "headline_queries_total_sec",
-        "value": round(sum(timings.values()), 4),
+        "value": total,
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
+        # convenience: BASELINE.md's measured DuckDB seconds and our ratio
+        "baseline_sec": BASELINE_SEC,
+        "baseline_total_sec": baseline_total,
+        "ratio_vs_baseline": round(total / baseline_total, 3),
     }))
     spark.stop()
 

@@ -1,12 +1,17 @@
 """Scan/projection/scalar-function surface (SURVEY.md §2.1 S1, §2.2 P1, §2.7).
 
+Reference anchors: table reads are SLR's SQLAlchemy model scans
+(upstream:app/models [H]); column select/alias/cast mirrors the resource
+serializers exposing API subsets (upstream:app/libs/resource.py [M]); the
+scalar families are the date/string/math/JSON helpers used throughout
+sli.py/report.py [H].
+
 These are the "plumbing" rows of the operator inventory — trivial on purpose,
 but each carries an oracle so the type-normalization layer (ns timestamps,
 UTC session, cast policy) is hash-checked end to end, not just assumed.
 
-S3 (JDBC catalog source) is intentionally deferred: testdata is parquet-only
-(SURVEY §2.1) — `spark.read.format("jdbc")` would exercise nothing here. The
-loader seam in tables.py is where it would plug in.
+S3 (JDBC catalog source) lives in sources/jdbc.py (option builder only:
+testdata is parquet-only and no driver jar ships in this container).
 """
 
 from __future__ import annotations

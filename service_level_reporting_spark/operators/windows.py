@@ -1,7 +1,8 @@
 """Window-function operators over SLI series.
 
 Reference: "current value" of an indicator is the newest row per indicator
-(`ORDER BY timestamp DESC LIMIT 1` [H]); the rest (moving average, rank,
+(`ORDER BY timestamp DESC LIMIT 1`, upstream:app/resources/sli.py#values
+[H]); the rest (moving average, rank,
 delta, cumulative error budget) are natural report extensions marked origin-N
 in SURVEY.md §2.5.
 
