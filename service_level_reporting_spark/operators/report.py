@@ -499,3 +499,37 @@ def report_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
              SF.r6(F.min("value")).alias("lo"),
              SF.r6(F.max("value")).alias("hi"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-width value histogram (width_bucket): distribution reporting with
+# deterministic bucket edges — unlike ntile, bucket boundaries are
+# data-independent, so histograms from different partitions/days merge by
+# simple addition (the property that matters for incremental 100 TB rollups).
+# ---------------------------------------------------------------------------
+
+HIST_LO, HIST_HI, HIST_NBUCKETS = 0.0, 100.0, 20
+
+
+@register(
+    "report_value_histogram",
+    oracle=f"""
+    -- DuckDB 1.0.0 has no width_bucket; same arithmetic spelled out
+    SELECT event_type,
+           CASE WHEN value < {HIST_LO} THEN 0
+                WHEN value >= {HIST_HI} THEN {HIST_NBUCKETS} + 1
+                ELSE CAST(floor((value - {HIST_LO})
+                     / (({HIST_HI} - {HIST_LO}) / {HIST_NBUCKETS})) AS BIGINT) + 1
+           END AS bucket,
+           count(*) AS n
+    FROM events GROUP BY 1, 2
+    """,
+)
+def report_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    bucket = F.width_bucket(
+        "value", F.lit(HIST_LO), F.lit(HIST_HI), F.lit(HIST_NBUCKETS))
+    return (
+        ev.groupBy("event_type", bucket.alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
