@@ -211,16 +211,19 @@ SESSION_GAP_MIN = 30
 @register(
     "sessionize_events",
     oracle=f"""
+    -- deterministic tie-break on event_id: duplicate timestamps would make
+    -- the two window passes order-ambiguous otherwise
     WITH marked AS (
-        SELECT user_id, ts,
-               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+        SELECT user_id, ts, event_id,
+               CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
                          <= INTERVAL {SESSION_GAP_MIN} MINUTE
                     THEN 0 ELSE 1 END AS is_start
         FROM events
     ),
     sessions AS (
         SELECT user_id, ts,
-               sum(is_start) OVER (PARTITION BY user_id ORDER BY ts
+               sum(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
         FROM marked
     )
@@ -235,15 +238,21 @@ SESSION_GAP_MIN = 30
 )
 def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    w_user = Window.partitionBy("user_id").orderBy("ts")
+    # tie-break on event_id: with duplicate (user, ts) rows the is_start
+    # pass and the cumulative-sum pass must see the SAME total order, or
+    # tied rows can migrate across a session boundary between passes
+    w_user = Window.partitionBy("user_id").orderBy("ts", "event_id")
     gap_s = SESSION_GAP_MIN * 60
     # cast-to-double = fractional epoch seconds; unix_timestamp would
     # truncate to whole seconds and disagree with the oracle's exact
-    # INTERVAL comparison on sub-second gap boundaries
-    ts_s = F.col("ts").cast("double")
+    # INTERVAL comparison on sub-second gap boundaries. The intermediate
+    # cast("timestamp") makes this work for TIMESTAMP_NTZ sources too
+    # (ntz→double is not a valid cast; ntz→timestamp resolves in the UTC
+    # session zone, a no-op for already-tz'd columns).
+    ts_s = F.col("ts").cast("timestamp").cast("double")
     prev_s = F.lag(ts_s).over(w_user)
     marked = ev.select(
-        "user_id", "ts",
+        "user_id", "ts", "event_id",
         F.when((ts_s - prev_s) <= gap_s, F.lit(0))
         .otherwise(F.lit(1)).alias("is_start"),
     )
