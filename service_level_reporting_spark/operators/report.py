@@ -448,24 +448,24 @@ def slo_breaches_per_target_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     "report_grouping_sets_sql",
     oracle="""
     SELECT coalesce(event_type, 'ALL') AS event_type,
-           coalesce(lang, 'ALL') AS dim2,
-           count(*) AS n
-    FROM (SELECT e.event_type, d.lang
-          FROM events e JOIN documents d ON e.event_id % 50 = d.doc_id % 50)
-    GROUP BY GROUPING SETS ((event_type), (lang))
+           coalesce(CAST(user_id % 10 AS VARCHAR), 'ALL') AS user_bucket,
+           count(*) AS n,
+           round(avg(value), 6) AS avg_value
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 10))
     """,
 )
 def report_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     from service_level_reporting_spark.tables import register_views
 
-    register_views(spark, sf_dir, ("events", "documents"))
+    register_views(spark, sf_dir, ("events",))
     return spark.sql("""
         SELECT coalesce(event_type, 'ALL') AS event_type,
-               coalesce(lang, 'ALL') AS dim2,
-               count(*) AS n
-        FROM (SELECT e.event_type, d.lang
-              FROM events e JOIN documents d ON e.event_id % 50 = d.doc_id % 50)
-        GROUP BY GROUPING SETS ((event_type), (lang))
+               coalesce(CAST(user_id % 10 AS STRING), 'ALL') AS user_bucket,
+               count(*) AS n,
+               round(avg(value), 6) AS avg_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10))
     """)
 
 

@@ -36,9 +36,24 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_DIM = 64
 
 
-def _normalized(df: DataFrame) -> DataFrame:
-    """Pre-normalize once per side; pair cosine then = one fixed-width dot."""
-    return df.select("vec_id", "label", SF.normalize("embedding").alias("nemb"))
+def _with_norm(df: DataFrame) -> DataFrame:
+    """Raw double vector + SCALAR norm column per row.
+
+    Deliberately NOT an array-transform normalization: Catalyst's
+    CollapseProject inlines a `transform` expression into every downstream
+    `getItem`, so a 64-wide dot over a transformed array re-evaluates the
+    whole per-element lambda 64 times (O(dim²–dim³) blowup — measured
+    minutes at 20k vectors). A scalar norm column stays a scalar; pair
+    cosine = dot_fixed(a, b) / (norm_a · norm_b), all inside codegen."""
+    ad = F.col("embedding").cast("array<double>")
+    return df.select(
+        "vec_id", "label", ad.alias("emb"),
+        F.sqrt(SF.dot_fixed(ad, ad, EMB_DIM)).alias("norm"))
+
+
+def _pair_cos(emb_a, emb_b, norm_a, norm_b):
+    return F.try_divide(SF.dot_fixed(emb_a, emb_b, EMB_DIM),
+                        F.col(norm_a) * F.col(norm_b))
 
 
 _COS_SQL = ("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
@@ -171,10 +186,10 @@ KNN_K = 5
     """,
 )
 def similarity_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _normalized(_emb(spark, sf_dir))
+    e = _with_norm(_emb(spark, sf_dir))
     q = (e.where(F.col("vec_id") == KNN_QUERY_VEC_ID)
-         .select(F.col("nemb").alias("ea")))
-    cos = SF.dot_fixed("ea", "nemb", EMB_DIM)
+         .select(F.col("emb").alias("ea"), F.col("norm").alias("na")))
+    cos = _pair_cos("ea", "emb", "na", "norm")
     return (
         e.where(F.col("vec_id") != KNN_QUERY_VEC_ID)
         .join(F.broadcast(q))
@@ -243,8 +258,11 @@ def _train_centroids(e: DataFrame, k: int = IVF_K):
     n = e.count()
     stride = max(1, n // IVF_TRAIN_CAP)
     sample = (e.where(F.col("vec_id") % stride == 0)
-              .select("nemb").limit(IVF_TRAIN_CAP).collect())
-    x = np.array([r["nemb"] for r in sample], dtype=np.float64)
+              .select("emb").limit(IVF_TRAIN_CAP).collect())
+    x = np.array([r["emb"] for r in sample], dtype=np.float64)
+    norms = np.linalg.norm(x, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    x = x / norms
     c = x[:k].copy()
     for _ in range(2):  # Lloyd iterations
         assign = (x @ c.T).argmax(axis=1)
@@ -270,7 +288,10 @@ def _assign_udf(centroids):
         import pandas as pd
 
         m = np.vstack(embs.to_numpy()).astype(np.float64, copy=False)
-        return pd.Series((m @ c.T).argmax(axis=1).astype(np.int32))
+        # cosine-nearest = dot-nearest after normalizing the rows
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        return pd.Series(((m / norms) @ c.T).argmax(axis=1).astype(np.int32))
 
     # annotation-free callable -> legacy SCALAR pandas_udf inference (module
     # uses future-annotations, which breaks string-hint resolution here)
@@ -279,20 +300,21 @@ def _assign_udf(centroids):
 
 @register("similarity_knn_ivf")  # rows-only: approximate by design
 def similarity_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _normalized(_emb(spark, sf_dir))
+    e = _with_norm(_emb(spark, sf_dir))
     centroids = _train_centroids(e)
     assign = _assign_udf(centroids)
-    indexed = e.withColumn("centroid_id", assign("nemb"))
+    indexed = e.withColumn("centroid_id", assign("emb"))
 
     import numpy as np
 
-    q_row = e.where(F.col("vec_id") == KNN_QUERY_VEC_ID).select("nemb").first()
-    q = np.asarray(q_row["nemb"], dtype=np.float64)
-    probe = np.argsort(-(centroids @ q))[:IVF_NPROBE].tolist()
+    q_row = e.where(F.col("vec_id") == KNN_QUERY_VEC_ID).select("emb").first()
+    q = np.asarray(q_row["emb"], dtype=np.float64)
+    qn = np.linalg.norm(q)
+    probe = np.argsort(-(centroids @ (q / (qn or 1.0))))[:IVF_NPROBE].tolist()
 
     qdf = (e.where(F.col("vec_id") == KNN_QUERY_VEC_ID)
-           .select(F.col("nemb").alias("ea")))
-    cos = SF.dot_fixed("ea", "nemb", EMB_DIM)
+           .select(F.col("emb").alias("ea"), F.col("norm").alias("na")))
+    cos = _pair_cos("ea", "emb", "na", "norm")
     return (
         indexed.where(F.col("centroid_id").isin([int(p) for p in probe]))
         .where(F.col("vec_id") != KNN_QUERY_VEC_ID)
@@ -312,11 +334,12 @@ def _hyperplanes():
 
 @register("similarity_ann_lsh")  # rows-only: approximate by design
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _normalized(_emb(spark, sf_dir))
+    e = _with_norm(_emb(spark, sf_dir))
     planes = _hyperplanes()
-    # bucket = bitstring of sign(v·h) per hyperplane — native expressions only
+    # bucket = bitstring of sign(v·h) per hyperplane — native expressions
+    # only; sign is norm-invariant, so the RAW vector works directly
     bucket = F.concat(*[
-        F.when(SF.dot_fixed(F.col("nemb"),
+        F.when(SF.dot_fixed(F.col("emb"),
                             F.array(*[F.lit(float(x)) for x in plane]),
                             EMB_DIM) >= 0,
                F.lit("1")).otherwise(F.lit("0"))
@@ -324,10 +347,10 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     ])
     eb = e.withColumn("bucket", bucket)
     a = eb.select(F.col("bucket").alias("bk"), F.col("vec_id").alias("vec_a"),
-                  F.col("nemb").alias("ea"))
+                  F.col("emb").alias("ea"), F.col("norm").alias("na"))
     b = eb.select(F.col("bucket").alias("bk"), F.col("vec_id").alias("vec_b"),
-                  F.col("nemb").alias("eb"))
-    cos = SF.dot_fixed("ea", "eb", EMB_DIM)
+                  F.col("emb").alias("eb"), F.col("norm").alias("nb"))
+    cos = _pair_cos("ea", "eb", "na", "nb")
     return (
         a.join(b, "bk")
         .where(F.col("vec_a") < F.col("vec_b"))

@@ -75,7 +75,10 @@ def synthesize_payload(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     rows = (
         ev.where(F.col("ts") < F.lit("2024-01-01 02:00:00"))
-        .select("event_type", F.unix_millis("ts").alias("ms"), "value")
+        # cast through timestamp: unix_millis rejects TIMESTAMP_NTZ sources
+        .select("event_type",
+                F.unix_millis(F.col("ts").cast("timestamp")).alias("ms"),
+                "value")
         .collect()
     )
     series: dict[str, list[list[float]]] = {}
