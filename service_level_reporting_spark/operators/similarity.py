@@ -334,27 +334,63 @@ def _hyperplanes():
 
 @register("similarity_ann_lsh")  # rows-only: approximate by design
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _with_norm(_emb(spark, sf_dir))
+    """Hyperplane-LSH candidate generation + per-bucket BLAS scoring.
+
+    Bucketing is native expressions (sign of v·h per plane — norm-invariant,
+    raw vectors fine); each bucket's all-pairs scores come from ONE numpy
+    matmul in mapInPandas, reusing the same tile kernel shape as the exact
+    D3 path. A self-join with a per-pair JVM expression was measured ~10x
+    slower on dense buckets; at fleet scale, buckets larger than BLOCK_SIZE
+    would be sub-tiled exactly like the exact path."""
+    import numpy as np
+    import pandas as pd
+
+    e = _emb(spark, sf_dir)
     planes = _hyperplanes()
-    # bucket = bitstring of sign(v·h) per hyperplane — native expressions
-    # only; sign is norm-invariant, so the RAW vector works directly
     bucket = F.concat(*[
-        F.when(SF.dot_fixed(F.col("emb"),
+        F.when(SF.dot_fixed(F.col("embedding").cast("array<double>"),
                             F.array(*[F.lit(float(x)) for x in plane]),
                             EMB_DIM) >= 0,
                F.lit("1")).otherwise(F.lit("0"))
         for plane in planes
     ])
-    eb = e.withColumn("bucket", bucket)
-    a = eb.select(F.col("bucket").alias("bk"), F.col("vec_id").alias("vec_a"),
-                  F.col("emb").alias("ea"), F.col("norm").alias("na"))
-    b = eb.select(F.col("bucket").alias("bk"), F.col("vec_id").alias("vec_b"),
-                  F.col("emb").alias("eb"), F.col("norm").alias("nb"))
-    cos = _pair_cos("ea", "eb", "na", "nb")
+    buckets = (
+        e.withColumn("bucket", bucket)
+        .groupBy("bucket")
+        .agg(F.collect_list("vec_id").alias("ids"),
+             F.collect_list("embedding").alias("embs"))
+    )
+
+    def compute(batches):
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            for ids, embs in zip(pdf["ids"], pdf["embs"]):
+                if len(ids) < 2:
+                    continue
+                ia = np.asarray(ids, dtype=np.int64)
+                m = np.vstack(embs).astype(np.float64, copy=False)
+                n = np.linalg.norm(m, axis=1, keepdims=True)
+                n[n == 0.0] = np.nan
+                u = m / n
+                sims = u @ u.T
+                mask = ia[:, None] < ia[None, :]
+                ra, rb = np.nonzero(mask)
+                s = sims[ra, rb]
+                if len(s) > 64:  # local top-N >> global 10, ties survive
+                    keep = np.argpartition(-s, 64)[:64]
+                    ra, rb, s = ra[keep], rb[keep], s[keep]
+                out_a.append(ia[ra]); out_b.append(ia[rb]); out_s.append(s)
+            if out_a:
+                yield pd.DataFrame({
+                    "vec_a": np.concatenate(out_a),
+                    "vec_b": np.concatenate(out_b),
+                    "cos_sim_raw": np.concatenate(out_s),
+                })
+
+    sims = buckets.mapInPandas(
+        compute, schema="vec_a long, vec_b long, cos_sim_raw double")
     return (
-        a.join(b, "bk")
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        sims.select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(10)
     )
