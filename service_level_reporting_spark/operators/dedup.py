@@ -113,7 +113,13 @@ JACCARD_THRESHOLD = 0.8
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     words = F.split("text", " ")
-    shingle_ix = F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0)))
+    # Guard: for docs with <3 tokens Spark's sequence(1, 0) is DESCENDING
+    # [1, 0] (default step -1 when start > stop) and slice(words, 0, 3)
+    # throws INVALID_PARAMETER_VALUE.START. DuckDB's generate_series(1, 0)
+    # is empty, so the engines would diverge — emit no shingles instead.
+    shingle_ix = F.when(
+        F.size(words) >= 3, F.sequence(F.lit(1), F.size(words) - 2)
+    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
     shingles = (
         d.select(
             "doc_id",

@@ -215,12 +215,17 @@ def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_asof",
     oracle="""
+    -- errors are pre-aggregated to ONE row per (user_id, ts) — max(value) —
+    -- so duplicate-timestamp error rows can't make the ASOF match
+    -- nondeterministic (both engines would otherwise pick arbitrarily)
     SELECT p.event_id AS purchase_id,
            p.user_id AS user_id,
            p.ts AS purchase_ts,
            e.value AS last_error_value
     FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+    ASOF LEFT JOIN (SELECT user_id, ts, max(value) AS value
+                    FROM events WHERE event_type = 'error'
+                    GROUP BY user_id, ts) e
       ON p.user_id = e.user_id AND p.ts >= e.ts
     """,
 )
@@ -229,14 +234,20 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     purchases = ev.where(F.col("event_type") == "purchase").select(
         "event_id", "user_id", "ts", F.lit(None).cast("double").alias("err_v"),
         F.lit(1).alias("is_p"))
-    errors = ev.where(F.col("event_type") == "error").select(
-        F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
-        F.col("value").alias("err_v"), F.lit(0).alias("is_p"))
+    # Deterministic tie rule (mirrored in the oracle): collapse error rows
+    # sharing (user_id, ts) to max(value) BEFORE the as-of alignment.
+    errors = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("err_v"))
+        .select(F.lit(None).cast("long").alias("event_id"), "user_id", "ts",
+                "err_v", F.lit(0).alias("is_p")))
     unioned = purchases.unionByName(errors)
-    # Order by (ts, is_p): an error AT the same instant as a purchase sorts
-    # first, matching ASOF's p.ts >= e.ts inclusivity.
+    # Order by (ts, is_p, event_id): an error AT the same instant as a
+    # purchase sorts first, matching ASOF's p.ts >= e.ts inclusivity;
+    # event_id makes the total order unique for tied purchases.
     w = (Window.partitionBy("user_id")
-         .orderBy(F.col("ts").asc(), F.col("is_p").asc())
+         .orderBy(F.col("ts").asc(), F.col("is_p").asc(), F.col("event_id").asc())
          .rowsBetween(Window.unboundedPreceding, 0))
     return (
         unioned.withColumn("last_error_value", F.last("err_v", ignorenulls=True).over(w))

@@ -250,11 +250,15 @@ FP_BASE = 131
 @register(
     "text_fingerprint",
     oracle=f"""
+    -- empty tokens (leading/trailing/double spaces) are dropped on BOTH
+    -- sides: Spark ascii('') = 0 but DuckDB ord(''[1]) = -1, which would
+    -- shift the polynomial hash
     SELECT doc_id,
            CAST(list_reduce(
                list_prepend(CAST(0 AS BIGINT),
-                   list_transform(string_split(text, ' '),
-                                  t -> CAST(length(t) * 256 + ord(t[1]) AS BIGINT))),
+                   list_transform(
+                       list_filter(string_split(text, ' '), t -> t <> ''),
+                       t -> CAST(length(t) * 256 + ord(t[1]) AS BIGINT))),
                (acc, x) -> (acc * {FP_BASE} + x) % {FP_MOD}
            ) AS BIGINT) AS fingerprint
     FROM documents
@@ -262,7 +266,7 @@ FP_BASE = 131
 )
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
-    toks = F.split("text", " ")
+    toks = F.filter(F.split("text", " "), lambda t: t != F.lit(""))
     token_code = lambda t: (F.length(t) * 256 + F.ascii(F.substring(t, 1, 1))).cast("long")  # noqa: E731
     fp = F.aggregate(
         toks,

@@ -63,8 +63,10 @@ def _load_all() -> None:
             importlib.import_module(mod)
         except ModuleNotFoundError as e:
             # Module not built yet (incremental rounds) — skip, don't break
-            # the whole surface.
-            if e.name and e.name.startswith("service_level_reporting_spark"):
+            # the whole surface. Only when the missing module IS the one being
+            # imported: a typo'd internal import inside an existing module
+            # must fail loudly, not silently drop its queries.
+            if e.name == mod:
                 continue
             raise
 

@@ -132,3 +132,67 @@ def test_float_parity_across_partitionings(spark):
                 d.groupBy("k").agg(SF.r6(F.sum("v")).alias("s"),
                                    SF.r6(F.avg("v")).alias("a")).collect()}
     assert agg(df.coalesce(1)) == agg(df.repartition(8))
+
+
+def test_ngram_jaccard_short_docs_no_crash(spark, monkeypatch):
+    """ADVICE r1: docs with <3 whitespace tokens used to hit Spark's
+    descending sequence(1, 0) and crash slice(); they must emit zero
+    shingles (matching DuckDB's empty generate_series) instead."""
+    from service_level_reporting_spark.operators import dedup as D
+    docs = spark.createDataFrame(
+        [(1, "one"), (2, "two words"), (3, ""),
+         (4, "a b c d a b c d"), (5, "a b c d a b c d")],
+        "doc_id long, text string")
+    monkeypatch.setattr(D, "_docs", lambda s, d: docs)
+    out = D.dedup_ngram_jaccard(spark, "x").collect()
+    assert [(r["doc_a"], r["doc_b"]) for r in out] == [(4, 5)]
+
+
+def test_fingerprint_ignores_empty_tokens(spark, monkeypatch):
+    """ADVICE r1: consecutive/leading/trailing spaces create empty tokens
+    whose char code differs between Spark (ascii=0) and DuckDB (ord=-1);
+    both sides now drop them, so spacing variants collide."""
+    from service_level_reporting_spark.operators import text as T
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a  b c "), (3, " a b  c")],
+        "doc_id long, text string")
+    monkeypatch.setattr(T, "_docs", lambda s, d: docs)
+    fps = {r["doc_id"]: r["fingerprint"] for r in T.text_fingerprint(spark, "x").collect()}
+    assert fps[1] == fps[2] == fps[3]
+
+
+def test_join_asof_deterministic_on_tied_error_ts(spark, monkeypatch):
+    """ADVICE r1: multiple 'error' rows sharing (user_id, ts) made the
+    as-of match nondeterministic; both engines now pre-aggregate errors to
+    max(value) per (user_id, ts)."""
+    import datetime as dt
+    from service_level_reporting_spark.operators import relational as R
+    from service_level_reporting_spark import tables as TB
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        (1, 7, t0, "error", 10.0),
+        (2, 7, t0, "error", 30.0),   # same (user, ts) — tie
+        (3, 7, t0 + dt.timedelta(minutes=1), "purchase", 1.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, event_type string, value double")
+    monkeypatch.setattr(TB, "load_tables", lambda s, d, names=None: {"events": ev})
+    monkeypatch.setattr(R, "load_tables", lambda s, d, names=None: {"events": ev})
+    out = R.join_asof(spark, "x").collect()
+    assert len(out) == 1 and out[0]["last_error_value"] == 30.0
+
+
+def test_registry_reraises_nested_import_error():
+    """ADVICE r1: a typo'd INTERNAL import inside an operator module must
+    fail loudly, not silently drop the module's queries."""
+    import pytest
+    from service_level_reporting_spark import registry as REG
+    orig = REG._OPERATOR_MODULES
+    try:
+        REG._OPERATOR_MODULES = ("service_level_reporting_spark.not_built_yet",)
+        REG._load_all()  # missing top-level module: silently skipped
+        REG._OPERATOR_MODULES = ("tests.fixtures_bad_import",)
+        with pytest.raises(ModuleNotFoundError):
+            REG._load_all()
+    finally:
+        REG._OPERATOR_MODULES = orig
