@@ -28,7 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship query (SLO daily breach report) on sf0.001."""
     configure(spark)
     qs = registry.all_queries()
-    return qs["slo_daily_breaches"](spark, SMOKE_SF_DIR)
+    return qs["slo_daily_health"](spark, SMOKE_SF_DIR)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

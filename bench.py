@@ -20,15 +20,18 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from service_level_reporting_spark import registry
 from service_level_reporting_spark.session import get_spark
 
-# name -> DuckDB oracle seconds at sf0.1 from BASELINE.md (measured rows)
+# name -> DuckDB oracle seconds at sf0.1 from BASELINE.md (cold views,
+# median of 5 fresh connections — re-measured 2026-08-13 round 2; the
+# round-1 slo_daily_breaches + report_error_rate_daily + agg_distinct_users
+# trio is now the single-pass slo_daily_health, and dedup_exact_groups
+# gained the rollup total row as dedup_exact)
 BASELINE_SEC = {
-    "pricing_summary": 0.292,        # Q1-style lineitem agg
-    "top_revenue_orders": 0.348,     # 3-way join + top-10
-    "resample_minute_avg": 0.203,    # A1 minute resample
-    "slo_daily_breaches": 0.023,     # A4+A5 daily breaches
-    "report_error_rate_daily": 0.015,  # A7 ratio
-    "similarity_topk_pairs": 0.25,   # D3 cosine top-10
-    "dedup_exact_groups": 0.06,      # D1 dup groups
+    "pricing_summary": 0.103,        # Q1-style lineitem agg
+    "top_revenue_orders": 0.101,     # 3-way join + top-10
+    "resample_minute_avg": 0.036,    # A1 minute resample
+    "slo_daily_health": 0.049,       # A4-A8 daily multi-metric report
+    "similarity_topk_pairs": 1.085,  # D3 cosine top-10
+    "dedup_exact": 0.038,            # D1 dup groups + rollup total
 }
 HEADLINERS = list(BASELINE_SEC)
 

@@ -32,47 +32,46 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# D1 — exact duplicates: corpus stats + per-group counts.
+# D1 — exact duplicates: per-group counts AND corpus totals in ONE rollup
+# pass (round-2 consolidation of dedup_exact_stats + dedup_exact_groups).
+# ROLLUP(md5(text)) yields the per-hash groups plus the grand-total row
+# (text_hash='ALL'), where n_copies = corpus size and n_distinct_texts =
+# distinct docs — the same one-pass subtotal trick the report rollup uses.
 # (documents fixture plants 8 dup groups at sf0.1 — FIXTURES.md §A)
 # ---------------------------------------------------------------------------
 
 @register(
-    "dedup_exact_stats",
+    "dedup_exact",
     oracle="""
-    SELECT count(*)                                  AS n_total,
-           count(DISTINCT text)                      AS n_distinct,
-           count(*) - count(DISTINCT text)           AS n_dup_rows
-    FROM documents
-    """,
-)
-def dedup_exact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    return d.agg(
-        F.count(F.lit(1)).alias("n_total"),
-        F.countDistinct("text").alias("n_distinct"),
-        (F.count(F.lit(1)) - F.countDistinct("text")).alias("n_dup_rows"),
+    SELECT coalesce(text_hash, 'ALL') AS text_hash, n_copies,
+           n_distinct_texts, keeper_doc_id
+    FROM (
+        SELECT md5(text) AS text_hash,
+               count(*) AS n_copies,
+               count(DISTINCT text) AS n_distinct_texts,
+               min(doc_id) AS keeper_doc_id,
+               GROUPING(md5(text)) AS g
+        FROM documents
+        GROUP BY ROLLUP(md5(text))
     )
-
-
-@register(
-    "dedup_exact_groups",
-    oracle="""
-    SELECT md5(text) AS text_hash, count(*) AS n_copies,
-           min(doc_id) AS keeper_doc_id
-    FROM documents
-    GROUP BY md5(text)
-    HAVING count(*) > 1
+    WHERE n_copies > 1 OR g = 1
     """,
 )
-def dedup_exact_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group by content hash, not raw text: at 100 TB the shuffle key is
     16/32 bytes instead of whole documents; `keeper_doc_id = min(doc_id)`
-    is the canonical survivor a dedup pass would keep."""
+    is the canonical survivor a dedup pass would keep. The grand-total row
+    carries corpus size + distinct-count (dup rows = difference)."""
     d = _docs(spark, sf_dir)
     return (
-        d.groupBy(F.md5("text").alias("text_hash"))
-        .agg(F.count(F.lit(1)).alias("n_copies"), F.min("doc_id").alias("keeper_doc_id"))
-        .where(F.col("n_copies") > 1)
+        d.rollup(F.md5("text").alias("text_hash"))
+        .agg(F.count(F.lit(1)).alias("n_copies"),
+             F.countDistinct("text").alias("n_distinct_texts"),
+             F.min("doc_id").alias("keeper_doc_id"),
+             F.grouping_id().alias("g"))
+        .where((F.col("n_copies") > 1) | (F.col("g") == 1))
+        .select(F.coalesce("text_hash", F.lit("ALL")).alias("text_hash"),
+                "n_copies", "n_distinct_texts", "keeper_doc_id")
     )
 
 
@@ -148,12 +147,38 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# D2b — MinHash + LSH near-dup candidates (spark.ml MinHashLSH over a
-# HashingTF shingle vector). Hash family is engine-specific → rows-only.
+# D2b + D2c — signature-based near-dup candidates, one labeled pair list
+# (round-2 consolidation; both rows-only because the hash families are
+# engine-specific):
+#   'minhash' — spark.ml MinHashLSH banding over a HashingTF 3-gram vector;
+#     sublinear candidate generation, score = estimated Jaccard.
+#   'simhash' — fully native map-reduce SimHash (xxhash64 per token,
+#     bitwise vote); candidate pairs via EQUI-JOIN on the signature
+#     (score 1.0) — the banding trick in its 1-band form. Near-dup docs get
+#     signatures within a few bits, exact dups equal ones.
 # ---------------------------------------------------------------------------
 
-@register("dedup_minhash_lsh")  # rows-only: MinHash seeds are engine-specific
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def simhash_signatures(d: DataFrame) -> DataFrame:
+    """Map-reduce SimHash: explode (doc, token-hash, bit 0..62), vote ±1 per
+    bit by whether the hash has it set, signature = Σ 2^bit over positive
+    votes. Pure DataFrame ops — this exact shape distributes at 100 TB (the
+    shuffle key is (doc_id, bit), combiner-friendly)."""
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
+    bits = toks.select(
+        "doc_id", F.xxhash64("tok").alias("h"),
+        F.explode(F.sequence(F.lit(0), F.lit(62))).alias("bit"))
+    votes = bits.groupBy("doc_id", "bit").agg(
+        F.sum(F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1))
+        .alias("vote"))
+    return votes.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("vote") > 0,
+                     F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
+              .otherwise(F.lit(0))).alias("simhash"))
+
+
+@register("dedup_near_dup_signatures")  # rows-only: hash families engine-specific
+def dedup_near_dup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
 
     d = _docs(spark, sf_dir)
@@ -165,46 +190,22 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                      seed=42).fit(tf)
     pairs = lsh.approxSimilarityJoin(tf, tf, 1.0 - JACCARD_THRESHOLD,
                                      distCol="jaccard_dist")
-    return (
+    minhash = (
         pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
+            F.lit("minhash").alias("method"),
             F.col("datasetA.doc_id").alias("doc_a"),
             F.col("datasetB.doc_id").alias("doc_b"),
-            F.round(1.0 - F.col("jaccard_dist"), 6).alias("est_jaccard"),
+            F.round(1.0 - F.col("jaccard_dist"), 6).alias("score"),
         )
-        .orderBy("doc_a", "doc_b")
     )
-
-
-# ---------------------------------------------------------------------------
-# D2c — SimHash signatures, fully native (xxhash64 per token, bitwise vote).
-# Near-dup docs get signatures within a few bits; exact dups get equal
-# signatures. xxhash64 seed is Spark-specific → rows-only.
-# ---------------------------------------------------------------------------
-
-@register("dedup_simhash")  # rows-only: xxhash64 is engine-specific
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Map-reduce SimHash: explode (doc, token-hash, bit 0..63), vote ±1 per
-    bit by whether the hash has it set, signature = Σ 2^bit over positive
-    votes. Pure DataFrame ops — this exact shape distributes at 100 TB (the
-    shuffle key is (doc_id, bit), combiner-friendly)."""
-    d = _docs(spark, sf_dir)
-    toks = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("text", " "))).alias("tok"))
-    bits = toks.select(
-        "doc_id", F.xxhash64("tok").alias("h"),
-        F.explode(F.sequence(F.lit(0), F.lit(62))).alias("bit"))
-    votes = bits.groupBy("doc_id", "bit").agg(
-        F.sum(F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1))
-        .alias("vote"))
-    sigs = votes.groupBy("doc_id").agg(
-        F.sum(F.when(F.col("vote") > 0,
-                     F.expr("shiftleft(CAST(1 AS BIGINT), bit)"))
-              .otherwise(F.lit(0))).alias("simhash"))
-    # Exact-duplicate (and strong near-dup) clusters: equal signatures.
-    return (
-        sigs.groupBy("simhash")
-        .agg(F.count(F.lit(1)).alias("n_docs"), F.min("doc_id").alias("keeper_doc_id"))
-        .where(F.col("n_docs") > 1)
-        .orderBy("keeper_doc_id")
+    sigs = simhash_signatures(d)
+    a = sigs.select(F.col("doc_id").alias("doc_a"), "simhash")
+    b = sigs.select(F.col("doc_id").alias("doc_b"), "simhash")
+    simhash = (
+        a.join(b, "simhash")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .select(F.lit("simhash").alias("method"), "doc_a", "doc_b",
+                F.lit(1.0).alias("score"))
     )
+    return minhash.unionByName(simhash).orderBy("method", "doc_a", "doc_b")

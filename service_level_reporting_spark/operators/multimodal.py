@@ -102,7 +102,6 @@ def extract_features(assets: DataFrame) -> DataFrame:
     return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
-@register("multimodal_features")  # rows-only: decode stub is engine-specific
 def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     feats = extract_features(assets_from_documents(docs))
@@ -210,7 +209,6 @@ def sample_frames(assets: DataFrame, every_n_bytes: int = 256,
     return assets.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
-@register("multimodal_resize_pipeline")  # rows-only: stub transform
 def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     resized = resize_assets(assets_from_documents(docs), w=64, h=64)
@@ -222,7 +220,6 @@ def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_frame_sample")  # rows-only: stub decode, 1→N fan-out
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     frames = sample_frames(assets_from_documents(docs))
@@ -232,6 +229,32 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.sum("n_frame_bytes").alias("total_bytes"))
         .orderBy("frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# The three mapInPandas stages as one labeled suite (round-2 consolidation;
+# rows-only: the decode/resize stubs are engine-specific). Each part keeps
+# its own batch shape: 1→1 feature extraction, binary→binary resize, 1→N
+# frame fan-out. `key` is the per-part group (media_type / frame_idx),
+# `metric` a part-specific quality number (avg_intensity / target_w / NULL).
+# ---------------------------------------------------------------------------
+
+@register("multimodal_pipeline")  # rows-only: stub decode/resize/frame-sample
+def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    feats = multimodal_features(spark, sf_dir).select(
+        F.lit("features").alias("stage"), F.col("media_type").alias("key"),
+        F.col("n_assets").alias("n"), F.col("total_bytes"),
+        F.col("avg_intensity").alias("metric"))
+    resized = multimodal_resize_pipeline(spark, sf_dir).select(
+        F.lit("resize").alias("stage"), F.col("media_type").alias("key"),
+        F.col("n_assets").alias("n"), F.col("total_bytes"),
+        F.col("target_w").cast("double").alias("metric"))
+    frames = multimodal_frame_sample(spark, sf_dir).select(
+        F.lit("frame_sample").alias("stage"),
+        F.col("frame_idx").cast("string").alias("key"),
+        F.col("n_frames").alias("n"), F.col("total_bytes"),
+        F.lit(None).cast("double").alias("metric"))
+    return feats.unionByName(resized).unionByName(frames).orderBy("stage", "key")
 
 
 # The metadata/binary plumbing IS SQL-expressible (byte length, header hex) —

@@ -142,35 +142,61 @@ def join_large_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# J4 — semi/anti joins (report skips products without data in window [M])
+# J4 + O4 — semi/anti joins (report skips products without data in window
+# [M]) and set ops on entity keys across windows (retained/churned users),
+# one labeled result (round-2 consolidation — all four parts are
+# "membership of a key set" questions answered as segment counts).
 # ---------------------------------------------------------------------------
 
 @register(
-    "join_semi_anti",
+    "join_semi_anti_setops",
     oracle="""
-    SELECT 'with_orders' AS segment, count(*) AS n_customers
+    SELECT 'with_orders' AS segment, count(*) AS n
     FROM customer c WHERE c.c_custkey IN (SELECT o_custkey FROM orders)
     UNION ALL
-    SELECT 'without_orders' AS segment, count(*) AS n_customers
+    SELECT 'without_orders', count(*)
     FROM customer c WHERE c.c_custkey NOT IN (SELECT o_custkey FROM orders)
+    UNION ALL
+    SELECT 'retained', count(*) FROM (
+        SELECT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15'
+        INTERSECT
+        SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15')
+    UNION ALL
+    SELECT 'churned', count(*) FROM (
+        SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15'
+        EXCEPT
+        SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15')
     """,
 )
-def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
-    t = load_tables(spark, sf_dir, ("customer", "orders"))
+def join_semi_anti_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("customer", "orders", "events"))
     on = F.col("c_custkey") == F.col("o_custkey")
-    semi = (t["customer"].join(t["orders"], on, "left_semi")
-            .agg(F.count(F.lit(1)).alias("n_customers"))
-            .select(F.lit("with_orders").alias("segment"), "n_customers"))
-    anti = (t["customer"].join(t["orders"], on, "left_anti")
-            .agg(F.count(F.lit(1)).alias("n_customers"))
-            .select(F.lit("without_orders").alias("segment"), "n_customers"))
-    return semi.unionByName(anti)
+
+    def seg(df, label):
+        return (df.agg(F.count(F.lit(1)).alias("n"))
+                .select(F.lit(label).alias("segment"), "n"))
+
+    semi = seg(t["customer"].join(t["orders"], on, "left_semi"), "with_orders")
+    anti = seg(t["customer"].join(t["orders"], on, "left_anti"), "without_orders")
+    ev = t["events"]
+    cut = F.lit("2024-01-15")
+    w1 = ev.where(F.col("ts") < cut).select("user_id").distinct()
+    w2 = ev.where(F.col("ts") >= cut).select("user_id").distinct()
+    retained = seg(w1.intersect(w2), "retained")
+    churned = seg(w1.exceptAll(w2), "churned")
+    return semi.unionByName(anti).unionByName(retained).unionByName(churned)
 
 
 # ---------------------------------------------------------------------------
-# J5 — range/interval join: classify each value into its enclosing band
-# (target bands as a JOIN instead of literal predicates — the general form
-# of SLR's target check). Tiny band table is broadcast → BNLJ, no shuffle.
+# J5 — range/interval join + per-series target dimension, one labeled
+# result (round-2 consolidation — both are "tiny band/target table joined
+# onto the fact" shapes, broadcast → no shuffle on the fact side):
+#   'value_band'  — classify each value into its enclosing half-open band
+#     (target bands as a JOIN instead of literal predicates — the general
+#     form of SLR's target check); range-predicate join → broadcast BNLJ.
+#   'target_dim'  — each Indicator has its OWN Target row applied by
+#     equi-join (the reference's real shape — not a global literal band),
+#     daily breach/compliance per series.
 # ---------------------------------------------------------------------------
 
 BANDS = [  # (band, lo, hi) — half-open [lo, hi) so bands partition the line
@@ -180,28 +206,68 @@ BANDS = [  # (band, lo, hi) — half-open [lo, hi) so bands partition the line
     ("extreme", 150.0, 1e9),
 ]
 
+SERIES_TARGETS = [  # (event_type, target_lo, target_hi)
+    ("click", 5.0, 95.0),
+    ("error", 0.0, 60.0),
+    ("purchase", 10.0, 99.0),
+    ("signup", 2.0, 90.0),
+    ("view", 1.0, 98.0),
+]
+
+_TARGETS_SQL = ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in SERIES_TARGETS)
+
 
 @register(
-    "join_range_bands",
-    oracle="""
+    "join_range_targets",
+    oracle=f"""
     WITH bands(band, lo, hi) AS (
         VALUES ('low', 0.0, 25.0), ('mid', 25.0, 75.0),
                ('high', 75.0, 150.0), ('extreme', 150.0, 1e9)
-    )
-    SELECT b.band AS band, count(*) AS n, round(avg(e.value), 6) AS avg_value
+    ),
+    targets(event_type, lo, hi) AS (VALUES {_TARGETS_SQL})
+    SELECT 'value_band' AS part, b.band AS key1, CAST(NULL AS VARCHAR) AS key2,
+           count(*) AS n, CAST(NULL AS BIGINT) AS breaches,
+           round(avg(e.value), 6) AS metric
     FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
     GROUP BY b.band
+    UNION ALL
+    SELECT 'target_dim', e.event_type, strftime(e.ts, '%Y-%m-%d'),
+           count(*),
+           count(CASE WHEN e.value < t.lo OR e.value > t.hi THEN 1 END),
+           round(1.0 - count(CASE WHEN e.value < t.lo OR e.value > t.hi
+                                  THEN 1 END) * 1.0 / count(*), 6)
+    FROM events e JOIN targets t USING (event_type)
+    GROUP BY e.event_type, strftime(e.ts, '%Y-%m-%d')
     """,
 )
-def join_range_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+def join_range_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     bands = spark.createDataFrame(BANDS, "band string, lo double, hi double")
-    return (
+    value_band = (
         ev.join(F.broadcast(bands),
                 (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")))
         .groupBy("band")
-        .agg(F.count(F.lit(1)).alias("n"), SF.r6(F.avg("value")).alias("avg_value"))
+        .agg(F.count(F.lit(1)).alias("n"), SF.r6(F.avg("value")).alias("metric"))
+        .select(F.lit("value_band").alias("part"),
+                F.col("band").alias("key1"),
+                F.lit(None).cast("string").alias("key2"),
+                "n", F.lit(None).cast("long").alias("breaches"), "metric")
     )
+    targets = spark.createDataFrame(
+        SERIES_TARGETS, "event_type string, lo double, hi double")
+    breach = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    target_dim = (
+        ev.join(F.broadcast(targets), "event_type")
+        .groupBy("event_type", SF.day_str("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.count(F.when(breach, 1)).alias("breaches"),
+             SF.r6(1.0 - F.count(F.when(breach, 1)) / F.count(F.lit(1)))
+             .alias("metric"))
+        .select(F.lit("target_dim").alias("part"),
+                F.col("event_type").alias("key1"),
+                F.col("day").alias("key2"), "n", "breaches", "metric")
+    )
+    return value_band.unionByName(target_dim)
 
 
 # ---------------------------------------------------------------------------
@@ -258,49 +324,15 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# O4 — set ops on entity keys across windows (retained/churned users)
-# ---------------------------------------------------------------------------
-
-@register(
-    "set_ops_users",
-    oracle="""
-    WITH w1 AS (SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15'),
-         w2 AS (SELECT DISTINCT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15')
-    SELECT 'retained' AS segment, count(*) AS n_users
-    FROM (SELECT user_id FROM w1 INTERSECT SELECT user_id FROM w2)
-    UNION ALL
-    SELECT 'churned' AS segment, count(*) AS n_users
-    FROM (SELECT user_id FROM w1 EXCEPT SELECT user_id FROM w2)
-    """,
-)
-def set_ops_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    cut = F.lit("2024-01-15")
-    w1 = ev.where(F.col("ts") < cut).select("user_id").distinct()
-    w2 = ev.where(F.col("ts") >= cut).select("user_id").distinct()
-    retained = (w1.intersect(w2).agg(F.count(F.lit(1)).alias("n_users"))
-                .select(F.lit("retained").alias("segment"), "n_users"))
-    churned = (w1.exceptAll(w2).agg(F.count(F.lit(1)).alias("n_users"))
-               .select(F.lit("churned").alias("segment"), "n_users"))
-    return retained.unionByName(churned)
-
-
-# ---------------------------------------------------------------------------
 # A10 — partial/final aggregation identity: avg computed by the engine's
 # two-phase hash agg must equal sum/count done explicitly (guards against
-# avg-of-avgs style bugs in any future custom aggregate)
+# avg-of-avgs style bugs in any future custom aggregate). Since round 2 this
+# is a pytest-pinned property (tests/test_physical_plans.py asserts the
+# partial/final plan shape; tests/test_differential.py the identity) rather
+# than a registry entry — the two-phase agg itself is exercised by every
+# grouped query above.
 # ---------------------------------------------------------------------------
 
-@register(
-    "agg_partial_final_identity",
-    oracle="""
-    SELECT event_type,
-           round(avg(value), 6) AS avg_direct,
-           round(sum(value) / count(value), 6) AS avg_manual,
-           count(*) AS n
-    FROM events GROUP BY event_type
-    """,
-)
 def agg_partial_final_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     return ev.groupBy("event_type").agg(

@@ -26,62 +26,87 @@ from service_level_reporting_spark.registry import register
 from service_level_reporting_spark.tables import load_tables
 
 
-# ---------------------------------------------------------------------------
-# A7 — ratio SLI: error rate per day (classic ZMON SLI = errors/total [M])
-# ---------------------------------------------------------------------------
-
-@register(
-    "report_error_rate_daily",
-    oracle="""
-    SELECT strftime(ts, '%Y-%m-%d') AS day,
-           count(CASE WHEN event_type = 'error' THEN 1 END) AS n_errors,
-           count(*) AS n_total,
-           round(count(CASE WHEN event_type = 'error' THEN 1 END) / count(*), 6)
-               AS error_rate
-    FROM events
-    GROUP BY strftime(ts, '%Y-%m-%d')
-    """,
-)
-def report_error_rate_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    n_errors = F.count(F.when(F.col("event_type") == "error", F.lit(1)))
-    n_total = F.count(F.lit(1))
-    return ev.groupBy(SF.day_str("ts").alias("day")).agg(
-        n_errors.alias("n_errors"),
-        n_total.alias("n_total"),
-        SF.r6(SF.safe_ratio(n_errors, n_total)).alias("error_rate"),
-    )
+# A7 (error rate) and A8-exact (distinct users) live in sli.slo_daily_health
+# since round 2: they share the events scan and the day grain with the
+# flagship daily report, so they are served by the same single-pass
+# aggregate (one job instead of three).
 
 
 # ---------------------------------------------------------------------------
-# A9 — rollup totals: per (event_type, day), per event_type, grand total —
-# the report's nested dict with subtotals as ONE grouping-sets pass [M]
+# A9 — the full grouping-sets family in ONE labeled pass (round-2
+# consolidation): ROLLUP (the report's nested dict with subtotals [M]),
+# CUBE + grouping_id (all 4 combos; gid disambiguates real NULLs from
+# subtotal rows), and GROUPING SETS declared through the spark.sql() entry
+# path — demonstrating the SQL surface is first-class. Spark expands each
+# grouping set in the partial aggregate: one scan per part, no join.
 # ---------------------------------------------------------------------------
 
 @register(
-    "report_rollup",
+    "report_rollup_cube_gsets",
     oracle="""
-    SELECT coalesce(event_type, 'ALL')             AS event_type,
-           coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
-           count(*)                                AS n_points,
-           round(avg(value), 6)                    AS avg_value
+    SELECT 'rollup' AS part,
+           coalesce(event_type, 'ALL')               AS event_type,
+           coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS key2,
+           GROUPING(event_type) * 2
+             + GROUPING(strftime(ts, '%Y-%m-%d'))    AS gid,
+           count(*)                                  AS n_points,
+           round(avg(value), 6)                      AS avg_value
     FROM events
     GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+    UNION ALL
+    SELECT 'cube',
+           coalesce(event_type, 'ALL'),
+           coalesce(CAST(user_id % 10 AS VARCHAR), 'ALL'),
+           GROUPING(event_type) * 2 + GROUPING(user_id % 10),
+           count(*),
+           round(avg(value), 6)
+    FROM events
+    GROUP BY CUBE(event_type, user_id % 10)
+    UNION ALL
+    SELECT 'gsets',
+           coalesce(event_type, 'ALL'),
+           coalesce(CAST(user_id % 10 AS VARCHAR), 'ALL'),
+           GROUPING(event_type) * 2 + GROUPING(user_id % 10),
+           count(*),
+           round(avg(value), 6)
+    FROM events
+    GROUP BY GROUPING SETS ((event_type), (user_id % 10))
     """,
 )
-def report_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+def report_rollup_cube_gsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from service_level_reporting_spark.tables import register_views
+
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    return (
-        ev.rollup(F.col("event_type"), SF.day_str("ts").alias("day"))
-        .agg(F.count(F.lit(1)).alias("n_points"),
-             SF.r6(F.avg("value")).alias("avg_value"))
-        .select(
-            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
-            F.coalesce("day", F.lit("ALL")).alias("day"),
-            "n_points",
-            "avg_value",
+    bucket = (F.col("user_id") % 10).cast("string").alias("user_bucket")
+
+    def finish(grouped, part: str, key2: str):
+        return (
+            grouped.agg(F.grouping_id().alias("gid"),
+                        F.count(F.lit(1)).alias("n_points"),
+                        SF.r6(F.avg("value")).alias("avg_value"))
+            .select(
+                F.lit(part).alias("part"),
+                F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+                F.coalesce(key2, F.lit("ALL")).alias("key2"),
+                "gid", "n_points", "avg_value",
+            )
         )
-    )
+
+    rollup = finish(ev.rollup(F.col("event_type"), SF.day_str("ts").alias("day")),
+                    "rollup", "day")
+    cube = finish(ev.cube(F.col("event_type"), bucket), "cube", "user_bucket")
+    register_views(spark, sf_dir, ("events",))
+    gsets = spark.sql("""
+        SELECT 'gsets' AS part,
+               coalesce(event_type, 'ALL') AS event_type,
+               coalesce(CAST(user_id % 10 AS STRING), 'ALL') AS key2,
+               GROUPING(event_type) * 2 + GROUPING(user_id % 10) AS gid,
+               count(*) AS n_points,
+               round(avg(value), 6) AS avg_value
+        FROM events
+        GROUP BY GROUPING SETS ((event_type), (user_id % 10))
+    """)
+    return rollup.unionByName(cube).unionByName(gsets)
 
 
 # ---------------------------------------------------------------------------
@@ -116,36 +141,10 @@ def report_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# A8 — distinct entities per window (exact; approx variant below is the
-# 100 TB path: one pass, fixed memory, no exact-distinct shuffle explosion)
-# ---------------------------------------------------------------------------
-
-@register(
-    "agg_distinct_users",
-    oracle="""
-    SELECT strftime(ts, '%Y-%m-%d') AS day,
-           count(DISTINCT user_id)  AS n_users,
-           count(*)                 AS n_events
-    FROM events
-    GROUP BY strftime(ts, '%Y-%m-%d')
-    """,
-)
-def agg_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    return ev.groupBy(SF.day_str("ts").alias("day")).agg(
-        F.countDistinct("user_id").alias("n_users"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
-
-
-@register("agg_distinct_users_approx")  # rows-only: HLL sketch is engine-specific
-def agg_distinct_users_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    return ev.groupBy(SF.day_str("ts").alias("day")).agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
-        F.count(F.lit(1)).alias("n_events"),
-    )
+# A8-exact (count distinct users per day) lives in sli.slo_daily_health
+# since round 2 (same scan, same grain). The APPROX variants — the 100 TB
+# path: one pass, fixed memory, no exact-distinct shuffle explosion — are
+# consolidated into report_sketch_summary below.
 
 
 # ---------------------------------------------------------------------------
@@ -176,119 +175,23 @@ def agg_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_percentile_approx")  # rows-only: t-digest/GK sketch differs per engine
-def agg_percentile_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    return ev.groupBy("event_type").agg(
-        F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
-        F.count(F.lit(1)).alias("n"),
-    )
-
-
 # ---------------------------------------------------------------------------
-# O1 — sorted pagination (list endpoints' LIMIT/OFFSET [M]); row_number over
-# a deterministic (price, key) order so pages are stable in both engines
+# Sketch summary (rows-only, round-2 consolidation of the approx family +
+# nested-JSON shaping): per series, the HLL distinct-user estimate (A8
+# approx), the t-digest p95 (A11 approx), and the S5 nested report JSON
+# (day rows nested under the series key, serialized — engine-specific text,
+# pytest pins the structure). These are the fixed-memory one-pass sketches
+# that replace exact distinct/percentile at 100 TB.
 # ---------------------------------------------------------------------------
 
-@register(
-    "order_limit_paginate",
-    oracle="""
-    WITH ranked AS (
-        SELECT o_orderkey, o_custkey, o_totalprice,
-               row_number() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rn
-        FROM orders
-    )
-    SELECT o_orderkey, o_custkey, o_totalprice, rn
-    FROM ranked WHERE rn > 20 AND rn <= 30
-    """,
-)
-def order_limit_paginate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = load_tables(spark, sf_dir, ("orders",))["orders"]
-    w = Window.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
-    return (
-        o.select("o_orderkey", "o_custkey", "o_totalprice",
-                 F.row_number().over(w).alias("rn"))
-        .where((F.col("rn") > 20) & (F.col("rn") <= 30))
-    )
-
-
-# ---------------------------------------------------------------------------
-# O2 — top-k heavy hitters ("worst minutes" in a report [L]); Spark plans
-# this as TakeOrderedAndProject — no global sort materialization
-# ---------------------------------------------------------------------------
-
-@register(
-    "topk_worst_minutes",
-    oracle="""
-    WITH per_minute AS (
-        SELECT date_trunc('minute', ts) AS minute,
-               round(avg(value), 6) AS avg_value,
-               count(*) AS n
-        FROM events WHERE event_type = 'error'
-        GROUP BY date_trunc('minute', ts)
-    )
-    SELECT minute, avg_value, n
-    FROM per_minute
-    ORDER BY avg_value DESC, minute
-    LIMIT 10
-    """,
-)
-def topk_worst_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    return (
-        ev.where(F.col("event_type") == "error")
-        .groupBy(SF.minute("ts").alias("minute"))
-        .agg(SF.r6(F.avg("value")).alias("avg_value"), F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("avg_value"), F.asc("minute"))
-        .limit(10)
-    )
-
-
-# ---------------------------------------------------------------------------
-# O3 — union of series (report iterates the SLIs of an SLO and stacks their
-# series [H]); unionByName keeps it schema-safe when series diverge
-# ---------------------------------------------------------------------------
-
-@register(
-    "union_series",
-    oracle="""
-    WITH stacked AS (
-        SELECT 'err'  AS series, ts, value FROM events WHERE event_type = 'error'
-        UNION ALL
-        SELECT 'buy' AS series, ts, value FROM events WHERE event_type = 'purchase'
-    )
-    SELECT series, strftime(ts, '%Y-%m-%d') AS day,
-           round(avg(value), 6) AS avg_value, count(*) AS n
-    FROM stacked GROUP BY series, strftime(ts, '%Y-%m-%d')
-    """,
-)
-def union_series(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    err = ev.where(F.col("event_type") == "error").select(
-        F.lit("err").alias("series"), "ts", "value")
-    buy = ev.where(F.col("event_type") == "purchase").select(
-        F.lit("buy").alias("series"), "ts", "value")
-    return (
-        err.unionByName(buy)
-        .groupBy("series", SF.day_str("ts").alias("day"))
-        .agg(SF.r6(F.avg("value")).alias("avg_value"), F.count(F.lit(1)).alias("n"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# S5 — nested report JSON (response shaping in report.py [H]): day rows
-# nested under the series key, serialized. JSON text differs between engines
-# (key order/float formatting) → rows-only check; pytest pins the structure.
-# ---------------------------------------------------------------------------
-
-@register("report_nested_json")
-def report_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+@register("report_sketch_summary")  # rows-only: HLL/t-digest/JSON text differ per engine
+def report_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     daily = (
         ev.groupBy("event_type", SF.day_str("ts").alias("day"))
         .agg(SF.r6(F.avg("value")).alias("avg_value"), F.count(F.lit(1)).alias("n"))
     )
-    return (
+    nested = (
         daily.groupBy("event_type")
         .agg(
             F.to_json(
@@ -296,187 +199,151 @@ def report_nested_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("report_json")
         )
     )
+    sketches = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"),
+        F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return sketches.join(nested, "event_type").orderBy("event_type")
 
 
 # ---------------------------------------------------------------------------
-# Pivot / unpivot — report matrix shaping (the nested product→slo→day report
-# is a pivot in disguise; first-class here). Explicit value list => single
-# pass, stable schema (no distinct-scan), which is the 100 TB form.
+# O1 + O2 — ordered pagination and top-k over ONE ranked series (round-2
+# consolidation). One window pass ranks the per-minute error series; the
+# 'topk' part is the report's worst-minutes heavy hitters, the 'page'
+# part is the REST LIMIT/OFFSET page (rows 21-30) — same deterministic
+# (value DESC, minute) order so pages are stable in both engines.
+# ---------------------------------------------------------------------------
+
+@register(
+    "page_topk_minutes",
+    oracle="""
+    WITH ranked AS (
+        SELECT minute, avg_value, n,
+               row_number() OVER (ORDER BY avg_value DESC, minute) AS rn
+        FROM (
+            SELECT date_trunc('minute', ts) AS minute,
+                   round(avg(value), 6) AS avg_value,
+                   count(*) AS n
+            FROM events WHERE event_type = 'error'
+            GROUP BY date_trunc('minute', ts)
+        )
+    )
+    SELECT CASE WHEN rn <= 10 THEN 'topk' ELSE 'page' END AS part,
+           minute, avg_value, n, rn
+    FROM ranked
+    WHERE rn <= 10 OR (rn > 20 AND rn <= 30)
+    """,
+)
+def page_topk_minutes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    per_minute = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy(SF.minute("ts").alias("minute"))
+        .agg(SF.r6(F.avg("value")).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.orderBy(F.desc("avg_value"), F.asc("minute"))
+    return (
+        per_minute.select("minute", "avg_value", "n",
+                          F.row_number().over(w).alias("rn"))
+        .where((F.col("rn") <= 10) | ((F.col("rn") > 20) & (F.col("rn") <= 30)))
+        .select(F.when(F.col("rn") <= 10, "topk").otherwise("page").alias("part"),
+                "minute", "avg_value", "n", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# O3 + pivot/unpivot — series stacking and matrix shaping as one labeled
+# long-form result (round-2 consolidation):
+#   'series' part — unionByName of two SLI series, daily stats (the report
+#     iterates the SLIs of an SLO and stacks their series [H]).
+#   'pivot_roundtrip' part — daily matrix via pivot (explicit value list =>
+#     single pass, stable schema — the 100 TB form), then unpivot back to
+#     long form; cells for (day × type) combos with no data survive as NULL
+#     rows, which is the pivot-shape contract the oracle mirrors.
 # ---------------------------------------------------------------------------
 
 EVENT_TYPES = ("click", "error", "purchase", "signup", "view")
 
 
 @register(
-    "report_pivot_daily_matrix",
+    "series_long_stack",
     oracle="""
-    SELECT strftime(ts, '%Y-%m-%d') AS day,
-           round(avg(CASE WHEN event_type = 'click'    THEN value END), 6) AS click,
-           round(avg(CASE WHEN event_type = 'error'    THEN value END), 6) AS error,
-           round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
-           round(avg(CASE WHEN event_type = 'signup'   THEN value END), 6) AS signup,
-           round(avg(CASE WHEN event_type = 'view'     THEN value END), 6) AS view
-    FROM events GROUP BY 1
+    SELECT 'series' AS part, series, day, avg_value, n
+    FROM (
+        SELECT series, strftime(ts, '%Y-%m-%d') AS day,
+               round(avg(value), 6) AS avg_value, count(*) AS n
+        FROM (
+            SELECT 'err' AS series, ts, value FROM events WHERE event_type = 'error'
+            UNION ALL
+            SELECT 'buy', ts, value FROM events WHERE event_type = 'purchase'
+        ) GROUP BY series, strftime(ts, '%Y-%m-%d')
+    )
+    UNION ALL
+    SELECT 'pivot_roundtrip', u.series, p.day, u.avg_value, NULL
+    FROM (
+        SELECT strftime(ts, '%Y-%m-%d') AS day,
+               round(avg(CASE WHEN event_type = 'click'    THEN value END), 6) AS click,
+               round(avg(CASE WHEN event_type = 'error'    THEN value END), 6) AS error,
+               round(avg(CASE WHEN event_type = 'purchase' THEN value END), 6) AS purchase,
+               round(avg(CASE WHEN event_type = 'signup'   THEN value END), 6) AS signup,
+               round(avg(CASE WHEN event_type = 'view'     THEN value END), 6) AS view
+        FROM events GROUP BY 1
+    ) p, LATERAL (VALUES ('click', p.click), ('error', p.error),
+                         ('purchase', p.purchase), ('signup', p.signup),
+                         ('view', p.view)) AS u(series, avg_value)
     """,
 )
-def report_pivot_daily_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+def series_long_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    return (
+    err = ev.where(F.col("event_type") == "error").select(
+        F.lit("err").alias("series"), "ts", "value")
+    buy = ev.where(F.col("event_type") == "purchase").select(
+        F.lit("buy").alias("series"), "ts", "value")
+    series = (
+        err.unionByName(buy)
+        .groupBy("series", SF.day_str("ts").alias("day"))
+        .agg(SF.r6(F.avg("value")).alias("avg_value"), F.count(F.lit(1)).alias("n"))
+        .select(F.lit("series").alias("part"), "series", "day", "avg_value", "n")
+    )
+    wide = (
         ev.groupBy(SF.day_str("ts").alias("day"))
         .pivot("event_type", list(EVENT_TYPES))
         .agg(SF.r6(F.avg("value")))
     )
+    roundtrip = (
+        wide.unpivot(ids=["day"], values=list(EVENT_TYPES),
+                     variableColumnName="series", valueColumnName="avg_value")
+        .select(F.lit("pivot_roundtrip").alias("part"), "series", "day",
+                "avg_value", F.lit(None).cast("long").alias("n"))
+    )
+    return series.unionByName(roundtrip)
+
+
+# Per-series SLO targets as a DIMENSION (the reference's real shape) moved
+# to relational.join_range_targets in round 2 — consolidated with the
+# range-band join it shares its broadcast-tiny-dim shape with. The
+# SERIES_TARGETS dim lives there.
+
+
+# ---------------------------------------------------------------------------
+# Distribution reporting as one labeled pass (round-2 consolidation):
+#   'quartile' part — NTILE(4) data-dependent quartiles (latency-quartile
+#     style), bucket = quartile index.
+#   'hist' part — fixed-width histogram (width_bucket): deterministic
+#     data-INdependent bucket edges, so histograms from different
+#     partitions/days merge by simple addition (the property that matters
+#     for incremental 100 TB rollups). lo/hi are the observed min/max value
+#     inside each bucket for both parts.
+# ---------------------------------------------------------------------------
+
+HIST_LO, HIST_HI, HIST_NBUCKETS = 0.0, 100.0, 20
 
 
 @register(
-    "report_unpivot_metrics",
-    oracle="""
-    WITH d AS (
-        SELECT strftime(ts, '%Y-%m-%d') AS day,
-               round(avg(value), 6) AS avg_value,
-               round(min(value), 6) AS min_value,
-               round(max(value), 6) AS max_value
-        FROM events GROUP BY 1
-    )
-    SELECT day, 'avg_value' AS metric, avg_value AS value FROM d
-    UNION ALL SELECT day, 'min_value', min_value FROM d
-    UNION ALL SELECT day, 'max_value', max_value FROM d
-    """,
-)
-def report_unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    wide = (
-        ev.groupBy(SF.day_str("ts").alias("day"))
-        .agg(SF.r6(F.avg("value")).alias("avg_value"),
-             SF.r6(F.min("value")).alias("min_value"),
-             SF.r6(F.max("value")).alias("max_value"))
-    )
-    return wide.unpivot(
-        ids=["day"], values=["avg_value", "min_value", "max_value"],
-        variableColumnName="metric", valueColumnName="value")
-
-
-# ---------------------------------------------------------------------------
-# A9 sibling — CUBE with grouping_id: all 4 grouping combinations of
-# (event_type, user-bucket) in one pass. grouping_id disambiguates real
-# NULLs from subtotal rows — the robust form of the coalesce('ALL') idiom.
-# ---------------------------------------------------------------------------
-
-@register(
-    "report_cube_grouping_id",
-    oracle="""
-    SELECT coalesce(event_type, 'ALL') AS event_type,
-           coalesce(CAST(user_id % 10 AS VARCHAR), 'ALL') AS user_bucket,
-           GROUPING(event_type) * 2 + GROUPING(user_id % 10) AS gid,
-           count(*) AS n,
-           round(avg(value), 6) AS avg_value
-    FROM events
-    GROUP BY CUBE(event_type, user_id % 10)
-    """,
-)
-def report_cube_grouping_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    bucket = (F.col("user_id") % 10).cast("string").alias("user_bucket")
-    return (
-        ev.cube(F.col("event_type"), bucket)
-        .agg(F.grouping_id().alias("gid"),
-             F.count(F.lit(1)).alias("n"),
-             SF.r6(F.avg("value")).alias("avg_value"))
-        .select(
-            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
-            F.coalesce("user_bucket", F.lit("ALL")).alias("user_bucket"),
-            "gid", "n", "avg_value",
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
-# Per-series SLO targets as a DIMENSION (the reference's real shape: each
-# Indicator has its own Target row, applied by join — not a global literal
-# band). Tiny targets dim broadcasts; breach logic is the same A5 CASE.
-# ---------------------------------------------------------------------------
-
-SERIES_TARGETS = [  # (event_type, target_lo, target_hi)
-    ("click", 5.0, 95.0),
-    ("error", 0.0, 60.0),
-    ("purchase", 10.0, 99.0),
-    ("signup", 2.0, 90.0),
-    ("view", 1.0, 98.0),
-]
-
-_TARGETS_SQL = ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in SERIES_TARGETS)
-
-
-@register(
-    "slo_breaches_per_target_dim",
+    "report_value_distribution",
     oracle=f"""
-    WITH targets(event_type, lo, hi) AS (VALUES {_TARGETS_SQL})
-    SELECT e.event_type,
-           strftime(e.ts, '%Y-%m-%d') AS day,
-           count(*) AS n,
-           count(CASE WHEN e.value < t.lo OR e.value > t.hi THEN 1 END)
-               AS breaches,
-           round(1.0 - count(CASE WHEN e.value < t.lo OR e.value > t.hi
-                                  THEN 1 END) * 1.0 / count(*), 6)
-               AS compliance
-    FROM events e JOIN targets t USING (event_type)
-    GROUP BY e.event_type, strftime(e.ts, '%Y-%m-%d')
-    """,
-)
-def slo_breaches_per_target_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    targets = spark.createDataFrame(
-        SERIES_TARGETS, "event_type string, lo double, hi double")
-    breach = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
-    return (
-        ev.join(F.broadcast(targets), "event_type")
-        .groupBy("event_type", SF.day_str("ts").alias("day"))
-        .agg(F.count(F.lit(1)).alias("n"),
-             F.count(F.when(breach, 1)).alias("breaches"),
-             SF.r6(1.0 - F.count(F.when(breach, 1)) / F.count(F.lit(1)))
-             .alias("compliance"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# GROUPING SETS through the engine's SQL entry path: the same Catalyst plan
-# the DataFrame API produces, declared as SQL over registered views —
-# demonstrating that the full spark.sql() surface is first-class here.
-# ---------------------------------------------------------------------------
-
-@register(
-    "report_grouping_sets_sql",
-    oracle="""
-    SELECT coalesce(event_type, 'ALL') AS event_type,
-           coalesce(CAST(user_id % 10 AS VARCHAR), 'ALL') AS user_bucket,
-           count(*) AS n,
-           round(avg(value), 6) AS avg_value
-    FROM events
-    GROUP BY GROUPING SETS ((event_type), (user_id % 10))
-    """,
-)
-def report_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from service_level_reporting_spark.tables import register_views
-
-    register_views(spark, sf_dir, ("events",))
-    return spark.sql("""
-        SELECT coalesce(event_type, 'ALL') AS event_type,
-               coalesce(CAST(user_id % 10 AS STRING), 'ALL') AS user_bucket,
-               count(*) AS n,
-               round(avg(value), 6) AS avg_value
-        FROM events
-        GROUP BY GROUPING SETS ((event_type), (user_id % 10))
-    """)
-
-
-# ---------------------------------------------------------------------------
-# NTILE quartiles — distribution reporting (latency-quartile style).
-# ---------------------------------------------------------------------------
-
-@register(
-    "report_value_quartiles",
-    oracle="""
-    SELECT event_type, q,
+    SELECT 'quartile' AS part, event_type, q AS bucket,
            count(*) AS n,
            round(min(value), 6) AS lo,
            round(max(value), 6) AS hi
@@ -485,51 +352,40 @@ def report_grouping_sets_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
                      AS q
           FROM events)
     GROUP BY event_type, q
-    """,
-)
-def report_value_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return (
-        ev.select("event_type", "value", F.ntile(4).over(w).alias("q"))
-        .groupBy("event_type", "q")
-        .agg(F.count(F.lit(1)).alias("n"),
-             SF.r6(F.min("value")).alias("lo"),
-             SF.r6(F.max("value")).alias("hi"))
-    )
-
-
-# ---------------------------------------------------------------------------
-# Fixed-width value histogram (width_bucket): distribution reporting with
-# deterministic bucket edges — unlike ntile, bucket boundaries are
-# data-independent, so histograms from different partitions/days merge by
-# simple addition (the property that matters for incremental 100 TB rollups).
-# ---------------------------------------------------------------------------
-
-HIST_LO, HIST_HI, HIST_NBUCKETS = 0.0, 100.0, 20
-
-
-@register(
-    "report_value_histogram",
-    oracle=f"""
+    UNION ALL
     -- DuckDB 1.0.0 has no width_bucket; same arithmetic spelled out
-    SELECT event_type,
+    SELECT 'hist', event_type,
            CASE WHEN value < {HIST_LO} THEN 0
                 WHEN value >= {HIST_HI} THEN {HIST_NBUCKETS} + 1
                 ELSE CAST(floor((value - {HIST_LO})
                      / (({HIST_HI} - {HIST_LO}) / {HIST_NBUCKETS})) AS BIGINT) + 1
            END AS bucket,
-           count(*) AS n
-    FROM events GROUP BY 1, 2
+           count(*),
+           round(min(value), 6),
+           round(max(value), 6)
+    FROM events GROUP BY 2, 3
     """,
 )
-def report_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+def report_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    quartiles = (
+        ev.select("event_type", "value", F.ntile(4).over(w).alias("bucket"))
+        .groupBy("event_type", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"),
+             SF.r6(F.min("value")).alias("lo"),
+             SF.r6(F.max("value")).alias("hi"))
+        .select(F.lit("quartile").alias("part"), "event_type",
+                F.col("bucket").cast("long").alias("bucket"), "n", "lo", "hi")
+    )
     bucket = F.width_bucket(
         "value", F.lit(HIST_LO), F.lit(HIST_HI), F.lit(HIST_NBUCKETS))
-    return (
+    hist = (
         ev.groupBy("event_type", bucket.alias("bucket"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             SF.r6(F.min("value")).alias("lo"),
+             SF.r6(F.max("value")).alias("hi"))
+        .select(F.lit("hist").alias("part"), "event_type",
+                F.col("bucket").cast("long").alias("bucket"), "n", "lo", "hi")
     )
+    return quartiles.unionByName(hist)

@@ -49,37 +49,20 @@ def scan_events_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# P1 — projection / rename / cast (API serializers expose typed subsets [M])
+# P1 + F1/F2/F3/F4/F6 — projection/rename/cast (API serializers expose typed
+# subsets [M]) and the scalar-function families in ONE checked per-row query
+# (round-2 consolidation — both were narrow projections over the same rows):
+# date/time (day-of-week buckets + formatted ts), string (slug), math
+# (clamp/safe-div), JSON (props tag), conditional (band CASE), cast policy.
 @register(
-    "project_rename_cast",
+    "project_scalar_functions",
     oracle="""
     SELECT event_id AS id,
            CAST(user_id AS VARCHAR) AS entity,
            upper(event_type) AS indicator,
            CAST(trunc(value) AS BIGINT) AS value_int,  -- Spark CAST truncates; DuckDB rounds
-           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str
-    FROM events
-    WHERE event_id < 500
-    """,
-)
-def project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    return ev.where(F.col("event_id") < 500).select(
-        F.col("event_id").alias("id"),
-        F.col("user_id").cast("string").alias("entity"),
-        F.upper("event_type").alias("indicator"),
-        F.col("value").cast("long").alias("value_int"),
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
-    )
-
-
-# F1/F2/F3/F4/F6 — scalar-function families in one checked query:
-# date/time (day-of-week buckets), string (slug), math (clamp/safe-div),
-# JSON (props tag), conditional (band CASE)
-@register(
-    "scalar_functions_showcase",
-    oracle="""
-    SELECT strftime(ts, '%a')                                   AS weekday,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           strftime(ts, '%a')                                   AS weekday,
            lower(replace(event_type, 'e', '3'))                 AS slug,
            CAST(json_extract_string(props, '$.k') AS BIGINT)    AS tag_k,
            round(greatest(least(value, 95.0), 5.0), 6)          AS clamped,
@@ -89,13 +72,18 @@ def project_rename_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(coalesce(value / nullif(CAST(json_extract_string(props, '$.k')
                                               AS BIGINT), 0), -1.0), 6) AS per_tag
     FROM events
-    WHERE event_id < 200
+    WHERE event_id < 500
     """,
 )
-def scalar_functions_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+def project_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     k = F.get_json_object("props", "$.k").cast("long")
-    return ev.where(F.col("event_id") < 200).select(
+    return ev.where(F.col("event_id") < 500).select(
+        F.col("event_id").alias("id"),
+        F.col("user_id").cast("string").alias("entity"),
+        F.upper("event_type").alias("indicator"),
+        F.col("value").cast("long").alias("value_int"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
         F.date_format("ts", "E").alias("weekday"),
         F.lower(F.regexp_replace("event_type", "e", "3")).alias("slug"),
         k.alias("tag_k"),

@@ -38,40 +38,62 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Flagship (M0): A4 daily report agg + A5 breach count + A6 compliance.
-# Answers the reference's core report question — "did we meet the SLO each
-# day?" (upstream:app/resources/report.py#get_report [H]).
+# Flagship (M0): the daily health report — A4 daily agg + A5 breach count +
+# A6 compliance (over the 'error' indicator series), A7 error rate and A8
+# distinct entities (over ALL events) — in ONE pass. Answers the reference's
+# core report question — "did we meet the SLO each day?"
+# (upstream:app/resources/report.py#get_report [H]).
+#
+# Round-2 consolidation: slo_daily_breaches + report_error_rate_daily +
+# agg_distinct_users shared a full events scan and the day grain; serving
+# them as one multi-metric aggregate halves the per-job floor at bench time
+# and is how a production report would be written anyway.
 # ---------------------------------------------------------------------------
 
 @register(
-    "slo_daily_breaches",
+    "slo_daily_health",
     oracle=f"""
     SELECT strftime(ts, '%Y-%m-%d')                            AS day,
-           round(avg(value), 6)                                AS avg_value,
-           min(value)                                          AS min_value,
-           max(value)                                          AS max_value,
-           count(*)                                            AS n_points,
-           count(CASE WHEN value < {TARGET_LO} OR value > {TARGET_HI}
+           round(avg(CASE WHEN event_type = 'error' THEN value END), 6)
+                                                               AS avg_value,
+           min(CASE WHEN event_type = 'error' THEN value END)  AS min_value,
+           max(CASE WHEN event_type = 'error' THEN value END)  AS max_value,
+           count(CASE WHEN event_type = 'error' THEN 1 END)    AS n_points,
+           count(CASE WHEN event_type = 'error'
+                       AND (value < {TARGET_LO} OR value > {TARGET_HI})
                       THEN 1 END)                              AS breaches,
-           round(1.0 - count(CASE WHEN value < {TARGET_LO} OR value > {TARGET_HI}
-                                  THEN 1 END) / count(*), 6)   AS compliance
+           round(1.0 - count(CASE WHEN event_type = 'error'
+                                   AND (value < {TARGET_LO} OR value > {TARGET_HI})
+                                  THEN 1 END)
+                       / nullif(count(CASE WHEN event_type = 'error'
+                                           THEN 1 END), 0), 6) AS compliance,
+           count(*)                                            AS n_total,
+           round(count(CASE WHEN event_type = 'error' THEN 1 END)
+                 / count(*), 6)                                AS error_rate,
+           count(DISTINCT user_id)                             AS n_users
     FROM events
-    WHERE event_type = 'error'
     GROUP BY strftime(ts, '%Y-%m-%d')
     """,
 )
-def slo_daily_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir).where(F.col("event_type") == "error")
-    breaches = SF.breach_count(F.col("value"), TARGET_LO, TARGET_HI)
+def slo_daily_health(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = _events(spark, sf_dir)
+    is_err = F.col("event_type") == "error"
+    err_value = F.when(is_err, F.col("value"))
+    breaches = SF.breach_count(err_value, TARGET_LO, TARGET_HI)
+    n_points = F.count(F.when(is_err, F.lit(1)))
+    n_total = F.count(F.lit(1))
     return (
         ev.groupBy(SF.day_str("ts").alias("day"))
         .agg(
-            SF.r6(F.avg("value")).alias("avg_value"),
-            F.min("value").alias("min_value"),
-            F.max("value").alias("max_value"),
-            F.count(F.lit(1)).alias("n_points"),
+            SF.r6(F.avg(err_value)).alias("avg_value"),
+            F.min(err_value).alias("min_value"),
+            F.max(err_value).alias("max_value"),
+            n_points.alias("n_points"),
             breaches.alias("breaches"),
-            SF.r6(SF.compliance(breaches, F.count(F.lit(1)))).alias("compliance"),
+            SF.r6(SF.compliance(breaches, n_points)).alias("compliance"),
+            n_total.alias("n_total"),
+            SF.r6(SF.safe_ratio(n_points, n_total)).alias("error_rate"),
+            F.countDistinct("user_id").alias("n_users"),
         )
     )
 
@@ -195,67 +217,57 @@ def agg_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# P2 — explicit time-range filter (GET .../values?from=&to= [M])
+# P2/P3/P4 — the filter surface as one labeled suite (round-2 consolidation;
+# each part keeps its own pushdown story, asserted in test_physical_plans):
+#   time_range — explicit from/to (GET .../values?from=&to= [M]); pushed on
+#     the RAW int64 ns column via events_between so parquet row groups skip.
+#   relative   — "last N days" (KairosDB `start_relative` [H]); anchored to
+#     max(ts) IN THE DATA (not wall clock) for determinism; the 1-row max is
+#     broadcast, so this is scan + scalar-subquery-style filter.
+#   tag        — IN-list on the series key + JSON tag extraction (ZMON
+#     `tags`/`group_by` [H]; events.props ≈ tags JSON, FIXTURES.md §A).
 # ---------------------------------------------------------------------------
 
 @register(
-    "filter_time_range",
+    "filter_events_suite",
     oracle="""
-    SELECT event_id, ts, event_type, value
+    SELECT 'time_range' AS part, event_id, ts, event_type, value,
+           CAST(NULL AS BIGINT) AS k
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-10' AND ts < TIMESTAMP '2024-01-12'
-    """,
-)
-def filter_time_range(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        tables.events_between(spark, sf_dir, "2024-01-10", "2024-01-12")
-        .select("event_id", "ts", "event_type", "value")
-    )
-
-
-# ---------------------------------------------------------------------------
-# P3 — relative window ("last N days"), KairosDB `start_relative` [H].
-# Anchored to max(ts) IN THE DATA (not wall clock) for determinism; the
-# 1-row max is broadcast, so this is scan + scalar-subquery-style filter.
-# ---------------------------------------------------------------------------
-
-@register(
-    "filter_relative_window",
-    oracle="""
-    SELECT event_id, ts, event_type, value
+    UNION ALL
+    SELECT 'relative', event_id, ts, event_type, value, NULL
     FROM events
     WHERE ts >= (SELECT max(ts) FROM events) - INTERVAL 3 DAY
-    """,
-)
-def filter_relative_window(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = _events(spark, sf_dir)
-    anchor = ev.agg(F.max("ts").alias("max_ts"))
-    return (
-        ev.join(F.broadcast(anchor))
-        .where(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 3 DAY"))
-        .select("event_id", "ts", "event_type", "value")
-    )
-
-
-# ---------------------------------------------------------------------------
-# P4 — tag/entity predicates: IN-list on the series key + JSON tag extraction
-# (ZMON `tags`/`group_by` [H]; events.props ≈ tags JSON, FIXTURES.md §A)
-# ---------------------------------------------------------------------------
-
-@register(
-    "filter_tag_predicate",
-    oracle="""
-    SELECT event_id, event_type,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    UNION ALL
+    SELECT 'tag', event_id, NULL, event_type, NULL,
+           CAST(json_extract_string(props, '$.k') AS BIGINT)
     FROM events
     WHERE event_type IN ('error', 'purchase')
       AND CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
     """,
 )
-def filter_tag_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    k = F.get_json_object("props", "$.k").cast("long")
-    return (
-        _events(spark, sf_dir)
-        .where(F.col("event_type").isin("error", "purchase") & (k >= 50))
-        .select("event_id", "event_type", k.alias("k"))
+def filter_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    null_k = F.lit(None).cast("long").alias("k")
+    time_range = (
+        tables.events_between(spark, sf_dir, "2024-01-10", "2024-01-12")
+        .select(F.lit("time_range").alias("part"),
+                "event_id", "ts", "event_type", "value", null_k)
     )
+    ev = _events(spark, sf_dir)
+    anchor = ev.agg(F.max("ts").alias("max_ts"))
+    relative = (
+        ev.join(F.broadcast(anchor))
+        .where(F.col("ts") >= F.col("max_ts") - F.expr("INTERVAL 3 DAY"))
+        .select(F.lit("relative").alias("part"),
+                "event_id", "ts", "event_type", "value", null_k)
+    )
+    k = F.get_json_object("props", "$.k").cast("long")
+    tag = (
+        ev.where(F.col("event_type").isin("error", "purchase") & (k >= 50))
+        .select(F.lit("tag").alias("part"), "event_id",
+                F.lit(None).cast(dict(ev.dtypes)["ts"]).alias("ts"),
+                "event_type", F.lit(None).cast("double").alias("value"),
+                k.alias("k"))
+    )
+    return time_range.unionByName(relative).unionByName(tag)

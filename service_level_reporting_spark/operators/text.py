@@ -32,16 +32,23 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# D5 — per-corpus text stats by (lang, source): doc counts, token counts,
-# char counts, and validation that the redundant n_chars column agrees
+# D5 — per-corpus text stats by (lang, source): doc counts, whitespace AND
+# regex (BPE-ish subword) token counts, char counts, and validation that the
+# redundant n_chars column agrees. (Round-2 consolidation: the regex token
+# counter shares this scan, so it is a column here, not a second query.)
 # ---------------------------------------------------------------------------
+
+TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
 
 @register(
     "text_stats",
-    oracle="""
+    oracle=f"""
     SELECT lang, source,
            count(*) AS n_docs,
            CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT)
+               AS n_regex_tokens,
            CAST(sum(length(text)) AS BIGINT) AS n_chars_total,
            round(avg(length(text)), 6) AS avg_chars,
            count(CASE WHEN length(text) != n_chars THEN 1 END) AS n_chars_mismatch
@@ -55,6 +62,8 @@ def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.groupBy("lang", "source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(n_tok).cast("long").alias("n_tokens"),
+        F.sum(F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX), 0)))
+        .cast("long").alias("n_regex_tokens"),
         F.sum(F.length("text")).cast("long").alias("n_chars_total"),
         SF.r6(F.avg(F.length("text"))).alias("avg_chars"),
         F.count(F.when(F.length("text") != F.col("n_chars"), F.lit(1)))
@@ -88,60 +97,19 @@ def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Quality scoring: length/stopword/diversity heuristics per doc, aggregated
-# per source (the pipeline's "filter low-quality shards" signal)
+# Quality scoring + language-ID as one labeled result (round-2
+# consolidation; both are per-doc marker/heuristic scorings aggregated to a
+# small report):
+#   'quality'  — length/stopword/diversity heuristics per doc, aggregated
+#     per source (key1 = source; the "filter low-quality shards" signal).
+#   'language' — marker-word profile scoring + deterministic argmax,
+#     confusion counts per (key1 = predicted, key2 = actual). Labels are
+#     synthetic — see module docstring — so this verifies the scoring
+#     machinery, not classifier accuracy.
 # ---------------------------------------------------------------------------
 
 STOPWORDS = ("the", "a", "of", "and", "to")
 _STOP_SQL = "('the', 'a', 'of', 'and', 'to')"
-
-
-@register(
-    "text_quality_by_source",
-    oracle=f"""
-    WITH scored AS (
-        SELECT source,
-               len(string_split(text, ' ')) AS n_tok,
-               len(list_distinct(string_split(text, ' '))) AS n_uniq,
-               len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL}))
-                   AS n_stop
-        FROM documents
-    )
-    SELECT source,
-           count(*) AS n_docs,
-           round(avg(n_tok), 6) AS avg_tokens,
-           round(avg(n_uniq / n_tok), 6) AS avg_diversity,
-           round(avg(n_stop / n_tok), 6) AS avg_stopword_ratio,
-           count(CASE WHEN n_tok >= 20 AND n_uniq / n_tok >= 0.3 THEN 1 END)
-               AS n_quality_docs
-    FROM scored
-    GROUP BY source
-    """,
-)
-def text_quality_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    toks = F.split("text", " ")
-    n_tok = F.size(toks)
-    n_uniq = F.size(F.array_distinct(toks))
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    scored = d.select(
-        "source", n_tok.alias("n_tok"), n_uniq.alias("n_uniq"), n_stop.alias("n_stop"))
-    diversity = F.col("n_uniq") / F.col("n_tok")
-    return scored.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        SF.r6(F.avg("n_tok")).alias("avg_tokens"),
-        SF.r6(F.avg(diversity)).alias("avg_diversity"),
-        SF.r6(F.avg(F.col("n_stop") / F.col("n_tok"))).alias("avg_stopword_ratio"),
-        F.count(F.when((F.col("n_tok") >= 20) & (diversity >= 0.3), F.lit(1)))
-        .alias("n_quality_docs"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Language-ID: marker-word profile scoring + deterministic argmax.
-# (Labels are synthetic — see module docstring — so this verifies the scoring
-# machinery, not classifier accuracy.)
-# ---------------------------------------------------------------------------
 
 LANG_PROFILES = {
     "en": ("the", "a", "value", "fast"),
@@ -158,9 +126,17 @@ def _profile_sql(lang: str) -> str:
 
 
 @register(
-    "text_language_id",
+    "text_quality_language",
     oracle=f"""
     WITH scored AS (
+        SELECT source,
+               len(string_split(text, ' ')) AS n_tok,
+               len(list_distinct(string_split(text, ' '))) AS n_uniq,
+               len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL}))
+                   AS n_stop
+        FROM documents
+    ),
+    lang_scored AS (
         SELECT doc_id, lang AS actual_lang,
                {_profile_sql('en')} AS s_en,
                {_profile_sql('de')} AS s_de,
@@ -168,20 +144,53 @@ def _profile_sql(lang: str) -> str:
                {_profile_sql('fr')} AS s_fr,
                {_profile_sql('zh')} AS s_zh
         FROM documents
-    ), best AS (
+    ),
+    best AS (
         SELECT doc_id, actual_lang,
                CASE greatest(s_en, s_de, s_es, s_fr, s_zh)
                    WHEN s_de THEN 'de' WHEN s_en THEN 'en' WHEN s_es THEN 'es'
                    WHEN s_fr THEN 'fr' WHEN s_zh THEN 'zh' END AS predicted_lang
-        FROM scored
+        FROM lang_scored
     )
-    SELECT predicted_lang, actual_lang, count(*) AS n_docs
+    SELECT 'quality' AS part, source AS key1, CAST(NULL AS VARCHAR) AS key2,
+           count(*) AS n_docs,
+           round(avg(n_tok), 6) AS avg_tokens,
+           round(avg(n_uniq / n_tok), 6) AS avg_diversity,
+           round(avg(n_stop / n_tok), 6) AS avg_stopword_ratio,
+           count(CASE WHEN n_tok >= 20 AND n_uniq / n_tok >= 0.3 THEN 1 END)
+               AS n_quality_docs
+    FROM scored
+    GROUP BY source
+    UNION ALL
+    SELECT 'language', predicted_lang, actual_lang, count(*),
+           NULL, NULL, NULL, NULL
     FROM best GROUP BY predicted_lang, actual_lang
     """,
 )
-def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_quality_language(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     toks = F.split("text", " ")
+    n_tok = F.size(toks)
+    n_uniq = F.size(F.array_distinct(toks))
+    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
+    scored = d.select(
+        "source", n_tok.alias("n_tok"), n_uniq.alias("n_uniq"), n_stop.alias("n_stop"))
+    diversity = F.col("n_uniq") / F.col("n_tok")
+    null_d = F.lit(None).cast("double")
+    quality = scored.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        SF.r6(F.avg("n_tok")).alias("avg_tokens"),
+        SF.r6(F.avg(diversity)).alias("avg_diversity"),
+        SF.r6(F.avg(F.col("n_stop") / F.col("n_tok"))).alias("avg_stopword_ratio"),
+        F.count(F.when((F.col("n_tok") >= 20) & (diversity >= 0.3), F.lit(1)))
+        .alias("n_quality_docs"),
+    ).select(
+        F.lit("quality").alias("part"), F.col("source").alias("key1"),
+        F.lit(None).cast("string").alias("key2"),
+        "n_docs", "avg_tokens", "avg_diversity", "avg_stopword_ratio",
+        "n_quality_docs",
+    )
+
     def member_of(words):
         # Single-arg lambda required: PySpark reads the lambda arity to pick
         # the HOF signature, so a defaulted second arg breaks it.
@@ -200,41 +209,16 @@ def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(scores["fr"] == best, "fr")
         .otherwise("zh")
     )
-    return (
-        d.select(predicted.alias("predicted_lang"), F.col("lang").alias("actual_lang"))
-        .groupBy("predicted_lang", "actual_lang")
+    language = (
+        d.select(predicted.alias("key1"), F.col("lang").alias("key2"))
+        .groupBy("key1", "key2")
         .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(F.lit("language").alias("part"), "key1", "key2", "n_docs",
+                null_d.alias("avg_tokens"), null_d.alias("avg_diversity"),
+                null_d.alias("avg_stopword_ratio"),
+                F.lit(None).cast("long").alias("n_quality_docs"))
     )
-
-
-# ---------------------------------------------------------------------------
-# Regex (BPE-ish) token counting — subword-style segmentation: runs of
-# letters, runs of digits, or single punctuation marks
-# ---------------------------------------------------------------------------
-
-TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
-
-
-@register(
-    "text_token_count_regex",
-    oracle=f"""
-    SELECT lang,
-           CAST(sum(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT)
-               AS n_regex_tokens,
-           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_ws_tokens,
-           count(*) AS n_docs
-    FROM documents
-    GROUP BY lang
-    """,
-)
-def text_token_count_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    return d.groupBy("lang").agg(
-        F.sum(F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX), 0)))
-        .cast("long").alias("n_regex_tokens"),
-        F.sum(F.size(F.split("text", " "))).cast("long").alias("n_ws_tokens"),
-        F.count(F.lit(1)).alias("n_docs"),
-    )
+    return quality.unionByName(language)
 
 
 # ---------------------------------------------------------------------------

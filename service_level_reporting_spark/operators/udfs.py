@@ -62,7 +62,6 @@ def gap_fill_minutes(ev: DataFrame) -> DataFrame:
         _gap_fill_group, schema=GAPFILL_SCHEMA)
 
 
-@register("gap_fill_interpolate")  # rows-only: pandas resample/interpolate
 def gap_fill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from service_level_reporting_spark.tables import events_between
 
@@ -90,7 +89,6 @@ def _standardize_fn(v: pd.Series, mean: pd.Series, std: pd.Series) -> pd.Series:
     return ((v - mean) / std.replace(0.0, float("nan"))).round(6)
 
 
-@register("zscore_anomalies")  # rows-only: exercises the pandas_udf path
 def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     # UDF built at call time: a module-level @pandas_udf would re-execute on
     # executor-side module import, where no SparkContext exists to parse the
@@ -113,3 +111,27 @@ def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.max(F.abs("z")), 6).alias("max_abs_z"))
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# U1 + U2 as one labeled suite (round-2 consolidation; rows-only — pandas
+# interpolation/sketchy float paths are engine-specific):
+#   'gap_fill' — grouped applyInPandas per-series minute gap-fill with
+#     linear interpolation (n = dense minutes, aux = interpolated count).
+#   'zscore'   — scalar pandas_udf standardization, per-day z-score anomaly
+#     counts (n = anomalies, aux = NULL, metric = max |z|).
+# ---------------------------------------------------------------------------
+
+@register("udf_gap_fill_zscore")  # rows-only: exercises both Python UDF idioms
+def udf_gap_fill_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gap = gap_fill_interpolate(spark, sf_dir).select(
+        F.lit("gap_fill").alias("part"), "event_type",
+        F.col("n_minutes").alias("n"),
+        F.col("n_interpolated").alias("aux"),
+        F.col("avg_value").alias("metric"))
+    z = zscore_anomalies(spark, sf_dir).select(
+        F.lit("zscore").alias("part"), "event_type",
+        F.col("n_anomalies").alias("n"),
+        F.lit(None).cast("long").alias("aux"),
+        F.col("max_abs_z").alias("metric"))
+    return gap.unionByName(z).orderBy("part", "event_type")

@@ -67,82 +67,45 @@ def latest_value_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# W2 — trailing 7-day moving average of the daily series (ROWS frame)
+# W2+W3+W4+W5 — the daily window-function suite (round-2 consolidation:
+# all four windows partition by the series key over the SAME tiny daily
+# aggregate, so one query computes them side by side — aggregate first,
+# window second; Spark pays ONE shuffle on event_type and sorts per frame):
+#   ma7          — trailing 7-day moving average (ROWS frame)
+#   breach_rank  — rank days by breach count within each series [L]
+#   delta        — day-over-day delta (lag)
+#   cum_breaches — cumulative error-budget burn (running breach total)
 @register(
-    "moving_average_7d",
+    "window_suite_daily",
     oracle=f"""
     WITH daily AS ({_DAILY_SQL})
-    SELECT event_type, day, round(v, 6) AS avg_value,
+    SELECT event_type, day, round(v, 6) AS avg_value, breaches,
            round(avg(v) OVER (PARTITION BY event_type ORDER BY day
                               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
-               AS ma7
-    FROM daily
-    """,
-)
-def moving_average_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = (Window.partitionBy("event_type").orderBy("day").rowsBetween(-6, 0))
-    return _daily(spark, sf_dir).select(
-        "event_type", "day",
-        SF.r6(F.col("v")).alias("avg_value"),
-        SF.r6(F.avg("v").over(w)).alias("ma7"),
-    )
-
-
-# W3 — rank days by breach count within each series (report ordering [L])
-@register(
-    "rank_days_by_breaches",
-    oracle=f"""
-    WITH daily AS ({_DAILY_SQL})
-    SELECT event_type, day, breaches,
+               AS ma7,
            rank() OVER (PARTITION BY event_type
-                        ORDER BY breaches DESC, day) AS breach_rank
-    FROM daily
-    """,
-)
-def rank_days_by_breaches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("event_type").orderBy(F.desc("breaches"), F.asc("day"))
-    return _daily(spark, sf_dir).select(
-        "event_type", "day", "breaches", F.rank().over(w).alias("breach_rank"))
-
-
-# W4 — day-over-day delta (lag) of the daily series
-@register(
-    "delta_vs_prev_day",
-    oracle=f"""
-    WITH daily AS ({_DAILY_SQL})
-    SELECT event_type, day, round(v, 6) AS avg_value,
+                        ORDER BY breaches DESC, day) AS breach_rank,
            round(v - lag(v) OVER (PARTITION BY event_type ORDER BY day), 6)
-               AS delta
-    FROM daily
-    """,
-)
-def delta_vs_prev_day(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = Window.partitionBy("event_type").orderBy("day")
-    return _daily(spark, sf_dir).select(
-        "event_type", "day",
-        SF.r6(F.col("v")).alias("avg_value"),
-        SF.r6(F.col("v") - F.lag("v").over(w)).alias("delta"),
-    )
-
-
-# W5 — cumulative error budget burn (running breach total per series)
-@register(
-    "cumulative_error_budget",
-    oracle=f"""
-    WITH daily AS ({_DAILY_SQL})
-    SELECT event_type, day, breaches,
+               AS delta,
            CAST(sum(breaches) OVER (PARTITION BY event_type ORDER BY day
                                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                 AS BIGINT) AS cum_breaches
     FROM daily
     """,
 )
-def cumulative_error_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = (Window.partitionBy("event_type").orderBy("day")
-         .rowsBetween(Window.unboundedPreceding, 0))
+def window_suite_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    by_day = Window.partitionBy("event_type").orderBy("day")
     return _daily(spark, sf_dir).select(
-        "event_type", "day", "breaches",
-        F.sum("breaches").over(w).alias("cum_breaches"),
+        "event_type", "day",
+        SF.r6(F.col("v")).alias("avg_value"),
+        "breaches",
+        SF.r6(F.avg("v").over(by_day.rowsBetween(-6, 0))).alias("ma7"),
+        F.rank().over(Window.partitionBy("event_type")
+                      .orderBy(F.desc("breaches"), F.asc("day")))
+        .alias("breach_rank"),
+        SF.r6(F.col("v") - F.lag("v").over(by_day)).alias("delta"),
+        F.sum("breaches").over(by_day.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum_breaches"),
     )
 
 

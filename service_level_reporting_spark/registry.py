@@ -34,6 +34,7 @@ _OPERATOR_MODULES = (
     "service_level_reporting_spark.operators.sli",
     "service_level_reporting_spark.operators.report",
     "service_level_reporting_spark.operators.relational",
+    "service_level_reporting_spark.operators.catalog",
     "service_level_reporting_spark.operators.windows",
     "service_level_reporting_spark.operators.dedup",
     "service_level_reporting_spark.operators.similarity",

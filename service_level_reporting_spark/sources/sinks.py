@@ -48,19 +48,70 @@ def minute_rollup(ev: DataFrame, time_filter=None) -> DataFrame:
     )
 
 
-@register("sink_upsert_minute")  # rows-only: sink semantics, asserted via re-read
-def sink_upsert_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Write minute rollups for days 1-7, then RE-write days 4-7 (overlap);
-    idempotence holds iff the re-read equals the one-shot result — returned
-    row counts/aggregates let the driver (and pytest) pin that."""
+# ---------------------------------------------------------------------------
+# Key-level MERGE upsert (round-2, SURVEY §2.1 S4's 100 TB form): the case
+# dynamic partition overwrite CANNOT express — an update window that does
+# not align with day boundaries. Read-merge-rewrite on the natural key
+# (indicator, minute), touching ONLY the day partitions the update window
+# overlaps: old rows for untouched keys survive via anti-join, updated keys
+# take the new value — exactly Delta/Iceberg `MERGE INTO ... WHEN MATCHED
+# UPDATE WHEN NOT MATCHED INSERT`, expressed over plain parquet. At 100 TB
+# the read+rewrite cost is bounded by the affected partitions, not the
+# table.
+# ---------------------------------------------------------------------------
+
+def merge_upsert_minutes(updates: DataFrame, path: str) -> None:
+    """MERGE `updates` into the day-partitioned table at `path` keyed on
+    (indicator, minute)."""
+    spark = updates.sparkSession
+    updates = updates.withColumn("day", F.to_date("minute"))
+    affected = [r["day"] for r in updates.select("day").distinct().collect()]
+    try:
+        existing = spark.read.parquet(path).where(F.col("day").isin(affected))
+    except Exception:  # first write: nothing to merge
+        existing = None
+    if existing is not None:
+        keep = existing.join(updates.select("indicator", "minute"),
+                             ["indicator", "minute"], "left_anti")
+        merged = keep.unionByName(updates)
+    else:
+        merged = updates
+    # localCheckpoint: the merged plan READS the same partitions the write
+    # below replaces — materialize before overwrite (classic read-then-
+    # overwrite hazard; at scale this is a staging-table write instead).
+    merged = merged.localCheckpoint(eager=True)
+    (
+        merged.repartition("day")
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("day")
+        .parquet(path)
+    )
+
+
+@register("sink_upsert_merge")  # rows-only: sink semantics, asserted via re-read
+def sink_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both upsert mechanisms against one table, re-read for verification:
+    (1) partition-grain: write minute rollups for days 1-7, RE-write days
+    4-7 (the updater's day-aligned backfill, upstream:app/updater.py [M]) —
+    dynamic partition overwrite; (2) key-grain: MERGE a half-day-shifted
+    window (Jan 3 12:00 → Jan 5 12:00) that crosses day boundaries —
+    read-merge-rewrite. Idempotence holds iff the final table has zero
+    duplicate (indicator, minute) keys and equals the one-shot result; the
+    returned per-indicator counts let the driver (and pytest) pin that."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     out = os.path.join(tempfile.gettempdir(), "slr_spark_sink_upsert")
 
     first = minute_rollup(ev, (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-08"))
     write_minute_rollup(first, out)
-    # Overlapping re-run (the updater's backfill window, upstream:app/updater.py [M])
+    # Overlapping day-aligned re-run
     rerun = minute_rollup(ev, (F.col("ts") >= "2024-01-04") & (F.col("ts") < "2024-01-08"))
     write_minute_rollup(rerun, out)
+    # Non-day-aligned overlapping window: partition overwrite would drop the
+    # untouched halves of Jan 3 and Jan 5 — key-level merge must not.
+    shifted = minute_rollup(ev, (F.col("ts") >= "2024-01-03 12:00:00")
+                            & (F.col("ts") < "2024-01-05 12:00:00"))
+    merge_upsert_minutes(shifted, out)
 
     return (
         spark.read.parquet(out)

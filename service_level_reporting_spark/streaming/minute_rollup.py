@@ -80,7 +80,6 @@ def _run_to_table(df: DataFrame, mode: str, name_prefix: str) -> DataFrame:
 
 
 # T1 — tumbling 1-minute windows (the A1 resample, streaming)
-@register("stream_minute_tumbling")  # rows-only: streaming, batch-equiv in pytest
 def stream_minute_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = stream_events(spark, sf_dir).where(F.col("ts") < F.lit("2024-01-02"))
     agg = (
@@ -94,7 +93,6 @@ def stream_minute_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # T2 — sliding windows (10-minute window, 1-minute slide)
-@register("stream_sliding_window")  # rows-only
 def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = stream_events(spark, sf_dir).where(
         (F.col("event_type") == "error") & (F.col("ts") < F.lit("2024-01-02")))
@@ -109,7 +107,6 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # T3 — session windows (bursts per user, 5-minute gap)
-@register("stream_session_window")  # rows-only
 def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = stream_events(spark, sf_dir).where(F.col("ts") < F.lit("2024-01-03"))
     agg = (
@@ -130,7 +127,6 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # T4 — watermark + append mode: late data beyond 10 minutes is dropped,
 # finalized windows are emitted exactly once
-@register("stream_watermark_late")  # rows-only
 def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (stream_events(spark, sf_dir)
          .where(F.col("ts") < F.lit("2024-01-02"))
@@ -144,7 +140,6 @@ def stream_watermark_late(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # T5 — stateful dedup on event_id within the watermark (idempotent ingest)
-@register("stream_stateful_dedup")  # rows-only
 def stream_stateful_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = (stream_events(spark, sf_dir)
          .where(F.col("ts") < F.lit("2024-01-02"))
@@ -210,7 +205,6 @@ def compliance_state_func(key, pdfs, state):
     })
 
 
-@register("stream_stateful_compliance")  # rows-only: custom stateful operator
 def stream_stateful_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -257,7 +251,6 @@ def stream_stateful_compliance(spark: SparkSession, sf_dir: str) -> DataFrame:
 # stream TWICE against one checkpoint and returns stats the test pins.
 # ---------------------------------------------------------------------------
 
-@register("stream_sink_checkpointed")  # rows-only: sink + restart semantics
 def stream_sink_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     out_dir = os.path.join(tempfile.gettempdir(), f"slr_stream_sink_{tag}")
@@ -291,3 +284,57 @@ def stream_sink_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(n_first).alias("n_rows_first_run"),
         F.round(F.sum("value"), 4).alias("sum_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Round-2 consolidation: the streaming surface registers as TWO labeled
+# suites so every part gets a driver CORRECTNESS row (rows-only — streaming
+# output is engine-specific; tests/test_streaming_batch_equiv.py pins each
+# part against its batch twin).
+# ---------------------------------------------------------------------------
+
+def _part(df: DataFrame, part: str, key, win_start, n, metric) -> DataFrame:
+    return df.select(
+        F.lit(part).alias("part"),
+        key.cast("string").alias("key"),
+        win_start.cast("timestamp").alias("win_start"),
+        n.cast("long").alias("n"),
+        metric.cast("double").alias("metric"),
+    )
+
+
+@register("stream_windows_suite")  # rows-only: T1 tumbling, T2 sliding,
+def stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T3 session, T4 watermark+append, T7 checkpointed exactly-once sink —
+    # five independent streaming legs, one summary table.
+    null_ts = F.lit(None)
+    tumbling = _part(stream_minute_tumbling(spark, sf_dir), "tumbling",
+                     F.col("event_type"), F.col("minute"), F.col("n"),
+                     F.col("avg_value"))
+    sliding = _part(stream_sliding_window(spark, sf_dir), "sliding",
+                    F.lit(None), F.col("win_start"), F.col("n"),
+                    F.col("avg_value"))
+    session = _part(stream_session_window(spark, sf_dir), "session",
+                    F.col("user_id"), null_ts, F.col("n_events"),
+                    F.col("n_sessions"))
+    watermark = _part(stream_watermark_late(spark, sf_dir), "watermark",
+                      F.col("event_type"), F.col("hour"), F.col("n"),
+                      F.lit(None))
+    checkpoint = _part(stream_sink_checkpointed(spark, sf_dir), "checkpoint_sink",
+                       F.lit(None), null_ts, F.col("n_rows"),
+                       F.col("sum_value"))
+    return (tumbling.unionByName(sliding).unionByName(session)
+            .unionByName(watermark).unionByName(checkpoint))
+
+
+@register("stream_stateful_suite")  # rows-only: T5 dedup + T6 custom state
+def stream_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    dedup = stream_stateful_dedup(spark, sf_dir).select(
+        F.lit("dedup").alias("part"), "event_type",
+        F.col("n_unique_events").alias("n"),
+        F.lit(None).cast("long").alias("breaches"),
+        F.lit(None).cast("double").alias("compliance_pct"))
+    compliance = stream_stateful_compliance(spark, sf_dir).select(
+        F.lit("compliance").alias("part"), "event_type", "n",
+        "breaches", "compliance_pct")
+    return dedup.unionByName(compliance).orderBy("part", "event_type")

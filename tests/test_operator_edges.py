@@ -83,16 +83,16 @@ def test_cosine_and_dot(spark):
     assert got[2]["c"] is None  # zero-norm -> NULL, not NaN/error
 
 
-def test_simhash_identical_docs_share_signature(spark, monkeypatch):
-    from service_level_reporting_spark.operators import dedup as D
+def test_simhash_identical_docs_share_signature(spark):
+    from service_level_reporting_spark.operators.dedup import simhash_signatures
     docs = spark.createDataFrame(
         [(1, "spark hash join fast table"), (2, "spark hash join fast table"),
          (3, "completely different words entirely here")],
         "doc_id long, text string")
-    monkeypatch.setattr(D, "_docs", lambda s, d: docs)
-    out = D.dedup_simhash(spark, "ignored").collect()
-    assert len(out) == 1
-    assert out[0]["n_docs"] == 2 and out[0]["keeper_doc_id"] == 1
+    sigs = {r["doc_id"]: r["simhash"]
+            for r in simhash_signatures(docs).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
 
 
 def test_fingerprint_invariance(spark, monkeypatch):
@@ -112,10 +112,12 @@ def test_exact_dedup_micro(spark, monkeypatch):
         [(1, "x y z"), (2, "x y z"), (3, "x y w"), (4, "q r s")],
         "doc_id long, text string")
     monkeypatch.setattr(D, "_docs", lambda s, d: docs)
-    stats = D.dedup_exact_stats(spark, "x").collect()[0]
-    assert (stats["n_total"], stats["n_distinct"], stats["n_dup_rows"]) == (4, 3, 1)
-    groups = D.dedup_exact_groups(spark, "x").collect()
-    assert len(groups) == 1 and groups[0]["keeper_doc_id"] == 1
+    rows = {r["text_hash"]: r for r in D.dedup_exact(spark, "x").collect()}
+    total = rows.pop("ALL")  # rollup grand-total row
+    assert (total["n_copies"], total["n_distinct_texts"]) == (4, 3)
+    assert len(rows) == 1  # one dup group ("x y z")
+    (grp,) = rows.values()
+    assert grp["n_copies"] == 2 and grp["keeper_doc_id"] == 1
 
 
 def test_float_parity_across_partitionings(spark):

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 from service_level_reporting_spark.operators.relational import pricing_summary
 from service_level_reporting_spark.operators.report import report_region_revenue
-from service_level_reporting_spark.operators.sli import filter_time_range
+from service_level_reporting_spark.operators.sli import filter_events_suite
 from service_level_reporting_spark.tables import events_between
 
 from .conftest import SF_DIR_001
@@ -20,9 +20,10 @@ from service_level_reporting_spark.plans import formatted_plan as plan_str
 
 
 def test_time_range_filter_pushes_to_parquet(spark):
-    p = plan_str(filter_time_range(spark, SF_DIR_001))
+    # the suite's time_range part scans via events_between: the raw int64 ts
+    # bounds must appear as pushed gte/lt filters in its scan branch
+    p = plan_str(filter_events_suite(spark, SF_DIR_001))
     assert "PushedFilters: [" in p
-    # the raw int64 ts bounds must appear as pushed gte/lt filters
     assert "GreaterThanOrEqual(ts" in p and "LessThan(ts" in p, p
 
 

@@ -20,29 +20,27 @@ from .conftest import SF_DIR_001
 Q = registry.all_queries()
 
 
-# --- approx aggregates vs exact -------------------------------------------
+# --- approx sketches (report_sketch_summary) vs exact ----------------------
 
-def test_approx_distinct_within_tolerance(spark):
-    exact = {r["day"]: r["n_users"]
-             for r in Q["agg_distinct_users"](spark, SF_DIR_001).collect()}
-    approx = {r["day"]: r["n_users_approx"]
-              for r in Q["agg_distinct_users_approx"](spark, SF_DIR_001).collect()}
-    assert set(exact) == set(approx)
-    for day, n in exact.items():
-        assert abs(approx[day] - n) <= max(2, 0.15 * n), (day, approx[day], n)
-
-
-def test_approx_percentile_close_to_exact(spark):
-    exact = {r["event_type"]: r for r in Q["agg_percentile"](spark, SF_DIR_001).collect()}
-    approx = {r["event_type"]: r
-              for r in Q["agg_percentile_approx"](spark, SF_DIR_001).collect()}
-    assert set(exact) == set(approx)
-    for et, er in exact.items():
-        ae, ee = approx[et]["p95_approx"], er["p95"]
+def test_sketch_summary_vs_exact(spark):
+    sketch = {r["event_type"]: r
+              for r in Q["report_sketch_summary"](spark, SF_DIR_001).collect()}
+    ev = load_tables(spark, SF_DIR_001, ("events",))["events"]
+    exact_users = {r["event_type"]: r["n_users"]
+                   for r in ev.groupBy("event_type")
+                   .agg(F.countDistinct("user_id").alias("n_users")).collect()}
+    exact_p95 = {r["event_type"]: r
+                 for r in Q["agg_percentile"](spark, SF_DIR_001).collect()}
+    assert set(sketch) == set(exact_users)
+    for et, n in exact_users.items():
+        # HLL at rsd=0.02 against an exact distinct count
+        assert abs(sketch[et]["n_users_approx"] - n) <= max(2, 0.15 * n), (
+            et, sketch[et]["n_users_approx"], n)
         # approx percentile must land within 10% of the exact value's scale
         # (values are ~0..100 doubles)
+        ae, ee = sketch[et]["p95_approx"], exact_p95[et]["p95"]
         assert abs(ae - ee) <= max(2.0, 0.1 * abs(ee)), (et, ae, ee)
-        assert approx[et]["n"] == er["n"]
+        assert sketch[et]["n"] == exact_p95[et]["n"]
 
 
 # --- near-dup detectors on a planted corpus -------------------------------
@@ -70,34 +68,58 @@ def _synthetic_docs_dir(spark) -> str:
     return path
 
 
-def test_minhash_lsh_finds_planted_dups(spark):
+def test_near_dup_signatures_find_planted_dups(spark):
     d = _synthetic_docs_dir(spark)
-    pairs = {(r["doc_a"], r["doc_b"]): r["est_jaccard"]
-             for r in Q["dedup_minhash_lsh"](spark, d).collect()}
-    assert (0, 1) in pairs and pairs[(0, 1)] == 1.0   # exact dup: J=1
-    assert (0, 2) in pairs or (1, 2) in pairs          # near dup survives LSH
-    for a, b in pairs:
+    rows = Q["dedup_near_dup_signatures"](spark, d).collect()
+    minhash = {(r["doc_a"], r["doc_b"]): r["score"]
+               for r in rows if r["method"] == "minhash"}
+    assert (0, 1) in minhash and minhash[(0, 1)] == 1.0  # exact dup: J=1
+    assert (0, 2) in minhash or (1, 2) in minhash        # near dup survives LSH
+    for a, b in minhash:
         assert {a, b} <= {0, 1, 2}, f"false positive pair {(a, b)}"
+    simhash = {(r["doc_a"], r["doc_b"]) for r in rows if r["method"] == "simhash"}
+    assert (0, 1) in simhash                             # equal signatures
+    for a, b in simhash:
+        assert {a, b} <= {0, 1, 2}, f"simhash false positive {(a, b)}"
 
 
-def test_simhash_clusters_planted_exact_dups(spark):
-    d = _synthetic_docs_dir(spark)
-    clusters = Q["dedup_simhash"](spark, d).collect()
-    assert len(clusters) == 1
-    assert clusters[0]["keeper_doc_id"] == 0
-    assert clusters[0]["n_docs"] >= 2  # docs 0 and 1 share the signature
-
-
-# --- sink idempotence ------------------------------------------------------
+# --- sink idempotence + key-level merge ------------------------------------
 
 def test_upsert_sink_idempotent_across_invocations(spark):
     first = {r["indicator"]: r.asDict()
-             for r in Q["sink_upsert_minute"](spark, SF_DIR_001).collect()}
+             for r in Q["sink_upsert_merge"](spark, SF_DIR_001).collect()}
     second = {r["indicator"]: r.asDict()
-              for r in Q["sink_upsert_minute"](spark, SF_DIR_001).collect()}
+              for r in Q["sink_upsert_merge"](spark, SF_DIR_001).collect()}
     assert first == second
     for row in first.values():
         assert row["n_minutes"] == row["n_distinct_minutes"]
+
+
+def test_merge_upsert_preserves_untouched_keys_across_days(spark):
+    """Key-level MERGE of a half-day window must keep the other half of the
+    boundary days intact AND equal the one-shot rollup (zero dup minutes)."""
+    import shutil
+
+    from service_level_reporting_spark.sources.sinks import (
+        merge_upsert_minutes, minute_rollup, write_minute_rollup)
+
+    ev = load_tables(spark, SF_DIR_001, ("events",))["events"]
+    out = os.path.join(tempfile.gettempdir(), "slr_test_merge_upsert")
+    shutil.rmtree(out, ignore_errors=True)
+    base = minute_rollup(ev, (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-08"))
+    write_minute_rollup(base, out)
+    shifted = minute_rollup(ev, (F.col("ts") >= "2024-01-03 12:00:00")
+                            & (F.col("ts") < "2024-01-05 12:00:00"))
+    merge_upsert_minutes(shifted, out)
+    merged = spark.read.parquet(out).select("indicator", "minute", "value", "n_points")
+    want = base.withColumn("minute", F.col("minute").cast("timestamp"))
+    got_rows = {tuple(r) for r in merged.withColumn(
+        "minute", F.col("minute").cast("timestamp")).collect()}
+    want_rows = {tuple(r) for r in want.select(
+        "indicator", "minute", "value", "n_points").collect()}
+    assert got_rows == want_rows  # merge of identical data is a no-op
+    n = merged.count()
+    assert n == merged.select("indicator", "minute").distinct().count()
 
 
 # --- KairosDB source round-trip -------------------------------------------
@@ -119,7 +141,7 @@ def test_kairosdb_parse_roundtrip(spark):
 # --- nested report JSON structure -----------------------------------------
 
 def test_report_nested_json_structure(spark):
-    rows = Q["report_nested_json"](spark, SF_DIR_001).collect()
+    rows = Q["report_sketch_summary"](spark, SF_DIR_001).collect()
     ev = load_tables(spark, SF_DIR_001, ("events",))["events"]
     n_days = ev.select(F.date_format("ts", "yyyy-MM-dd")).distinct().count()
     assert len(rows) == 5  # one per event_type
@@ -133,8 +155,11 @@ def test_report_nested_json_structure(spark):
 # --- streaming batch equivalence for T2/T4 --------------------------------
 
 def test_sliding_window_batch_equiv(spark):
+    from service_level_reporting_spark.streaming.minute_rollup import (
+        stream_sliding_window)
+
     streamed = {(r["win_start"], r["win_end"]): (r["avg_value"], r["n"])
-                for r in Q["stream_sliding_window"](spark, SF_DIR_001).collect()}
+                for r in stream_sliding_window(spark, SF_DIR_001).collect()}
     ev = load_tables(spark, SF_DIR_001, ("events",))["events"]
     batch = (
         ev.where((F.col("event_type") == "error") & (F.col("ts") < F.lit("2024-01-02")))
@@ -154,8 +179,11 @@ def test_watermark_append_batch_equiv(spark):
     counts exactly, and nothing finalized may be missing."""
     import datetime as dt
 
+    from service_level_reporting_spark.streaming.minute_rollup import (
+        stream_watermark_late)
+
     streamed = {(r["hour"], r["event_type"]): r["n"]
-                for r in Q["stream_watermark_late"](spark, SF_DIR_001).collect()}
+                for r in stream_watermark_late(spark, SF_DIR_001).collect()}
     ev = load_tables(spark, SF_DIR_001, ("events",))["events"]
     filtered = ev.where(F.col("ts") < F.lit("2024-01-02"))
     wm = (filtered.agg(F.max("ts")).collect()[0][0]
