@@ -100,7 +100,17 @@ def _block_pair_sims(e_raw: DataFrame, threshold: float | None,
                       F.col("embs").alias("embs_a"))
     b = blocks.select(F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
                       F.col("embs").alias("embs_b"))
-    tiles = a.join(F.broadcast(b), F.col("blk_a") <= F.col("blk_b"))
+    # Broadcasting the blocked corpus is only sane while it FITS in one
+    # executor (few hundred blocks); past that the upper-triangle pairing
+    # becomes a shuffle range-join on block ids — same tiles, no broadcast.
+    # (At genuinely large n you'd route through similarity_ann_lsh /
+    # dedup_embedding_ann instead of any exact all-pairs plan.)
+    n_blocks = e_raw.count() // BLOCK_SIZE + 1
+    pair_cond = F.col("blk_a") <= F.col("blk_b")
+    if n_blocks <= 256:
+        tiles = a.join(F.broadcast(b), pair_cond)
+    else:
+        tiles = a.join(b, pair_cond)
 
     def unit_rows(embs) -> "np.ndarray":
         m = np.vstack(embs).astype(np.float64, copy=False)
@@ -325,61 +335,134 @@ def similarity_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hyperplanes():
+def _planes_per_table(n_vectors: int) -> int:
+    """Scale each table's signature width with corpus size so E[bucket]
+    stays near BLOCK_SIZE: g ≈ log2(n / BLOCK_SIZE), floored at 2. (At 10^9
+    vectors → 20 planes/table → ~10^6 buckets of ~10^3 vectors; sub-tiling
+    hard-bounds the stragglers regardless.)"""
+    import math
+
+    return max(2, math.ceil(math.log2(max(2, n_vectors / BLOCK_SIZE))))
+
+
+def _hyperplanes(n_planes: int = N_HYPERPLANES, seed: int = LSH_SEED):
     import numpy as np
 
-    rng = np.random.RandomState(LSH_SEED)
-    return rng.standard_normal((N_HYPERPLANES, EMB_DIM)).tolist()
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, EMB_DIM)).tolist()
 
 
-@register("similarity_ann_lsh")  # rows-only: approximate by design
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH candidate generation + per-bucket BLAS scoring.
+def with_table_sigs(df: DataFrame, n_tables: int, planes_per_table: int,
+                    seed: int = LSH_SEED) -> DataFrame:
+    """Adds `sigs`: one packed-int signature per hash table (banding:
+    table t uses its own g hyperplanes; a pair collides in table t with
+    prob p_same^g and in ANY of G tables with 1-(1-p_same^g)^G — G holds
+    the recall that a single wide signature throws away).
 
-    Bucketing is native expressions (sign of v·h per plane — norm-invariant,
-    raw vectors fine); each bucket's all-pairs scores come from ONE numpy
-    matmul in mapInPandas, reusing the same tile kernel shape as the exact
-    D3 path. A self-join with a per-pair JVM expression was measured ~10x
-    slower on dense buckets; at fleet scale, buckets larger than BLOCK_SIZE
-    would be sub-tiled exactly like the exact path."""
+    Computed as ONE numpy GEMM per Arrow batch (embeddings × all G·g
+    planes, then sign + bit-pack): the unrolled JVM expression for G·g=16
+    64-term dots blows past janino's method limit and falls back to
+    interpreted eval, while the GEMM is a single BLAS call — the sanctioned
+    vectorized-Python path. Signature = small int → cheap shuffle key."""
     import numpy as np
     import pandas as pd
+    from pyspark.sql.functions import pandas_udf
 
-    e = _emb(spark, sf_dir)
-    planes = _hyperplanes()
-    bucket = F.concat(*[
-        F.when(SF.dot_fixed(F.col("embedding").cast("array<double>"),
-                            F.array(*[F.lit(float(x)) for x in plane]),
-                            EMB_DIM) >= 0,
-               F.lit("1")).otherwise(F.lit("0"))
-        for plane in planes
-    ])
-    buckets = (
-        e.withColumn("bucket", bucket)
-        .groupBy("bucket")
+    planes = np.array(_hyperplanes(n_tables * planes_per_table, seed))
+    weights = (1 << np.arange(planes_per_table)).astype(np.int64)
+
+    def sigs(embs):
+        m = np.vstack(embs.to_numpy()).astype(np.float64, copy=False)
+        bits = (m @ planes.T) >= 0  # (n, G*g) — norm-invariant signs
+        packed = bits.reshape(len(m), n_tables, planes_per_table) @ weights
+        return pd.Series(list(packed.astype(np.int32)))
+
+    # annotation-free callable -> legacy pandas_udf inference (module uses
+    # future-annotations, which breaks string-hint resolution here)
+    return df.withColumn("sigs", pandas_udf(sigs, "array<int>")("embedding"))
+
+
+def lsh_blocks(e: DataFrame, n_vectors: int, n_tables: int = 1,
+               planes_per_table: int | None = None) -> DataFrame:
+    """Per-(table, bucket) block table: (table_idx, sig, sub, ids[],
+    embs[]) with EVERY aggregation buffer hard-bounded.
+
+    Oversized buckets are sub-split BEFORE the collect_list: per-bucket
+    counts (a tiny aggregate, broadcast back) size `n_sub = ceil(count /
+    (BLOCK_SIZE/2))`, and each row lands in sub-block `xxhash64(vec_id) %
+    n_sub` — expected sub-block size BLOCK_SIZE/2, so no aggregation buffer
+    approaches the 1 GB single-bucket blowup the fixed-bucket version had.
+    Deterministic (hash, not RNG) → resume- and oracle-safe."""
+    g = planes_per_table or _planes_per_table(n_vectors)
+    exploded = with_table_sigs(e, n_tables, g).select(
+        "vec_id", "embedding",
+        F.posexplode("sigs").alias("table_idx", "sig"))
+    sizes = (exploded.groupBy("table_idx", "sig")
+             .agg(F.count(F.lit(1)).alias("bucket_n")))
+    half = BLOCK_SIZE // 2
+    return (
+        exploded
+        .join(F.broadcast(sizes), ["table_idx", "sig"])
+        .withColumn("n_sub", F.ceil(F.col("bucket_n") / half).cast("int"))
+        .withColumn("sub", F.pmod(F.xxhash64("vec_id"), F.col("n_sub")).cast("int"))
+        .groupBy("table_idx", "sig", "sub")
         .agg(F.collect_list("vec_id").alias("ids"),
              F.collect_list("embedding").alias("embs"))
     )
 
+
+ANN_TOPK_TABLES = 8
+
+
+@register("similarity_ann_lsh")  # rows-only: approximate by design
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH candidates + per-tile BLAS scoring.
+
+    Candidates come only from same-(table, bucket) pairs across G=8 hash
+    tables (banding holds recall for the moderately-similar global top
+    pairs a single wide signature would lose); each bucket is sub-tiled
+    (lsh_blocks) so the per-task buffer is bounded, and sub-block pairs
+    within a bucket are tiled `sub_a <= sub_b` — the same upper-triangle
+    GEMM decomposition as the exact D3 path, per bucket. A self-join with
+    a per-pair JVM expression was measured ~10x slower on dense buckets.
+    Planes per table scale with corpus size (_planes_per_table) so the
+    expected bucket stays near BLOCK_SIZE; a pair surviving in multiple
+    tables is deduplicated after scoring (identical exact cosine)."""
+    import numpy as np
+    import pandas as pd
+
+    e = _emb(spark, sf_dir)
+    blocks = lsh_blocks(e, e.count(), n_tables=ANN_TOPK_TABLES)
+    a = blocks.select("table_idx", "sig", F.col("sub").alias("sub_a"),
+                      F.col("ids").alias("ids_a"), F.col("embs").alias("embs_a"))
+    b = blocks.select("table_idx", "sig", F.col("sub").alias("sub_b"),
+                      F.col("ids").alias("ids_b"), F.col("embs").alias("embs_b"))
+    # equi-join on (table, bucket) — shuffle join, no corpus broadcast;
+    # upper triangle over sub-blocks; diagonal tiles keep the ia < ib mask
+    tiles = a.join(b, ["table_idx", "sig"]).where(F.col("sub_a") <= F.col("sub_b"))
+
     def compute(batches):
         for pdf in batches:
             out_a, out_b, out_s = [], [], []
-            for ids, embs in zip(pdf["ids"], pdf["embs"]):
-                if len(ids) < 2:
-                    continue
-                ia = np.asarray(ids, dtype=np.int64)
-                m = np.vstack(embs).astype(np.float64, copy=False)
-                n = np.linalg.norm(m, axis=1, keepdims=True)
-                n[n == 0.0] = np.nan
-                u = m / n
-                sims = u @ u.T
-                mask = ia[:, None] < ia[None, :]
+            for ids_a, embs_a, ids_b, embs_b in zip(
+                    pdf["ids_a"], pdf["embs_a"], pdf["ids_b"], pdf["embs_b"]):
+                ia = np.asarray(ids_a, dtype=np.int64)
+                ib = np.asarray(ids_b, dtype=np.int64)
+
+                def unit(embs):
+                    m = np.vstack(embs).astype(np.float64, copy=False)
+                    n = np.linalg.norm(m, axis=1, keepdims=True)
+                    n[n == 0.0] = np.nan
+                    return m / n
+
+                sims = unit(embs_a) @ unit(embs_b).T
+                mask = ia[:, None] < ib[None, :]
                 ra, rb = np.nonzero(mask)
                 s = sims[ra, rb]
                 if len(s) > 64:  # local top-N >> global 10, ties survive
                     keep = np.argpartition(-s, 64)[:64]
                     ra, rb, s = ra[keep], rb[keep], s[keep]
-                out_a.append(ia[ra]); out_b.append(ia[rb]); out_s.append(s)
+                out_a.append(ia[ra]); out_b.append(ib[rb]); out_s.append(s)
             if out_a:
                 yield pd.DataFrame({
                     "vec_a": np.concatenate(out_a),
@@ -387,10 +470,56 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cos_sim_raw": np.concatenate(out_s),
                 })
 
-    sims = buckets.mapInPandas(
+    sims = tiles.mapInPandas(
         compute, schema="vec_a long, vec_b long, cos_sim_raw double")
     return (
         sims.select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+        .distinct()  # a pair can collide in several tables — same exact cos
         .orderBy(F.desc("cos_sim"), F.asc("vec_a"), F.asc("vec_b"))
         .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Thresholded embedding near-dup at scale (round-2, VERDICT item 3): the
+# exact dedup_embedding_cosine above compares ALL pairs — correct, kept as
+# the oracle, but its all-pairs tiling is never the 100 TB plan. This is
+# the scale path: multi-table hyperplane-LSH candidate generation (banding:
+# G tables of g planes each — a pair collides in a table with prob
+# p_same^g, and in ANY table with 1-(1-p_same^g)^G, so few-degree-apart
+# near-dups are recalled with near-certainty) followed by an EXACT cosine
+# rescore of only the candidates. Everything is equi-joins on (table, sig)
+# and on vec_id — no corpus broadcast, no all-pairs product.
+# ---------------------------------------------------------------------------
+
+ANN_N_TABLES = 8
+ANN_PLANES_PER_TABLE = 2
+ANN_SEED = 1337
+
+
+@register("dedup_embedding_ann")  # rows-only: candidate set is approximate
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _with_norm(_emb(spark, sf_dir))
+    raw = _emb(spark, sf_dir)
+    sigs = with_table_sigs(raw, ANN_N_TABLES, ANN_PLANES_PER_TABLE,
+                           seed=ANN_SEED).select(
+        "vec_id", F.posexplode("sigs").alias("table_idx", "sig"))
+    a = sigs.select(F.col("table_idx"), F.col("sig"), F.col("vec_id").alias("vec_a"))
+    b = sigs.select(F.col("table_idx"), F.col("sig"), F.col("vec_id").alias("vec_b"))
+    candidates = (
+        a.join(b, ["table_idx", "sig"])
+        .where(F.col("vec_a") < F.col("vec_b"))
+        .select("vec_a", "vec_b")
+        .distinct()
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"),
+                  F.col("norm").alias("norm_a"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"),
+                  F.col("norm").alias("norm_b"))
+    cos = F.try_divide(SF.dot_fixed(F.col("emb_a"), F.col("emb_b"), EMB_DIM),
+                       F.col("norm_a") * F.col("norm_b"))
+    return (
+        candidates.join(ea, "vec_a").join(eb, "vec_b")
+        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
+        .where(F.col("cos_sim") >= EMB_DUP_THRESHOLD)
     )

@@ -111,3 +111,45 @@ def test_jdbc_option_construction():
     assert opts["pushDownPredicate"] == "true"
     with pytest.raises(ValueError):
         jdbc_options("jdbc:postgresql://db/slr", "t", partition_column="id")
+
+
+def test_lsh_blocks_buffer_hard_bound_on_skewed_buckets(spark):
+    """VERDICT r1: a skewed bucket must never produce an oversized
+    collect_list buffer. Fixture: 4000 vectors ALL pointing the same way
+    (one bucket) -> every (bucket, sub) block must stay <= BLOCK_SIZE."""
+    import numpy as np
+
+    rows = [(i, [1.0 + (i % 7) * 1e-6] * SIM.EMB_DIM) for i in range(4000)]
+    e = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    blocks = SIM.lsh_blocks(e, 4000)
+    sizes = blocks.select(F.size("ids").alias("n")).collect()
+    assert sum(r["n"] for r in sizes) == 4000           # nothing dropped
+    assert max(r["n"] for r in sizes) <= SIM.BLOCK_SIZE  # hard bound
+    assert len(sizes) >= 4000 // SIM.BLOCK_SIZE + 1      # actually split
+
+
+def test_ann_lsh_still_finds_global_top_pairs(spark):
+    """Sub-tiling must not lose the planted top pairs: the ANN top-10 must
+    recall a healthy fraction of the exact top-10 at sf0.001."""
+    exact = {(r["vec_a"], r["vec_b"])
+             for r in SIM.similarity_topk_pairs(spark, SF_DIR_001).collect()}
+    ann = {(r["vec_a"], r["vec_b"])
+           for r in SIM.similarity_ann_lsh(spark, SF_DIR_001).collect()}
+    recall = len(exact & ann) / len(exact)
+    assert recall >= 0.5, f"ANN recall {recall}: got {ann} want {exact}"
+
+
+def test_dedup_embedding_ann_full_recall_vs_exact(spark):
+    """VERDICT r1 item 3: the LSH-candidates + exact-rescore path must find
+    100% of the exact thresholded near-dup pairs (threshold-0.5 pairs are
+    nearly parallel — some LSH table must bucket them together) and never
+    report a wrong cosine (every returned pair is exact-rescored)."""
+    for sf_dir in (SF_DIR_001, "/root/testdata/sf0.01"):
+        exact = {(r["vec_a"], r["vec_b"]): r["cos_sim"]
+                 for r in SIM.dedup_embedding_cosine(spark, sf_dir).collect()}
+        ann = {(r["vec_a"], r["vec_b"]): r["cos_sim"]
+               for r in SIM.dedup_embedding_ann(spark, sf_dir).collect()}
+        missed = set(exact) - set(ann)
+        assert not missed, f"{sf_dir}: ANN missed exact pairs {missed}"
+        for pair, sim in ann.items():
+            assert exact.get(pair) == sim, (pair, sim, exact.get(pair))
