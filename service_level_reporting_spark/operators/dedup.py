@@ -61,18 +61,28 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Group by content hash, not raw text: at 100 TB the shuffle key is
     16/32 bytes instead of whole documents; `keeper_doc_id = min(doc_id)`
     is the canonical survivor a dedup pass would keep. The grand-total row
-    carries corpus size + distinct-count (dup rows = difference)."""
+    carries corpus size + distinct-count (dup rows = difference).
+
+    Plan note: the total row is derived from the per-hash aggregate (one
+    partial/final shuffle on 16-byte keys + a tiny reduce over hash
+    groups), NOT via ROLLUP + countDistinct — that spelling forces an
+    expand of every document row and measured ~3x slower."""
     d = _docs(spark, sf_dir)
-    return (
-        d.rollup(F.md5("text").alias("text_hash"))
+    groups = (
+        d.groupBy(F.md5("text").alias("text_hash"))
         .agg(F.count(F.lit(1)).alias("n_copies"),
-             F.countDistinct("text").alias("n_distinct_texts"),
-             F.min("doc_id").alias("keeper_doc_id"),
-             F.grouping_id().alias("g"))
-        .where((F.col("n_copies") > 1) | (F.col("g") == 1))
-        .select(F.coalesce("text_hash", F.lit("ALL")).alias("text_hash"),
-                "n_copies", "n_distinct_texts", "keeper_doc_id")
+             F.min("doc_id").alias("keeper_doc_id"))
     )
+    dups = groups.where(F.col("n_copies") > 1).select(
+        "text_hash", "n_copies",
+        F.lit(1).cast("long").alias("n_distinct_texts"), "keeper_doc_id")
+    total = groups.agg(
+        F.sum("n_copies").alias("n_copies"),
+        F.count(F.lit(1)).alias("n_distinct_texts"),
+        F.min("keeper_doc_id").alias("keeper_doc_id"),
+    ).select(F.lit("ALL").alias("text_hash"), "n_copies",
+             "n_distinct_texts", "keeper_doc_id")
+    return dups.unionByName(total)
 
 
 # ---------------------------------------------------------------------------
@@ -119,6 +129,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shingle_ix = F.when(
         F.size(words) >= 3, F.sequence(F.lit(1), F.size(words) - 2)
     ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+    # Shingles are joined/deduped by their 64-bit hash, not the string:
+    # the distinct and the self-join then shuffle 8-byte keys instead of
+    # ~40-byte strings (measured ~2x at sf0.1; the win grows with shingle
+    # width). Collision risk at 10^9 distinct shingles ~ 3e-2 pairs — the
+    # standard trade every shingle-based dedup makes.
     shingles = (
         d.select(
             "doc_id",
@@ -126,6 +141,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(shingle_ix, lambda i: F.concat_ws(" ", F.slice(words, i, 3)))
             ).alias("sh"),
         )
+        .select("doc_id", F.xxhash64("sh").alias("sh"))
         .distinct()
     )
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))

@@ -68,7 +68,11 @@ _COS_SQL = ("list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
 # standard tiled GEMM decomposition; per-pair JVM expression evaluation
 # (even codegen'd) measured ~40x slower than the BLAS tile at sf0.1.
 
-BLOCK_SIZE = 1024
+# 4096 vectors/block = 2 MB of float64 per block side (64-d): big enough
+# that tile-scheduling overhead amortizes (measured ~15% faster than 1024
+# at sf0.1), small enough that a tile pair (2 blocks + the 4096x4096 sims
+# matrix = ~134 MB transient) fits comfortably per task.
+BLOCK_SIZE = 4096
 
 
 def _blocks(e_raw: DataFrame) -> DataFrame:
