@@ -42,6 +42,7 @@ _OPERATOR_MODULES = (
     "service_level_reporting_spark.operators.multimodal",
     "service_level_reporting_spark.operators.udfs",
     "service_level_reporting_spark.sources.kairosdb",
+    "service_level_reporting_spark.sources.jdbc",
     "service_level_reporting_spark.sources.sinks",
     "service_level_reporting_spark.streaming.minute_rollup",
 )

@@ -72,3 +72,82 @@ def read_jdbc_table(spark: SparkSession, url: str, table: str,
     for k, v in jdbc_options(url, table, **kwargs).items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+# ---------------------------------------------------------------------------
+# Round 2: REAL end-to-end JDBC leg. Spark ships Apache Derby (the embedded
+# pure-Java DB backing its Hive metastore) on the classpath, so the full
+# write→partitioned-read→join cycle runs with an actual JDBC driver:
+# the catalog `target` dim is written INTO Derby with Spark's JDBC writer,
+# read back through read_jdbc_table (partitioned on slo_id — the parallel
+# cursor shape a real Postgres catalog scan uses), and joined onto events
+# for a per-SLO daily breach report. The dim rows are the deterministic
+# literals from operators/catalog.py, so the oracle hash-checks the whole
+# leg. On a production cluster only the URL/driver change.
+# ---------------------------------------------------------------------------
+
+import os as _os
+import tempfile as _tempfile
+
+from pyspark.sql import functions as F
+
+from service_level_reporting_spark import functions as SF
+from service_level_reporting_spark.registry import register
+from service_level_reporting_spark.tables import load_tables
+
+DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
+
+
+def _derby_url(name: str) -> str:
+    path = _os.path.join(_tempfile.gettempdir(), name)
+    return f"jdbc:derby:{path};create=true"
+
+
+def _jdbc_catalog_oracle() -> str:
+    from service_level_reporting_spark.operators.catalog import (
+        TARGETS, _values_sql)
+
+    return f"""
+    WITH target(target_id, slo_id, event_type, lo, hi) AS
+        (VALUES {_values_sql(TARGETS)})
+    SELECT t.slo_id, e.event_type, strftime(e.ts, '%Y-%m-%d') AS day,
+           count(*) AS n,
+           count(CASE WHEN e.value < t.lo OR e.value > t.hi THEN 1 END)
+               AS breaches
+    FROM events e JOIN target t USING (event_type)
+    GROUP BY t.slo_id, e.event_type, strftime(e.ts, '%Y-%m-%d')
+    """
+
+
+@register("source_jdbc_catalog", oracle=_jdbc_catalog_oracle())
+def source_jdbc_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from service_level_reporting_spark.operators.catalog import catalog_dims
+
+    url = _derby_url("slr_derby_catalog")
+    target = catalog_dims(spark)["target"]
+    (
+        target.write.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "slr_target")
+        .option("driver", DERBY_DRIVER)
+        .mode("overwrite")
+        .save()
+    )
+    slo_ids = [r["slo_id"] for r in target.select("slo_id").collect()]
+    cat = read_jdbc_table(
+        spark, url, "slr_target",
+        partition_column="slo_id",
+        lower_bound=min(slo_ids), upper_bound=max(slo_ids) + 1,
+        num_partitions=4,
+        driver=DERBY_DRIVER,
+    ).select("slo_id", "event_type", "lo", "hi")
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    breach = (F.col("value") < F.col("lo")) | (F.col("value") > F.col("hi"))
+    return (
+        ev.join(F.broadcast(cat), "event_type")
+        .groupBy("slo_id", "event_type", SF.day_str("ts").alias("day"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.count(F.when(breach, 1)).alias("breaches"))
+    )
+
+
