@@ -387,7 +387,8 @@ def with_table_sigs(df: DataFrame, n_tables: int, planes_per_table: int,
 
 
 def lsh_blocks(e: DataFrame, n_vectors: int, n_tables: int = 1,
-               planes_per_table: int | None = None) -> DataFrame:
+               planes_per_table: int | None = None,
+               seed: int = LSH_SEED) -> DataFrame:
     """Per-(table, bucket) block table: (table_idx, sig, sub, ids[],
     embs[]) with EVERY aggregation buffer hard-bounded.
 
@@ -398,7 +399,7 @@ def lsh_blocks(e: DataFrame, n_vectors: int, n_tables: int = 1,
     approaches the 1 GB single-bucket blowup the fixed-bucket version had.
     Deterministic (hash, not RNG) → resume- and oracle-safe."""
     g = planes_per_table or _planes_per_table(n_vectors)
-    exploded = with_table_sigs(e, n_tables, g).select(
+    exploded = with_table_sigs(e, n_tables, g, seed=seed).select(
         "vec_id", "embedding",
         F.posexplode("sigs").alias("table_idx", "sig"))
     sizes = (exploded.groupBy("table_idx", "sig")
@@ -418,25 +419,23 @@ def lsh_blocks(e: DataFrame, n_vectors: int, n_tables: int = 1,
 ANN_TOPK_TABLES = 8
 
 
-@register("similarity_ann_lsh")  # rows-only: approximate by design
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Multi-table hyperplane-LSH candidates + per-tile BLAS scoring.
+def _lsh_tile_scores(e: DataFrame, n_tables: int,
+                     threshold: float | None, local_topk: int | None,
+                     seed: int = LSH_SEED) -> DataFrame:
+    """Multi-table LSH candidates scored by per-tile BLAS, in one fused
+    pass: (vec_a, vec_b, cos_sim_raw) for same-(table, bucket) pairs.
 
-    Candidates come only from same-(table, bucket) pairs across G=8 hash
-    tables (banding holds recall for the moderately-similar global top
-    pairs a single wide signature would lose); each bucket is sub-tiled
-    (lsh_blocks) so the per-task buffer is bounded, and sub-block pairs
-    within a bucket are tiled `sub_a <= sub_b` — the same upper-triangle
-    GEMM decomposition as the exact D3 path, per bucket. A self-join with
-    a per-pair JVM expression was measured ~10x slower on dense buckets.
-    Planes per table scale with corpus size (_planes_per_table) so the
-    expected bucket stays near BLOCK_SIZE; a pair surviving in multiple
-    tables is deduplicated after scoring (identical exact cosine)."""
+    The threshold/top-k filter runs INSIDE the numpy kernel, so dense
+    candidate sets are never materialized as rows (the 10x sweep killed a
+    join-then-rescore formulation at ~10^9 candidate rows; the tile filter
+    reduces them to survivors before they leave the task). Exact rescore
+    is inherent: the kernel computes true cosines. A pair colliding in
+    several tables emits duplicates — identical scores — deduplicated by
+    the caller."""
     import numpy as np
     import pandas as pd
 
-    e = _emb(spark, sf_dir)
-    blocks = lsh_blocks(e, e.count(), n_tables=ANN_TOPK_TABLES)
+    blocks = lsh_blocks(e, e.count(), n_tables=n_tables, seed=seed)
     a = blocks.select("table_idx", "sig", F.col("sub").alias("sub_a"),
                       F.col("ids").alias("ids_a"), F.col("embs").alias("embs_a"))
     b = blocks.select("table_idx", "sig", F.col("sub").alias("sub_b"),
@@ -461,10 +460,12 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
                 sims = unit(embs_a) @ unit(embs_b).T
                 mask = ia[:, None] < ib[None, :]
+                if threshold is not None:
+                    mask &= sims >= threshold
                 ra, rb = np.nonzero(mask)
                 s = sims[ra, rb]
-                if len(s) > 64:  # local top-N >> global 10, ties survive
-                    keep = np.argpartition(-s, 64)[:64]
+                if local_topk is not None and len(s) > local_topk:
+                    keep = np.argpartition(-s, local_topk)[:local_topk]
                     ra, rb, s = ra[keep], rb[keep], s[keep]
                 out_a.append(ia[ra]); out_b.append(ib[rb]); out_s.append(s)
             if out_a:
@@ -474,8 +475,25 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "cos_sim_raw": np.concatenate(out_s),
                 })
 
-    sims = tiles.mapInPandas(
+    return tiles.mapInPandas(
         compute, schema="vec_a long, vec_b long, cos_sim_raw double")
+
+
+@register("similarity_ann_lsh")  # rows-only: approximate by design
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-table hyperplane-LSH candidates + per-tile BLAS scoring.
+
+    Candidates come only from same-(table, bucket) pairs across G=8 hash
+    tables (banding holds recall for the moderately-similar global top
+    pairs a single wide signature would lose); each bucket is sub-tiled
+    (lsh_blocks) so the per-task buffer is bounded, and sub-block pairs
+    within a bucket are tiled `sub_a <= sub_b` — the same upper-triangle
+    GEMM decomposition as the exact D3 path, per bucket. A self-join with
+    a per-pair JVM expression was measured ~10x slower on dense buckets.
+    Planes per table scale with corpus size (_planes_per_table) so the
+    expected bucket stays near BLOCK_SIZE."""
+    e = _emb(spark, sf_dir)
+    sims = _lsh_tile_scores(e, ANN_TOPK_TABLES, threshold=None, local_topk=64)
     return (
         sims.select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
         .distinct()  # a pair can collide in several tables — same exact cos
@@ -497,33 +515,23 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 ANN_N_TABLES = 8
-ANN_PLANES_PER_TABLE = 2
 ANN_SEED = 1337
 
 
 @register("dedup_embedding_ann")  # rows-only: candidate set is approximate
 def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _with_norm(_emb(spark, sf_dir))
-    raw = _emb(spark, sf_dir)
-    sigs = with_table_sigs(raw, ANN_N_TABLES, ANN_PLANES_PER_TABLE,
-                           seed=ANN_SEED).select(
-        "vec_id", F.posexplode("sigs").alias("table_idx", "sig"))
-    a = sigs.select(F.col("table_idx"), F.col("sig"), F.col("vec_id").alias("vec_a"))
-    b = sigs.select(F.col("table_idx"), F.col("sig"), F.col("vec_id").alias("vec_b"))
-    candidates = (
-        a.join(b, ["table_idx", "sig"])
-        .where(F.col("vec_a") < F.col("vec_b"))
-        .select("vec_a", "vec_b")
-        .distinct()
-    )
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("emb").alias("emb_a"),
-                  F.col("norm").alias("norm_a"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("emb").alias("emb_b"),
-                  F.col("norm").alias("norm_b"))
-    cos = F.try_divide(SF.dot_fixed(F.col("emb_a"), F.col("emb_b"), EMB_DIM),
-                       F.col("norm_a") * F.col("norm_b"))
+    """Same fused tile machinery as similarity_ann_lsh, thresholded: only
+    pairs with exact cosine >= EMB_DUP_THRESHOLD leave the kernel, so the
+    dense candidate sets a clone-heavy corpus produces are filtered inside
+    numpy instead of materializing as join rows (the 10x sweep killed a
+    join-then-rescore formulation at ~10^9 candidate rows). Planes per
+    table scale with corpus size via lsh_blocks; recall for STRONG
+    near-dups (the dedup target) stays ~1 via the 8 tables — the
+    production recall knob is more tables / multi-probe, not smaller g."""
+    e = _emb(spark, sf_dir)
+    sims = _lsh_tile_scores(e, ANN_N_TABLES, threshold=EMB_DUP_THRESHOLD,
+                            local_topk=None, seed=ANN_SEED)
     return (
-        candidates.join(ea, "vec_a").join(eb, "vec_b")
-        .select("vec_a", "vec_b", F.round(cos, 6).alias("cos_sim"))
-        .where(F.col("cos_sim") >= EMB_DUP_THRESHOLD)
+        sims.select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
+        .distinct()  # multi-table collisions carry identical exact scores
     )
