@@ -144,6 +144,14 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.xxhash64("sh").alias("sh"))
         .distinct()
     )
+    # The shingle index feeds THREE consumers (both self-join sides + the
+    # per-doc sizes); without materialization Spark re-scans and re-explodes
+    # the corpus for each (9 parquet scans in the physical plan). Persist =
+    # the materialized shingle index every production shingle-dedup builds
+    # once; MEMORY_AND_DISK so oversized corpora spill instead of OOM.
+    from pyspark import StorageLevel
+
+    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingles.alias("a")
     b = shingles.alias("b")

@@ -158,3 +158,15 @@ def test_aqe_splits_skewed_join_partitions(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_catalog_walk_broadcasts_whole_catalog(spark):
+    """The 4-level catalog FK walk must reach the events fact as ONE
+    broadcast (all dim⋈dim joins pre-collapsed, no shuffle on the fact
+    side before the aggregate)."""
+    from service_level_reporting_spark.operators.catalog import (
+        report_catalog_walk)
+
+    p = plan_str(report_catalog_walk(spark, SF_DIR_001))
+    assert "BroadcastHashJoin" in p, p
+    assert "SortMergeJoin" not in p, p
