@@ -47,3 +47,24 @@ def test_salted_agg_matches_direct_on_skewed_key(spark):
                 F.count(F.lit(1)).alias("n"), F.sum("v").alias("s"),
                 F.min("v").alias("mn"), F.max("v").alias("mx")).collect()}
     assert got == want
+
+
+def test_zscore_flags_only_true_outliers(spark, monkeypatch):
+    """pandas_udf standardization: a planted 5-sigma point is flagged, the
+    rest of a tight cluster is not, and z matches the manual formula."""
+    from service_level_reporting_spark.operators import udfs as U
+    from service_level_reporting_spark.operators.udfs import zscore_anomalies
+
+    rows = [(i, "e", dt.datetime(2024, 1, 1, 0, i % 60), 10.0 + (i % 5) * 0.1)
+            for i in range(100)]
+    rows.append((100, "e", dt.datetime(2024, 1, 1, 1, 0), 1000.0))  # outlier
+    ev = spark.createDataFrame(
+        rows, "event_id long, event_type string, ts timestamp, value double")
+    monkeypatch.setattr(U, "load_tables", lambda s, d, names=None: {"events": ev})
+    out = {r["event_type"]: r for r in zscore_anomalies(spark, "x").collect()}
+    assert list(out) == ["e"]
+    assert out["e"]["n_anomalies"] == 1
+    import statistics
+    vals = [r[3] for r in rows]
+    want_z = (1000.0 - statistics.mean(vals)) / statistics.stdev(vals)
+    assert abs(out["e"]["max_abs_z"] - round(abs(want_z), 6)) < 1e-6
