@@ -233,3 +233,109 @@ def dedup_near_dup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(1.0).alias("score"))
     )
     return minhash.unionByName(simhash).orderBy("method", "doc_a", "doc_b")
+
+
+# ---------------------------------------------------------------------------
+# Round 2 — duplicate CLUSTERS via connected components (what a curation
+# pipeline actually dedupes by: transitive chains A≈B≈C collapse into one
+# cluster even when A~C alone misses the threshold — pair lists can't see
+# that). Edges = exact-dup pairs (same content hash) ∪ n-gram-Jaccard pairs
+# (≥ JACCARD_THRESHOLD); components found by iterative min-label
+# propagation — each round every doc takes the minimum label among itself
+# and its neighbors, converging in O(component diameter) rounds.
+#
+# Scale notes: this is the textbook distributed CC. Each round is one
+# equi-join (edges ⋈ labels on the 8-byte doc key) + a combiner-friendly
+# min-groupBy; lineage is cut with localCheckpoint per round (else the plan
+# doubles every iteration); near-dup components are shallow (diameter ≤ ~3),
+# so rounds stay single digits. The driver-side loop orchestrates ROUNDS,
+# never touches rows. At 10^9+ edges you would switch the propagation to
+# the large-star/small-star variant — same join/groupBy primitives.
+# Oracle: DuckDB recursive CTE computing min reachable label — the same
+# fixpoint, declared recursively. Hash-checked end to end.
+# ---------------------------------------------------------------------------
+
+CC_MAX_ROUNDS = 20
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    idx AS (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
+            FROM tok),
+    sh AS (SELECT DISTINCT doc_id, concat_ws(' ', w[i], w[i+1], w[i+2]) AS sh
+           FROM idx),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    cand AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id),
+    jac AS (SELECT doc_a, doc_b FROM cand
+            JOIN sizes sa ON doc_a = sa.doc_id
+            JOIN sizes sb ON doc_b = sb.doc_id
+            WHERE n_common / (sa.n + sb.n - n_common) >= {JACCARD_THRESHOLD}),
+    exact AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b
+              FROM documents l JOIN documents r
+                ON md5(l.text) = md5(r.text) AND l.doc_id < r.doc_id),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM jac
+              UNION SELECT doc_b, doc_a FROM jac
+              UNION SELECT doc_a, doc_b FROM exact
+              UNION SELECT doc_b, doc_a FROM exact),
+    reach(a, b) AS (SELECT a, b FROM edges
+                    UNION
+                    SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    labels AS (SELECT d.doc_id,
+                      least(d.doc_id, coalesce(m.mn, d.doc_id)) AS label
+               FROM documents d
+               LEFT JOIN (SELECT a, min(b) AS mn FROM reach GROUP BY a) m
+                 ON d.doc_id = m.a)
+    SELECT label AS keeper_doc_id, count(*) AS n_docs,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM labels GROUP BY label HAVING count(*) > 1
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    h = d.select("doc_id", F.md5("text").alias("h"))
+    exact = (
+        h.alias("l").join(h.alias("r"), "h")
+        .where(F.col("l.doc_id") < F.col("r.doc_id"))
+        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+    )
+    jac = dedup_ngram_jaccard(spark, sf_dir).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    fwd = exact.unionByName(jac)
+    edges = (
+        fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=True)  # edge list reused every round
+    )
+    labels = d.select("doc_id", F.col("doc_id").alias("label"))
+    for _ in range(CC_MAX_ROUNDS):
+        neighbor = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .select(F.col("a").alias("doc_id"), "label")
+        )
+        new_labels = (
+            labels.unionByName(neighbor)
+            .groupBy("doc_id")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)  # cut lineage per round
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1).count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return (
+        labels.groupBy(F.col("label").alias("keeper_doc_id"))
+        .agg(F.count(F.lit(1)).alias("n_docs"),
+             F.max("doc_id").alias("max_doc_id"))
+        .where(F.col("n_docs") > 1)
+    )

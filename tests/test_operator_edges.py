@@ -198,3 +198,31 @@ def test_registry_reraises_nested_import_error():
             REG._load_all()
     finally:
         REG._OPERATOR_MODULES = orig
+
+
+def test_dedup_clusters_transitive_chain(spark, monkeypatch):
+    """Connected components must merge a transitive chain A~B~C into ONE
+    cluster even though J(A, C) is below the pair threshold — the case a
+    flat pair list cannot express."""
+    from service_level_reporting_spark.operators import dedup as D
+    toks = [f"tok{i:02d}" for i in range(30)]
+    a = " ".join(toks)
+    # a MIDDLE token swap destroys 3 shingles: J = 25/31 = 0.81 per hop,
+    # but two hops apart destroys 6: J(a, c) = 22/34 = 0.65 < threshold
+    b_toks = toks.copy(); b_toks[20] = "editB"
+    b = " ".join(b_toks)
+    c_toks = b_toks.copy(); c_toks[10] = "editC"
+    c = " ".join(c_toks)
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, c), (4, a), (5, "completely different words here "
+                                             "nothing shared with the chain at all")],
+        "doc_id long, text string")
+    monkeypatch.setattr(D, "_docs", lambda s, d: docs)
+    # sanity: the pair list itself must NOT contain (a, c)
+    pairs = {(r["doc_a"], r["doc_b"])
+             for r in D.dedup_ngram_jaccard(spark, "x").collect()}
+    assert (1, 2) in pairs and (2, 3) in pairs and (1, 3) not in pairs
+    clusters = {r["keeper_doc_id"]: r for r in D.dedup_clusters(spark, "x").collect()}
+    assert list(clusters) == [1]
+    assert clusters[1]["n_docs"] == 4          # {1=4 exact, 2, 3 transitive}
+    assert clusters[1]["max_doc_id"] == 4
