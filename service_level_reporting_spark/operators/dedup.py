@@ -258,10 +258,9 @@ def dedup_near_dup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 CC_MAX_ROUNDS = 20
 
 
-@register(
-    "dedup_clusters",
-    oracle=f"""
-    WITH RECURSIVE
+# The labels fixpoint as reusable CTEs (dedup_clusters here and
+# curation.dedup_canonical build different reports over the same labels).
+LABELS_CTES_SQL = f"""
     tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
     idx AS (SELECT doc_id, w,
                    unnest(generate_series(1, greatest(len(w) - 2, 0))) AS i
@@ -290,13 +289,13 @@ CC_MAX_ROUNDS = 20
                       least(d.doc_id, coalesce(m.mn, d.doc_id)) AS label
                FROM documents d
                LEFT JOIN (SELECT a, min(b) AS mn FROM reach GROUP BY a) m
-                 ON d.doc_id = m.a)
-    SELECT label AS keeper_doc_id, count(*) AS n_docs,
-           CAST(max(doc_id) AS BIGINT) AS max_doc_id
-    FROM labels GROUP BY label HAVING count(*) > 1
-    """,
-)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+                 ON d.doc_id = m.a)"""
+
+
+def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, label) — each doc's connected-component label (min doc_id
+    reachable over exact ∪ Jaccard near-dup edges). Shared by
+    dedup_clusters and curation.dedup_canonical."""
     d = _docs(spark, sf_dir)
     h = d.select("doc_id", F.md5("text").alias("h"))
     exact = (
@@ -333,6 +332,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    return labels
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {LABELS_CTES_SQL}
+    SELECT label AS keeper_doc_id, count(*) AS n_docs,
+           CAST(max(doc_id) AS BIGINT) AS max_doc_id
+    FROM labels GROUP BY label HAVING count(*) > 1
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labels = cluster_labels(spark, sf_dir)
     return (
         labels.groupBy(F.col("label").alias("keeper_doc_id"))
         .agg(F.count(F.lit(1)).alias("n_docs"),
