@@ -312,7 +312,6 @@ def _assign_udf(centroids):
     return pandas_udf(assign, "int")
 
 
-@register("similarity_knn_ivf")  # rows-only: approximate by design
 def similarity_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = _with_norm(_emb(spark, sf_dir))
     centroids = _train_centroids(e)
@@ -479,7 +478,6 @@ def _lsh_tile_scores(e: DataFrame, n_tables: int,
         compute, schema="vec_a long, vec_b long, cos_sim_raw double")
 
 
-@register("similarity_ann_lsh")  # rows-only: approximate by design
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-table hyperplane-LSH candidates + per-tile BLAS scoring.
 
@@ -513,6 +511,28 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rescore of only the candidates. Everything is equi-joins on (table, sig)
 # and on vec_id — no corpus broadcast, no all-pairs product.
 # ---------------------------------------------------------------------------
+
+@register("similarity_ann_suite")  # rows-only: both parts approximate by design
+def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled union of the two ANN index shapes (round-3 consolidation so
+    both land one driver CORRECTNESS row):
+      'ivf_knn'  — IVF probe of the kNN query (vec_a = neighbor vec_id);
+      'lsh_topk' — multi-table hyperplane-LSH global top-10 pairs.
+    Semantic floors (recall vs the exact paths) are pytest-pinned in
+    tests/test_multimodal_and_ann.py; this entry checks both run + shape."""
+    ivf = similarity_knn_ivf(spark, sf_dir).select(
+        F.lit("ivf_knn").alias("part"),
+        F.col("vec_id").alias("vec_a"),
+        F.lit(None).cast("long").alias("vec_b"),
+        F.col("label").cast("long").alias("label"),
+        "cos_sim",
+    )
+    lsh = similarity_ann_lsh(spark, sf_dir).select(
+        F.lit("lsh_topk").alias("part"), "vec_a", "vec_b",
+        F.lit(None).cast("long").alias("label"), "cos_sim",
+    )
+    return ivf.unionByName(lsh)
+
 
 ANN_N_TABLES = 8
 ANN_SEED = 1337

@@ -37,6 +37,7 @@ _OPERATOR_MODULES = (
     "service_level_reporting_spark.operators.catalog",
     "service_level_reporting_spark.operators.windows",
     "service_level_reporting_spark.operators.dedup",
+    "service_level_reporting_spark.operators.curation",
     "service_level_reporting_spark.operators.similarity",
     "service_level_reporting_spark.operators.text",
     "service_level_reporting_spark.operators.multimodal",

@@ -89,7 +89,6 @@ def merge_upsert_minutes(updates: DataFrame, path: str) -> None:
     )
 
 
-@register("sink_upsert_merge")  # rows-only: sink semantics, asserted via re-read
 def sink_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Both upsert mechanisms against one table, re-read for verification:
     (1) partition-grain: write minute rollups for days 1-7, RE-write days
@@ -151,7 +150,6 @@ def write_bucketed(df: DataFrame, table: str, path: str, key: str,
     )
 
 
-@register("sink_bucketed_user_stats")  # rows-only: sink + catalog semantics
 def sink_bucketed_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Write events bucketed by user_id, then run the bucket-key groupBy on
     the bucketed table. The plan for the returned frame contains NO shuffle
@@ -171,3 +169,28 @@ def sink_bucketed_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.avg("value"), 6).alias("avg_value"))
         .orderBy("user_id")
     )
+
+
+@register("sink_suite")  # rows-only: sink semantics, asserted via re-read
+def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Labeled union of the two sink legs (round-3 consolidation so both
+    land one driver CORRECTNESS row):
+      'upsert_merge'     — partition-grain overwrite + key-grain MERGE,
+        re-read per-indicator counts (idempotence pytest-pinned);
+      'bucketed_groupby' — events written bucketed by user_id, then the
+        exchange-free bucket-key aggregate (zero-shuffle plan-asserted)."""
+    upsert = sink_upsert_merge(spark, sf_dir).select(
+        F.lit("upsert_merge").alias("part"),
+        F.col("indicator").alias("key"),
+        F.col("n_minutes").alias("n"),
+        F.col("n_distinct_minutes").alias("n2"),
+        F.col("sum_value").alias("v"),
+    )
+    bucketed = sink_bucketed_user_stats(spark, sf_dir).select(
+        F.lit("bucketed_groupby").alias("part"),
+        F.col("user_id").cast("string").alias("key"),
+        F.col("n_events").alias("n"),
+        F.lit(None).cast("long").alias("n2"),
+        F.col("avg_value").alias("v"),
+    )
+    return upsert.unionByName(bucketed).orderBy("part", "key")

@@ -303,7 +303,6 @@ def _part(df: DataFrame, part: str, key, win_start, n, metric) -> DataFrame:
     )
 
 
-@register("stream_windows_suite")  # rows-only: T1 tumbling, T2 sliding,
 def stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # T3 session, T4 watermark+append, T7 checkpointed exactly-once sink —
     # five independent streaming legs, one summary table.
@@ -327,7 +326,6 @@ def stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
             .unionByName(watermark).unionByName(checkpoint))
 
 
-@register("stream_stateful_suite")  # rows-only: T5 dedup + T6 custom state
 def stream_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup = stream_stateful_dedup(spark, sf_dir).select(
         F.lit("dedup").alias("part"), "event_type",
@@ -338,3 +336,31 @@ def stream_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("compliance").alias("part"), "event_type", "n",
         "breaches", "compliance_pct")
     return dedup.unionByName(compliance).orderBy("part", "event_type")
+
+
+@register("stream_suite")  # rows-only: streaming output is engine-specific
+def stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ALL seven streaming legs as one labeled summary (round-3
+    consolidation so the full streaming surface lands one driver
+    CORRECTNESS row): T1 tumbling / T2 sliding / T3 session / T4
+    watermark+append / T7 checkpointed exactly-once sink from
+    stream_windows_suite, plus T5 stateful dedup and T6 custom
+    applyInPandasWithState compliance. Batch-equivalence per leg is
+    pytest-pinned in tests/test_streaming_batch_equiv.py."""
+    windows = stream_windows_suite(spark, sf_dir)
+    stateful = stream_stateful_suite(spark, sf_dir)
+    null_ts = F.lit(None).cast("timestamp")
+    dedup = stateful.where(F.col("part") == "dedup").select(
+        F.lit("stateful_dedup").alias("part"),
+        F.col("event_type").alias("key"), null_ts.alias("win_start"),
+        "n", F.lit(None).cast("double").alias("metric"))
+    compliance = stateful.where(F.col("part") == "compliance").select(
+        F.lit("stateful_compliance").alias("part"),
+        F.col("event_type").alias("key"), null_ts.alias("win_start"),
+        "n", F.col("compliance_pct").alias("metric"))
+    breaches = stateful.where(F.col("part") == "compliance").select(
+        F.lit("stateful_breaches").alias("part"),
+        F.col("event_type").alias("key"), null_ts.alias("win_start"),
+        F.col("breaches").alias("n"), F.lit(None).cast("double").alias("metric"))
+    return (windows.unionByName(dedup).unionByName(compliance)
+            .unionByName(breaches).orderBy("part", "key", "win_start"))

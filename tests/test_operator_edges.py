@@ -226,3 +226,75 @@ def test_dedup_clusters_transitive_chain(spark, monkeypatch):
     assert list(clusters) == [1]
     assert clusters[1]["n_docs"] == 4          # {1=4 exact, 2, 3 transitive}
     assert clusters[1]["max_doc_id"] == 4
+
+
+def test_tfidf_planted_rarity(spark, monkeypatch):
+    """A token present in EVERY doc gets idf = ln((N+1)/(N+1)) = 0 and must
+    never outrank a doc-unique token; per-doc top-k is deterministic."""
+    import math
+
+    from service_level_reporting_spark.operators import curation as C
+    docs = spark.createDataFrame(
+        [(1, "common rare1 common common"),
+         (2, "common rare2 common"),
+         (3, "common rare3")],
+        "doc_id long, text string")
+    monkeypatch.setattr(C, "_docs", lambda s, d: docs)
+    rows = C.text_tfidf_topk(spark, "x").collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    for doc_id, rs in by_doc.items():
+        top = max(rs, key=lambda r: r["tfidf"])
+        assert top["token"] == f"rare{doc_id}"
+        assert top["tfidf"] == round(math.log(4 / 2), 6)  # tf=1, N=3, df=1
+    common = [r for r in rows if r["token"] == "common"]
+    assert all(r["tfidf"] == 0.0 for r in common)  # df = N => idf = 0
+
+
+def test_dedup_canonical_keeps_longest(spark, monkeypatch):
+    """Canonical survivor = longest doc in the cluster (doc_id tie-break);
+    chars_dropped accounts for every non-survivor."""
+    from service_level_reporting_spark.operators import curation as C
+    from service_level_reporting_spark.operators import dedup as D
+    toks = [f"tok{i:02d}" for i in range(30)]
+    a = " ".join(toks)
+    b_toks = toks.copy(); b_toks[20] = "muchlongeredit"
+    b = " ".join(b_toks)
+    docs = spark.createDataFrame(
+        [(1, a), (2, b), (3, a), (4, "unrelated text entirely on its own")],
+        "doc_id long, text string").withColumn(
+            "n_chars", __import__("pyspark").sql.functions.length("text"))
+    for mod in (C, D):
+        monkeypatch.setattr(mod, "_docs", lambda s, d: docs)
+    rows = {r["cluster_id"]: r for r in C.dedup_canonical(spark, "x").collect()}
+    assert list(rows) == [1]
+    r = rows[1]
+    assert r["canonical_doc_id"] == 2          # longest text wins
+    assert r["n_docs"] == 3
+    assert r["chars_kept"] == len(b)
+    assert r["chars_dropped"] == 2 * len(a)
+
+
+def test_curation_suite_sample_exact_rate_and_redaction(spark, monkeypatch):
+    """Stratified sample keeps exactly ceil(frac*n) per stratum and is
+    deterministic across runs; blocklist redaction touches real rows."""
+    from service_level_reporting_spark.operators import curation as C
+    docs = spark.createDataFrame(
+        [(i, f"text number {i} with hash inside" if i % 2 == 0
+             else f"plain words only {i}",
+          "en" if i < 7 else "de", "s", 30) for i in range(10)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    monkeypatch.setattr(C, "_docs", lambda s, d: docs)
+    run1 = C.corpus_curation_suite(spark, "x").collect()
+    run2 = C.corpus_curation_suite(spark, "x").collect()
+    assert sorted(map(tuple, run1)) == sorted(map(tuple, run2))
+    parts = {(r["part"], r["key"]): r for r in run1}
+    import math
+    assert parts[("sample", "en")]["n"] == math.ceil(0.2 * 7)
+    assert parts[("sample", "de")]["n"] == math.ceil(0.2 * 3)
+    # every even doc contains 'hash' AND a digit-run-free... digits are <3
+    # chars here, so pii matches 0; blocklist matches the 5 'hash' docs
+    assert parts[("redact", "blocklist")]["n2"] == 5
+    assert parts[("redact", "blocklist")]["n"] == 5
+    assert parts[("profile", "lang")]["n"] == 2

@@ -114,7 +114,7 @@ def test_registry_wide_plan_lint(spark):
     ALLOW_CARTESIAN = {
         # broadcast cross joins of a 1-row probe / tiny block table
         "similarity_topk_pairs", "dedup_embedding_cosine",
-        "similarity_knn_query", "similarity_knn_ivf",
+        "similarity_knn_query", "similarity_ann_suite",
     }
     for name, fn in sorted(registry.all_queries().items()):
         if name.startswith("stream_") or name.startswith("sink_"):

@@ -13,6 +13,7 @@ import tempfile
 from pyspark.sql import functions as F
 
 from service_level_reporting_spark import registry
+from service_level_reporting_spark.sources import sinks as SINK
 from service_level_reporting_spark.tables import load_tables
 
 from .conftest import SF_DIR_001
@@ -87,9 +88,9 @@ def test_near_dup_signatures_find_planted_dups(spark):
 
 def test_upsert_sink_idempotent_across_invocations(spark):
     first = {r["indicator"]: r.asDict()
-             for r in Q["sink_upsert_merge"](spark, SF_DIR_001).collect()}
+             for r in SINK.sink_upsert_merge(spark, SF_DIR_001).collect()}
     second = {r["indicator"]: r.asDict()
-              for r in Q["sink_upsert_merge"](spark, SF_DIR_001).collect()}
+              for r in SINK.sink_upsert_merge(spark, SF_DIR_001).collect()}
     assert first == second
     for row in first.values():
         assert row["n_minutes"] == row["n_distinct_minutes"]
