@@ -89,9 +89,104 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 # D2a — n-gram (3-word shingle) Jaccard similarity, exact.
 # Candidate pairs come only from shingle collisions (equi-join), then exact
 # Jaccard = |A∩B| / (|A|+|B|-|A∩B|) filters at the threshold.
+#
+# Clone-corpus scaling: every signature stage (shingling, the shingle
+# self-join, SimHash, MinHash banding) runs on ONE REPRESENTATIVE per
+# distinct text — identical texts have identical shingle sets, so computing
+# them per copy is pure waste, and a clone group of k copies would otherwise
+# contribute k² candidate rows to the self-join. The pair OUTPUT is still
+# quadratic in clone-group size (that is the contract of a pair list — a
+# corpus where it hurts should consume dedup_clusters instead, whose edge
+# list is star-shaped and linear), but the output expansion is a cheap
+# equi-join on the text hash, not a shingle-index blowup.
 # ---------------------------------------------------------------------------
 
 JACCARD_THRESHOLD = 0.8
+
+
+def _text_groups(d: DataFrame) -> DataFrame:
+    """(h, doc_id) — content-hash group membership, the clone map."""
+    return d.select(F.md5("text").alias("h"), "doc_id")
+
+
+def _rep_docs(d: DataFrame) -> DataFrame:
+    """One representative doc per distinct text (min doc_id — the same
+    keeper dedup_exact elects). The partial aggregate collapses clones
+    map-side, so the shuffle moves one copy of each distinct text, not the
+    whole corpus."""
+    return (
+        d.select(F.md5("text").alias("h"), "doc_id", "text")
+        .groupBy("h")
+        .agg(F.min("doc_id").alias("doc_id"), F.first("text").alias("text"))
+    )
+
+
+def _shingle_index(docs: DataFrame) -> DataFrame:
+    """Distinct (doc_id, shingle-hash) pairs of 3-word shingles.
+
+    Guard: for docs with <3 tokens Spark's sequence(1, 0) is DESCENDING
+    [1, 0] (default step -1 when start > stop) and slice(words, 0, 3)
+    throws INVALID_PARAMETER_VALUE.START. DuckDB's generate_series(1, 0)
+    is empty, so the engines would diverge — emit no shingles instead.
+
+    Shingles are joined/deduped by their 64-bit hash, not the string: the
+    distinct and the self-join then shuffle 8-byte keys instead of ~40-byte
+    strings (measured ~2x at sf0.1; the win grows with shingle width).
+    Collision risk at 10^9 distinct shingles ~ 3e-2 pairs — the standard
+    trade every shingle-based dedup makes."""
+    words = F.split("text", " ")
+    shingle_ix = F.when(
+        F.size(words) >= 3, F.sequence(F.lit(1), F.size(words) - 2)
+    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+    return (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.transform(shingle_ix, lambda i: F.concat_ws(" ", F.slice(words, i, 3)))
+            ).alias("sh"),
+        )
+        .select("doc_id", F.xxhash64("sh").alias("sh"))
+        .distinct()
+    )
+
+
+def _rep_jaccard(reps: DataFrame):
+    """Jaccard pairs among representative docs.
+
+    Returns (pairs, sizes): pairs = (h_a, h_b, doc_a, doc_b, n_common,
+    jaccard) with doc_a < doc_b and jaccard >= threshold; sizes = per-rep
+    distinct-shingle counts (h, n). The shingle index feeds THREE consumers
+    (both self-join sides + the per-doc sizes); without materialization
+    Spark re-scans and re-explodes the corpus for each (9 parquet scans in
+    the physical plan). Persist = the materialized shingle index every
+    production shingle-dedup builds once; MEMORY_AND_DISK so oversized
+    corpora spill instead of OOM."""
+    from pyspark import StorageLevel
+
+    shingles = _shingle_index(reps.select("doc_id", "text")).persist(
+        StorageLevel.MEMORY_AND_DISK)
+    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingles.alias("a")
+    b = shingles.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
+    ra = reps.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("h_a"))
+    rb = reps.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("h_b"))
+    pairs = (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .where(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
+        .join(ra, "doc_a").join(rb, "doc_b")
+    )
+    rep_sizes = reps.select("h", "doc_id").join(
+        sizes, "doc_id").select("h", "n")
+    return pairs, rep_sizes
 
 
 @register(
@@ -120,54 +215,44 @@ JACCARD_THRESHOLD = 0.8
     """,
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    d = _docs(spark, sf_dir)
-    words = F.split("text", " ")
-    # Guard: for docs with <3 tokens Spark's sequence(1, 0) is DESCENDING
-    # [1, 0] (default step -1 when start > stop) and slice(words, 0, 3)
-    # throws INVALID_PARAMETER_VALUE.START. DuckDB's generate_series(1, 0)
-    # is empty, so the engines would diverge — emit no shingles instead.
-    shingle_ix = F.when(
-        F.size(words) >= 3, F.sequence(F.lit(1), F.size(words) - 2)
-    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
-    # Shingles are joined/deduped by their 64-bit hash, not the string:
-    # the distinct and the self-join then shuffle 8-byte keys instead of
-    # ~40-byte strings (measured ~2x at sf0.1; the win grows with shingle
-    # width). Collision risk at 10^9 distinct shingles ~ 3e-2 pairs — the
-    # standard trade every shingle-based dedup makes.
-    shingles = (
-        d.select(
-            "doc_id",
-            F.explode(
-                F.transform(shingle_ix, lambda i: F.concat_ws(" ", F.slice(words, i, 3)))
-            ).alias("sh"),
-        )
-        .select("doc_id", F.xxhash64("sh").alias("sh"))
-        .distinct()
-    )
-    # The shingle index feeds THREE consumers (both self-join sides + the
-    # per-doc sizes); without materialization Spark re-scans and re-explodes
-    # the corpus for each (9 parquet scans in the physical plan). Persist =
-    # the materialized shingle index every production shingle-dedup builds
-    # once; MEMORY_AND_DISK so oversized corpora spill instead of OOM.
-    from pyspark import StorageLevel
+    """Exact shingle-Jaccard pairs, computed over distinct texts and
+    expanded back to doc pairs:
 
-    shingles = shingles.persist(StorageLevel.MEMORY_AND_DISK)
-    sizes = shingles.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
-    a = shingles.alias("a")
-    b = shingles.alias("b")
-    pairs = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_common"))
+    * cross-group pairs — a rep pair (A, B) holds for every (member-of-A,
+      member-of-B) combination, because identical texts have identical
+      shingle sets; the expansion is two equi-joins on the text hash.
+    * intra-group pairs — clones of the same text have Jaccard exactly 1.0
+      and n_common = the group's distinct-shingle count (only when the text
+      has >= 3 tokens, i.e. a non-empty shingle set — matching the
+      shingle-collision join, which cannot emit a pair for shingle-less
+      docs).
+
+    Identical output to running the self-join over the raw corpus, but the
+    shingle index — the expensive exploded structure — is linear in
+    DISTINCT texts, so a clone-heavy corpus no longer inflates it."""
+    d = _docs(spark, sf_dir)
+    groups = _text_groups(d)
+    rep_pairs, rep_sizes = _rep_jaccard(_rep_docs(d))
+    ma = groups.select(F.col("h").alias("h_a"), F.col("doc_id").alias("m_a"))
+    mb = groups.select(F.col("h").alias("h_b"), F.col("doc_id").alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, "h_a").join(mb, "h_b")
+        .select(F.least("m_a", "m_b").alias("doc_a"),
+                F.greatest("m_a", "m_b").alias("doc_b"),
+                "n_common", "jaccard")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
-    jac = F.col("n_common") / (F.col("na") + F.col("nb") - F.col("n_common"))
-    return (
-        pairs.join(sa, "doc_a").join(sb, "doc_b")
-        .where(jac >= JACCARD_THRESHOLD)
-        .select("doc_a", "doc_b", "n_common", F.round(jac, 6).alias("jaccard"))
+    x = groups.alias("x")
+    y = groups.alias("y")
+    intra = (
+        x.join(y, "h")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .join(rep_sizes.where(F.col("n") > 0), "h")
+        .select(F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.col("n").alias("n_common"),
+                F.lit(1.0).alias("jaccard"))
     )
+    return cross.unionByName(intra)
 
 
 # ---------------------------------------------------------------------------
@@ -203,10 +288,21 @@ def simhash_signatures(d: DataFrame) -> DataFrame:
 
 @register("dedup_near_dup_signatures")  # rows-only: hash families engine-specific
 def dedup_near_dup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Both signature families run on one representative per distinct text
+    (identical texts -> identical MinHash vectors / SimHash signatures, so
+    per-copy signatures are recomputation, and LSH banding over clones
+    inflates every band bucket by the clone count). Doc-level pairs come
+    back via the clone map: MinHash rep pairs expand through the text-hash
+    join exactly like dedup_ngram_jaccard (clone pairs score 1.0 — the
+    estimator is exact on identical sets); SimHash assigns each member its
+    rep's signature, and the signature equi-join then emits intra-group
+    pairs on its own."""
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
 
     d = _docs(spark, sf_dir)
-    tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(d)
+    groups = _text_groups(d)
+    reps = _rep_docs(d)
+    tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(reps)
     grams = NGram(n=3, inputCol="tokens", outputCol="grams").transform(tokens)
     tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=1 << 18,
                    binary=True).transform(grams).where(F.size("grams") > 0)
@@ -214,25 +310,52 @@ def dedup_near_dup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
                      seed=42).fit(tf)
     pairs = lsh.approxSimilarityJoin(tf, tf, 1.0 - JACCARD_THRESHOLD,
                                      distCol="jaccard_dist")
-    minhash = (
+    rep_pairs = (
         pairs.where(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
         .select(
-            F.lit("minhash").alias("method"),
-            F.col("datasetA.doc_id").alias("doc_a"),
-            F.col("datasetB.doc_id").alias("doc_b"),
+            F.col("datasetA.h").alias("h_a"),
+            F.col("datasetB.h").alias("h_b"),
             F.round(1.0 - F.col("jaccard_dist"), 6).alias("score"),
         )
     )
-    sigs = simhash_signatures(d)
-    a = sigs.select(F.col("doc_id").alias("doc_a"), "simhash")
-    b = sigs.select(F.col("doc_id").alias("doc_b"), "simhash")
+    ma = groups.select(F.col("h").alias("h_a"), F.col("doc_id").alias("m_a"))
+    mb = groups.select(F.col("h").alias("h_b"), F.col("doc_id").alias("m_b"))
+    cross = (
+        rep_pairs.join(ma, "h_a").join(mb, "h_b")
+        .select(F.lit("minhash").alias("method"),
+                F.least("m_a", "m_b").alias("doc_a"),
+                F.greatest("m_a", "m_b").alias("doc_b"), "score")
+    )
+    x = groups.alias("x")
+    y = groups.alias("y")
+    # Clones of a signature-eligible text (>= 3 tokens => non-empty grams):
+    # estimated Jaccard is exactly 1.0, no banding needed.
+    eligible = tf.select("h")
+    intra = (
+        x.join(y, "h")
+        .where(F.col("x.doc_id") < F.col("y.doc_id"))
+        .join(eligible, "h", "left_semi")
+        .select(F.lit("minhash").alias("method"),
+                F.col("x.doc_id").alias("doc_a"),
+                F.col("y.doc_id").alias("doc_b"),
+                F.lit(1.0).alias("score"))
+    )
+    rep_sigs = simhash_signatures(reps.select("doc_id", "text"))
+    member_sigs = (
+        groups.join(reps.select(F.col("doc_id").alias("rep_id"), "h"), "h")
+        .join(rep_sigs.withColumnRenamed("doc_id", "rep_id"), "rep_id")
+        .select("doc_id", "simhash")
+    )
+    a = member_sigs.select(F.col("doc_id").alias("doc_a"), "simhash")
+    b = member_sigs.select(F.col("doc_id").alias("doc_b"), "simhash")
     simhash = (
         a.join(b, "simhash")
         .where(F.col("doc_a") < F.col("doc_b"))
         .select(F.lit("simhash").alias("method"), "doc_a", "doc_b",
                 F.lit(1.0).alias("score"))
     )
-    return minhash.unionByName(simhash).orderBy("method", "doc_a", "doc_b")
+    return (cross.unionByName(intra).unionByName(simhash)
+            .orderBy("method", "doc_a", "doc_b"))
 
 
 # ---------------------------------------------------------------------------
@@ -297,15 +420,23 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     reachable over exact ∪ Jaccard near-dup edges). Shared by
     dedup_clusters and curation.dedup_canonical."""
     d = _docs(spark, sf_dir)
-    h = d.select("doc_id", F.md5("text").alias("h"))
-    exact = (
-        h.alias("l").join(h.alias("r"), "h")
-        .where(F.col("l.doc_id") < F.col("r.doc_id"))
-        .select(F.col("l.doc_id").alias("a"), F.col("r.doc_id").alias("b"))
+    # Exact-dup edges are STAR-shaped (keeper -> each other member), not
+    # all-pairs: same connectivity, O(k) edges per clone group instead of
+    # O(k²). Near-dup edges connect only the per-text representatives (the
+    # keepers, so the two edge sets meet); members reach the rest of their
+    # component through their keeper. The label fixpoint below is identical
+    # — connectivity is what CC consumes — but a clone-heavy corpus now
+    # contributes a linear edge list.
+    groups = _text_groups(d)
+    keepers = groups.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    star = (
+        groups.join(keepers, "h")
+        .where(F.col("doc_id") != F.col("keeper"))
+        .select(F.col("keeper").alias("a"), F.col("doc_id").alias("b"))
     )
-    jac = dedup_ngram_jaccard(spark, sf_dir).select(
-        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
-    fwd = exact.unionByName(jac)
+    rep_pairs, _ = _rep_jaccard(_rep_docs(d))
+    jac = rep_pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
+    fwd = star.unionByName(jac)
     edges = (
         fwd.unionByName(fwd.select(F.col("b").alias("a"), F.col("a").alias("b")))
         .distinct()

@@ -228,6 +228,39 @@ def test_dedup_clusters_transitive_chain(spark, monkeypatch):
     assert clusters[1]["max_doc_id"] == 4
 
 
+def test_ngram_jaccard_clone_corpus_expansion(spark, monkeypatch):
+    """Clone-corpus scaling contract: the shingle index is built over one
+    representative per distinct text and pairs are expanded back through
+    the clone map — the result must be identical to the naive all-docs
+    self-join. 4 copies of A + 2 copies of a near-dup B + 1 outlier:
+    expect C(4,2)=6 intra-A pairs (J=1), C(2,2)=1 intra-B pair, 4x2=8
+    cross pairs at the rep-pair Jaccard, and no outlier pairs."""
+    from service_level_reporting_spark.operators import dedup as D
+    toks = [f"tok{i:02d}" for i in range(30)]
+    a = " ".join(toks)
+    b_toks = toks.copy(); b_toks[20] = "editB"     # J(a,b) = 25/31 ~ 0.81
+    b = " ".join(b_toks)
+    rows = [(i, a) for i in (1, 3, 5, 7)] + [(i, b) for i in (2, 4)] + \
+        [(9, "nothing in common with anything else at all here truly")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(D, "_docs", lambda s, d: docs)
+    reps = D._rep_docs(docs)
+    assert reps.count() == 3                       # clone collapse
+    out = {(r["doc_a"], r["doc_b"]): (r["n_common"], r["jaccard"])
+           for r in D.dedup_ngram_jaccard(spark, "x").collect()}
+    import itertools
+    intra_a = set(itertools.combinations((1, 3, 5, 7), 2))
+    intra_b = {(2, 4)}
+    cross = {tuple(sorted(p)) for p in itertools.product((1, 3, 5, 7), (2, 4))}
+    assert set(out) == intra_a | intra_b | cross
+    assert all(out[p] == (28, 1.0) for p in intra_a)   # 30 toks -> 28 shingles
+    assert all(out[p] == (28, 1.0) for p in intra_b)
+    assert all(out[p] == (25, round(25 / 31, 6)) for p in cross)
+    # clusters: one component spanning all clones + near-dups, keeper = 1
+    clusters = {r["keeper_doc_id"]: r for r in D.dedup_clusters(spark, "x").collect()}
+    assert list(clusters) == [1] and clusters[1]["n_docs"] == 6
+
+
 def test_tfidf_planted_rarity(spark, monkeypatch):
     """A token present in EVERY doc gets idf = ln((N+1)/(N+1)) = 0 and must
     never outrank a doc-unique token; per-doc top-k is deterministic."""
