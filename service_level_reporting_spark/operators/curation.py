@@ -293,3 +293,73 @@ def corpus_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile("source", F.avg(F.length("source"))))
         .unionByName(profile("n_chars", F.avg("n_chars")))
     )
+
+
+# ---------------------------------------------------------------------------
+# Benchmark decontamination — the training-data pass that removes documents
+# overlapping a held-out evaluation set (the standard n-gram-overlap rule:
+# a training doc is contaminated if it shares any 5-word shingle with any
+# benchmark doc). Testdata ships no benchmark corpus, so the held-out set
+# is a deterministic slice of documents itself (doc_id % 11 == 0) — the
+# machinery under test is the overlap join, not the benchmark's provenance.
+#
+# Scale notes (100 TB): the benchmark n-gram set is tiny relative to the
+# corpus (an eval suite is MBs; the corpus is TBs), so it is BROADCAST and
+# the whole pass is one scan over the corpus shingles with a broadcast-hash
+# semi-join-shaped probe — no corpus-wide shuffle. Only matching shingles
+# (rare by construction) reach the per-doc aggregation. Shingles probe by
+# 64-bit hash, same trade as dedup; width 5 matches common practice of
+# 8-13-gram character/word windows scaled to the fixture's short docs.
+# ---------------------------------------------------------------------------
+
+DECONTAM_NGRAM = 5
+DECONTAM_MOD = 11
+
+
+@register(
+    "corpus_decontaminate",
+    oracle=f"""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    idx AS (SELECT doc_id, w,
+                   unnest(generate_series(1, greatest(len(w) - {DECONTAM_NGRAM - 1}, 0))) AS i
+            FROM tok),
+    sh AS (SELECT DISTINCT doc_id,
+                  concat_ws(' ', w[i], w[i+1], w[i+2], w[i+3], w[i+4]) AS sh
+           FROM idx),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % {DECONTAM_MOD} = 0),
+    sizes AS (SELECT doc_id, count(*) AS n_ngrams FROM sh GROUP BY doc_id),
+    hits AS (SELECT s.doc_id, count(*) AS n_overlap
+             FROM sh s JOIN bench b USING (sh)
+             WHERE s.doc_id % {DECONTAM_MOD} <> 0
+             GROUP BY s.doc_id)
+    SELECT h.doc_id, d.source, h.n_overlap, z.n_ngrams,
+           round(h.n_overlap * 1.0 / z.n_ngrams, 6) AS overlap_frac
+    FROM hits h
+    JOIN sizes z USING (doc_id)
+    JOIN documents d USING (doc_id)
+    """,
+)
+def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag training docs sharing >= 1 distinct 5-gram with the held-out
+    benchmark slice; n_overlap counts shared distinct shingles, and
+    overlap_frac normalizes by the doc's own shingle count (1.0 = the doc
+    is entirely inside the benchmark's n-gram set)."""
+    from service_level_reporting_spark.operators.dedup import _shingle_index
+
+    d = _docs(spark, sf_dir)
+    sh = _shingle_index(d, width=DECONTAM_NGRAM)
+    is_bench = F.col("doc_id") % DECONTAM_MOD == 0
+    bench = sh.where(is_bench).select("sh").distinct()
+    train_sh = sh.where(~is_bench)
+    sizes = train_sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_ngrams"))
+    hits = (
+        train_sh.join(F.broadcast(bench), "sh")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        hits.join(sizes, "doc_id")
+        .join(d.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "n_overlap", "n_ngrams",
+                SF.r6(F.col("n_overlap") / F.col("n_ngrams")).alias("overlap_frac"))
+    )

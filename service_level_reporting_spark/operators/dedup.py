@@ -121,8 +121,8 @@ def _rep_docs(d: DataFrame) -> DataFrame:
     )
 
 
-def _shingle_index(docs: DataFrame) -> DataFrame:
-    """Distinct (doc_id, shingle-hash) pairs of 3-word shingles.
+def _shingle_index(docs: DataFrame, width: int = 3) -> DataFrame:
+    """Distinct (doc_id, shingle-hash) pairs of `width`-word shingles.
 
     Guard: for docs with <3 tokens Spark's sequence(1, 0) is DESCENDING
     [1, 0] (default step -1 when start > stop) and slice(words, 0, 3)
@@ -136,13 +136,14 @@ def _shingle_index(docs: DataFrame) -> DataFrame:
     trade every shingle-based dedup makes."""
     words = F.split("text", " ")
     shingle_ix = F.when(
-        F.size(words) >= 3, F.sequence(F.lit(1), F.size(words) - 2)
+        F.size(words) >= width, F.sequence(F.lit(1), F.size(words) - (width - 1))
     ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
     return (
         docs.select(
             "doc_id",
             F.explode(
-                F.transform(shingle_ix, lambda i: F.concat_ws(" ", F.slice(words, i, 3)))
+                F.transform(shingle_ix,
+                            lambda i: F.concat_ws(" ", F.slice(words, i, width)))
             ).alias("sh"),
         )
         .select("doc_id", F.xxhash64("sh").alias("sh"))

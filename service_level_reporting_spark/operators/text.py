@@ -41,21 +41,6 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_REGEX = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
 
 
-@register(
-    "text_stats",
-    oracle=f"""
-    SELECT lang, source,
-           count(*) AS n_docs,
-           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
-           CAST(sum(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT)
-               AS n_regex_tokens,
-           CAST(sum(length(text)) AS BIGINT) AS n_chars_total,
-           round(avg(length(text)), 6) AS avg_chars,
-           count(CASE WHEN length(text) != n_chars THEN 1 END) AS n_chars_mismatch
-    FROM documents
-    GROUP BY lang, source
-    """,
-)
 def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     n_tok = F.size(F.split("text", " "))
@@ -97,15 +82,23 @@ def text_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Quality scoring + language-ID as one labeled result (round-2
-# consolidation; both are per-doc marker/heuristic scorings aggregated to a
-# small report):
-#   'quality'  — length/stopword/diversity heuristics per doc, aggregated
-#     per source (key1 = source; the "filter low-quality shards" signal).
+# text_profile_suite — corpus profiling as ONE labeled result (round-3
+# consolidation of text_stats + text_quality_language, freeing a registry
+# slot inside the driver's 50-row correctness window):
+#   'stats'    — per (key1 = lang, key2 = source) volume counters: docs,
+#     whitespace tokens, BPE-ish regex tokens, chars, metadata drift.
+#   'quality'  — length/stopword/diversity heuristics per doc plus a
+#     MassiveText-style repetition signal (fraction of duplicate word
+#     2-grams), aggregated per source (key1 = source; the "filter
+#     low-quality shards" signal). A quality doc is long enough, diverse
+#     enough, and not repetition-dominated (dup-2-gram fraction <= 0.5).
 #   'language' — marker-word profile scoring + deterministic argmax,
 #     confusion counts per (key1 = predicted, key2 = actual). Labels are
 #     synthetic — see module docstring — so this verifies the scoring
 #     machinery, not classifier accuracy.
+# All three parts are one scan each over documents, partial-aggregated
+# before the tiny union — the suite is three wordcount-shaped passes, not a
+# per-doc materialization.
 # ---------------------------------------------------------------------------
 
 STOPWORDS = ("the", "a", "of", "and", "to")
@@ -126,14 +119,21 @@ def _profile_sql(lang: str) -> str:
 
 
 @register(
-    "text_quality_language",
+    "text_profile_suite",
     oracle=f"""
     WITH scored AS (
         SELECT source,
                len(string_split(text, ' ')) AS n_tok,
                len(list_distinct(string_split(text, ' '))) AS n_uniq,
                len(list_filter(string_split(text, ' '), t -> t IN {_STOP_SQL}))
-                   AS n_stop
+                   AS n_stop,
+               CASE WHEN len(string_split(text, ' ')) >= 2 THEN
+                   1.0 - len(list_distinct(list_transform(
+                             generate_series(1, len(string_split(text, ' ')) - 1),
+                             i -> string_split(text, ' ')[i] || ' ' ||
+                                  string_split(text, ' ')[i + 1])))
+                         * 1.0 / (len(string_split(text, ' ')) - 1)
+                   ELSE 0.0 END AS dup2
         FROM documents
     ),
     lang_scored AS (
@@ -152,44 +152,95 @@ def _profile_sql(lang: str) -> str:
                    WHEN s_fr THEN 'fr' WHEN s_zh THEN 'zh' END AS predicted_lang
         FROM lang_scored
     )
-    SELECT 'quality' AS part, source AS key1, CAST(NULL AS VARCHAR) AS key2,
+    SELECT 'stats' AS part, lang AS key1, source AS key2,
            count(*) AS n_docs,
-           round(avg(n_tok), 6) AS avg_tokens,
-           round(avg(n_uniq / n_tok), 6) AS avg_diversity,
-           round(avg(n_stop / n_tok), 6) AS avg_stopword_ratio,
-           count(CASE WHEN n_tok >= 20 AND n_uniq / n_tok >= 0.3 THEN 1 END)
-               AS n_quality_docs
+           CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+           CAST(sum(len(regexp_extract_all(text, '{TOKEN_REGEX}'))) AS BIGINT)
+               AS n_regex_tokens,
+           CAST(sum(length(text)) AS BIGINT) AS n_chars_total,
+           round(avg(length(text)), 6) AS avg_chars,
+           count(CASE WHEN length(text) != n_chars THEN 1 END)
+               AS n_chars_mismatch,
+           CAST(NULL AS DOUBLE) AS avg_tokens, CAST(NULL AS DOUBLE) AS avg_diversity,
+           CAST(NULL AS DOUBLE) AS avg_stopword_ratio,
+           CAST(NULL AS DOUBLE) AS avg_dup2_frac,
+           CAST(NULL AS BIGINT) AS n_quality_docs
+    FROM documents
+    GROUP BY lang, source
+    UNION ALL
+    SELECT 'quality', source, CAST(NULL AS VARCHAR),
+           count(*),
+           NULL, NULL, NULL, NULL, NULL,
+           round(avg(n_tok), 6),
+           round(avg(n_uniq / n_tok), 6),
+           round(avg(n_stop / n_tok), 6),
+           round(avg(dup2), 6),
+           count(CASE WHEN n_tok >= 20 AND n_uniq / n_tok >= 0.3
+                       AND dup2 <= 0.5 THEN 1 END)
     FROM scored
     GROUP BY source
     UNION ALL
     SELECT 'language', predicted_lang, actual_lang, count(*),
-           NULL, NULL, NULL, NULL
+           NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL
     FROM best GROUP BY predicted_lang, actual_lang
     """,
 )
-def text_quality_language(spark: SparkSession, sf_dir: str) -> DataFrame:
+def text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
+
+    def widen(df, **parts):
+        """Project onto the suite's common 14-column schema; absent metric
+        columns become typed NULLs (merged-suite rule: identical names AND
+        casts on both engines)."""
+        cols = [F.lit(parts.pop("part")).alias("part")]
+        for name, typ in (("key1", "string"), ("key2", "string"),
+                          ("n_docs", "long"), ("n_tokens", "long"),
+                          ("n_regex_tokens", "long"), ("n_chars_total", "long"),
+                          ("avg_chars", "double"), ("n_chars_mismatch", "long"),
+                          ("avg_tokens", "double"), ("avg_diversity", "double"),
+                          ("avg_stopword_ratio", "double"),
+                          ("avg_dup2_frac", "double"), ("n_quality_docs", "long")):
+            cols.append((F.col(name) if name in df.columns
+                         else F.lit(None).cast(typ)).alias(name))
+        return df.select(*cols)
+
+    stats = widen(
+        text_stats(spark, sf_dir)
+        .withColumnsRenamed({"lang": "key1", "source": "key2"}),
+        part="stats")
+
     toks = F.split("text", " ")
-    n_tok = F.size(toks)
-    n_uniq = F.size(F.array_distinct(toks))
-    n_stop = F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS)))
-    scored = d.select(
-        "source", n_tok.alias("n_tok"), n_uniq.alias("n_uniq"), n_stop.alias("n_stop"))
-    diversity = F.col("n_uniq") / F.col("n_tok")
-    null_d = F.lit(None).cast("double")
-    quality = scored.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        SF.r6(F.avg("n_tok")).alias("avg_tokens"),
-        SF.r6(F.avg(diversity)).alias("avg_diversity"),
-        SF.r6(F.avg(F.col("n_stop") / F.col("n_tok"))).alias("avg_stopword_ratio"),
-        F.count(F.when((F.col("n_tok") >= 20) & (diversity >= 0.3), F.lit(1)))
-        .alias("n_quality_docs"),
-    ).select(
-        F.lit("quality").alias("part"), F.col("source").alias("key1"),
-        F.lit(None).cast("string").alias("key2"),
-        "n_docs", "avg_tokens", "avg_diversity", "avg_stopword_ratio",
-        "n_quality_docs",
+    # Repetition (MassiveText-style): fraction of duplicate word 2-grams.
+    # Built over a materialized token-array column — inlining the split into
+    # the zip_with would let CollapseProject re-expand it per reference.
+    dup2 = F.when(
+        F.size(F.col("toks")) >= 2,
+        1.0 - F.size(F.array_distinct(F.col("grams")))
+        / (F.size(F.col("toks")) - 1)).otherwise(F.lit(0.0))
+    scored = (
+        d.select("source", toks.alias("toks"))
+        .withColumn("grams", F.expr(
+            "zip_with(slice(toks, 1, size(toks) - 1), "
+            "slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b))"))
+        .select("source", F.size("toks").alias("n_tok"),
+                F.size(F.array_distinct("toks")).alias("n_uniq"),
+                F.size(F.filter(F.col("toks"),
+                                lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+                dup2.alias("dup2"))
     )
+    diversity = F.col("n_uniq") / F.col("n_tok")
+    quality = widen(
+        scored.groupBy(F.col("source").alias("key1")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            SF.r6(F.avg("n_tok")).alias("avg_tokens"),
+            SF.r6(F.avg(diversity)).alias("avg_diversity"),
+            SF.r6(F.avg(F.col("n_stop") / F.col("n_tok"))).alias("avg_stopword_ratio"),
+            SF.r6(F.avg("dup2")).alias("avg_dup2_frac"),
+            F.count(F.when((F.col("n_tok") >= 20) & (diversity >= 0.3)
+                           & (F.col("dup2") <= 0.5), F.lit(1)))
+            .alias("n_quality_docs"),
+        ),
+        part="quality")
 
     def member_of(words):
         # Single-arg lambda required: PySpark reads the lambda arity to pick
@@ -209,16 +260,12 @@ def text_quality_language(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(scores["fr"] == best, "fr")
         .otherwise("zh")
     )
-    language = (
+    language = widen(
         d.select(predicted.alias("key1"), F.col("lang").alias("key2"))
         .groupBy("key1", "key2")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .select(F.lit("language").alias("part"), "key1", "key2", "n_docs",
-                null_d.alias("avg_tokens"), null_d.alias("avg_diversity"),
-                null_d.alias("avg_stopword_ratio"),
-                F.lit(None).cast("long").alias("n_quality_docs"))
-    )
-    return quality.unionByName(language)
+        .agg(F.count(F.lit(1)).alias("n_docs")),
+        part="language")
+    return stats.unionByName(quality).unionByName(language)
 
 
 # ---------------------------------------------------------------------------

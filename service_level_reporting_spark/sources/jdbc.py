@@ -98,8 +98,12 @@ from service_level_reporting_spark.tables import load_tables
 DERBY_DRIVER = "org.apache.derby.jdbc.EmbeddedDriver"
 
 
-def _derby_url(name: str) -> str:
-    path = _os.path.join(_tempfile.gettempdir(), name)
+def _derby_url(name: str, app_id: str) -> str:
+    # Embedded Derby allows ONE JVM per database directory (it takes a
+    # db.lck on boot) — suffix the path with the Spark application id so
+    # concurrent sessions (e.g. pytest next to a driver run) get disjoint
+    # databases instead of a lock collision.
+    path = _os.path.join(_tempfile.gettempdir(), f"{name}_{app_id}")
     return f"jdbc:derby:{path};create=true"
 
 
@@ -123,7 +127,7 @@ def _jdbc_catalog_oracle() -> str:
 def source_jdbc_catalog(spark: SparkSession, sf_dir: str) -> DataFrame:
     from service_level_reporting_spark.operators.catalog import catalog_dims
 
-    url = _derby_url("slr_derby_catalog")
+    url = _derby_url("slr_derby_catalog", spark.sparkContext.applicationId)
     target = catalog_dims(spark)["target"]
     (
         target.write.format("jdbc")

@@ -261,6 +261,48 @@ def test_ngram_jaccard_clone_corpus_expansion(spark, monkeypatch):
     assert list(clusters) == [1] and clusters[1]["n_docs"] == 6
 
 
+def test_decontaminate_planted_overlap(spark, monkeypatch):
+    """Docs sharing a 5-gram with the benchmark slice (doc_id % 11 == 0)
+    are flagged with the right overlap accounting; clean docs and the
+    benchmark docs themselves are not."""
+    from service_level_reporting_spark.operators import curation as C
+    bench_text = "alpha beta gamma delta epsilon zeta eta"     # 3 5-grams
+    contaminated = "intro words then alpha beta gamma delta epsilon closing"
+    docs = spark.createDataFrame(
+        [(0, bench_text, "s1"),                                # benchmark
+         (1, contaminated, "s2"),                              # 1 shared 5-gram...
+         (2, "totally unrelated content with no shared window at all", "s2"),
+         (3, "alpha beta gamma delta epsilon zeta eta", "s3")],  # clone of bench
+        "doc_id long, text string, source string")
+    monkeypatch.setattr(C, "_docs", lambda s, d: docs)
+    rows = {r["doc_id"]: r for r in C.corpus_decontaminate(spark, "x").collect()}
+    assert set(rows) == {1, 3}
+    # doc 1: 5 5-grams, windows alpha..epsilon (x1 shared: positions 4-8)
+    assert rows[1]["n_overlap"] == 1 and rows[1]["n_ngrams"] == 5
+    assert rows[1]["overlap_frac"] == 0.2
+    # doc 3 is a verbatim copy: all 3 of its 5-grams are benchmark 5-grams
+    assert rows[3]["n_overlap"] == 3 and rows[3]["overlap_frac"] == 1.0
+
+
+def test_quality_repetition_gate(spark, monkeypatch):
+    """The dup-2-gram fraction must capture repetition loops: a doc that is
+    one phrase repeated scores ~1 - k/n and falls out of n_quality_docs
+    despite being long and stopword-free."""
+    from service_level_reporting_spark.operators import text as T
+    loop = " ".join(["spin cycle repeat"] * 10)    # 30 tokens, 29 2-grams, 3 distinct
+    varied = " ".join(f"w{i:02d}" for i in range(30))
+    docs = spark.createDataFrame(
+        [(1, loop, "sA", "en", len(loop)), (2, varied, "sB", "en", len(varied))],
+        "doc_id long, text string, source string, lang string, n_chars long")
+    monkeypatch.setattr(T, "_docs", lambda s, d: docs)
+    rows = {r["key1"]: r for r in T.text_profile_suite(spark, "x").collect()
+            if r["part"] == "quality"}
+    assert rows["sA"]["n_quality_docs"] == 0          # repetition-dominated
+    assert rows["sA"]["avg_dup2_frac"] == round(1 - 3 / 29, 6)
+    assert rows["sB"]["n_quality_docs"] == 1
+    assert rows["sB"]["avg_dup2_frac"] == 0.0
+
+
 def test_tfidf_planted_rarity(spark, monkeypatch):
     """A token present in EVERY doc gets idf = ln((N+1)/(N+1)) = 0 and must
     never outrank a doc-unique token; per-doc top-k is deterministic."""
