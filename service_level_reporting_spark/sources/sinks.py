@@ -171,14 +171,94 @@ def sink_bucketed_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Incremental aggregation (delta processing): maintain a daily rollup STATE
+# table by merging only the NEW window's partial aggregates — the pattern
+# that keeps a 100 TB rollup current by touching the delta, not history.
+# Works because the kept aggregates are algebraic: (sum, count, min, max)
+# partials combine associatively (avg derives as sum/count at read time —
+# never store avg, it does not merge). The merge re-aggregates ONLY the day
+# partitions the delta overlaps, exactly like merge_upsert_minutes; a
+# production deployment pairs this with a processed-watermark record so a
+# delta is applied exactly once (out of scope here — the leg verifies the
+# algebra by comparing state to a one-shot recompute).
+# ---------------------------------------------------------------------------
+
+INCR_CUT = "2024-01-20 12:00:00"  # mid-day: the cut day's partials exist in
+                                  # BOTH loads, forcing a real combine
+
+
+def _daily_partials(ev: DataFrame) -> DataFrame:
+    return (
+        ev.groupBy(F.col("event_type").alias("indicator"),
+                   SF.day_str("ts").alias("day"))
+        .agg(F.sum("value").alias("sum_v"), F.count(F.lit(1)).alias("n"),
+             F.min("value").alias("min_v"), F.max("value").alias("max_v"))
+    )
+
+
+def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial load (ts < cut) writes the state; the delta (ts >= cut)
+    merges in via partial-aggregate combine over only its affected days.
+    Returns per-indicator totals from the STATE plus a '_mismatches' row
+    counting state-vs-full-recompute disagreements (must be 0)."""
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    out = os.path.join(tempfile.gettempdir(), f"slr_incr_state_{tag}")
+
+    initial = _daily_partials(ev.where(F.col("ts") < INCR_CUT))
+    (initial.repartition("day").write.mode("overwrite")
+     .partitionBy("day").parquet(out))
+
+    delta = _daily_partials(ev.where(F.col("ts") >= INCR_CUT))
+    affected = [r["day"] for r in delta.select("day").distinct().collect()]
+    existing = spark.read.parquet(out).where(F.col("day").isin(affected))
+    merged = (
+        existing.select("indicator", "day", "sum_v", "n", "min_v", "max_v")
+        .unionByName(delta)
+        .groupBy("indicator", "day")
+        .agg(F.sum("sum_v").alias("sum_v"), F.sum("n").alias("n"),
+             F.min("min_v").alias("min_v"), F.max("max_v").alias("max_v"))
+        .localCheckpoint(eager=True)  # read-then-overwrite hazard
+    )
+    (merged.repartition("day").write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("day").parquet(out))
+
+    state = spark.read.parquet(out)
+    full = _daily_partials(ev)
+    mismatches = (
+        state.alias("s").join(full.alias("f"), ["indicator", "day"], "full_outer")
+        .where(
+            F.col("s.n").isNull() | F.col("f.n").isNull()
+            | (F.col("s.n") != F.col("f.n"))
+            | (F.abs(F.col("s.sum_v") - F.col("f.sum_v")) > 1e-6)
+            | (F.col("s.min_v") != F.col("f.min_v"))
+            | (F.col("s.max_v") != F.col("f.max_v")))
+        .count()
+    )
+    per_ind = (
+        state.groupBy("indicator")
+        .agg(F.sum("n").alias("total_points"),
+             F.countDistinct("day").alias("n_days"),
+             F.round(F.sum("sum_v"), 4).alias("sum_value"))
+    )
+    return per_ind.unionByName(per_ind.sparkSession.createDataFrame(
+        [("_mismatches", mismatches, None, None)],
+        "indicator string, total_points long, n_days long, sum_value double"))
+
+
 @register("sink_suite")  # rows-only: sink semantics, asserted via re-read
 def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Labeled union of the two sink legs (round-3 consolidation so both
+    """Labeled union of the three sink legs (round-3 consolidation so all
     land one driver CORRECTNESS row):
       'upsert_merge'     — partition-grain overwrite + key-grain MERGE,
         re-read per-indicator counts (idempotence pytest-pinned);
       'bucketed_groupby' — events written bucketed by user_id, then the
-        exchange-free bucket-key aggregate (zero-shuffle plan-asserted)."""
+        exchange-free bucket-key aggregate (zero-shuffle plan-asserted);
+      'incremental'      — delta-processing rollup state: algebraic
+        partial-aggregate merge over affected partitions only, verified
+        against a one-shot recompute (mismatch row must be 0)."""
     upsert = sink_upsert_merge(spark, sf_dir).select(
         F.lit("upsert_merge").alias("part"),
         F.col("indicator").alias("key"),
@@ -193,4 +273,12 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("long").alias("n2"),
         F.col("avg_value").alias("v"),
     )
-    return upsert.unionByName(bucketed).orderBy("part", "key")
+    incremental = incremental_daily_rollup(spark, sf_dir).select(
+        F.lit("incremental").alias("part"),
+        F.col("indicator").alias("key"),
+        F.col("total_points").alias("n"),
+        F.col("n_days").alias("n2"),
+        F.col("sum_value").alias("v"),
+    )
+    return (upsert.unionByName(bucketed).unionByName(incremental)
+            .orderBy("part", "key"))

@@ -86,6 +86,20 @@ def test_near_dup_signatures_find_planted_dups(spark):
 
 # --- sink idempotence + key-level merge ------------------------------------
 
+def test_incremental_rollup_state_equals_recompute(spark):
+    """Delta processing: after merging the post-cut delta's partial
+    aggregates into the initial-load state, the state must be cell-exact
+    with a one-shot recompute (the '_mismatches' row), and the mid-day cut
+    forces a genuine combine on the cut day."""
+    rows = {r["indicator"]: r for r in
+            SINK.incremental_daily_rollup(spark, SF_DIR_001).collect()}
+    assert rows["_mismatches"]["total_points"] == 0
+    indicators = set(rows) - {"_mismatches"}
+    assert indicators == {"click", "error", "purchase", "signup", "view"}
+    # every indicator's state covers the full 30-day window, incl. cut day
+    assert all(rows[i]["n_days"] == 30 for i in indicators)
+
+
 def test_upsert_sink_idempotent_across_invocations(spark):
     first = {r["indicator"]: r.asDict()
              for r in SINK.sink_upsert_merge(spark, SF_DIR_001).collect()}
@@ -211,7 +225,7 @@ def test_jdbc_derby_roundtrip(spark):
         DERBY_DRIVER, _derby_url, read_jdbc_table)
 
     target = catalog_dims(spark)["target"]
-    url = _derby_url("slr_derby_test")
+    url = _derby_url("slr_derby_test", spark.sparkContext.applicationId)
     (target.write.format("jdbc").option("url", url)
      .option("dbtable", "t_roundtrip").option("driver", DERBY_DRIVER)
      .mode("overwrite").save())
