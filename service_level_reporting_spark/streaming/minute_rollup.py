@@ -27,32 +27,44 @@ from pyspark.sql import functions as F
 
 from service_level_reporting_spark.registry import register
 
-RAW_EVENTS_SCHEMA = ("event_id bigint, ts bigint, user_id bigint, "
-                     "event_type string, value double, props string")
+NORMALIZED_EVENTS_SCHEMA = ("event_id bigint, ts timestamp, user_id bigint, "
+                            "event_type string, value double, props string")
 
 
-def _staged_dir(sf_dir: str) -> str:
+def _staged_dir(spark: SparkSession, sf_dir: str) -> str:
     """Spark's file streaming source needs a DIRECTORY; testdata ships a bare
-    file. Stage a copy under /tmp once per sf (idempotent, mtime-checked)."""
+    file. Stage a NORMALIZED copy under /tmp once per sf (idempotent,
+    mtime-checked against the source).
+
+    Staging goes through ``tables.load_tables`` — the single seam that owns
+    timestamp normalization — so the stream source never has to know whether
+    the raw file encodes ``ts`` as int64 nanoseconds (round-1 testdata) or a
+    real parquet timestamp (current testdata). A production deployment's
+    file/Kafka source lands already-normalized records the same way.
+    """
     src = f"{sf_dir}/events.parquet"
-    tag = sf_dir.strip("/").replace("/", "_")
-    dst_dir = os.path.join(tempfile.gettempdir(), f"slr_stream_{tag}")
-    dst = os.path.join(dst_dir, "events.parquet")
-    if not (os.path.exists(dst)
-            and os.path.getmtime(dst) >= os.path.getmtime(src)):
-        os.makedirs(dst_dir, exist_ok=True)
-        shutil.copy2(src, dst)
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    dst_dir = os.path.join(tempfile.gettempdir(), f"slr_stream_norm_{tag}")
+    marker = os.path.join(dst_dir, "_STAGED")
+    if not (os.path.exists(marker)
+            and os.path.getmtime(marker) >= os.path.getmtime(src)):
+        from service_level_reporting_spark.tables import load_tables
+
+        shutil.rmtree(dst_dir, ignore_errors=True)
+        ev = load_tables(spark, sf_dir, ("events",))["events"]
+        ev.coalesce(1).write.mode("overwrite").parquet(dst_dir)
+        with open(marker, "w") as fh:
+            fh.write("ok")
     return dst_dir
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet as a file-source stream with the ns→timestamp fix."""
-    raw = (
-        spark.readStream.schema(RAW_EVENTS_SCHEMA)
+    """events.parquet as a file-source stream over the normalized staging."""
+    return (
+        spark.readStream.schema(NORMALIZED_EVENTS_SCHEMA)
         .format("parquet")
-        .load(_staged_dir(sf_dir))
+        .load(_staged_dir(spark, sf_dir))
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
 
 
 def _run_to_table(df: DataFrame, mode: str, name_prefix: str) -> DataFrame:
