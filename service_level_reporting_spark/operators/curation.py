@@ -1,7 +1,8 @@
 """Corpus-curation operators (SURVEY.md §2.8 round-3 additions): TF-IDF
 term weighting, canonical-document selection over duplicate clusters, and a
 curation suite (deterministic stratified sampling, PII-style redaction,
-column profiling).
+column profiling, training-sequence packing, source temperature
+resampling).
 
 Origin N: not in the reference (SLR has no document processing) — mandated
 by the north star's LLM-data-pipeline requirement. These are the remaining
@@ -159,7 +160,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Curation suite: three labeled parts over `documents`, one result schema
+# Curation suite: five labeled parts over `documents`, one result schema
 # (part, key, n, n2, v):
 #   'sample'  — deterministic stratified sample: per lang, order by
 #     md5(doc_id) (a fixed uniform permutation) and keep the first
@@ -173,9 +174,26 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     length after replacement.
 #   'profile' — per-column stats: key=column, n=n_distinct, n2=n_nulls,
 #     v=avg length/value where numeric.
+#   'pack'    — sequence packing for training batches: concatenate docs in
+#     deterministic (doc_id) order per lang and cut every PACK_BUDGET
+#     whitespace tokens; a doc lands in the sequence where its cumulative
+#     token count BEFORE it falls (doc boundaries respected — the common
+#     "greedy fill, no doc splitting" policy). key=lang, n=n_sequences,
+#     n2=n_docs_packed, v=mean fill fraction (seq tokens / budget; the
+#     overflow doc of a bin can push fill past 1.0 — that surplus is what
+#     a real packer truncates). At 100 TB packing is per-shard, never a
+#     global order: the per-lang window here IS the per-shard form (state
+#     = one stratum's running sum; strata pack independently in parallel).
+#   'mix'     — source temperature resampling: per-source sampling weight
+#     ∝ n^MIX_ALPHA (temperature < 1 upweights small sources), normalized
+#     over sources. key=source, n=n_docs, n2=target docs after resampling
+#     to the same corpus size (round(N · w)), v=weight. One tiny grouped
+#     frame; the over-() window runs on `n_sources` rows, not the corpus.
 # ---------------------------------------------------------------------------
 
 SAMPLE_FRAC = 0.2
+PACK_BUDGET = 512
+MIX_ALPHA = 0.5
 RE_PII = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}|[0-9]{3,}"
 RE_BLOCKLIST = "\\b(hash|key|value)\\b"
 REDACTED = "[X]"
@@ -237,17 +255,62 @@ REDACTED = "[X]"
                count(*) - count(n_chars),
                CAST(round(avg(n_chars), 6) AS DOUBLE)
         FROM documents
+    ),
+    ptok AS (
+        SELECT lang, doc_id,
+               len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS n_tok
+        FROM documents
+    ),
+    pcum AS (
+        SELECT lang, n_tok,
+               sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS cum
+        FROM ptok
+    ),
+    pseq AS (
+        SELECT lang,
+               CAST(floor((cum - n_tok) / {PACK_BUDGET}.0) AS BIGINT)
+                   AS seq_id,
+               sum(n_tok) AS seq_tokens, count(*) AS n_docs
+        FROM pcum GROUP BY lang, seq_id
+    ),
+    pack AS (
+        SELECT 'pack' AS part, lang AS key, count(*) AS n,
+               CAST(sum(n_docs) AS BIGINT) AS n2,
+               CAST(round(avg(seq_tokens / {PACK_BUDGET}.0), 6) AS DOUBLE)
+                   AS v
+        FROM pseq GROUP BY lang
+    ),
+    msrc AS (SELECT source, count(*) AS n_docs FROM documents
+             GROUP BY source),
+    mnorm AS (
+        SELECT source, n_docs, pow(n_docs, {MIX_ALPHA}) AS w_raw,
+               sum(pow(n_docs, {MIX_ALPHA})) OVER () AS w_sum,
+               sum(n_docs) OVER () AS n_total
+        FROM msrc
+    ),
+    mix AS (
+        SELECT 'mix' AS part, source AS key, n_docs AS n,
+               CAST(round(n_total * w_raw / w_sum) AS BIGINT) AS n2,
+               CAST(round(w_raw / w_sum, 6) AS DOUBLE) AS v
+        FROM mnorm
     )
     SELECT * FROM sample
     UNION ALL SELECT * FROM redact_pii
     UNION ALL SELECT * FROM redact_block
     UNION ALL SELECT * FROM profile
+    UNION ALL SELECT * FROM pack
+    UNION ALL SELECT * FROM mix
     """,
 )
 def corpus_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sampling + redaction + profiling in labeled parts (see block
-    comment). Every part is a single scan + tiny aggregate; the sampling
-    window partitions by stratum. Hash-checked against DuckDB, including
+    """Sampling + redaction + profiling + sequence packing + source-mix
+    resampling in labeled parts (see block comment). Every part is a
+    single scan + tiny aggregate; the sampling and packing windows
+    partition by stratum (= shard at scale), the mix window runs over the
+    per-source grouped frame only. Hash-checked against DuckDB, including
     the regexp_replace outputs (patterns stay in the Java∩RE2 common
     dialect)."""
     d = _docs(spark, sf_dir)
@@ -285,6 +348,38 @@ def corpus_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit("profile").alias("part"), F.lit(col).alias("key"),
                  "n", "n2", "v")
 
+    n_tok = F.size(F.filter(F.split("text", " "), lambda t: t != F.lit("")))
+    wcum = (Window.partitionBy("lang").orderBy("doc_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    pack = (
+        d.select("lang", "doc_id", n_tok.alias("n_tok"))
+        .withColumn("cum", F.sum("n_tok").over(wcum))
+        .withColumn("seq_id", F.floor((F.col("cum") - F.col("n_tok"))
+                                      / float(PACK_BUDGET)))
+        .groupBy("lang", "seq_id")
+        .agg(F.sum("n_tok").alias("seq_tokens"),
+             F.count(F.lit(1)).alias("n_docs"))
+        .groupBy(F.col("lang").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_docs").alias("n2"),
+             SF.r6(F.avg(F.col("seq_tokens") / float(PACK_BUDGET)))
+             .cast("double").alias("v"))
+        .select(F.lit("pack").alias("part"), "key", "n", "n2", "v")
+    )
+
+    wall = Window.partitionBy()
+    mix = (
+        d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+        .withColumn("w_raw", F.pow("n_docs", F.lit(MIX_ALPHA)))
+        .withColumn("w_sum", F.sum("w_raw").over(wall))
+        .withColumn("n_total", F.sum("n_docs").over(wall))
+        .select(F.lit("mix").alias("part"), F.col("source").alias("key"),
+                F.col("n_docs").alias("n"),
+                F.round(F.col("n_total") * F.col("w_raw") / F.col("w_sum"))
+                .cast("long").alias("n2"),
+                SF.r6(F.col("w_raw") / F.col("w_sum")).cast("double").alias("v"))
+    )
+
     return (
         sample
         .unionByName(redact("pii", RE_PII))
@@ -292,6 +387,8 @@ def corpus_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile("lang", F.avg(F.length("lang"))))
         .unionByName(profile("source", F.avg(F.length("source"))))
         .unionByName(profile("n_chars", F.avg("n_chars")))
+        .unionByName(pack)
+        .unionByName(mix)
     )
 
 

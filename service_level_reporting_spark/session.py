@@ -21,8 +21,10 @@ from pyspark.sql import SparkSession
 # Confs that are runtime-settable and required for correctness on the
 # /root/testdata parquet layout (SURVEY.md §1.3).
 _RUNTIME_CONFS = {
-    # events.ts is parquet timestamp[ns]; Spark 4.x refuses it unless read
-    # as raw long nanoseconds (we convert in tables.load_tables).
+    # Round-1-style testdata wrote events.ts as parquet timestamp[ns], which
+    # Spark 4.x refuses unless read as raw long nanoseconds (converted in
+    # tables.load_tables). Harmless when the data is timestamp[us] (current
+    # testdata): the conf only affects NANOS-typed columns.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Deterministic wall-clock semantics; matches DuckDB's naive reading.
     "spark.sql.session.timeZone": "UTC",

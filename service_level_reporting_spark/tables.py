@@ -6,7 +6,9 @@ dims stand in for the ProductGroup/Product/SLO/Target catalog.
 
 Normalization handled here, once, so every operator sees clean types:
 
-* ``events.ts`` is parquet ``timestamp[ns]``. With
+* ``events.ts`` encoding varies by testdata generation: round-1 files were
+  parquet ``timestamp[ns]``; later regens write ``timestamp[us]``, which
+  Spark reads natively (``_is_long`` picks the path). For the ns case: with
   ``spark.sql.legacy.parquet.nanosAsLong=true`` Spark reads it as LongType
   nanoseconds; we convert with exact integer math
   (``timestamp_micros(ts div 1000)``) — no double round-trip, so values match

@@ -373,3 +373,30 @@ def test_curation_suite_sample_exact_rate_and_redaction(spark, monkeypatch):
     assert parts[("redact", "blocklist")]["n2"] == 5
     assert parts[("redact", "blocklist")]["n"] == 5
     assert parts[("profile", "lang")]["n"] == 2
+
+
+def test_curation_suite_pack_and_mix(spark, monkeypatch):
+    """Sequence packing bins by cumulative-tokens-before (doc boundaries
+    respected, overflow doc pushes a bin past 1.0 fill); mix weights are
+    count^alpha normalized with targets summing ~ corpus size."""
+    from service_level_reporting_spark.operators import curation as C
+    n_toks = [4, 5, 3, 9, 12, 10, 1, 6, 7, 13]
+    docs = spark.createDataFrame(
+        [(i, " ".join(f"t{j}" for j in range(n)), "en",
+          "sA" if i < 8 else "sB", 30)
+         for i, n in enumerate(n_toks)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    monkeypatch.setattr(C, "_docs", lambda s, d: docs)
+    monkeypatch.setattr(C, "PACK_BUDGET", 10)
+    parts = {(r["part"], r["key"]): r
+             for r in C.corpus_curation_suite(spark, "x").collect()}
+    # cum-before: 0,4,9,12,21,33,43,44,50,57 -> seq ids 0,0,0,1,2,3,4,4,5,5
+    # seq token sums: 12, 9, 12, 10, 7, 20
+    pack = parts[("pack", "en")]
+    assert pack["n"] == 6 and pack["n2"] == 10
+    assert pack["v"] == round((1.2 + 0.9 + 1.2 + 1.0 + 0.7 + 2.0) / 6, 6)
+    # mix: sqrt(8)/(sqrt(8)+sqrt(2)) = 2/3, sqrt(2)/... = 1/3
+    mix_a, mix_b = parts[("mix", "sA")], parts[("mix", "sB")]
+    assert (mix_a["n"], mix_b["n"]) == (8, 2)
+    assert mix_a["v"] == round(2 / 3, 6) and mix_b["v"] == round(1 / 3, 6)
+    assert (mix_a["n2"], mix_b["n2"]) == (7, 3)   # round(10*w), sums ~ N
