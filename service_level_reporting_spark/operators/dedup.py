@@ -26,6 +26,10 @@ from pyspark.sql import functions as F
 from service_level_reporting_spark.registry import register
 from service_level_reporting_spark.tables import load_tables
 
+# cluster_labels fixpoint memo — see its docstring. Keyed by applicationId
+# (stable per JVM app) + sf_dir.
+_LABELS_MEMO: dict[tuple[str, str], DataFrame] = {}
+
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, ("documents",))["documents"]
@@ -419,7 +423,19 @@ LABELS_CTES_SQL = f"""
 def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, label) — each doc's connected-component label (min doc_id
     reachable over exact ∪ Jaccard near-dup edges). Shared by
-    dedup_clusters and curation.dedup_canonical."""
+    dedup_clusters and curation.dedup_canonical — the fixpoint is memoized
+    per (session, sf_dir) like the catalog walk, so consumers in one
+    session pay the iterative propagation once (its rounds end in eager
+    localCheckpoints, so the memoized frame is materialized, not lineage).
+    Only real directories are memoized: tests monkeypatch `_docs` with
+    fake sf_dir tokens and must not see each other's labels."""
+    import os
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    if os.path.isdir(sf_dir):
+        cached = _LABELS_MEMO.get(memo_key)
+        if cached is not None:
+            return cached
     d = _docs(spark, sf_dir)
     # Exact-dup edges are STAR-shaped (keeper -> each other member), not
     # all-pairs: same connectivity, O(k) edges per clone group instead of
@@ -464,6 +480,8 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
+    if os.path.isdir(sf_dir):
+        _LABELS_MEMO[memo_key] = labels
     return labels
 
 
