@@ -189,6 +189,17 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     over sources. key=source, n=n_docs, n2=target docs after resampling
 #     to the same corpus size (round(N · w)), v=weight. One tiny grouped
 #     frame; the over-() window runs on `n_sources` rows, not the corpus.
+#   'lmscore' — unigram-LM quality scoring (the CCNet-style filter): score
+#     each doc by its cross-entropy under the corpus's own unigram
+#     distribution, avg(-ln p(token)) in nats — boilerplate/templated text
+#     scores low (common tokens), gibberish scores high; a curation run
+#     keeps the middle band. key=source, n=n_docs, n2=total tokens,
+#     v=mean per-doc cross-entropy. Two wordcount-shaped aggregates (token
+#     freqs, then per-doc join+avg) — the freq table shuffles (token,
+#     count) pairs, never documents, and the corpus total reaches rows as
+#     a broadcast scalar. At 100 TB the LM is trained once and the scoring
+#     pass is one scan + one bounded join against the (broadcastable or
+#     bucketed) vocabulary.
 # ---------------------------------------------------------------------------
 
 SAMPLE_FRAC = 0.2
@@ -296,6 +307,27 @@ REDACTED = "[X]"
                CAST(round(n_total * w_raw / w_sum) AS BIGINT) AS n2,
                CAST(round(w_raw / w_sum, 6) AS DOUBLE) AS v
         FROM mnorm
+    ),
+    ltok AS (
+        SELECT doc_id, source,
+               unnest(list_filter(string_split(lower(text), ' '),
+                                  t -> t <> '')) AS token
+        FROM documents
+    ),
+    lfreq AS (SELECT token, count(*) AS n_t FROM ltok GROUP BY token),
+    ltot AS (SELECT count(*) AS n_total_tok FROM ltok),
+    ldoc AS (
+        SELECT doc_id, source,
+               avg(-ln(n_t * 1.0 / n_total_tok)) AS nll,
+               count(*) AS n_tok
+        FROM ltok JOIN lfreq USING (token) CROSS JOIN ltot
+        GROUP BY doc_id, source
+    ),
+    lmscore AS (
+        SELECT 'lmscore' AS part, source AS key, count(*) AS n,
+               CAST(sum(n_tok) AS BIGINT) AS n2,
+               CAST(round(avg(nll), 6) AS DOUBLE) AS v
+        FROM ldoc GROUP BY source
     )
     SELECT * FROM sample
     UNION ALL SELECT * FROM redact_pii
@@ -303,6 +335,7 @@ REDACTED = "[X]"
     UNION ALL SELECT * FROM profile
     UNION ALL SELECT * FROM pack
     UNION ALL SELECT * FROM mix
+    UNION ALL SELECT * FROM lmscore
     """,
 )
 def corpus_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -380,6 +413,25 @@ def corpus_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SF.r6(F.col("w_raw") / F.col("w_sum")).cast("double").alias("v"))
     )
 
+    tok = d.select(
+        "doc_id", "source",
+        F.explode(F.filter(F.split(F.lower("text"), " "),
+                           lambda t: t != F.lit(""))).alias("token"))
+    freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
+    tot = tok.agg(F.count(F.lit(1)).alias("n_total_tok"))
+    lmscore = (
+        tok.join(freq, "token")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id", "source")
+        .agg(F.avg(-F.log(F.col("n_t") / F.col("n_total_tok"))).alias("nll"),
+             F.count(F.lit(1)).alias("n_tok"))
+        .groupBy(F.col("source").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("n_tok").alias("n2"),
+             SF.r6(F.avg("nll")).cast("double").alias("v"))
+        .select(F.lit("lmscore").alias("part"), "key", "n", "n2", "v")
+    )
+
     return (
         sample
         .unionByName(redact("pii", RE_PII))
@@ -389,6 +441,7 @@ def corpus_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile("n_chars", F.avg("n_chars")))
         .unionByName(pack)
         .unionByName(mix)
+        .unionByName(lmscore)
     )
 
 

@@ -299,6 +299,87 @@ def stream_sink_checkpointed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# T8 — stream-stream interval join: clicks landing within JOIN_HORIZON
+# after an error by the same user ("did the user retry after the failure").
+# The horizon is a day because the test fixture is sparse (~7 events/user/
+# month); a production deployment would use minutes — the state bound
+# scales with rate x horizon either way.
+# The canonical Structured Streaming two-stream shape: both sides carry
+# watermarks, the join condition bounds event time on BOTH sides, so each
+# side's buffered state is capped at watermark + horizon — at production
+# rates that is (rate × horizon) rows per side, not the stream's history.
+# The join itself shuffles both sides on user_id once.
+#
+# Chaining a streaming aggregation AFTER a stream-stream join is a
+# multi-stateful pipeline with stricter output-mode rules, so the join runs
+# to completion (append mode) and the summary aggregate runs on the result
+# table — same discipline as the other legs' memory-sink harness.
+# ---------------------------------------------------------------------------
+
+JOIN_HORIZON = "24 hours"
+
+
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    errors = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "error")
+        .select(F.col("user_id").alias("err_user"),
+                F.col("ts").alias("err_ts"))
+        .withWatermark("err_ts", "10 minutes")
+    )
+    clicks = (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "click")
+        .select(F.col("user_id").alias("clk_user"),
+                F.col("ts").alias("clk_ts"))
+        .withWatermark("clk_ts", "10 minutes")
+    )
+    joined = errors.join(
+        clicks,
+        (F.col("err_user") == F.col("clk_user"))
+        & (F.col("clk_ts") >= F.col("err_ts"))
+        & (F.col("clk_ts") <= F.col("err_ts") + F.expr(f"INTERVAL {JOIN_HORIZON}")),
+        "inner",
+    )
+    out = _run_to_table(joined, "append", "t8_ssjoin")
+    return out.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("err_user").alias("n_users"),
+        F.round(F.avg(
+            F.col("clk_ts").cast("timestamp").cast("double")
+            - F.col("err_ts").cast("timestamp").cast("double")), 6)
+        .alias("avg_lag_sec"),
+    )
+
+
+def batch_stream_join_twin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch semantics of T8 for the equivalence pytest (and for readers:
+    the stream-stream join IS this self-join, incrementalized)."""
+    from service_level_reporting_spark.tables import load_tables
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    errors = ev.where(F.col("event_type") == "error").select(
+        F.col("user_id").alias("err_user"), F.col("ts").alias("err_ts"))
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("clk_user"), F.col("ts").alias("clk_ts"))
+    joined = errors.join(
+        clicks,
+        (F.col("err_user") == F.col("clk_user"))
+        & (F.col("clk_ts") >= F.col("err_ts"))
+        & (F.col("clk_ts") <= F.col("err_ts") + F.expr(f"INTERVAL {JOIN_HORIZON}")),
+        "inner",
+    )
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.countDistinct("err_user").alias("n_users"),
+        F.round(F.avg(
+            F.col("clk_ts").cast("timestamp").cast("double")
+            - F.col("err_ts").cast("timestamp").cast("double")), 6)
+        .alias("avg_lag_sec"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Round-2 consolidation: the streaming surface registers as TWO labeled
 # suites so every part gets a driver CORRECTNESS row (rows-only — streaming
 # output is engine-specific; tests/test_streaming_batch_equiv.py pins each
@@ -334,8 +415,12 @@ def stream_windows_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint = _part(stream_sink_checkpointed(spark, sf_dir), "checkpoint_sink",
                        F.lit(None), null_ts, F.col("n_rows"),
                        F.col("sum_value"))
+    ssjoin = _part(stream_stream_join(spark, sf_dir), "stream_stream_join",
+                   F.col("n_users"), null_ts, F.col("n_pairs"),
+                   F.col("avg_lag_sec"))
     return (tumbling.unionByName(sliding).unionByName(session)
-            .unionByName(watermark).unionByName(checkpoint))
+            .unionByName(watermark).unionByName(checkpoint)
+            .unionByName(ssjoin))
 
 
 def stream_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,13 +437,14 @@ def stream_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("stream_suite")  # rows-only: streaming output is engine-specific
 def stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL seven streaming legs as one labeled summary (round-3
+    """ALL eight streaming legs as one labeled summary (round-3
     consolidation so the full streaming surface lands one driver
     CORRECTNESS row): T1 tumbling / T2 sliding / T3 session / T4
-    watermark+append / T7 checkpointed exactly-once sink from
-    stream_windows_suite, plus T5 stateful dedup and T6 custom
-    applyInPandasWithState compliance. Batch-equivalence per leg is
-    pytest-pinned in tests/test_streaming_batch_equiv.py."""
+    watermark+append / T7 checkpointed exactly-once sink / T8
+    stream-stream interval join from stream_windows_suite, plus T5
+    stateful dedup and T6 custom applyInPandasWithState compliance.
+    Batch-equivalence per leg is pytest-pinned in
+    tests/test_streaming_batch_equiv.py."""
     windows = stream_windows_suite(spark, sf_dir)
     stateful = stream_stateful_suite(spark, sf_dir)
     null_ts = F.lit(None).cast("timestamp")

@@ -400,3 +400,23 @@ def test_curation_suite_pack_and_mix(spark, monkeypatch):
     assert (mix_a["n"], mix_b["n"]) == (8, 2)
     assert mix_a["v"] == round(2 / 3, 6) and mix_b["v"] == round(1 / 3, 6)
     assert (mix_a["n2"], mix_b["n2"]) == (7, 3)   # round(10*w), sums ~ N
+
+
+def test_curation_suite_lmscore_rarity_ordering(spark, monkeypatch):
+    """Unigram-LM cross-entropy: a doc of corpus-common tokens scores
+    strictly lower than one containing a corpus-unique token."""
+    import math
+
+    from service_level_reporting_spark.operators import curation as C
+    docs = spark.createDataFrame(
+        [(1, "x x x x", "en", "sA", 7), (2, "x y", "en", "sB", 3)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    monkeypatch.setattr(C, "_docs", lambda s, d: docs)
+    parts = {(r["part"], r["key"]): r
+             for r in C.corpus_curation_suite(spark, "x").collect()}
+    a, b = parts[("lmscore", "sA")], parts[("lmscore", "sB")]
+    assert (a["n"], a["n2"]) == (1, 4) and (b["n"], b["n2"]) == (1, 2)
+    # corpus: x appears 5 times, y once, 6 tokens total
+    assert a["v"] == round(-math.log(5 / 6), 6)
+    assert b["v"] == round((-math.log(5 / 6) - math.log(1 / 6)) / 2, 6)
+    assert b["v"] > a["v"]

@@ -84,3 +84,17 @@ def test_checkpointed_sink_exactly_once(spark):
     want = ev.where((F.col("event_type") == "error")
                     & (F.col("ts") < F.lit("2024-01-08"))).count()
     assert row["n_rows"] == want
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """T8: the watermarked interval join over two availableNow streams must
+    produce exactly the batch self-join's pairs (inner join, bounded
+    horizon — no late-drop ambiguity in a single-batch replay)."""
+    from service_level_reporting_spark.streaming.minute_rollup import (
+        batch_stream_join_twin, stream_stream_join)
+
+    got = stream_stream_join(spark, SF_DIR_001).collect()[0]
+    want = batch_stream_join_twin(spark, SF_DIR_001).collect()[0]
+    assert got["n_pairs"] == want["n_pairs"] > 0
+    assert got["n_users"] == want["n_users"] > 0
+    assert got["avg_lag_sec"] == want["avg_lag_sec"]
