@@ -2,12 +2,15 @@
 metadata, processed with Arrow-batched Pandas UDFs (SURVEY.md §2.8; north-star
 multimodal mandate).
 
-The container has no image/audio decoders, so the DECODE step is a stub
+The container has no image/VIDEO decoders, so those DECODE steps are stubs
 (`decode_image` raises NotImplementedError unless `fake=True`, which produces
-a deterministic fake decode). Everything around it — binary schema, batch
-iteration via mapInPandas, metadata struct output, partition-size control —
-is real and tested; swapping the stub for PIL/librosa on a real cluster
-changes one function body, not the plumbing.
+a deterministic fake decode). AUDIO is real end-to-end: WAV payloads are
+genuine RIFF/WAVE 16-bit PCM bytes (written by the stdlib ``wave`` codec)
+and `decode_wav` parses them back with the same codec — an actual
+decode/feature-extract leg, not a double. Everything around the stubs —
+binary schema, batch iteration via mapInPandas, metadata struct output,
+partition-size control — is real and tested; swapping the image stub for
+PIL on a real cluster changes one function body, not the plumbing.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row Python overhead);
 `spark.sql.execution.arrow.maxRecordsPerBatch` bounds batch memory when blobs
@@ -209,6 +212,105 @@ def sample_frames(assets: DataFrame, every_n_bytes: int = 256,
     return assets.mapInPandas(batches, schema=FRAME_SCHEMA)
 
 
+# ---------------------------------------------------------------------------
+# REAL audio leg: WAV synth + decode via the stdlib `wave` codec. The synth
+# stage stands in for ingestion (a real pipeline reads .wav blobs from object
+# storage); the decode stage is the genuine article — it parses RIFF headers
+# and PCM frames, so a malformed payload fails exactly like production.
+# Payloads stay inside one mapInPandas stage and never enter a shuffle; only
+# the small per-asset feature rows aggregate.
+# ---------------------------------------------------------------------------
+
+WAV_SAMPLE_RATE = 8000
+
+WAV_FEATURE_SCHEMA = StructType([
+    StructField("asset_id", LongType(), False),
+    StructField("n_bytes", LongType(), False),
+    StructField("sample_rate", LongType(), False),
+    StructField("n_samples", LongType(), False),
+    StructField("duration_sec", DoubleType(), False),
+    StructField("rms", DoubleType(), False),
+])
+
+
+def synth_wav(seed: int) -> bytes:
+    """Deterministic mono 16-bit PCM sine burst, written by the stdlib
+    `wave` codec — a structurally valid .wav file, byte-stable per seed."""
+    import io
+    import math
+    import struct
+    import wave
+
+    n = 64 + seed % 128
+    freq = 100.0 + (seed % 40) * 10.0
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(WAV_SAMPLE_RATE)
+        w.writeframes(b"".join(
+            struct.pack("<h", int(12000 * math.sin(
+                2 * math.pi * freq * i / WAV_SAMPLE_RATE)))
+            for i in range(n)))
+    return buf.getvalue()
+
+
+def decode_wav(payload: bytes) -> dict[str, Any]:
+    """REAL decode: parse RIFF/WAVE with the stdlib codec and compute
+    sample-level features (the feature-extraction step of an audio
+    curation pass)."""
+    import io
+    import struct
+    import wave
+
+    with wave.open(io.BytesIO(payload), "rb") as w:
+        sr = w.getframerate()
+        n = w.getnframes()
+        ch = w.getnchannels()
+        raw = w.readframes(n)
+    samples = struct.unpack(f"<{n * ch}h", raw)
+    rms = (sum(s * s for s in samples) / max(1, len(samples))) ** 0.5
+    return {"sample_rate": sr, "n_samples": n,
+            "duration_sec": n / sr, "rms": rms}
+
+
+def wav_features(docs: DataFrame) -> DataFrame:
+    """audio/wav branch of the asset table → synth → decode → features,
+    one mapInPandas stage (payload is created and consumed inside the
+    stage, so the binary never moves between tasks)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = {k: [] for k in ("asset_id", "n_bytes", "sample_rate",
+                                    "n_samples", "duration_sec", "rms")}
+            for aid in pdf["doc_id"]:
+                payload = synth_wav(int(aid))
+                d = decode_wav(payload)
+                rows["asset_id"].append(int(aid))
+                rows["n_bytes"].append(len(payload))
+                rows["sample_rate"].append(d["sample_rate"])
+                rows["n_samples"].append(d["n_samples"])
+                rows["duration_sec"].append(round(d["duration_sec"], 6))
+                rows["rms"].append(round(d["rms"], 6))
+            yield pd.DataFrame(rows)
+
+    return docs.where(F.col("doc_id") % 3 == 1).select("doc_id").mapInPandas(
+        batches, schema=WAV_FEATURE_SCHEMA)
+
+
+def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    return (
+        wav_features(docs)
+        .groupBy("sample_rate")
+        .agg(F.count(F.lit(1)).alias("n_assets"),
+             F.sum("n_bytes").alias("total_bytes"),
+             F.round(F.avg("duration_sec"), 6).alias("avg_duration_sec"),
+             F.round(F.avg("rms"), 6).alias("avg_rms"))
+        .orderBy("sample_rate")
+    )
+
+
 def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     resized = resize_assets(assets_from_documents(docs), w=64, h=64)
@@ -232,11 +334,13 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# The three mapInPandas stages as one labeled suite (round-2 consolidation;
-# rows-only: the decode/resize stubs are engine-specific). Each part keeps
-# its own batch shape: 1→1 feature extraction, binary→binary resize, 1→N
-# frame fan-out. `key` is the per-part group (media_type / frame_idx),
-# `metric` a part-specific quality number (avg_intensity / target_w / NULL).
+# The four mapInPandas stages as one labeled suite (round-2 consolidation;
+# rows-only: the image/video stubs are engine-specific, and the wav leg's
+# floats come from a Python codec). Each part keeps its own batch shape:
+# 1→1 feature extraction, binary→binary resize, 1→N frame fan-out, and the
+# real wav synth→decode roundtrip. `key` is the per-part group (media_type /
+# frame_idx / sample_rate), `metric` a part-specific quality number
+# (avg_intensity / target_w / NULL / avg_rms).
 # ---------------------------------------------------------------------------
 
 @register("multimodal_pipeline")  # rows-only: stub decode/resize/frame-sample
@@ -254,7 +358,13 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("frame_idx").cast("string").alias("key"),
         F.col("n_frames").alias("n"), F.col("total_bytes"),
         F.lit(None).cast("double").alias("metric"))
-    return feats.unionByName(resized).unionByName(frames).orderBy("stage", "key")
+    wav = multimodal_wav_decode(spark, sf_dir).select(
+        F.lit("wav_decode").alias("stage"),
+        F.col("sample_rate").cast("string").alias("key"),
+        F.col("n_assets").alias("n"), F.col("total_bytes"),
+        F.col("avg_rms").alias("metric"))
+    return (feats.unionByName(resized).unionByName(frames)
+            .unionByName(wav).orderBy("stage", "key"))
 
 
 # The metadata/binary plumbing IS SQL-expressible (byte length, header hex) —

@@ -153,3 +153,45 @@ def test_dedup_embedding_ann_full_recall_vs_exact(spark):
         assert not missed, f"{sf_dir}: ANN missed exact pairs {missed}"
         for pair, sim in ann.items():
             assert exact.get(pair) == sim, (pair, sim, exact.get(pair))
+
+
+def test_wav_synth_decode_roundtrip():
+    """The wav leg is a REAL codec roundtrip: stdlib-written RIFF/WAVE PCM
+    decodes back to exact frame counts, and garbage bytes fail like any
+    real decoder."""
+    import math
+    import wave
+
+    import pytest
+
+    from service_level_reporting_spark.operators.multimodal import (
+        WAV_SAMPLE_RATE, decode_wav, synth_wav)
+
+    payload = synth_wav(5)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    d = decode_wav(payload)
+    assert d["sample_rate"] == WAV_SAMPLE_RATE
+    assert d["n_samples"] == 64 + 5 % 128
+    assert d["duration_sec"] == d["n_samples"] / WAV_SAMPLE_RATE
+    # sine RMS ~ amplitude/sqrt(2), loose band for partial periods
+    assert 0.5 * 12000 / math.sqrt(2) < d["rms"] < 1.2 * 12000 / math.sqrt(2)
+    assert synth_wav(5) == payload                     # byte-stable
+    with pytest.raises(wave.Error):
+        decode_wav(b"not a wav file at all, clearly")
+
+
+def test_wav_decode_stage_in_pipeline(spark):
+    """wav_decode rows appear in the suite with consistent totals: one
+    asset per doc_id%3==1 document, all at the synth sample rate."""
+    from service_level_reporting_spark.operators.multimodal import (
+        WAV_SAMPLE_RATE, multimodal_wav_decode)
+
+    out = multimodal_wav_decode(spark, SF_DIR_001).collect()
+    assert len(out) == 1 and out[0]["sample_rate"] == WAV_SAMPLE_RATE
+    import duckdb
+    want = duckdb.connect().execute(
+        "select count(*) from read_parquet("
+        "'/root/testdata/sf0.001/documents.parquet') where doc_id % 3 = 1"
+    ).fetchone()[0]
+    assert out[0]["n_assets"] == want
+    assert out[0]["avg_rms"] > 0 and out[0]["avg_duration_sec"] > 0
