@@ -248,9 +248,62 @@ def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "indicator string, total_points long, n_days long, sum_value double"))
 
 
+# ---------------------------------------------------------------------------
+# Small-file compaction — the maintenance pass every partitioned 100 TB
+# table needs: streaming/incremental writers leave many tiny files per
+# partition; scans then pay one task + one open per file. Compaction
+# rewrites each partition to target-sized files (here: one writer task per
+# day via repartition("day") + a maxRecordsPerFile ceiling; at cluster
+# scale the same two knobs, sized to ~512 MB-1 GB files — SCALE.md §1).
+# Only file layout changes: row counts and aggregates must survive
+# byte-for-byte, which the suite rows + pytest assert.
+# ---------------------------------------------------------------------------
+
+def _count_parquet_files(path: str) -> int:
+    import os
+
+    return sum(1 for root, _, files in os.walk(path)
+               for f in files if f.endswith(".parquet"))
+
+
+def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    frag = os.path.join(tempfile.gettempdir(), f"slr_sink_frag_{tag}")
+    comp = os.path.join(tempfile.gettempdir(), f"slr_sink_compact_{tag}")
+
+    ev = (load_tables(spark, sf_dir, ("events",))["events"]
+          .where(F.col("ts") < F.lit("2024-01-08"))
+          .withColumn("day", F.date_format("ts", "yyyy-MM-dd")))
+    # Fragmented state: a tiny per-file record cap simulates a week of
+    # micro-batch appends (many small files per day partition).
+    (ev.repartition(8).write.mode("overwrite")
+     .option("maxRecordsPerFile", 100)
+     .partitionBy("day").parquet(frag))
+
+    fragged = spark.read.parquet(frag)
+    (fragged.repartition("day").write.mode("overwrite")
+     .option("maxRecordsPerFile", 5_000_000)
+     .partitionBy("day").parquet(comp))
+
+    compacted = spark.read.parquet(comp)
+    stats = lambda df: df.agg(  # noqa: E731 — tiny local twice-used alias
+        F.count(F.lit(1)).alias("rows"),
+        F.round(F.sum("value"), 4).alias("sum_v")).collect()[0]
+    s_frag, s_comp = stats(fragged), stats(compacted)
+    return spark.createDataFrame(
+        [("files", _count_parquet_files(frag), _count_parquet_files(comp),
+          None),
+         ("rows", s_frag["rows"], s_comp["rows"],
+          round(abs(s_frag["sum_v"] - s_comp["sum_v"]), 4))],
+        "key string, n long, n2 long, v double")
+
+
 @register("sink_suite")  # rows-only: sink semantics, asserted via re-read
 def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Labeled union of the three sink legs (round-3 consolidation so all
+    """Labeled union of the four sink legs (round-3 consolidation so all
     land one driver CORRECTNESS row):
       'upsert_merge'     — partition-grain overwrite + key-grain MERGE,
         re-read per-indicator counts (idempotence pytest-pinned);
@@ -258,7 +311,11 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         exchange-free bucket-key aggregate (zero-shuffle plan-asserted);
       'incremental'      — delta-processing rollup state: algebraic
         partial-aggregate merge over affected partitions only, verified
-        against a one-shot recompute (mismatch row must be 0)."""
+        against a one-shot recompute (mismatch row must be 0);
+      'compact'          — small-file compaction: fragmented day partitions
+        rewritten to target-size files, content-preservation accounted
+        ('files' row: before/after counts; 'rows' row: counts + abs sum
+        drift, which must be 0)."""
     upsert = sink_upsert_merge(spark, sf_dir).select(
         F.lit("upsert_merge").alias("part"),
         F.col("indicator").alias("key"),
@@ -280,5 +337,7 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_days").alias("n2"),
         F.col("sum_value").alias("v"),
     )
+    compact = compact_small_files(spark, sf_dir).select(
+        F.lit("compact").alias("part"), "key", "n", "n2", "v")
     return (upsert.unionByName(bucketed).unionByName(incremental)
-            .orderBy("part", "key"))
+            .unionByName(compact).orderBy("part", "key"))

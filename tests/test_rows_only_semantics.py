@@ -236,3 +236,14 @@ def test_jdbc_derby_roundtrip(spark):
     want = {tuple(r) for r in target.collect()}
     got = {tuple(r) for r in back.select(*target.columns).collect()}
     assert got == want
+
+
+def test_compaction_preserves_content_and_shrinks_files(spark):
+    """'compact' sink leg: the rewrite must strictly reduce file count while
+    keeping row counts and value sums identical."""
+    from service_level_reporting_spark.sources.sinks import compact_small_files
+
+    rows = {r["key"]: r for r in compact_small_files(spark, SF_DIR_001).collect()}
+    assert rows["files"]["n"] > rows["files"]["n2"] >= 7   # >= 1 file/day kept
+    assert rows["rows"]["n"] == rows["rows"]["n2"] > 0
+    assert rows["rows"]["v"] == 0.0                        # sum drift
