@@ -259,6 +259,21 @@ def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # byte-for-byte, which the suite rows + pytest assert.
 # ---------------------------------------------------------------------------
 
+from contextlib import contextmanager
+
+
+@contextmanager
+def _max_records_per_file(spark: SparkSession, n: int):
+    """Scoped spark.sql.files.maxRecordsPerFile (0 = unlimited)."""
+    key = "spark.sql.files.maxRecordsPerFile"
+    prev = spark.conf.get(key, "0")
+    spark.conf.set(key, str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, prev)
+
+
 def _count_parquet_files(path: str) -> int:
     import os
 
@@ -278,15 +293,17 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
           .where(F.col("ts") < F.lit("2024-01-08"))
           .withColumn("day", F.date_format("ts", "yyyy-MM-dd")))
     # Fragmented state: a tiny per-file record cap simulates a week of
-    # micro-batch appends (many small files per day partition).
-    (ev.repartition(8).write.mode("overwrite")
-     .option("maxRecordsPerFile", 100)
-     .partitionBy("day").parquet(frag))
+    # micro-batch appends (many small files per day partition). NB the cap
+    # is the session conf spark.sql.files.maxRecordsPerFile (a writer
+    # .option of that name is silently ignored).
+    with _max_records_per_file(spark, 100):
+        (ev.repartition(8).write.mode("overwrite")
+         .partitionBy("day").parquet(frag))
 
     fragged = spark.read.parquet(frag)
-    (fragged.repartition("day").write.mode("overwrite")
-     .option("maxRecordsPerFile", 5_000_000)
-     .partitionBy("day").parquet(comp))
+    with _max_records_per_file(spark, 0):
+        (fragged.repartition("day").write.mode("overwrite")
+         .partitionBy("day").parquet(comp))
 
     compacted = spark.read.parquet(comp)
     stats = lambda df: df.agg(  # noqa: E731 — tiny local twice-used alias
@@ -298,6 +315,79 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
           None),
          ("rows", s_frag["rows"], s_comp["rows"],
           round(abs(s_frag["sum_v"] - s_comp["sum_v"]), 4))],
+        "key string, n long, n2 long, v double")
+
+
+# ---------------------------------------------------------------------------
+# Clustered layout for data skipping — the other half of the at-rest story
+# (SCALE.md §1): within a partition, SORTING by the hot filter column makes
+# parquet row-group min/max statistics selective, so predicate pushdown
+# skips whole row groups instead of decoding them. This leg writes the same
+# data twice (hash-scattered vs sortWithinPartitions) and MEASURES the
+# row-group statistics with pyarrow: how many groups a reader could skip
+# for a point filter. Metadata-only driver work — no data is re-read.
+# ---------------------------------------------------------------------------
+
+CLUSTER_FILTER_VALUE = "error"
+
+
+def _rowgroup_skip_stats(path: str, column: str, value: str) -> tuple[int, int]:
+    """(n_row_groups, n_skippable) for `column = value` via min/max stats."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    total = skippable = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            md = pq.ParquetFile(os.path.join(root, f)).metadata
+            ci = md.schema.to_arrow_schema().get_field_index(column)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                total += 1
+                if st is not None and st.has_min_max and (
+                        value < st.min or value > st.max):
+                    skippable += 1
+    return total, skippable
+
+
+def clustered_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    scattered = os.path.join(tempfile.gettempdir(), f"slr_sink_scatter_{tag}")
+    clustered = os.path.join(tempfile.gettempdir(), f"slr_sink_cluster_{tag}")
+
+    ev = (load_tables(spark, sf_dir, ("events",))["events"]
+          .where(F.col("ts") < F.lit("2024-01-08"))
+          .withColumn("day", F.date_format("ts", "yyyy-MM-dd")))
+    # Small per-file record cap so a test-SF day (sf0.001 has ~33
+    # events/day) yields several stat units (each file = one row group
+    # here); at cluster scale the same effect comes from 128 MB row groups
+    # inside 1 GB files.
+    with _max_records_per_file(spark, 8):
+        (ev.repartition("day").write.mode("overwrite")
+         .partitionBy("day").parquet(scattered))
+        # Leading "day" matters: the partitioned writer itself sorts each
+        # task by the partition columns, and that sort is not stable — a
+        # secondary clustering order survives only if the task data already
+        # satisfies the writer's required ordering.
+        (ev.repartition("day")
+         .sortWithinPartitions("day", "event_type", "ts")
+         .write.mode("overwrite")
+         .partitionBy("day").parquet(clustered))
+
+    st_total, st_skip = _rowgroup_skip_stats(
+        scattered, "event_type", CLUSTER_FILTER_VALUE)
+    cl_total, cl_skip = _rowgroup_skip_stats(
+        clustered, "event_type", CLUSTER_FILTER_VALUE)
+    return spark.createDataFrame(
+        [("rowgroups", cl_total, st_total, None),
+         ("skippable", cl_skip, st_skip,
+          round(cl_skip / cl_total, 6) if cl_total else None)],
         "key string, n long, n2 long, v double")
 
 
@@ -315,7 +405,11 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       'compact'          — small-file compaction: fragmented day partitions
         rewritten to target-size files, content-preservation accounted
         ('files' row: before/after counts; 'rows' row: counts + abs sum
-        drift, which must be 0)."""
+        drift, which must be 0);
+      'cluster'          — data-skipping layout: sortWithinPartitions on
+        the hot filter column vs hash-scattered, row-group min/max
+        selectivity measured via parquet metadata (clustered skippable
+        count must dominate — pytest-pinned)."""
     upsert = sink_upsert_merge(spark, sf_dir).select(
         F.lit("upsert_merge").alias("part"),
         F.col("indicator").alias("key"),
@@ -339,5 +433,8 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     compact = compact_small_files(spark, sf_dir).select(
         F.lit("compact").alias("part"), "key", "n", "n2", "v")
+    cluster = clustered_layout_stats(spark, sf_dir).select(
+        F.lit("cluster").alias("part"), "key", "n", "n2", "v")
     return (upsert.unionByName(bucketed).unionByName(incremental)
-            .unionByName(compact).orderBy("part", "key"))
+            .unionByName(compact).unionByName(cluster)
+            .orderBy("part", "key"))

@@ -247,3 +247,17 @@ def test_compaction_preserves_content_and_shrinks_files(spark):
     assert rows["files"]["n"] > rows["files"]["n2"] >= 7   # >= 1 file/day kept
     assert rows["rows"]["n"] == rows["rows"]["n2"] > 0
     assert rows["rows"]["v"] == 0.0                        # sum drift
+
+
+def test_clustered_layout_dominates_scattered_for_skipping(spark):
+    """'cluster' sink leg: sorting within partitions by the filter column
+    must make strictly more row groups skippable for a point filter than
+    the hash-scattered layout (whose groups mix all values)."""
+    from service_level_reporting_spark.sources.sinks import (
+        clustered_layout_stats)
+
+    rows = {r["key"]: r for r in
+            clustered_layout_stats(spark, SF_DIR_001).collect()}
+    cl_skip, st_skip = rows["skippable"]["n"], rows["skippable"]["n2"]
+    assert cl_skip > st_skip
+    assert rows["skippable"]["v"] > 0.5   # most clustered groups skippable
