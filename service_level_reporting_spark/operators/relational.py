@@ -151,6 +151,14 @@ def join_large_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_semi_anti_setops",
     oracle="""
+    WITH fo AS (
+        SELECT a.user_id AS au, b.user_id AS bu
+        FROM (SELECT DISTINCT user_id FROM events
+              WHERE ts < TIMESTAMP '2024-01-15') a
+        FULL JOIN (SELECT DISTINCT user_id FROM events
+                   WHERE ts >= TIMESTAMP '2024-01-15') b
+        ON a.user_id = b.user_id
+    )
     SELECT 'with_orders' AS segment, count(*) AS n
     FROM customer c WHERE c.c_custkey IN (SELECT o_custkey FROM orders)
     UNION ALL
@@ -166,9 +174,25 @@ def join_large_smj(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT DISTINCT user_id FROM events WHERE ts < TIMESTAMP '2024-01-15'
         EXCEPT
         SELECT user_id FROM events WHERE ts >= TIMESTAMP '2024-01-15')
+    UNION ALL
+    SELECT 'outer_both', count(*) FROM fo
+    WHERE au IS NOT NULL AND bu IS NOT NULL
+    UNION ALL
+    SELECT 'outer_first_only', count(*) FROM fo
+    WHERE bu IS NULL
+    UNION ALL
+    SELECT 'outer_second_only', count(*) FROM fo
+    WHERE au IS NULL
     """,
 )
 def join_semi_anti_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi/anti joins, set ops, AND the full-outer reconciliation of the
+    same cohort split — three different operator families answering the
+    same retention question, which is exactly why each needs its own plan:
+    semi/anti never materialize the right side's columns, INTERSECT/EXCEPT
+    dedup both sides, FULL OUTER keeps every key with per-side presence
+    (the shape audits/backfills use to find rows missing from either
+    side). All shuffle on the key only."""
     t = load_tables(spark, sf_dir, ("customer", "orders", "events"))
     on = F.col("c_custkey") == F.col("o_custkey")
 
@@ -184,7 +208,20 @@ def join_semi_anti_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     w2 = ev.where(F.col("ts") >= cut).select("user_id").distinct()
     retained = seg(w1.intersect(w2), "retained")
     churned = seg(w1.exceptAll(w2), "churned")
-    return semi.unionByName(anti).unionByName(retained).unionByName(churned)
+    fo = (w1.select(F.col("user_id").alias("au"))
+          .join(w2.select(F.col("user_id").alias("bu")),
+                F.col("au") == F.col("bu"), "full_outer"))
+    outer = fo.agg(
+        F.count(F.when(F.col("au").isNotNull()
+                       & F.col("bu").isNotNull(), 1)).alias("outer_both"),
+        F.count(F.when(F.col("bu").isNull(), 1)).alias("outer_first_only"),
+        F.count(F.when(F.col("au").isNull(), 1)).alias("outer_second_only"),
+    ).selectExpr(
+        "stack(3, 'outer_both', outer_both, "
+        "'outer_first_only', outer_first_only, "
+        "'outer_second_only', outer_second_only) AS (segment, n)")
+    return (semi.unionByName(anti).unionByName(retained)
+            .unionByName(churned).unionByName(outer))
 
 
 # ---------------------------------------------------------------------------
