@@ -114,15 +114,57 @@ def zscore_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# U1 + U2 as one labeled suite (round-2 consolidation; rows-only — pandas
-# interpolation/sketchy float paths are engine-specific):
+# U4 — native Python UDTF (Spark 4 `@udtf`): the REAL user-defined table
+# function, not the mapInPandas idiom. One input row → N output rows via
+# arbitrary Python, consumed with a SQL LATERAL join. The demo splits each
+# document into sentences with token counts — a 1→N expansion whose split
+# logic (regex + filtering) lives in Python; `explode(split())` could
+# approximate it, which is exactly why the suite also keeps the native
+# paths — this part exists to cover the UDTF API surface. Arrow-optimized
+# (useArrow) so rows batch across the boundary.
+# ---------------------------------------------------------------------------
+
+def udtf_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, n_tokens int", useArrow=True)
+    class SplitSentences:
+        def eval(self, text: str):
+            import re
+
+            for i, sent in enumerate(re.split(r"[.!?]+", text or "")):
+                n = len([t for t in sent.split() if t])
+                if n:
+                    yield i, n
+
+    spark.udtf.register("split_sentences", SplitSentences)
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    docs.createOrReplaceTempView("udtf_docs_v")
+    sent = spark.sql(
+        "SELECT d.lang, s.sent_idx, s.n_tokens "
+        "FROM udtf_docs_v AS d, LATERAL split_sentences(d.text) AS s")
+    return (
+        sent.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_sentences"),
+             F.sum("n_tokens").alias("total_tokens"),
+             F.round(F.avg("n_tokens"), 6).alias("avg_sentence_tokens"))
+        .orderBy("lang")
+    )
+
+
+# ---------------------------------------------------------------------------
+# U1 + U2 + U4 as one labeled suite (round-2 consolidation; rows-only —
+# pandas interpolation/sketchy float paths are engine-specific):
 #   'gap_fill' — grouped applyInPandas per-series minute gap-fill with
 #     linear interpolation (n = dense minutes, aux = interpolated count).
 #   'zscore'   — scalar pandas_udf standardization, per-day z-score anomaly
 #     counts (n = anomalies, aux = NULL, metric = max |z|).
+#   'udtf'     — native Python UDTF sentence split via LATERAL (key column
+#     carries lang; n = sentences, aux = total tokens, metric = avg
+#     sentence length).
 # ---------------------------------------------------------------------------
 
-@register("udf_gap_fill_zscore")  # rows-only: exercises both Python UDF idioms
+@register("udf_gap_fill_zscore")  # rows-only: exercises the Python UDF idioms
 def udf_gap_fill_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap = gap_fill_interpolate(spark, sf_dir).select(
         F.lit("gap_fill").alias("part"), "event_type",
@@ -134,4 +176,9 @@ def udf_gap_fill_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_anomalies").alias("n"),
         F.lit(None).cast("long").alias("aux"),
         F.col("max_abs_z").alias("metric"))
-    return gap.unionByName(z).orderBy("part", "event_type")
+    u = udtf_sentence_stats(spark, sf_dir).select(
+        F.lit("udtf").alias("part"), F.col("lang").alias("event_type"),
+        F.col("n_sentences").alias("n"),
+        F.col("total_tokens").alias("aux"),
+        F.col("avg_sentence_tokens").alias("metric"))
+    return gap.unionByName(z).unionByName(u).orderBy("part", "event_type")

@@ -68,3 +68,22 @@ def test_zscore_flags_only_true_outliers(spark, monkeypatch):
     vals = [r[3] for r in rows]
     want_z = (1000.0 - statistics.mean(vals)) / statistics.stdev(vals)
     assert abs(out["e"]["max_abs_z"] - round(abs(want_z), 6)) < 1e-6
+
+
+def test_udtf_sentence_split_semantics(spark, monkeypatch):
+    """Native Python UDTF via LATERAL: 1→N expansion with exact per-sentence
+    token counts; empty sentences (doubled punctuation, trailing) drop."""
+    from service_level_reporting_spark.operators import udfs as U
+    docs = spark.createDataFrame(
+        [(1, "one two. three four five! six", "en"),
+         (2, "solo", "de"),
+         (3, "double.. end.", "de")],
+        "doc_id long, text string, lang string")
+    monkeypatch.setattr(
+        U, "load_tables", lambda s, d, names: {"documents": docs})
+    rows = {r["lang"]: r for r in U.udtf_sentence_stats(spark, "x").collect()}
+    assert rows["en"]["n_sentences"] == 3
+    assert rows["en"]["total_tokens"] == 6
+    assert rows["en"]["avg_sentence_tokens"] == 2.0
+    assert rows["de"]["n_sentences"] == 3      # solo + double + end
+    assert rows["de"]["total_tokens"] == 3
