@@ -133,3 +133,38 @@ def test_dot_fixed_matches_numpy(spark, a, b):
     want = float(np.dot(np.array(a, dtype=np.float32).astype(np.float64),
                         np.array(b, dtype=np.float32).astype(np.float64)))
     assert math.isclose(got, want, rel_tol=1e-6, abs_tol=1e-6), (got, want)
+
+
+@settings(**_SETTINGS)
+@given(st.lists(st.integers(min_value=1, max_value=40), min_size=1,
+                max_size=25),
+       st.integers(min_value=5, max_value=50))
+def test_sequence_packing_invariants_property(spark, monkeypatch, n_toks,
+                                              budget):
+    """For ANY token distribution and budget: every doc lands in exactly
+    one sequence (doc count conserved), and the sequence count / fill
+    stats equal a plain-python reference packer. NB occupied sequence ids
+    need NOT be contiguous: a doc bigger than the budget overflows past
+    whole bins, and empty bins don't exist in the grouped output
+    (hypothesis found this with n_toks=[10, 1], budget=5)."""
+    from service_level_reporting_spark.operators import curation as C
+
+    docs = spark.createDataFrame(
+        [(i, " ".join("t" for _ in range(n)), "en", "s", 1)
+         for i, n in enumerate(n_toks)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    monkeypatch.setattr(C, "_docs", lambda s, d: docs)
+    monkeypatch.setattr(C, "PACK_BUDGET", budget)
+    pack = {r["key"]: r for r in C.corpus_curation_suite(spark, "x").collect()
+            if r["part"] == "pack"}["en"]
+    # reference packing in plain python (dict: only occupied bins exist)
+    seqs: dict[int, int] = {}
+    cum = 0
+    for n in n_toks:
+        seq_id = cum // budget
+        seqs[seq_id] = seqs.get(seq_id, 0) + n
+        cum += n
+    assert pack["n"] == len(seqs)
+    assert pack["n2"] == len(n_toks)
+    assert pack["v"] == round(
+        sum(s / budget for s in seqs.values()) / len(seqs), 6)
