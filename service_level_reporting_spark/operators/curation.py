@@ -189,6 +189,14 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     over sources. key=source, n=n_docs, n2=target docs after resampling
 #     to the same corpus size (round(N · w)), v=weight. One tiny grouped
 #     frame; the over-() window runs on `n_sources` rows, not the corpus.
+#   'chunk'   — overlapping token-window chunking (the step that feeds an
+#     embedding model): windows of CHUNK_WIDTH tokens at CHUNK_STRIDE,
+#     last window truncated, short docs yield one whole-doc chunk. Chunk
+#     COUNTS are computed arithmetically per doc (ceil(max(n-W,0)/S)+1 and
+#     a closed form for token totals) — no chunk rows materialize, so the
+#     accounting pass is a single scan even where the real chunk table
+#     would be 2-3x the corpus. key=lang, n=total chunks, n2=docs,
+#     v=avg tokens per chunk.
 #   'lmscore' — unigram-LM quality scoring (the CCNet-style filter): score
 #     each doc by its cross-entropy under the corpus's own unigram
 #     distribution, avg(-ln p(token)) in nats — boilerplate/templated text
@@ -205,6 +213,8 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 SAMPLE_FRAC = 0.2
 PACK_BUDGET = 512
 MIX_ALPHA = 0.5
+CHUNK_WIDTH = 32
+CHUNK_STRIDE = 16
 RE_PII = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}|[0-9]{3,}"
 RE_BLOCKLIST = "\\b(hash|key|value)\\b"
 REDACTED = "[X]"
@@ -308,6 +318,26 @@ REDACTED = "[X]"
                CAST(round(w_raw / w_sum, 6) AS DOUBLE) AS v
         FROM mnorm
     ),
+    ctok AS (
+        SELECT lang,
+               len(list_filter(string_split(text, ' '), t -> t <> ''))
+                   AS n_tok
+        FROM documents
+    ),
+    cdoc AS (
+        SELECT lang, n_tok,
+               CAST(ceil(greatest(n_tok - {CHUNK_WIDTH}, 0) * 1.0
+                         / {CHUNK_STRIDE}) AS BIGINT) + 1 AS k
+        FROM ctok
+    ),
+    chunk AS (
+        SELECT 'chunk' AS part, lang AS key,
+               CAST(sum(k) AS BIGINT) AS n, count(*) AS n2,
+               CAST(round(sum(n_tok + (k - 1)
+                              * ({CHUNK_WIDTH} - {CHUNK_STRIDE}))
+                          * 1.0 / sum(k), 6) AS DOUBLE) AS v
+        FROM cdoc GROUP BY lang
+    ),
     ltok AS (
         SELECT doc_id, source,
                unnest(list_filter(string_split(lower(text), ' '),
@@ -335,6 +365,7 @@ REDACTED = "[X]"
     UNION ALL SELECT * FROM profile
     UNION ALL SELECT * FROM pack
     UNION ALL SELECT * FROM mix
+    UNION ALL SELECT * FROM chunk
     UNION ALL SELECT * FROM lmscore
     """,
 )
@@ -413,6 +444,20 @@ def corpus_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 SF.r6(F.col("w_raw") / F.col("w_sum")).cast("double").alias("v"))
     )
 
+    n_chunks = (F.ceil(F.greatest(F.col("n_tok") - CHUNK_WIDTH, F.lit(0))
+                       / float(CHUNK_STRIDE)) + 1).cast("long")
+    chunk = (
+        d.select("lang", n_tok.alias("n_tok"))
+        .withColumn("k", n_chunks)
+        .groupBy(F.col("lang").alias("key"))
+        .agg(F.sum("k").alias("n"),
+             F.count(F.lit(1)).alias("n2"),
+             SF.r6(F.sum(F.col("n_tok") + (F.col("k") - 1)
+                         * (CHUNK_WIDTH - CHUNK_STRIDE)) / F.sum("k"))
+             .cast("double").alias("v"))
+        .select(F.lit("chunk").alias("part"), "key", "n", "n2", "v")
+    )
+
     tok = d.select(
         "doc_id", "source",
         F.explode(F.filter(F.split(F.lower("text"), " "),
@@ -441,6 +486,7 @@ def corpus_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(profile("n_chars", F.avg("n_chars")))
         .unionByName(pack)
         .unionByName(mix)
+        .unionByName(chunk)
         .unionByName(lmscore)
     )
 

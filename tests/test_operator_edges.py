@@ -420,3 +420,39 @@ def test_curation_suite_lmscore_rarity_ordering(spark, monkeypatch):
     assert a["v"] == round(-math.log(5 / 6), 6)
     assert b["v"] == round((-math.log(5 / 6) - math.log(1 / 6)) / 2, 6)
     assert b["v"] > a["v"]
+
+
+def test_curation_suite_chunk_closed_form(spark, monkeypatch):
+    """The chunk-accounting closed form equals explicit window enumeration:
+    k = ceil(max(n-W,0)/S)+1 chunks, total tokens = n + (k-1)(W-S)."""
+    import math
+
+    from service_level_reporting_spark.operators import curation as C
+    W, S = C.CHUNK_WIDTH, C.CHUNK_STRIDE
+    n_toks = [1, W - 1, W, W + 1, 2 * W, 5 * W + 3]
+    docs = spark.createDataFrame(
+        [(i, " ".join("t" for _ in range(n)), "en", "s", 1)
+         for i, n in enumerate(n_toks)],
+        "doc_id long, text string, lang string, source string, n_chars long")
+    monkeypatch.setattr(C, "_docs", lambda s, d: docs)
+    row = {r["key"]: r for r in C.corpus_curation_suite(spark, "x").collect()
+           if r["part"] == "chunk"}["en"]
+
+    def chunks(n):  # explicit enumeration reference
+        starts = range(0, max(n - W, 0) + 1 + (S - 1), S)
+        out = [min(W, n - st) for st in starts if st == 0 or st < n - W + S]
+        # keep starts while previous chunk did not already reach the end
+        out2, st = [], 0
+        while True:
+            out2.append(min(W, n - st))
+            if st + W >= n:
+                break
+            st += S
+        return out2
+
+    all_chunks = [c for n in n_toks for c in chunks(n)]
+    ks = [len(chunks(n)) for n in n_toks]
+    assert ks == [math.ceil(max(n - W, 0) / S) + 1 for n in n_toks]
+    assert row["n"] == len(all_chunks)
+    assert row["n2"] == len(n_toks)
+    assert row["v"] == round(sum(all_chunks) / len(all_chunks), 6)
