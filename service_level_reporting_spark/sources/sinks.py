@@ -292,11 +292,16 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_tables(spark, sf_dir, ("events",))["events"]
           .where(F.col("ts") < F.lit("2024-01-08"))
           .withColumn("day", F.date_format("ts", "yyyy-MM-dd")))
-    # Fragmented state: a tiny per-file record cap simulates a week of
-    # micro-batch appends (many small files per day partition). NB the cap
-    # is the session conf spark.sql.files.maxRecordsPerFile (a writer
-    # .option of that name is silently ignored).
-    with _max_records_per_file(spark, 100):
+    # Fragmented state: a per-file record cap simulates a week of
+    # micro-batch appends (several small files per day partition). The cap
+    # SCALES with the data so the demo writes a bounded file count at any
+    # SF (a constant cap at 10x the data meant 10x the files and a
+    # 10x-slower leg — caught by the scale sweep). NB the cap is the
+    # session conf spark.sql.files.maxRecordsPerFile (a writer .option of
+    # that name is silently ignored).
+    n_week = ev.count()
+    frag_cap = max(50, n_week // 56)   # ~8 files per day partition
+    with _max_records_per_file(spark, frag_cap):
         (ev.repartition(8).write.mode("overwrite")
          .partitionBy("day").parquet(frag))
 
@@ -364,11 +369,13 @@ def clustered_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_tables(spark, sf_dir, ("events",))["events"]
           .where(F.col("ts") < F.lit("2024-01-08"))
           .withColumn("day", F.date_format("ts", "yyyy-MM-dd")))
-    # Small per-file record cap so a test-SF day (sf0.001 has ~33
-    # events/day) yields several stat units (each file = one row group
-    # here); at cluster scale the same effect comes from 128 MB row groups
-    # inside 1 GB files.
-    with _max_records_per_file(spark, 8):
+    # Per-file record cap sized so each day yields ~5 stat units (each
+    # file = one row group here) at ANY SF — sf0.001 has ~33 events/day,
+    # sf0.1 has ~3300, the 10x sweep 33000; at cluster scale the same
+    # effect comes from 128 MB row groups inside 1 GB files.
+    n_week = ev.count()
+    stat_cap = max(8, n_week // 35)    # 7 days x ~5 units
+    with _max_records_per_file(spark, stat_cap):
         (ev.repartition("day").write.mode("overwrite")
          .partitionBy("day").parquet(scattered))
         # Leading "day" matters: the partitioned writer itself sorts each
