@@ -398,6 +398,51 @@ def clustered_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key string, n long, n2 long, v double")
 
 
+# ---------------------------------------------------------------------------
+# Format matrix — the engine's file-format surface beyond parquet: CSV,
+# JSON-lines, and ORC round-trips of the same minute rollup, content
+# checksummed against the parquet write. Parquet stays the at-rest format
+# (columnar + statistics: §S10); CSV/JSON are the interchange edges a
+# reporting service actually serves, ORC the columnar alternative. Each
+# read supplies an explicit schema — schema inference is a full extra pass
+# at 100 TB and type-lossy for CSV/JSON.
+# ---------------------------------------------------------------------------
+
+ROUNDTRIP_FORMATS = ("parquet", "orc", "json", "csv")
+
+
+def format_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import tempfile
+
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    base = os.path.join(tempfile.gettempdir(), f"slr_sink_formats_{tag}")
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    rollup = minute_rollup(
+        ev, (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-08"))
+    # CSV/JSON have no native timestamp type worth trusting round-trip;
+    # serialize the minute as an ISO string in ALL formats so the content
+    # checksum compares like-for-like.
+    out = rollup.select(
+        "indicator",
+        F.date_format("minute", "yyyy-MM-dd HH:mm:ss").alias("minute"),
+        "value", "n_points")
+    schema = "indicator string, minute string, value double, n_points bigint"
+
+    rows = []
+    for fmt in ROUNDTRIP_FORMATS:
+        path = os.path.join(base, fmt)
+        out.coalesce(1).write.mode("overwrite").format(fmt).save(path)
+        back = spark.read.schema(schema).format(fmt).load(path)
+        stat = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.countDistinct("indicator", "minute").alias("n_keys"),
+            F.round(F.sum("value"), 4).alias("sum_v")).collect()[0]
+        rows.append((fmt, stat["n"], stat["n_keys"], stat["sum_v"]))
+    return spark.createDataFrame(rows, "key string, n long, n2 long, v double")
+
+
 @register("sink_suite")  # rows-only: sink semantics, asserted via re-read
 def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Labeled union of the four sink legs (round-3 consolidation so all
@@ -442,6 +487,8 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("compact").alias("part"), "key", "n", "n2", "v")
     cluster = clustered_layout_stats(spark, sf_dir).select(
         F.lit("cluster").alias("part"), "key", "n", "n2", "v")
+    formats = format_roundtrip_stats(spark, sf_dir).select(
+        F.lit("formats").alias("part"), "key", "n", "n2", "v")
     return (upsert.unionByName(bucketed).unionByName(incremental)
             .unionByName(compact).unionByName(cluster)
-            .orderBy("part", "key"))
+            .unionByName(formats).orderBy("part", "key"))

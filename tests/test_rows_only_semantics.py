@@ -261,3 +261,18 @@ def test_clustered_layout_dominates_scattered_for_skipping(spark):
     cl_skip, st_skip = rows["skippable"]["n"], rows["skippable"]["n2"]
     assert cl_skip > st_skip
     assert rows["skippable"]["v"] > 0.5   # most clustered groups skippable
+
+
+def test_format_roundtrip_content_identical(spark):
+    """'formats' sink leg: CSV, JSON-lines, ORC, and parquet round-trips of
+    the same rollup must agree on row count, key count, and value sum."""
+    from service_level_reporting_spark.sources.sinks import (
+        format_roundtrip_stats)
+
+    rows = {r["key"]: r for r in
+            format_roundtrip_stats(spark, SF_DIR_001).collect()}
+    ref = rows["parquet"]
+    assert ref["n"] == ref["n2"] > 0          # rollup keys are unique
+    for fmt in ("orc", "json", "csv"):
+        assert (rows[fmt]["n"], rows[fmt]["n2"], rows[fmt]["v"]) == \
+            (ref["n"], ref["n2"], ref["v"]), fmt
