@@ -27,8 +27,11 @@ from service_level_reporting_spark.registry import register
 from service_level_reporting_spark.tables import load_tables
 
 # cluster_labels fixpoint memo — see its docstring. Keyed by applicationId
-# (stable per JVM app) + sf_dir.
-_LABELS_MEMO: dict[tuple[str, str], DataFrame] = {}
+# (stable per JVM app) + source fingerprint (path + max mtime: an in-place
+# testdata regen invalidates the entry instead of serving stale labels —
+# ADVICE r2); stale same-path entries are evicted and unpersisted on
+# replacement so checkpoint blocks don't pin executor memory forever.
+_LABELS_MEMO: dict[tuple, DataFrame] = {}
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -431,11 +434,20 @@ def cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     fake sf_dir tokens and must not see each other's labels."""
     import os
 
-    memo_key = (spark.sparkContext.applicationId, sf_dir.rstrip("/"))
+    from service_level_reporting_spark.tables import source_fingerprint
+
+    app = spark.sparkContext.applicationId
+    path, mtime = source_fingerprint(sf_dir, "documents")
+    memo_key = (app, path, mtime)
     if os.path.isdir(sf_dir):
         cached = _LABELS_MEMO.get(memo_key)
         if cached is not None:
             return cached
+        for old in [k for k in _LABELS_MEMO if k[:2] == (app, path)]:
+            try:
+                _LABELS_MEMO.pop(old).unpersist()
+            except Exception:
+                pass
     d = _docs(spark, sf_dir)
     # Exact-dup edges are STAR-shaped (keeper -> each other member), not
     # all-pairs: same connectivity, O(k) edges per clone group instead of

@@ -25,6 +25,19 @@ from service_level_reporting_spark.registry import register
 from service_level_reporting_spark.tables import load_tables
 
 
+def _staging_dir(spark: SparkSession, sf_dir: str, kind: str) -> str:
+    """Per-application scratch path for a sink leg.
+
+    Salted with applicationId (ADVICE r2): two concurrent processes on the
+    same SF (pytest + the scale sweep) previously raced on identical /tmp
+    paths and one could read a half-overwritten layout. Within one app the
+    path is stable, so legs that intentionally reuse state across calls
+    (incremental rollup, bucketed table) still find it."""
+    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
+    app = spark.sparkContext.applicationId
+    return os.path.join(tempfile.gettempdir(), f"slr_{kind}_{tag}_{app}")
+
+
 def write_minute_rollup(df: DataFrame, path: str) -> None:
     """Write (indicator, minute, value...) rows partitioned by day with
     dynamic partition overwrite — the idempotent upsert unit is a day."""
@@ -99,7 +112,7 @@ def sink_upsert_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicate (indicator, minute) keys and equals the one-shot result; the
     returned per-indicator counts let the driver (and pytest) pin that."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    out = os.path.join(tempfile.gettempdir(), "slr_spark_sink_upsert")
+    out = _staging_dir(spark, sf_dir, "sink_upsert")
 
     first = minute_rollup(ev, (F.col("ts") >= "2024-01-01") & (F.col("ts") < "2024-01-08"))
     write_minute_rollup(first, out)
@@ -158,7 +171,7 @@ def sink_bucketed_user_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     table = f"slr_events_by_user_{tag}"
-    path = os.path.join(tempfile.gettempdir(), f"slr_bucketed_{tag}")
+    path = _staging_dir(spark, sf_dir, "bucketed")
     if not spark.catalog.tableExists(table):
         write_bucketed(ev.select("user_id", "event_type", "ts", "value"),
                        table, path, "user_id")
@@ -203,8 +216,7 @@ def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Returns per-indicator totals from the STATE plus a '_mismatches' row
     counting state-vs-full-recompute disagreements (must be 0)."""
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    out = os.path.join(tempfile.gettempdir(), f"slr_incr_state_{tag}")
+    out = _staging_dir(spark, sf_dir, "incr_state")
 
     initial = _daily_partials(ev.where(F.col("ts") < INCR_CUT))
     (initial.repartition("day").write.mode("overwrite")
@@ -285,9 +297,8 @@ def compact_small_files(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    frag = os.path.join(tempfile.gettempdir(), f"slr_sink_frag_{tag}")
-    comp = os.path.join(tempfile.gettempdir(), f"slr_sink_compact_{tag}")
+    frag = _staging_dir(spark, sf_dir, "sink_frag")
+    comp = _staging_dir(spark, sf_dir, "sink_compact")
 
     ev = (load_tables(spark, sf_dir, ("events",))["events"]
           .where(F.col("ts") < F.lit("2024-01-08"))
@@ -362,9 +373,8 @@ def clustered_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    scattered = os.path.join(tempfile.gettempdir(), f"slr_sink_scatter_{tag}")
-    clustered = os.path.join(tempfile.gettempdir(), f"slr_sink_cluster_{tag}")
+    scattered = _staging_dir(spark, sf_dir, "sink_scatter")
+    clustered = _staging_dir(spark, sf_dir, "sink_cluster")
 
     ev = (load_tables(spark, sf_dir, ("events",))["events"]
           .where(F.col("ts") < F.lit("2024-01-08"))
@@ -415,8 +425,7 @@ def format_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     import os
     import tempfile
 
-    tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    base = os.path.join(tempfile.gettempdir(), f"slr_sink_formats_{tag}")
+    base = _staging_dir(spark, sf_dir, "sink_formats")
 
     ev = load_tables(spark, sf_dir, ("events",))["events"]
     rollup = minute_rollup(
@@ -445,8 +454,8 @@ def format_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sink_suite")  # rows-only: sink semantics, asserted via re-read
 def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Labeled union of the four sink legs (round-3 consolidation so all
-    land one driver CORRECTNESS row):
+    """Labeled union of the six sink legs (consolidated so all land one
+    driver CORRECTNESS row):
       'upsert_merge'     — partition-grain overwrite + key-grain MERGE,
         re-read per-indicator counts (idempotence pytest-pinned);
       'bucketed_groupby' — events written bucketed by user_id, then the
@@ -461,7 +470,11 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       'cluster'          — data-skipping layout: sortWithinPartitions on
         the hot filter column vs hash-scattered, row-group min/max
         selectivity measured via parquet metadata (clustered skippable
-        count must dominate — pytest-pinned)."""
+        count must dominate — pytest-pinned);
+      'formats'          — CSV / JSON-lines / ORC / parquet round-trips of
+        the minute rollup: write each format, re-read with an explicit
+        schema, and account rows / distinct keys / value sums (must agree
+        across formats)."""
     upsert = sink_upsert_merge(spark, sf_dir).select(
         F.lit("upsert_merge").alias("part"),
         F.col("indicator").alias("key"),

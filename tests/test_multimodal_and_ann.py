@@ -260,3 +260,58 @@ def test_pq_encode_reconstruction_quality():
     centroid_sim = (x * coarse[cid]).sum(axis=1)[tail]
     assert self_sim.mean() > centroid_sim.mean() + 0.05
     assert (self_sim >= centroid_sim - 1e-9).mean() > 0.9
+
+
+def test_ann_suite_carries_recall_columns(spark):
+    """VERDICT r2 item 6: the suite output itself must carry the measured
+    recall vs the exact twin, constant per part, above the pinned floors
+    (same floors the dedicated recall tests use)."""
+    rows = SIM.similarity_ann_suite(spark, SF_DIR_001).collect()
+    by_part: dict[str, set] = {}
+    for r in rows:
+        by_part.setdefault(r["part"], set()).add(r["recall_at_k"])
+    assert set(by_part) == {"ivf_knn", "ivf_pq_knn", "lsh_topk"}
+    for part, vals in by_part.items():
+        assert len(vals) == 1, f"{part}: recall not constant: {vals}"
+    assert by_part["ivf_knn"].pop() >= 0.4
+    assert by_part["ivf_pq_knn"].pop() >= 0.8
+    assert by_part["lsh_topk"].pop() >= 0.5
+
+
+def test_train_clamps_to_tiny_corpus():
+    """ADVICE r2: a corpus smaller than IVF_K/PQ_K must degrade (clamped
+    codebooks), not raise a numpy shape error."""
+    import numpy as np
+
+    x = np.eye(5, SIM.EMB_DIM)  # 5 unit vectors < IVF_K=16, < PQ_K=16
+    coarse = SIM._train_centroids(x)
+    assert coarse.shape == (5, SIM.EMB_DIM)
+    books = SIM._train_pq(x, coarse)
+    assert books.shape == (SIM.PQ_M, 5, SIM.EMB_DIM // SIM.PQ_M)
+
+
+def test_labels_memo_invalidates_on_source_regen(spark, tmp_path):
+    """ADVICE r2: regenerating the parquet under an sf_dir must invalidate
+    the cluster-labels memo (mtime is part of the key; the stale entry is
+    evicted, not left pinning checkpoint memory)."""
+    import os
+    import shutil
+    import time
+
+    from service_level_reporting_spark.operators import dedup as D
+
+    d = tmp_path / "sfX"
+    d.mkdir()
+    shutil.copy("/root/testdata/sf0.001/documents.parquet",
+                d / "documents.parquet")
+    sfd = str(d)
+    l1 = D.cluster_labels(spark, sfd)
+    assert D.cluster_labels(spark, sfd) is l1          # memo hit
+    keys1 = [k for k in D._LABELS_MEMO if k[1].startswith(sfd)]
+    assert len(keys1) == 1
+    t = time.time() + 10
+    os.utime(d / "documents.parquet", (t, t))          # simulated regen
+    l2 = D.cluster_labels(spark, sfd)
+    assert l2 is not l1                                # rebuilt
+    keys2 = [k for k in D._LABELS_MEMO if k[1].startswith(sfd)]
+    assert len(keys2) == 1 and keys2 != keys1          # stale entry evicted

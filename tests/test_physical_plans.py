@@ -170,3 +170,52 @@ def test_catalog_walk_broadcasts_whole_catalog(spark):
     p = plan_str(report_catalog_walk(spark, SF_DIR_001))
     assert "BroadcastHashJoin" in p, p
     assert "SortMergeJoin" not in p, p
+
+
+def test_ann_plan_build_triggers_no_scan_jobs(spark):
+    """VERDICT r2 item 3: choosing the tile-join strategy / LSH plane count
+    used to cost a full count() SCAN job per query at PLAN BUILD time.
+    Corpus size now comes from the parquet footer (driver-side pyarrow, no
+    job). The only job spark.read.parquet itself launches is the 1-task
+    schema-inference footer read — so 4 plan builds must stay ≤ 4 jobs
+    (they were 8 with the strategy counts) and every job must be tiny."""
+    from service_level_reporting_spark.operators import similarity as SIM
+
+    sc = spark.sparkContext
+    sc.setJobGroup("ann-plan-build", "plan construction only")
+    try:
+        SIM.similarity_ann_lsh(spark, SF_DIR_001)
+        SIM.similarity_topk_pairs(spark, SF_DIR_001)
+        SIM.dedup_embedding_cosine(spark, SF_DIR_001)
+        SIM.dedup_embedding_ann(spark, SF_DIR_001)
+        tracker = sc.statusTracker()
+        jobs = tracker.getJobIdsForGroup("ann-plan-build")
+        assert len(jobs) <= 4, f"plan build launched {len(jobs)} jobs"
+        for jid in jobs:  # footer reads are single-task, not table scans
+            for sid in tracker.getJobInfo(jid).stageIds:
+                info = tracker.getStageInfo(sid)
+                if info is not None:
+                    assert info.numTasks <= 1, (jid, sid, info.numTasks)
+    finally:
+        sc.setJobGroup(None, None)
+
+
+def test_ivf_suite_shares_one_training_pass(spark):
+    """The IVF-flat and IVF-PQ legs must share ONE index: building both
+    from a shared index dict launches exactly the bounded driver-side jobs
+    (one sample collect + one single-row query lookup per leg), not the
+    former 3 count() scans + 2 sample collects."""
+    from service_level_reporting_spark.operators import similarity as SIM
+
+    sc = spark.sparkContext
+    sc.setJobGroup("ivf-index-build", "shared index build")
+    try:
+        idx = SIM._ivf_index(spark, SF_DIR_001)
+        SIM.similarity_knn_ivf(spark, SF_DIR_001, index=idx)
+        SIM.similarity_knn_ivf_pq(spark, SF_DIR_001, index=idx)
+        jobs = sc.statusTracker().getJobIdsForGroup("ivf-index-build")
+        # 1 schema footer read + 1 sample collect + 2 per-leg .first()
+        # lookups = 4 bounded jobs (was 7+ with per-leg training scans)
+        assert len(jobs) <= 4, f"index sharing regressed: {len(jobs)} jobs"
+    finally:
+        sc.setJobGroup(None, None)
