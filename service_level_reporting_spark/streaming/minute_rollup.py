@@ -44,7 +44,10 @@ def _staged_dir(spark: SparkSession, sf_dir: str) -> str:
     """
     src = f"{sf_dir}/events.parquet"
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    dst_dir = os.path.join(tempfile.gettempdir(), f"slr_stream_norm_{tag}")
+    # appId salt: concurrent processes (pytest + scale sweep) must not race
+    # on one staging dir (same hazard ADVICE r2 flagged for the sink legs)
+    app = spark.sparkContext.applicationId
+    dst_dir = os.path.join(tempfile.gettempdir(), f"slr_stream_norm_{tag}_{app}")
     marker = os.path.join(dst_dir, "_STAGED")
     if not (os.path.exists(marker)
             and os.path.getmtime(marker) >= os.path.getmtime(src)):
@@ -86,9 +89,19 @@ def _run_to_table(df: DataFrame, mode: str, name_prefix: str) -> DataFrame:
         q = (df.writeStream.format("memory").queryName(name)
              .outputMode(mode).trigger(availableNow=True).start())
         q.awaitTermination()
+        try:
+            # expose state-store metrics (numRowsTotal etc.) for tests that
+            # pin skew/state bounds without changing this function's shape
+            LAST_PROGRESS[name_prefix] = q.lastProgress
+        except Exception:
+            pass
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     return spark.table(name)
+
+
+# name_prefix -> final StreamingQueryProgress dict of the most recent run
+LAST_PROGRESS: dict[str, dict] = {}
 
 
 # T1 — tumbling 1-minute windows (the A1 resample, streaming)
@@ -182,7 +195,9 @@ STATEFUL_TARGET_HI = 90.0
 def _staged_chunks_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
     """Stage events as n_chunks parquet files (idempotent per sf)."""
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    dst_dir = os.path.join(tempfile.gettempdir(), f"slr_stream_chunks_{tag}")
+    app = spark.sparkContext.applicationId
+    dst_dir = os.path.join(tempfile.gettempdir(),
+                           f"slr_stream_chunks_{tag}_{app}")
     marker = os.path.join(dst_dir, "_STAGED")
     src = f"{sf_dir}/events.parquet"
     if not (os.path.exists(marker)

@@ -98,3 +98,114 @@ def test_stream_stream_join_equals_batch(spark):
     assert got["n_pairs"] == want["n_pairs"] > 0
     assert got["n_users"] == want["n_users"] > 0
     assert got["avg_lag_sec"] == want["avg_lag_sec"]
+
+
+def test_streaming_hot_key_skew_bounded(spark, tmp_path):
+    """VERDICT r2 stretch item 7: a pathological tenant (ONE user owning
+    50% of all events) replayed through the streaming legs must (a) still
+    match the batch twin exactly, and (b) keep state-store cardinality
+    bounded by GROUP count, not event count — the skew posture SCALE.md §4
+    promises (windowed keys don't include user_id; session state is one
+    row per active session, and the hot user's burst collapses into few
+    sessions)."""
+    import service_level_reporting_spark.streaming.minute_rollup as MR
+
+    n = 40_000
+    base_epoch = 1_704_067_200                       # 2024-01-01 00:00 UTC
+    ev = spark.range(n).select(
+        F.col("id").alias("event_id"),
+        F.timestamp_seconds(F.lit(base_epoch) + F.col("id") % 21_600).alias("ts"),
+        F.when(F.col("id") % 2 == 0, F.lit(7))       # 50% hot user
+        .otherwise(1_000 + F.col("id") % 1_000)      # cold ids disjoint
+        .cast("long").alias("user_id"),
+        F.element_at(
+            F.array(*[F.lit(t) for t in ("click", "error", "purchase", "view")]),
+            (F.col("id") % 4 + 1).cast("int")).alias("event_type"),
+        (F.col("id") % 100 / 10.0).alias("value"),
+        F.lit('{"source":"skew-fixture"}').alias("props"),
+    )
+    skew_dir = str(tmp_path / "sfskew")
+    ev.write.mode("overwrite").parquet(skew_dir + "/events.parquet")
+
+    # T1 tumbling under skew: exact batch equivalence
+    got = {(r["minute"], r["event_type"]): (r["avg_value"], r["n"])
+           for r in MR.stream_minute_tumbling(spark, skew_dir).collect()}
+    want = {(r["minute"], r["event_type"]): (r["avg_value"], r["n"])
+            for r in ev.groupBy(F.date_trunc("minute", "ts").alias("minute"),
+                                "event_type")
+            .agg(F.round(F.avg("value"), 6).alias("avg_value"),
+                 F.count(F.lit(1)).alias("n")).collect()}
+    assert got == want
+    # state rows = windows x types (360 minutes x 4), NOT ~n events
+    prog = MR.LAST_PROGRESS["t1_tumbling"]
+    state_rows = sum(op["numRowsTotal"] for op in prog["stateOperators"])
+    assert state_rows == len(got) <= 1500
+
+    # T3 sessions under skew: hot user's 20k events collapse into ONE
+    # 5-minute-gap session (events arrive every <=2s); state is bounded by
+    # sessions, and totals conserve events
+    sess = {r["user_id"]: (r["n_sessions"], r["n_events"])
+            for r in MR.stream_session_window(spark, skew_dir).collect()}
+    assert sess[7] == (1, n // 2)
+    assert sum(v[1] for v in sess.values()) == n
+
+    # T5 dedup under skew: event_ids are unique -> per-type counts intact
+    ded = {r["event_type"]: r["n_unique_events"]
+           for r in MR.stream_stateful_dedup(spark, skew_dir).collect()}
+    assert ded == {"click": n // 4, "error": n // 4,
+                   "purchase": n // 4, "view": n // 4}
+
+
+def test_kafka_source_options_construction():
+    """The Kafka seam (source_factory): real option construction, validated
+    without a broker — exactly the jdbc_options pattern."""
+    import pytest as _pytest
+
+    from service_level_reporting_spark.streaming.source_factory import (
+        kafka_source_options)
+
+    opts = kafka_source_options("broker1:9092,broker2:9092",
+                                subscribe="events",
+                                starting_offsets="earliest",
+                                max_offsets_per_trigger=500_000,
+                                min_partitions=64)
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert opts["subscribe"] == "events"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["maxOffsetsPerTrigger"] == "500000"
+    assert opts["minPartitions"] == "64"
+    assert opts["failOnDataLoss"] == "false"
+    with _pytest.raises(ValueError):
+        kafka_source_options("b:9092")                       # no topic
+    with _pytest.raises(ValueError):
+        kafka_source_options("b:9092", subscribe="a",
+                             subscribe_pattern="a.*")        # both
+    with _pytest.raises(ValueError):
+        kafka_source_options("b:9092", subscribe="a",
+                             starting_offsets="sometimes")   # bad offsets
+    with _pytest.raises(ValueError):
+        kafka_source_options("b:9092", subscribe="a",
+                             max_offsets_per_trigger=0)
+
+
+def test_kafka_value_projection_on_batch_frame(spark):
+    """parse_kafka_events is the whole format boundary: JSON value bytes
+    land in the normalized events schema (batch frame stand-in — the
+    projection is stream/batch agnostic), malformed payloads are dropped,
+    and the output schema matches what every downstream leg consumes."""
+    import json
+
+    from service_level_reporting_spark.streaming.source_factory import (
+        parse_kafka_events)
+
+    good = json.dumps({"event_id": 1, "ts": "2024-01-01 00:00:01",
+                       "user_id": 7, "event_type": "click",
+                       "value": 1.5, "props": "{}"})
+    raw = spark.createDataFrame(
+        [(good.encode(),), (b"not json at all",)], "value binary")
+    rows = parse_kafka_events(raw).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r["event_id"], r["user_id"], r["event_type"], r["value"]) == \
+        (1, 7, "click", 1.5)
+    assert str(r["ts"]).startswith("2024-01-01 00:00:01")

@@ -58,6 +58,26 @@ SHIFTS = {
 }
 
 
+MARKER = os.path.join(DST, "_SLR_BUILD_OK")
+
+
+def ensure_built(spark) -> bool:
+    """Build /tmp/slr_sf1 only if missing or staler than its sf0.1 source
+    (marker mtime check, same pattern as the streaming staging dir).
+    Returns True if a build ran."""
+    try:
+        src_m = max(os.path.getmtime(os.path.join(SRC, f))
+                    for f in os.listdir(SRC))
+    except OSError:
+        return False
+    if os.path.exists(MARKER) and os.path.getmtime(MARKER) >= src_m:
+        return False
+    build(spark)
+    with open(MARKER, "w") as fh:
+        fh.write("ok")
+    return True
+
+
 def build(spark) -> None:
     os.makedirs(DST, exist_ok=True)
     for name in TABLE_NAMES:
