@@ -168,3 +168,51 @@ def test_sequence_packing_invariants_property(spark, monkeypatch, n_toks,
     assert pack["n2"] == len(n_toks)
     assert pack["v"] == round(
         sum(s / budget for s in seqs.values()) / len(seqs), 6)
+
+
+@given(st.integers(min_value=1, max_value=40),
+       st.integers(min_value=1, max_value=40),
+       st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=40, deadline=None)
+def test_bmp_codec_roundtrips_any_dims(w, h, seed):
+    """Property: encode->decode is the identity for ANY dims (row padding
+    included — widths not divisible by 4 are the tricky case), and resize
+    to any target yields exactly the target dims."""
+    import numpy as np
+
+    from service_level_reporting_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(seed % (2**31 - 1))
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = MM.encode_bmp(px)
+    w2, h2, back = MM.decode_bmp(payload)
+    assert (w2, h2) == (w, h)
+    assert (back == px).all()
+    tw, th = 1 + seed % 17, 1 + (seed // 17) % 17
+    rw, rh, rpx = MM.decode_bmp(MM.resize_image(payload, tw, th))
+    assert (rw, rh) == (tw, th)
+    # nearest-neighbor: every output pixel exists in the source
+    yi = (np.arange(th) * h) // th
+    xi = (np.arange(tw) * w) // tw
+    assert (rpx == px[yi][:, xi]).all()
+
+
+@given(st.binary(min_size=0, max_size=200))
+@settings(max_examples=80, deadline=None)
+def test_bmp_decode_never_fabricates(data):
+    """Property: arbitrary bytes either decode as a genuinely valid BMP or
+    raise ValueError — never a silent wrong answer, never a crash type
+    other than the codec's contract."""
+    import pytest as _pytest
+
+    from service_level_reporting_spark.operators import multimodal as MM
+
+    if data[:2] == b"BM":
+        try:
+            w, h, px = MM.decode_bmp(data)
+            assert px.shape == (h, w, 3)
+        except ValueError:
+            pass
+    else:
+        with _pytest.raises(ValueError):
+            MM.decode_bmp(data)
