@@ -208,31 +208,50 @@ def media_assets(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id").mapInPandas(batches, schema=ASSET_SCHEMA)
 
 
-def extract_features(assets: DataFrame, *, allow_fake: bool = True) -> DataFrame:
+def extract_features(assets: DataFrame, *, allow_fake: bool = True,
+                     on_error: str = "raise") -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, feature rows out.
 
     Decode dispatch per payload: BMP -> real pixel decode; RIFF/WAVE ->
     real PCM decode (rms lands in mean_intensity, dims NULL); anything
     else -> the fake double when ``allow_fake`` (legacy plumbing tests),
     else NULL metrics with metadata only — never a fabricated decode in
-    the driver-facing path."""
+    the driver-facing path.
+
+    on_error: 'raise' (default — a corrupt payload fails the task, the
+    strict-ingest posture) or 'null' (dead-letter: decode errors yield
+    NULL metrics while metadata survives, so one rotten blob in a 100 TB
+    curation scan costs a row, not the job; count NULLs downstream to
+    monitor the dead-letter rate)."""
+    if on_error not in ("raise", "null"):
+        raise ValueError(f"on_error must be 'raise' or 'null': {on_error}")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             widths, heights, means = [], [], []
             for p in pdf["payload"]:
                 p = bytes(p)
-                if p[:2] == b"BM":
-                    d = decode_image(p)
-                    widths.append(d["width"])
-                    heights.append(d["height"])
-                    means.append(d["mean_intensity"])
-                elif p[:4] == b"RIFF":
-                    d = decode_wav(p)
+                try:
+                    if p[:2] == b"BM":
+                        d = decode_image(p)
+                        widths.append(d["width"])
+                        heights.append(d["height"])
+                        means.append(d["mean_intensity"])
+                        continue
+                    if p[:4] == b"RIFF":
+                        d = decode_wav(p)
+                        widths.append(None)
+                        heights.append(None)
+                        means.append(round(d["rms"], 3))
+                        continue
+                except Exception:
+                    if on_error == "raise":
+                        raise
                     widths.append(None)
                     heights.append(None)
-                    means.append(round(d["rms"], 3))
-                elif allow_fake:
+                    means.append(None)
+                    continue
+                if allow_fake:
                     d = decode_image(p, fake=True)
                     widths.append(d["width"])
                     heights.append(d["height"])

@@ -381,3 +381,26 @@ def test_pipeline_image_legs_are_real(spark):
     assert feats["image/bmp"]["metric"] == round(float(np.mean(means)), 6)
     rz = [r for r in rows if r["stage"] == "resize"]
     assert len(rz) == 1 and rz[0]["metric"] == 64.0   # re-decoded width
+
+
+def test_extract_features_dead_letter_mode(spark):
+    """on_error='null' is the 100 TB curation posture: a corrupt payload
+    costs a row of NULL metrics, not the job; on_error='raise' (default)
+    fails the task. Metadata (n_bytes, header) survives either way."""
+    rows = [
+        (1, "image/bmp", MM.synth_bmp(1)),               # valid
+        (2, "image/bmp", b"BM" + b"\x00" * 20),          # corrupt BMP
+        (3, "audio/wav", b"RIFFgarbage-not-a-wav"),      # corrupt WAV
+    ]
+    assets = spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+    got = {r["asset_id"]: r for r in MM.extract_features(
+        assets, allow_fake=False, on_error="null").collect()}
+    assert got[1]["width"] is not None and got[1]["mean_intensity"] is not None
+    assert got[2]["width"] is None and got[2]["mean_intensity"] is None
+    assert got[3]["mean_intensity"] is None
+    assert all(got[i]["n_bytes"] == len(rows[i - 1][2]) for i in (1, 2, 3))
+    with pytest.raises(Exception):
+        MM.extract_features(assets, allow_fake=False,
+                            on_error="raise").collect()
+    with pytest.raises(ValueError):
+        MM.extract_features(assets, on_error="sometimes")

@@ -482,3 +482,44 @@ def test_coverage_doc_names_match_registry():
         if m and m.group(1) not in keys:
             bad.append((lineno, m.group(1)))
     assert not bad, f"COVERAGE.md names unknown queries: {bad}"
+
+
+def test_table_row_count_matches_scan(spark):
+    """Footer-metadata counts (the no-scan strategy input) must equal the
+    scanned count for both bare-file and directory parquet layouts."""
+    import os
+
+    from service_level_reporting_spark.tables import (
+        load_tables, table_row_count)
+
+    for name in ("embeddings", "documents", "events"):
+        n_footer = table_row_count("/root/testdata/sf0.001", name)
+        n_scan = load_tables(spark, "/root/testdata/sf0.001",
+                             (name,))[name].count()
+        assert n_footer == n_scan, name
+    # directory layout (Spark-written multi-part), when the sweep staged it
+    if os.path.isdir("/tmp/slr_sf1/documents.parquet"):
+        n = table_row_count("/tmp/slr_sf1", "documents")
+        assert n == spark.read.parquet(
+            "/tmp/slr_sf1/documents.parquet").count()
+    assert table_row_count("/nonexistent", "nope") is None
+
+
+def test_bench_helpers_smoke(spark):
+    """bench.py is the driver's per-round artifact — a bitrot here loses a
+    round of BENCH evidence. Smoke the measurement helpers end-to-end at
+    sf0.001 with n=1 (seconds, not minutes)."""
+    import bench
+
+    names = ["pricing_summary", "dedup_exact"]
+    base, notes = bench.measure_duckdb("/root/testdata/sf0.001", names,
+                                       n_runs=1)
+    assert set(base) == set(names) and all(v > 0 for v in base.values())
+    assert notes == {}
+    t = bench.measure_spark(spark, "/root/testdata/sf0.001", names, n_runs=1)
+    assert set(t) == set(names) and all(v > 0 for v in t.values())
+    # the interrupt cap must not fire on a fast query and must not distort
+    base2, notes2 = bench.measure_duckdb("/root/testdata/sf0.001",
+                                         ["pricing_summary"], n_runs=1,
+                                         cap_sec=120.0, adaptive=True)
+    assert notes2 == {} and base2["pricing_summary"] > 0
