@@ -370,8 +370,8 @@ def test_pipeline_image_legs_are_real(spark):
     assert {r["stage"] for r in rows} == {
         "features", "resize", "frame_sample", "wav_decode"}
     feats = {r["key"]: r for r in rows if r["stage"] == "features"}
-    assert set(feats) == {"image/bmp", "audio/wav", "video/stub"}
-    assert feats["video/stub"]["metric"] is None      # honest: no codec
+    assert set(feats) == {"image/bmp", "audio/wav", "video/avi"}
+    assert feats["video/avi"]["metric"] is not None   # real AVI decode
     docs = load_tables(spark, SF_DIR_001, ("documents",))["documents"]
     ids = [r["doc_id"] for r in docs.select("doc_id").collect()
            if r["doc_id"] % 3 == 0]
@@ -404,3 +404,59 @@ def test_extract_features_dead_letter_mode(spark):
                             on_error="raise").collect()
     with pytest.raises(ValueError):
         MM.extract_features(assets, on_error="sometimes")
+
+
+def test_avi_synth_decode_roundtrip():
+    """The video leg is a REAL container roundtrip: struct-written RIFF/AVI
+    parses back to pinned dims/frame count and the exact per-frame pixel
+    formula; garbage, truncation, and header/movi mismatches fail."""
+    payload = MM.synth_avi(5)
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+    w, h, frames = MM.decode_avi(payload)
+    assert (w, h) == (16 + 25 % 17, 16 + 55 % 13)
+    assert len(frames) == 3 + 5 % 6
+    for f_idx in (0, len(frames) - 1):
+        px = frames[f_idx]
+        assert px.shape == (h, w, 3)
+        for (x, y, c) in [(0, 0, 0), (3, 2, 1), (w - 1, h - 1, 2)]:
+            assert px[y, x, c] == (x * 7 + y * 13 + c * 29 + 5 * 3
+                                   + f_idx * 17) % 256
+    assert MM.synth_avi(5) == payload                   # byte-stable
+    with pytest.raises(ValueError):
+        MM.decode_avi(b"RIFFxxxxWAVE")                  # wrong fourcc
+    with pytest.raises(ValueError):
+        MM.decode_avi(payload[:40])                     # truncated header
+    with pytest.raises(ValueError):
+        MM.decode_avi(payload[:-10])                    # truncated movi/idx
+    bad = bytearray(payload)
+    # corrupt avih frame count -> header/movi mismatch must be caught
+    avih_off = payload.index(b"avih") + 8
+    bad[avih_off + 16:avih_off + 20] = (99).to_bytes(4, "little")
+    with pytest.raises(ValueError):
+        MM.decode_avi(bytes(bad))
+
+
+def test_avi_frame_sampling_is_real(spark):
+    """sample_frames on AVI assets decodes the container: every emitted
+    frame payload is itself a valid BMP with the video's dims, the stride
+    sampling caps fan-out at max_frames, and frame pixels match the source
+    formula (not byte slices)."""
+    import numpy as np
+
+    rows = [(2, "video/avi", MM.synth_avi(2)),
+            (8, "video/avi", MM.synth_avi(8)),
+            (1, "audio/wav", MM.synth_wav(1))]          # must not fan out
+    assets = spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+    got = MM.sample_frames(assets, max_frames=2, media="video/avi").collect()
+    by_asset = {}
+    for r in got:
+        by_asset.setdefault(r["asset_id"], []).append(r)
+    assert set(by_asset) == {2, 8}
+    for aid, frames in by_asset.items():
+        assert len(frames) <= 2
+        vw, vh, src_frames = MM.decode_avi(MM.synth_avi(aid))
+        stride = max(1, -(-len(src_frames) // 2))
+        for r in sorted(frames, key=lambda r: r["frame_idx"]):
+            fw, fh, px = MM.decode_bmp(bytes(r["frame_payload"]))
+            assert (fw, fh) == (vw, vh)
+            assert (px == src_frames[r["frame_idx"] * stride]).all()
