@@ -452,16 +452,24 @@ def stream_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("stream_suite")  # rows-only: streaming output is engine-specific
 def stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL eight streaming legs as one labeled summary (round-3
-    consolidation so the full streaming surface lands one driver
-    CORRECTNESS row): T1 tumbling / T2 sliding / T3 session / T4
-    watermark+append / T7 checkpointed exactly-once sink / T8
-    stream-stream interval join from stream_windows_suite, plus T5
-    stateful dedup and T6 custom applyInPandasWithState compliance.
-    Batch-equivalence per leg is pytest-pinned in
-    tests/test_streaming_batch_equiv.py."""
+    """ALL nine streaming legs as one labeled summary (consolidated so the
+    full streaming surface lands one driver CORRECTNESS row): T1 tumbling /
+    T2 sliding / T3 session / T4 watermark+append / T7 checkpointed
+    exactly-once sink / T8 stream-stream interval join from
+    stream_windows_suite, plus T5 stateful dedup, T6 custom
+    applyInPandasWithState compliance, and T9 incremental LSH-index
+    maintenance (streaming/ann_index.py — per-table bucket populations
+    accumulated across micro-batches). Batch-equivalence per leg is
+    pytest-pinned in tests/test_streaming_batch_equiv.py."""
+    from service_level_reporting_spark.streaming.ann_index import (
+        stream_lsh_index_summary)
+
     windows = stream_windows_suite(spark, sf_dir)
     stateful = stream_stateful_suite(spark, sf_dir)
+    lsh_index = _part(stream_lsh_index_summary(spark, sf_dir),
+                      "lsh_index_maintain", F.col("table_idx"),
+                      F.lit(None), F.col("n_vectors"),
+                      F.col("max_bucket"))
     null_ts = F.lit(None).cast("timestamp")
     dedup = stateful.where(F.col("part") == "dedup").select(
         F.lit("stateful_dedup").alias("part"),
@@ -476,4 +484,5 @@ def stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("key"), null_ts.alias("win_start"),
         F.col("breaches").alias("n"), F.lit(None).cast("double").alias("metric"))
     return (windows.unionByName(dedup).unionByName(compliance)
-            .unionByName(breaches).orderBy("part", "key", "win_start"))
+            .unionByName(breaches).unionByName(lsh_index)
+            .orderBy("part", "key", "win_start"))

@@ -209,3 +209,26 @@ def test_kafka_value_projection_on_batch_frame(spark):
     assert (r["event_id"], r["user_id"], r["event_type"], r["value"]) == \
         (1, 7, "click", 1.5)
     assert str(r["ts"]).startswith("2024-01-01 00:00:01")
+
+
+def test_streamed_lsh_index_equals_batch(spark):
+    """T9 incremental index maintenance: bucket populations accumulated
+    across micro-batches (maxFilesPerTrigger=1 over 4 chunks) must equal
+    the one-shot batch bucketing EXACTLY — per (table, sig), not just in
+    aggregate — and the suite summary must conserve vectors per table."""
+    from service_level_reporting_spark.streaming.ann_index import (
+        batch_bucket_populations, stream_lsh_index_summary,
+        streamed_bucket_populations)
+    from service_level_reporting_spark.tables import table_row_count
+
+    streamed = {(r["table_idx"], r["sig"]): r["n_vectors"]
+                for r in streamed_bucket_populations(spark, SF_DIR_001).collect()}
+    batch = {(r["table_idx"], r["sig"]): r["n_vectors"]
+             for r in batch_bucket_populations(spark, SF_DIR_001).collect()}
+    assert streamed == batch
+    n_vecs = table_row_count(SF_DIR_001, "embeddings")
+    summary = stream_lsh_index_summary(spark, SF_DIR_001).collect()
+    assert len(summary) == 8                       # one row per hash table
+    for r in summary:
+        assert r["n_vectors"] == n_vecs           # every vector routed
+        assert r["max_bucket"] <= n_vecs
