@@ -216,3 +216,43 @@ def test_bmp_decode_never_fabricates(data):
     else:
         with _pytest.raises(ValueError):
             MM.decode_bmp(data)
+
+
+@given(st.integers(min_value=1, max_value=24),
+       st.integers(min_value=1, max_value=24),
+       st.integers(min_value=1, max_value=6),
+       st.integers(min_value=0, max_value=2**31 - 1))
+@settings(max_examples=30, deadline=None)
+def test_avi_container_roundtrips_any_shape(w, h, n_frames, seed):
+    """Property: the RIFF/AVI writer and parser are exact inverses for any
+    dims/frame count — frame pixels, order, and count all survive."""
+    import struct
+
+    import numpy as np
+
+    from service_level_reporting_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(seed % (2**31 - 1))
+    frames = [rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+              for _ in range(n_frames)]
+
+    def chunk(cid, data):
+        pad = b"\x00" if len(data) % 2 else b""
+        return cid + struct.pack("<I", len(data)) + data + pad
+
+    def lst(four, data):
+        return chunk(b"LIST", four + data)
+
+    frame_size = len(MM._dib_rows(frames[0]))
+    avih = struct.pack("<14I", 100_000, 0, 0, 0, n_frames, 0, 1,
+                       frame_size, w, h, 0, 0, 0, 0)
+    hdrl = lst(b"hdrl", chunk(b"avih", avih))
+    movi = lst(b"movi", b"".join(
+        chunk(b"00db", MM._dib_rows(f)) for f in frames))
+    body = b"AVI " + hdrl + movi
+    payload = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    w2, h2, back = MM.decode_avi(payload)
+    assert (w2, h2) == (w, h) and len(back) == n_frames
+    for src, got in zip(frames, back):
+        assert (got == src).all()
