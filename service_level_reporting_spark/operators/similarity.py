@@ -598,6 +598,74 @@ def lsh_blocks(e: DataFrame, n_vectors: int, n_tables: int = 1,
 
 ANN_TOPK_TABLES = 8
 
+# --- query-directed multi-probe LSH kNN -----------------------------------
+# The production recall knob when adding tables is too expensive: besides
+# the query's own bucket in each table, probe the buckets reached by
+# flipping the signature bits with the SMALLEST projection margin (the
+# planes the query sits closest to — where near neighbors most plausibly
+# landed on the other side). Candidates = T*(1+n_probe_flips) bucket
+# lookups on the (table, sig)-keyed index; cost stays bucket-sized while
+# recall approaches many-table behavior (Lv et al.'s multi-probe scheme,
+# the standard industrial layout).
+
+MP_FLIPS = 3   # probe buckets per table beyond the home bucket
+
+
+def similarity_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str,
+                                  n_tables: int = ANN_TOPK_TABLES,
+                                  n_flips: int = MP_FLIPS) -> DataFrame:
+    """kNN of the query vector via multi-probe LSH: signature the corpus
+    ONCE (same seeded planes as the index), look up the query's home +
+    flip-probe buckets per table, exact-rescore the candidates. The probe
+    list is computed driver-side from the query's plane margins (tiny);
+    the corpus side is one equi-join-shaped filter on the packed-int
+    (table, sig) key — no scan of non-probed buckets at a partitioned
+    layout, exactly an IVF probe's access pattern."""
+    import numpy as np
+
+    e, n = _emb_n(spark, sf_dir)
+    n = n if n is not None else e.count()
+    g = _planes_per_table(n)
+    planes = np.array(_hyperplanes(n_tables * g, LSH_SEED))
+    weights = (1 << np.arange(g)).astype(np.int64)
+
+    e_norm = _with_norm(e)
+    q_row = e_norm.where(F.col("vec_id") == KNN_QUERY_VEC_ID).select("emb").first()
+    q = np.asarray(q_row["emb"], dtype=np.float64)
+    q = q / (np.linalg.norm(q) or 1.0)
+
+    margins = (planes @ q).reshape(n_tables, g)
+    bits = margins >= 0
+    home = (bits @ weights).astype(np.int64)
+    probe_pairs = []
+    for t in range(n_tables):
+        probe_pairs.append((t, int(home[t])))
+        # flip the lowest-|margin| bits — the planes the query hugs
+        for j in np.argsort(np.abs(margins[t]))[:n_flips]:
+            probe_pairs.append((t, int(home[t] ^ (1 << int(j)))))
+    probes = spark.createDataFrame(probe_pairs, "table_idx int, sig int")
+
+    sigs = with_table_sigs(e, n_tables, g, seed=LSH_SEED).select(
+        "vec_id", "label", "embedding",
+        F.posexplode("sigs").alias("table_idx", "sig"))
+    qdf = (e_norm.where(F.col("vec_id") == KNN_QUERY_VEC_ID)
+           .select(F.col("emb").alias("ea"), F.col("norm").alias("na")))
+    cos = _pair_cos("ea", "emb", "na", "norm")
+    candidates = (
+        sigs.join(F.broadcast(probes), ["table_idx", "sig"])
+        .select("vec_id", "label", "embedding")
+        .dropDuplicates(["vec_id"])   # multi-table collisions: one candidate
+    )
+    return (
+        _with_norm(candidates)        # norms only for probed candidates
+        .where(F.col("vec_id") != KNN_QUERY_VEC_ID)
+        .join(F.broadcast(qdf))
+        .select("vec_id", F.col("label").cast("long").alias("label"),
+                F.round(cos, 6).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(KNN_K)
+    )
+
 
 def _lsh_tile_scores(e: DataFrame, n_tables: int,
                      threshold: float | None, local_topk: int | None,
@@ -749,7 +817,10 @@ def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       'ivf_knn'    — IVF-flat probe of the kNN query (vec_a = neighbor);
       'ivf_pq_knn' — IVF-PQ: coarse probe + ADC over 8-byte codes +
         exact refine (the memory-bounded 10^9-vector layout);
-      'lsh_topk'   — multi-table hyperplane-LSH global top-10 pairs.
+      'lsh_topk'   — multi-table hyperplane-LSH global top-10 pairs;
+      'lsh_mp_knn' — query-directed multi-probe LSH kNN (home bucket +
+        lowest-margin bit flips per table — the recall knob that does not
+        cost more tables).
     The IVF-flat and IVF-PQ legs share ONE trained index (shared_ivf_index)
     — one sample collect, one codebook, one assignment pass. Every row
     carries `recall_at_k`: the part's measured recall against its exact
@@ -785,7 +856,15 @@ def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(
         _recall_frame(lsh_raw.select("vec_a", "vec_b"), exact_pairs,
                       ["vec_a", "vec_b"], 10)))
-    return ivf.unionByName(pq).unionByName(lsh)
+    mp_raw = similarity_knn_lsh_multiprobe(spark, sf_dir)
+    mp = mp_raw.select(
+        F.lit("lsh_mp_knn").alias("part"),
+        F.col("vec_id").alias("vec_a"),
+        F.lit(None).cast("long").alias("vec_b"),
+        "label", "cos_sim",
+    ).crossJoin(F.broadcast(
+        _recall_frame(mp_raw.select("vec_id"), exact_knn, ["vec_id"], KNN_K)))
+    return ivf.unionByName(pq).unionByName(lsh).unionByName(mp)
 
 
 ANN_N_TABLES = 8

@@ -270,12 +270,14 @@ def test_ann_suite_carries_recall_columns(spark):
     by_part: dict[str, set] = {}
     for r in rows:
         by_part.setdefault(r["part"], set()).add(r["recall_at_k"])
-    assert set(by_part) == {"ivf_knn", "ivf_pq_knn", "lsh_topk"}
+    assert set(by_part) == {"ivf_knn", "ivf_pq_knn", "lsh_topk",
+                            "lsh_mp_knn"}
     for part, vals in by_part.items():
         assert len(vals) == 1, f"{part}: recall not constant: {vals}"
     assert by_part["ivf_knn"].pop() >= 0.4
     assert by_part["ivf_pq_knn"].pop() >= 0.8
     assert by_part["lsh_topk"].pop() >= 0.5
+    assert by_part["lsh_mp_knn"].pop() >= 0.4
 
 
 def test_train_clamps_to_tiny_corpus():
@@ -460,3 +462,35 @@ def test_avi_frame_sampling_is_real(spark):
             fw, fh, px = MM.decode_bmp(bytes(r["frame_payload"]))
             assert (fw, fh) == (vw, vh)
             assert (px == src_frames[r["frame_idx"] * stride]).all()
+
+
+def test_multiprobe_lsh_knn_recall(spark):
+    """Multi-probe must recover recall that home-bucket-only lookup loses:
+    at the same tables/seed, the flip-probed candidate set is a superset
+    of home-only, recall clears the IVF floor, and every returned cosine
+    is exact (rescore, not an estimate)."""
+    exact_rows = SIM.similarity_knn_query(spark, SF_DIR_001).collect()
+    exact = {r["vec_id"] for r in exact_rows}
+    exact_sims = {r["vec_id"]: r["cos_sim"] for r in exact_rows}
+
+    mp_rows = SIM.similarity_knn_lsh_multiprobe(spark, SF_DIR_001).collect()
+    assert len(mp_rows) == SIM.KNN_K
+    mp = {r["vec_id"] for r in mp_rows}
+    recall_mp = len(exact & mp) / len(exact)
+    home_rows = SIM.similarity_knn_lsh_multiprobe(
+        spark, SF_DIR_001, n_flips=0).collect()
+    recall_home = len(exact & {r["vec_id"] for r in home_rows}) / len(exact)
+    assert recall_mp >= recall_home          # probing never hurts
+    assert recall_mp >= 0.4
+    for r in mp_rows:                        # exact rescore carried through
+        if r["vec_id"] in exact_sims:
+            assert r["cos_sim"] == exact_sims[r["vec_id"]]
+
+
+def test_ann_suite_has_multiprobe_part(spark):
+    rows = SIM.similarity_ann_suite(spark, SF_DIR_001).collect()
+    parts = {r["part"] for r in rows}
+    assert "lsh_mp_knn" in parts
+    mp = [r for r in rows if r["part"] == "lsh_mp_knn"]
+    assert len(mp) == SIM.KNN_K
+    assert len({r["recall_at_k"] for r in mp}) == 1
