@@ -11,16 +11,26 @@ The DuckDB baseline is re-measured LIVE in the same run (cold connection
 per query, best of 7): this machine's run-to-run throughput swings ~2x with
 background load, so a ratio against numbers recorded at a different moment
 measures the weather, not the engine. BASELINE.md records a reference
-snapshot; the JSON carries both.
+snapshot; the JSON carries both. Round 4: the engines are INTERLEAVED
+run-by-run per query (measure_pairwise) so one bad-weather window cannot
+own one side of the ratio — the r3 artifact regressed 1.07->1.35x on
+exactly that failure mode (engines measured in separate windows).
 
-Round 3 adds the **sf1 block** (VERDICT r2 item 1): at sf0.1 the five
+Round 3 added the **sf1 block** (VERDICT r2 item 1): at sf0.1 the five
 scan-bound aggregates sit on Spark's ~0.2 s per-job scheduling floor
 (100k–600k-row inputs), so their sf0.1 ratios measure the floor, not the
 plans. The synthetic sf1 set (tools/scale_sweep.py: 10x key-shifted,
 clone-heavy) amortizes that floor; per-query live DuckDB ratios at sf1 are
 the honest per-query evidence. DuckDB runs that exceed a wall cap are
-interrupted and recorded at the cap — an UNDERESTIMATE of the baseline, so
-the reported ratio is an upper bound on ours (conservative direction).
+interrupted (duckdb.InterruptException ONLY — any other oracle failure is
+recorded as an explicit `baseline_error` note and excluded from the ratio)
+and recorded at the cap — an UNDERESTIMATE of the baseline, so the
+reported ratio is an upper bound on ours (conservative direction).
+
+Round 4 adds the **sf10 block** (VERDICT r3 item 5): the floor-amortization
+curve's top point (tools/floor_curve.py staging, 60M lineitem / 10M events)
+measured inside the artifact itself, so the per-query <=2x contract on the
+floor-bound aggregates is re-judged automatically every round.
 """
 
 from __future__ import annotations
@@ -83,7 +93,13 @@ BASELINE_SEC_RECORDED = {
 def _duckdb_cold_run(sf_dir: str, sql: str,
                      cap_sec: float | None = None) -> tuple[float, bool]:
     """One cold-connection DuckDB run. With cap_sec set, a watchdog thread
-    interrupts the query at the cap; returns (elapsed, was_interrupted)."""
+    interrupts the query at the cap; returns (elapsed, was_interrupted).
+
+    ONLY duckdb.InterruptException counts as a cap interrupt — any other
+    failure (SQL error, missing view, OOM) propagates to the caller, which
+    records it as an explicit per-query baseline error in the JSON. A broken
+    oracle must never silently masquerade as a near-zero baseline.
+    """
     import duckdb
 
     con = duckdb.connect()
@@ -103,57 +119,94 @@ def _duckdb_cold_run(sf_dir: str, sql: str,
     t0 = time.perf_counter()
     try:
         con.execute(sql).fetchall()
-    except Exception:
+    except duckdb.InterruptException:
         interrupted = True
-    dt = time.perf_counter() - t0
-    if timer is not None:
-        timer.cancel()
-    con.close()
+    finally:
+        dt = time.perf_counter() - t0
+        if timer is not None:
+            timer.cancel()
+        con.close()
     return dt, interrupted
 
 
-def measure_duckdb(sf_dir: str, names: list[str], n_runs: int,
-                   cap_sec: float | None = None,
-                   adaptive: bool = False) -> tuple[dict, dict]:
-    """Per-headliner oracle timing. adaptive=True: if the first run exceeds
-    SF1_ONE_RUN_THRESHOLD_SEC (or hit the cap), record it alone. Returns
-    (timings, notes) — notes flags capped queries."""
+def measure_pairwise(spark, sf_dir: str, names: list[str], n_runs: int,
+                     cap_sec: float | None = None,
+                     adaptive: bool = False) -> tuple[dict, dict, dict]:
+    """Per-headliner timing with the engines INTERLEAVED run-by-run (one
+    cold DuckDB run, then one Spark run, repeated) so a transient bad-weather
+    window on this shared container hits both engines symmetrically instead
+    of owning one side of the ratio — the r3 artifact regressed 1.07->1.35x
+    on exactly such a window (uniform ~20% Spark-only slowdown while the
+    earlier-measured DuckDB side held).
+
+    Spark gets one untimed warm-up per query first (JMH-style: pays
+    first-run broadcast builds and AQE stage materialization); both engines
+    record best-of-n. adaptive=True stops repeating the DuckDB side once a
+    run exceeds SF1_ONE_RUN_THRESHOLD_SEC (the job floor the repeats exist
+    to dodge is already dwarfed) or hits the cap. A non-interrupt DuckDB
+    failure records an explicit `baseline_error` note and a None baseline
+    (excluded from totals) rather than a bogus measurement.
+
+    Returns (spark_timings, duckdb_timings, notes).
+    """
     oracles = registry.all_oracles()
-    out: dict[str, float] = {}
+    qs = registry.all_queries()
+    spark_out: dict[str, float] = {}
+    duck_out: dict[str, float | None] = {}
     notes: dict[str, str] = {}
     for name in names:
-        dt, hit_cap = _duckdb_cold_run(sf_dir, oracles[name], cap_sec)
-        if hit_cap:
-            out[name] = round(dt, 4)
-            notes[name] = f"interrupted at {cap_sec}s cap (lower bound)"
-            continue
-        if adaptive and dt > SF1_ONE_RUN_THRESHOLD_SEC:
-            out[name] = round(dt, 4)
-            continue
-        best = dt
-        for _ in range(n_runs - 1):
-            d2, hit2 = _duckdb_cold_run(sf_dir, oracles[name], cap_sec)
-            if not hit2:
-                best = min(best, d2)
-        out[name] = round(best, 4)
-    return out, notes
-
-
-def measure_spark(spark, sf_dir: str, names: list[str],
-                  n_runs: int) -> dict[str, float]:
-    """One untimed warm-up run per query (JMH-style: pays first-run
-    broadcast builds and AQE stage materialization), then best-of-n."""
-    qs = registry.all_queries()
-    out: dict[str, float] = {}
-    for name in names:
-        qs[name](spark, sf_dir).collect()
-        runs = []
+        qs[name](spark, sf_dir).collect()          # untimed Spark warm-up
+        d_runs: list[float] = []
+        s_runs: list[float] = []
+        duck_done = False
         for _ in range(n_runs):
+            if not duck_done:
+                try:
+                    dt, hit_cap = _duckdb_cold_run(
+                        sf_dir, oracles[name], cap_sec)
+                except Exception as exc:  # noqa: BLE001 — recorded, visible
+                    notes[name] = (f"baseline_error: "
+                                   f"{type(exc).__name__}: {exc}"[:240])
+                    duck_done = True
+                else:
+                    d_runs.append(dt)
+                    if hit_cap:
+                        notes[name] = (f"interrupted at {cap_sec}s cap "
+                                       f"(lower bound)")
+                        duck_done = True
+                    elif adaptive and dt > SF1_ONE_RUN_THRESHOLD_SEC:
+                        duck_done = True
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).collect()
-            runs.append(time.perf_counter() - t0)
-        out[name] = round(min(runs), 4)
-    return out
+            s_runs.append(time.perf_counter() - t0)
+        spark_out[name] = round(min(s_runs), 4)
+        duck_out[name] = round(min(d_runs), 4) if d_runs else None
+    return spark_out, duck_out, notes
+
+
+def _ratio_block(timings: dict, baseline: dict, notes: dict) -> dict:
+    """Totals + ratio over the queries that have a valid baseline; queries
+    whose oracle errored stay visible in `queries` and `baseline_notes` but
+    cannot poison the ratio."""
+    valid = [n for n in timings if baseline.get(n) is not None]
+    total = round(sum(timings.values()), 4)
+    base_total = round(sum(baseline[n] for n in valid), 4)
+    block = {
+        "queries": timings,
+        "total_sec": total,
+        "baseline_sec": baseline,
+        "baseline_total_sec": base_total,
+        "ratio_vs_baseline": (
+            round(sum(timings[n] for n in valid) / base_total, 3)
+            if base_total else None),
+        "per_query_ratio": {
+            n: (round(timings[n] / baseline[n], 3)
+                if baseline.get(n) else None)
+            for n in timings},
+    }
+    if notes:
+        block["baseline_notes"] = notes
+    return block
 
 
 def main() -> None:
@@ -179,25 +232,27 @@ def main() -> None:
     cache_tables(spark, sf_dir, ("customer", "orders", "lineitem", "events",
                                  "documents", "embeddings"))
 
-    # Interleave engines (DuckDB first, then Spark, same machine weather).
-    baseline, _ = measure_duckdb(sf_dir, HEADLINERS, N_RUNS)
-    timings = measure_spark(spark, sf_dir, HEADLINERS, N_RUNS)
+    # Engines interleaved run-by-run (measure_pairwise) — same weather.
+    timings, baseline, notes = measure_pairwise(
+        spark, sf_dir, HEADLINERS, N_RUNS)
 
-    total = round(sum(timings.values()), 4)
-    baseline_total = round(sum(baseline.values()), 4)
+    head = _ratio_block(timings, baseline, notes)
     result = {
         "metric": "headline_queries_total_sec",
-        "value": total,
+        "value": head["total_sec"],
         "unit": "sec",
         "queries": timings,
         "sf": float(sf),
         # DuckDB oracle measured in THIS run (same machine conditions);
         # the BASELINE.md snapshot rides along for reference.
-        "baseline_sec": baseline,
-        "baseline_total_sec": baseline_total,
+        "baseline_sec": head["baseline_sec"],
+        "baseline_total_sec": head["baseline_total_sec"],
         "baseline_sec_recorded": BASELINE_SEC_RECORDED,
-        "ratio_vs_baseline": round(total / baseline_total, 3),
+        "ratio_vs_baseline": head["ratio_vs_baseline"],
+        "per_query_ratio": head["per_query_ratio"],
     }
+    if "baseline_notes" in head:
+        result["baseline_notes"] = head["baseline_notes"]
 
     # ---- sf1 block (10x): per-query ratios where the job floor amortizes.
     # Guarded: a failure here (disk, staging) must cost the sf1 block, not
@@ -212,25 +267,40 @@ def main() -> None:
                 cache_tables(spark, sf1_dir,
                              ("customer", "orders", "lineitem", "events",
                               "documents", "embeddings"))
-                b1, notes = measure_duckdb(sf1_dir, HEADLINERS, SF1_RUNS,
-                                           cap_sec=SF1_DUCKDB_CAP_SEC,
-                                           adaptive=True)
-                t1 = measure_spark(spark, sf1_dir, HEADLINERS, SF1_RUNS)
-                result["sf1"] = {
-                    "sf": 1.0,
-                    "queries": t1,
-                    "total_sec": round(sum(t1.values()), 4),
-                    "baseline_sec": b1,
-                    "baseline_total_sec": round(sum(b1.values()), 4),
-                    "baseline_notes": notes,
-                    "ratio_vs_baseline": round(
-                        sum(t1.values()) / sum(b1.values()), 3),
-                    "per_query_ratio": {
-                        n: round(t1[n] / b1[n], 3) if b1[n] else None
-                        for n in HEADLINERS},
-                }
+                # Size the shuffle to the data (what a cluster deployment
+                # does via AQE initialPartitionNum): 8 partitions right-size
+                # sf0.1; 10x data gets more reduce-side parallelism.
+                spark.conf.set("spark.sql.shuffle.partitions", "16")
+                t1, b1, n1 = measure_pairwise(
+                    spark, sf1_dir, HEADLINERS, SF1_RUNS,
+                    cap_sec=SF1_DUCKDB_CAP_SEC, adaptive=True)
+                result["sf1"] = {"sf": 1.0, **_ratio_block(t1, b1, n1)}
         except Exception as exc:  # noqa: BLE001 — artifact must survive
             result["sf1_error"] = f"{type(exc).__name__}: {exc}"[:300]
+
+    # ---- sf10 block (100x on the floor-bound aggregates): the per-query
+    # <=2x contract is floor-free only at this scale; folding the curve point
+    # into the artifact means the contract is re-judged automatically each
+    # round (VERDICT r3 item 5) instead of via a manual tools/floor_curve.py
+    # run. Embedding headliners are excluded as in the curve tool: already
+    # sub-baseline at sf0.1/sf1 and their exact oracle is O(n^2) at 100x.
+    if not os.environ.get("SPARK_GRAFT_SKIP_SF10"):
+        try:
+            from tools import floor_curve, scale_sweep
+
+            if os.path.isdir(scale_sweep.SRC):
+                scale_sweep.ensure_built(spark)   # sf10 derives from sf1
+                floor_curve.build_sf10(spark)
+                cache_tables(spark, floor_curve.SF10,
+                             ("customer", "orders", "lineitem", "events",
+                              "documents"))
+                spark.conf.set("spark.sql.shuffle.partitions", "32")
+                t10, b10, n10 = measure_pairwise(
+                    spark, floor_curve.SF10, floor_curve.AGG_HEADLINERS,
+                    SF1_RUNS, cap_sec=SF1_DUCKDB_CAP_SEC, adaptive=True)
+                result["sf10"] = {"sf": 10.0, **_ratio_block(t10, b10, n10)}
+        except Exception as exc:  # noqa: BLE001 — artifact must survive
+            result["sf10_error"] = f"{type(exc).__name__}: {exc}"[:300]
 
     print(json.dumps(result))
     spark.stop()

@@ -219,3 +219,22 @@ def test_ivf_suite_shares_one_training_pass(spark):
         assert len(jobs) <= 4, f"index sharing regressed: {len(jobs)} jobs"
     finally:
         sc.setJobGroup(None, None)
+
+
+def test_slo_daily_health_has_no_expand(spark):
+    """The flagship multi-metric daily report must NOT plan the distinct
+    user count via Expand (every input row duplicated through the shuffle —
+    the one plan that DEGRADED with scale on the r3 floor curve, 6.15x at
+    sf10). The r4 rewrite is two chained hash aggregates over a packed
+    (user, day) long key; both stages must keep map-side partials."""
+    from service_level_reporting_spark.operators.sli import slo_daily_health
+
+    df = slo_daily_health(spark, SF_DIR_001)
+    df.collect()  # finalize AQE
+    p = plan_str(df)
+    # InMemoryRelation build-plan text can legitimately contain anything;
+    # only the query's own operators are linted.
+    own = p.split("InMemoryRelation")[0]
+    assert "Expand" not in own, own
+    assert own.count("HashAggregate") >= 4, own   # partial+final x 2 stages
+    assert "partial_sum" in own, own
