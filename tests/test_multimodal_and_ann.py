@@ -372,17 +372,23 @@ def test_pipeline_image_legs_are_real(spark):
     assert {r["stage"] for r in rows} == {
         "features", "resize", "frame_sample", "wav_decode"}
     feats = {r["key"]: r for r in rows if r["stage"] == "features"}
-    assert set(feats) == {"image/bmp", "audio/wav", "video/avi"}
+    assert set(feats) == {"image/bmp", "image/png", "audio/wav", "video/avi"}
     assert feats["video/avi"]["metric"] is not None   # real AVI decode
     docs = load_tables(spark, SF_DIR_001, ("documents",))["documents"]
-    ids = [r["doc_id"] for r in docs.select("doc_id").collect()
-           if r["doc_id"] % 3 == 0]
-    means = [MM.decode_image(MM.synth_bmp(int(i)))["mean_intensity"]
-             for i in ids]
-    assert feats["image/bmp"]["n"] == len(ids)
-    assert feats["image/bmp"]["metric"] == round(float(np.mean(means)), 6)
-    rz = [r for r in rows if r["stage"] == "resize"]
-    assert len(rz) == 1 and rz[0]["metric"] == 64.0   # re-decoded width
+    img_ids = [r["doc_id"] for r in docs.select("doc_id").collect()
+               if r["doc_id"] % 3 == 0]
+    for media, synth in (("image/bmp", MM.synth_bmp),
+                         ("image/png", MM.synth_png)):
+        ids = [i for i in img_ids
+               if (i % 6 == 0) == (media == "image/bmp")]
+        means = [MM.decode_image(synth(int(i)))["mean_intensity"]
+                 for i in ids]
+        assert feats[media]["n"] == len(ids)
+        assert feats[media]["metric"] == round(float(np.mean(means)), 6)
+    rz = {r["key"]: r for r in rows if r["stage"] == "resize"}
+    assert set(rz) == {"image/bmp", "image/png"}
+    for r in rz.values():
+        assert r["metric"] == 64.0                    # re-decoded width
 
 
 def test_extract_features_dead_letter_mode(spark):
@@ -494,3 +500,92 @@ def test_ann_suite_has_multiprobe_part(spark):
     mp = [r for r in rows if r["part"] == "lsh_mp_knn"]
     assert len(mp) == SIM.KNN_K
     assert len({r["recall_at_k"] for r in mp}) == 1
+
+
+def test_png_synth_decode_roundtrip():
+    """PNG is a REAL stdlib-zlib codec (r4): encode with every scanline
+    filter type decodes back bit-exact; decoded pixel stats match the synth
+    gradient formula; garbage, truncation, CRC corruption, and corrupt
+    deflate streams all fail like a production codec."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, (19, 14, 3), dtype=np.uint8)
+    for ft in range(5):
+        w, h, out = MM.decode_png(MM.encode_png(px, filter_type=ft))
+        assert (w, h) == (14, 19) and (out == px).all(), ft
+
+    seed = 5
+    payload = MM.synth_png(seed)
+    assert payload == MM.synth_png(seed)             # byte-stable
+    w, h, out = MM.decode_png(payload)
+    assert (w, h) == (8 + (seed * 11) % 23, 8 + (seed * 3) % 27)
+    xs = np.arange(w, dtype=np.int64)[None, :, None]
+    ys = np.arange(h, dtype=np.int64)[:, None, None]
+    cs = np.arange(3, dtype=np.int64)[None, None, :]
+    expect = ((xs * 5 + ys * 17 + cs * 23 + seed * 7) % 256).astype(np.uint8)
+    assert (out == expect).all()                     # pinned pixel values
+    d = MM.decode_image(payload)
+    assert d["mean_intensity"] == round(float(expect.mean()), 3)
+
+    with pytest.raises(ValueError):
+        MM.decode_png(b"not a png at all")
+    with pytest.raises(ValueError):
+        MM.decode_png(payload[:40])                  # truncated chunk
+    bad = bytearray(payload)
+    bad[50] ^= 0xFF                                  # flip a byte: CRC catches
+    with pytest.raises(ValueError):
+        MM.decode_png(bytes(bad))
+    # corrupt the deflate stream but FIX the CRC: zlib must catch it
+    off = 8
+    while True:
+        (ln,) = struct.unpack_from(">I", payload, off)
+        if payload[off + 4:off + 8] == b"IDAT":
+            break
+        off += 12 + ln
+    data = bytearray(payload[off + 8:off + 8 + ln])
+    data[5] ^= 0xFF
+    crc = struct.pack(">I", zlib.crc32(b"IDAT" + bytes(data)) & 0xFFFFFFFF)
+    forged = payload[:off + 8] + bytes(data) + crc + payload[off + 12 + ln:]
+    with pytest.raises(ValueError):
+        MM.decode_png(forged)
+
+
+def test_png_resize_real_nearest_neighbor():
+    """resize keeps the PNG format: decode -> NN resample -> re-encode,
+    verified pixel-exact against index mapping of the source."""
+    p = MM.synth_png(9)
+    sw, sh, src = MM.decode_png(p)
+    out = MM.resize_image(p, 16, 16)                 # real path, NO fake
+    w, h, px = MM.decode_png(out)
+    assert (w, h) == (16, 16)
+    for y, x in ((0, 0), (7, 3), (15, 15)):
+        assert (px[y, x] == src[(y * sh) // 16, (x * sw) // 16]).all()
+
+
+def test_avi_short_frame_chunk_fails():
+    """ADVICE r3: a '00db' chunk whose declared size is smaller than a full
+    frame must raise, not silently read bytes from the following chunk."""
+    import struct
+
+    payload = bytearray(MM.synth_avi(5))
+    # find the first '00db' chunk and shrink its declared size
+    idx = bytes(payload).index(b"00db")
+    (size,) = struct.unpack_from("<I", payload, idx + 4)
+    struct.pack_into("<I", payload, idx + 4, size - 8)
+    with pytest.raises(ValueError, match="frame chunk"):
+        MM.decode_avi(bytes(payload))
+
+
+def test_decode_image_fake_falls_back_on_pseudo_bmp():
+    """ADVICE r3: a legacy text payload that happens to start with 'BM'
+    must hit the fake double under fake=True, not a data-dependent
+    ValueError; without fake the strict parse still raises."""
+    pseudo = b"BMost of this text is not a bitmap at all" * 3
+    d = MM.decode_image(pseudo, fake=True)
+    assert d["width"] > 0 and d["mean_intensity"] >= 0
+    with pytest.raises(ValueError):
+        MM.decode_image(pseudo)
