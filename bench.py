@@ -45,7 +45,12 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from service_level_reporting_spark import registry
 from service_level_reporting_spark.session import get_spark
-from service_level_reporting_spark.tables import TABLE_NAMES, cache_tables
+from service_level_reporting_spark.tables import (
+    TABLE_NAMES, cache_tables, clear_table_cache)
+
+# Local-mode sizing: this box has 128 GiB; the default 8g driver thrashes
+# once the sf1/sf10 blocks stage 60M-row caches. Env still overrides.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
 # The round-2 headliner set (BASELINE.md): the two TPC-H-style joins/aggs,
 # the A1 resample, the consolidated daily health report (A4-A8 in one
@@ -106,6 +111,8 @@ def _duckdb_cold_run(sf_dir: str, sql: str,
     con.execute("SET TimeZone='UTC'")
     for t in TABLE_NAMES:
         path = f"{sf_dir}/{t}.parquet"
+        if not os.path.exists(path):
+            continue      # partial stages (sf10 skips embeddings) are fine
         # testdata ships bare files; the sf1 stage is Spark-written parquet
         # DIRECTORIES of part files — DuckDB needs the glob form for those
         pat = f"{path}/*.parquet" if os.path.isdir(path) else path
@@ -264,6 +271,10 @@ def main() -> None:
             if os.path.isdir(scale_sweep.SRC):
                 scale_sweep.ensure_built(spark)
                 sf1_dir = scale_sweep.DST
+                # one scale resident at a time — stacking sf0.1+sf1+sf10
+                # caches evicts under memory pressure and every timed run
+                # silently pays a full re-stage
+                clear_table_cache()
                 cache_tables(spark, sf1_dir,
                              ("customer", "orders", "lineitem", "events",
                               "documents", "embeddings"))
@@ -291,6 +302,7 @@ def main() -> None:
             if os.path.isdir(scale_sweep.SRC):
                 scale_sweep.ensure_built(spark)   # sf10 derives from sf1
                 floor_curve.build_sf10(spark)
+                clear_table_cache()
                 cache_tables(spark, floor_curve.SF10,
                              ("customer", "orders", "lineitem", "events",
                               "documents"))

@@ -568,7 +568,8 @@ def with_table_sigs(df: DataFrame, n_tables: int, planes_per_table: int,
 
 def lsh_blocks(e: DataFrame, n_vectors: int, n_tables: int = 1,
                planes_per_table: int | None = None,
-               seed: int = LSH_SEED) -> DataFrame:
+               seed: int = LSH_SEED,
+               bucket_populations: DataFrame | None = None) -> DataFrame:
     """Per-(table, bucket) block table: (table_idx, sig, sub, ids[],
     embs[]) with EVERY aggregation buffer hard-bounded.
 
@@ -577,17 +578,32 @@ def lsh_blocks(e: DataFrame, n_vectors: int, n_tables: int = 1,
     (BLOCK_SIZE/2))`, and each row lands in sub-block `xxhash64(vec_id) %
     n_sub` — expected sub-block size BLOCK_SIZE/2, so no aggregation buffer
     approaches the 1 GB single-bucket blowup the fixed-bucket version had.
-    Deterministic (hash, not RNG) → resume- and oracle-safe."""
+    Deterministic (hash, not RNG) → resume- and oracle-safe.
+
+    ``bucket_populations`` (r4, VERDICT item 6): pass the MAINTAINED
+    per-(table_idx, sig) `n_vectors` state from the T9 streaming index
+    (streaming/ann_index.py) and the per-bucket counting aggregate is
+    skipped entirely — the batch query path consumes the incrementally-
+    maintained statistic instead of re-deriving it per query, which is the
+    point of maintaining it. Left join + coalesce(1): a bucket born after
+    the last state update still lands in one sub-block (correctness never
+    depends on the counts — only sub-block sizing does, and staleness is
+    bounded by one micro-batch)."""
     g = planes_per_table or _planes_per_table(n_vectors)
     exploded = with_table_sigs(e, n_tables, g, seed=seed).select(
         "vec_id", "embedding",
         F.posexplode("sigs").alias("table_idx", "sig"))
-    sizes = (exploded.groupBy("table_idx", "sig")
-             .agg(F.count(F.lit(1)).alias("bucket_n")))
+    if bucket_populations is not None:
+        sizes = bucket_populations.select(
+            "table_idx", "sig", F.col("n_vectors").alias("bucket_n"))
+    else:
+        sizes = (exploded.groupBy("table_idx", "sig")
+                 .agg(F.count(F.lit(1)).alias("bucket_n")))
     half = BLOCK_SIZE // 2
     return (
         exploded
-        .join(F.broadcast(sizes), ["table_idx", "sig"])
+        .join(F.broadcast(sizes), ["table_idx", "sig"], "left")
+        .withColumn("bucket_n", F.coalesce("bucket_n", F.lit(1)))
         .withColumn("n_sub", F.ceil(F.col("bucket_n") / half).cast("int"))
         .withColumn("sub", F.pmod(F.xxhash64("vec_id"), F.col("n_sub")).cast("int"))
         .groupBy("table_idx", "sig", "sub")
@@ -670,7 +686,8 @@ def similarity_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str,
 def _lsh_tile_scores(e: DataFrame, n_tables: int,
                      threshold: float | None, local_topk: int | None,
                      seed: int = LSH_SEED,
-                     n_rows: int | None = None) -> DataFrame:
+                     n_rows: int | None = None,
+                     bucket_populations: DataFrame | None = None) -> DataFrame:
     """Multi-table LSH candidates scored by per-tile BLAS, in one fused
     pass: (vec_a, vec_b, cos_sim_raw) for same-(table, bucket) pairs.
 
@@ -685,7 +702,8 @@ def _lsh_tile_scores(e: DataFrame, n_tables: int,
     import pandas as pd
 
     blocks = lsh_blocks(e, n_rows if n_rows is not None else e.count(),
-                        n_tables=n_tables, seed=seed)
+                        n_tables=n_tables, seed=seed,
+                        bucket_populations=bucket_populations)
     a = blocks.select("table_idx", "sig", F.col("sub").alias("sub_a"),
                       F.col("ids").alias("ids_a"), F.col("embs").alias("embs_a"))
     b = blocks.select("table_idx", "sig", F.col("sub").alias("sub_b"),
@@ -729,7 +747,8 @@ def _lsh_tile_scores(e: DataFrame, n_tables: int,
         compute, schema="vec_a long, vec_b long, cos_sim_raw double")
 
 
-def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str,
+                       bucket_populations: DataFrame | None = None) -> DataFrame:
     """Multi-table hyperplane-LSH candidates + per-tile BLAS scoring.
 
     Candidates come only from same-(table, bucket) pairs across G=8 hash
@@ -743,7 +762,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     expected bucket stays near BLOCK_SIZE."""
     e, n = _emb_n(spark, sf_dir)
     sims = _lsh_tile_scores(e, ANN_TOPK_TABLES, threshold=None, local_topk=64,
-                            n_rows=n)
+                            n_rows=n, bucket_populations=bucket_populations)
     return (
         sims.select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
         .distinct()  # a pair can collide in several tables — same exact cos
@@ -872,7 +891,8 @@ ANN_SEED = 1337
 
 
 @register("dedup_embedding_ann")  # rows-only: candidate set is approximate
-def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str,
+                        bucket_populations: DataFrame | None = None) -> DataFrame:
     """Same fused tile machinery as similarity_ann_lsh, thresholded: only
     pairs with exact cosine >= EMB_DUP_THRESHOLD leave the kernel, so the
     dense candidate sets a clone-heavy corpus produces are filtered inside
@@ -880,10 +900,15 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     join-then-rescore formulation at ~10^9 candidate rows). Planes per
     table scale with corpus size via lsh_blocks; recall for STRONG
     near-dups (the dedup target) stays ~1 via the 8 tables — the
-    production recall knob is more tables / multi-probe, not smaller g."""
+    production recall knob is more tables / multi-probe, not smaller g.
+
+    ``bucket_populations``: optional T9 maintained index state (per-(table,
+    sig) counts, SAME seed/tables) — skips the per-query bucket-stats
+    aggregate; see lsh_blocks."""
     e, n = _emb_n(spark, sf_dir)
     sims = _lsh_tile_scores(e, ANN_N_TABLES, threshold=EMB_DUP_THRESHOLD,
-                            local_topk=None, seed=ANN_SEED, n_rows=n)
+                            local_topk=None, seed=ANN_SEED, n_rows=n,
+                            bucket_populations=bucket_populations)
     return (
         sims.select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
         .distinct()  # multi-table collisions carry identical exact scores

@@ -232,3 +232,35 @@ def test_streamed_lsh_index_equals_batch(spark):
     for r in summary:
         assert r["n_vectors"] == n_vecs           # every vector routed
         assert r["max_bucket"] <= n_vecs
+
+
+def test_maintained_index_drives_batch_ann_identically(spark):
+    """r4 (VERDICT item 6): the T9 maintained per-bucket populations feed
+    the batch ANN query path — lsh_blocks skips its per-query bucket-stats
+    aggregate and sub-tiles from the streamed state instead. Results must
+    be IDENTICAL to the self-derived path (same seed/tables: the state is
+    exactly the statistic the query would have recomputed), and a stale/
+    empty state must degrade to one sub-block per bucket, never drop rows."""
+    from service_level_reporting_spark.operators import similarity as SIM
+    from service_level_reporting_spark.streaming.ann_index import (
+        streamed_bucket_populations)
+    from service_level_reporting_spark.tables import load_tables, table_row_count
+
+    pops = streamed_bucket_populations(spark, SF_DIR_001)
+    base = sorted((r["vec_a"], r["vec_b"], r["cos_sim"]) for r in
+                  SIM.similarity_ann_lsh(spark, SF_DIR_001).collect())
+    fed = sorted((r["vec_a"], r["vec_b"], r["cos_sim"]) for r in
+                 SIM.similarity_ann_lsh(
+                     spark, SF_DIR_001, bucket_populations=pops).collect())
+    assert fed == base and base, "maintained-state path diverged"
+
+    # stale-state degradation: an EMPTY population table must not drop any
+    # vector from the blocks (left join + coalesce -> single sub-block)
+    e = load_tables(spark, SF_DIR_001, ("embeddings",))["embeddings"]
+    n = table_row_count(SF_DIR_001, "embeddings")
+    empty = spark.createDataFrame(
+        [], "table_idx int, sig int, n_vectors long")
+    blocks = SIM.lsh_blocks(e, n, n_tables=2, bucket_populations=empty)
+    from pyspark.sql import functions as F
+    routed = blocks.agg(F.sum(F.size("ids"))).collect()[0][0]
+    assert routed == 2 * n                       # every vector, every table
