@@ -156,8 +156,8 @@ def measure_pairwise(spark, sf_dir: str, names: list[str], n_runs: int,
 
     Returns (spark_timings, duckdb_timings, notes).
     """
-    oracles = registry.all_oracles()
-    qs = registry.all_queries()
+    oracles = registry.aux_oracles()   # headliners may be aux-registered
+    qs = registry.aux_queries()
     spark_out: dict[str, float] = {}
     duck_out: dict[str, float | None] = {}
     notes: dict[str, str] = {}
@@ -224,7 +224,7 @@ def main() -> None:
     # a cluster run sizes this to the data, not to this constant.
     spark = get_spark(app_name="slr-bench", shuffle_partitions=8)
     spark.sparkContext.setLogLevel("ERROR")
-    qs = registry.all_queries()
+    qs = registry.aux_queries()
 
     # Steady-state measurement discipline (BASELINE.md "amortize the floor"):
     # 1. Warm each headliner's PLAN SHAPE once at sf0.001 — pays one-time

@@ -230,6 +230,10 @@ def similarity_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 EMB_DUP_THRESHOLD = 0.5
 
 
+# aux (r4, VERDICT item 7): the thresholded exact pairs are hash-covered
+# inside similarity_ann_suite's 'exact_oracle' part, freeing this row from
+# the driver's 50-query window; the standalone name keeps its oracle for
+# the pytest differential and stays a bench headliner.
 @register(
     "dedup_embedding_cosine",
     oracle=f"""
@@ -238,6 +242,7 @@ EMB_DUP_THRESHOLD = 0.5
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE {_COS_SQL} >= {EMB_DUP_THRESHOLD}
     """,
+    aux=True,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     e, n = _emb_n(spark, sf_dir)
@@ -883,7 +888,16 @@ def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label", "cos_sim",
     ).crossJoin(F.broadcast(
         _recall_frame(mp_raw.select("vec_id"), exact_knn, ["vec_id"], KNN_K)))
-    return ivf.unionByName(pq).unionByName(lsh).unionByName(mp)
+    # 'exact_oracle' (r4): the thresholded EXACT near-dup pairs — the
+    # oracle every approximate part is judged against — ride in the suite
+    # row itself (recall_at_k ≡ 1.0 by definition), which is what freed
+    # dedup_embedding_cosine's standalone slot in the driver window.
+    exact = dedup_embedding_cosine(spark, sf_dir).select(
+        F.lit("exact_oracle").alias("part"), "vec_a", "vec_b",
+        F.lit(None).cast("long").alias("label"), "cos_sim",
+    ).withColumn("recall_at_k", F.lit(1.0))
+    return (ivf.unionByName(pq).unionByName(lsh).unionByName(mp)
+            .unionByName(exact))
 
 
 ANN_N_TABLES = 8

@@ -60,9 +60,11 @@ def _canon(df: pd.DataFrame) -> list[tuple]:
 
 
 def compare_query(spark, sf_dir: str, name: str) -> dict:
-    """Run one query both ways; return a result dict (ok, detail)."""
-    qfn = registry.all_queries()[name]
-    oracle = registry.all_oracles().get(name)
+    """Run one query both ways; return a result dict (ok, detail).
+    aux-registered queries (outside the driver window) are checked too —
+    their oracles stay live in pytest even though the driver skips them."""
+    qfn = registry.aux_queries()[name]
+    oracle = registry.aux_oracles().get(name)
     sdf = qfn(spark, sf_dir).toPandas()
     out = {"name": name, "spark_rows": len(sdf), "ok": True, "detail": ""}
     if oracle is None:
@@ -92,6 +94,6 @@ def compare_query(spark, sf_dir: str, name: str) -> dict:
 
 
 def run_all(spark, sf_dir: str, names=None) -> list[dict]:
-    qs = registry.all_queries()
+    qs = registry.aux_queries()
     names = names or sorted(qs)
     return [compare_query(spark, sf_dir, n) for n in names]

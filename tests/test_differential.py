@@ -15,7 +15,7 @@ from .differential import compare_query
 
 
 def _names():
-    return sorted(registry.all_queries())
+    return sorted(registry.aux_queries())
 
 
 @pytest.mark.parametrize("name", _names())

@@ -468,7 +468,7 @@ def test_coverage_doc_names_match_registry():
 
     from service_level_reporting_spark import registry
 
-    keys = set(registry.all_queries())
+    keys = set(registry.aux_queries())
     doc = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))), "COVERAGE.md")
     bad = []

@@ -116,7 +116,7 @@ def test_registry_wide_plan_lint(spark):
         "similarity_topk_pairs", "dedup_embedding_cosine",
         "similarity_knn_query", "similarity_ann_suite",
     }
-    for name, fn in sorted(registry.all_queries().items()):
+    for name, fn in sorted(registry.aux_queries().items()):
         if name.startswith("stream_") or name.startswith("sink_"):
             continue  # sinks/streams execute eagerly; covered elsewhere
         allow = ("CartesianProduct",) if name in ALLOW_CARTESIAN else ()

@@ -18,7 +18,7 @@ from service_level_reporting_spark.tables import load_tables
 
 from .conftest import SF_DIR_001
 
-Q = registry.all_queries()
+Q = registry.aux_queries()
 
 
 # --- approx sketches (report_sketch_summary) vs exact ----------------------

@@ -99,7 +99,7 @@ def duckdb_best(sf_dir: str, sql: str, n: int = N_RUNS) -> float:
 
 
 def spark_best(spark, sf_dir: str, name: str, n: int = N_RUNS) -> float:
-    qs = registry.all_queries()
+    qs = registry.aux_queries()
     qs[name](spark, sf_dir).collect()          # warm: broadcasts, AQE, codegen
     runs = []
     for _ in range(n):

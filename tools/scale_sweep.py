@@ -103,7 +103,7 @@ def build(spark) -> None:
 
 
 def run(spark) -> None:
-    qs = registry.all_queries()
+    qs = registry.aux_queries()
     timings: dict[str, float] = {}
     failures: dict[str, str] = {}
     for name in sorted(qs):
