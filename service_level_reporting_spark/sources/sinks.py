@@ -32,10 +32,13 @@ def _staging_dir(spark: SparkSession, sf_dir: str, kind: str) -> str:
     same SF (pytest + the scale sweep) previously raced on identical /tmp
     paths and one could read a half-overwritten layout. Within one app the
     path is stable, so legs that intentionally reuse state across calls
-    (incremental rollup, bucketed table) still find it."""
+    (incremental rollup, bucketed table) still find it. Allocation prunes
+    stale same-kind dirs from finished apps (scratch.app_scratch_dir,
+    ADVICE r3: the salt alone grew /tmp without bound)."""
+    from service_level_reporting_spark.scratch import app_scratch_dir
+
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    app = spark.sparkContext.applicationId
-    return os.path.join(tempfile.gettempdir(), f"slr_{kind}_{tag}_{app}")
+    return app_scratch_dir(spark, f"slr_{kind}_{tag}")
 
 
 def write_minute_rollup(df: DataFrame, path: str) -> None:

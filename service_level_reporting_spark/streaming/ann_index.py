@@ -32,10 +32,10 @@ def _staged_emb_chunks(spark: SparkSession, sf_dir: str,
                        n_chunks: int = 4) -> str:
     """Stage embeddings as n_chunks parquet files (idempotent per app+sf,
     mtime-checked; appId salt avoids cross-process races)."""
+    from service_level_reporting_spark.scratch import app_scratch_dir
+
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    app = spark.sparkContext.applicationId
-    dst_dir = os.path.join(tempfile.gettempdir(),
-                           f"slr_emb_chunks_{tag}_{app}")
+    dst_dir = app_scratch_dir(spark, f"slr_emb_chunks_{tag}")
     marker = os.path.join(dst_dir, "_STAGED")
     src = f"{sf_dir}/embeddings.parquet"
     if not (os.path.exists(marker)

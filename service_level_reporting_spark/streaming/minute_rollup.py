@@ -42,12 +42,13 @@ def _staged_dir(spark: SparkSession, sf_dir: str) -> str:
     real parquet timestamp (current testdata). A production deployment's
     file/Kafka source lands already-normalized records the same way.
     """
+    from service_level_reporting_spark.scratch import app_scratch_dir
+
     src = f"{sf_dir}/events.parquet"
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     # appId salt: concurrent processes (pytest + scale sweep) must not race
-    # on one staging dir (same hazard ADVICE r2 flagged for the sink legs)
-    app = spark.sparkContext.applicationId
-    dst_dir = os.path.join(tempfile.gettempdir(), f"slr_stream_norm_{tag}_{app}")
+    # on one staging dir (ADVICE r2); stale old-app dirs pruned (ADVICE r3)
+    dst_dir = app_scratch_dir(spark, f"slr_stream_norm_{tag}")
     marker = os.path.join(dst_dir, "_STAGED")
     if not (os.path.exists(marker)
             and os.path.getmtime(marker) >= os.path.getmtime(src)):
@@ -194,10 +195,10 @@ STATEFUL_TARGET_HI = 90.0
 
 def _staged_chunks_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
     """Stage events as n_chunks parquet files (idempotent per sf)."""
+    from service_level_reporting_spark.scratch import app_scratch_dir
+
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
-    app = spark.sparkContext.applicationId
-    dst_dir = os.path.join(tempfile.gettempdir(),
-                           f"slr_stream_chunks_{tag}_{app}")
+    dst_dir = app_scratch_dir(spark, f"slr_stream_chunks_{tag}")
     marker = os.path.join(dst_dir, "_STAGED")
     src = f"{sf_dir}/events.parquet"
     if not (os.path.exists(marker)

@@ -523,3 +523,33 @@ def test_bench_helpers_smoke(spark):
                                          ["pricing_summary"], n_runs=1,
                                          cap_sec=120.0, adaptive=True)
     assert notes2 == {} and base2["pricing_summary"] > 0
+
+
+def test_scratch_dir_prunes_stale_siblings(spark):
+    """ADVICE r3: appId-salted scratch dirs must self-clean — allocation
+    removes same-stem dirs from other apps once past the age gate, keeps
+    young siblings (possibly a live concurrent process) and its own dir."""
+    import os
+    import shutil
+    import tempfile
+    import time
+    import uuid
+
+    from service_level_reporting_spark import scratch
+
+    stem = f"slr_testprune_{uuid.uuid4().hex[:6]}"
+    root = tempfile.gettempdir()
+    stale = os.path.join(root, f"{stem}_app-dead")
+    young = os.path.join(root, f"{stem}_app-live")
+    os.makedirs(stale)
+    os.makedirs(young)
+    old = time.time() - scratch.STALE_AGE_SEC - 60
+    os.utime(stale, (old, old))
+    try:
+        mine = scratch.app_scratch_dir(spark, stem)
+        assert not os.path.exists(stale), "stale sibling not pruned"
+        assert os.path.exists(young), "young sibling wrongly pruned"
+        assert mine.startswith(os.path.join(root, stem + "_"))
+    finally:
+        shutil.rmtree(young, ignore_errors=True)
+        shutil.rmtree(stale, ignore_errors=True)

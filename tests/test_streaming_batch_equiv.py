@@ -264,3 +264,89 @@ def test_maintained_index_drives_batch_ann_identically(spark):
     from pyspark.sql import functions as F
     routed = blocks.agg(F.sum(F.size("ids"))).collect()[0][0]
     assert routed == 2 * n                       # every vector, every table
+
+
+def test_state_store_soak_100_batches(spark):
+    """r4 stretch (VERDICT item 8): a 100-micro-batch time-ordered replay
+    through the T4/T5 state shapes (watermarked dedup + watermarked
+    windowed agg in ONE query, two stateful operators) with trend
+    assertions that catch state leaks:
+
+      * state rows must PLATEAU (watermark eviction working): the final
+        batch's numRowsTotal stays near the mid-replay median instead of
+        climbing to the all-time total;
+      * batch durations must not trend up: a leak shows as steadily
+        growing per-batch work across 100 batches.
+
+    The replay is staged time-ordered (repartitionByRange on ts; the file
+    source consumes parts in path order) so the watermark advances
+    gradually and eviction actually runs — a shuffled replay would mark
+    almost everything late and test nothing."""
+    import os
+    import shutil
+    import statistics
+    import tempfile
+    import uuid
+
+    from service_level_reporting_spark.streaming.minute_rollup import (
+        NORMALIZED_EVENTS_SCHEMA)
+    from service_level_reporting_spark.tables import load_tables
+
+    n_chunks = 100
+    stage = os.path.join(tempfile.gettempdir(),
+                         f"slr_soak_{uuid.uuid4().hex[:8]}")
+    ev = load_tables(spark, SF_DIR_001, ("events",))["events"]
+    (ev.repartitionByRange(n_chunks, "ts")
+     .write.mode("overwrite").parquet(stage))
+    try:
+        s = (spark.readStream.schema(NORMALIZED_EVENTS_SCHEMA)
+             .option("maxFilesPerTrigger", 1).parquet(stage)
+             .withWatermark("ts", "10 minutes")
+             .dropDuplicatesWithinWatermark(["event_id"]))          # T5 state
+        agg = (s.groupBy(F.window("ts", "1 hour"), "event_type")    # T4 state
+               .agg(F.count(F.lit(1)).alias("n")))
+        name = f"soak_{uuid.uuid4().hex[:8]}"
+        prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+        prev_prog = spark.conf.get(
+            "spark.sql.streaming.numRecentProgressUpdates", "100")
+        try:
+            spark.conf.set("spark.sql.shuffle.partitions", "8")
+            spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+                           str(n_chunks + 50))
+            q = (agg.writeStream.format("memory").queryName(name)
+                 .outputMode("append").trigger(availableNow=True).start())
+            q.awaitTermination()
+            progress = list(q.recentProgress)
+        finally:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
+            spark.conf.set("spark.sql.streaming.numRecentProgressUpdates",
+                           prev_prog)
+
+        runs = [p for p in progress if p["numInputRows"] > 0]
+        assert len(runs) >= 95, f"only {len(runs)} data batches ran"
+
+        # ---- state plateau per operator (dedup + windowed agg) ----
+        n_ops = len(runs[0]["stateOperators"])
+        assert n_ops == 2, runs[0]["stateOperators"]
+        for op in range(n_ops):
+            series = [p["stateOperators"][op]["numRowsTotal"] for p in runs]
+            mid = statistics.median(series[len(series) // 4:
+                                           3 * len(series) // 4])
+            final, peak = series[-1], max(series)
+            # leak signature: final ~= peak ~= sum of all keys ever seen,
+            # far above the steady in-watermark population
+            assert final <= 2 * mid + 50, (
+                f"op{op} state climbing: final={final} mid-median={mid} "
+                f"series tail={series[-10:]}")
+            assert peak <= 4 * mid + 50, (
+                f"op{op} state peaked {peak} vs mid-median {mid}")
+
+        # ---- batch-duration trend (generous: shared container) ----
+        durs = [p["batchDuration"] for p in runs]
+        q1 = statistics.median(durs[:len(durs) // 4])
+        q4 = statistics.median(durs[-len(durs) // 4:])
+        assert q4 <= max(3 * q1, q1 + 1000), (
+            f"batch durations trending up: first-quartile median {q1}ms "
+            f"-> last-quartile median {q4}ms")
+    finally:
+        shutil.rmtree(stage, ignore_errors=True)
