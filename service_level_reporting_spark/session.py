@@ -38,6 +38,10 @@ _RUNTIME_CONFS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     # Arrow for the few Pandas-UDF paths (similarity fallback, multimodal).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Write timestamps as INT64 micros, not legacy INT96: INT96 columns
+    # carry NO parquet statistics, which silently disables row-group
+    # skipping and the txlog's file-stats MERGE pruning on time columns.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
 }
 
 

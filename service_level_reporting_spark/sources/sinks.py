@@ -455,10 +455,93 @@ def format_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "key string, n long, n2 long, v double")
 
 
+# ---------------------------------------------------------------------------
+# TxLog leg (r4): the lakehouse table format as RUNNING code — atomic
+# commits, optimistic concurrency, snapshot isolation, time travel, MERGE
+# with file-stats pruning, checkpoint compaction (sources/txlog.py). This
+# leg drives the whole protocol end-to-end and returns verification rows.
+# ---------------------------------------------------------------------------
+
+def sink_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seven per-day appends (one immutable file each, disjoint minute
+    ranges) then the same non-day-aligned MERGE window the plain-parquet
+    upsert leg uses (Jan 3 12:00 -> Jan 5 12:00) — with a rogue writer
+    pre-claiming the merge's version so the optimistic-concurrency retry
+    genuinely fires. Verification rows:
+      per-indicator  — final-table counts/sums (must equal the one-shot
+                       rollup: same keys, same values — pytest-pinned);
+      '_merge'       — n = files rewritten (only the 3 overlapping days),
+                       n2 = files carried by reference, v = retries (=1);
+      '_snapshot'    — n = rows readable at the PRE-merge version AFTER
+                       the merge (snapshot isolation: unchanged), n2 = the
+                       table's latest version number."""
+    import shutil
+
+    from service_level_reporting_spark.sources.txlog import TxLogTable
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    root = _staging_dir(spark, sf_dir, "sink_txlog")
+    shutil.rmtree(root, ignore_errors=True)   # deterministic per invocation
+
+    # Rogue-writer injection: between the merge's snapshot resolution and
+    # its commit (i.e. while it is writing data files), a second writer
+    # claims the version it reserved — the exact interleaving optimistic
+    # concurrency exists for. Injected once, deterministically.
+    class _RaceInjectedTable(TxLogTable):
+        armed = False       # armed just before the merge, not the appends
+        injected = False
+
+        def _write_data_files(self, df):
+            adds = super()._write_data_files(df)
+            if self.armed and not self.injected:
+                type(self).injected = True
+                self.commit([], self.latest_version() + 1)   # rogue claim
+            return adds
+
+    t = _RaceInjectedTable(root, key_cols=["indicator", "minute"],
+                           stats_col="minute")
+
+    for day in range(1, 8):
+        rolled = minute_rollup(
+            ev, (F.col("ts") >= f"2024-01-{day:02d}")
+            & (F.col("ts") < f"2024-01-{day + 1:02d}"))
+        t.append(rolled.coalesce(1))
+    pre_merge_version = t.latest_version()
+    pre_rows = t.read(spark, pre_merge_version).count()
+
+    shifted = minute_rollup(ev, (F.col("ts") >= "2024-01-03 12:00:00")
+                            & (F.col("ts") < "2024-01-05 12:00:00"))
+    _RaceInjectedTable.armed = True
+    stats = t.merge(shifted)
+
+    final = (
+        t.read(spark)
+        .groupBy("indicator")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("minute").alias("n2"),
+             F.round(F.sum("value"), 4).alias("v"))
+        .select(F.col("indicator").alias("key"), "n", "n2", "v")
+    )
+    snapshot_rows_after = t.read(spark, pre_merge_version).count()
+    meta = spark.createDataFrame(
+        [("_merge", stats["rewritten_files"], stats["carried_files"],
+          float(stats["retries"])),
+         ("_snapshot",
+          snapshot_rows_after if snapshot_rows_after == pre_rows else -1,
+          t.latest_version(), None)],
+        "key string, n long, n2 long, v double")
+    return final.unionByName(meta)
+
+
 @register("sink_suite")  # rows-only: sink semantics, asserted via re-read
 def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Labeled union of the six sink legs (consolidated so all land one
+    """Labeled union of the seven sink legs (consolidated so all land one
     driver CORRECTNESS row):
+      'txlog'            — the lakehouse table format as running code
+        (sources/txlog.py): per-day appends, a MERGE through an atomic
+        O_EXCL-claimed commit with a forced optimistic-concurrency retry,
+        file-stats pruning (only overlapping days rewritten), and a
+        snapshot-isolation / time-travel re-read at the pre-merge version;
       'upsert_merge'     — partition-grain overwrite + key-grain MERGE,
         re-read per-indicator counts (idempotence pytest-pinned);
       'bucketed_groupby' — events written bucketed by user_id, then the
@@ -505,6 +588,9 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("cluster").alias("part"), "key", "n", "n2", "v")
     formats = format_roundtrip_stats(spark, sf_dir).select(
         F.lit("formats").alias("part"), "key", "n", "n2", "v")
+    txlog = sink_txlog_merge(spark, sf_dir).select(
+        F.lit("txlog").alias("part"), "key", "n", "n2", "v")
     return (upsert.unionByName(bucketed).unionByName(incremental)
             .unionByName(compact).unionByName(cluster)
-            .unionByName(formats).orderBy("part", "key"))
+            .unionByName(formats).unionByName(txlog)
+            .orderBy("part", "key"))

@@ -1,0 +1,217 @@
+"""TxLog — a minimal Delta-style transaction-log table over plain parquet.
+
+COVERAGE.md's environmental-limits section documents the Delta/Iceberg
+MERGE seam; round 4 makes the TABLE FORMAT itself running code, built from
+what the format fundamentally is: immutable parquet data files plus an
+ordered log of atomic commits. Real here, not mocked:
+
+* **Atomic commits** — version file `_txlog/{v:020d}.json` created with
+  O_EXCL (`open(mode="x")`): POSIX put-if-absent, the same
+  reserve-the-next-version protocol Delta uses (object stores map this to
+  a conditional put / commit service).
+* **Optimistic concurrency** — a losing writer gets ``VersionConflict``,
+  re-reads the log, rebases its file set and retries; both writers land.
+* **Snapshot isolation + time travel** — a reader resolves a version's
+  live file set by replaying the log up to that version. Data files are
+  immutable and removes are logical, so a snapshot taken before a MERGE
+  still reads exactly its files afterwards.
+* **MERGE with file pruning** — every add action carries min/max stats of
+  the table's stats column (read from parquet footers, the same numbers a
+  catalog would hold); a MERGE rewrites only live files whose key range
+  overlaps the updates and carries every other file over by reference.
+* **Checkpoint compaction** — every ``CHECKPOINT_EVERY`` commits the
+  resolved file set is written to `{v}.checkpoint.json`, so snapshot
+  resolution reads the latest checkpoint + newer commits, O(interval) not
+  O(history).
+
+At 100 TB the substitutions are mechanical: the log lives on object
+storage behind a conditional-put commit service, checkpoints are parquet,
+and data files are written by executors — the protocol above is unchanged.
+This is deliberately a FORMAT, not a copy of any implementation's code.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+CHECKPOINT_EVERY = 10
+MERGE_MAX_RETRIES = 5
+
+
+class VersionConflict(Exception):
+    """Another writer committed the version this writer reserved."""
+
+
+class TxLogTable:
+    def __init__(self, path: str, key_cols: list[str], stats_col: str):
+        self.path = path
+        self.log_dir = os.path.join(path, "_txlog")
+        self.data_dir = os.path.join(path, "data")
+        self.key_cols = key_cols
+        # stats_col values are serialized as strings; pruning compares them
+        # lexicographically, so the column must be ISO-timestamp/zero-padded
+        # (documented contract, like Delta's stats-schema restrictions)
+        self.stats_col = stats_col
+        os.makedirs(self.log_dir, exist_ok=True)
+        os.makedirs(self.data_dir, exist_ok=True)
+
+    # ---- log primitives ---------------------------------------------------
+
+    def latest_version(self) -> int:
+        """-1 when the table has no commits yet."""
+        vs = [int(f[:20]) for f in os.listdir(self.log_dir)
+              if f.endswith(".json") and not f.endswith(".checkpoint.json")]
+        return max(vs, default=-1)
+
+    def _commit_path(self, v: int) -> str:
+        return os.path.join(self.log_dir, f"{v:020d}.json")
+
+    def commit(self, actions: list[dict], version: int) -> int:
+        """Atomically claim `version` with O_EXCL; raises VersionConflict
+        if another writer got there first. Returns the committed version."""
+        try:
+            with open(self._commit_path(version), "x") as fh:
+                json.dump({"version": version, "actions": actions}, fh)
+        except FileExistsError as exc:
+            raise VersionConflict(version) from exc
+        if version > 0 and version % CHECKPOINT_EVERY == 0:
+            self._write_checkpoint(version)
+        return version
+
+    def _write_checkpoint(self, version: int) -> None:
+        files = self._resolve(version, use_checkpoint=False)
+        ckpt = os.path.join(self.log_dir, f"{version:020d}.checkpoint.json")
+        tmp = ckpt + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump({"version": version, "files": files}, fh)
+        os.replace(tmp, ckpt)          # atomic publish, idempotent rewrite
+
+    def _resolve(self, version: int | None = None,
+                 use_checkpoint: bool = True) -> list[dict]:
+        """Live add-actions at `version` (default: latest): latest
+        checkpoint <= version, then replay newer commits' adds/removes."""
+        if version is None:
+            version = self.latest_version()
+        if version < 0:
+            return []
+        start = 0
+        live: dict[str, dict] = {}
+        if use_checkpoint:
+            ckpts = sorted(int(f[:20]) for f in os.listdir(self.log_dir)
+                           if f.endswith(".checkpoint.json")
+                           and int(f[:20]) <= version)
+            if ckpts:
+                cv = ckpts[-1]
+                with open(os.path.join(
+                        self.log_dir, f"{cv:020d}.checkpoint.json")) as fh:
+                    live = {a["path"]: a for a in json.load(fh)["files"]}
+                start = cv + 1
+        for v in range(start, version + 1):
+            p = self._commit_path(v)
+            if not os.path.exists(p):
+                raise ValueError(f"txlog: missing version {v} (corrupt log)")
+            with open(p) as fh:
+                for a in json.load(fh)["actions"]:
+                    if "add" in a:
+                        live[a["add"]["path"]] = a["add"]
+                    elif "remove" in a:
+                        live.pop(a["remove"], None)
+        return sorted(live.values(), key=lambda a: a["path"])
+
+    # ---- data-file helpers ------------------------------------------------
+
+    def _write_data_files(self, df: DataFrame) -> list[dict]:
+        """Write df as immutable parquet files under a fresh subdir; return
+        add-actions with footer-derived row counts and stats-column min/max
+        (exactly what a catalog/commit service records)."""
+        import pyarrow.parquet as pq
+
+        sub = os.path.join(self.data_dir, uuid.uuid4().hex[:12])
+        df.write.mode("error").parquet(sub)
+        adds = []
+        for root, _, files in os.walk(sub):
+            for f in sorted(files):
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, f)
+                meta = pq.ParquetFile(full).metadata
+                idx = {meta.schema.column(i).name: i
+                       for i in range(meta.num_columns)}[self.stats_col]
+                lo = hi = None
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        continue
+                    mn, mx = str(st.min), str(st.max)
+                    lo = mn if lo is None or mn < lo else lo
+                    hi = mx if hi is None or mx > hi else hi
+                adds.append({"add": {"path": os.path.relpath(full, self.path),
+                                     "rows": meta.num_rows,
+                                     "min": lo, "max": hi}})
+        return adds
+
+    def _files_df(self, spark: SparkSession, files: list[dict]) -> DataFrame:
+        paths = [os.path.join(self.path, a["path"]) for a in files]
+        return spark.read.parquet(*paths)
+
+    # ---- table operations -------------------------------------------------
+
+    def append(self, df: DataFrame) -> int:
+        """Blind append: new files + adds; retries version races."""
+        adds = self._write_data_files(df)
+        while True:
+            try:
+                return self.commit(adds, self.latest_version() + 1)
+            except VersionConflict:
+                continue   # appends never conflict logically — re-reserve
+
+    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+        files = self._resolve(version)
+        if not files:
+            raise ValueError("txlog: empty table (no snapshot to read)")
+        return self._files_df(spark, files)
+
+    def merge(self, updates: DataFrame, _retries: int = 0) -> dict:
+        """MERGE keyed on key_cols: rewrite ONLY live files whose stats
+        range overlaps the updates (matched keys take the update, unmatched
+        rows survive via anti-join), carry every other file by reference,
+        commit removes+adds as ONE version. On VersionConflict the whole
+        read-rewrite-commit rebases against the new snapshot and retries —
+        optimistic concurrency, not a lock. Returns commit stats."""
+        bounds = updates.agg(
+            F.min(F.col(self.stats_col).cast("string")).alias("lo"),
+            F.max(F.col(self.stats_col).cast("string")).alias("hi")).first()
+        lo, hi = bounds["lo"], bounds["hi"]
+        base = self.latest_version()
+        live = self._resolve(base)
+        touched = [a for a in live
+                   if a["min"] is None or lo is None
+                   or not (a["max"] < lo or a["min"] > hi)]
+        adds: list[dict] = []
+        if touched:
+            existing = self._files_df(updates.sparkSession, touched)
+            keep = existing.join(updates.select(*self.key_cols),
+                                 self.key_cols, "left_anti")
+            merged = keep.unionByName(updates)
+        else:
+            merged = updates
+        # materialize before committing: the plan reads files the commit
+        # logically removes (same hazard as merge_upsert_minutes; a
+        # production impl writes from executors then commits)
+        merged = merged.localCheckpoint(eager=True)
+        adds = self._write_data_files(merged)
+        actions = adds + [{"remove": a["path"]} for a in touched]
+        try:
+            v = self.commit(actions, base + 1)
+        except VersionConflict:
+            if _retries >= MERGE_MAX_RETRIES:
+                raise
+            return self.merge(updates, _retries=_retries + 1)
+        return {"version": v, "rewritten_files": len(touched),
+                "carried_files": len(live) - len(touched),
+                "added_files": len(adds), "retries": _retries}

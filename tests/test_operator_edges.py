@@ -507,22 +507,46 @@ def test_table_row_count_matches_scan(spark):
 
 def test_bench_helpers_smoke(spark):
     """bench.py is the driver's per-round artifact — a bitrot here loses a
-    round of BENCH evidence. Smoke the measurement helpers end-to-end at
-    sf0.001 with n=1 (seconds, not minutes)."""
+    round of BENCH evidence. Smoke the r4 pairwise helper end-to-end at
+    sf0.001 with n=1 (seconds, not minutes), including the explicit
+    baseline_error path ADVICE r3 demanded for broken oracles."""
     import bench
 
     names = ["pricing_summary", "dedup_exact"]
-    base, notes = bench.measure_duckdb("/root/testdata/sf0.001", names,
-                                       n_runs=1)
-    assert set(base) == set(names) and all(v > 0 for v in base.values())
+    t, base, notes = bench.measure_pairwise(
+        spark, "/root/testdata/sf0.001", names, n_runs=1)
+    assert set(t) == set(base) == set(names)
+    assert all(v > 0 for v in t.values())
+    assert all(v is not None and v > 0 for v in base.values())
     assert notes == {}
-    t = bench.measure_spark(spark, "/root/testdata/sf0.001", names, n_runs=1)
-    assert set(t) == set(names) and all(v > 0 for v in t.values())
     # the interrupt cap must not fire on a fast query and must not distort
-    base2, notes2 = bench.measure_duckdb("/root/testdata/sf0.001",
-                                         ["pricing_summary"], n_runs=1,
-                                         cap_sec=120.0, adaptive=True)
+    t2, base2, notes2 = bench.measure_pairwise(
+        spark, "/root/testdata/sf0.001", ["pricing_summary"], n_runs=1,
+        cap_sec=120.0, adaptive=True)
     assert notes2 == {} and base2["pricing_summary"] > 0
+
+    block = bench._ratio_block(t, base, notes)
+    assert block["ratio_vs_baseline"] is not None
+    assert set(block["per_query_ratio"]) == set(names)
+
+    # a broken oracle must surface as an explicit note + None baseline and
+    # must NOT poison the ratio over the remaining queries
+    from service_level_reporting_spark import registry
+    saved = registry._AUX_ORACLES.get("pricing_summary")
+    orig = registry._ORACLES["pricing_summary"]
+    registry._ORACLES["pricing_summary"] = "SELECT * FROM no_such_table"
+    try:
+        t3, base3, notes3 = bench.measure_pairwise(
+            spark, "/root/testdata/sf0.001", names, n_runs=1)
+    finally:
+        registry._ORACLES["pricing_summary"] = orig
+        if saved is not None:
+            registry._AUX_ORACLES["pricing_summary"] = saved
+    assert base3["pricing_summary"] is None
+    assert "baseline_error" in notes3["pricing_summary"]
+    block3 = bench._ratio_block(t3, base3, notes3)
+    assert block3["per_query_ratio"]["pricing_summary"] is None
+    assert block3["ratio_vs_baseline"] is not None   # dedup_exact still in
 
 
 def test_scratch_dir_prunes_stale_siblings(spark):

@@ -1,0 +1,120 @@
+"""TxLog table-format tests: atomic commits, optimistic concurrency,
+snapshot isolation / time travel, MERGE stats-pruning, checkpoints."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from service_level_reporting_spark.sources.txlog import (
+    CHECKPOINT_EVERY, TxLogTable, VersionConflict)
+from service_level_reporting_spark.sources.sinks import minute_rollup
+from service_level_reporting_spark.tables import load_tables
+
+from .conftest import SF_DIR_001
+
+
+@pytest.fixture()
+def table_path():
+    p = os.path.join(tempfile.gettempdir(), f"slr_txlog_test_{uuid.uuid4().hex[:8]}")
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+
+
+def _rollup(spark, lo, hi):
+    ev = load_tables(spark, SF_DIR_001, ("events",))["events"]
+    return minute_rollup(ev, (F.col("ts") >= lo) & (F.col("ts") < hi))
+
+
+def test_merge_equals_one_shot_and_prunes(spark, table_path):
+    """Append 7 per-day files, MERGE a non-day-aligned window: the final
+    table must equal the one-shot rollup key-for-key value-for-value, and
+    the merge must rewrite ONLY the 3 overlapping day files."""
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    for day in range(1, 8):
+        t.append(_rollup(spark, f"2024-01-{day:02d}",
+                         f"2024-01-{day + 1:02d}").coalesce(1))
+    stats = t.merge(_rollup(spark, "2024-01-03 12:00:00",
+                            "2024-01-05 12:00:00"))
+    assert stats["rewritten_files"] == 3 and stats["carried_files"] == 4
+    assert stats["retries"] == 0
+
+    got = {(r["indicator"], r["minute"]): (r["value"], r["n_points"])
+           for r in t.read(spark).collect()}
+    want = {(r["indicator"], r["minute"]): (r["value"], r["n_points"])
+            for r in _rollup(spark, "2024-01-01", "2024-01-08").collect()}
+    assert got == want
+
+
+def test_snapshot_isolation_and_time_travel(spark, table_path):
+    """A version resolved before a MERGE reads the SAME rows afterwards
+    (files are immutable, removes logical); every historical version stays
+    readable."""
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    v_counts = {}
+    for day in range(1, 4):
+        v = t.append(_rollup(spark, f"2024-01-{day:02d}",
+                             f"2024-01-{day + 1:02d}").coalesce(1))
+        v_counts[v] = t.read(spark, v).count()
+    pre = t.latest_version()
+    t.merge(_rollup(spark, "2024-01-02", "2024-01-03"))
+    for v, n in v_counts.items():
+        assert t.read(spark, v).count() == n       # time travel intact
+    assert t.read(spark, pre).count() == v_counts[pre]
+
+
+def test_commit_conflict_raises_and_append_rebases(spark, table_path):
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    v = t.append(_rollup(spark, "2024-01-01", "2024-01-02").coalesce(1))
+    with pytest.raises(VersionConflict):
+        t.commit([], v)                            # O_EXCL claim is atomic
+    # append retries past a rogue claim without losing data
+    t.commit([], v + 1)                            # rogue empty commit
+    v2 = t.append(_rollup(spark, "2024-01-02", "2024-01-03").coalesce(1))
+    assert v2 == v + 2
+    assert t.read(spark).count() == t.read(spark, v).count() + \
+        _rollup(spark, "2024-01-02", "2024-01-03").count()
+
+
+def test_checkpoint_compaction_and_equivalence(spark, table_path):
+    """Past CHECKPOINT_EVERY commits a checkpoint exists and resolution
+    through it equals a full-log replay."""
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    one_day = _rollup(spark, "2024-01-01", "2024-01-02").coalesce(1)
+    for _ in range(CHECKPOINT_EVERY + 2):
+        t.merge(one_day)        # same keys -> steady rewrite churn
+    ckpts = [f for f in os.listdir(t.log_dir)
+             if f.endswith(".checkpoint.json")]
+    assert ckpts, "no checkpoint written"
+    via_ckpt = t._resolve()
+    full = t._resolve(use_checkpoint=False)
+    assert via_ckpt == full
+    # checkpointed read returns the same single-day content
+    assert t.read(spark).count() == one_day.count()
+
+
+def test_stats_are_recorded_and_garbage_log_fails(spark, table_path):
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    t.append(_rollup(spark, "2024-01-01", "2024-01-02").coalesce(1))
+    with open(t._commit_path(0)) as fh:
+        actions = json.load(fh)["actions"]
+    adds = [a["add"] for a in actions if "add" in a]
+    assert adds and all(a["min"] is not None and a["max"] is not None
+                        and a["min"].startswith("2024-01-01") for a in adds)
+    # a hole in the log (missing version) must fail resolution loudly
+    t.commit([], 1)
+    t.commit([], 2)
+    os.remove(t._commit_path(1))
+    with pytest.raises(ValueError, match="missing version"):
+        t._resolve(use_checkpoint=False)
