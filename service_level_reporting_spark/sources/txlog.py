@@ -215,3 +215,30 @@ class TxLogTable:
         return {"version": v, "rewritten_files": len(touched),
                 "carried_files": len(live) - len(touched),
                 "added_files": len(adds), "retries": _retries}
+
+    def vacuum(self, retain_versions: int = 3) -> dict:
+        """Delete data files referenced by NO version in the retained
+        window [latest - retain_versions + 1, latest]. Files still visible
+        to any retained snapshot survive, so readers of those versions are
+        unaffected; older time travel is traded for space — exactly the
+        Delta VACUUM contract (retention by versions here; by wall-clock
+        there — version count is the deterministic equivalent for a replay
+        harness with no clock access). Also drops data files orphaned by
+        losing merge attempts (written, never committed)."""
+        latest = self.latest_version()
+        keep: set[str] = set()
+        for v in range(max(0, latest - retain_versions + 1), latest + 1):
+            keep.update(a["path"] for a in self._resolve(v))
+        removed = 0
+        for root, _, files in os.walk(self.data_dir):
+            for f in files:
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, self.path)
+                if f.endswith(".parquet") and rel not in keep:
+                    try:
+                        os.remove(full)
+                        removed += 1
+                    except OSError:
+                        pass
+        return {"removed_files": removed, "retained_files": len(keep),
+                "latest_version": latest}

@@ -118,3 +118,23 @@ def test_stats_are_recorded_and_garbage_log_fails(spark, table_path):
     os.remove(t._commit_path(1))
     with pytest.raises(ValueError, match="missing version"):
         t._resolve(use_checkpoint=False)
+
+
+def test_vacuum_drops_old_files_keeps_retained_snapshots(spark, table_path):
+    """vacuum removes files no retained version references (including
+    orphans from losing merge attempts) while every retained snapshot
+    still reads intact; a vacuumed-away older version fails loudly."""
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    one_day = _rollup(spark, "2024-01-01", "2024-01-02").coalesce(1)
+    for _ in range(6):
+        t.merge(one_day)                 # rewrite churn -> dead files
+    latest = t.latest_version()
+    counts = {v: t.read(spark, v).count()
+              for v in range(latest - 2, latest + 1)}
+    stats = t.vacuum(retain_versions=3)
+    assert stats["removed_files"] > 0
+    for v, n in counts.items():          # retained window unaffected
+        assert t.read(spark, v).count() == n
+    with pytest.raises(Exception):       # pre-window version is gone
+        t.read(spark, 0).count()
