@@ -80,26 +80,27 @@ def slo_daily_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     is_err = F.col("event_type") == "error"
     err_value = F.when(is_err, F.col("value"))
     # Two-stage plan: partial algebraic aggregates per (day, user), then a
-    # day-level rollup where the distinct-user count is a plain row count
-    # over the stage-1 groups. A single-pass agg mixing countDistinct with
-    # plain aggregates makes Catalyst insert an Expand (every input row
-    # duplicated through the shuffle) — the one flagship plan that DEGRADED
-    # with scale on the r3 floor curve (6.15x at sf10).
+    # day-level rollup where the distinct-user count is count(user_id) over
+    # the stage-1 groups. A single-pass agg mixing countDistinct with plain
+    # aggregates makes Catalyst insert an Expand (every input row duplicated
+    # through the shuffle) — the one flagship plan that DEGRADED with scale
+    # on the r3 floor curve (6.15x at sf10).
     #
-    # The stage-1 key is PACKED into one long — user_id * 2^16 + unix_date —
-    # because Spark's codegen aggregate has a vectorized single-long-key
-    # fast hash map that the composite (date, long) key does not hit:
-    # measured 0.86s (composite) vs 0.06s (packed) at sf10 for the same
-    # logical plan. Packing bounds (both documented, both generous):
-    # unix_date < 2^16 holds until 2149-06-06, and user_id < 2^47 keeps the
-    # product in long range; a deployment with wider entity ids reverts to
-    # the composite key and pays the slower map, nothing else changes. The
-    # packing also assumes user_id NOT NULL (events schema, FIXTURES.md §A):
-    # a NULL id would null the whole key and detach the row from its day.
-    pk = (F.col("user_id") * F.lit(65536)
-          + F.unix_date(F.to_date("ts")).cast("long")).alias("_k")
+    # The stage-1 keys are (to_date(ts), user_id) DELIBERATELY: on data
+    # clustered by date(ts) — the at-rest layout, and how cache_tables
+    # caches events — HashPartitioning(to_date(ts)) satisfies
+    # ClusteredDistribution([d, user_id]) via Spark's subset rule, so BOTH
+    # aggregation stages plan with ZERO exchanges (whole query = one
+    # map-only stage). Fresh-plan measurements at sf10 (10M events, same
+    # session, same weather): composite 0.96s / packed-single-long-key
+    # 1.55s (packing breaks the subset property -> full shuffle) / original
+    # Expand plan 1.73s, vs DuckDB 0.32s. The remaining ~3x is aggregate-
+    # kernel throughput, not plan shape — there is no shuffle left to
+    # remove. (Beware when re-measuring: re-collecting the SAME DataFrame
+    # object reuses shuffle outputs via skipped stages and reads ~20x
+    # faster than any fresh plan — always rebuild the frame per run.)
     per_user = (
-        ev.groupBy(pk)
+        ev.groupBy(F.to_date("ts").alias("_d"), "user_id")
         .agg(
             F.sum(err_value).alias("_sum_err"),
             F.count(err_value).alias("_n_err"),
@@ -112,9 +113,8 @@ def slo_daily_health(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_points = F.sum("_n_err")
     breaches = F.sum("_breaches")
     n_total = F.sum("_n_rows")
-    day = F.date_from_unix_date(F.pmod("_k", F.lit(65536)).cast("int"))
     return (
-        per_user.groupBy(day.alias("_d"))
+        per_user.groupBy("_d")
         .agg(
             SF.r6(F.try_divide(F.sum("_sum_err"), n_points)).alias("avg_value"),
             F.min("_min_err").alias("min_value"),
@@ -124,7 +124,7 @@ def slo_daily_health(spark: SparkSession, sf_dir: str) -> DataFrame:
             SF.r6(SF.compliance(breaches, n_points)).alias("compliance"),
             n_total.alias("n_total"),
             SF.r6(SF.safe_ratio(n_points, n_total)).alias("error_rate"),
-            F.count(F.lit(1)).alias("n_users"),
+            F.count("user_id").alias("n_users"),
         )
         .withColumn("day", F.date_format("_d", "yyyy-MM-dd"))
         .drop("_d")
