@@ -71,17 +71,63 @@ class TxLogTable:
     def _commit_path(self, v: int) -> str:
         return os.path.join(self.log_dir, f"{v:020d}.json")
 
-    def commit(self, actions: list[dict], version: int) -> int:
+    def commit(self, actions: list[dict], version: int,
+               txn: dict | None = None) -> int:
         """Atomically claim `version` with O_EXCL; raises VersionConflict
-        if another writer got there first. Returns the committed version."""
+        if another writer got there first. Returns the committed version.
+
+        ``txn`` ({"writer": str, "batch": int}) rides IN the commit record:
+        data files and the idempotence marker become visible atomically —
+        the exactly-once primitive streaming foreachBatch sinks need (the
+        same shape as Delta's txn action)."""
         try:
             with open(self._commit_path(version), "x") as fh:
-                json.dump({"version": version, "actions": actions}, fh)
+                record = {"version": version, "actions": actions}
+                if txn is not None:
+                    record["txn"] = txn
+                json.dump(record, fh)
         except FileExistsError as exc:
             raise VersionConflict(version) from exc
         if version > 0 and version % CHECKPOINT_EVERY == 0:
             self._write_checkpoint(version)
         return version
+
+    def last_txn_batch(self, writer: str) -> int:
+        """Highest batch id committed by `writer`; -1 if none. Walks the
+        commit records newest-first (they are tiny JSON files; at scale the
+        checkpoint would carry a writer->batch map the same way Delta's
+        does — the log walk is the correctness reference)."""
+        for v in range(self.latest_version(), -1, -1):
+            p = self._commit_path(v)
+            if not os.path.exists(p):
+                continue
+            with open(p) as fh:
+                txn = json.load(fh).get("txn")
+            if txn and txn.get("writer") == writer:
+                return int(txn["batch"])
+        return -1
+
+    def txn_append(self, df: DataFrame, writer: str, batch_id: int) -> bool:
+        """Idempotent append for streaming foreachBatch: a batch id at or
+        below the writer's last committed marker is SKIPPED (the retry case
+        — sink wrote, checkpoint didn't advance, engine re-runs the batch);
+        otherwise data files + marker commit atomically. Returns True if
+        the batch was applied, False if skipped."""
+        if batch_id <= self.last_txn_batch(writer):
+            return False
+        adds = self._write_data_files(df)
+        while True:
+            base = self.latest_version()
+            # re-check under the new snapshot: a competing retry of the
+            # SAME writer may have landed this batch while we wrote files
+            if batch_id <= self.last_txn_batch(writer):
+                return False
+            try:
+                self.commit(adds, base + 1,
+                            txn={"writer": writer, "batch": batch_id})
+                return True
+            except VersionConflict:
+                continue
 
     def _write_checkpoint(self, version: int) -> None:
         files = self._resolve(version, use_checkpoint=False)

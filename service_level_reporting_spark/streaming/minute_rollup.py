@@ -453,17 +453,22 @@ def stream_stateful_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("stream_suite")  # rows-only: streaming output is engine-specific
 def stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ALL nine streaming legs as one labeled summary (consolidated so the
+    """ALL ten streaming legs as one labeled summary (consolidated so the
     full streaming surface lands one driver CORRECTNESS row): T1 tumbling /
     T2 sliding / T3 session / T4 watermark+append / T7 checkpointed
     exactly-once sink / T8 stream-stream interval join from
     stream_windows_suite, plus T5 stateful dedup, T6 custom
-    applyInPandasWithState compliance, and T9 incremental LSH-index
+    applyInPandasWithState compliance, T9 incremental LSH-index
     maintenance (streaming/ann_index.py — per-table bucket populations
-    accumulated across micro-batches). Batch-equivalence per leg is
-    pytest-pinned in tests/test_streaming_batch_equiv.py."""
+    accumulated across micro-batches), and T10 exactly-once ingestion into
+    the TxLog lakehouse table (streaming/txlog_sink.py — foreachBatch +
+    atomic transactional batch markers, replayed batch skipped).
+    Batch-equivalence per leg is pytest-pinned in
+    tests/test_streaming_batch_equiv.py."""
     from service_level_reporting_spark.streaming.ann_index import (
         stream_lsh_index_summary)
+    from service_level_reporting_spark.streaming.txlog_sink import (
+        stream_txlog_ingest)
 
     windows = stream_windows_suite(spark, sf_dir)
     stateful = stream_stateful_suite(spark, sf_dir)
@@ -471,6 +476,12 @@ def stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "lsh_index_maintain", F.col("table_idx"),
                       F.lit(None), F.col("n_vectors"),
                       F.col("max_bucket"))
+    # T10: exactly-once ingestion into the TxLog lakehouse table — the
+    # '_txn' key's n is (table_rows - source_rows) + replay_applied and
+    # must be 0 (no loss, no duplication, replayed batch skipped)
+    txlog_ingest = _part(stream_txlog_ingest(spark, sf_dir),
+                         "txlog_ingest", F.col("key"), F.lit(None),
+                         F.col("n"), F.col("n2").cast("double"))
     null_ts = F.lit(None).cast("timestamp")
     dedup = stateful.where(F.col("part") == "dedup").select(
         F.lit("stateful_dedup").alias("part"),
@@ -486,4 +497,5 @@ def stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("breaches").alias("n"), F.lit(None).cast("double").alias("metric"))
     return (windows.unionByName(dedup).unionByName(compliance)
             .unionByName(breaches).unionByName(lsh_index)
+            .unionByName(txlog_ingest)
             .orderBy("part", "key", "win_start"))

@@ -350,3 +350,34 @@ def test_state_store_soak_100_batches(spark):
             f"-> last-quartile median {q4}ms")
     finally:
         shutil.rmtree(stage, ignore_errors=True)
+
+
+def test_txlog_ingest_exactly_once(spark):
+    """T10: chunked replay ingested into a TxLog table via foreachBatch +
+    txn markers must hold the source EXACTLY once (row-level equality, not
+    just counts), a re-applied final batch must be skipped before any data
+    lands, and every batch's marker must be in the log."""
+    from service_level_reporting_spark.sources.txlog import TxLogTable
+    from service_level_reporting_spark.streaming.txlog_sink import (
+        TXN_WRITER, ingest_events_txlog)
+    from service_level_reporting_spark.tables import load_tables
+
+    table, n_batches, replay_applied = ingest_events_txlog(spark, SF_DIR_001)
+    assert n_batches >= 4
+    assert replay_applied is False                 # retry skipped
+
+    got = sorted((r["event_id"], r["event_type"], r["value"])
+                 for r in table.read(spark).collect())
+    src = sorted((r["event_id"], r["event_type"], r["value"])
+                 for r in load_tables(spark, SF_DIR_001,
+                                      ("events",))["events"].collect())
+    assert got == src                              # no loss, no dup
+
+    assert table.last_txn_batch(TXN_WRITER) == n_batches - 1
+    assert table.last_txn_batch("other_writer") == -1
+
+    # a fresh-but-stale writer retry of EVERY batch id lands nothing
+    one = table.read(spark).limit(1)
+    for b in range(n_batches):
+        assert table.txn_append(one, TXN_WRITER, b) is False
+    assert table.read(spark).count() == len(src)
