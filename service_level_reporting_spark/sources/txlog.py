@@ -216,11 +216,22 @@ class TxLogTable:
             except VersionConflict:
                 continue   # appends never conflict logically — re-reserve
 
-    def read(self, spark: SparkSession, version: int | None = None) -> DataFrame:
+    def read(self, spark: SparkSession, version: int | None = None,
+             merge_schema: bool = False) -> DataFrame:
+        """Snapshot read at `version` (default latest). merge_schema=True
+        reconciles files written with EVOLVED schemas (a column appended in
+        later commits reads as NULL for older files) — parquet's
+        mergeSchema, which is exactly how lakehouse add-column evolution
+        works at the file layer; the log needs no schema registry for the
+        additive case."""
         files = self._resolve(version)
         if not files:
             raise ValueError("txlog: empty table (no snapshot to read)")
-        return self._files_df(spark, files)
+        paths = [os.path.join(self.path, a["path"]) for a in files]
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        return reader.parquet(*paths)
 
     def merge(self, updates: DataFrame, _retries: int = 0) -> dict:
         """MERGE keyed on key_cols: rewrite ONLY live files whose stats
@@ -261,6 +272,30 @@ class TxLogTable:
         return {"version": v, "rewritten_files": len(touched),
                 "carried_files": len(live) - len(touched),
                 "added_files": len(adds), "retries": _retries}
+
+    def optimize(self, target_files: int = 4, _retries: int = 0) -> dict:
+        """Compact the live file set into `target_files` larger files in
+        ONE commit (add compacted, remove all current) — the S9 small-file
+        maintenance pass expressed as a table-format operation. Readers of
+        any existing snapshot are untouched (files are immutable); a
+        concurrent commit rebases and retries like merge. No-op when the
+        table already has <= target_files files."""
+        base = self.latest_version()
+        live = self._resolve(base)
+        if len(live) <= target_files:
+            return {"version": base, "compacted": 0, "files": len(live)}
+        spark = SparkSession.getActiveSession()
+        merged = self._files_df(spark, live).coalesce(target_files)
+        merged = merged.localCheckpoint(eager=True)
+        adds = self._write_data_files(merged)
+        actions = adds + [{"remove": a["path"]} for a in live]
+        try:
+            v = self.commit(actions, base + 1)
+        except VersionConflict:
+            if _retries >= MERGE_MAX_RETRIES:
+                raise
+            return self.optimize(target_files, _retries=_retries + 1)
+        return {"version": v, "compacted": len(live), "files": len(adds)}
 
     def vacuum(self, retain_versions: int = 3) -> dict:
         """Delete data files referenced by NO version in the retained

@@ -138,3 +138,47 @@ def test_vacuum_drops_old_files_keeps_retained_snapshots(spark, table_path):
         assert t.read(spark, v).count() == n
     with pytest.raises(Exception):       # pre-window version is gone
         t.read(spark, 0).count()
+
+
+def test_optimize_compacts_in_one_commit(spark, table_path):
+    """OPTIMIZE: many small files -> target_files larger ones in one
+    atomic commit; content identical, pre-optimize snapshot untouched,
+    and a no-op when already compact."""
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    for day in range(1, 8):
+        t.append(_rollup(spark, f"2024-01-{day:02d}",
+                         f"2024-01-{day + 1:02d}").coalesce(1))
+    pre = t.latest_version()
+    before = sorted(tuple(r) for r in t.read(spark).collect())
+    stats = t.optimize(target_files=2)
+    assert stats["compacted"] == 7 and stats["files"] <= 2
+    after = sorted(tuple(r) for r in t.read(spark).collect())
+    assert after == before                          # content preserved
+    assert len(t._resolve()) <= 2                   # physically compacted
+    assert len(t._resolve(pre)) == 7                # old snapshot intact
+    again = t.optimize(target_files=2)
+    assert again["compacted"] == 0                  # idempotent no-op
+
+
+def test_additive_schema_evolution(spark, table_path):
+    """A later append may carry a NEW column: merge_schema reads reconcile
+    (old rows NULL in the added column, new rows carry values); time travel
+    to the pre-evolution version still reads the original schema."""
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    v0 = t.append(_rollup(spark, "2024-01-01", "2024-01-02").coalesce(1))
+    evolved = (_rollup(spark, "2024-01-02", "2024-01-03")
+               .withColumn("source_region", F.lit("eu-central"))
+               .coalesce(1))
+    t.append(evolved)
+    got = t.read(spark, merge_schema=True)
+    assert "source_region" in got.columns
+    by_region = {r["source_region"]: r["n"] for r in
+                 got.groupBy("source_region").agg(
+                     F.count(F.lit(1)).alias("n")).collect()}
+    assert by_region[None] == _rollup(spark, "2024-01-01",
+                                      "2024-01-02").count()
+    assert by_region["eu-central"] == _rollup(spark, "2024-01-02",
+                                              "2024-01-03").count()
+    assert "source_region" not in t.read(spark, v0).columns
