@@ -182,3 +182,51 @@ def test_additive_schema_evolution(spark, table_path):
     assert by_region["eu-central"] == _rollup(spark, "2024-01-02",
                                               "2024-01-03").count()
     assert "source_region" not in t.read(spark, v0).columns
+
+
+def test_model_based_op_interleavings(spark, table_path):
+    """Model-based check: random (fixed-seed, deterministic) interleavings
+    of append / merge / optimize / vacuum against a plain dict model of
+    key -> row. After every op the table must equal the model exactly —
+    the invariant a table format exists to keep."""
+    import random
+    import shutil
+
+    base_rows = [(f"ind{i % 3}", f"2024-01-0{1 + i % 5} 00:0{i % 6}:00",
+                  float(i), i) for i in range(30)]
+
+    def frame(rows):
+        df = spark.createDataFrame(
+            rows, "indicator string, minute_s string, value double, n_points long")
+        return df.select("indicator",
+                         F.col("minute_s").cast("timestamp").alias("minute"),
+                         "value", "n_points").coalesce(1)
+
+    for seed in (7, 23, 91):
+        shutil.rmtree(table_path, ignore_errors=True)
+        rng = random.Random(seed)
+        t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                       stats_col="minute")
+        model: dict = {}
+        first = rng.sample(base_rows, 8)
+        t.append(frame(first))
+        for r in first:
+            model[(r[0], r[1])] = r     # appends here carry unique keys
+        for step in range(6):
+            op = rng.choice(["merge", "merge", "optimize", "vacuum"])
+            if op == "merge":
+                batch = [(ind, m, v + 100 * step, n + step)
+                         for (ind, m, v, n) in rng.sample(base_rows, 5)]
+                t.merge(frame(batch))
+                for r in batch:
+                    model[(r[0], r[1])] = r
+            elif op == "optimize":
+                t.optimize(target_files=2)
+            else:
+                t.vacuum(retain_versions=2)
+            got = sorted(
+                (r["indicator"], str(r["minute"]), r["value"], r["n_points"])
+                for r in t.read(spark).collect())
+            want = sorted((k[0], k[1], val[2], val[3])
+                          for k, val in model.items())
+            assert got == want, (seed, step, op)
