@@ -33,8 +33,14 @@ from pyspark.sql import functions as F
 
 from service_level_reporting_spark import registry
 from service_level_reporting_spark.session import get_spark
-from service_level_reporting_spark.tables import cache_tables, load_tables
+from service_level_reporting_spark.tables import (
+    cache_tables, clear_table_cache, load_tables)
 from tools import scale_sweep
+
+# Local sizing, same rationale as bench.py: stacking three scales' caches
+# in the default 8g driver OOMs the 60M-row sf10 join; one scale resident
+# at a time + a bigger local heap. Env still overrides.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 
 SF10 = "/tmp/slr_sf10"
 MARKER = os.path.join(SF10, "_SLR_BUILD_OK")
@@ -120,7 +126,13 @@ def main() -> None:
               ("sf1", scale_sweep.DST),
               ("sf10", SF10)]
     curve: dict[str, dict] = {}
+    # shuffle sized to the data per point, mirroring bench.py: 8 partitions
+    # right-size sf0.1; the sf10 SMJ at 8 leaves 3/4 of the cores idle
+    # (measured 6.6s vs 3.5s on top_revenue_orders)
+    parts = {"sf0.1": "8", "sf1": "16", "sf10": "32"}
     for label, sf_dir in points:
+        spark.conf.set("spark.sql.shuffle.partitions", parts[label])
+        clear_table_cache()          # one scale resident at a time
         cache_tables(spark, sf_dir, ("customer", "orders", "lineitem",
                                      "events", "documents"))
         qs_out, base_out = {}, {}
