@@ -381,3 +381,69 @@ def test_txlog_ingest_exactly_once(spark):
     for b in range(n_batches):
         assert table.txn_append(one, TXN_WRITER, b) is False
     assert table.read(spark).count() == len(src)
+
+
+def test_socket_source_live_network_ingestion(spark):
+    """The message-transport seam against a LIVE network source: real
+    events serialized as JSON lines, served over a local TCP socket,
+    consumed through streaming_source(kind='socket') — the same
+    parse_kafka_events projection the Kafka branch uses — and aggregated.
+    Per-type counts must equal the batch twin over the same payloads, and
+    an injected malformed line must be dropped, not poison the stream."""
+    import json
+    import socket
+    import threading
+    import time
+    import uuid
+
+    from service_level_reporting_spark.streaming.source_factory import (
+        streaming_source)
+    from service_level_reporting_spark.tables import load_tables
+
+    rows = (load_tables(spark, SF_DIR_001, ("events",))["events"]
+            .orderBy("event_id").limit(200).collect())
+    lines = [json.dumps({
+        "event_id": r["event_id"], "ts": str(r["ts"]),
+        "user_id": r["user_id"], "event_type": r["event_type"],
+        "value": r["value"], "props": r["props"]}) for r in rows]
+    lines.insert(50, "not json at all {{{")            # must be dropped
+    expected = {}
+    for r in rows:
+        expected[r["event_type"]] = expected.get(r["event_type"], 0) + 1
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    stop = threading.Event()
+
+    def serve():
+        conn, _ = srv.accept()
+        try:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            stop.wait(timeout=90)                      # hold the connection
+        finally:
+            conn.close()
+            srv.close()
+
+    th = threading.Thread(target=serve, daemon=True)
+    th.start()
+    name = f"socket_agg_{uuid.uuid4().hex[:8]}"
+    parsed = streaming_source(spark, kind="socket", port=port)
+    agg = parsed.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    q = (agg.writeStream.format("memory").queryName(name)
+         .outputMode("complete").start())
+    try:
+        deadline = time.time() + 75
+        got = {}
+        while time.time() < deadline:
+            got = {r["event_type"]: r["n"]
+                   for r in spark.table(name).collect()}
+            if sum(got.values()) >= len(rows):
+                break
+            time.sleep(1.0)
+        assert got == expected, f"got {got} want {expected}"
+    finally:
+        q.stop()
+        stop.set()
