@@ -45,13 +45,22 @@ def ingest_events_txlog(spark: SparkSession, sf_dir: str):
     shutil.rmtree(ckpt, ignore_errors=True)
     table = TxLogTable(root, key_cols=["event_id"], stats_col="ts")
 
-    seen: list[tuple[int, DataFrame]] = []
+    last: list = [None, None, 0]      # [batch_id, pinned_df, n_batches]
 
     def handle(batch_df: DataFrame, batch_id: int) -> None:
         # localCheckpoint: txn_append triggers its own write job; pin the
-        # batch contents first so the file-source batch isn't recomputed
+        # batch contents first so the file-source batch isn't recomputed.
+        # Only the LAST batch is retained (the replay probe needs it) —
+        # earlier pins are released so a long replay's checkpoint blocks
+        # don't accumulate in storage memory.
         pinned = batch_df.localCheckpoint(eager=True)
-        seen.append((batch_id, pinned))
+        if last[1] is not None:
+            try:
+                last[1].unpersist()
+            except Exception:
+                pass
+        last[0], last[1] = batch_id, pinned
+        last[2] += 1
         table.txn_append(pinned, TXN_WRITER, batch_id)
 
     s = (spark.readStream.schema(NORMALIZED_EVENTS_SCHEMA)
@@ -63,9 +72,8 @@ def ingest_events_txlog(spark: SparkSession, sf_dir: str):
     q.awaitTermination()
 
     # the post-crash retry: re-apply the final batch verbatim
-    last_id, last_df = seen[-1]
-    replay_applied = table.txn_append(last_df, TXN_WRITER, last_id)
-    return table, len(seen), replay_applied
+    replay_applied = table.txn_append(last[1], TXN_WRITER, last[0])
+    return table, last[2], replay_applied
 
 
 def stream_txlog_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
