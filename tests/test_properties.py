@@ -256,3 +256,28 @@ def test_avi_container_roundtrips_any_shape(w, h, n_frames, seed):
     assert (w2, h2) == (w, h) and len(back) == n_frames
     for src, got in zip(frames, back):
         assert (got == src).all()
+
+
+@given(st.integers(1, 40), st.integers(1, 40), st.integers(0, 4),
+       st.integers(0, 2**31 - 2))
+@settings(max_examples=40, deadline=None)
+def test_png_roundtrip_property(w, h, filter_type, seed):
+    """PNG codec property: ANY uint8 RGB array round-trips bit-exact
+    through encode(filter f)/decode for every scanline filter type, and
+    truncating the payload anywhere inside the chunk stream raises."""
+    import numpy as np
+
+    from service_level_reporting_spark.operators import multimodal as MM
+
+    rng = np.random.RandomState(seed)
+    px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+    payload = MM.encode_png(px, filter_type=filter_type)
+    w2, h2, back = MM.decode_png(payload)
+    assert (w2, h2) == (w, h) and (back == px).all()
+    cut = 8 + (seed % max(1, len(payload) - 20))
+    try:
+        MM.decode_png(payload[:cut])
+    except ValueError:
+        pass
+    else:
+        raise AssertionError(f"truncated payload (cut={cut}) decoded")
