@@ -41,6 +41,9 @@ from pyspark.sql import functions as F
 
 CHECKPOINT_EVERY = 10
 MERGE_MAX_RETRIES = 5
+# vacuum never deletes unreferenced files younger than this: they may be
+# staged by a merge/append that has not committed yet (see vacuum docstring)
+VACUUM_MIN_AGE_SEC = 600.0
 
 
 class VersionConflict(Exception):
@@ -297,7 +300,8 @@ class TxLogTable:
             return self.optimize(target_files, _retries=_retries + 1)
         return {"version": v, "compacted": len(live), "files": len(adds)}
 
-    def vacuum(self, retain_versions: int = 3) -> dict:
+    def vacuum(self, retain_versions: int = 3,
+               min_age_sec: float = VACUUM_MIN_AGE_SEC) -> dict:
         """Delete data files referenced by NO version in the retained
         window [latest - retain_versions + 1, latest]. Files still visible
         to any retained snapshot survive, so readers of those versions are
@@ -305,21 +309,35 @@ class TxLogTable:
         Delta VACUUM contract (retention by versions here; by wall-clock
         there — version count is the deterministic equivalent for a replay
         harness with no clock access). Also drops data files orphaned by
-        losing merge attempts (written, never committed)."""
+        losing merge attempts (written, never committed).
+
+        In-flight-writer guard: a concurrent merge writes its data files
+        BEFORE committing, so an unreferenced-but-RECENT file may belong
+        to a commit in flight — vacuum skips files younger than
+        VACUUM_MIN_AGE_SEC (Delta's retention-window rationale), deleting
+        only files both unreferenced and old enough that no live writer
+        can still be about to commit them. Single-process callers that
+        need immediate cleanup (tests) pass min_age_sec=0."""
+        import time
+
         latest = self.latest_version()
         keep: set[str] = set()
         for v in range(max(0, latest - retain_versions + 1), latest + 1):
             keep.update(a["path"] for a in self._resolve(v))
+        now = time.time()
         removed = 0
         for root, _, files in os.walk(self.data_dir):
             for f in files:
                 full = os.path.join(root, f)
                 rel = os.path.relpath(full, self.path)
-                if f.endswith(".parquet") and rel not in keep:
-                    try:
-                        os.remove(full)
-                        removed += 1
-                    except OSError:
-                        pass
+                if not f.endswith(".parquet") or rel in keep:
+                    continue
+                try:
+                    if now - os.path.getmtime(full) < min_age_sec:
+                        continue            # possibly a commit in flight
+                    os.remove(full)
+                    removed += 1
+                except OSError:
+                    pass
         return {"removed_files": removed, "retained_files": len(keep),
                 "latest_version": latest}

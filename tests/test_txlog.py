@@ -132,7 +132,11 @@ def test_vacuum_drops_old_files_keeps_retained_snapshots(spark, table_path):
     latest = t.latest_version()
     counts = {v: t.read(spark, v).count()
               for v in range(latest - 2, latest + 1)}
-    stats = t.vacuum(retain_versions=3)
+    # default age gate: everything here is seconds old, so the in-flight
+    # writer guard must make vacuum a no-op (a concurrent merge's staged
+    # files must never be deleted pre-commit)
+    assert t.vacuum(retain_versions=3)["removed_files"] == 0
+    stats = t.vacuum(retain_versions=3, min_age_sec=0)
     assert stats["removed_files"] > 0
     for v, n in counts.items():          # retained window unaffected
         assert t.read(spark, v).count() == n
