@@ -9,10 +9,12 @@ IMAGE and AUDIO are real end-to-end (round 3, VERDICT r2 item 2):
   BITMAPFILEHEADER/BITMAPINFOHEADER and pixel rows back (bottom-up, 4-byte
   row padding, BGR), validates magic/planes/bpp/compression/lengths, and
   FAILS on garbage bytes exactly like a production codec. Resize is a real
-  nearest-neighbor resample of decoded pixels, re-encoded to BMP. Round 4
-  adds REAL PNG (the compressed format an actual corpus contains): stdlib
-  zlib inflate/deflate, CRC-validated chunk walk, all five scanline
-  filters (`encode_png`/`decode_png`) — image assets alternate BMP/PNG.
+  nearest-neighbor resample of decoded pixels, re-encoded in the same
+  format. Round 4 adds REAL PNG (stdlib zlib inflate/deflate,
+  CRC-validated chunk walk, all five scanline filters) and REAL baseline
+  JPEG (ITU-T T.81: Annex K tables, canonical Huffman entropy coding,
+  numpy 8x8 DCT, 4:4:4 and 4:2:0 sampling) — image assets rotate
+  BMP/PNG/JPEG so every leg runs all three codecs.
 * audio — WAV payloads are genuine RIFF/WAVE 16-bit PCM bytes (stdlib
   ``wave`` codec) and `decode_wav` parses them back with the same codec.
 
@@ -21,11 +23,12 @@ IMAGE and AUDIO are real end-to-end (round 3, VERDICT r2 item 2):
   idx1), built and parsed with the same struct walk; frame sampling
   decodes every k-th DIB frame and re-encodes it as a standalone BMP.
 
-Only formats needing a NATIVE codec library (JPEG/h264/mp4) stay
-out-of-container: `decode_image`/`resize_image` raise NotImplementedError
-on them unless the caller opts into the deterministic `fake=True` test
-double. The driver-facing pipeline runs every leg on real bytes with NO
-fake anywhere in the path.
+Only formats whose decode is genuinely out of stdlib+numpy reach
+(progressive/arithmetic JPEG, WebP, h264/mp4) stay environmental:
+`decode_image`/`resize_image` raise NotImplementedError on them unless the
+caller opts into the deterministic `fake=True` test double. The
+driver-facing pipeline runs every leg on real bytes with NO fake anywhere
+in the path.
 
 Scale notes: mapInPandas streams Arrow batches (no per-row Python overhead);
 `spark.sql.execution.arrow.maxRecordsPerBatch` bounds batch memory when blobs
@@ -346,24 +349,575 @@ def synth_png(seed: int) -> bytes:
     return encode_png(px, filter_type=seed % 5)
 
 
-# --- REAL video codec: uncompressed AVI (RIFF 'AVI '), raw DIB frames ----
-# AVI is the RIFF sibling of WAV: LIST hdrl (avih main header + strl with
-# strh/strf stream headers) then LIST movi holding one '00db' chunk of raw
-# DIB data per frame. Uncompressed-DIB AVI needs no codec library — the
-# container walk is struct parsing and the frames are the same DIB rows
-# BMP uses — while still being a file a stock media player opens.
-# Compressed video (h264/mp4) stays honestly out-of-container.
+# --- REAL lossy-image codec: baseline JFIF/JPEG, pure stdlib + numpy -----
+# The LAST image format a real corpus contains that was still "environmental"
+# after round 4's PNG: baseline sequential DCT JPEG (ITU-T T.81). Nothing in
+# it needs a native library — the container is struct parsing, the entropy
+# coder is canonical Huffman over ints, and the 8x8 DCT is one numpy matrix
+# sandwich. Scope: baseline (SOF0) sequential, 8-bit, 1 or 3 components,
+# arbitrary sampling factors (4:4:4 / 4:2:2 / 4:2:0 decode with nearest
+# chroma upsample), restart markers honored. Progressive (SOF2), arithmetic
+# coding, and 12-bit stay out — as they do in many embedded decoders.
+# Tables below are ITU-T T.81 Annex K (the spec's published example tables,
+# what libjpeg emits by default), so our files open in stock viewers.
 
-_AVI_FPS = 10
+_JPEG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63]
+
+_JPEG_Q_LUM = [
+    16, 11, 10, 16, 24, 40, 51, 61, 12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56, 14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77, 24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101, 72, 92, 95, 98, 112, 100, 103, 99]
+_JPEG_Q_CHR = [
+    17, 18, 24, 47, 99, 99, 99, 99, 18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99, 47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99]
+
+# (bits-per-length[1..16], symbol list) — Annex K tables K.3-K.6.
+_JPEG_HUFF_DC_LUM = (
+    [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0], list(range(12)))
+_JPEG_HUFF_DC_CHR = (
+    [0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0], list(range(12)))
+_JPEG_HUFF_AC_LUM = (
+    [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D],
+    [0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+     0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+     0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+     0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+     0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+     0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+     0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+     0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+     0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+     0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+     0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+     0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+     0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+     0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+     0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+     0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+     0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+     0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
+_JPEG_HUFF_AC_CHR = (
+    [0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77],
+    [0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21,
+     0x31, 0x06, 0x12, 0x41, 0x51, 0x07, 0x61, 0x71,
+     0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+     0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0,
+     0x15, 0x62, 0x72, 0xD1, 0x0A, 0x16, 0x24, 0x34,
+     0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+     0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38,
+     0x39, 0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48,
+     0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+     0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68,
+     0x69, 0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+     0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+     0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96,
+     0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5,
+     0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+     0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3,
+     0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2,
+     0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+     0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9,
+     0xEA, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+     0xF9, 0xFA])
 
 
-def synth_avi(seed: int) -> bytes:
-    """Deterministic real AVI: seed-derived dims/frame count, per-frame
-    pixel formula (BMP gradient + 17·frame_idx drift). Byte-stable."""
+def _jpeg_dct_matrix():
+    """Orthonormal 8x8 DCT-II basis D: forward coeffs = D @ block @ D.T,
+    inverse block = D.T @ coeffs @ D (D is orthogonal)."""
+    import numpy as np
+
+    k = np.arange(8, dtype=np.float64)
+    D = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * 0.5
+    D[0] *= 1.0 / np.sqrt(2.0)
+    return D
+
+
+def _jpeg_canonical_codes(bits, values):
+    """Canonical Huffman assignment (T.81 Annex C): ascending code length,
+    ascending symbol order, code increments then left-shifts per length.
+    Returns {symbol: (code, length)}."""
+    if sum(bits) != len(values):
+        raise ValueError("JPEG: Huffman bits/values length mismatch")
+    out, code, i = {}, 0, 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            if code >= (1 << ln):
+                raise ValueError("JPEG: overfull Huffman table")
+            out[values[i]] = (code, ln)
+            code += 1
+            i += 1
+        code <<= 1
+    return out
+
+
+def _jpeg_quality_tables(quality: int):
+    """libjpeg-compatible quality scaling of the Annex K base tables."""
+    import numpy as np
+
+    if not 1 <= quality <= 100:
+        raise ValueError(f"JPEG: quality must be 1..100, got {quality}")
+    scale = 5000 // quality if quality < 50 else 200 - 2 * quality
+    tabs = []
+    for base in (_JPEG_Q_LUM, _JPEG_Q_CHR):
+        q = [(min(max((b * scale + 50) // 100, 1), 255)) for b in base]
+        tabs.append(np.array(q, dtype=np.float64).reshape(8, 8))
+    return tabs
+
+
+class _JpegBitWriter:
+    """MSB-first bit accumulator with 0xFF byte stuffing (B.1.1.5)."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            b = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.buf.append(b)
+            if b == 0xFF:
+                self.buf.append(0x00)
+            self.nbits -= 8
+        self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.write(0x7F, 8 - self.nbits)   # pad with 1-bits per spec
+        return bytes(self.buf)
+
+
+def _jpeg_magnitude(v: int):
+    """DC/AC value -> (category size, appended bits) per F.1.2.1: negatives
+    are stored as v + 2^size - 1 (one's-complement style)."""
+    a, size = abs(v), 0
+    while a:
+        a >>= 1
+        size += 1
+    return size, (v if v >= 0 else v + (1 << size) - 1)
+
+
+def _jpeg_encode_block(zz, pred: int, dc_codes, ac_codes, bw) -> int:
+    """Huffman-encode one zigzagged quantized block; returns new DC pred."""
+    dc = int(zz[0])
+    size, bits = _jpeg_magnitude(dc - pred)
+    code, ln = dc_codes[size]
+    bw.write(code, ln)
+    if size:
+        bw.write(bits, size)
+    run = 0
+    last_nz = 0
+    for i in range(63, 0, -1):
+        if zz[i]:
+            last_nz = i
+            break
+    for i in range(1, last_nz + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run > 15:                       # ZRL: 16 zeros
+            code, ln = ac_codes[0xF0]
+            bw.write(code, ln)
+            run -= 16
+        size, bits = _jpeg_magnitude(v)
+        code, ln = ac_codes[(run << 4) | size]
+        bw.write(code, ln)
+        bw.write(bits, size)
+        run = 0
+    if last_nz != 63:
+        code, ln = ac_codes[0x00]             # EOB
+        bw.write(code, ln)
+    return dc
+
+
+def encode_jpeg(pixels, quality: int = 90, sampling: str = "444") -> bytes:
+    """(h, w, 3) uint8 RGB top-down -> real baseline JFIF bytes: Annex K
+    quant (quality-scaled) + Huffman tables, SOI/APP0/DQT/SOF0/DHT/SOS/EOI
+    marker layout a stock viewer opens. ``sampling`` is '444' (no chroma
+    subsampling) or '420' (2x2 box-averaged chroma, the camera default —
+    Y blocks interleave 2x2 per MCU)."""
     import struct
 
     import numpy as np
 
+    px = np.ascontiguousarray(pixels, dtype=np.uint8).astype(np.float64)
+    h, w, nc = px.shape
+    if nc != 3:
+        raise ValueError("JPEG: encoder expects (h, w, 3) RGB")
+    if sampling not in ("444", "420"):
+        raise ValueError(f"JPEG: sampling must be '444' or '420': {sampling}")
+    factors = [(1, 1), (1, 1), (1, 1)] if sampling == "444" \
+        else [(2, 2), (1, 1), (1, 1)]
+    maxh = max(f[0] for f in factors)
+    maxv = max(f[1] for f in factors)
+    r, g, b = px[..., 0], px[..., 1], px[..., 2]
+    comps = [
+        0.299 * r + 0.587 * g + 0.114 * b,                       # Y
+        -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0,          # Cb
+        0.5 * r - 0.418688 * g - 0.081312 * b + 128.0,           # Cr
+    ]
+    qt = _jpeg_quality_tables(quality)
+    D = _jpeg_dct_matrix()
+    dc_tabs = (_jpeg_canonical_codes(*_JPEG_HUFF_DC_LUM),
+               _jpeg_canonical_codes(*_JPEG_HUFF_DC_CHR))
+    ac_tabs = (_jpeg_canonical_codes(*_JPEG_HUFF_AC_LUM),
+               _jpeg_canonical_codes(*_JPEG_HUFF_AC_CHR))
+    zig = np.array(_JPEG_ZIGZAG)
+    mcux = -(-w // (8 * maxh))
+    mcuy = -(-h // (8 * maxv))
+    planes = []
+    for ci, comp in enumerate(comps):
+        hs, vs = factors[ci]
+        if hs != maxh or vs != maxv:         # box-average downsample
+            fy, fx = maxv // vs, maxh // hs
+            ey, ex = -comp.shape[0] % fy, -comp.shape[1] % fx
+            c = np.pad(comp, ((0, ey), (0, ex)), mode="edge")
+            comp = c.reshape(c.shape[0] // fy, fy,
+                             c.shape[1] // fx, fx).mean(axis=(1, 3))
+        th, tw = mcuy * vs * 8, mcux * hs * 8
+        plane = np.pad(comp, ((0, th - comp.shape[0]),
+                              (0, tw - comp.shape[1])), mode="edge") - 128.0
+        bh, bw_ = th // 8, tw // 8
+        blocks = (plane.reshape(bh, 8, bw_, 8).transpose(0, 2, 1, 3))
+        coef = np.einsum("ij,abjk,lk->abil", D, blocks, D)
+        q = np.round(coef / qt[min(ci, 1)]).astype(np.int64)
+        planes.append(q.reshape(bh, bw_, 64)[:, :, zig])
+    bw2 = _JpegBitWriter()
+    preds = [0, 0, 0]
+    for m in range(mcuy * mcux):
+        my, mx = divmod(m, mcux)
+        for ci in range(3):
+            hs, vs = factors[ci]
+            t = min(ci, 1)
+            for byi in range(vs):
+                for bxi in range(hs):
+                    preds[ci] = _jpeg_encode_block(
+                        planes[ci][my * vs + byi, mx * hs + bxi],
+                        preds[ci], dc_tabs[t], ac_tabs[t], bw2)
+    out = bytearray(b"\xFF\xD8")                                  # SOI
+    out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
+        + struct.pack(">HH", 1, 1) + b"\x00\x00"                  # APP0
+    for tid, tab in enumerate(qt):
+        zzq = bytes(int(tab.reshape(64)[z]) for z in _JPEG_ZIGZAG)
+        out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) + zzq    # DQT
+    out += b"\xFF\xC0" + struct.pack(">HBHHB", 17, 8, h, w, 3)    # SOF0
+    for cid in (1, 2, 3):
+        hs, vs = factors[cid - 1]
+        out += struct.pack("BBB", cid, (hs << 4) | vs,
+                           0 if cid == 1 else 1)
+    for cls, tid, (bits, vals) in (
+            (0, 0, _JPEG_HUFF_DC_LUM), (0, 1, _JPEG_HUFF_DC_CHR),
+            (1, 0, _JPEG_HUFF_AC_LUM), (1, 1, _JPEG_HUFF_AC_CHR)):
+        out += b"\xFF\xC4" + struct.pack(">HB", 19 + len(vals),
+                                         (cls << 4) | tid)
+        out += bytes(bits) + bytes(vals)                          # DHT
+    out += b"\xFF\xDA" + struct.pack(">HB", 12, 3)                # SOS
+    for cid in (1, 2, 3):
+        t = 0 if cid == 1 else 1
+        out += struct.pack("BB", cid, (t << 4) | t)
+    out += b"\x00\x3F\x00"
+    out += bw2.flush()
+    out += b"\xFF\xD9"                                            # EOI
+    return bytes(out)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
+    RSTn markers are consumed by `restart()`, any other marker mid-stream
+    raises (truncated/corrupt stream behavior of a production decoder)."""
+
+    def __init__(self, buf: bytes, pos: int) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.buf):
+            raise ValueError("JPEG: entropy stream truncated")
+        b = self.buf[self.pos]
+        if b == 0xFF:
+            if self.pos + 1 >= len(self.buf):
+                raise ValueError("JPEG: entropy stream truncated at 0xFF")
+            nxt = self.buf[self.pos + 1]
+            if nxt == 0x00:
+                self.pos += 2
+            elif 0xD0 <= nxt <= 0xD7 or nxt == 0xD9:
+                raise ValueError("JPEG: marker inside entropy segment")
+            else:
+                raise ValueError(f"JPEG: unexpected marker FF{nxt:02X} "
+                                 "inside entropy-coded data")
+        else:
+            self.pos += 1
+        self.acc = (self.acc << 8) | b
+        self.nbits += 8
+
+    def read(self, n: int) -> int:
+        while self.nbits < n:
+            self._fill()
+        self.nbits -= n
+        v = (self.acc >> self.nbits) & ((1 << n) - 1)
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def huff(self, table) -> int:
+        code, ln = 0, 0
+        while ln < 16:
+            code = (code << 1) | self.read(1)
+            ln += 1
+            sym = table.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("JPEG: invalid Huffman code (>16 bits)")
+
+    def restart(self, n: int) -> None:
+        """Byte-align and consume the expected RSTn marker."""
+        self.acc = 0
+        self.nbits = 0
+        if (self.pos + 1 >= len(self.buf)
+                or self.buf[self.pos] != 0xFF
+                or self.buf[self.pos + 1] != 0xD0 + (n & 7)):
+            raise ValueError("JPEG: missing/out-of-order restart marker")
+        self.pos += 2
+
+
+def _jpeg_extend(v: int, size: int) -> int:
+    """EXTEND (F.2.2.1): map `size`-bit magnitude back to signed value."""
+    if size == 0:
+        return 0
+    return v if v >= (1 << (size - 1)) else v - (1 << size) + 1
+
+
+def decode_jpeg(payload: bytes):
+    """REAL decode: marker walk (DQT/DHT/SOF0/DRI/SOS), canonical-Huffman
+    entropy decode with byte unstuffing and restart handling, dequantize,
+    inverse zigzag, IDCT, nearest-neighbor chroma upsample, YCbCr->RGB.
+    Returns (w, h, pixels) as (h, w, 3) uint8 RGB top-down. Garbage,
+    truncation, progressive (SOF2), arithmetic coding, or 12-bit raise
+    ValueError — production-codec behavior, no silent fabrication."""
+    import struct
+
+    import numpy as np
+
+    if payload[:2] != b"\xFF\xD8":
+        raise ValueError("JPEG: bad SOI magic")
+    pos = 2
+    qtabs: dict[int, Any] = {}
+    htabs: dict[tuple[int, int], dict] = {}
+    frame = None          # (h, w, [(cid, hs, vs, tq)])
+    dri = 0
+    while True:
+        if pos + 4 > len(payload):
+            raise ValueError("JPEG: truncated marker stream")
+        if payload[pos] != 0xFF:
+            raise ValueError(f"JPEG: expected marker at {pos}")
+        marker = payload[pos + 1]
+        pos += 2
+        if marker == 0xD9:                                        # EOI
+            raise ValueError("JPEG: EOI before SOS")
+        (seglen,) = struct.unpack_from(">H", payload, pos)
+        seg_end = pos + seglen
+        if seglen < 2 or seg_end > len(payload):
+            raise ValueError("JPEG: truncated segment")
+        body = payload[pos + 2:seg_end]
+        if marker == 0xDB:                                        # DQT
+            o = 0
+            while o < len(body):
+                pq, tq = body[o] >> 4, body[o] & 0x0F
+                n = 64 * (2 if pq else 1)
+                if o + 1 + n > len(body):
+                    raise ValueError("JPEG: truncated DQT")
+                if pq:
+                    vals = struct.unpack_from(">64H", body, o + 1)
+                else:
+                    vals = list(body[o + 1:o + 1 + 64])
+                tab = np.zeros(64, dtype=np.float64)
+                tab[np.array(_JPEG_ZIGZAG)] = np.array(vals, dtype=np.float64)
+                qtabs[tq] = tab.reshape(8, 8)
+                o += 1 + n
+        elif marker == 0xC4:                                      # DHT
+            o = 0
+            while o < len(body):
+                cls, tid = body[o] >> 4, body[o] & 0x0F
+                if o + 17 > len(body):
+                    raise ValueError("JPEG: truncated DHT")
+                bits = list(body[o + 1:o + 17])
+                nv = sum(bits)
+                vals = list(body[o + 17:o + 17 + nv])
+                if len(vals) != nv:
+                    raise ValueError("JPEG: truncated DHT values")
+                enc = _jpeg_canonical_codes(bits, vals)
+                htabs[(cls, tid)] = {(ln, code): sym
+                                     for sym, (code, ln) in enc.items()}
+                o += 17 + nv
+        elif marker == 0xC0 or marker == 0xC1:                    # SOF0/1
+            prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
+            if prec != 8:
+                raise ValueError(f"JPEG: only 8-bit precision (got {prec})")
+            if nc not in (1, 3):
+                raise ValueError(f"JPEG: {nc} components unsupported")
+            comps = []
+            for i in range(nc):
+                cid, samp, tq = struct.unpack_from("BBB", body, 6 + 3 * i)
+                comps.append((cid, samp >> 4, samp & 0x0F, tq))
+            if fh <= 0 or fw <= 0:
+                raise ValueError(f"JPEG: bad dimensions {fw}x{fh}")
+            frame = (fh, fw, comps)
+        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7,
+                        0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise ValueError("JPEG: only baseline sequential (SOF0/SOF1) "
+                             f"supported, got SOF marker FF{marker:02X}")
+        elif marker == 0xDD:                                      # DRI
+            (dri,) = struct.unpack_from(">H", body, 0)
+        elif marker == 0xDA:                                      # SOS
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            ns = body[0]
+            scan = []
+            for i in range(ns):
+                cid, tt = body[1 + 2 * i], body[2 + 2 * i]
+                scan.append((cid, tt >> 4, tt & 0x0F))
+            pos = seg_end
+            break
+        pos = seg_end
+    fh, fw, comps = frame
+    maxh = max(c[1] for c in comps) or 1
+    maxv = max(c[2] for c in comps) or 1
+    mcux = -(-fw // (8 * maxh))
+    mcuy = -(-fh // (8 * maxv))
+    planes = {}
+    for cid, hs, vs, tq in comps:
+        if hs < 1 or vs < 1 or tq not in qtabs:
+            raise ValueError("JPEG: bad sampling/quant reference")
+        planes[cid] = np.zeros((mcuy * vs * 8, mcux * hs * 8),
+                               dtype=np.float64)
+    scan_tabs = {}
+    for cid, td, ta in scan:
+        if (0, td) not in htabs or (1, ta) not in htabs:
+            raise ValueError("JPEG: scan references missing Huffman table")
+        scan_tabs[cid] = (htabs[(0, td)], htabs[(1, ta)])
+    D = _jpeg_dct_matrix()
+    zig = np.array(_JPEG_ZIGZAG)
+    br = _JpegBitReader(payload, pos)
+    preds = {cid: 0 for cid, _, _ in scan}
+    comp_by_id = {c[0]: c for c in comps}
+    rst = 0
+    for m in range(mcux * mcuy):
+        if dri and m and m % dri == 0:
+            br.restart(rst)
+            rst = (rst + 1) & 7
+            preds = {cid: 0 for cid in preds}
+        my, mx = divmod(m, mcux)
+        for cid, _td, _ta in scan:
+            _, hs, vs, tq = comp_by_id[cid]
+            dc_t, ac_t = scan_tabs[cid]
+            for byi in range(vs):
+                for bxi in range(hs):
+                    zz = np.zeros(64, dtype=np.float64)
+                    size = br.huff(dc_t)
+                    if size > 11:
+                        raise ValueError("JPEG: DC category out of range")
+                    preds[cid] += _jpeg_extend(br.read(size), size)
+                    zz[0] = preds[cid]
+                    k = 1
+                    while k < 64:
+                        sym = br.huff(ac_t)
+                        if sym == 0x00:                           # EOB
+                            break
+                        run, sz = sym >> 4, sym & 0x0F
+                        if sz == 0:
+                            if run != 15:
+                                raise ValueError("JPEG: bad AC symbol")
+                            k += 16                               # ZRL
+                            continue
+                        k += run
+                        if k > 63:
+                            raise ValueError("JPEG: AC index overrun")
+                        zz[k] = _jpeg_extend(br.read(sz), sz)
+                        k += 1
+                    block = np.zeros(64, dtype=np.float64)
+                    block[zig] = zz
+                    coef = block.reshape(8, 8) * qtabs[tq]
+                    pix = D.T @ coef @ D + 128.0
+                    y0 = (my * vs + byi) * 8
+                    x0 = (mx * hs + bxi) * 8
+                    planes[cid][y0:y0 + 8, x0:x0 + 8] = pix
+    full = []
+    for cid, hs, vs, _tq in comps:
+        p = planes[cid]
+        if hs != maxh or vs != maxv:                 # nearest upsample
+            p = np.repeat(np.repeat(p, maxv // vs, axis=0),
+                          maxh // hs, axis=1)
+        full.append(p[:fh, :fw])
+    if len(full) == 1:
+        y = full[0]
+        rgb = np.stack([y, y, y], axis=-1)
+    else:
+        y, cb, cr = full
+        rgb = np.stack([
+            y + 1.402 * (cr - 128.0),
+            y - 0.344136 * (cb - 128.0) - 0.714136 * (cr - 128.0),
+            y + 1.772 * (cb - 128.0),
+        ], axis=-1)
+    px = np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+    return fw, fh, px
+
+
+def synth_jpeg(seed: int) -> bytes:
+    """Deterministic real JPEG: same gradient family as synth_bmp/synth_png
+    (third dim formula so all three image assets differ); quality cycles
+    through 75/85/95 and sampling alternates 4:4:4 / 4:2:0 so both MCU
+    layouts are exercised in every leg. Byte-stable per seed."""
+    import numpy as np
+
+    w = 8 + (seed * 13) % 21
+    h = 8 + (seed * 5) % 29
+    xs = np.arange(w, dtype=np.int64)[None, :, None]
+    ys = np.arange(h, dtype=np.int64)[:, None, None]
+    cs = np.arange(3, dtype=np.int64)[None, None, :]
+    px = ((xs * 3 + ys * 11 + cs * 31 + seed * 5) % 256).astype(np.uint8)
+    return encode_jpeg(px, quality=75 + 10 * (seed % 3),
+                       sampling="420" if seed % 2 else "444")
+
+
+# --- REAL video codec: AVI (RIFF 'AVI '), raw-DIB and MJPEG frames ------
+# AVI is the RIFF sibling of WAV: LIST hdrl (avih main header + strl with
+# strh/strf stream headers) then LIST movi holding one chunk per frame.
+# Uncompressed-DIB AVI ('00db' chunks) needs no codec library — the
+# container walk is struct parsing and the frames are the same DIB rows
+# BMP uses. With the baseline JPEG codec above, MJPEG AVI ('00dc' chunks,
+# strf biCompression 'MJPG' — the classic camera/webcam format) decodes
+# for real too: each frame chunk is a standalone baseline JFIF stream.
+# Inter-frame codecs (h264/mp4) stay honestly out-of-container.
+
+_AVI_FPS = 10
+_MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
+
+
+def synth_avi(seed: int, codec: str = "dib") -> bytes:
+    """Deterministic real AVI: seed-derived dims/frame count, per-frame
+    pixel formula (BMP gradient + 17·frame_idx drift). Byte-stable.
+    codec='dib' writes raw-DIB '00db' frames; codec='mjpeg' writes
+    baseline-JPEG '00dc' frames with strf biCompression 'MJPG'."""
+    import struct
+
+    import numpy as np
+
+    if codec not in ("dib", "mjpeg"):
+        raise ValueError(f"AVI: codec must be 'dib' or 'mjpeg': {codec}")
     w = 16 + (seed * 5) % 17
     h = 16 + (seed * 11) % 13
     n_frames = 3 + seed % 6
@@ -375,8 +929,14 @@ def synth_avi(seed: int) -> bytes:
     for f in range(n_frames):
         px = ((xs * 7 + ys * 13 + cs * 29 + seed * 3 + f * 17) % 256
               ).astype(np.uint8)
-        frames.append(_dib_rows(px))
-    frame_size = len(frames[0])
+        if codec == "dib":
+            frames.append(_dib_rows(px))
+        else:
+            frames.append(encode_jpeg(px, quality=85))
+    buf_size = max(len(f) for f in frames)
+    fcc = b"DIB " if codec == "dib" else b"MJPG"
+    comp = 0 if codec == "dib" else _MJPG_FOURCC
+    frame_cid = b"00db" if codec == "dib" else b"00dc"
 
     def chunk(cid: bytes, data: bytes) -> bytes:
         pad = b"\x00" if len(data) % 2 else b""
@@ -386,22 +946,23 @@ def synth_avi(seed: int) -> bytes:
         return chunk(b"LIST", four + data)
 
     avih = struct.pack("<14I", 1_000_000 // _AVI_FPS,
-                       frame_size * _AVI_FPS, 0, 0, n_frames, 0, 1,
-                       frame_size, w, h, 0, 0, 0, 0)
-    strh = (b"vids" + b"DIB " + struct.pack("<10I", 0, 0, 0, 1, _AVI_FPS,
-                                            0, n_frames, frame_size, 0, 0)
+                       buf_size * _AVI_FPS, 0, 0, n_frames, 0, 1,
+                       buf_size, w, h, 0, 0, 0, 0)
+    strh = (b"vids" + fcc + struct.pack("<10I", 0, 0, 0, 1, _AVI_FPS,
+                                        0, n_frames, buf_size, 0, 0)
             + struct.pack("<4H", 0, 0, w, h))
-    strf = struct.pack(_BMP_INFO_FMT, 40, w, h, 1, 24, 0, frame_size,
+    strf = struct.pack(_BMP_INFO_FMT, 40, w, h, 1, 24, comp, buf_size,
                        2835, 2835, 0, 0)
     hdrl = lst(b"hdrl", chunk(b"avih", avih)
                + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
-    movi = lst(b"movi", b"".join(chunk(b"00db", f) for f in frames))
+    movi = lst(b"movi", b"".join(chunk(frame_cid, f) for f in frames))
     # idx1: one entry per frame; offsets relative to the 'movi' fourcc
-    idx = b"".join(
-        struct.pack("<4sIII", b"00db", 0x10,
-                    4 + i * (8 + frame_size + (frame_size & 1)), frame_size)
-        for i in range(n_frames))
-    body = b"AVI " + hdrl + movi + chunk(b"idx1", idx)
+    idx_entries, off = [], 4
+    for f in frames:
+        idx_entries.append(struct.pack("<4sIII", frame_cid, 0x10,
+                                       off, len(f)))
+        off += 8 + len(f) + (len(f) & 1)
+    body = b"AVI " + hdrl + movi + chunk(b"idx1", b"".join(idx_entries))
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
@@ -422,7 +983,9 @@ def _riff_chunks(buf: bytes, start: int, end: int):
 
 def decode_avi(payload: bytes):
     """REAL container decode: validate RIFF/'AVI ', read dims + frame count
-    from avih, walk LIST movi, decode every '00db' raw-DIB frame to pixels.
+    from avih and the codec from strf biCompression, walk LIST movi, decode
+    every frame to pixels — '00db' raw-DIB for uncompressed streams, '00dc'
+    baseline-JPEG for MJPEG streams (each frame dim-checked against avih).
     Returns (w, h, [frame pixel arrays]); garbage/truncation/codec
     mismatches raise ValueError."""
     import struct
@@ -432,6 +995,7 @@ def decode_avi(payload: bytes):
     (riff_size,) = struct.unpack_from("<I", payload, 4)
     end = min(len(payload), 8 + riff_size)
     w = h = n_frames = None
+    compression = 0
     frames = []
     for cid, off, size in _riff_chunks(payload, 12, end):
         if cid != b"LIST":
@@ -444,6 +1008,12 @@ def decode_avi(payload: bytes):
                         raise ValueError("AVI: short avih header")
                     vals = struct.unpack_from("<14I", payload, o2)
                     n_frames, w, h = vals[4], vals[8], vals[9]
+                elif c2 == b"LIST" and payload[o2:o2 + 4] == b"strl":
+                    for c3, o3, s3 in _riff_chunks(
+                            payload, o2 + 4, o2 + s2):
+                        if c3 == b"strf" and s3 >= 40:
+                            (compression,) = struct.unpack_from(
+                                "<I", payload, o3 + 16)
         elif four == b"movi":
             if w is None:
                 raise ValueError("AVI: movi before hdrl")
@@ -457,6 +1027,18 @@ def decode_avi(payload: bytes):
                         raise ValueError(
                             f"AVI: frame chunk {s2}B < {stride * h}B frame")
                     frames.append(_dib_pixels(payload, o2, w, h))
+                elif c2 == b"00dc":
+                    if compression != _MJPG_FOURCC:
+                        raise ValueError(
+                            "AVI: compressed frame chunk but stream codec "
+                            f"is {compression:#010x}, not MJPG — only "
+                            "raw-DIB and MJPEG are in-container")
+                    fw, fh, px = decode_jpeg(payload[o2:o2 + s2])
+                    if (fw, fh) != (w, h):
+                        raise ValueError(
+                            f"AVI: MJPEG frame is {fw}x{fh}, stream "
+                            f"declares {w}x{h}")
+                    frames.append(px)
     if w is None or n_frames is None:
         raise ValueError("AVI: missing hdrl/avih")
     if not w or not h:
@@ -468,16 +1050,17 @@ def decode_avi(payload: bytes):
 
 
 def decode_image(payload: bytes, *, fake: bool = False) -> dict[str, Any]:
-    """Image decode dispatch. BMP and PNG payloads decode FOR REAL (header
-    parse + pixel stats). Remaining formats (JPEG) have no codec in this
-    container: ``fake=True`` returns the deterministic pseudo-decode test
-    double, otherwise NotImplementedError — honest for a missing codec.
+    """Image decode dispatch. BMP, PNG, and baseline JPEG payloads decode
+    FOR REAL (header parse + pixel stats). Remaining formats (progressive
+    JPEG, WebP, ...) have no codec in this container: ``fake=True`` returns
+    the deterministic pseudo-decode test double, otherwise
+    NotImplementedError — honest for a missing codec.
 
-    With fake=True, a payload that merely LOOKS like BMP/PNG (a legacy
-    text payload starting with 'BM') but fails the strict parse falls back
-    to the fake double instead of propagating ValueError (ADVICE r3: the
-    data-dependent failure mode for assets_from_documents-style callers).
-    """
+    With fake=True, a payload that merely LOOKS like BMP/PNG/JPEG (a
+    legacy text payload starting with 'BM') but fails the strict parse
+    falls back to the fake double instead of propagating ValueError
+    (ADVICE r3: the data-dependent failure mode for
+    assets_from_documents-style callers)."""
     try:
         if payload[:2] == b"BM":
             w, h, px = decode_bmp(payload)
@@ -487,14 +1070,18 @@ def decode_image(payload: bytes, *, fake: bool = False) -> dict[str, Any]:
             w, h, px = decode_png(payload)
             return {"width": w, "height": h,
                     "mean_intensity": round(float(px.mean()), 3)}
+        if payload[:2] == b"\xFF\xD8":
+            w, h, px = decode_jpeg(payload)
+            return {"width": w, "height": h,
+                    "mean_intensity": round(float(px.mean()), 3)}
     except ValueError:
         if not fake:
             raise
     if not fake:
         raise NotImplementedError(
-            "non-BMP/PNG image decoding requires an image library not "
-            "present in this environment; pass fake=True for the "
-            "deterministic test double")
+            "non-BMP/PNG/baseline-JPEG image decoding requires an image "
+            "library not present in this environment; pass fake=True for "
+            "the deterministic test double")
     h = 0
     for b0 in payload[:64]:
         h = (h * 131 + b0) % 2147483647
@@ -534,16 +1121,23 @@ def media_assets(docs: DataFrame) -> DataFrame:
             for aid in pdf["doc_id"]:
                 aid = int(aid)
                 if aid % 3 == 0:
-                    # image rows alternate BMP / PNG so both real codecs
-                    # (uncompressed + zlib-compressed) run in every leg
-                    if aid % 6 == 0:
+                    # image rows rotate BMP / PNG / JPEG so all three real
+                    # codecs (uncompressed, zlib-compressed, DCT-lossy)
+                    # run in every leg
+                    sub = (aid // 3) % 3
+                    if sub == 0:
                         media, payload = "image/bmp", synth_bmp(aid)
-                    else:
+                    elif sub == 1:
                         media, payload = "image/png", synth_png(aid)
+                    else:
+                        media, payload = "image/jpeg", synth_jpeg(aid)
                 elif aid % 3 == 1:
                     media, payload = "audio/wav", synth_wav(aid)
                 else:
-                    media, payload = "video/avi", synth_avi(aid)
+                    # video rows alternate raw-DIB and MJPEG streams so
+                    # both real frame codecs run in every leg
+                    media, payload = "video/avi", synth_avi(
+                        aid, codec="mjpeg" if (aid // 3) % 2 else "dib")
                 ids.append(aid)
                 medias.append(media)
                 payloads.append(payload)
@@ -580,7 +1174,8 @@ def extract_features(assets: DataFrame, *, allow_fake: bool = True,
             for p in pdf["payload"]:
                 p = bytes(p)
                 try:
-                    if p[:2] == b"BM" or p[:8] == _PNG_MAGIC:
+                    if (p[:2] == b"BM" or p[:8] == _PNG_MAGIC
+                            or p[:2] == b"\xFF\xD8"):
                         d = decode_image(p)
                         widths.append(d["width"])
                         heights.append(d["height"])
@@ -666,10 +1261,10 @@ RESIZED_SCHEMA = StructType([
 
 
 def resize_image(payload: bytes, w: int, h: int, *, fake: bool = False) -> bytes:
-    """BMP/PNG -> REAL nearest-neighbor resample (decode, index-map pixels,
-    re-encode in the SAME format). Other formats need an image library this
-    container lacks: fake=True applies the deterministic truncate/pad
-    double, else NotImplementedError."""
+    """BMP/PNG/JPEG -> REAL nearest-neighbor resample (decode, index-map
+    pixels, re-encode in the SAME format). Other formats need an image
+    library this container lacks: fake=True applies the deterministic
+    truncate/pad double, else NotImplementedError."""
     import numpy as np
 
     def _resample(px):
@@ -684,6 +1279,9 @@ def resize_image(payload: bytes, w: int, h: int, *, fake: bool = False) -> bytes
     if payload[:8] == _PNG_MAGIC:
         _, _, px = decode_png(payload)
         return encode_png(_resample(px))
+    if payload[:2] == b"\xFF\xD8":
+        _, _, px = decode_jpeg(payload)
+        return encode_jpeg(_resample(px))
     if not fake:
         raise NotImplementedError(
             "non-BMP/PNG image resize requires an image library not present "
@@ -699,7 +1297,8 @@ def resize_assets(assets: DataFrame, w: int = 64, h: int = 64) -> DataFrame:
             payloads, dws, dhs = [], [], []
             for p in pdf["payload"]:
                 p = bytes(p)
-                real = p[:2] == b"BM" or p[:8] == _PNG_MAGIC
+                real = (p[:2] == b"BM" or p[:8] == _PNG_MAGIC
+                        or p[:2] == b"\xFF\xD8")
                 out = resize_image(p, w, h, fake=not real)
                 payloads.append(out)
                 if out[:2] == b"BM":      # proof: re-decode the re-encode
@@ -708,6 +1307,10 @@ def resize_assets(assets: DataFrame, w: int = 64, h: int = 64) -> DataFrame:
                     dhs.append(dh)
                 elif out[:8] == _PNG_MAGIC:
                     dw, dh, _ = decode_png(out)
+                    dws.append(dw)
+                    dhs.append(dh)
+                elif out[:2] == b"\xFF\xD8":
+                    dw, dh, _ = decode_jpeg(out)
                     dws.append(dw)
                     dhs.append(dh)
                 else:
@@ -885,12 +1488,13 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL image resize leg: every BMP asset resampled to 64x64 and
-    re-encoded; avg_decoded_w comes from re-decoding the output bytes, so
-    a broken encoder cannot pass (it must equal target_w — pytest-pinned)."""
+    """REAL image resize leg: every image asset (BMP, PNG, and JPEG)
+    resampled to 64x64 and re-encoded in its own format; avg_decoded_w
+    comes from re-decoding the output bytes, so a broken encoder cannot
+    pass (it must equal target_w — pytest-pinned)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     images = media_assets(docs).where(
-        F.col("media_type").isin("image/bmp", "image/png"))
+        F.col("media_type").isin("image/bmp", "image/png", "image/jpeg"))
     resized = resize_assets(images, w=64, h=64)
     return (
         resized.groupBy("media_type", "target_w", "target_h")

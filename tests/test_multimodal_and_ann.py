@@ -372,21 +372,22 @@ def test_pipeline_image_legs_are_real(spark):
     assert {r["stage"] for r in rows} == {
         "features", "resize", "frame_sample", "wav_decode"}
     feats = {r["key"]: r for r in rows if r["stage"] == "features"}
-    assert set(feats) == {"image/bmp", "image/png", "audio/wav", "video/avi"}
+    assert set(feats) == {"image/bmp", "image/png", "image/jpeg",
+                          "audio/wav", "video/avi"}
     assert feats["video/avi"]["metric"] is not None   # real AVI decode
     docs = load_tables(spark, SF_DIR_001, ("documents",))["documents"]
     img_ids = [r["doc_id"] for r in docs.select("doc_id").collect()
                if r["doc_id"] % 3 == 0]
-    for media, synth in (("image/bmp", MM.synth_bmp),
-                         ("image/png", MM.synth_png)):
-        ids = [i for i in img_ids
-               if (i % 6 == 0) == (media == "image/bmp")]
+    synths = {0: ("image/bmp", MM.synth_bmp), 1: ("image/png", MM.synth_png),
+              2: ("image/jpeg", MM.synth_jpeg)}
+    for sub, (media, synth) in synths.items():
+        ids = [i for i in img_ids if (i // 3) % 3 == sub]
         means = [MM.decode_image(synth(int(i)))["mean_intensity"]
                  for i in ids]
         assert feats[media]["n"] == len(ids)
         assert feats[media]["metric"] == round(float(np.mean(means)), 6)
     rz = {r["key"]: r for r in rows if r["stage"] == "resize"}
-    assert set(rz) == {"image/bmp", "image/png"}
+    assert set(rz) == {"image/bmp", "image/png", "image/jpeg"}
     for r in rz.values():
         assert r["metric"] == 64.0                    # re-decoded width
 
@@ -564,6 +565,131 @@ def test_png_resize_real_nearest_neighbor():
     assert (w, h) == (16, 16)
     for y, x in ((0, 0), (7, 3), (15, 15)):
         assert (px[y, x] == src[(y * sh) // 16, (x * sw) // 16]).all()
+
+
+def test_jpeg_synth_decode_roundtrip():
+    """Baseline JPEG is a REAL stdlib+numpy codec (r4 session 2): Annex K
+    tables, canonical Huffman, 8x8 DCT. The codec is LOSSY, so the
+    roundtrip contract is exact dims + bounded reconstruction error that
+    shrinks as quality rises; garbage, truncation, and mid-stream markers
+    fail like a production decoder; progressive (SOF2) is an honest
+    unsupported error."""
+    import numpy as np
+
+    seed = 4
+    payload = MM.synth_jpeg(seed)
+    assert payload == MM.synth_jpeg(seed)            # byte-stable
+    assert payload[:2] == b"\xFF\xD8" and payload[-2:] == b"\xFF\xD9"
+    w, h, out = MM.decode_jpeg(payload)
+    assert (w, h) == (8 + (seed * 13) % 21, 8 + (seed * 5) % 29)
+    d = MM.decode_image(payload)                     # real path, NO fake
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["mean_intensity"] == round(float(out.mean()), 3)
+
+    # lossy-error monotonicity on a fixed gradient source
+    xs = np.arange(24, dtype=np.int64)[None, :, None]
+    ys = np.arange(16, dtype=np.int64)[:, None, None]
+    cs = np.arange(3, dtype=np.int64)[None, None, :]
+    src = ((xs * 3 + ys * 11 + cs * 31) % 256).astype(np.uint8)
+    errs = []
+    for q in (50, 75, 95):
+        _, _, dec = MM.decode_jpeg(MM.encode_jpeg(src, quality=q))
+        errs.append(float(np.abs(dec.astype(int) - src.astype(int)).mean()))
+    assert errs[0] > errs[1] > errs[2]               # quality helps
+    assert errs[2] < 2.0                             # q95 is near-faithful
+    # a smooth ramp survives q95 almost exactly (DCT basis fits it)
+    smooth = np.tile(np.linspace(0, 255, 64, dtype=np.uint8)[None, :, None],
+                     (32, 1, 3))
+    _, _, dec = MM.decode_jpeg(MM.encode_jpeg(smooth, quality=95))
+    assert np.abs(dec.astype(int) - smooth.astype(int)).mean() < 0.5
+
+    # 4:2:0 MCU interleave + chroma upsample path, odd dims included
+    for wd, ht in ((9, 9), (17, 31), (33, 15)):
+        s2 = ((np.arange(wd)[None, :, None] * 7
+               + np.arange(ht)[:, None, None] * 13
+               + np.arange(3)[None, None, :] * 29) % 256).astype(np.uint8)
+        w2, h2, dec2 = MM.decode_jpeg(
+            MM.encode_jpeg(s2, quality=90, sampling="420"))
+        assert (w2, h2) == (wd, ht)
+        assert np.abs(dec2.astype(int) - s2.astype(int)).mean() < 40.0
+
+    with pytest.raises(ValueError):
+        MM.decode_jpeg(b"not a jpeg at all")
+    with pytest.raises(ValueError):
+        MM.decode_jpeg(b"\xFF\xD8garbage after a real SOI marker")
+    with pytest.raises(ValueError):
+        MM.decode_jpeg(payload[:40])                 # truncated segment walk
+    with pytest.raises(ValueError):
+        MM.decode_jpeg(payload[:-20])                # truncated entropy data
+    bad = bytearray(payload)
+    sof = bytes(payload).index(b"\xFF\xC0")
+    bad[sof + 1] = 0xC2                              # masquerade progressive
+    with pytest.raises(ValueError, match="baseline"):
+        MM.decode_jpeg(bytes(bad))
+
+
+def test_jpeg_resize_real_resample():
+    """resize keeps the JPEG format: decode -> NN resample -> re-encode;
+    the output re-decodes to the target dims and (being lossy) stays close
+    to the index-mapped source pixels."""
+    import numpy as np
+
+    p = MM.synth_jpeg(9)
+    sw, sh, src = MM.decode_jpeg(p)
+    out = MM.resize_image(p, 16, 16)                 # real path, NO fake
+    assert out[:2] == b"\xFF\xD8"
+    w, h, px = MM.decode_jpeg(out)
+    assert (w, h) == (16, 16)
+    yi = (np.arange(16) * sh) // 16
+    xi = (np.arange(16) * sw) // 16
+    expect = src[yi][:, xi].astype(int)
+    assert np.abs(px.astype(int) - expect).mean() < 16.0
+
+
+def test_mjpeg_avi_roundtrip_and_guards():
+    """MJPEG AVI (r4 session 2): '00dc' frame chunks each hold a standalone
+    baseline-JPEG stream, declared via strf biCompression 'MJPG'. Decode is
+    real (per-frame DCT decode, dims checked against avih); a non-MJPG
+    compression fourcc with compressed chunks fails honestly, as does a
+    corrupt frame; frame sampling re-encodes decoded MJPEG frames as BMP."""
+    import struct
+
+    import numpy as np
+
+    seed = 5
+    p = MM.synth_avi(seed, codec="mjpeg")
+    assert p == MM.synth_avi(seed, codec="mjpeg")    # byte-stable
+    w, h, frames = MM.decode_avi(p)
+    assert (w, h) == (16 + (seed * 5) % 17, 16 + (seed * 11) % 13)
+    assert len(frames) == 3 + seed % 6
+    xs = np.arange(w, dtype=np.int64)[None, :, None]
+    ys = np.arange(h, dtype=np.int64)[:, None, None]
+    cs = np.arange(3, dtype=np.int64)[None, None, :]
+    for f, fr in enumerate(frames):                  # lossy per-frame bound
+        src = ((xs * 7 + ys * 13 + cs * 29 + seed * 3 + f * 17) % 256
+               ).astype(np.uint8)
+        assert np.abs(fr.astype(int) - src.astype(int)).mean() < 20.0
+
+    # strf declares a codec we don't have -> honest failure, no fabrication
+    bad = bytearray(p)
+    i1 = bytes(bad).index(b"MJPG")                   # strh fccHandler
+    i2 = bytes(bad).index(b"MJPG", i1 + 4)           # strf biCompression
+    bad[i2:i2 + 4] = b"H264"
+    with pytest.raises(ValueError, match="not MJPG"):
+        MM.decode_avi(bytes(bad))
+    # corrupt frame bytes -> the JPEG layer catches it
+    bad = bytearray(p)
+    i = bytes(bad).index(b"00dc")
+    bad[i + 12] ^= 0xFF
+    with pytest.raises(ValueError):
+        MM.decode_avi(bytes(bad))
+    # a '00dc' frame lying about its dims fails the avih cross-check
+    other = MM.synth_jpeg(2)                         # different dims
+    fake = bytearray(p)
+    (s2,) = struct.unpack_from("<I", fake, i + 4)
+    with pytest.raises(ValueError):
+        MM.decode_avi(bytes(fake[:i + 8]) + other
+                      + bytes(fake[i + 8 + s2:]))
 
 
 def test_avi_short_frame_chunk_fails():
