@@ -47,6 +47,7 @@ _OPERATOR_MODULES = (
     "service_level_reporting_spark.operators.curation",
     "service_level_reporting_spark.operators.similarity",
     "service_level_reporting_spark.operators.text",
+    "service_level_reporting_spark.operators.bpe",
     "service_level_reporting_spark.operators.multimodal",
     "service_level_reporting_spark.operators.udfs",
     "service_level_reporting_spark.sources.kairosdb",
