@@ -263,6 +263,80 @@ def incremental_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "indicator string, total_points long, n_days long, sum_value double"))
 
 
+def hll_incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-user counting as INCREMENTAL rollup state (r4 session 2):
+    HLL register arrays stored per (indicator, day), delta batches merged
+    in by elementwise max — the sketch IS the state, so distinct becomes
+    as algebraic as sum/count (operators/sketches.py docstring).
+
+    Same shape as incremental_daily_rollup: initial load (ts < cut) writes
+    state, delta (ts >= cut) merges into only its affected days. Verified
+    two ways: stored registers must equal a one-shot recompute BIT-FOR-BIT
+    per (indicator, day) ('_state_mismatches' row, must be 0), and the
+    read-time cross-day rollup (merge each indicator's day registers — the
+    union property again) must sit within HLL tolerance of the exact
+    distinct (rel_err carried in the rows)."""
+    import numpy as np
+
+    from service_level_reporting_spark.operators.sketches import (
+        hll_estimate_np, hll_merge, hll_partial)
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    out = _staging_dir(spark, sf_dir, "hll_state")
+    keys = ["indicator", "day"]
+
+    def partials(df):
+        return hll_partial(
+            df.select(F.col("event_type").alias("indicator"),
+                      SF.day_str("ts").alias("day"), "user_id"),
+            keys, "user_id")
+
+    initial = hll_merge(partials(ev.where(F.col("ts") < INCR_CUT)), keys)
+    (initial.select(*keys, "registers").repartition("day")
+     .write.mode("overwrite").partitionBy("day").parquet(out))
+
+    delta = partials(ev.where(F.col("ts") >= INCR_CUT))
+    affected = [r["day"] for r in delta.select("day").distinct().collect()]
+    existing = spark.read.parquet(out).where(F.col("day").isin(affected))
+    merged = (
+        hll_merge(existing.select(*keys, "registers").unionByName(delta),
+                  keys)
+        .select(*keys, "registers")
+        .localCheckpoint(eager=True)  # read-then-overwrite hazard
+    )
+    (merged.repartition("day").write.mode("overwrite")
+     .option("partitionOverwriteMode", "dynamic")
+     .partitionBy("day").parquet(out))
+
+    # bit-exact state check: delta-merged registers == one-shot recompute
+    state = spark.read.parquet(out)
+    full = hll_merge(partials(ev), keys).select(
+        *keys, F.col("registers").alias("registers_full"))
+    mism = (
+        state.join(full, keys, "full_outer")
+        .where(F.col("registers").isNull()
+               | F.col("registers_full").isNull()
+               | (F.col("registers") != F.col("registers_full")))
+        .count())
+
+    # read-time rollup: distinct users per indicator over ALL days by
+    # merging that indicator's stored day sketches (no raw-data rescan)
+    per_ind_rows = hll_merge(
+        state.select("indicator", "registers"), ["indicator"]).collect()
+    exact = {r["indicator"]: r["n"] for r in ev.groupBy(
+        F.col("event_type").alias("indicator"))
+        .agg(F.countDistinct("user_id").alias("n")).collect()}
+    rows = [
+        (r["indicator"], int(r["approx_distinct"]), int(exact[r["indicator"]]),
+         round(abs(r["approx_distinct"] - exact[r["indicator"]])
+               / exact[r["indicator"]], 6))
+        for r in per_ind_rows
+    ]
+    rows.append(("_state_mismatches", mism, None, None))
+    return spark.createDataFrame(
+        rows, "key string, n long, n2 long, v double")
+
+
 # ---------------------------------------------------------------------------
 # Small-file compaction — the maintenance pass every partitioned 100 TB
 # table needs: streaming/incremental writers leave many tiny files per
@@ -535,7 +609,7 @@ def sink_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sink_suite")  # rows-only: sink semantics, asserted via re-read
 def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Labeled union of the seven sink legs (consolidated so all land one
+    """Labeled union of the eight sink legs (consolidated so all land one
     driver CORRECTNESS row):
       'txlog'            — the lakehouse table format as running code
         (sources/txlog.py): per-day appends, a MERGE through an atomic
@@ -549,6 +623,11 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       'incremental'      — delta-processing rollup state: algebraic
         partial-aggregate merge over affected partitions only, verified
         against a one-shot recompute (mismatch row must be 0);
+      'hll_incremental'  — distinct-user counting as the SAME kind of
+        state: stored HLL register arrays per (indicator, day), delta
+        merged by elementwise max, bit-exact vs one-shot recompute
+        ('_state_mismatches' row must be 0), read-time cross-day sketch
+        rollup within HLL tolerance of exact (rel_err in rows);
       'compact'          — small-file compaction: fragmented day partitions
         rewritten to target-size files, content-preservation accounted
         ('files' row: before/after counts; 'rows' row: counts + abs sum
@@ -582,6 +661,8 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_days").alias("n2"),
         F.col("sum_value").alias("v"),
     )
+    hll_inc = hll_incremental_rollup(spark, sf_dir).select(
+        F.lit("hll_incremental").alias("part"), "key", "n", "n2", "v")
     compact = compact_small_files(spark, sf_dir).select(
         F.lit("compact").alias("part"), "key", "n", "n2", "v")
     cluster = clustered_layout_stats(spark, sf_dir).select(
@@ -591,6 +672,6 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     txlog = sink_txlog_merge(spark, sf_dir).select(
         F.lit("txlog").alias("part"), "key", "n", "n2", "v")
     return (upsert.unionByName(bucketed).unionByName(incremental)
-            .unionByName(compact).unionByName(cluster)
+            .unionByName(hll_inc).unionByName(compact).unionByName(cluster)
             .unionByName(formats).unionByName(txlog)
             .orderBy("part", "key"))

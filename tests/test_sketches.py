@@ -1,0 +1,89 @@
+"""Mergeable HLL sketch state: the algebraic-merge property (bit-exact),
+estimator accuracy, and the incremental-rollup leg that stores registers
+as state (sinks.py part 'hll_incremental')."""
+
+import pyspark.sql.functions as F
+import pytest
+
+from service_level_reporting_spark.operators import sketches as SK
+from service_level_reporting_spark.tables import load_tables
+
+from .conftest import SF_DIR_001
+
+
+def test_partial_merge_is_bit_exact_and_idempotent(spark):
+    """merge(partial(A), partial(B)) == partial(A ∪ B) register-for-
+    register — the property that makes delta ingestion slicing-invariant;
+    re-merging the same partial is a no-op (max is idempotent)."""
+    ev = load_tables(spark, SF_DIR_001, ("events",))["events"]
+    keys = ["event_type"]
+    a = ev.where(F.col("user_id") % 2 == 0)
+    b = ev.where(F.col("user_id") % 2 == 1)
+    pa, pb = SK.hll_partial(a, keys, "user_id"), SK.hll_partial(b, keys, "user_id")
+    sliced = {r["event_type"]: list(r["registers"])
+              for r in SK.hll_merge(pa.unionByName(pb), keys).collect()}
+    oneshot = SK.hll_merge(SK.hll_partial(ev, keys, "user_id"), keys)
+    full = {r["event_type"]: list(r["registers"])
+            for r in oneshot.collect()}
+    assert sliced == full and len(full) == 5
+    # idempotence: merging the merged state with one side's partial again
+    # cannot change the registers
+    again = {r["event_type"]: list(r["registers"])
+             for r in SK.hll_merge(
+                 oneshot.select(*keys, "registers").unionByName(pa),
+                 keys).collect()}
+    assert again == full
+
+
+def test_estimator_accuracy_bands(spark):
+    """Low cardinality sits in the linear-counting regime (exact in
+    practice); high cardinality must stay within ~3 sigma of the 1.04/√m
+    HLL error bound."""
+    ev = load_tables(spark, SF_DIR_001, ("events",))["events"]
+    low = SK.hll_merge(
+        SK.hll_partial(ev, ["event_type"], "user_id"), ["event_type"])
+    exact_low = {r["event_type"]: r["n"] for r in ev.groupBy("event_type")
+                 .agg(F.countDistinct("user_id").alias("n")).collect()}
+    for r in low.collect():
+        assert r["approx_distinct"] == exact_low[r["event_type"]]
+    high = SK.hll_merge(
+        SK.hll_partial(ev.withColumn("g", F.lit(1)), ["g"], "event_id"),
+        ["g"]).collect()[0]
+    exact_high = ev.select("event_id").distinct().count()
+    assert abs(high["approx_distinct"] - exact_high) / exact_high < 0.05
+
+
+def test_estimate_np_reference():
+    """Driver-side estimator sanity: empty registers -> 0-ish; a register
+    array built from n distinct hashes lands near n."""
+    import numpy as np
+
+    assert SK.hll_estimate_np(np.zeros(4096, dtype=np.int64)) == 0.0
+    rng = np.random.default_rng(7)
+    h = rng.integers(0, 2**64, 50_000, dtype=np.uint64)  # FULL 64-bit span
+    p, bits = 12, 52
+    idx = (h >> np.uint64(bits)).astype(np.int64)
+    v = (h & np.uint64((1 << bits) - 1)).astype(np.float64)
+    _m, e = np.frexp(v)
+    rho = np.where(v > 0, bits - (e - 1), bits + 1)
+    regs = np.zeros(1 << p, dtype=np.int64)
+    np.maximum.at(regs, idx, rho)
+    est = SK.hll_estimate_np(regs)
+    assert abs(est - 50_000) / 50_000 < 0.05
+
+
+def test_hll_incremental_rollup_state(spark):
+    """The sink leg: delta-merged stored registers equal the one-shot
+    recompute (mismatch row 0) and read-time cross-day rollups stay inside
+    HLL tolerance of exact distinct users."""
+    from service_level_reporting_spark.sources.sinks import (
+        hll_incremental_rollup)
+
+    rows = {r["key"]: r for r in
+            hll_incremental_rollup(spark, SF_DIR_001).collect()}
+    assert rows["_state_mismatches"]["n"] == 0
+    inds = [k for k in rows if k != "_state_mismatches"]
+    assert len(inds) == 5
+    for k in inds:
+        assert rows[k]["n2"] > 0           # exact distinct present
+        assert rows[k]["v"] < 0.05         # rel_err within band
