@@ -634,6 +634,34 @@ def encode_jpeg(pixels, quality: int = 90, sampling: str = "444") -> bytes:
     return bytes(out)
 
 
+_JPEG_TABLE_CACHE: dict = {}
+
+
+def _jpeg_decode_tables(bits, vals):
+    """Decode-side Huffman structures: the (len, code)->sym dict for the
+    bit-serial tail path, plus a 16-bit peek lookup packing (len<<8)|sym
+    per 16-bit prefix — one list index per symbol instead of one dict hit
+    per bit (the classic fast-decoder layout). Tables are process-cached
+    by content: a corpus encoded with the Annex K defaults (ours, libjpeg's)
+    builds them once, not once per image."""
+    key = (tuple(bits), tuple(vals))
+    hit = _JPEG_TABLE_CACHE.get(key)
+    if hit is not None:
+        return hit
+    enc = _jpeg_canonical_codes(bits, vals)
+    dmap = {(ln, code): sym for sym, (code, ln) in enc.items()}
+    lut = [0] * (1 << 16)                      # 0 => invalid prefix
+    for sym, (code, ln) in enc.items():
+        base = code << (16 - ln)
+        packed = (ln << 8) | sym
+        for i in range(base, base + (1 << (16 - ln))):
+            lut[i] = packed
+    out = {"map": dmap, "lut": lut}
+    if len(_JPEG_TABLE_CACHE) < 64:            # bound a hostile-input cache
+        _JPEG_TABLE_CACHE[key] = out
+    return out
+
+
 class _JpegBitReader:
     """MSB-first bit reader over entropy-coded data with 0xFF00 unstuffing;
     RSTn markers are consumed by `restart()`, any other marker mid-stream
@@ -665,6 +693,25 @@ class _JpegBitReader:
         self.acc = (self.acc << 8) | b
         self.nbits += 8
 
+    def _peek_fill(self) -> None:
+        """Fill toward a 16-bit peek WITHOUT raising at a marker — near
+        the end of the scan the next marker is legitimately EOI/RSTn and
+        the remaining buffered bits are the final symbols + padding."""
+        buf, n = self.buf, len(self.buf)
+        while self.nbits < 16:
+            p = self.pos
+            if p >= n:
+                break
+            b = buf[p]
+            if b == 0xFF:
+                if p + 1 >= n or buf[p + 1] != 0x00:
+                    break                      # marker (or EOF): stop here
+                self.pos = p + 2
+            else:
+                self.pos = p + 1
+            self.acc = (self.acc << 8) | b
+            self.nbits += 8
+
     def read(self, n: int) -> int:
         while self.nbits < n:
             self._fill()
@@ -674,11 +721,22 @@ class _JpegBitReader:
         return v
 
     def huff(self, table) -> int:
+        if self.nbits < 16:
+            self._peek_fill()
+        nbits = self.nbits
+        if nbits >= 16:                        # fast path: one list lookup
+            packed = table["lut"][(self.acc >> (nbits - 16)) & 0xFFFF]
+            if packed == 0:
+                raise ValueError("JPEG: invalid Huffman code")
+            self.nbits = nbits - (packed >> 8)
+            self.acc &= (1 << self.nbits) - 1
+            return packed & 0xFF
+        dmap = table["map"]                    # tail: bit-serial fallback
         code, ln = 0, 0
         while ln < 16:
             code = (code << 1) | self.read(1)
             ln += 1
-            sym = table.get((ln, code))
+            sym = dmap.get((ln, code))
             if sym is not None:
                 return sym
         raise ValueError("JPEG: invalid Huffman code (>16 bits)")
@@ -759,9 +817,7 @@ def decode_jpeg(payload: bytes):
                 vals = list(body[o + 17:o + 17 + nv])
                 if len(vals) != nv:
                     raise ValueError("JPEG: truncated DHT values")
-                enc = _jpeg_canonical_codes(bits, vals)
-                htabs[(cls, tid)] = {(ln, code): sym
-                                     for sym, (code, ln) in enc.items()}
+                htabs[(cls, tid)] = _jpeg_decode_tables(bits, vals)
                 o += 17 + nv
         elif marker == 0xC0 or marker == 0xC1:                    # SOF0/1
             prec, fh, fw, nc = struct.unpack_from(">BHHB", body, 0)
@@ -815,6 +871,11 @@ def decode_jpeg(payload: bytes):
     preds = {cid: 0 for cid, _, _ in scan}
     comp_by_id = {c[0]: c for c in comps}
     rst = 0
+    # Entropy decode accumulates zigzag coefficient rows per component;
+    # dequantize + inverse-zigzag + IDCT then run BATCHED (one einsum per
+    # component instead of two tiny matmuls per block — ~3x decode).
+    coefs = {cid: [] for cid, _, _ in scan}
+    positions = {cid: [] for cid, _, _ in scan}
     for m in range(mcux * mcuy):
         if dri and m and m % dri == 0:
             br.restart(rst)
@@ -826,7 +887,7 @@ def decode_jpeg(payload: bytes):
             dc_t, ac_t = scan_tabs[cid]
             for byi in range(vs):
                 for bxi in range(hs):
-                    zz = np.zeros(64, dtype=np.float64)
+                    zz = [0.0] * 64
                     size = br.huff(dc_t)
                     if size > 11:
                         raise ValueError("JPEG: DC category out of range")
@@ -848,13 +909,21 @@ def decode_jpeg(payload: bytes):
                             raise ValueError("JPEG: AC index overrun")
                         zz[k] = _jpeg_extend(br.read(sz), sz)
                         k += 1
-                    block = np.zeros(64, dtype=np.float64)
-                    block[zig] = zz
-                    coef = block.reshape(8, 8) * qtabs[tq]
-                    pix = D.T @ coef @ D + 128.0
-                    y0 = (my * vs + byi) * 8
-                    x0 = (mx * hs + bxi) * 8
-                    planes[cid][y0:y0 + 8, x0:x0 + 8] = pix
+                    coefs[cid].append(zz)
+                    positions[cid].append((my * vs + byi, mx * hs + bxi))
+    for cid, _td, _ta in scan:
+        _, hs, vs, tq = comp_by_id[cid]
+        zzs = np.array(coefs[cid], dtype=np.float64)      # (n, 64)
+        blocks = np.zeros_like(zzs)
+        blocks[:, zig] = zzs                              # inverse zigzag
+        blocks = blocks.reshape(-1, 8, 8) * qtabs[tq]     # dequantize
+        pix = np.einsum("ji,njk,kl->nil", D, blocks, D) + 128.0
+        pos_arr = np.array(positions[cid], dtype=np.int64)
+        plane = planes[cid]
+        bh, bw_ = plane.shape[0] // 8, plane.shape[1] // 8
+        grid = np.zeros((bh, bw_, 8, 8), dtype=np.float64)
+        grid[pos_arr[:, 0], pos_arr[:, 1]] = pix
+        planes[cid] = grid.transpose(0, 2, 1, 3).reshape(bh * 8, bw_ * 8)
     full = []
     for cid, hs, vs, _tq in comps:
         p = planes[cid]
