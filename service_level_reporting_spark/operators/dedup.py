@@ -515,3 +515,67 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.max("doc_id").alias("max_doc_id"))
         .where(F.col("n_docs") > 1)
     )
+
+
+# ---------------------------------------------------------------------------
+# D2d (r4 session 2) — FUZZY near-dup: bounded edit distance, the curation
+# pass that catches small in-place edits (typo fixes, template variable
+# swaps) that shingle-Jaccard scores well below threshold on short docs.
+#
+# Shape: candidate generation is an EQUI-JOIN on a deterministic block key
+# (16-char text prefix) + a length band, then exact Levenshtein verify on
+# the candidates only — never all pairs. levenshtein() is JVM built-in on
+# the Spark side and a DuckDB scalar on the oracle side, so unlike the
+# MinHash/SimHash legs this one is fully hash-checkable.
+#
+# 100 TB posture: the block join shuffles on a 16-byte key (clone-heavy
+# corpora concentrate in few blocks — AQE skew-split applies); the O(n·m)
+# verify runs only inside blocks. Prefix blocking deliberately misses
+# edits inside the first 16 chars — the documented recall trade, exactly
+# like banding in the LSH legs; production stacks add a suffix- or
+# qgram-block pass for symmetric coverage (same join, second key).
+# ---------------------------------------------------------------------------
+
+FUZZY_PREFIX = 16
+FUZZY_LEN_BAND = 8
+FUZZY_MAX_DIST = 10
+
+
+@register(
+    "dedup_fuzzy_pairs",
+    aux=True,   # full SQL oracle, checked by the pytest differential
+    oracle=f"""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           length(a.text) AS len_a, length(b.text) AS len_b,
+           levenshtein(a.text, b.text) AS lev_dist,
+           round(1.0 - levenshtein(a.text, b.text)
+                 / greatest(length(a.text), length(b.text)), 6) AS sim
+    FROM documents a
+    JOIN documents b
+      ON substring(a.text, 1, {FUZZY_PREFIX}) = substring(b.text, 1, {FUZZY_PREFIX})
+     AND a.doc_id < b.doc_id
+     AND abs(length(a.text) - length(b.text)) <= {FUZZY_LEN_BAND}
+    WHERE levenshtein(a.text, b.text) <= {FUZZY_MAX_DIST}
+    """,
+)
+def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    a = d.alias("fa")
+    b = d.alias("fb")
+    block = (F.substring(F.col("fa.text"), 1, FUZZY_PREFIX)
+             == F.substring(F.col("fb.text"), 1, FUZZY_PREFIX))
+    band = (F.abs(F.length("fa.text") - F.length("fb.text"))
+            <= FUZZY_LEN_BAND)
+    lev = F.levenshtein(F.col("fa.text"), F.col("fb.text"))
+    return (
+        a.join(b, block & (F.col("fa.doc_id") < F.col("fb.doc_id")) & band)
+        .where(lev <= FUZZY_MAX_DIST)
+        .select(F.col("fa.doc_id").alias("doc_a"),
+                F.col("fb.doc_id").alias("doc_b"),
+                F.length("fa.text").cast("long").alias("len_a"),
+                F.length("fb.text").cast("long").alias("len_b"),
+                lev.cast("long").alias("lev_dist"),
+                F.round(1.0 - lev / F.greatest(F.length("fa.text"),
+                                               F.length("fb.text")), 6)
+                .alias("sim"))
+    )

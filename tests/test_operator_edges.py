@@ -577,3 +577,33 @@ def test_scratch_dir_prunes_stale_siblings(spark):
     finally:
         shutil.rmtree(young, ignore_errors=True)
         shutil.rmtree(stale, ignore_errors=True)
+
+
+def test_fuzzy_dedup_semantics(spark, monkeypatch):
+    """dedup_fuzzy_pairs (aux, SQL-oracled): bounded-edit pairs surface
+    through the prefix block + length band; oversized edits are excluded;
+    an edit INSIDE the 16-char block key is the documented recall miss of
+    prefix blocking (production adds a second block pass)."""
+    import pandas as pd
+
+    from service_level_reporting_spark.operators import dedup as DD
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, base),
+        (2, base.replace("lazy", "hazy")),          # 1 substitution
+        (3, base + " x"),                           # 2-char append
+        (4, base.replace("again and again", "entirely different tail of text")),  # big edit
+        (5, "THE quick brown fox jumps over the lazy dog again and again"),  # edit in prefix
+        (6, "unrelated document body with nothing in common whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(DD, "_docs", lambda _s, _d: docs)
+    got = {(r["doc_a"], r["doc_b"]): r
+           for r in DD.dedup_fuzzy_pairs(spark, "ignored").collect()}
+    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert got[(1, 2)]["lev_dist"] == 1
+    assert got[(1, 3)]["lev_dist"] == 2
+    assert 0.9 < got[(1, 2)]["sim"] <= 1.0
+    # (1,5) missed by design: the edit lands inside the block prefix
+    # (4,*) excluded: distance beyond FUZZY_MAX_DIST
