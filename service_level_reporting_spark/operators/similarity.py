@@ -492,9 +492,13 @@ def similarity_knn_ivf_pq(spark: SparkSession, sf_dir: str,
 
     idx = index if index is not None else _ivf_index(spark, sf_dir)
     e, coarse = idx["e"], idx["coarse"]
-    books = _train_pq(idx["x"], coarse)
-    indexed = idx["indexed"].withColumn(
-        "code", _pq_encode_udf(coarse, books)("emb"))
+    books = idx.get("books")
+    if books is None:
+        books = _train_pq(idx["x"], coarse)
+    indexed = idx["indexed"]
+    if "code" not in indexed.columns:       # persisted indexes carry codes
+        indexed = indexed.withColumn(
+            "code", _pq_encode_udf(coarse, books)("emb"))
 
     q_row = e.where(F.col("vec_id") == KNN_QUERY_VEC_ID).select("emb").first()
     q = np.asarray(q_row["emb"], dtype=np.float64)
@@ -821,6 +825,60 @@ def shared_ivf_index(spark: SparkSession, sf_dir: str) -> dict:
         idx["indexed"] = idx["indexed"].persist()
         _IVF_MEMO[key] = idx
     return idx
+
+
+def save_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+    """Persist the trained IVF-PQ index as tables — build once, query many
+    SESSIONS, which is what an index is for (the session memo above only
+    amortizes within one process; at 100 TB the assignment pass alone is a
+    full-corpus job nobody re-runs per query session).
+
+    Layout (all plain parquet, object-store friendly):
+      <path>/centroids    — (centroid_id, vector): the coarse codebook
+      <path>/pq_books     — (sub_id, code_id, vector): PQ subquantizers
+      <path>/assignments  — the corpus with norm + PQ codes, written
+                            PARTITIONED BY centroid_id, so an IVF probe is
+                            storage-level partition PRUNING (the listing
+                            skips non-probed cells before any IO) — the
+                            at-rest layout the in-session `.persist()`
+                            stands in for."""
+    idx = shared_ivf_index(spark, sf_dir)
+    coarse = idx["coarse"]
+    books = _train_pq(idx["x"], coarse)
+    indexed = idx["indexed"].withColumn(
+        "code", _pq_encode_udf(coarse, books)("emb"))
+    (indexed.repartition("centroid_id").write.mode("overwrite")
+     .partitionBy("centroid_id").parquet(path + "/assignments"))
+    spark.createDataFrame(
+        [(int(i), [float(v) for v in coarse[i]])
+         for i in range(coarse.shape[0])],
+        "centroid_id int, vector array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    spark.createDataFrame(
+        [(int(j), int(t), [float(v) for v in books[j][t]])
+         for j in range(books.shape[0]) for t in range(books.shape[1])],
+        "sub_id int, code_id int, vector array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/pq_books")
+
+
+def load_ivf_index(spark: SparkSession, path: str) -> dict:
+    """Reload a persisted index into the same dict shape the query legs
+    consume — no sample, no training, no assignment pass; the probe reads
+    only its centroid partitions (PartitionFilters, plan-asserted)."""
+    import numpy as np
+
+    crows = spark.read.parquet(path + "/centroids").collect()
+    coarse = np.array([r["vector"] for r in
+                       sorted(crows, key=lambda r: r["centroid_id"])])
+    brows = spark.read.parquet(path + "/pq_books").collect()
+    m = 1 + max(r["sub_id"] for r in brows)
+    k = 1 + max(r["code_id"] for r in brows)
+    books = np.zeros((m, k, len(brows[0]["vector"])), dtype=np.float64)
+    for r in brows:
+        books[r["sub_id"], r["code_id"]] = r["vector"]
+    indexed = spark.read.parquet(path + "/assignments")
+    return {"e": indexed.drop("centroid_id", "code"), "x": None,
+            "coarse": coarse, "indexed": indexed, "books": books}
 
 
 def _recall_frame(ann_keys: DataFrame, exact_keys: DataFrame,

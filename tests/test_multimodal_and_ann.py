@@ -715,3 +715,31 @@ def test_decode_image_fake_falls_back_on_pseudo_bmp():
     assert d["width"] > 0 and d["mean_intensity"] >= 0
     with pytest.raises(ValueError):
         MM.decode_image(pseudo)
+
+
+def test_persisted_ivf_index_roundtrip(spark, tmp_path):
+    """Index-as-table (r4 session 2): save_ivf_index persists centroids,
+    PQ codebooks, and the coded corpus partitioned by centroid_id;
+    load_ivf_index reloads WITHOUT retraining or re-assigning, the IVF and
+    IVF-PQ queries return IDENTICAL rows to the freshly-built index, and
+    the probe plans as storage-level partition pruning."""
+    from service_level_reporting_spark.operators import similarity as SIM
+    from service_level_reporting_spark.plans import formatted_plan
+
+    sf = SF_DIR_001
+    fresh_ivf = [tuple(r) for r in SIM.similarity_knn_ivf(spark, sf).collect()]
+    fresh_pq = [tuple(r) for r in
+                SIM.similarity_knn_ivf_pq(spark, sf).collect()]
+    path = str(tmp_path / "ivf_index")
+    SIM.save_ivf_index(spark, sf, path)
+    idx = SIM.load_ivf_index(spark, path)
+    assert idx["books"] is not None and "code" in idx["indexed"].columns
+    got_ivf = [tuple(r) for r in
+               SIM.similarity_knn_ivf(spark, sf, index=idx).collect()]
+    got_pq = [tuple(r) for r in
+              SIM.similarity_knn_ivf_pq(spark, sf, index=idx).collect()]
+    assert got_ivf == fresh_ivf and got_pq == fresh_pq
+    plan = formatted_plan(SIM.similarity_knn_ivf(spark, sf, index=idx))
+    pruned = [ln for ln in plan.splitlines()
+              if "PartitionFilters" in ln and "centroid_id" in ln]
+    assert pruned, "IVF probe must prune centroid partitions at storage"
