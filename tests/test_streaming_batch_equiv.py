@@ -447,3 +447,103 @@ def test_socket_source_live_network_ingestion(spark):
     finally:
         q.stop()
         stop.set()
+
+
+# --- T11: transformWithStateInPandas seam (Spark 4 arbitrary-state API) ----
+
+class _FakeValueState:
+    def __init__(self):
+        self._v = None
+
+    def exists(self):
+        return self._v is not None
+
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = tuple(v)
+
+    def clear(self):
+        self._v = None
+
+
+class _FakeHandle:
+    def __init__(self):
+        self.states = {}
+
+    def getValueState(self, name, schema, ttlDurationMs=None):
+        return self.states.setdefault(name, _FakeValueState())
+
+
+def test_tws_processor_state_fold_is_slicing_invariant(spark):
+    """T11 semantics without the (environmental) protobuf runtime: drive
+    DistinctMinuteProcessor.handleInputRows through a fake handle in two
+    different micro-batch slicings — final state and emitted summary must
+    be BIT-EXACT equal to each other and to the shared batch-fold code."""
+    import numpy as np
+    import pandas as pd
+
+    from service_level_reporting_spark.streaming import tws_state as TWS
+
+    minutes = np.array([1000 + (i * 37) % 500 for i in range(2000)],
+                       dtype=np.int64)
+
+    def run(slices):
+        handle = _FakeHandle()            # kept to read final state back
+        proc = TWS.DistinctMinuteProcessor()
+        proc.init(handle)
+        out = None
+        for sl in slices:
+            pdfs = iter([pd.DataFrame({"minute": sl})])
+            out = list(proc.handleInputRows(("error",), pdfs, None))[-1]
+        proc.close()
+        return handle.states["hll_regs"].get()[0], out
+
+    regs_a, out_a = run([minutes])                          # one batch
+    regs_b, out_b = run([minutes[:700], minutes[700:1400],  # three batches
+                         minutes[1400:]])
+    assert regs_a == regs_b
+    assert out_a["approx_minutes"].iloc[0] == out_b["approx_minutes"].iloc[0]
+    assert out_a["reg_checksum"].iloc[0] == out_b["reg_checksum"].iloc[0]
+    # and both equal the shared batch fold
+    regs = np.zeros(1 << TWS.HLL_P, dtype=np.int64)
+    TWS.update_minute_registers(regs, minutes)
+    est, crc = TWS.registers_summary(regs)
+    assert list(regs) == list(regs_a)
+    assert (est, crc) == (out_a["approx_minutes"].iloc[0],
+                          out_a["reg_checksum"].iloc[0])
+    # estimate is sane: ~500 distinct minutes planted
+    exact = len(set(minutes.tolist()))
+    assert abs(est - exact) / exact < 0.05
+
+
+def test_tws_streaming_runtime_is_environmental(spark):
+    """The real streaming query is constructed and started; in this
+    container it must fail with the documented protobuf ImportError (the
+    transformWithState driver worker's dependency), NOT silently degrade.
+    If the runtime ever appears, the batch-twin equality must hold."""
+    import pytest as _pytest
+
+    from service_level_reporting_spark.streaming import tws_state as TWS
+
+    batch = {r["event_type"]: r for r in
+             TWS.batch_distinct_minutes(spark, SF_DIR_001).collect()}
+    assert len(batch) == 5 and all(r["approx_minutes"] > 0
+                                   for r in batch.values())
+    if TWS.tws_runtime_available():
+        streamed = {r["event_type"]: r for r in
+                    TWS.stream_tws_distinct_minutes(spark, SF_DIR_001)
+                    .collect()}
+        assert {k: (v["approx_minutes"], v["reg_checksum"])
+                for k, v in streamed.items()} == \
+               {k: (v["approx_minutes"], v["reg_checksum"])
+                for k, v in batch.items()}
+    else:
+        with _pytest.raises(Exception) as ei:
+            TWS.stream_tws_distinct_minutes(spark, SF_DIR_001).collect()
+        # the protobuf ImportError detail lives in the JVM cause chain;
+        # the surfaced streaming error names the crashed TWS driver worker
+        msg = str(ei.value)
+        assert ("TransformWithStateInPySpark" in msg
+                or "STREAM_FAILED" in msg), msg
