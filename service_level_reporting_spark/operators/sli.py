@@ -304,3 +304,62 @@ def filter_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 k.alias("k"))
     )
     return time_range.unionByName(relative).unionByName(tag)
+
+
+# ---------------------------------------------------------------------------
+# A12 (r4 session 2, aux) — TIME-WEIGHTED daily average. Plain avg() is
+# only correct for regularly-sampled series; real monitoring streams gap
+# and burst, and the SLO literature weights each sample by how long it was
+# the CURRENT value (step interpolation up to the next sample; the last
+# sample of a day holds until midnight). lead() over (series, day) gives
+# the hold duration — window-function shape both engines share, so unlike
+# most SLI variants this one is fully hash-checkable.
+# Deterministic tie-break on equal timestamps: (ts, event_id).
+# 100 TB: one window (shuffle on (event_type, day) — the day partition key
+# at rest, so with date-partitioned layout the sort is partition-local)
+# then a hash agg; no UDF, no second scan.
+# ---------------------------------------------------------------------------
+
+@register(
+    "agg_time_weighted",
+    aux=True,
+    oracle="""
+    WITH seq AS (
+        SELECT event_type,
+               strftime(ts, '%Y-%m-%d') AS day,
+               value,
+               epoch(coalesce(
+                   lead(ts) OVER (PARTITION BY event_type, date_trunc('day', ts)
+                                  ORDER BY ts, event_id),
+                   date_trunc('day', ts) + INTERVAL 1 DAY)) - epoch(ts)
+                   AS dur
+        FROM events
+    )
+    SELECT event_type, day,
+           round(sum(value * dur) / sum(dur), 6) AS twa,
+           round(avg(value), 6)                  AS plain_avg,
+           count(*)                              AS n_points
+    FROM seq
+    GROUP BY event_type, day
+    """,
+)
+def agg_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    day = F.to_date("ts")
+    w = Window.partitionBy("event_type", day).orderBy("ts", "event_id")
+    day_end = F.date_add(day, 1).cast("timestamp")
+    hold_until = F.coalesce(F.lead("ts").over(w).cast("timestamp"), day_end)
+    # ts can surface as TIMESTAMP_NTZ depending on the parquet encoding
+    # (SURVEY §1.3); unix_micros needs a zoned timestamp — UTC session, so
+    # the cast is a pure reinterpretation
+    dur = (F.unix_micros(hold_until)
+           - F.unix_micros(F.col("ts").cast("timestamp"))) / 1e6
+    seq = ev.select("event_type", SF.day_str("ts").alias("day"),
+                    "value", dur.alias("dur"))
+    return seq.groupBy("event_type", "day").agg(
+        SF.r6(F.sum(F.col("value") * F.col("dur")) / F.sum("dur")).alias("twa"),
+        SF.r6(F.avg("value")).alias("plain_avg"),
+        F.count(F.lit(1)).alias("n_points"),
+    )

@@ -607,3 +607,29 @@ def test_fuzzy_dedup_semantics(spark, monkeypatch):
     assert 0.9 < got[(1, 2)]["sim"] <= 1.0
     # (1,5) missed by design: the edit lands inside the block prefix
     # (4,*) excluded: distance beyond FUZZY_MAX_DIST
+
+
+def test_time_weighted_average_hand_computed(spark, monkeypatch):
+    """agg_time_weighted (aux, SQL-oracled): step-interpolated weights — a
+    value holds until the next sample; the day's last sample holds until
+    midnight. Hand-computed fixture: value 10 held 6h, value 20 held 6h,
+    value 40 held 12h => TWA = (10*6 + 20*6 + 40*12)/24 = 27.5, while the
+    plain average is 23.333333."""
+    from service_level_reporting_spark.operators import sli as SLI
+
+    rows = [
+        (1, "2024-03-01 00:00:00", 10.0),
+        (2, "2024-03-01 06:00:00", 20.0),
+        (3, "2024-03-01 12:00:00", 40.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts string, value double"
+    ).select("event_id", F.col("ts").cast("timestamp").alias("ts"),
+             F.lit("error").alias("event_type"), "value")
+    monkeypatch.setattr(SLI, "_events", lambda _s, _d: ev)
+    got = SLI.agg_time_weighted(spark, "ignored").collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["event_type"], r["day"], r["n_points"]) == ("error", "2024-03-01", 3)
+    assert r["twa"] == 27.5
+    assert r["plain_avg"] == round(70.0 / 3, 6)
