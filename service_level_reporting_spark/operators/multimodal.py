@@ -11,10 +11,12 @@ IMAGE and AUDIO are real end-to-end (round 3, VERDICT r2 item 2):
   FAILS on garbage bytes exactly like a production codec. Resize is a real
   nearest-neighbor resample of decoded pixels, re-encoded in the same
   format. Round 4 adds REAL PNG (stdlib zlib inflate/deflate,
-  CRC-validated chunk walk, all five scanline filters) and REAL baseline
+  CRC-validated chunk walk, all five scanline filters), REAL baseline
   JPEG (ITU-T T.81: Annex K tables, canonical Huffman entropy coding,
-  numpy 8x8 DCT, 4:4:4 and 4:2:0 sampling) — image assets rotate
-  BMP/PNG/JPEG so every leg runs all three codecs.
+  numpy 8x8 DCT, 4:4:4 and 4:2:0 sampling), and REAL GIF87a (variable-
+  width LZW with CLEAR/END and 4096-entry reset, palette roundtrip
+  lossless) — image assets rotate BMP/PNG/JPEG/GIF so every leg runs all
+  four codecs.
 * audio — WAV payloads are genuine RIFF/WAVE 16-bit PCM bytes (stdlib
   ``wave`` codec) and `decode_wav` parses them back with the same codec.
 
@@ -347,6 +349,243 @@ def synth_png(seed: int) -> bytes:
     cs = np.arange(3, dtype=np.int64)[None, None, :]
     px = ((xs * 5 + ys * 17 + cs * 23 + seed * 7) % 256).astype(np.uint8)
     return encode_png(px, filter_type=seed % 5)
+
+
+# --- REAL palette-image codec: GIF87a, pure stdlib LZW -------------------
+# The palette family's representative (icons, diagrams, UI captures in a
+# real corpus). Whole format is stdlib-expressible: logical screen
+# descriptor + global color table + LZW-compressed index stream in
+# length-prefixed sub-blocks. Scope: single-frame, non-interlaced, global
+# color table (the overwhelmingly common still-GIF shape); animation and
+# interlace raise. Encode requires <=256 distinct colors (palette truth —
+# a production encoder quantizes first; ours refuses rather than silently
+# quantize).
+
+def _gif_lzw_encode(indices, min_code_size: int) -> bytes:
+    """Variable-width LZW with CLEAR/END codes (GIF89a spec appendix F).
+    Width discipline (shared with the decoder): one table entry is created
+    per emitted data code; the code width grows when the NEXT entry's code
+    (`next_code`) would no longer fit, i.e. right when next_code reaches
+    2^width; at 4096 the table freezes until a CLEAR resets it."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits            # GIF packs LSB-first
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code_size + 1
+    table = {(i,): i for i in range(clear)}
+    next_code = end + 1
+    emit(clear, width)
+    seq = ()
+    for idx in indices:
+        cand = seq + (int(idx),)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        if next_code < (1 << 12):
+            table[cand] = next_code
+            next_code += 1
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        else:                           # table full: reset via CLEAR
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code = end + 1
+            width = min_code_size + 1
+        seq = (int(idx),)
+    if seq:
+        emit(table[seq], width)
+    emit(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, min_code_size: int, n_expected: int):
+    """Inverse of the encoder: `slot` mirrors the encoder's next-entry
+    code exactly (one per data code, completed when the following code
+    arrives), so the width bumps at the same bit positions. Raises on
+    corrupt code streams."""
+    clear = 1 << min_code_size
+    end = clear + 1
+    width = min_code_size + 1
+    table = {i: (i,) for i in range(clear)}
+    slot = end + 1                      # code the next created entry gets
+    out: list = []
+    prev = None
+    acc = nbits = pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise ValueError("GIF: LZW stream truncated")
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        if code == clear:
+            table = {i: (i,) for i in range(clear)}
+            slot = end + 1
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            entry = table.get(code)
+            if entry is None:
+                raise ValueError("GIF: first code out of range")
+        else:
+            if code in table:
+                entry = table[code]
+            elif code == slot:          # the KwKwK case
+                entry = prev + (prev[0],)
+            else:
+                raise ValueError("GIF: LZW code out of range")
+            if slot < (1 << 12):
+                table[slot] = prev + (entry[0],)
+                slot += 1
+        out.extend(entry)
+        prev = entry
+        # the encoder creates one entry per EMITTED code, the decoder one
+        # per READ code starting from the second — so the encoder's
+        # next_code runs exactly one ahead of `slot` at every bump point:
+        # test slot+1 where the encoder tests next_code
+        if slot + 1 == (1 << width) and width < 12:
+            width += 1
+        if len(out) > n_expected:
+            raise ValueError("GIF: LZW output overruns image size")
+    if len(out) != n_expected:
+        raise ValueError(f"GIF: decoded {len(out)} pixels, "
+                         f"image declares {n_expected}")
+    return out
+
+
+def encode_gif(pixels) -> bytes:
+    """(h, w, 3) uint8 RGB top-down -> real single-frame GIF87a bytes.
+    Refuses >256 distinct colors (palette formats store indices, not
+    pixels — quantization is a separate, lossy choice)."""
+    import struct
+
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    flat = px.reshape(-1, 3)
+    colors, inverse = np.unique(flat, axis=0, return_inverse=True)
+    if colors.shape[0] > 256:
+        raise ValueError(f"GIF: {colors.shape[0]} colors exceed the "
+                         "256-entry palette; quantize first")
+    # palette size must be a power of two >= 2
+    pal_bits = max(1, int(colors.shape[0] - 1).bit_length())
+    pal = np.zeros((1 << pal_bits, 3), dtype=np.uint8)
+    pal[:colors.shape[0]] = colors
+    min_code = max(2, pal_bits)
+    out = bytearray(b"GIF87a")
+    out += struct.pack("<HHBBB", w, h, 0x80 | (pal_bits - 1), 0, 0)
+    out += pal.tobytes()
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(min_code)
+    lzw = _gif_lzw_encode(inverse.tolist(), min_code)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i:i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3B"
+    return bytes(out)
+
+
+def decode_gif(payload: bytes):
+    """REAL decode: header + logical screen descriptor + global color
+    table, extension skip, image descriptor, sub-block reassembly, LZW
+    decode, palette lookup. Returns (w, h, pixels) (h, w, 3) uint8 RGB
+    top-down. Garbage, truncation, interlace, local color tables, or
+    multi-frame payloads raise ValueError."""
+    import struct
+
+    import numpy as np
+
+    if payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("GIF: bad magic")
+    if len(payload) < 13:
+        raise ValueError("GIF: truncated screen descriptor")
+    sw, sh, packed, _bg, _ar = struct.unpack_from("<HHBBB", payload, 6)
+    if not packed & 0x80:
+        raise ValueError("GIF: missing global color table")
+    pal_n = 2 << (packed & 0x07)
+    off = 13
+    if off + pal_n * 3 > len(payload):
+        raise ValueError("GIF: truncated color table")
+    pal = np.frombuffer(payload, np.uint8, pal_n * 3, off).reshape(-1, 3)
+    off += pal_n * 3
+    frame = None
+    while off < len(payload):
+        b0 = payload[off]
+        if b0 == 0x3B:                                   # trailer
+            break
+        if b0 == 0x21:                                   # extension: skip
+            off += 2
+            while off < len(payload) and payload[off]:
+                off += 1 + payload[off]
+            off += 1
+            continue
+        if b0 != 0x2C:
+            raise ValueError(f"GIF: unexpected block 0x{b0:02X}")
+        if frame is not None:
+            raise ValueError("GIF: multi-frame (animated) unsupported")
+        left, top, w, h, ipacked = struct.unpack_from("<HHHHB", payload,
+                                                      off + 1)
+        if ipacked & 0x80:
+            raise ValueError("GIF: local color tables unsupported")
+        if ipacked & 0x40:
+            raise ValueError("GIF: interlaced images unsupported")
+        if (left, top) != (0, 0) or (w, h) != (sw, sh):
+            raise ValueError("GIF: sub-rectangle frames unsupported")
+        off += 10
+        min_code = payload[off]
+        off += 1
+        data = bytearray()
+        while off < len(payload) and payload[off]:
+            n = payload[off]
+            data += payload[off + 1:off + 1 + n]
+            off += 1 + n
+        if off >= len(payload):
+            raise ValueError("GIF: truncated sub-blocks")
+        off += 1                                         # block terminator
+        idx = _gif_lzw_decode(bytes(data), min_code, w * h)
+        idx_arr = np.asarray(idx, dtype=np.int64)
+        if idx_arr.max(initial=0) >= pal_n:
+            raise ValueError("GIF: palette index out of range")
+        frame = pal[idx_arr].reshape(h, w, 3)
+    if frame is None:
+        raise ValueError("GIF: no image descriptor")
+    return sw, sh, frame
+
+
+def synth_gif(seed: int) -> bytes:
+    """Deterministic real GIF: gradient family quantized BY CONSTRUCTION
+    to the 216-color web-safe cube (6 levels/channel), so the palette
+    roundtrip is lossless. Byte-stable per seed."""
+    import numpy as np
+
+    w = 8 + (seed * 17) % 19
+    h = 8 + (seed * 7) % 23
+    xs = np.arange(w, dtype=np.int64)[None, :, None]
+    ys = np.arange(h, dtype=np.int64)[:, None, None]
+    cs = np.arange(3, dtype=np.int64)[None, None, :]
+    levels = ((xs * 2 + ys * 3 + cs * 5 + seed) % 6)
+    return encode_gif((levels * 51).astype(np.uint8))
 
 
 # --- REAL lossy-image codec: baseline JFIF/JPEG, pure stdlib + numpy -----
@@ -1143,6 +1382,10 @@ def decode_image(payload: bytes, *, fake: bool = False) -> dict[str, Any]:
             w, h, px = decode_jpeg(payload)
             return {"width": w, "height": h,
                     "mean_intensity": round(float(px.mean()), 3)}
+        if payload[:4] == b"GIF8":
+            w, h, px = decode_gif(payload)
+            return {"width": w, "height": h,
+                    "mean_intensity": round(float(px.mean()), 3)}
     except ValueError:
         if not fake:
             raise
@@ -1190,16 +1433,18 @@ def media_assets(docs: DataFrame) -> DataFrame:
             for aid in pdf["doc_id"]:
                 aid = int(aid)
                 if aid % 3 == 0:
-                    # image rows rotate BMP / PNG / JPEG so all three real
-                    # codecs (uncompressed, zlib-compressed, DCT-lossy)
-                    # run in every leg
-                    sub = (aid // 3) % 3
+                    # image rows rotate BMP / PNG / JPEG / GIF so all four
+                    # real codecs (uncompressed, zlib-compressed,
+                    # DCT-lossy, palette-LZW) run in every leg
+                    sub = (aid // 3) % 4
                     if sub == 0:
                         media, payload = "image/bmp", synth_bmp(aid)
                     elif sub == 1:
                         media, payload = "image/png", synth_png(aid)
-                    else:
+                    elif sub == 2:
                         media, payload = "image/jpeg", synth_jpeg(aid)
+                    else:
+                        media, payload = "image/gif", synth_gif(aid)
                 elif aid % 3 == 1:
                     media, payload = "audio/wav", synth_wav(aid)
                 else:
@@ -1244,7 +1489,7 @@ def extract_features(assets: DataFrame, *, allow_fake: bool = True,
                 p = bytes(p)
                 try:
                     if (p[:2] == b"BM" or p[:8] == _PNG_MAGIC
-                            or p[:2] == b"\xFF\xD8"):
+                            or p[:2] == b"\xFF\xD8" or p[:4] == b"GIF8"):
                         d = decode_image(p)
                         widths.append(d["width"])
                         heights.append(d["height"])
@@ -1351,6 +1596,10 @@ def resize_image(payload: bytes, w: int, h: int, *, fake: bool = False) -> bytes
     if payload[:2] == b"\xFF\xD8":
         _, _, px = decode_jpeg(payload)
         return encode_jpeg(_resample(px))
+    if payload[:4] == b"GIF8":
+        # NN-resample keeps a SUBSET of the palette -> re-encode stays legal
+        _, _, px = decode_gif(payload)
+        return encode_gif(_resample(px))
     if not fake:
         raise NotImplementedError(
             "non-BMP/PNG image resize requires an image library not present "
@@ -1367,7 +1616,7 @@ def resize_assets(assets: DataFrame, w: int = 64, h: int = 64) -> DataFrame:
             for p in pdf["payload"]:
                 p = bytes(p)
                 real = (p[:2] == b"BM" or p[:8] == _PNG_MAGIC
-                        or p[:2] == b"\xFF\xD8")
+                        or p[:2] == b"\xFF\xD8" or p[:4] == b"GIF8")
                 out = resize_image(p, w, h, fake=not real)
                 payloads.append(out)
                 if out[:2] == b"BM":      # proof: re-decode the re-encode
@@ -1380,6 +1629,10 @@ def resize_assets(assets: DataFrame, w: int = 64, h: int = 64) -> DataFrame:
                     dhs.append(dh)
                 elif out[:2] == b"\xFF\xD8":
                     dw, dh, _ = decode_jpeg(out)
+                    dws.append(dw)
+                    dhs.append(dh)
+                elif out[:4] == b"GIF8":
+                    dw, dh, _ = decode_gif(out)
                     dws.append(dw)
                     dhs.append(dh)
                 else:
@@ -1563,7 +1816,8 @@ def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     pass (it must equal target_w — pytest-pinned)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
     images = media_assets(docs).where(
-        F.col("media_type").isin("image/bmp", "image/png", "image/jpeg"))
+        F.col("media_type").isin("image/bmp", "image/png", "image/jpeg",
+                                 "image/gif"))
     resized = resize_assets(images, w=64, h=64)
     return (
         resized.groupBy("media_type", "target_w", "target_h")

@@ -373,21 +373,21 @@ def test_pipeline_image_legs_are_real(spark):
         "features", "resize", "frame_sample", "wav_decode"}
     feats = {r["key"]: r for r in rows if r["stage"] == "features"}
     assert set(feats) == {"image/bmp", "image/png", "image/jpeg",
-                          "audio/wav", "video/avi"}
+                          "image/gif", "audio/wav", "video/avi"}
     assert feats["video/avi"]["metric"] is not None   # real AVI decode
     docs = load_tables(spark, SF_DIR_001, ("documents",))["documents"]
     img_ids = [r["doc_id"] for r in docs.select("doc_id").collect()
                if r["doc_id"] % 3 == 0]
     synths = {0: ("image/bmp", MM.synth_bmp), 1: ("image/png", MM.synth_png),
-              2: ("image/jpeg", MM.synth_jpeg)}
+              2: ("image/jpeg", MM.synth_jpeg), 3: ("image/gif", MM.synth_gif)}
     for sub, (media, synth) in synths.items():
-        ids = [i for i in img_ids if (i // 3) % 3 == sub]
+        ids = [i for i in img_ids if (i // 3) % 4 == sub]
         means = [MM.decode_image(synth(int(i)))["mean_intensity"]
                  for i in ids]
         assert feats[media]["n"] == len(ids)
         assert feats[media]["metric"] == round(float(np.mean(means)), 6)
     rz = {r["key"]: r for r in rows if r["stage"] == "resize"}
-    assert set(rz) == {"image/bmp", "image/png", "image/jpeg"}
+    assert set(rz) == {"image/bmp", "image/png", "image/jpeg", "image/gif"}
     for r in rz.values():
         assert r["metric"] == 64.0                    # re-decoded width
 
@@ -743,3 +743,61 @@ def test_persisted_ivf_index_roundtrip(spark, tmp_path):
     pruned = [ln for ln in plan.splitlines()
               if "PartitionFilters" in ln and "centroid_id" in ln]
     assert pruned, "IVF probe must prune centroid partitions at storage"
+
+
+def test_gif_synth_decode_roundtrip():
+    """GIF87a is a REAL stdlib LZW codec (r4 session 2): palette images
+    roundtrip LOSSLESSLY (web-safe-quantized synth), the variable-width
+    LZW survives width growth and the 4096-entry table reset, and garbage,
+    truncation, palette overflow, and unsupported variants fail like a
+    production decoder."""
+    import numpy as np
+
+    seed = 6
+    payload = MM.synth_gif(seed)
+    assert payload == MM.synth_gif(seed)             # byte-stable
+    assert payload[:6] == b"GIF87a" and payload[-1:] == b"\x3B"
+    w, h, px = MM.decode_gif(payload)
+    assert (w, h) == (8 + (seed * 17) % 19, 8 + (seed * 7) % 23)
+    xs = np.arange(w, dtype=np.int64)[None, :, None]
+    ys = np.arange(h, dtype=np.int64)[:, None, None]
+    cs = np.arange(3, dtype=np.int64)[None, None, :]
+    expect = (((xs * 2 + ys * 3 + cs * 5 + seed) % 6) * 51).astype(np.uint8)
+    assert (px == expect).all()                      # LOSSLESS
+    d = MM.decode_image(payload)                     # real path, NO fake
+    assert (d["width"], d["height"]) == (w, h)
+    assert d["mean_intensity"] == round(float(expect.mean()), 3)
+
+    # LZW stress straight through the codec: width growth + 4096 reset
+    rng = np.random.default_rng(11)
+    for mcs, n in ((2, 400), (8, 60_000)):
+        idx = rng.integers(0, 1 << mcs, n).tolist()
+        assert MM._gif_lzw_decode(MM._gif_lzw_encode(idx, mcs),
+                                  mcs, n) == idx
+
+    # resize keeps the format and a legal (subset) palette
+    out = MM.resize_image(payload, 16, 16)
+    assert out[:6] == b"GIF87a"
+    w2, h2, px2 = MM.decode_gif(out)
+    assert (w2, h2) == (16, 16)
+    yi = (np.arange(16) * h) // 16
+    xi = (np.arange(16) * w) // 16
+    assert (px2 == expect[yi][:, xi]).all()          # NN-exact (lossless)
+
+    with pytest.raises(ValueError):
+        MM.decode_gif(b"not a gif at all")
+    with pytest.raises(ValueError):
+        MM.decode_gif(payload[:10])                  # truncated descriptor
+    with pytest.raises(ValueError):
+        MM.decode_gif(payload[:-6])                  # truncated sub-blocks
+    with pytest.raises(ValueError, match="256"):
+        MM.encode_gif(rng.integers(0, 256, (40, 40, 3)).astype(np.uint8))
+    bad = bytearray(payload)
+    bad[10] |= 0x40                                  # pretend interlaced
+    # (bit 0x40 of the SCREEN descriptor is the sort flag — flip the
+    # IMAGE descriptor's interlace bit instead: find 0x2C block)
+    i = bytes(payload).index(b"\x2C")
+    bad = bytearray(payload)
+    bad[i + 9] |= 0x40
+    with pytest.raises(ValueError, match="interlaced"):
+        MM.decode_gif(bytes(bad))
