@@ -389,3 +389,95 @@ def report_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("bucket").cast("long").alias("bucket"), "n", "lo", "hi")
     )
     return quartiles.unionByName(hist)
+
+
+# ---------------------------------------------------------------------------
+# r4 session 2 (aux) — the two classic event-analytics reports a monitoring
+# /product stack runs on exactly this events shape; both fully SQL-oracled:
+#   'retention' — cohort users by FIRST-SEEN day, count distinct active
+#     users per (cohort_day, day-offset 0..7). Two-shuffle shape: distinct
+#     (user, day) then a broadcastable per-user cohort join.
+#   'funnel'    — strictly-ordered signup -> view -> purchase sequence per
+#     user (each stage's first event must follow the previous stage's),
+#     corpus-level stage survival counts. Sequential conditional mins =
+#     three tiny per-user aggs chained by inequality joins.
+# 100 TB: both shuffle on user_id (the natural event-log bucketing key —
+# co-located buckets make every stage here exchange-free); the retention
+# matrix is at most |cohorts| x 8 rows out.
+# ---------------------------------------------------------------------------
+
+@register(
+    "report_user_analytics",
+    aux=True,
+    oracle="""
+    WITH active AS (
+        SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events
+    ), cohort AS (
+        SELECT user_id, min(day) AS d0 FROM active GROUP BY user_id
+    ), retention AS (
+        SELECT 'retention' AS part,
+               strftime(c.d0, '%Y-%m-%d') AS key,
+               date_diff('day', c.d0, a.day) AS offset,
+               count(DISTINCT a.user_id) AS n
+        FROM active a JOIN cohort c USING (user_id)
+        WHERE date_diff('day', c.d0, a.day) <= 7
+        GROUP BY 2, 3
+    ), s AS (
+        SELECT user_id, min(ts) AS t1 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ), v AS (
+        SELECT e.user_id, min(e.ts) AS t2
+        FROM events e JOIN s USING (user_id)
+        WHERE e.event_type = 'view' AND e.ts > s.t1 GROUP BY e.user_id
+    ), p AS (
+        SELECT e.user_id, min(e.ts) AS t3
+        FROM events e JOIN v USING (user_id)
+        WHERE e.event_type = 'purchase' AND e.ts > v.t2 GROUP BY e.user_id
+    )
+    SELECT * FROM retention
+    UNION ALL
+    SELECT 'funnel', 'signup', NULL, count(*) FROM s
+    UNION ALL
+    SELECT 'funnel', 'view_after_signup', NULL, count(*) FROM v
+    UNION ALL
+    SELECT 'funnel', 'purchase_after_view', NULL, count(*) FROM p
+    """,
+)
+def report_user_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    active = ev.select("user_id",
+                       F.date_trunc("day", "ts").alias("day")).distinct()
+    cohort = active.groupBy("user_id").agg(F.min("day").alias("d0"))
+    offset = F.datediff(F.col("day"), F.col("d0")).cast("long")
+    retention = (
+        active.join(cohort, "user_id")
+        .where(offset <= 7)
+        .groupBy(F.date_format("d0", "yyyy-MM-dd").alias("key"),
+                 offset.alias("offset"))
+        .agg(F.countDistinct("user_id").alias("n"))
+        .select(F.lit("retention").alias("part"), "key", "offset", "n")
+    )
+
+    def first_after(etype, prev, prev_col):
+        e = ev.where(F.col("event_type") == etype).select("user_id", "ts")
+        if prev is None:
+            return e.groupBy("user_id").agg(F.min("ts").alias("t"))
+        return (e.join(prev, "user_id")
+                .where(F.col("ts") > F.col(prev_col))
+                .groupBy("user_id").agg(F.min("ts").alias("t")))
+
+    s = first_after("signup", None, None)
+    v = first_after("view", s.select("user_id",
+                                     F.col("t").alias("t1")), "t1")
+    p = first_after("purchase", v.select("user_id",
+                                         F.col("t").alias("t2")), "t2")
+
+    def stage(df, name):
+        return df.agg(F.count(F.lit(1)).alias("n")).select(
+            F.lit("funnel").alias("part"), F.lit(name).alias("key"),
+            F.lit(None).cast("long").alias("offset"), "n")
+
+    return (retention
+            .unionByName(stage(s, "signup"))
+            .unionByName(stage(v, "view_after_signup"))
+            .unionByName(stage(p, "purchase_after_view")))

@@ -633,3 +633,46 @@ def test_time_weighted_average_hand_computed(spark, monkeypatch):
     assert (r["event_type"], r["day"], r["n_points"]) == ("error", "2024-03-01", 3)
     assert r["twa"] == 27.5
     assert r["plain_avg"] == round(70.0 / 3, 6)
+
+
+def test_user_analytics_retention_and_funnel_fixture(spark, monkeypatch):
+    """report_user_analytics (aux, SQL-oracled) on a hand-built log:
+    cohorts bucket by first-seen day with distinct-user day offsets; the
+    funnel requires STRICT ordering (a purchase before its view must not
+    count)."""
+    from service_level_reporting_spark.operators import report as RPT
+
+    rows = [
+        # user 1: full ordered funnel, first seen day 1
+        (1, "2024-02-01 10:00:00", "signup"),
+        (1, "2024-02-02 10:00:00", "view"),
+        (1, "2024-02-03 10:00:00", "purchase"),
+        # user 2: purchase BEFORE view -> funnel stops at view
+        (2, "2024-02-01 09:00:00", "signup"),
+        (2, "2024-02-01 09:30:00", "purchase"),
+        (2, "2024-02-04 09:00:00", "view"),
+        # user 3: no signup -> not in funnel at all; cohort day 2
+        (3, "2024-02-02 12:00:00", "view"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "user_id long, ts string, event_type string"
+    ).select(F.monotonically_increasing_id().alias("event_id"),
+             F.col("ts").cast("timestamp").alias("ts"), "user_id",
+             "event_type", F.lit(1.0).alias("value"),
+             F.lit("{}").alias("props"))
+    monkeypatch.setattr(RPT, "load_tables",
+                        lambda _s, _d, _t: {"events": ev})
+    got = RPT.report_user_analytics(spark, "ignored").collect()
+    ret = {(r["key"], r["offset"]): r["n"] for r in got
+           if r["part"] == "retention"}
+    fun = {r["key"]: r["n"] for r in got if r["part"] == "funnel"}
+    assert ret == {
+        ("2024-02-01", 0): 2,   # users 1,2 first seen day 1
+        ("2024-02-01", 1): 1,   # user 1 active day 2
+        ("2024-02-01", 2): 1,   # user 1 active day 3
+        ("2024-02-01", 3): 1,   # user 2 active day 4
+        ("2024-02-02", 0): 1,   # user 3 cohort
+    }
+    assert fun == {"signup": 2,              # users 1,2
+                   "view_after_signup": 2,   # both viewed after signup
+                   "purchase_after_view": 1}  # only user 1 in order
