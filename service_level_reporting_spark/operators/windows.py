@@ -229,3 +229,74 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cnt").alias("n_events"),
         F.max("cnt").alias("longest_session_events"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r4 session 2 (aux, rows-only) — LTTB downsampling (Steinarsson 2013,
+# "Largest-Triangle-Three-Buckets"): the standard reduction a dashboard
+# applies before rendering a series — keep first/last, bucket the rest,
+# and per bucket keep the point forming the largest triangle with the
+# previously KEPT point and the next bucket's centroid, preserving visual
+# extremes that plain minute-averaging flattens.
+#
+# Sequentially dependent per series (each pick depends on the previous) =>
+# not SQL-expressible; rows-only with invariants + a hand-computed fixture
+# in pytest. Spark shape: per-series applyInPandas (one series' points fit
+# one task by construction — a dashboard never renders more than it can
+# sort), output is n_out rows per series.
+# ---------------------------------------------------------------------------
+
+def lttb_indices(xs, ys, n_out: int):
+    """Pure-numpy LTTB: returns the kept indices (sorted). Deterministic
+    (first-max tie-break)."""
+    import numpy as np
+
+    n = len(xs)
+    if n_out >= n:
+        return list(range(n))
+    if n_out < 3:
+        raise ValueError(f"LTTB: n_out must be >= 3, got {n_out}")
+    xs = np.asarray(xs, dtype=np.float64)
+    ys = np.asarray(ys, dtype=np.float64)
+    every = (n - 2) / (n_out - 2)
+    kept = [0]
+    a = 0
+    for i in range(n_out - 2):
+        lo = int(np.floor(i * every)) + 1
+        hi = min(int(np.floor((i + 1) * every)) + 1, n - 1)
+        nlo = hi
+        nhi = min(int(np.floor((i + 2) * every)) + 1, n)
+        if nlo < nhi:                       # next bucket centroid
+            ax_, ay_ = xs[nlo:nhi].mean(), ys[nlo:nhi].mean()
+        else:                               # last bucket: use final point
+            ax_, ay_ = xs[-1], ys[-1]
+        bx, by = xs[lo:hi], ys[lo:hi]
+        area = np.abs((xs[a] - ax_) * (by - ys[a])
+                      - (xs[a] - bx) * (ay_ - ys[a]))
+        a = lo + int(area.argmax())
+        kept.append(a)
+    kept.append(n - 1)
+    return kept
+
+
+@register("downsample_lttb", aux=True)  # rows-only: sequential per-series
+def downsample_lttb(spark: SparkSession, sf_dir: str,
+                    n_out: int = 100) -> DataFrame:
+    import pandas as pd
+
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+
+    def pick(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        xs = pdf["ts"].astype("int64").to_numpy()
+        idx = lttb_indices(xs, pdf["value"].to_numpy(), n_out)
+        out = pdf.iloc[idx][["event_type", "ts", "event_id", "value"]].copy()
+        out["pick_rank"] = range(len(idx))
+        return out
+
+    return (ev.select("event_type", "ts", "event_id", "value")
+            .groupBy("event_type")
+            .applyInPandas(pick, schema=("event_type string, ts timestamp, "
+                                         "event_id long, value double, "
+                                         "pick_rank long"))
+            .orderBy("event_type", "pick_rank"))

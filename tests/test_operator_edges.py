@@ -676,3 +676,54 @@ def test_user_analytics_retention_and_funnel_fixture(spark, monkeypatch):
     assert fun == {"signup": 2,              # users 1,2
                    "view_after_signup": 2,   # both viewed after signup
                    "purchase_after_view": 1}  # only user 1 in order
+
+
+def test_lttb_downsampling_semantics(spark):
+    """downsample_lttb (aux, rows-only): first/last kept, strictly
+    increasing picks, exact output size, extreme-preservation (a planted
+    spike must survive where minute-averaging would flatten it), and a
+    hand-computed 5->4 fixture."""
+    import numpy as np
+
+    from service_level_reporting_spark.operators.windows import (
+        downsample_lttb, lttb_indices)
+
+    # hand-computed: xs=0..4, ys=[0,0,10,0,0], n_out=4 -> one interior
+    # bucket [1,2] judged against a=0 and next-bucket centroid (x=3,y=0):
+    # area(1)=0 vs area(2)=... the spike at index 2 must win; second
+    # bucket picks index 3 against the final point.
+    idx = lttb_indices([0, 1, 2, 3, 4], [0, 0, 10, 0, 0], 4)
+    assert idx[0] == 0 and idx[-1] == 4 and 2 in idx and len(idx) == 4
+
+    # invariants + spike preservation on a bigger series
+    xs = np.arange(1000.0)
+    ys = np.sin(xs / 40)
+    ys[500] = 25.0                       # planted spike
+    idx = lttb_indices(xs, ys, 50)
+    assert len(idx) == 50
+    assert idx[0] == 0 and idx[-1] == 999
+    assert all(b > a for a, b in zip(idx, idx[1:]))
+    assert 500 in idx                    # the spike survives
+
+    # n_out >= n passes through; tiny n_out rejected
+    import pytest as _pytest
+
+    assert lttb_indices([1, 2, 3], [1, 2, 3], 10) == [0, 1, 2]
+    with _pytest.raises(ValueError):
+        lttb_indices(xs, ys, 2)
+
+    # Spark leg: exactly n_out picks per series, rank-ordered, values are
+    # REAL source points (subset check via join)
+    rows = downsample_lttb(spark, "/root/testdata/sf0.001", n_out=40).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["event_type"], []).append(r)
+    assert set(per) == {"click", "error", "purchase", "signup", "view"}
+    from service_level_reporting_spark.tables import load_tables
+    ev_ids = {r["event_id"] for r in
+              load_tables(spark, "/root/testdata/sf0.001", ("events",))["events"]
+              .select("event_id").collect()}
+    for series in per.values():
+        assert len(series) == 40
+        assert [r["pick_rank"] for r in series] == list(range(40))
+        assert all(r["event_id"] in ev_ids for r in series)
