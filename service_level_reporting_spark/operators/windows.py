@@ -300,3 +300,89 @@ def downsample_lttb(spark: SparkSession, sf_dir: str,
                                          "event_id long, value double, "
                                          "pick_rank long"))
             .orderBy("event_type", "pick_rank"))
+
+
+# ---------------------------------------------------------------------------
+# r4 session 2 (aux, SQL-oracled) — seasonal-baseline anomaly detection:
+# the standard SRE "is this hour weird?" check. Baseline = per (series,
+# hour-of-day) mean/stddev over the TRAINING weeks (time-split, not
+# random); the scoring week's hourly aggregates get a z-score against
+# their hour-of-day twin, so daily seasonality doesn't read as anomaly.
+# 100 TB: two hash aggs (hourly rollup; per-(series,hod) moments) + one
+# broadcast join of the 5x24-row baseline — no window over raw events.
+# ---------------------------------------------------------------------------
+
+ANOMALY_SPLIT = "2024-01-22"   # train: weeks 1-3; score: final week
+ANOMALY_Z = 3.0
+
+
+@register(
+    "anomaly_seasonal_baseline",
+    aux=True,
+    oracle=f"""
+    -- Cross-engine determinism: hourly means quantize to exact integer
+    -- MILLI-units (v3 < 2^53), baseline moments are exact integer sums,
+    -- and every double formula below runs on identical exact operands in
+    -- both engines (IEEE division/sqrt are correctly rounded), so even
+    -- round()-boundary ties agree.
+    WITH hourly AS (
+        SELECT event_type,
+               date_trunc('hour', ts) AS hr,
+               hour(ts)               AS hod,
+               CAST(round(avg(value) * 1000, 0) AS BIGINT) AS v3
+        FROM events GROUP BY 1, 2, 3
+    ), baseline AS (
+        SELECT event_type, hod,
+               count(*)                    AS n,
+               CAST(sum(v3) AS DOUBLE)     AS s1,
+               CAST(sum(v3 * v3) AS DOUBLE) AS s2
+        FROM hourly WHERE hr < TIMESTAMP '{ANOMALY_SPLIT}'
+        GROUP BY 1, 2
+    )
+    -- base_avg: explicit half-up on exact integers (engine round() tie
+    -- policies differ): floor((20*s1 + n) / (2*n)) / 1e4
+    SELECT h.event_type,
+           h.hr,
+           round(h.v3 / 1000.0, 4)   AS hourly_avg,
+           floor((20 * b.s1 + b.n) / (2 * b.n)) / 10000.0 AS base_avg,
+           round((h.v3 - b.s1 / b.n)
+                 / nullif(sqrt((b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1)), 0),
+                 4) AS z,
+           CASE WHEN abs((h.v3 - b.s1 / b.n)
+                 / nullif(sqrt((b.s2 - b.s1 * b.s1 / b.n) / (b.n - 1)), 0))
+                     > {ANOMALY_Z} THEN 1 ELSE 0 END AS is_anomaly
+    FROM hourly h JOIN baseline b USING (event_type, hod)
+    WHERE h.hr >= TIMESTAMP '{ANOMALY_SPLIT}'
+    """,
+)
+def anomaly_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    hourly = (
+        ev.groupBy("event_type",
+                   F.date_trunc("hour", "ts").alias("hr"),
+                   F.hour("ts").alias("hod"))
+        .agg(F.round(F.avg("value") * 1000, 0).cast("long").alias("v3"))
+    )
+    split = F.lit(ANOMALY_SPLIT).cast("timestamp")
+    baseline = (
+        hourly.where(F.col("hr") < split)
+        .groupBy("event_type", "hod")
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("v3").cast("double").alias("s1"),
+             F.sum(F.col("v3") * F.col("v3")).cast("double").alias("s2"))
+    )
+    mean_m = F.col("s1") / F.col("n")
+    std_m = F.sqrt((F.col("s2") - F.col("s1") * F.col("s1") / F.col("n"))
+                   / (F.col("n") - 1))
+    z = (F.col("v3") - mean_m) / F.nullif(std_m, F.lit(0.0))
+    return (
+        hourly.where(F.col("hr") >= split)
+        .join(F.broadcast(baseline), ["event_type", "hod"])
+        .select("event_type", "hr",
+                F.round(F.col("v3") / 1000.0, 4).alias("hourly_avg"),
+                (F.floor((20 * F.col("s1") + F.col("n"))
+                         / (2 * F.col("n"))) / 10000.0).alias("base_avg"),
+                F.round(z, 4).alias("z"),
+                F.when(F.abs(z) > ANOMALY_Z, 1).otherwise(0)
+                .cast("int").alias("is_anomaly"))
+    )

@@ -727,3 +727,42 @@ def test_lttb_downsampling_semantics(spark):
         assert len(series) == 40
         assert [r["pick_rank"] for r in series] == list(range(40))
         assert all(r["event_id"] in ev_ids for r in series)
+
+
+def test_seasonal_anomaly_detects_planted_spike(spark, monkeypatch):
+    """anomaly_seasonal_baseline (aux, SQL-oracled): hour-of-day twins are
+    the baseline, so a normal daily rhythm scores ~0 while a planted spike
+    in the scoring week crosses |z| > 3."""
+    import datetime as _dt
+
+    from service_level_reporting_spark.operators import windows as WD
+
+    rows = []
+    eid = 0
+    base = _dt.datetime(2024, 1, 1)
+    # 29 days, one event per hour; value = 10 + hour-of-day with a small
+    # day wobble (a perfectly constant rhythm would give zero baseline
+    # std -> z NULL by design, so wobble keeps the detector live)
+    for d in range(29):
+        for h in range(24):
+            ts = base + _dt.timedelta(days=d, hours=h, minutes=7)
+            v = 10.0 + h + (d % 3) * 0.5
+            # planted spike: Jan 25 (scoring week), hour 6
+            if d == 24 and h == 6:
+                v = 500.0
+            rows.append((eid, ts, 1, "error", v, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    monkeypatch.setattr(WD, "load_tables", lambda _s, _d, _t: {"events": ev})
+    got = WD.anomaly_seasonal_baseline(spark, "ignored").collect()
+    spikes = [r for r in got if r["is_anomaly"] == 1]
+    assert len(spikes) == 1
+    r = spikes[0]
+    assert r["hr"] == _dt.datetime(2024, 1, 25, 6)
+    assert r["hourly_avg"] == 500.0 and r["base_avg"] == 16.5
+    # every clean scoring hour matches its baseline exactly (zero std ->
+    # z NULL via nullif, flagged 0)
+    clean = [r for r in got if r["is_anomaly"] == 0]
+    assert all(r["z"] is None or abs(r["z"]) < 3 for r in clean)
