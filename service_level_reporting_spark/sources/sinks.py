@@ -529,6 +529,44 @@ def format_roundtrip_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "key string, n long, n2 long, v double")
 
 
+PARQUET_CODECS = ("snappy", "zstd", "gzip", "lz4")
+
+
+def compression_codec_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parquet compression matrix — the first-order at-rest knob at 100 TB
+    (snappy trades ~1.5-2x size for decode speed; zstd is the archival
+    default; gzip the legacy interchange floor). Writes the same week of
+    events under each codec, records on-disk bytes and a content checksum
+    (row count + value sum) that must be identical across codecs — codec
+    choice may never change data. Returned as labeled rows so the driver
+    artifact carries the measured size ratios, not a claim."""
+    import os
+
+    base = _staging_dir(spark, sf_dir, "sink_codecs")
+    ev = (load_tables(spark, sf_dir, ("events",))["events"]
+          .where(F.col("ts") < F.lit("2024-01-08"))
+          .select("event_id", "ts", "event_type", "value"))
+
+    def _dir_bytes(path: str) -> int:
+        total = 0
+        for root, _, files in os.walk(path):
+            total += sum(os.path.getsize(os.path.join(root, f))
+                         for f in files if f.endswith(".parquet"))
+        return total
+
+    rows = []
+    for codec in PARQUET_CODECS:
+        path = os.path.join(base, codec)
+        (ev.coalesce(1).write.mode("overwrite")
+         .option("compression", codec).parquet(path))
+        back = spark.read.parquet(path)
+        stat = back.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 4).alias("sum_v")).collect()[0]
+        rows.append((codec, stat["n"], _dir_bytes(path), stat["sum_v"]))
+    return spark.createDataFrame(rows, "key string, n long, n2 long, v double")
+
+
 # ---------------------------------------------------------------------------
 # TxLog leg (r4): the lakehouse table format as RUNNING code — atomic
 # commits, optimistic concurrency, snapshot isolation, time travel, MERGE
@@ -609,7 +647,7 @@ def sink_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sink_suite")  # rows-only: sink semantics, asserted via re-read
 def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Labeled union of the eight sink legs (consolidated so all land one
+    """Labeled union of the nine sink legs (consolidated so all land one
     driver CORRECTNESS row):
       'txlog'            — the lakehouse table format as running code
         (sources/txlog.py): per-day appends, a MERGE through an atomic
@@ -639,7 +677,10 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
       'formats'          — CSV / JSON-lines / ORC / parquet round-trips of
         the minute rollup: write each format, re-read with an explicit
         schema, and account rows / distinct keys / value sums (must agree
-        across formats)."""
+        across formats);
+      'codecs'           — parquet compression matrix (snappy/zstd/gzip/
+        lz4): same week written under each codec, on-disk bytes measured,
+        content checksum identical across codecs (pytest-pinned)."""
     upsert = sink_upsert_merge(spark, sf_dir).select(
         F.lit("upsert_merge").alias("part"),
         F.col("indicator").alias("key"),
@@ -669,9 +710,11 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("cluster").alias("part"), "key", "n", "n2", "v")
     formats = format_roundtrip_stats(spark, sf_dir).select(
         F.lit("formats").alias("part"), "key", "n", "n2", "v")
+    codecs = compression_codec_stats(spark, sf_dir).select(
+        F.lit("codecs").alias("part"), "key", "n", "n2", "v")
     txlog = sink_txlog_merge(spark, sf_dir).select(
         F.lit("txlog").alias("part"), "key", "n", "n2", "v")
     return (upsert.unionByName(bucketed).unionByName(incremental)
             .unionByName(hll_inc).unionByName(compact).unionByName(cluster)
-            .unionByName(formats).unionByName(txlog)
+            .unionByName(formats).unionByName(codecs).unionByName(txlog)
             .orderBy("part", "key"))

@@ -276,3 +276,22 @@ def test_format_roundtrip_content_identical(spark):
     for fmt in ("orc", "json", "csv"):
         assert (rows[fmt]["n"], rows[fmt]["n2"], rows[fmt]["v"]) == \
             (ref["n"], ref["n2"], ref["v"]), fmt
+
+
+def test_compression_codec_matrix(spark):
+    """'codecs' sink leg: every codec must preserve content bit-for-bit
+    (same row count + value checksum) while sizes differ — and the
+    high-ratio codecs (zstd/gzip) must actually beat the speed codecs
+    (snappy/lz4) on bytes, else the leg is measuring nothing."""
+    from service_level_reporting_spark.sources.sinks import (
+        PARQUET_CODECS, compression_codec_stats)
+
+    rows = {r["key"]: r for r in
+            compression_codec_stats(spark, SF_DIR_001).collect()}
+    assert set(rows) == set(PARQUET_CODECS)
+    counts = {r["n"] for r in rows.values()}
+    sums = {r["v"] for r in rows.values()}
+    assert len(counts) == 1 and len(sums) == 1       # content identical
+    assert all(r["n2"] > 0 for r in rows.values())
+    assert min(rows["zstd"]["n2"], rows["gzip"]["n2"]) < \
+        min(rows["snappy"]["n2"], rows["lz4"]["n2"])
