@@ -579,3 +579,87 @@ def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                                                F.length("fb.text")), 6)
                 .alias("sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# r4 session 2 (aux, rows-only) — PageRank over the near-dup graph: the
+# second iterative graph algorithm next to connected components.
+# "Duplicate centrality": a text with many near-dup neighbors collects
+# rank, which is a principled canonical-pick signal (CC alone treats a
+# chain and a star the same). Pregel shape: one join + one agg per
+# iteration over the edge list, damping 0.85, dangling (isolated) mass
+# redistributed uniformly; lineage cut with an eager localCheckpoint per
+# round — the same discipline as the CC fixpoint. At 100 TB the edge list
+# is the LINEAR star ∪ representative-Jaccard set the cluster pass
+# already builds, partitioned by src — each round shuffles |E|, never the
+# corpus.
+# ---------------------------------------------------------------------------
+
+PAGERANK_DAMPING = 0.85
+PAGERANK_ITERS = 10
+
+
+def _dup_edges(d: DataFrame) -> DataFrame:
+    """Symmetrized (src, dst) near-dup edges: exact-clone stars (keeper ->
+    members) ∪ representative Jaccard pairs — the cluster pass's graph."""
+    groups = _text_groups(d)
+    keepers = groups.groupBy("h").agg(F.min("doc_id").alias("keeper"))
+    star = (
+        groups.join(keepers, "h")
+        .where(F.col("doc_id") != F.col("keeper"))
+        .select(F.col("keeper").alias("src"), F.col("doc_id").alias("dst"))
+    )
+    rep_pairs, _ = _rep_jaccard(_rep_docs(d))
+    jac = rep_pairs.select(F.col("doc_a").alias("src"),
+                           F.col("doc_b").alias("dst"))
+    fwd = star.unionByName(jac).distinct()
+    return fwd.unionByName(
+        fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+
+
+@register("graph_pagerank", aux=True)  # rows-only: iterative fixpoint
+def graph_pagerank(spark: SparkSession, sf_dir: str,
+                   n_iter: int = PAGERANK_ITERS,
+                   damping: float = PAGERANK_DAMPING,
+                   top_k: int = 20) -> DataFrame:
+    """Top-k docs by PageRank over the duplicate graph, with per-node
+    degree. Isolated docs hold the uniform baseline rank; the emitted
+    `total_rank` row (key '_sum') must be ~1.0 — mass conservation is the
+    algorithm's own invariant and rides in the result."""
+    d = _docs(spark, sf_dir)
+    n = d.count()
+    if n == 0:
+        return spark.createDataFrame(
+            [], "doc_id long, rank double, degree long")
+    edges = _dup_edges(d).localCheckpoint(eager=True)
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree"))
+    nodes = d.select("doc_id").join(
+        deg.select(F.col("src").alias("doc_id"), "degree"),
+        "doc_id", "left").fillna(0, subset=["degree"])
+    base = (1.0 - damping) / n
+    ranks = nodes.select("doc_id", "degree",
+                         F.lit(1.0 / n).alias("rank"))
+    for _ in range(n_iter):
+        dangling = (ranks.where(F.col("degree") == 0)
+                    .agg(F.coalesce(F.sum("rank"), F.lit(0.0))
+                         .alias("m")).collect()[0]["m"])
+        contrib = (
+            edges.join(ranks.select(F.col("doc_id").alias("src"),
+                                    "rank", "degree"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum(F.col("rank") / F.col("degree")).alias("inflow"))
+        )
+        ranks = (
+            nodes.join(contrib, "doc_id", "left")
+            .select("doc_id", "degree",
+                    (F.lit(base) + F.lit(damping)
+                     * (F.coalesce(F.col("inflow"), F.lit(0.0))
+                        + F.lit(dangling / n))).alias("rank"))
+            .localCheckpoint(eager=True)        # cut per-round lineage
+        )
+    total = ranks.agg(F.sum("rank").alias("s")).collect()[0]["s"]
+    top = (ranks.orderBy(F.desc("rank"), F.asc("doc_id")).limit(top_k)
+           .select("doc_id", F.round("rank", 9).alias("rank"), "degree"))
+    return top.unionByName(spark.createDataFrame(
+        [(-1, round(float(total), 9), None)],
+        "doc_id long, rank double, degree long"))

@@ -801,3 +801,53 @@ def test_sli_from_spec_compiles_reference_aggregation_specs(spark):
                                        "weight_keys": []}):
         with _pytest.raises(ValueError):
             SLI.sli_from_spec(spark, sf, bad)
+
+
+def test_pagerank_matches_pure_python_reference(spark, monkeypatch):
+    """graph_pagerank (aux, rows-only): the distributed Pregel loop must
+    match a pure-Python PageRank on the same planted graph (clone star +
+    near-dup pair + isolated docs), mass must conserve, and the hub doc
+    must out-rank leaf and isolated docs."""
+    from service_level_reporting_spark.operators import dedup as DD
+
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta",     # clone group {1,2,3}
+        2: "alpha beta gamma delta epsilon zeta",
+        3: "alpha beta gamma delta epsilon zeta",
+        # jaccard pair {4,5}: 16 words, only the last differs -> 13 of 14
+        # shingles shared = 0.867 >= the 0.8 threshold
+        4: "one two three four five six seven eight nine ten eleven "
+           "twelve thirteen fourteen fifteen sixteen",
+        5: "one two three four five six seven eight nine ten eleven "
+           "twelve thirteen fourteen fifteen seventeen",
+        6: "isolated text with nothing shared here",
+        7: "another lonely document entirely apart",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, len(t), "en", "web") for i, t in texts.items()],
+        "doc_id long, text string, n_chars long, lang string, source string")
+    monkeypatch.setattr(DD, "_docs", lambda _s, _d: docs)
+
+    got = {r["doc_id"]: r for r in
+           DD.graph_pagerank(spark, "ignored", top_k=10).collect()}
+    assert abs(got[-1]["rank"] - 1.0) < 1e-6          # mass conserved
+
+    # pure-Python reference on the SAME edge semantics: star 1->{2,3}
+    # symmetrized, jaccard 4-5 symmetrized, 6/7 isolated
+    edges = {1: [2, 3], 2: [1], 3: [1], 4: [5], 5: [4], 6: [], 7: []}
+    n, d = 7, DD.PAGERANK_DAMPING
+    ranks = {v: 1.0 / n for v in edges}
+    for _ in range(DD.PAGERANK_ITERS):
+        dangling = sum(r for v, r in ranks.items() if not edges[v])
+        new = {}
+        for v in edges:
+            inflow = sum(ranks[u] / len(edges[u])
+                         for u in edges if v in edges[u])
+            new[v] = (1 - d) / n + d * (inflow + dangling / n)
+        ranks = new
+    for v in edges:
+        assert abs(got[v]["rank"] - ranks[v]) < 1e-7, (v, got[v]["rank"],
+                                                       ranks[v])
+    # hub (clone keeper) > leaf > isolated baseline
+    assert got[1]["rank"] > got[2]["rank"] > got[6]["rank"]
+    assert got[1]["degree"] == 2 and got[6]["degree"] == 0
