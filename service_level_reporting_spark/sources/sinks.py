@@ -485,6 +485,71 @@ def clustered_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key string, n long, n2 long, v double")
 
 
+def _zvalue(x, y, bits: int = 16):
+    """Interleave `bits` low bits of two long columns (Morton/Z-order) as
+    a pure JVM expression — 2*bits shift/mask/or terms, all inside
+    whole-stage codegen, no UDF."""
+    # disjoint bit positions => arithmetic sum == bitwise or (Column `|`
+    # is the BOOLEAN operator in the DataFrame DSL)
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        z = (z
+             + F.shiftleft(F.shiftrightunsigned(x, i) % 2, 2 * i)
+             + F.shiftleft(F.shiftrightunsigned(y, i) % 2, 2 * i + 1))
+    return z
+
+
+def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-COLUMN data skipping: single-column clustering (the 'cluster'
+    leg) makes one predicate dimension skippable and leaves the other
+    scattered; Z-ORDER interleaves the bit patterns of both dimensions so
+    row-group min/max stats prune on EITHER — the lakehouse OPTIMIZE
+    ZORDER BY semantics, implemented as an expression sort over plain
+    parquet. Three layouts of the same week (hash-scattered /
+    minute-clustered / z-ordered), point predicates on user_id and on the
+    minute measured against each from parquet footer stats alone."""
+    import os
+
+    ev = (load_tables(spark, sf_dir, ("events",))["events"]
+          .where(F.col("ts") < F.lit("2024-01-08"))
+          .select("user_id",
+                  (F.unix_timestamp("ts") / 60).cast("long")
+                  .alias("minute_idx"),
+                  "value"))
+    lo = ev.agg(F.min("user_id").alias("ulo"), F.max("user_id").alias("uhi"),
+                F.min("minute_idx").alias("mlo"),
+                F.max("minute_idx").alias("mhi")).collect()[0]
+    uspan = max(1, lo["uhi"] - lo["ulo"])
+    mspan = max(1, lo["mhi"] - lo["mlo"])
+    nx = ((F.col("user_id") - lo["ulo"]) * 65535 / uspan).cast("long")
+    ny = ((F.col("minute_idx") - lo["mlo"]) * 65535 / mspan).cast("long")
+    ev = ev.withColumn("z", _zvalue(nx, ny))
+    n_week = ev.count()
+    stat_cap = max(8, n_week // 32)          # ~32 row-group stat units
+    base = _staging_dir(spark, sf_dir, "sink_zorder")
+    layouts = {}
+    with _max_records_per_file(spark, stat_cap):
+        for name, frame in (
+                ("scattered", ev.repartition(4)),
+                ("minute_clustered",
+                 ev.repartition(1).sortWithinPartitions("minute_idx")),
+                ("zorder", ev.repartition(1).sortWithinPartitions("z"))):
+            path = os.path.join(base, name)
+            frame.drop("z").write.mode("overwrite").parquet(path)
+            layouts[name] = path
+    # probe points: the median user and the median minute
+    probe_user = int((lo["ulo"] + lo["uhi"]) // 2)
+    probe_minute = int((lo["mlo"] + lo["mhi"]) // 2)
+    rows = []
+    for name, path in layouts.items():
+        for col, val in (("user_id", probe_user),
+                         ("minute_idx", probe_minute)):
+            total, skip = _rowgroup_skip_stats(path, col, val)
+            rows.append((f"{name}:{col}", skip, total,
+                         round(skip / total, 6) if total else None))
+    return spark.createDataFrame(rows, "key string, n long, n2 long, v double")
+
+
 # ---------------------------------------------------------------------------
 # Format matrix — the engine's file-format surface beyond parquet: CSV,
 # JSON-lines, and ORC round-trips of the same minute rollup, content
@@ -647,7 +712,7 @@ def sink_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("sink_suite")  # rows-only: sink semantics, asserted via re-read
 def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Labeled union of the nine sink legs (consolidated so all land one
+    """Labeled union of the ten sink legs (consolidated so all land one
     driver CORRECTNESS row):
       'txlog'            — the lakehouse table format as running code
         (sources/txlog.py): per-day appends, a MERGE through an atomic
@@ -680,7 +745,11 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         across formats);
       'codecs'           — parquet compression matrix (snappy/zstd/gzip/
         lz4): same week written under each codec, on-disk bytes measured,
-        content checksum identical across codecs (pytest-pinned)."""
+        content checksum identical across codecs (pytest-pinned);
+      'zorder'           — multi-column data skipping: hash-scattered vs
+        minute-clustered vs Z-ORDERED layouts, point-predicate row-group
+        skipping measured per dimension from footer stats (z-order must
+        prune meaningfully on BOTH dims — pytest-pinned)."""
     upsert = sink_upsert_merge(spark, sf_dir).select(
         F.lit("upsert_merge").alias("part"),
         F.col("indicator").alias("key"),
@@ -712,9 +781,12 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("formats").alias("part"), "key", "n", "n2", "v")
     codecs = compression_codec_stats(spark, sf_dir).select(
         F.lit("codecs").alias("part"), "key", "n", "n2", "v")
+    zorder = zorder_layout_stats(spark, sf_dir).select(
+        F.lit("zorder").alias("part"), "key", "n", "n2", "v")
     txlog = sink_txlog_merge(spark, sf_dir).select(
         F.lit("txlog").alias("part"), "key", "n", "n2", "v")
     return (upsert.unionByName(bucketed).unionByName(incremental)
             .unionByName(hll_inc).unionByName(compact).unionByName(cluster)
-            .unionByName(formats).unionByName(codecs).unionByName(txlog)
+            .unionByName(formats).unionByName(codecs)
+            .unionByName(zorder).unionByName(txlog)
             .orderBy("part", "key"))

@@ -295,3 +295,25 @@ def test_compression_codec_matrix(spark):
     assert all(r["n2"] > 0 for r in rows.values())
     assert min(rows["zstd"]["n2"], rows["gzip"]["n2"]) < \
         min(rows["snappy"]["n2"], rows["lz4"]["n2"])
+
+
+def test_zorder_layout_skips_on_both_dimensions(spark):
+    """'zorder' sink leg: single-column clustering prunes ONE predicate
+    dimension; the Morton-interleaved sort must prune meaningfully on
+    BOTH, and must beat the scattered layout on each (measured purely
+    from parquet footer min/max stats)."""
+    from service_level_reporting_spark.sources.sinks import (
+        zorder_layout_stats)
+
+    rows = {r["key"]: r for r in
+            zorder_layout_stats(spark, "/root/testdata/sf0.01").collect()}
+    frac = {k: (r["v"] or 0.0) for k, r in rows.items()}
+    # clustered layout: near-total pruning on its own column, none on the other
+    assert frac["minute_clustered:minute_idx"] > 0.8
+    assert frac["minute_clustered:user_id"] <= 0.1
+    # z-order: substantial pruning on BOTH dimensions
+    assert frac["zorder:minute_idx"] > 0.5
+    assert frac["zorder:user_id"] > 0.3
+    # and strictly better than scattered on each
+    assert frac["zorder:user_id"] > frac["scattered:user_id"]
+    assert frac["zorder:minute_idx"] > frac["scattered:minute_idx"]
