@@ -545,17 +545,22 @@ FUZZY_MAX_DIST = 10
     "dedup_fuzzy_pairs",
     aux=True,   # full SQL oracle, checked by the pytest differential
     oracle=f"""
-    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           length(a.text) AS len_a, length(b.text) AS len_b,
-           levenshtein(a.text, b.text) AS lev_dist,
-           round(1.0 - levenshtein(a.text, b.text)
-                 / greatest(length(a.text), length(b.text)), 6) AS sim
-    FROM documents a
-    JOIN documents b
-      ON substring(a.text, 1, {FUZZY_PREFIX}) = substring(b.text, 1, {FUZZY_PREFIX})
-     AND a.doc_id < b.doc_id
-     AND abs(length(a.text) - length(b.text)) <= {FUZZY_LEN_BAND}
-    WHERE levenshtein(a.text, b.text) <= {FUZZY_MAX_DIST}
+    -- equality fast path: exact clones (the dominant near-dup class on a
+    -- clone-heavy corpus) cost a string compare, not an O(n*m) DP
+    WITH cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               length(a.text) AS len_a, length(b.text) AS len_b,
+               CASE WHEN a.text = b.text THEN 0
+                    ELSE levenshtein(a.text, b.text) END AS lev_dist
+        FROM documents a
+        JOIN documents b
+          ON substring(a.text, 1, {FUZZY_PREFIX}) = substring(b.text, 1, {FUZZY_PREFIX})
+         AND a.doc_id < b.doc_id
+         AND abs(length(a.text) - length(b.text)) <= {FUZZY_LEN_BAND}
+    )
+    SELECT doc_a, doc_b, len_a, len_b, lev_dist,
+           round(1.0 - lev_dist / greatest(len_a, len_b), 6) AS sim
+    FROM cand WHERE lev_dist <= {FUZZY_MAX_DIST}
     """,
 )
 def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -566,7 +571,10 @@ def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
              == F.substring(F.col("fb.text"), 1, FUZZY_PREFIX))
     band = (F.abs(F.length("fa.text") - F.length("fb.text"))
             <= FUZZY_LEN_BAND)
-    lev = F.levenshtein(F.col("fa.text"), F.col("fb.text"))
+    # equality fast path: clone pairs dominate near-dup corpora and must
+    # cost a string compare, not the O(n*m) edit-distance DP
+    lev = F.when(F.col("fa.text") == F.col("fb.text"), F.lit(0)).otherwise(
+        F.levenshtein(F.col("fa.text"), F.col("fb.text")))
     return (
         a.join(b, block & (F.col("fa.doc_id") < F.col("fb.doc_id")) & band)
         .where(lev <= FUZZY_MAX_DIST)
