@@ -125,3 +125,109 @@ def hll_merge(partials: DataFrame, keys: list) -> DataFrame:
         return pd.DataFrame(out)
 
     return partials.groupBy(*keys).applyInPandas(merge, schema=schema)
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan 2005) — the FREQUENCY twin of
+# the HLL state above: where HLL registers merge by max to count distinct,
+# CMS count matrices merge by ADDITION to answer "how often" — heavy
+# hitters, frequency caps, vocabulary-drift tracking as stored per-period
+# state over a 100 TB stream, without keeping per-item counters.
+# One-sided error: estimates never undercount; overcount <= eps*N with
+# probability 1-delta (w = e/eps columns, d = ln(1/delta) rows).
+# Same execution shape as HLL: JVM xxhash64 once, numpy scatter-ADD per
+# Arrow batch, applyInPandas merge; merge(partial(A), partial(B)) ==
+# partial(A ∪ B) COUNT-FOR-COUNT (sums are exact integers).
+# ---------------------------------------------------------------------------
+
+CMS_D = 4          # hash rows
+CMS_W = 1024       # counters per row (eps ~ e/w ~ 0.27%)
+
+
+def _cms_row_hashes(h, d: int = CMS_D, w: int = CMS_W):
+    """(n,) uint64 base hashes -> (d, n) int64 column indices via
+    splitmix64-style remixing with per-row odd constants (public
+    finalizer; full avalanche per row)."""
+    import numpy as np
+
+    h = np.asarray(h, dtype=np.uint64)
+    idx = np.empty((d, h.shape[0]), dtype=np.int64)
+    for r in range(d):
+        z = h ^ np.uint64((r * 2 + 1) * 0x9E3779B97F4A7C15 % (1 << 64))
+        z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        z = z ^ (z >> np.uint64(31))
+        idx[r] = (z % np.uint64(w)).astype(np.int64)
+    return idx
+
+
+def cms_partial(df: DataFrame, keys: list, col: str) -> DataFrame:
+    """(keys..., counts): one flattened (CMS_D x CMS_W) count matrix per
+    key per Arrow batch (numpy scatter-add over JVM-hashed values)."""
+    import numpy as np
+
+    hashed = df.select(*keys, F.xxhash64(F.col(col)).alias("_h"))
+    fields = [df.schema[k] for k in keys]
+    schema = StructType(list(fields) + [
+        StructField("counts", ArrayType(LongType()), False)])
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            rows = {k: [] for k in keys}
+            counts_out = []
+            for kv, g in pdf.groupby(list(keys), sort=False, dropna=False):
+                if not isinstance(kv, tuple):
+                    kv = (kv,)
+                h = g["_h"].to_numpy(dtype=np.int64).astype(np.uint64)
+                idx = _cms_row_hashes(h)
+                m = np.zeros((CMS_D, CMS_W), dtype=np.int64)
+                for r in range(CMS_D):
+                    np.add.at(m[r], idx[r], 1)
+                for k, val in zip(keys, kv):
+                    rows[k].append(val)
+                counts_out.append(m.reshape(-1))
+            rows["counts"] = counts_out
+            yield pd.DataFrame(rows)
+
+    return hashed.mapInPandas(run, schema=schema)
+
+
+def cms_merge(partials: DataFrame, keys: list) -> DataFrame:
+    """Merge count matrices per key by elementwise ADDITION (exact integer
+    sums — slicing-invariant and associative by construction)."""
+    import numpy as np
+
+    fields = [partials.schema[k] for k in keys]
+    schema = StructType(list(fields) + [
+        StructField("counts", ArrayType(LongType()), False),
+        StructField("n_total", LongType(), False),
+    ])
+
+    def merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        m = np.stack([np.asarray(c, dtype=np.int64)
+                      for c in pdf["counts"]]).sum(axis=0)
+        out = {k: [pdf[k].iloc[0]] for k in keys}
+        out["counts"] = [m]
+        # every row of the matrix sums to the stream length
+        out["n_total"] = [int(m.reshape(CMS_D, CMS_W)[0].sum())]
+        return pd.DataFrame(out)
+
+    return partials.groupBy(*keys).applyInPandas(merge, schema=schema)
+
+
+def cms_query(counts, items) -> dict:
+    """Point-query the merged sketch for concrete item values: estimate =
+    min over rows (the classic CMS read). Items hash with Spark's
+    xxhash64 semantics via a throwaway local computation — callers pass
+    the PRE-HASHED int64s (e.g. collected from F.xxhash64 on the items
+    frame) to keep engine-hash parity."""
+    import numpy as np
+
+    m = np.asarray(counts, dtype=np.int64).reshape(CMS_D, CMS_W)
+    out = {}
+    for name, h in items.items():
+        idx = _cms_row_hashes(np.array([np.uint64(np.int64(h))]))
+        out[name] = int(min(m[r, idx[r, 0]] for r in range(CMS_D)))
+    return out

@@ -87,3 +87,41 @@ def test_hll_incremental_rollup_state(spark):
     for k in inds:
         assert rows[k]["n2"] > 0           # exact distinct present
         assert rows[k]["v"] < 0.05         # rel_err within band
+
+
+def test_cms_additive_merge_and_one_sided_error(spark):
+    """Count-Min state: merge(partial(A), partial(B)) == partial(A∪B)
+    count-for-count (integer sums), estimates NEVER undercount, and on a
+    planted heavy-hitter stream the hot item's estimate lands within the
+    eps*N overcount band."""
+    import numpy as np
+
+    ev = load_tables(spark, SF_DIR_001, ("events",))["events"]
+    keys = ["event_type"]
+    part = SK.cms_partial(ev, keys, "user_id")
+    merged = {r["event_type"]: r for r in SK.cms_merge(part, keys).collect()}
+    # additivity: slicing must not change a single counter
+    a = ev.where(F.col("user_id") % 2 == 0)
+    b = ev.where(F.col("user_id") % 2 == 1)
+    sliced = {r["event_type"]: list(r["counts"])
+              for r in SK.cms_merge(
+                  SK.cms_partial(a, keys, "user_id").unionByName(
+                      SK.cms_partial(b, keys, "user_id")), keys).collect()}
+    assert sliced == {k: list(v["counts"]) for k, v in merged.items()}
+    # n_total equals the true row count per key
+    true_n = {r["event_type"]: r["n"] for r in ev.groupBy("event_type")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert {k: v["n_total"] for k, v in merged.items()} == true_n
+    # one-sided error + bound on every (event_type, user) pair
+    exact = {(r["event_type"], r["user_id"]): r["n"]
+             for r in ev.groupBy("event_type", "user_id")
+             .agg(F.count(F.lit(1)).alias("n")).collect()}
+    hashes = {r["user_id"]: r["h"] for r in
+              ev.select("user_id").distinct()
+              .select("user_id", F.xxhash64("user_id").alias("h")).collect()}
+    for (etype, user), true in exact.items():
+        est = SK.cms_query(merged[etype]["counts"],
+                           {user: hashes[user]})[user]
+        assert est >= true
+        # generous bound: 2eN/w fails with negligible probability at d=4
+        assert est - true <= max(4, 2 * np.e * true_n[etype] / SK.CMS_W)
