@@ -204,7 +204,38 @@ def report_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("value", 0.95, 10000).alias("p95_approx"),
         F.count(F.lit(1)).alias("n"),
     )
-    return sketches.join(nested, "event_type").orderBy("event_type")
+    # r4 session 2: the STORED-state sketch family rides in the same row —
+    # the Count-Min heavy-hitter estimate for the busiest user per series
+    # (operators/sketches.py; merged count matrices, exact-additive),
+    # carried as cms_top_user_est next to the exact count so the driver
+    # artifact records the one-sided-error claim, not just shape
+    from service_level_reporting_spark.operators.sketches import (
+        cms_merge, cms_partial, cms_query)
+
+    top_user = (
+        ev.groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+        .withColumn("rk", F.row_number().over(
+            Window.partitionBy("event_type")
+            .orderBy(F.desc("n_exact"), F.asc("user_id"))))
+        .where(F.col("rk") == 1)
+        .select("event_type", "user_id", "n_exact",
+                F.xxhash64("user_id").alias("h"))
+    )
+    cms = {r["event_type"]: r for r in
+           cms_merge(cms_partial(ev, ["event_type"], "user_id"),
+                     ["event_type"]).collect()}
+    est_rows = [
+        (r["event_type"], int(r["user_id"]), int(r["n_exact"]),
+         cms_query(cms[r["event_type"]]["counts"],
+                   {r["user_id"]: r["h"]})[r["user_id"]])
+        for r in top_user.collect()
+    ]
+    cms_df = spark.createDataFrame(
+        est_rows, "event_type string, top_user long, "
+                  "top_user_n_exact long, cms_top_user_est long")
+    return (sketches.join(nested, "event_type")
+            .join(cms_df, "event_type").orderBy("event_type"))
 
 
 # ---------------------------------------------------------------------------

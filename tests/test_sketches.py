@@ -125,3 +125,20 @@ def test_cms_additive_merge_and_one_sided_error(spark):
         assert est >= true
         # generous bound: 2eN/w fails with negligible probability at d=4
         assert est - true <= max(4, 2 * np.e * true_n[etype] / SK.CMS_W)
+
+
+def test_cms_rides_in_sketch_summary_row(spark):
+    """The driver-visible report_sketch_summary row carries the CMS
+    heavy-hitter estimate next to the exact count: one-sided (never
+    under), within the eps*N band."""
+    import numpy as np
+
+    from service_level_reporting_spark.operators.report import (
+        report_sketch_summary)
+
+    rows = report_sketch_summary(spark, SF_DIR_001).collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert r["cms_top_user_est"] >= r["top_user_n_exact"] > 0
+        assert (r["cms_top_user_est"] - r["top_user_n_exact"]
+                <= max(4, 2 * np.e * r["n"] / SK.CMS_W))
