@@ -1874,8 +1874,15 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("sample_rate").cast("string").alias("key"),
         F.col("n_assets").alias("n"), F.col("total_bytes"),
         F.col("avg_rms").alias("metric"))
+    # r4 session 2: cross-format image near-dup via pHash — byte dedup
+    # cannot see that a JPEG re-encode duplicates a BMP; the perceptual
+    # hash must (planted_found == n2 is the recall claim in the row)
+    phash = multimodal_phash_dedup(spark, sf_dir).select(
+        F.lit("phash_dedup").alias("stage"), F.col("key"),
+        F.col("n"), F.col("n2").alias("total_bytes"),
+        F.col("v").alias("metric"))
     return (feats.unionByName(resized).unionByName(frames)
-            .unionByName(wav).orderBy("stage", "key"))
+            .unionByName(wav).unionByName(phash).orderBy("stage", "key"))
 
 
 # The metadata/binary plumbing IS SQL-expressible (byte length, header hex) —
@@ -1902,3 +1909,195 @@ def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(F.upper(F.hex(F.expr("substring(payload, 1, 8)"))))
         .alias("n_distinct_headers"),
     )
+
+
+# --- Perceptual image hashing + cross-format image near-dup --------------
+# The dedup family applied to the IMAGE modality (north-star: dedup for
+# multimodal training data). pHash (classic DCT perceptual hash): decode
+# -> grayscale -> 32x32 resample -> 2D DCT -> keep the 8x8 low-frequency
+# block (minus DC) -> bit = coefficient > median -> 64-bit hash. The hash
+# survives re-encoding (a JPEG copy of a PNG hashes within a few bits of
+# the original — lossy DCT quantization barely moves low-frequency signs),
+# so near-dup detection works ACROSS formats, which byte-level dedup
+# fundamentally cannot.
+# Scale shape: hashes are 8 bytes/image computed where the decode already
+# runs (mapInPandas, payloads never shuffle); candidate pairs via 4-band
+# blocking on 16-bit hash slices (Hamming<=3 pigeonholes at least one
+# exact band) + exact popcount verify — the SimHash/banding pattern on the
+# image side.
+
+def _dct_matrix_n(n: int):
+    """Orthonormal n-point DCT-II basis (generalizes _jpeg_dct_matrix)."""
+    import numpy as np
+
+    k = np.arange(n, dtype=np.float64)
+    D = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / (2 * n)) \
+        * np.sqrt(2.0 / n)
+    D[0] /= np.sqrt(2.0)
+    return D
+
+
+def phash64(pixels) -> int:
+    """(h, w, 3) uint8 -> 64-bit perceptual hash (unsigned int)."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.float64)
+    gray = 0.299 * px[..., 0] + 0.587 * px[..., 1] + 0.114 * px[..., 2]
+    h, w = gray.shape
+    yi = (np.arange(32) * h) // 32
+    xi = (np.arange(32) * w) // 32
+    g32 = gray[yi][:, xi]
+    D = _dct_matrix_n(32)
+    coef = D @ g32 @ D.T
+    block = coef[:8, :8].reshape(-1)[1:]       # low-freq block, DC dropped
+    med = np.median(block)
+    bits = block > med
+    out = 0
+    for i, b in enumerate(bits):
+        if b:
+            out |= 1 << i
+    return out
+
+
+def image_phashes(assets: DataFrame) -> DataFrame:
+    """(asset_id, media_type, phash) for every decodable image payload —
+    computed inside the decode stage (mapInPandas), only 8-byte hashes
+    leave it. phash is stored as a SIGNED long (the JVM's 64-bit int);
+    Hamming distance is sign-agnostic (xor + popcount)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, medias, hashes = [], [], []
+            for aid, media, p in zip(pdf["asset_id"], pdf["media_type"],
+                                     pdf["payload"]):
+                p = bytes(p)
+                try:
+                    if p[:2] == b"BM":
+                        _, _, px = decode_bmp(p)
+                    elif p[:8] == _PNG_MAGIC:
+                        _, _, px = decode_png(p)
+                    elif p[:2] == b"\xFF\xD8":
+                        _, _, px = decode_jpeg(p)
+                    elif p[:4] == b"GIF8":
+                        _, _, px = decode_gif(p)
+                    else:
+                        continue
+                except ValueError:
+                    continue                    # dead-letter: skip, not fail
+                h = phash64(px)
+                ids.append(int(aid))
+                medias.append(media)
+                hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "media_type": pd.Series(medias, dtype="object"),
+                "phash": pd.Series(hashes, dtype="int64"),
+            })
+
+    return assets.mapInPandas(
+        batches, schema="asset_id long, media_type string, phash long")
+
+
+PHASH_MAX_HAMMING = 3
+
+
+def image_near_dup_pairs(hashes: DataFrame,
+                         max_hamming: int = PHASH_MAX_HAMMING) -> DataFrame:
+    """Near-dup image pairs by pHash Hamming distance: 4-band 16-bit
+    blocking (a pair within Hamming<=3 must share at least one exact
+    band — pigeonhole over 4 bands) then exact xor-popcount verify.
+    Candidates ~ n * collision-rate, never n^2."""
+    bands = []
+    for b in range(4):
+        bands.append(
+            hashes.select(
+                "asset_id", "phash",
+                F.lit(b).alias("band"),
+                F.shiftrightunsigned("phash", 16 * b)
+                .bitwiseAND(F.lit(0xFFFF)).alias("band_val")))
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+    a = banded.alias("pa")
+    b = banded.alias("pb")
+    ham = F.bit_count(F.col("pa.phash").bitwiseXOR(F.col("pb.phash")))
+    return (
+        a.join(b, (F.col("pa.band") == F.col("pb.band"))
+               & (F.col("pa.band_val") == F.col("pb.band_val"))
+               & (F.col("pa.asset_id") < F.col("pb.asset_id")))
+        .select(F.col("pa.asset_id").alias("asset_a"),
+                F.col("pb.asset_id").alias("asset_b"),
+                ham.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
+def synth_natural_image(seed: int, w: int, h: int):
+    """Natural-image-like pixels (smoothed coarse random field — the 1/f
+    spectrum pHash assumes; the synth gradients elsewhere are pixel-scale
+    patterns whose low-freq DCT block is energy-degenerate, the documented
+    pHash failure mode). Deterministic per seed."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    coarse = rng.uniform(0, 255, (8, 8, 3))
+    yi = (np.arange(h) * 8) // h
+    xi = (np.arange(w) * 8) // w
+    img = coarse[yi][:, xi]
+    for _ in range(3):
+        img = (img + np.roll(img, 1, 0) + np.roll(img, -1, 0)
+               + np.roll(img, 1, 1) + np.roll(img, -1, 1)) / 5.0
+    return img.clip(0, 255).astype("uint8")
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str,
+                           n_planted: int = 50) -> DataFrame:
+    """Cross-format image near-dup: for n_planted image docs, emit the
+    SAME natural-like pixels twice — once as the original BMP, once
+    RE-ENCODED as lossy JPEG (clone_id = doc_id + 10^9) — then recover
+    the planted pairs by pHash banding + Hamming verify. Byte-level dedup
+    scores 0 here by construction (different containers, different
+    bytes); the perceptual hash must find every planted pair. Returns
+    accounting rows the driver records: planted_found (must equal
+    n_planted — pytest), total_pairs, avg/max hamming over planted
+    pairs."""
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    ids = [int(r["doc_id"]) for r in
+           docs.where(F.col("doc_id") % 3 == 0)
+           .select("doc_id").orderBy("doc_id").limit(n_planted).collect()]
+    CLONE_OFF = 1_000_000_000
+
+    def build(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out_ids, medias, payloads = [], [], []
+            for aid in pdf["doc_id"]:
+                aid = int(aid)
+                w = 24 + (aid * 7) % 25
+                h = 24 + (aid * 13) % 25
+                px = synth_natural_image(aid, w, h)
+                out_ids += [aid, aid + CLONE_OFF]
+                medias += ["image/bmp", "image/jpeg"]
+                payloads += [encode_bmp(px), encode_jpeg(px, quality=90)]
+            yield pd.DataFrame({
+                "asset_id": pd.Series(out_ids, dtype="int64"),
+                "media_type": pd.Series(medias, dtype="object"),
+                "payload": pd.Series(payloads, dtype="object"),
+            })
+
+    assets = (docs.where(F.col("doc_id").isin(ids)).select("doc_id")
+              .mapInPandas(build, schema=ASSET_SCHEMA))
+    pairs = image_near_dup_pairs(image_phashes(assets))
+    planted = pairs.where(
+        F.col("asset_b") - F.col("asset_a") == CLONE_OFF)
+    stats = pairs.agg(F.count(F.lit(1)).alias("total_pairs")).collect()[0]
+    pstats = planted.agg(
+        F.count(F.lit(1)).alias("found"),
+        F.avg("hamming").alias("avg_ham"),
+        F.max("hamming").alias("max_ham")).collect()[0]
+    return spark.createDataFrame(
+        [("planted_found", int(pstats["found"]), len(ids),
+          float(pstats["avg_ham"]) if pstats["avg_ham"] is not None else None),
+         ("total_pairs", int(stats["total_pairs"]), None,
+          float(pstats["max_ham"]) if pstats["max_ham"] is not None else None)],
+        "key string, n long, n2 long, v double")

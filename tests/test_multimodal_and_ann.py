@@ -370,7 +370,7 @@ def test_pipeline_image_legs_are_real(spark):
 
     rows = MM.multimodal_pipeline(spark, SF_DIR_001).collect()
     assert {r["stage"] for r in rows} == {
-        "features", "resize", "frame_sample", "wav_decode"}
+        "features", "resize", "frame_sample", "wav_decode", "phash_dedup"}
     feats = {r["key"]: r for r in rows if r["stage"] == "features"}
     assert set(feats) == {"image/bmp", "image/png", "image/jpeg",
                           "image/gif", "audio/wav", "video/avi"}
@@ -801,3 +801,36 @@ def test_gif_synth_decode_roundtrip():
     bad[i + 9] |= 0x40
     with pytest.raises(ValueError, match="interlaced"):
         MM.decode_gif(bytes(bad))
+
+
+def test_phash_cross_format_near_dup(spark):
+    """pHash (r4 session 2): the perceptual hash is stable across
+    containers (PNG of the same pixels: Hamming 0) and across lossy
+    re-encoding (JPEG q90 of natural-like content: Hamming <= 3), while
+    different images sit far apart; the banded pair join recovers EVERY
+    planted BMP<->JPEG duplicate with zero false pairs on the fixture;
+    the driver-facing pipeline row carries the recall claim."""
+    import numpy as np
+
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+
+    px = MM.synth_natural_image(3, 40, 36)
+    h0 = MM.phash64(px)
+    _, _, png_px = MM.decode_png(MM.encode_png(px))
+    assert ham(h0, MM.phash64(png_px)) == 0          # lossless container
+    _, _, jpg_px = MM.decode_jpeg(MM.encode_jpeg(px, quality=90))
+    assert ham(h0, MM.phash64(jpg_px)) <= 3          # lossy re-encode
+    other = MM.synth_natural_image(4, 40, 36)
+    assert ham(h0, MM.phash64(other)) > 8            # different image
+
+    rows = {r["key"]: r for r in
+            MM.multimodal_phash_dedup(spark, SF_DIR_001).collect()}
+    assert rows["planted_found"]["n"] == rows["planted_found"]["n2"]  # 100%
+    assert rows["total_pairs"]["n"] == rows["planted_found"]["n"]    # no FPs
+    assert rows["total_pairs"]["v"] <= MM.PHASH_MAX_HAMMING
+
+    # pipeline stage present
+    stages = {r["stage"] for r in
+              MM.multimodal_pipeline(spark, SF_DIR_001).collect()}
+    assert "phash_dedup" in stages
