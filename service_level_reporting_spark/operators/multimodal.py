@@ -1215,36 +1215,27 @@ _AVI_FPS = 10
 _MJPG_FOURCC = int.from_bytes(b"MJPG", "little")
 
 
-def synth_avi(seed: int, codec: str = "dib") -> bytes:
-    """Deterministic real AVI: seed-derived dims/frame count, per-frame
-    pixel formula (BMP gradient + 17·frame_idx drift). Byte-stable.
-    codec='dib' writes raw-DIB '00db' frames; codec='mjpeg' writes
+def encode_avi(frames_px, codec: str = "dib",
+               jpeg_quality: int = 85) -> bytes:
+    """Encode a list of (h, w, 3) uint8 frames (uniform dims) as a real
+    AVI: codec='dib' writes raw-DIB '00db' frames; codec='mjpeg' writes
     baseline-JPEG '00dc' frames with strf biCompression 'MJPG'."""
     import struct
 
-    import numpy as np
-
     if codec not in ("dib", "mjpeg"):
         raise ValueError(f"AVI: codec must be 'dib' or 'mjpeg': {codec}")
-    w = 16 + (seed * 5) % 17
-    h = 16 + (seed * 11) % 13
-    n_frames = 3 + seed % 6
-    xs = np.arange(w, dtype=np.int64)[None, :, None]
-    ys = np.arange(h, dtype=np.int64)[:, None, None]
-    cs = np.arange(3, dtype=np.int64)[None, None, :]
-
-    frames = []
-    for f in range(n_frames):
-        px = ((xs * 7 + ys * 13 + cs * 29 + seed * 3 + f * 17) % 256
-              ).astype(np.uint8)
-        if codec == "dib":
-            frames.append(_dib_rows(px))
-        else:
-            frames.append(encode_jpeg(px, quality=85))
+    if not frames_px:
+        raise ValueError("AVI: need at least one frame")
+    h, w, _ = frames_px[0].shape
+    if codec == "dib":
+        frames = [_dib_rows(px) for px in frames_px]
+    else:
+        frames = [encode_jpeg(px, quality=jpeg_quality) for px in frames_px]
     buf_size = max(len(f) for f in frames)
     fcc = b"DIB " if codec == "dib" else b"MJPG"
     comp = 0 if codec == "dib" else _MJPG_FOURCC
     frame_cid = b"00db" if codec == "dib" else b"00dc"
+    n_frames = len(frames)
 
     def chunk(cid: bytes, data: bytes) -> bytes:
         pad = b"\x00" if len(data) % 2 else b""
@@ -1272,6 +1263,25 @@ def synth_avi(seed: int, codec: str = "dib") -> bytes:
         off += 8 + len(f) + (len(f) & 1)
     body = b"AVI " + hdrl + movi + chunk(b"idx1", b"".join(idx_entries))
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def synth_avi(seed: int, codec: str = "dib") -> bytes:
+    """Deterministic real AVI: seed-derived dims/frame count, per-frame
+    pixel formula (BMP gradient + 17·frame_idx drift). Byte-stable."""
+    import numpy as np
+
+    w = 16 + (seed * 5) % 17
+    h = 16 + (seed * 11) % 13
+    n_frames = 3 + seed % 6
+    xs = np.arange(w, dtype=np.int64)[None, :, None]
+    ys = np.arange(h, dtype=np.int64)[:, None, None]
+    cs = np.arange(3, dtype=np.int64)[None, None, :]
+    frames_px = [
+        ((xs * 7 + ys * 13 + cs * 29 + seed * 3 + f * 17) % 256
+         ).astype(np.uint8)
+        for f in range(n_frames)
+    ]
+    return encode_avi(frames_px, codec=codec)
 
 
 def _riff_chunks(buf: bytes, start: int, end: int):
@@ -2101,3 +2111,82 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str,
          ("total_pairs", int(stats["total_pairs"]), None,
           float(pstats["max_ham"]) if pstats["max_ham"] is not None else None)],
         "key string, n long, n2 long, v double")
+
+
+def video_phash_frames(assets: DataFrame) -> DataFrame:
+    """(asset_id, frame_idx, phash) — one perceptual hash per decoded
+    video frame (any AVI codec the container decoder speaks: raw-DIB or
+    MJPEG). Only (id, idx, 8-byte hash) rows leave the decode stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, hashes = [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(p)
+                if not (p[:4] == b"RIFF" and p[8:12] == b"AVI "):
+                    continue
+                try:
+                    _, _, frames = decode_avi(p)
+                except ValueError:
+                    continue
+                for i, fr in enumerate(frames):
+                    h = phash64(fr)
+                    ids.append(int(aid))
+                    idxs.append(i)
+                    hashes.append(h - (1 << 64) if h >= (1 << 63) else h)
+            yield pd.DataFrame({
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "frame_idx": pd.Series(idxs, dtype="int64"),
+                "phash": pd.Series(hashes, dtype="int64"),
+            })
+
+    return assets.mapInPandas(
+        batches, schema="asset_id long, frame_idx long, phash long")
+
+
+def video_near_dup_pairs(frame_hashes: DataFrame,
+                         min_match_frac: float = 0.6,
+                         max_hamming: int = PHASH_MAX_HAMMING) -> DataFrame:
+    """Video pairs whose ALIGNED frames perceptually match: join frame
+    hashes on (frame_idx, 16-bit hash band) — the image banding scheme
+    with the temporal index as an extra blocking key — verify by
+    xor-popcount, score = matched/total frames, keep >= min_match_frac.
+    A re-encoded copy (raw-DIB -> MJPEG) matches near 1.0; unrelated
+    clips share ~no frames."""
+    counts = frame_hashes.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_frames"))
+    bands = []
+    for b in range(4):
+        bands.append(frame_hashes.select(
+            "asset_id", "frame_idx", "phash",
+            F.lit(b).alias("band"),
+            F.shiftrightunsigned("phash", 16 * b)
+            .bitwiseAND(F.lit(0xFFFF)).alias("band_val")))
+    banded = bands[0]
+    for extra in bands[1:]:
+        banded = banded.unionByName(extra)
+    a = banded.alias("va")
+    b2 = banded.alias("vb")
+    ham = F.bit_count(F.col("va.phash").bitwiseXOR(F.col("vb.phash")))
+    matched = (
+        a.join(b2, (F.col("va.band") == F.col("vb.band"))
+               & (F.col("va.band_val") == F.col("vb.band_val"))
+               & (F.col("va.frame_idx") == F.col("vb.frame_idx"))
+               & (F.col("va.asset_id") < F.col("vb.asset_id")))
+        .where(ham <= max_hamming)
+        .select(F.col("va.asset_id").alias("asset_a"),
+                F.col("vb.asset_id").alias("asset_b"),
+                F.col("va.frame_idx").alias("frame_idx"))
+        .distinct()
+        .groupBy("asset_a", "asset_b")
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    ca = counts.select(F.col("asset_id").alias("asset_a"),
+                       F.col("n_frames").alias("na"))
+    cb = counts.select(F.col("asset_id").alias("asset_b"),
+                       F.col("n_frames").alias("nb"))
+    frac = F.col("n_matched") / F.greatest("na", "nb")
+    return (matched.join(ca, "asset_a").join(cb, "asset_b")
+            .where(frac >= min_match_frac)
+            .select("asset_a", "asset_b", "n_matched",
+                    F.round(frac, 6).alias("match_frac")))

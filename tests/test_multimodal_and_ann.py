@@ -834,3 +834,27 @@ def test_phash_cross_format_near_dup(spark):
     stages = {r["stage"] for r in
               MM.multimodal_pipeline(spark, SF_DIR_001).collect()}
     assert "phash_dedup" in stages
+
+
+def test_video_phash_cross_codec_near_dup(spark):
+    """Video near-dup across CODECS (r4 session 2): the same natural-like
+    frames encoded raw-DIB and MJPEG are byte-disjoint files, but their
+    per-frame perceptual hashes align — the banded frame-hash join must
+    recover every planted pair at match_frac 1.0 with zero false pairs."""
+    rows = []
+    for s in range(4):
+        frames = [MM.synth_natural_image(s * 10 + f, 32, 28)
+                  for f in range(4)]
+        rows.append((s * 2, "video/avi", MM.encode_avi(frames, "dib")))
+        rows.append((s * 2 + 1, "video/avi",
+                     MM.encode_avi(frames, "mjpeg", jpeg_quality=92)))
+    assets = spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+    got = {(r["asset_a"], r["asset_b"]): r for r in
+           MM.video_near_dup_pairs(
+               MM.video_phash_frames(assets)).collect()}
+    assert set(got) == {(0, 1), (2, 3), (4, 5), (6, 7)}
+    for r in got.values():
+        assert r["n_matched"] == 4 and r["match_frac"] == 1.0
+    # byte-level disjointness of the planted twins (the point of the test)
+    for s in range(4):
+        assert rows[s * 2][2] != rows[s * 2 + 1][2]
