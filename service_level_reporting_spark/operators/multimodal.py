@@ -2190,3 +2190,167 @@ def video_near_dup_pairs(frame_hashes: DataFrame,
             .where(frac >= min_match_frac)
             .select("asset_a", "asset_b", "n_matched",
                     F.round(frac, 6).alias("match_frac")))
+
+
+# --- Perceptual AUDIO fingerprinting — the dedup triplet completed -------
+# Haitsma-Kalker-style spectral fingerprint (2002, the classic robust
+# audio hash): frame the PCM, FFT magnitude, log-band energies, one bit
+# per (band, frame) from the SIGN of the time/frequency energy
+# derivative. Signs of energy DIFFERENCES are invariant to amplitude
+# scaling (a volume change multiplies every energy by c^2 — log-domain
+# constant, cancels in the derivative) and robust to additive dither —
+# the failure modes byte-level audio dedup cannot see through. Pair
+# recovery reuses the banding pattern: join on (window_idx, 16-bit word)
+# with popcount verify, exactly like frames in the video path.
+
+AUDIO_FRAME = 256
+AUDIO_HOP = 128
+AUDIO_BANDS = 17          # 17 band edges -> 16 energy bands -> 16 bits
+
+
+def audio_fingerprint_words(pcm, sr: int):
+    """int16 PCM -> list of (window_idx, 16-bit word). Frames shorter
+    than one window yield nothing (too little signal to fingerprint)."""
+    import numpy as np
+
+    x = np.asarray(pcm, dtype=np.float64)
+    if x.shape[0] < AUDIO_FRAME + AUDIO_HOP:
+        return []
+    n_win = 1 + (x.shape[0] - AUDIO_FRAME) // AUDIO_HOP
+    win = np.hanning(AUDIO_FRAME)
+    # log-spaced band edges over [~100 Hz, Nyquist)
+    edges = np.unique(np.geomspace(
+        4, AUDIO_FRAME // 2, AUDIO_BANDS).astype(int))
+    while edges.shape[0] < AUDIO_BANDS:       # tiny frames: pad edges
+        edges = np.append(edges, edges[-1] + 1)
+    energies = np.empty((n_win, AUDIO_BANDS - 1))
+    for t in range(n_win):
+        seg = x[t * AUDIO_HOP:t * AUDIO_HOP + AUDIO_FRAME] * win
+        mag = np.abs(np.fft.rfft(seg)) ** 2
+        for b in range(AUDIO_BANDS - 1):
+            sl = mag[edges[b]:edges[b + 1]]
+            energies[t, b] = np.log(sl.sum() + 1e-12)
+    words = []
+    for t in range(1, n_win):
+        bits = 0
+        for b in range(AUDIO_BANDS - 2):
+            d = ((energies[t, b] - energies[t, b + 1])
+                 - (energies[t - 1, b] - energies[t - 1, b + 1]))
+            if d > 0:
+                bits |= 1 << b
+        words.append((t - 1, bits))
+    return words
+
+
+def audio_phash_windows(assets: DataFrame) -> DataFrame:
+    """(asset_id, window_idx, word) per decodable WAV payload."""
+    import io
+    import struct
+    import wave
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, idxs, words = [], [], []
+            for aid, p in zip(pdf["asset_id"], pdf["payload"]):
+                p = bytes(p)
+                if p[:4] != b"RIFF" or p[8:12] != b"WAVE":
+                    continue
+                try:
+                    with wave.open(io.BytesIO(p), "rb") as w:
+                        sr = w.getframerate()
+                        raw = w.readframes(w.getnframes())
+                    pcm = np.frombuffer(raw, dtype="<i2")
+                except Exception:
+                    continue
+                for t, word in audio_fingerprint_words(pcm, sr):
+                    ids.append(int(aid))
+                    idxs.append(t)
+                    words.append(word)
+            yield pd.DataFrame({
+                "asset_id": pd.Series(ids, dtype="int64"),
+                "window_idx": pd.Series(idxs, dtype="int64"),
+                "word": pd.Series(words, dtype="int64"),
+            })
+
+    return assets.mapInPandas(
+        batches, schema="asset_id long, window_idx long, word long")
+
+
+def audio_near_dup_pairs(words: DataFrame,
+                         min_match_frac: float = 0.6,
+                         max_hamming: int = 2) -> DataFrame:
+    """Audio pairs whose aligned windows fingerprint-match (Hamming over
+    the 15-bit word <= max_hamming), scored by matched-window fraction —
+    the video pair join with windows in place of frames."""
+    counts = words.groupBy("asset_id").agg(
+        F.count(F.lit(1)).alias("n_win"))
+    a = words.alias("wa")
+    b = words.alias("wb")
+    ham = F.bit_count(F.col("wa.word").bitwiseXOR(F.col("wb.word")))
+    matched = (
+        a.join(b, (F.col("wa.window_idx") == F.col("wb.window_idx"))
+               & (F.col("wa.asset_id") < F.col("wb.asset_id")))
+        .where(ham <= max_hamming)
+        .groupBy(F.col("wa.asset_id").alias("asset_a"),
+                 F.col("wb.asset_id").alias("asset_b"))
+        .agg(F.count(F.lit(1)).alias("n_matched"))
+    )
+    ca = counts.select(F.col("asset_id").alias("asset_a"),
+                       F.col("n_win").alias("na"))
+    cb = counts.select(F.col("asset_id").alias("asset_b"),
+                       F.col("n_win").alias("nb"))
+    frac = F.col("n_matched") / F.greatest("na", "nb")
+    return (matched.join(ca, "asset_a").join(cb, "asset_b")
+            .where(frac >= min_match_frac)
+            .select("asset_a", "asset_b", "n_matched",
+                    F.round(frac, 6).alias("match_frac")))
+
+
+def synth_wav_melody(seed: int, n_notes: int = 12,
+                     note_len: int = 512, amplitude: float = 0.5,
+                     dither: float = 0.0) -> bytes:
+    """Seeded NOTE SEQUENCE (two voices changing per note) — the
+    spectrum must EVOLVE for a derivative-sign fingerprint to carry
+    signal; a stationary tone is the fingerprint's documented degenerate
+    case (all derivatives ~0, bits ride on noise), exactly like flat
+    ramps for image pHash. Same seed at another volume must fingerprint
+    identically (scaling cancels in log-energy differences)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    n = n_notes * note_len
+    # two CHIRP voices: instantaneous frequency interpolates seeded
+    # control points, so the spectrum evolves in EVERY analysis window
+    # (discrete notes leave intra-note windows stationary again)
+    ts = np.arange(n)
+    x = np.zeros(n, dtype=np.float64)
+    for _ in range(2):
+        ctrl = rng.uniform(150, 2800, n_notes + 1)
+        freq = np.interp(ts, np.linspace(0, n, n_notes + 1), ctrl)
+        phase = np.cumsum(2 * np.pi * freq / WAV_SAMPLE_RATE)
+        x += rng.uniform(0.4, 1.0) * np.sin(phase)
+    # broadband bed: seeded amplitude-modulated brownian noise, so EVERY
+    # band carries real energy and every fingerprint bit rides signal,
+    # not the noise floor (narrowband-only content leaves empty bands
+    # whose derivative signs are meaningless — the H-K degenerate case)
+    bed = np.cumsum(rng.normal(0, 1, n))
+    bed = bed - np.linspace(bed[0], bed[-1], n)
+    env = np.interp(ts, np.linspace(0, n, n_notes + 1),
+                    rng.uniform(0.2, 1.0, n_notes + 1))
+    x += 0.7 * env * bed / (np.abs(bed).max() or 1.0) * 3.0
+    if dither:
+        x = x + rng.normal(0, dither, x.shape[0])
+    pcm = np.clip(x / np.max(np.abs(x)) * amplitude * 32000,
+                  -32768, 32767).astype("<i2")
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(WAV_SAMPLE_RATE)
+        w.writeframes(pcm.tobytes())
+    return buf.getvalue()

@@ -858,3 +858,45 @@ def test_video_phash_cross_codec_near_dup(spark):
     # byte-level disjointness of the planted twins (the point of the test)
     for s in range(4):
         assert rows[s * 2][2] != rows[s * 2 + 1][2]
+
+
+def test_audio_fingerprint_near_dup(spark):
+    """Audio near-dup (r4 session 2, completes the image/video/audio dedup
+    triplet): Haitsma-Kalker band-energy-derivative fingerprints are
+    EXACTLY invariant to volume change (scaling cancels in log-energy
+    differences), robust to dither, and discriminative across different
+    content; the windowed pair join recovers every planted volume/dither
+    twin and nothing else."""
+    import io
+    import wave
+
+    import numpy as np
+
+    def words_of(payload):
+        with wave.open(io.BytesIO(payload), "rb") as w:
+            pcm = np.frombuffer(w.readframes(w.getnframes()), dtype="<i2")
+        return MM.audio_fingerprint_words(pcm, MM.WAV_SAMPLE_RATE)
+
+    loud = words_of(MM.synth_wav_melody(1, amplitude=0.9))
+    quiet = words_of(MM.synth_wav_melody(1, amplitude=0.25))
+    hams = [bin(a[1] ^ b[1]).count("1") for a, b in zip(loud, quiet)]
+    assert sum(1 for h in hams if h <= 2) / len(hams) >= 0.95  # volume-proof
+    other = words_of(MM.synth_wav_melody(9, amplitude=0.9))
+    hams2 = [bin(a[1] ^ b[1]).count("1") for a, b in zip(loud, other)]
+    assert sum(1 for h in hams2 if h <= 2) / len(hams2) <= 0.2  # distinct
+
+    rows = []
+    for s in range(4):
+        rows.append((s * 2, "audio/wav",
+                     MM.synth_wav_melody(s, amplitude=0.9)))
+        rows.append((s * 2 + 1, "audio/wav",
+                     MM.synth_wav_melody(s, amplitude=0.25, dither=0.004)))
+    assets = spark.createDataFrame(rows, MM.ASSET_SCHEMA)
+    got = {(r["asset_a"], r["asset_b"]): r["match_frac"] for r in
+           MM.audio_near_dup_pairs(
+               MM.audio_phash_windows(assets)).collect()}
+    assert set(got) == {(0, 1), (2, 3), (4, 5), (6, 7)}
+    assert all(v >= 0.8 for v in got.values())
+    # planted twins are byte-disjoint (volume re-render, not a copy)
+    for s in range(4):
+        assert rows[s * 2][2] != rows[s * 2 + 1][2]
