@@ -208,9 +208,14 @@ def report_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the Count-Min heavy-hitter estimate for the busiest user per series
     # (operators/sketches.py; merged count matrices, exact-additive),
     # carried as cms_top_user_est next to the exact count so the driver
-    # artifact records the one-sided-error claim, not just shape
+    # artifact records the one-sided-error claim, not just shape.
+    # r5 (VERDICT item 6): the estimate is evaluated IN-FRAME — the merged
+    # sketch rows broadcast-join the top-user probes and a vectorized
+    # pandas_udf does the min-over-rows lookup. No collect: the same plan
+    # holds at a high-cardinality group key, where the old driver-side
+    # reassembly (collect + Python dict + createDataFrame) would not.
     from service_level_reporting_spark.operators.sketches import (
-        cms_merge, cms_partial, cms_query)
+        cms_estimate_col, cms_merge, cms_partial)
 
     top_user = (
         ev.groupBy("event_type", "user_id")
@@ -222,18 +227,17 @@ def report_sketch_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "user_id", "n_exact",
                 F.xxhash64("user_id").alias("h"))
     )
-    cms = {r["event_type"]: r for r in
-           cms_merge(cms_partial(ev, ["event_type"], "user_id"),
-                     ["event_type"]).collect()}
-    est_rows = [
-        (r["event_type"], int(r["user_id"]), int(r["n_exact"]),
-         cms_query(cms[r["event_type"]]["counts"],
-                   {r["user_id"]: r["h"]})[r["user_id"]])
-        for r in top_user.collect()
-    ]
-    cms_df = spark.createDataFrame(
-        est_rows, "event_type string, top_user long, "
-                  "top_user_n_exact long, cms_top_user_est long")
+    merged = (cms_merge(cms_partial(ev, ["event_type"], "user_id"),
+                        ["event_type"])
+              .select("event_type", "counts"))
+    cms_df = (
+        top_user.join(F.broadcast(merged), "event_type")
+        .select("event_type",
+                F.col("user_id").alias("top_user"),
+                F.col("n_exact").alias("top_user_n_exact"),
+                cms_estimate_col(F.col("counts"), F.col("h"))
+                .alias("cms_top_user_est"))
+    )
     return (sketches.join(nested, "event_type")
             .join(cms_df, "event_type").orderBy("event_type"))
 

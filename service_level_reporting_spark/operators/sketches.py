@@ -217,6 +217,36 @@ def cms_merge(partials: DataFrame, keys: list) -> DataFrame:
     return partials.groupBy(*keys).applyInPandas(merge, schema=schema)
 
 
+def cms_estimate_col(counts_col, hash_col):
+    """IN-FRAME CMS point query (r5, VERDICT item 6): estimate = min over
+    rows of the merged count matrix at the remixed column indices — the
+    same read as `cms_query`, evaluated as an Arrow-batched pandas_udf so
+    the probe scales to a high-cardinality group key (join the merged
+    sketch row to the probe items; nothing is collected to the driver).
+    `hash_col` must carry Spark's `xxhash64` of the probed item, exactly
+    like `cms_query`'s pre-hashed contract."""
+    import numpy as np
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf(LongType())
+    def probe(counts: pd.Series, h: pd.Series) -> pd.Series:
+        import numpy as np
+
+        n = len(h)
+        out = np.empty(n, dtype=np.int64)
+        if n == 0:
+            return pd.Series(out)
+        hs = h.to_numpy(dtype=np.int64).astype(np.uint64)
+        idx = _cms_row_hashes(hs)                        # (CMS_D, n)
+        for i in range(n):
+            m = np.asarray(counts.iloc[i],
+                           dtype=np.int64).reshape(CMS_D, CMS_W)
+            out[i] = min(int(m[r, idx[r, i]]) for r in range(CMS_D))
+        return pd.Series(out)
+
+    return probe(counts_col, hash_col)
+
+
 def cms_query(counts, items) -> dict:
     """Point-query the merged sketch for concrete item values: estimate =
     min over rows (the classic CMS read). Items hash with Spark's
