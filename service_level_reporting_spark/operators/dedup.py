@@ -528,17 +528,76 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the Spark side and a DuckDB scalar on the oracle side, so unlike the
 # MinHash/SimHash legs this one is fully hash-checkable.
 #
-# 100 TB posture: the block join shuffles on a 16-byte key (clone-heavy
-# corpora concentrate in few blocks — AQE skew-split applies); the O(n·m)
-# verify runs only inside blocks. Prefix blocking deliberately misses
-# edits inside the first 16 chars — the documented recall trade, exactly
-# like banding in the LSH legs; production stacks add a suffix- or
-# qgram-block pass for symmetric coverage (same join, second key).
+# 100 TB posture (r5 rework, VERDICT r4 "hot-prefix quadratic hazard"):
+# a boilerplate prefix (license headers, "The ", templated docs) can put
+# 10^5+ docs in ONE prefix block, making the in-block join quadratic. The
+# candidate join is therefore TWO-PATH on measured block sizes:
+#   * blocks with <= FUZZY_MAX_BLOCK docs join on the prefix alone (the
+#     original plan — covers everything on a healthy corpus);
+#   * oversized blocks REFINE the key to (prefix, floor(len/LEN_BAND)):
+#     the length band means a qualifying pair sits in the same or the
+#     adjacent length bucket, so two equi-joins (same-bucket +
+#     adjacent-bucket) reproduce the EXACT same pair set with per-key
+#     populations bounded by the bucket split — no recall change. Only
+#     if a single (prefix, len-bucket) still exceeds FUZZY_MAX_BLOCK is
+#     anything dropped: docs rank > FUZZY_MAX_BLOCK per sub-block
+#     (deterministic doc_id order) are excluded, and the drop is
+#     ACCOUNTED, not silent — `dedup_fuzzy_block_stats` (aux,
+#     SQL-oracled) reports blocks_total / blocks_oversized /
+#     docs_in_oversized / docs_dropped per run.
+# The O(n·m) Levenshtein verify runs only inside bounded blocks. Prefix
+# blocking deliberately misses edits inside the first 16 chars — the
+# documented recall trade, exactly like banding in the LSH legs;
+# production stacks add a suffix- or qgram-block pass for symmetric
+# coverage (same join, second key).
 # ---------------------------------------------------------------------------
 
 FUZZY_PREFIX = 16
 FUZZY_LEN_BAND = 8
 FUZZY_MAX_DIST = 10
+FUZZY_MAX_BLOCK = 256   # max docs joined per block key (candidates <= n^2)
+
+
+def _fuzzy_blocked_docs(d: DataFrame, max_block: int):
+    """(small, kept, over): docs keyed for the two-path fuzzy join.
+    `small` = docs in prefix blocks <= max_block (join on prefix alone);
+    `over` = docs in oversized blocks, refined to (prefix, len-bucket)
+    with a deterministic per-sub-block rank; `kept` = over with rank
+    <= max_block (what actually joins — the hard cap)."""
+    from pyspark.sql import Window
+
+    docs = d.select(
+        "doc_id", "text",
+        F.substring("text", 1, FUZZY_PREFIX).alias("p"),
+        F.floor(F.length("text") / FUZZY_LEN_BAND).cast("long").alias("bkt"))
+    blk = docs.groupBy("p").agg(F.count(F.lit(1)).alias("blk_n"))
+    docs = docs.join(blk, "p")
+    small = docs.where(F.col("blk_n") <= max_block)
+    over = docs.where(F.col("blk_n") > max_block).withColumn(
+        "rn", F.row_number().over(
+            Window.partitionBy("p", "bkt").orderBy("doc_id")))
+    kept = over.where(F.col("rn") <= max_block)
+    return small, kept, over
+
+
+def _fuzzy_emit(joined: DataFrame) -> DataFrame:
+    """Candidate pairs -> verified output rows, doc_a < doc_b normalized
+    (the adjacent-bucket join produces unordered pairs). Equality fast
+    path: clone pairs dominate near-dup corpora and must cost a string
+    compare, not the O(n*m) edit-distance DP."""
+    lev = F.when(F.col("fa.text") == F.col("fb.text"), F.lit(0)).otherwise(
+        F.levenshtein(F.col("fa.text"), F.col("fb.text")))
+    swap = F.col("fa.doc_id") > F.col("fb.doc_id")
+    la, lb = F.length("fa.text"), F.length("fb.text")
+    return (
+        joined.where(lev <= FUZZY_MAX_DIST)
+        .select(F.least("fa.doc_id", "fb.doc_id").alias("doc_a"),
+                F.greatest("fa.doc_id", "fb.doc_id").alias("doc_b"),
+                F.when(swap, lb).otherwise(la).cast("long").alias("len_a"),
+                F.when(swap, la).otherwise(lb).cast("long").alias("len_b"),
+                lev.cast("long").alias("lev_dist"),
+                F.round(1.0 - lev / F.greatest(la, lb), 6).alias("sim"))
+    )
 
 
 @register(
@@ -563,30 +622,77 @@ FUZZY_MAX_DIST = 10
     FROM cand WHERE lev_dist <= {FUZZY_MAX_DIST}
     """,
 )
-def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str,
+                      max_block: int = FUZZY_MAX_BLOCK) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    a = d.alias("fa")
-    b = d.alias("fb")
-    block = (F.substring(F.col("fa.text"), 1, FUZZY_PREFIX)
-             == F.substring(F.col("fb.text"), 1, FUZZY_PREFIX))
+    small, kept, _ = _fuzzy_blocked_docs(d, max_block)
     band = (F.abs(F.length("fa.text") - F.length("fb.text"))
             <= FUZZY_LEN_BAND)
-    # equality fast path: clone pairs dominate near-dup corpora and must
-    # cost a string compare, not the O(n*m) edit-distance DP
-    lev = F.when(F.col("fa.text") == F.col("fb.text"), F.lit(0)).otherwise(
-        F.levenshtein(F.col("fa.text"), F.col("fb.text")))
-    return (
-        a.join(b, block & (F.col("fa.doc_id") < F.col("fb.doc_id")) & band)
-        .where(lev <= FUZZY_MAX_DIST)
-        .select(F.col("fa.doc_id").alias("doc_a"),
-                F.col("fb.doc_id").alias("doc_b"),
-                F.length("fa.text").cast("long").alias("len_a"),
-                F.length("fb.text").cast("long").alias("len_b"),
-                lev.cast("long").alias("lev_dist"),
-                F.round(1.0 - lev / F.greatest(F.length("fa.text"),
-                                               F.length("fb.text")), 6)
-                .alias("sim"))
+    lt = F.col("fa.doc_id") < F.col("fb.doc_id")
+    peq = F.col("fa.p") == F.col("fb.p")
+    # path 1: healthy blocks — prefix equi-join, the original plan
+    p1 = small.alias("fa").join(small.alias("fb"), peq & lt & band)
+    # path 2: oversized blocks — (prefix, len-bucket) equi-joins; a
+    # band-qualifying pair is in the same or the adjacent bucket, so the
+    # two joins cover exactly the path-1 pair set for these docs
+    ka, kb = kept.alias("fa"), kept.alias("fb")
+    p2_same = ka.join(kb, peq & (F.col("fa.bkt") == F.col("fb.bkt"))
+                      & lt & band)
+    p2_adj = ka.join(kb, peq & (F.col("fa.bkt") + 1 == F.col("fb.bkt"))
+                     & band)           # unordered; _fuzzy_emit normalizes
+    return (_fuzzy_emit(p1)
+            .unionByName(_fuzzy_emit(p2_same))
+            .unionByName(_fuzzy_emit(p2_adj)))
+
+
+@register(
+    "dedup_fuzzy_block_stats",
+    aux=True,   # SQL-oracled, checked by the pytest differential
+    oracle=f"""
+    -- the no-silent-caps accounting for dedup_fuzzy_pairs: how many
+    -- prefix blocks exceed the join cap, and how many docs the refined
+    -- (prefix, len-bucket) sub-blocking still had to drop
+    WITH d AS (
+        SELECT doc_id, substring(text, 1, {FUZZY_PREFIX}) AS p,
+               CAST(floor(length(text) / {FUZZY_LEN_BAND}) AS BIGINT) AS bkt
+        FROM documents
+    ),
+    blk AS (SELECT p, count(*) AS c FROM d GROUP BY p),
+    over_docs AS (
+        SELECT d.* FROM d JOIN blk USING (p) WHERE blk.c > {FUZZY_MAX_BLOCK}
+    ),
+    ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY p, bkt
+                                     ORDER BY doc_id) AS rn
+        FROM over_docs
     )
+    SELECT (SELECT count(*) FROM blk) AS blocks_total,
+           (SELECT count(*) FROM blk
+             WHERE c > {FUZZY_MAX_BLOCK}) AS blocks_oversized,
+           (SELECT count(*) FROM over_docs) AS docs_in_oversized,
+           (SELECT count(*) FROM ranked
+             WHERE rn > {FUZZY_MAX_BLOCK}) AS docs_dropped
+    """,
+)
+def dedup_fuzzy_block_stats(spark: SparkSession, sf_dir: str,
+                            max_block: int = FUZZY_MAX_BLOCK) -> DataFrame:
+    """Dropped-volume accounting for the fuzzy-dedup cap (r5): one row of
+    block-size facts so a capped run is visible in the driver artifact,
+    never silent. docs_dropped > 0 means FUZZY_MAX_BLOCK bit on a
+    same-prefix same-length-bucket population and recall is bounded for
+    those docs only."""
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    _, kept, over = _fuzzy_blocked_docs(d, max_block)
+    docs = d.select(F.substring("text", 1, FUZZY_PREFIX).alias("p"))
+    blk = docs.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
+    stats = blk.agg(
+        F.count(F.lit(1)).alias("blocks_total"),
+        F.sum(F.when(F.col("c") > max_block, 1).otherwise(0))
+        .cast("long").alias("blocks_oversized"))
+    over_n = over.agg(F.count(F.lit(1)).alias("docs_in_oversized"))
+    dropped = over.where(F.col("rn") > max_block).agg(
+        F.count(F.lit(1)).alias("docs_dropped"))
+    return stats.crossJoin(over_n).crossJoin(dropped)
 
 
 # ---------------------------------------------------------------------------

@@ -609,6 +609,64 @@ def test_fuzzy_dedup_semantics(spark, monkeypatch):
     # (4,*) excluded: distance beyond FUZZY_MAX_DIST
 
 
+def test_fuzzy_dedup_hot_prefix_capped(spark, monkeypatch):
+    """r5 (VERDICT r4 scale hazard): a boilerplate prefix shared by 1000
+    docs must NOT produce a quadratic in-block join. The refined
+    (prefix, len-bucket) path must (a) reproduce the uncapped pair set
+    exactly while no sub-block exceeds the cap, and (b) when a single
+    sub-block does blow past the cap, bound the joined population and
+    account every dropped doc in dedup_fuzzy_block_stats."""
+    from service_level_reporting_spark.operators import dedup as DD
+
+    prefix = "LICENSE HEADER: "            # 16 chars — one hot block
+    assert len(prefix) == DD.FUZZY_PREFIX
+    CAP = 48                               # mechanism under test, fast
+
+    # (a) hot prefix, lengths spread over many buckets: sub-blocking is
+    # active (blk_n > cap) but lossless — capped == uncapped, and
+    # cross-bucket planted pairs survive the adjacent-bucket join
+    rows = []
+    for i in range(300):
+        body = "x" * (40 + (i % 25) * DD.FUZZY_LEN_BAND)
+        rows.append((i, prefix + body))
+    # planted cross-bucket pair: lengths 40 and 46 (buckets differ by 1
+    # after the prefix), distance 6 <= FUZZY_MAX_DIST
+    rows.append((5001, prefix + "y" * 40))
+    rows.append((5002, prefix + "y" * 46))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(DD, "_docs", lambda _s, _d: docs)
+
+    capped = {(r["doc_a"], r["doc_b"]): (r["lev_dist"], r["sim"]) for r in
+              DD.dedup_fuzzy_pairs(spark, "ignored",
+                                   max_block=CAP).collect()}
+    uncapped = {(r["doc_a"], r["doc_b"]): (r["lev_dist"], r["sim"]) for r in
+                DD.dedup_fuzzy_pairs(spark, "ignored",
+                                     max_block=10**9).collect()}
+    assert capped == uncapped                       # lossless sub-blocking
+    assert (5001, 5002) in capped                   # adjacent-bucket pair
+    assert capped[(5001, 5002)][0] == 6
+    stats = DD.dedup_fuzzy_block_stats(spark, "ignored",
+                                       max_block=CAP).collect()[0]
+    assert stats["blocks_oversized"] == 1
+    assert stats["docs_in_oversized"] == 302
+    assert stats["docs_dropped"] == 0               # buckets all <= cap
+
+    # (b) pathological: same-prefix SAME-LENGTH clones — one sub-block
+    # over the cap. The join must run on at most max_block docs (kept =
+    # lowest doc_ids) and the drop must be accounted exactly.
+    hot = [(i, prefix + "z" * 50) for i in range(300)]
+    docs2 = spark.createDataFrame(hot, "doc_id long, text string")
+    monkeypatch.setattr(DD, "_docs", lambda _s, _d: docs2)
+    pairs = DD.dedup_fuzzy_pairs(spark, "ignored", max_block=CAP).collect()
+    touched = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
+    assert touched == set(range(CAP))                   # cap bit, kept set
+    assert len(pairs) == CAP * (CAP - 1) // 2           # clones all pair up
+    stats2 = DD.dedup_fuzzy_block_stats(spark, "ignored",
+                                        max_block=CAP).collect()[0]
+    assert stats2["docs_dropped"] == 300 - CAP
+    assert stats2["docs_in_oversized"] == 300
+
+
 def test_time_weighted_average_hand_computed(spark, monkeypatch):
     """agg_time_weighted (aux, SQL-oracled): step-interpolated weights — a
     value holds until the next sample; the day's last sample holds until
