@@ -370,7 +370,8 @@ def test_pipeline_image_legs_are_real(spark):
 
     rows = MM.multimodal_pipeline(spark, SF_DIR_001).collect()
     assert {r["stage"] for r in rows} == {
-        "features", "resize", "frame_sample", "wav_decode", "phash_dedup"}
+        "features", "resize", "frame_sample", "wav_decode", "phash_dedup",
+        "video_near_dup", "audio_near_dup"}
     feats = {r["key"]: r for r in rows if r["stage"] == "features"}
     assert set(feats) == {"image/bmp", "image/png", "image/jpeg",
                           "image/gif", "audio/wav", "video/avi"}
@@ -834,6 +835,28 @@ def test_phash_cross_format_near_dup(spark):
     stages = {r["stage"] for r in
               MM.multimodal_pipeline(spark, SF_DIR_001).collect()}
     assert "phash_dedup" in stages
+
+
+def test_video_audio_near_dup_driver_stages(spark):
+    """r5 (VERDICT item 7): the video and audio near-dup legs are scored
+    in the driver artifact, not just API pytest — each plants re-encoded
+    clones from sf docs and must recover ALL of them (planted_found ==
+    n_planted in n2) with zero false pairs and high match_frac."""
+    vrows = {r["key"]: r for r in
+             MM.multimodal_video_near_dup(spark, SF_DIR_001).collect()}
+    assert vrows["planted_found"]["n"] == vrows["planted_found"]["n2"] > 0
+    assert vrows["total_pairs"]["n"] == vrows["planted_found"]["n"]  # no FPs
+    assert vrows["planted_found"]["v"] == 1.0      # every frame matched
+
+    arows = {r["key"]: r for r in
+             MM.multimodal_audio_near_dup(spark, SF_DIR_001).collect()}
+    assert arows["planted_found"]["n"] == arows["planted_found"]["n2"] > 0
+    assert arows["total_pairs"]["n"] == arows["planted_found"]["n"]  # no FPs
+    assert arows["total_pairs"]["v"] >= 0.8        # weakest planted pair
+
+    stages = {r["stage"] for r in
+              MM.multimodal_pipeline(spark, SF_DIR_001).collect()}
+    assert {"video_near_dup", "audio_near_dup"} <= stages
 
 
 def test_video_phash_cross_codec_near_dup(spark):
