@@ -318,7 +318,30 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — artifact must survive
             result["sf10_error"] = f"{type(exc).__name__}: {exc}"[:300]
 
-    print(json.dumps(result))
+    # r5 (VERDICT item 3): the full JSON outgrew the driver's tail capture
+    # in r4 ("parsed": null — a truncated string as the artifact of
+    # record). The COMPLETE result now lands in BENCH.json next to this
+    # script; stdout carries a compact line with the contract fields
+    # (metric/value/unit/queries/sf) + headline ratios and a pointer, so
+    # the driver's parse always succeeds and per-query times stay
+    # recoverable from the committed file.
+    full_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             "BENCH.json")
+    with open(full_path, "w") as fh:
+        json.dump(result, fh, indent=1)
+    compact = {k: result[k] for k in
+               ("metric", "value", "unit", "queries", "sf",
+                "baseline_total_sec", "ratio_vs_baseline")}
+    for blk in ("sf1", "sf10"):
+        if blk in result:
+            compact[blk] = {
+                "total_sec": result[blk]["total_sec"],
+                "baseline_total_sec": result[blk]["baseline_total_sec"],
+                "ratio_vs_baseline": result[blk]["ratio_vs_baseline"]}
+        elif f"{blk}_error" in result:
+            compact[f"{blk}_error"] = result[f"{blk}_error"]
+    compact["full"] = "BENCH.json"
+    print(json.dumps(compact))
     spark.stop()
 
 
