@@ -244,9 +244,10 @@ EMB_DUP_THRESHOLD = 0.5
     """,
     aux=True,
 )
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
+                           threshold: float = EMB_DUP_THRESHOLD) -> DataFrame:
     e, n = _emb_n(spark, sf_dir)
-    sims = _block_pair_sims(e, threshold=EMB_DUP_THRESHOLD, local_topk=None,
+    sims = _block_pair_sims(e, threshold=threshold, local_topk=None,
                             n_rows=n)
     return sims.select("vec_a", "vec_b",
                        F.round("cos_sim_raw", 6).alias("cos_sim"))
@@ -964,7 +965,8 @@ ANN_SEED = 1337
 
 @register("dedup_embedding_ann")  # rows-only: candidate set is approximate
 def dedup_embedding_ann(spark: SparkSession, sf_dir: str,
-                        bucket_populations: DataFrame | None = None) -> DataFrame:
+                        bucket_populations: DataFrame | None = None,
+                        threshold: float = EMB_DUP_THRESHOLD) -> DataFrame:
     """Same fused tile machinery as similarity_ann_lsh, thresholded: only
     pairs with exact cosine >= EMB_DUP_THRESHOLD leave the kernel, so the
     dense candidate sets a clone-heavy corpus produces are filtered inside
@@ -978,7 +980,7 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str,
     sig) counts, SAME seed/tables) — skips the per-query bucket-stats
     aggregate; see lsh_blocks."""
     e, n = _emb_n(spark, sf_dir)
-    sims = _lsh_tile_scores(e, ANN_N_TABLES, threshold=EMB_DUP_THRESHOLD,
+    sims = _lsh_tile_scores(e, ANN_N_TABLES, threshold=threshold,
                             local_topk=None, seed=ANN_SEED, n_rows=n,
                             bucket_populations=bucket_populations)
     return (

@@ -1,0 +1,182 @@
+"""ANN at its design scale (r5, VERDICT item 4): the 100 TB ANN claim so
+far rested on sf0.01 recall pytest + sf1 wall-time. This probe stages a
+synthetic 10^6 x 64-d corpus and measures the REAL operators:
+
+* `dedup_embedding_ann` (8-table LSH, corpus-scaled planes, bounded
+  sub-tiles) vs the exact blocked-GEMM `dedup_embedding_cosine` — wall
+  time AND recall against 500 PLANTED near-dup pairs (the only tractable
+  ground truth at 10^6: the exact thresholded pair set is known by
+  construction; both run at threshold 0.9 — at 10^6 isotropic vectors the
+  expected count of RANDOM pairs over 0.9 is ~0, so planted == truth,
+  which the exact run verifies).
+* `similarity_knn_query` (exact full-corpus scan) vs `similarity_knn_ivf`
+  and `similarity_knn_ivf_pq` through the PERSISTED index path
+  (save_ivf_index -> load_ivf_index -> probe): index build+write time,
+  reload time, per-query latency, recall@k vs the exact top-k.
+
+Corpus: iid standard normal, unit-normalized (isotropic — the honest hard
+case for threshold recall; cosine concentration at d=64 puts random pairs
+~N(0, 1/8), so 0.9 is ~7 sigma and the planted pairs at ~0.995 are the
+entire truth set). 500 planted clones: base vector + 0.05-sigma noise,
+re-normalized, ids offset by CLONE_OFF.
+
+Usage: python tools/ann_scale_probe.py [n_base]   (default 1_000_000)
+Output: one JSON line; recorded in SCALE.md §ANN and BENCH notes.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from service_level_reporting_spark.session import get_spark
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
+DIR = "/tmp/slr_ann1m"
+MARKER = os.path.join(DIR, "_SLR_BUILD_OK")
+INDEX_DIR = "/tmp/slr_ann1m_index"
+DIM = 64
+N_PLANTED = 500
+CLONE_OFF = 1_500_000
+PROBE_THRESHOLD = 0.9
+
+
+def build(spark, n_base: int) -> None:
+    if os.path.exists(MARKER):
+        return
+    import numpy as np
+    import pandas as pd
+
+    shutil.rmtree(DIR, ignore_errors=True)
+    os.makedirs(DIR, exist_ok=True)
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            out = []
+            # seed per contiguous chunk so generation is deterministic
+            # regardless of partitioning
+            rng = np.random.default_rng(int(ids[0]) + 977)
+            m = rng.standard_normal((len(ids), DIM))
+            m /= np.linalg.norm(m, axis=1, keepdims=True)
+            yield pd.DataFrame({
+                "vec_id": ids,
+                "embedding": [r.astype(np.float32) for r in m],
+                "label": (ids % 10).astype("int32"),
+            })
+
+    base = (spark.range(0, n_base, numPartitions=32)
+            .mapInPandas(gen, schema="vec_id long, "
+                                     "embedding array<float>, label int"))
+
+    def clone(batches):
+        for pdf in batches:
+            rows = {"vec_id": [], "embedding": [], "label": []}
+            for vid, emb, lab in zip(pdf["vec_id"], pdf["embedding"],
+                                     pdf["label"]):
+                rng = np.random.default_rng(int(vid) + 31337)
+                v = np.asarray(emb, dtype=np.float64)
+                v = v + 0.05 * rng.standard_normal(DIM)
+                v /= np.linalg.norm(v)
+                rows["vec_id"].append(int(vid) + CLONE_OFF)
+                rows["embedding"].append(v.astype(np.float32))
+                rows["label"].append(int(lab))
+            yield pd.DataFrame(rows)
+
+    clones = (base.where(F.col("vec_id") < N_PLANTED)
+              .mapInPandas(clone, schema="vec_id long, "
+                                         "embedding array<float>, label int"))
+    (base.unionByName(clones).repartition(32)
+     .write.mode("overwrite").parquet(os.path.join(DIR, "embeddings.parquet")))
+    with open(MARKER, "w") as fh:
+        fh.write("ok")
+    print("staged 1M embeddings", file=sys.stderr)
+
+
+def timed(fn, n: int = 1):
+    best, out = None, None
+    for _ in range(n):
+        t0 = time.perf_counter()
+        out = fn()
+        dt = time.perf_counter() - t0
+        best = dt if best is None or dt < best else best
+    return round(best, 3), out
+
+
+def main() -> None:
+    from service_level_reporting_spark.operators import similarity as SIM
+
+    n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    spark = get_spark(app_name="slr-ann-probe", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    build(spark, n_base)
+    out = {"metric": "ann_scale_probe", "n_vectors": n_base + N_PLANTED,
+           "dim": DIM, "threshold": PROBE_THRESHOLD}
+
+    planted = {(i, i + CLONE_OFF) for i in range(N_PLANTED)}
+
+    # --- near-dup pair search: ANN (bucketed) vs exact (blocked GEMM) ----
+    ann_sec, ann_rows = timed(lambda: SIM.dedup_embedding_ann(
+        spark, DIR, threshold=PROBE_THRESHOLD).collect())
+    ann_pairs = {(r["vec_a"], r["vec_b"]) for r in ann_rows}
+    out["dedup_ann"] = {
+        "sec": ann_sec, "pairs": len(ann_pairs),
+        "planted_recall": round(
+            len(ann_pairs & planted) / len(planted), 4),
+        "non_planted_pairs": len(ann_pairs - planted),
+    }
+    print(f"ann dedup: {out['dedup_ann']}", file=sys.stderr)
+
+    exact_sec, exact_rows = timed(lambda: SIM.dedup_embedding_cosine(
+        spark, DIR, threshold=PROBE_THRESHOLD).collect())
+    exact_pairs = {(r["vec_a"], r["vec_b"]) for r in exact_rows}
+    out["dedup_exact_gemm"] = {
+        "sec": exact_sec, "pairs": len(exact_pairs),
+        "planted_recall": round(
+            len(exact_pairs & planted) / len(planted), 4),
+        "ann_recall_vs_exact": round(
+            len(ann_pairs & exact_pairs) / max(1, len(exact_pairs)), 4),
+        "speedup_ann": round(exact_sec / ann_sec, 2) if ann_sec else None,
+    }
+    print(f"exact dedup: {out['dedup_exact_gemm']}", file=sys.stderr)
+
+    # --- KNN: exact scan vs persisted-index IVF / IVF-PQ -----------------
+    ex_sec, ex_rows = timed(
+        lambda: SIM.similarity_knn_query(spark, DIR).collect(), n=3)
+    exact_ids = [r["vec_id"] for r in ex_rows]
+    out["knn_exact"] = {"sec": ex_sec, "top": exact_ids}
+
+    build_sec, _ = timed(
+        lambda: SIM.save_ivf_index(spark, DIR, INDEX_DIR))
+    load_sec, idx = timed(lambda: SIM.load_ivf_index(spark, INDEX_DIR))
+    ivf_sec, ivf_rows = timed(
+        lambda: SIM.similarity_knn_ivf(spark, DIR, index=idx).collect(), n=3)
+    pq_sec, pq_rows = timed(
+        lambda: SIM.similarity_knn_ivf_pq(spark, DIR, index=idx).collect(),
+        n=3)
+    k = len(exact_ids)
+    out["knn_ivf"] = {
+        "index_build_write_sec": build_sec, "index_load_sec": load_sec,
+        "sec": ivf_sec,
+        "recall_at_k": round(len(set(exact_ids)
+                                 & {r["vec_id"] for r in ivf_rows}) / k, 4)}
+    out["knn_ivf_pq"] = {
+        "sec": pq_sec,
+        "recall_at_k": round(len(set(exact_ids)
+                                 & {r["vec_id"] for r in pq_rows}) / k, 4)}
+    print(f"knn: exact {ex_sec}s ivf {ivf_sec}s pq {pq_sec}s",
+          file=sys.stderr)
+
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
