@@ -31,12 +31,30 @@ os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
 SF30 = "/tmp/slr_sf30"
 MARKER = os.path.join(SF30, "_SLR_BUILD_OK")
 KEY_SHIFT_30 = 10_000_000_000_000   # sf10 keys reach ~1e12; stay disjoint
-QUERIES = ["pricing_summary", "top_revenue_orders"]
+QUERIES = ["pricing_summary", "top_revenue_orders", "dedup_exact"]
 N_RUNS = 5
 
 
 def build_sf30(spark) -> None:
     if os.path.exists(MARKER):
+        # r5 incremental: documents joined the probe set after the first
+        # stage — backfill it without re-staging orders/lineitem
+        doc_path = os.path.join(SF30, "documents.parquet")
+        if not os.path.isdir(doc_path):
+            floor_curve.build_sf10(spark)
+            base = load_tables(spark, floor_curve.SF10,
+                               ("documents",))["documents"]
+            copies = [
+                base.select((F.col("doc_id")
+                             + F.lit(i * KEY_SHIFT_30)).alias("doc_id"),
+                            *[c for c in base.columns if c != "doc_id"])
+                for i in range(3)
+            ]
+            df = copies[0]
+            for c in copies[1:]:
+                df = df.unionByName(c)
+            df.repartition(64).write.mode("overwrite").parquet(doc_path)
+            print("staged sf30 documents", file=sys.stderr)
         return
     floor_curve.build_sf10(spark)
     os.makedirs(SF30, exist_ok=True)
@@ -44,7 +62,8 @@ def build_sf30(spark) -> None:
         (load_tables(spark, floor_curve.SF10, (name,))[name]
          .write.mode("overwrite").parquet(os.path.join(SF30, f"{name}.parquet")))
     for name, cols in (("orders", ("o_orderkey",)),
-                       ("lineitem", ("l_orderkey",))):
+                       ("lineitem", ("l_orderkey",)),
+                       ("documents", ("doc_id",))):
         base = load_tables(spark, floor_curve.SF10, (name,))[name]
         copies = [
             base.select(*[
@@ -69,17 +88,33 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     build_sf30(spark)
     clear_table_cache()
-    cache_tables(spark, SF30, ("lineitem", "orders", "customer"))
+    cache_tables(spark, SF30, ("lineitem", "orders", "customer",
+                               "documents"))
     out = {"sf": 30, "n_runs": N_RUNS, "queries": {}}
     oracles = registry.aux_oracles()
+    qs = registry.aux_queries()
+    import statistics
+    import time as _time
     for name in QUERIES:
-        s = floor_curve.spark_best(spark, SF30, name, n=N_RUNS)
-        d = floor_curve.duckdb_best(SF30, oracles[name], n=N_RUNS)
+        # r5 (VERDICT item 1): engines interleaved pair-by-pair with the
+        # run arrays + spread recorded, the same variance-bounded method
+        # as tools/variance_probe.py at sf10
+        qs[name](spark, SF30).collect()          # warm-up
+        d_runs, s_runs = [], []
+        for _ in range(N_RUNS):
+            d_runs.append(floor_curve.duckdb_best(SF30, oracles[name], n=1))
+            t0 = _time.perf_counter()
+            qs[name](spark, SF30).collect()
+            s_runs.append(round(_time.perf_counter() - t0, 4))
+        pair_ratios = [round(s / d, 3) for s, d in zip(s_runs, d_runs)]
         out["queries"][name] = {
-            "spark_sec": s, "duckdb_sec": d,
-            "ratio": round(s / d, 3) if d else None}
-        print(f"{name}: spark {s}s duckdb {d}s ratio "
-              f"{out['queries'][name]['ratio']}", file=sys.stderr)
+            "spark_runs": s_runs, "duckdb_runs": d_runs,
+            "ratio_of_mins": round(min(s_runs) / min(d_runs), 3),
+            "ratio_of_medians": round(statistics.median(s_runs)
+                                      / statistics.median(d_runs), 3),
+            "pair_ratio_spread": round(max(pair_ratios)
+                                       / min(pair_ratios), 3)}
+        print(f"{name}: {out['queries'][name]}", file=sys.stderr)
     print(json.dumps(out))
 
 
