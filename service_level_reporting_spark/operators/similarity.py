@@ -279,7 +279,8 @@ IVF_NPROBE = 4       # buckets probed per query
 IVF_TRAIN_CAP = 2048  # driver-side training sample bound
 
 
-def _train_sample(e: DataFrame, n_rows: int | None = None):
+def _train_sample(e: DataFrame, n_rows: int | None = None,
+                  cap: int = IVF_TRAIN_CAP):
     """ONE bounded driver-side collect of ≤ IVF_TRAIN_CAP unit rows,
     deterministic stride sampling (no RNG — resume-safe). Shared by the
     coarse-centroid AND PQ-codebook trainers (VERDICT r2: the old per-
@@ -289,9 +290,9 @@ def _train_sample(e: DataFrame, n_rows: int | None = None):
     import numpy as np
 
     n = n_rows if n_rows is not None else e.count()
-    stride = max(1, n // IVF_TRAIN_CAP)
+    stride = max(1, n // cap)
     sample = (e.where(F.col("vec_id") % stride == 0)
-              .select("emb").limit(IVF_TRAIN_CAP).collect())
+              .select("emb").limit(cap).collect())
     x = np.array([r["emb"] for r in sample], dtype=np.float64)
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
@@ -342,7 +343,8 @@ def _assign_udf(centroids):
     return pandas_udf(assign, "int")
 
 
-def _ivf_index(spark: SparkSession, sf_dir: str) -> dict:
+def _ivf_index(spark: SparkSession, sf_dir: str,
+               k: int = IVF_K) -> dict:
     """Build the IVF index ONCE: one sample collect, one coarse codebook,
     one assignment column. The IVF-flat and IVF-PQ legs both consume this
     (VERDICT r2 item 3: each leg used to train and assign independently —
@@ -351,14 +353,18 @@ def _ivf_index(spark: SparkSession, sf_dir: str) -> dict:
     catalog, `indexed` written partitioned by centroid_id)."""
     e = _with_norm(_emb(spark, sf_dir))
     n = table_row_count(sf_dir, "embeddings")
-    x = _train_sample(e, n_rows=n)
-    coarse = _train_centroids(x)
+    # train-sample size follows the codebook (>= 32 rows/centroid), so a
+    # corpus-scaled k (the production knob: k ~ sqrt(n)) trains on enough
+    # data without unbounding the driver collect
+    x = _train_sample(e, n_rows=n, cap=max(IVF_TRAIN_CAP, 32 * k))
+    coarse = _train_centroids(x, k=k)
     indexed = e.withColumn("centroid_id", _assign_udf(coarse)("emb"))
     return {"e": e, "x": x, "coarse": coarse, "indexed": indexed}
 
 
 def similarity_knn_ivf(spark: SparkSession, sf_dir: str,
-                       index: dict | None = None) -> DataFrame:
+                       index: dict | None = None,
+                       nprobe: int = IVF_NPROBE) -> DataFrame:
     idx = index if index is not None else _ivf_index(spark, sf_dir)
     e, centroids, indexed = idx["e"], idx["coarse"], idx["indexed"]
 
@@ -367,7 +373,7 @@ def similarity_knn_ivf(spark: SparkSession, sf_dir: str,
     q_row = e.where(F.col("vec_id") == KNN_QUERY_VEC_ID).select("emb").first()
     q = np.asarray(q_row["emb"], dtype=np.float64)
     qn = np.linalg.norm(q)
-    probe = np.argsort(-(centroids @ (q / (qn or 1.0))))[:IVF_NPROBE].tolist()
+    probe = np.argsort(-(centroids @ (q / (qn or 1.0))))[:nprobe].tolist()
 
     qdf = (e.where(F.col("vec_id") == KNN_QUERY_VEC_ID)
            .select(F.col("emb").alias("ea"), F.col("norm").alias("na")))
@@ -488,7 +494,9 @@ def _adc_udf(lut, qc_dots):
 
 
 def similarity_knn_ivf_pq(spark: SparkSession, sf_dir: str,
-                          index: dict | None = None) -> DataFrame:
+                          index: dict | None = None,
+                          nprobe: int = IVF_NPROBE,
+                          refine: int = PQ_REFINE) -> DataFrame:
     import numpy as np
 
     idx = index if index is not None else _ivf_index(spark, sf_dir)
@@ -505,7 +513,7 @@ def similarity_knn_ivf_pq(spark: SparkSession, sf_dir: str,
     q = np.asarray(q_row["emb"], dtype=np.float64)
     q = q / (np.linalg.norm(q) or 1.0)
     qc_dots = coarse @ q
-    probe = [int(p) for p in np.argsort(-qc_dots)[:IVF_NPROBE]]
+    probe = [int(p) for p in np.argsort(-qc_dots)[:nprobe]]
     d_sub = len(q) // PQ_M
     lut = np.stack([books[j] @ q[j * d_sub:(j + 1) * d_sub]
                     for j in range(PQ_M)])
@@ -515,7 +523,7 @@ def similarity_knn_ivf_pq(spark: SparkSession, sf_dir: str,
         .where(F.col("vec_id") != KNN_QUERY_VEC_ID)
         .withColumn("adc", _adc_udf(lut, qc_dots)("centroid_id", "code"))
         .orderBy(F.desc("adc"), F.asc("vec_id"))
-        .limit(PQ_REFINE * KNN_K)
+        .limit(refine * KNN_K)
     )
     qdf = (e.where(F.col("vec_id") == KNN_QUERY_VEC_ID)
            .select(F.col("emb").alias("ea"), F.col("norm").alias("na")))
@@ -802,24 +810,25 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str,
 _IVF_MEMO: dict[tuple, dict] = {}
 
 
-def shared_ivf_index(spark: SparkSession, sf_dir: str) -> dict:
+def shared_ivf_index(spark: SparkSession, sf_dir: str,
+                     k: int = IVF_K) -> dict:
     import os
 
     from service_level_reporting_spark.tables import source_fingerprint
 
     if not os.path.isdir(sf_dir):
-        return _ivf_index(spark, sf_dir)
+        return _ivf_index(spark, sf_dir, k=k)
     app = spark.sparkContext.applicationId
     path, mtime = source_fingerprint(sf_dir, "embeddings")
-    key = (app, path, mtime)
+    key = (app, path, mtime, k)
     idx = _IVF_MEMO.get(key)
     if idx is None:
-        for old in [k for k in _IVF_MEMO if k[:2] == (app, path)]:
+        for old in [mk for mk in _IVF_MEMO if mk[:2] == (app, path)]:
             try:
                 _IVF_MEMO.pop(old)["indexed"].unpersist()
             except Exception:
                 pass
-        idx = _ivf_index(spark, sf_dir)
+        idx = _ivf_index(spark, sf_dir, k=k)
         # the assignment column is the expensive distributed pass — keep it
         # (at cluster scale this is the index written partitioned by
         # centroid_id; in-session, Spark's columnar cache plays that role)
@@ -828,7 +837,8 @@ def shared_ivf_index(spark: SparkSession, sf_dir: str) -> dict:
     return idx
 
 
-def save_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
+def save_ivf_index(spark: SparkSession, sf_dir: str, path: str,
+                   k: int = IVF_K) -> None:
     """Persist the trained IVF-PQ index as tables — build once, query many
     SESSIONS, which is what an index is for (the session memo above only
     amortizes within one process; at 100 TB the assignment pass alone is a
@@ -843,7 +853,7 @@ def save_ivf_index(spark: SparkSession, sf_dir: str, path: str) -> None:
                             skips non-probed cells before any IO) — the
                             at-rest layout the in-session `.persist()`
                             stands in for."""
-    idx = shared_ivf_index(spark, sf_dir)
+    idx = shared_ivf_index(spark, sf_dir, k=k)
     coarse = idx["coarse"]
     books = _train_pq(idx["x"], coarse)
     indexed = idx["indexed"].withColumn(

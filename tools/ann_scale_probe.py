@@ -17,8 +17,15 @@ synthetic 10^6 x 64-d corpus and measures the REAL operators:
 Corpus: iid standard normal, unit-normalized (isotropic — the honest hard
 case for threshold recall; cosine concentration at d=64 puts random pairs
 ~N(0, 1/8), so 0.9 is ~7 sigma and the planted pairs at ~0.995 are the
-entire truth set). 500 planted clones: base vector + 0.05-sigma noise,
-re-normalized, ids offset by CLONE_OFF.
+entire truth set). 500 planted clones: base vector + 0.03-sigma noise,
+re-normalized (cos ~0.97 — strong near-dups, comfortably inside the 0.9
+threshold; 0.05-sigma put the planted cosines ON the threshold and
+measured the threshold boundary, not recall), ids offset by CLONE_OFF.
+
+Index knobs scale with the corpus (the production tuning surface,
+threaded through as parameters in r5): centroids k ~ sqrt(n)/8, nprobe
+k/16, PQ refine 40 — the sf-fixture defaults (k=16, nprobe=4, refine=12)
+are sized for 2k vectors and measured recall 0.2-0.8 at 10^5.
 
 Usage: python tools/ann_scale_probe.py [n_base]   (default 1_000_000)
 Output: one JSON line; recorded in SCALE.md §ANN and BENCH notes.
@@ -84,7 +91,7 @@ def build(spark, n_base: int) -> None:
                                      pdf["label"]):
                 rng = np.random.default_rng(int(vid) + 31337)
                 v = np.asarray(emb, dtype=np.float64)
-                v = v + 0.05 * rng.standard_normal(DIM)
+                v = v + 0.03 * rng.standard_normal(DIM)
                 v /= np.linalg.norm(v)
                 rows["vec_id"].append(int(vid) + CLONE_OFF)
                 rows["embedding"].append(v.astype(np.float32))
@@ -154,13 +161,23 @@ def main() -> None:
     exact_ids = [r["vec_id"] for r in ex_rows]
     out["knn_exact"] = {"sec": ex_sec, "top": exact_ids}
 
+    import math
+
+    n_tot = n_base + N_PLANTED
+    ivf_k = max(SIM.IVF_K, int(math.sqrt(n_tot) / 8))
+    nprobe = max(SIM.IVF_NPROBE, ivf_k // 16)
+    refine = 40
+    out["index_knobs"] = {"k": ivf_k, "nprobe": nprobe, "refine": refine}
     build_sec, _ = timed(
-        lambda: SIM.save_ivf_index(spark, DIR, INDEX_DIR))
+        lambda: SIM.save_ivf_index(spark, DIR, INDEX_DIR, k=ivf_k))
     load_sec, idx = timed(lambda: SIM.load_ivf_index(spark, INDEX_DIR))
     ivf_sec, ivf_rows = timed(
-        lambda: SIM.similarity_knn_ivf(spark, DIR, index=idx).collect(), n=3)
+        lambda: SIM.similarity_knn_ivf(spark, DIR, index=idx,
+                                       nprobe=nprobe).collect(), n=3)
     pq_sec, pq_rows = timed(
-        lambda: SIM.similarity_knn_ivf_pq(spark, DIR, index=idx).collect(),
+        lambda: SIM.similarity_knn_ivf_pq(spark, DIR, index=idx,
+                                          nprobe=nprobe,
+                                          refine=refine).collect(),
         n=3)
     k = len(exact_ids)
     out["knn_ivf"] = {
