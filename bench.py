@@ -192,6 +192,11 @@ def measure_pairwise(spark, sf_dir: str, names: list[str], n_runs: int,
             s_runs.append(time.perf_counter() - t0)
         spark_out[name] = round(min(s_runs), 4)
         duck_out[name] = round(min(d_runs), 4) if d_runs else None
+        # r5 (VERDICT item 1): the full run arrays ride in BENCH.json so
+        # every recorded ratio carries its variance, not just its min
+        notes.setdefault("_runs", {})[name] = {  # type: ignore[union-attr]
+            "spark": [round(x, 4) for x in s_runs],
+            "duckdb": [round(x, 4) for x in d_runs]}
     return spark_out, duck_out, notes
 
 
@@ -199,6 +204,7 @@ def _ratio_block(timings: dict, baseline: dict, notes: dict) -> dict:
     """Totals + ratio over the queries that have a valid baseline; queries
     whose oracle errored stay visible in `queries` and `baseline_notes` but
     cannot poison the ratio."""
+    runs = notes.pop("_runs", None)
     valid = [n for n in timings if baseline.get(n) is not None]
     total = round(sum(timings.values()), 4)
     base_total = round(sum(baseline[n] for n in valid), 4)
@@ -215,6 +221,8 @@ def _ratio_block(timings: dict, baseline: dict, notes: dict) -> dict:
                 if baseline.get(n) else None)
             for n in timings},
     }
+    if runs:
+        block["runs"] = runs
     if notes:
         block["baseline_notes"] = notes
     return block
@@ -261,6 +269,7 @@ def main() -> None:
         "baseline_sec_recorded": BASELINE_SEC_RECORDED,
         "ratio_vs_baseline": head["ratio_vs_baseline"],
         "per_query_ratio": head["per_query_ratio"],
+        "runs": head.get("runs"),
     }
     if "baseline_notes" in head:
         result["baseline_notes"] = head["baseline_notes"]
