@@ -838,7 +838,7 @@ def shared_ivf_index(spark: SparkSession, sf_dir: str,
 
 
 def save_ivf_index(spark: SparkSession, sf_dir: str, path: str,
-                   k: int = IVF_K) -> None:
+                   k: int = IVF_K, pq_k: int = PQ_K) -> None:
     """Persist the trained IVF-PQ index as tables — build once, query many
     SESSIONS, which is what an index is for (the session memo above only
     amortizes within one process; at 100 TB the assignment pass alone is a
@@ -855,7 +855,12 @@ def save_ivf_index(spark: SparkSession, sf_dir: str, path: str,
                             stands in for."""
     idx = shared_ivf_index(spark, sf_dir, k=k)
     coarse = idx["coarse"]
-    books = _train_pq(idx["x"], coarse)
+    # pq_k=256 is the production shape: 8 bits x M=8 subquantizers = the
+    # same 8 B/vector code as the 4-bit fixture default, with 16x the ADC
+    # resolution — at 10^6 isotropic vectors the 4-bit books measured
+    # recall 0.4-0.6 even at refine=800 (quantization noise, not probe
+    # width); 256-entry books restore the refine knob's leverage
+    books = _train_pq(idx["x"], coarse, k=pq_k)
     indexed = idx["indexed"].withColumn(
         "code", _pq_encode_udf(coarse, books)("emb"))
     (indexed.repartition("centroid_id").write.mode("overwrite")
