@@ -545,11 +545,15 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     ACCOUNTED, not silent — `dedup_fuzzy_block_stats` (aux,
 #     SQL-oracled) reports blocks_total / blocks_oversized /
 #     docs_in_oversized / docs_dropped per run.
-# The O(n·m) Levenshtein verify runs only inside bounded blocks. Prefix
-# blocking deliberately misses edits inside the first 16 chars — the
-# documented recall trade, exactly like banding in the LSH legs;
-# production stacks add a suffix- or qgram-block pass for symmetric
-# coverage (same join, second key).
+# The O(n·m) Levenshtein verify runs only inside bounded blocks.
+#
+# SYMMETRIC coverage (r5): the candidate pass runs TWICE — once blocked
+# on the 16-char PREFIX, once on the 16-char SUFFIX — and unions the
+# (identical-valued) verified rows distinct. A bounded edit can touch the
+# prefix or the suffix but (for FUZZY_MAX_DIST << doc length) not both,
+# so every within-distance pair survives at least one key: the r4
+# in-prefix-edit recall miss is closed with the SAME join machinery, one
+# more equi-join pass. Both passes carry the hot-block cap independently.
 # ---------------------------------------------------------------------------
 
 FUZZY_PREFIX = 16
@@ -558,17 +562,32 @@ FUZZY_MAX_DIST = 10
 FUZZY_MAX_BLOCK = 256   # max docs joined per block key (candidates <= n^2)
 
 
-def _fuzzy_blocked_docs(d: DataFrame, max_block: int):
+_FUZZY_SUFFIX_SQL = (f"substring(text, greatest(1, length(text) - "
+                     f"{FUZZY_PREFIX - 1}), {FUZZY_PREFIX})")
+
+
+def _fuzzy_key(side: str):
+    """The block key expression for one pass: 16-char prefix or suffix.
+    The suffix spells out greatest(1, len-15) rather than a negative
+    start — negative-start clipping differs between engines for strings
+    shorter than the key, and the oracle must block identically."""
+    if side == "prefix":
+        return F.substring("text", 1, FUZZY_PREFIX)
+    return F.expr(_FUZZY_SUFFIX_SQL)
+
+
+def _fuzzy_blocked_docs(d: DataFrame, max_block: int,
+                        side: str = "prefix"):
     """(small, kept, over): docs keyed for the two-path fuzzy join.
-    `small` = docs in prefix blocks <= max_block (join on prefix alone);
-    `over` = docs in oversized blocks, refined to (prefix, len-bucket)
+    `small` = docs in blocks <= max_block (join on the side's key alone);
+    `over` = docs in oversized blocks, refined to (key, len-bucket)
     with a deterministic per-sub-block rank; `kept` = over with rank
     <= max_block (what actually joins — the hard cap)."""
     from pyspark.sql import Window
 
     docs = d.select(
         "doc_id", "text",
-        F.substring("text", 1, FUZZY_PREFIX).alias("p"),
+        _fuzzy_key(side).alias("p"),
         F.floor(F.length("text") / FUZZY_LEN_BAND).cast("long").alias("bkt"))
     blk = docs.groupBy("p").agg(F.count(F.lit(1)).alias("blk_n"))
     docs = docs.join(blk, "p")
@@ -600,39 +619,15 @@ def _fuzzy_emit(joined: DataFrame) -> DataFrame:
     )
 
 
-@register(
-    "dedup_fuzzy_pairs",
-    aux=True,   # full SQL oracle, checked by the pytest differential
-    oracle=f"""
-    -- equality fast path: exact clones (the dominant near-dup class on a
-    -- clone-heavy corpus) cost a string compare, not an O(n*m) DP
-    WITH cand AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               length(a.text) AS len_a, length(b.text) AS len_b,
-               CASE WHEN a.text = b.text THEN 0
-                    ELSE levenshtein(a.text, b.text) END AS lev_dist
-        FROM documents a
-        JOIN documents b
-          ON substring(a.text, 1, {FUZZY_PREFIX}) = substring(b.text, 1, {FUZZY_PREFIX})
-         AND a.doc_id < b.doc_id
-         AND abs(length(a.text) - length(b.text)) <= {FUZZY_LEN_BAND}
-    )
-    SELECT doc_a, doc_b, len_a, len_b, lev_dist,
-           round(1.0 - lev_dist / greatest(len_a, len_b), 6) AS sim
-    FROM cand WHERE lev_dist <= {FUZZY_MAX_DIST}
-    """,
-)
-def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str,
-                      max_block: int = FUZZY_MAX_BLOCK) -> DataFrame:
-    d = _docs(spark, sf_dir).select("doc_id", "text")
-    small, kept, _ = _fuzzy_blocked_docs(d, max_block)
+def _fuzzy_side_pairs(d: DataFrame, max_block: int, side: str) -> DataFrame:
+    small, kept, _ = _fuzzy_blocked_docs(d, max_block, side=side)
     band = (F.abs(F.length("fa.text") - F.length("fb.text"))
             <= FUZZY_LEN_BAND)
     lt = F.col("fa.doc_id") < F.col("fb.doc_id")
     peq = F.col("fa.p") == F.col("fb.p")
-    # path 1: healthy blocks — prefix equi-join, the original plan
+    # path 1: healthy blocks — key equi-join, the original plan
     p1 = small.alias("fa").join(small.alias("fb"), peq & lt & band)
-    # path 2: oversized blocks — (prefix, len-bucket) equi-joins; a
+    # path 2: oversized blocks — (key, len-bucket) equi-joins; a
     # band-qualifying pair is in the same or the adjacent bucket, so the
     # two joins cover exactly the path-1 pair set for these docs
     ka, kb = kept.alias("fa"), kept.alias("fb")
@@ -646,53 +641,107 @@ def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str,
 
 
 @register(
-    "dedup_fuzzy_block_stats",
-    aux=True,   # SQL-oracled, checked by the pytest differential
+    "dedup_fuzzy_pairs",
+    aux=True,   # full SQL oracle, checked by the pytest differential
     oracle=f"""
-    -- the no-silent-caps accounting for dedup_fuzzy_pairs: how many
-    -- prefix blocks exceed the join cap, and how many docs the refined
-    -- (prefix, len-bucket) sub-blocking still had to drop
-    WITH d AS (
-        SELECT doc_id, substring(text, 1, {FUZZY_PREFIX}) AS p,
-               CAST(floor(length(text) / {FUZZY_LEN_BAND}) AS BIGINT) AS bkt
+    -- equality fast path: exact clones (the dominant near-dup class on a
+    -- clone-heavy corpus) cost a string compare, not an O(n*m) DP.
+    -- r5: candidates from the PREFIX block OR the SUFFIX block (an edit
+    -- inside one key survives the other); DISTINCT dedups double hits.
+    WITH keyed AS (
+        SELECT doc_id, text,
+               substring(text, 1, {FUZZY_PREFIX}) AS pk,
+               substring(text, greatest(1, length(text) - {FUZZY_PREFIX - 1}),
+                         {FUZZY_PREFIX}) AS sk
+        FROM documents
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               length(a.text) AS len_a, length(b.text) AS len_b,
+               CASE WHEN a.text = b.text THEN 0
+                    ELSE levenshtein(a.text, b.text) END AS lev_dist
+        FROM keyed a
+        JOIN keyed b
+          ON (a.pk = b.pk OR a.sk = b.sk)
+         AND a.doc_id < b.doc_id
+         AND abs(length(a.text) - length(b.text)) <= {FUZZY_LEN_BAND}
+    )
+    SELECT doc_a, doc_b, len_a, len_b, lev_dist,
+           round(1.0 - lev_dist / greatest(len_a, len_b), 6) AS sim
+    FROM cand WHERE lev_dist <= {FUZZY_MAX_DIST}
+    """,
+)
+def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str,
+                      max_block: int = FUZZY_MAX_BLOCK) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    # a pair found by both passes emits identical rows (lev/sim are
+    # deterministic functions of the two texts) — distinct dedups them
+    return (_fuzzy_side_pairs(d, max_block, "prefix")
+            .unionByName(_fuzzy_side_pairs(d, max_block, "suffix"))
+            .distinct())
+
+
+_FUZZY_STATS_SIDE_SQL = """
+    (WITH d AS (
+        SELECT doc_id, {key} AS p,
+               CAST(floor(length(text) / {band}) AS BIGINT) AS bkt
         FROM documents
     ),
     blk AS (SELECT p, count(*) AS c FROM d GROUP BY p),
     over_docs AS (
-        SELECT d.* FROM d JOIN blk USING (p) WHERE blk.c > {FUZZY_MAX_BLOCK}
+        SELECT d.* FROM d JOIN blk USING (p) WHERE blk.c > {cap}
     ),
     ranked AS (
         SELECT *, row_number() OVER (PARTITION BY p, bkt
                                      ORDER BY doc_id) AS rn
         FROM over_docs
     )
-    SELECT (SELECT count(*) FROM blk) AS blocks_total,
-           (SELECT count(*) FROM blk
-             WHERE c > {FUZZY_MAX_BLOCK}) AS blocks_oversized,
+    SELECT '{side}' AS side,
+           (SELECT count(*) FROM blk) AS blocks_total,
+           (SELECT count(*) FROM blk WHERE c > {cap}) AS blocks_oversized,
            (SELECT count(*) FROM over_docs) AS docs_in_oversized,
-           (SELECT count(*) FROM ranked
-             WHERE rn > {FUZZY_MAX_BLOCK}) AS docs_dropped
-    """,
+           (SELECT count(*) FROM ranked WHERE rn > {cap}) AS docs_dropped)
+"""
+
+
+@register(
+    "dedup_fuzzy_block_stats",
+    aux=True,   # SQL-oracled, checked by the pytest differential
+    oracle="-- the no-silent-caps accounting for dedup_fuzzy_pairs,\n"
+           "-- one row per block side (prefix / suffix)\n"
+           + _FUZZY_STATS_SIDE_SQL.format(
+               key=f"substring(text, 1, {FUZZY_PREFIX})",
+               band=FUZZY_LEN_BAND, cap=FUZZY_MAX_BLOCK, side="prefix")
+           + "\n    UNION ALL\n"
+           + _FUZZY_STATS_SIDE_SQL.format(
+               key=_FUZZY_SUFFIX_SQL,
+               band=FUZZY_LEN_BAND, cap=FUZZY_MAX_BLOCK, side="suffix")
+           + "\n    ORDER BY side",
 )
 def dedup_fuzzy_block_stats(spark: SparkSession, sf_dir: str,
                             max_block: int = FUZZY_MAX_BLOCK) -> DataFrame:
     """Dropped-volume accounting for the fuzzy-dedup cap (r5): one row of
-    block-size facts so a capped run is visible in the driver artifact,
-    never silent. docs_dropped > 0 means FUZZY_MAX_BLOCK bit on a
-    same-prefix same-length-bucket population and recall is bounded for
-    those docs only."""
+    block-size facts PER BLOCK SIDE (prefix / suffix) so a capped run is
+    visible in the driver artifact, never silent. docs_dropped > 0 means
+    FUZZY_MAX_BLOCK bit on a same-key same-length-bucket population and
+    recall is bounded for those docs only (on that side — the other side
+    still covers them unless it capped too)."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    _, kept, over = _fuzzy_blocked_docs(d, max_block)
-    docs = d.select(F.substring("text", 1, FUZZY_PREFIX).alias("p"))
-    blk = docs.groupBy("p").agg(F.count(F.lit(1)).alias("c"))
-    stats = blk.agg(
-        F.count(F.lit(1)).alias("blocks_total"),
-        F.sum(F.when(F.col("c") > max_block, 1).otherwise(0))
-        .cast("long").alias("blocks_oversized"))
-    over_n = over.agg(F.count(F.lit(1)).alias("docs_in_oversized"))
-    dropped = over.where(F.col("rn") > max_block).agg(
-        F.count(F.lit(1)).alias("docs_dropped"))
-    return stats.crossJoin(over_n).crossJoin(dropped)
+    sides = []
+    for side in ("prefix", "suffix"):
+        _, kept, over = _fuzzy_blocked_docs(d, max_block, side=side)
+        blk = (d.select(_fuzzy_key(side).alias("p"))
+               .groupBy("p").agg(F.count(F.lit(1)).alias("c")))
+        stats = blk.agg(
+            F.count(F.lit(1)).alias("blocks_total"),
+            F.sum(F.when(F.col("c") > max_block, 1).otherwise(0))
+            .cast("long").alias("blocks_oversized"))
+        over_n = over.agg(F.count(F.lit(1)).alias("docs_in_oversized"))
+        dropped = over.where(F.col("rn") > max_block).agg(
+            F.count(F.lit(1)).alias("docs_dropped"))
+        sides.append(stats.crossJoin(over_n).crossJoin(dropped)
+                     .select(F.lit(side).alias("side"), "*"))
+    return sides[0].unionByName(sides[1]).orderBy("side")
 
 
 # ---------------------------------------------------------------------------

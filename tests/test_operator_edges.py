@@ -518,16 +518,21 @@ def test_bench_helpers_smoke(spark):
     assert set(t) == set(base) == set(names)
     assert all(v > 0 for v in t.values())
     assert all(v is not None and v > 0 for v in base.values())
-    assert notes == {}
+    # r5: notes always carry the per-run arrays under '_runs' (variance
+    # evidence in BENCH.json); no OTHER notes on the happy path
+    assert set(notes) == {"_runs"}
+    assert set(notes["_runs"]) == set(names)
     # the interrupt cap must not fire on a fast query and must not distort
     t2, base2, notes2 = bench.measure_pairwise(
         spark, "/root/testdata/sf0.001", ["pricing_summary"], n_runs=1,
         cap_sec=120.0, adaptive=True)
-    assert notes2 == {} and base2["pricing_summary"] > 0
+    assert set(notes2) == {"_runs"} and base2["pricing_summary"] > 0
 
     block = bench._ratio_block(t, base, notes)
     assert block["ratio_vs_baseline"] is not None
     assert set(block["per_query_ratio"]) == set(names)
+    assert set(block["runs"]) == set(names)       # arrays reach the block
+    assert "_runs" not in block.get("baseline_notes", {})
 
     # a broken oracle must surface as an explicit note + None baseline and
     # must NOT poison the ratio over the remaining queries
@@ -581,9 +586,10 @@ def test_scratch_dir_prunes_stale_siblings(spark):
 
 def test_fuzzy_dedup_semantics(spark, monkeypatch):
     """dedup_fuzzy_pairs (aux, SQL-oracled): bounded-edit pairs surface
-    through the prefix block + length band; oversized edits are excluded;
-    an edit INSIDE the 16-char block key is the documented recall miss of
-    prefix blocking (production adds a second block pass)."""
+    through the prefix OR suffix block + length band; oversized edits are
+    excluded. r5: the symmetric suffix pass recovers edits INSIDE the
+    prefix key (doc 5) — the remaining documented miss is an edit at BOTH
+    ends (doc 3 vs doc 5: append at the tail + edit in the head)."""
     import pandas as pd
 
     from service_level_reporting_spark.operators import dedup as DD
@@ -601,11 +607,13 @@ def test_fuzzy_dedup_semantics(spark, monkeypatch):
     monkeypatch.setattr(DD, "_docs", lambda _s, _d: docs)
     got = {(r["doc_a"], r["doc_b"]): r
            for r in DD.dedup_fuzzy_pairs(spark, "ignored").collect()}
-    assert set(got) == {(1, 2), (1, 3), (2, 3)}
+    assert set(got) == {(1, 2), (1, 3), (2, 3), (1, 5), (2, 5)}
     assert got[(1, 2)]["lev_dist"] == 1
     assert got[(1, 3)]["lev_dist"] == 2
+    assert got[(1, 5)]["lev_dist"] == 3     # in-prefix edit, suffix pass
     assert 0.9 < got[(1, 2)]["sim"] <= 1.0
-    # (1,5) missed by design: the edit lands inside the block prefix
+    # (3,5) missed by design: edits at BOTH ends (tail append + head
+    # case change) — neither 16-char key matches
     # (4,*) excluded: distance beyond FUZZY_MAX_DIST
 
 
@@ -645,11 +653,15 @@ def test_fuzzy_dedup_hot_prefix_capped(spark, monkeypatch):
     assert capped == uncapped                       # lossless sub-blocking
     assert (5001, 5002) in capped                   # adjacent-bucket pair
     assert capped[(5001, 5002)][0] == 6
-    stats = DD.dedup_fuzzy_block_stats(spark, "ignored",
-                                       max_block=CAP).collect()[0]
-    assert stats["blocks_oversized"] == 1
-    assert stats["docs_in_oversized"] == 302
-    assert stats["docs_dropped"] == 0               # buckets all <= cap
+    stats = {r["side"]: r for r in
+             DD.dedup_fuzzy_block_stats(spark, "ignored",
+                                        max_block=CAP).collect()}
+    assert stats["prefix"]["blocks_oversized"] == 1
+    assert stats["prefix"]["docs_in_oversized"] == 302
+    assert stats["prefix"]["docs_dropped"] == 0     # buckets all <= cap
+    assert stats["suffix"]["blocks_total"] == 2     # x-suffix + y-suffix
+    assert stats["suffix"]["docs_in_oversized"] == 300
+    assert stats["suffix"]["docs_dropped"] == 0
 
     # (b) pathological: same-prefix SAME-LENGTH clones — one sub-block
     # over the cap. The join must run on at most max_block docs (kept =
@@ -661,10 +673,12 @@ def test_fuzzy_dedup_hot_prefix_capped(spark, monkeypatch):
     touched = {r["doc_a"] for r in pairs} | {r["doc_b"] for r in pairs}
     assert touched == set(range(CAP))                   # cap bit, kept set
     assert len(pairs) == CAP * (CAP - 1) // 2           # clones all pair up
-    stats2 = DD.dedup_fuzzy_block_stats(spark, "ignored",
-                                        max_block=CAP).collect()[0]
-    assert stats2["docs_dropped"] == 300 - CAP
-    assert stats2["docs_in_oversized"] == 300
+    stats2 = {r["side"]: r for r in
+              DD.dedup_fuzzy_block_stats(spark, "ignored",
+                                         max_block=CAP).collect()}
+    for side in ("prefix", "suffix"):                   # hot on BOTH keys
+        assert stats2[side]["docs_dropped"] == 300 - CAP
+        assert stats2[side]["docs_in_oversized"] == 300
 
 
 def test_time_weighted_average_hand_computed(spark, monkeypatch):
