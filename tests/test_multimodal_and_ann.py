@@ -624,9 +624,54 @@ def test_jpeg_synth_decode_roundtrip():
         MM.decode_jpeg(payload[:-20])                # truncated entropy data
     bad = bytearray(payload)
     sof = bytes(payload).index(b"\xFF\xC0")
-    bad[sof + 1] = 0xC2                              # masquerade progressive
-    with pytest.raises(ValueError, match="baseline"):
+    bad[sof + 1] = 0xC3                              # lossless: unsupported
+    with pytest.raises(ValueError, match="SOF marker"):
         MM.decode_jpeg(bytes(bad))
+    bad[sof + 1] = 0xC2              # r5: SOF2 accepted, but a baseline
+    with pytest.raises(ValueError):  # scan layout is not a valid DC scan
+        MM.decode_jpeg(bytes(bad))
+
+
+def test_jpeg_progressive_roundtrip_matches_baseline():
+    """r5: progressive (SOF2) encode/decode — spectral selection +
+    successive approximation with per-scan K.2-optimized tables. The
+    oracle is exact: progressive reorders the SAME quantized
+    coefficients, so decode must be BIT-IDENTICAL to the baseline
+    pipeline on every config; any coefficient-corrupting bug in either
+    direction (EOBRUN, refine correction bits, point transforms) breaks
+    the equality."""
+    import numpy as np
+
+    cases = [
+        (MM.synth_natural_image(3, 40, 36), 90, "444"),
+        (MM.synth_natural_image(7, 33, 29), 75, "420"),   # odd dims + MCU pad
+        (np.full((48, 56, 3), 130, np.uint8), 90, "444"),  # flat: long EOBruns
+        (np.random.default_rng(9).integers(0, 256, (41, 37, 3))
+         .astype(np.uint8), 95, "420"),                    # dense: ZRL/refine
+    ]
+    for px, q, samp in cases:
+        base = MM.decode_jpeg(MM.encode_jpeg(px, quality=q, sampling=samp))
+        prog_bytes = MM.encode_jpeg_progressive(px, quality=q, sampling=samp)
+        prog = MM.decode_jpeg(prog_bytes)
+        assert prog[:2] == base[:2]
+        assert (prog[2] == base[2]).all(), (q, samp)
+        # byte-stable and genuinely SOF2
+        assert prog_bytes == MM.encode_jpeg_progressive(
+            px, quality=q, sampling=samp)
+        assert b"\xFF\xC2" in prog_bytes and b"\xFF\xC0" not in prog_bytes
+
+    # truncation anywhere raises ValueError (production-decoder behavior)
+    p = MM.encode_jpeg_progressive(MM.synth_natural_image(3, 40, 36))
+    for cut in list(range(4, len(p) - 1, 41)):
+        with pytest.raises(ValueError):
+            MM.decode_jpeg(p[:cut])
+
+    # the perceptual hash sees through the progressive re-encode too
+    px = MM.synth_natural_image(3, 40, 36)
+    h0 = MM.phash64(MM.decode_jpeg(MM.encode_jpeg(px, quality=90))[2])
+    hp = MM.phash64(MM.decode_jpeg(
+        MM.encode_jpeg_progressive(px, quality=90))[2])
+    assert bin(h0 ^ hp).count("1") <= 3
 
 
 def test_jpeg_resize_real_resample():
