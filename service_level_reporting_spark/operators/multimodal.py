@@ -1435,6 +1435,556 @@ def _jpeg_prog_block_coords(comp, maxh, maxv, fw, fh):
     return [(by, bx) for by in range(bh) for bx in range(bw_)]
 
 
+# --- WebP lossless (VP8L) — r5, the next codec past the r4 frontier.
+# Honest tested subset of the public VP8L spec: RIFF/WEBP/VP8L container,
+# LSB-first bitstream, deflate-convention canonical prefix codes stored
+# either "simple" (1-2 symbols) or via the 19-symbol code-length code
+# with RLE (16/17/18), literals + LZ77 backward references with
+# prefix-coded lengths/distances, color-cache decode. The encoder emits
+# no transforms, no meta-prefix image, plain (+120) distance codes, and
+# a greedy run/previous-row matcher; the decoder accepts everything the
+# encoder can produce plus color cache, and raises cleanly on the
+# features that cannot be exercised in-container (transforms,
+# meta-prefix images, neighborhood distance codes <= 120) rather than
+# guessing. Oracle: bit-exact RGBA roundtrip (the format is lossless).
+
+_VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10,
+                  11, 12, 13, 14, 15)
+_VP8L_MAX_LEN = 15
+
+
+class _Vp8lBitReader:
+    """LSB-first bit reader (RFC-style: bits fill from the bottom of each
+    byte; prefix-code bits accumulate MSB-of-code-first, the deflate
+    convention)."""
+
+    def __init__(self, buf: bytes, pos: int = 0) -> None:
+        self.buf = buf
+        self.pos = pos
+        self.bit = 0
+
+    def read(self, n: int) -> int:
+        v = 0
+        for i in range(n):
+            if self.pos >= len(self.buf):
+                raise ValueError("VP8L: bitstream truncated")
+            v |= ((self.buf[self.pos] >> self.bit) & 1) << i
+            self.bit += 1
+            if self.bit == 8:
+                self.bit = 0
+                self.pos += 1
+        return v
+
+    def read_code(self, table) -> int:
+        """Bit-serial canonical decode; zero-bit single-symbol codes
+        consume nothing."""
+        single = table.get("single")
+        if single is not None:
+            return single
+        dmap = table["map"]
+        code, ln = 0, 0
+        while ln <= _VP8L_MAX_LEN:
+            code = (code << 1) | self.read(1)
+            ln += 1
+            sym = dmap.get((ln, code))
+            if sym is not None:
+                return sym
+        raise ValueError("VP8L: invalid prefix code")
+
+
+class _Vp8lBitWriter:
+    """LSB-first writer; codes are emitted MSB-of-code-first."""
+
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def write(self, value: int, n: int) -> None:
+        self.acc |= (value & ((1 << n) - 1)) << self.nbits
+        self.nbits += n
+        while self.nbits >= 8:
+            self.buf.append(self.acc & 0xFF)
+            self.acc >>= 8
+            self.nbits -= 8
+
+    def write_code(self, code: int, ln: int) -> None:
+        for i in range(ln - 1, -1, -1):
+            self.write((code >> i) & 1, 1)
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            self.buf.append(self.acc & 0xFF)
+            self.acc = 0
+            self.nbits = 0
+        return bytes(self.buf)
+
+
+def _limited_code_lengths(counts: dict, maxlen: int) -> dict:
+    """Generic length-limited prefix-code lengths from symbol counts —
+    the Annex-K merge-chain + ADJUST_BITS procedure generalized to any
+    alphabet and length cap (shared shape with _jpeg_build_table, which
+    is pinned to JPEG's 257-slot/16-bit wire format)."""
+    syms = sorted(counts)
+    if not syms:
+        return {}
+    if len(syms) == 1:
+        return {syms[0]: 1}
+    n = len(syms)
+    freq = [counts[s] for s in syms] + [1]        # reserved slot
+    codesize = [0] * (n + 1)
+    others = [-1] * (n + 1)
+    while True:
+        v1 = -1
+        for i in range(n + 1):
+            if freq[i] > 0 and (v1 == -1 or freq[i] < freq[v1]
+                                or (freq[i] == freq[v1] and i > v1)):
+                v1 = i
+        v2 = -1
+        for i in range(n + 1):
+            if i != v1 and freq[i] > 0 and (
+                    v2 == -1 or freq[i] < freq[v2]
+                    or (freq[i] == freq[v2] and i > v2)):
+                v2 = i
+        if v2 == -1:
+            break
+        freq[v1] += freq[v2]
+        freq[v2] = 0
+        codesize[v1] += 1
+        while others[v1] != -1:
+            v1 = others[v1]
+            codesize[v1] += 1
+        others[v1] = v2
+        codesize[v2] += 1
+        while others[v2] != -1:
+            v2 = others[v2]
+            codesize[v2] += 1
+    top = max(codesize)
+    bits = [0] * (max(top, maxlen) + 2)
+    for c in codesize:
+        if c:
+            bits[c] += 1
+    i = top
+    while i > maxlen:
+        while bits[i] > 0:
+            j = i - 2
+            while bits[j] == 0:
+                j -= 1
+            bits[i] -= 2
+            bits[i - 1] += 1
+            bits[j + 1] += 2
+            bits[j] -= 1
+        i -= 1
+    i = min(top, maxlen)
+    while bits[i] == 0:
+        i -= 1
+    bits[i] -= 1                                   # drop reserved slot
+    order = sorted(range(n), key=lambda k: (codesize[k], syms[k]))
+    out = {}
+    ln_iter = [ln for ln in range(1, maxlen + 1) for _ in range(bits[ln])]
+    used = [k for k in order if codesize[k]]
+    if len(ln_iter) != len(used):
+        raise ValueError("VP8L: length assignment mismatch")
+    for ln, k in zip(ln_iter, used):
+        out[syms[k]] = ln
+    return out
+
+
+def _vp8l_canonical(lengths: dict) -> dict:
+    """{sym: len} -> deflate-convention canonical codes. Returns
+    {'map': {(len, code): sym}, 'enc': {sym: (code, len)},
+    'single': sym|None}."""
+    used = [(ln, s) for s, ln in lengths.items() if ln > 0]
+    if not used:
+        raise ValueError("VP8L: empty code")
+    if len(used) == 1:
+        s = used[0][1]
+        return {"map": {}, "enc": {s: (0, 0)}, "single": s}
+    used.sort()
+    code = 0
+    prev_len = used[0][0]
+    enc = {}
+    dmap = {}
+    for ln, s in used:
+        code <<= (ln - prev_len)
+        prev_len = ln
+        if code >= (1 << ln):
+            raise ValueError("VP8L: overfull prefix code")
+        enc[s] = (code, ln)
+        dmap[(ln, code)] = s
+        code += 1
+    return {"map": dmap, "enc": enc, "single": None}
+
+
+def _vp8l_prefix_encode(v: int):
+    """value (length or mapped distance, >= 1) -> (prefix_sym,
+    extra_value, extra_bits)."""
+    if v <= 4:
+        return v - 1, 0, 0
+    x = v - 1
+    eb = x.bit_length() - 2
+    if x >= (3 << eb):
+        return 2 * eb + 3, x - (3 << eb), eb
+    return 2 * eb + 2, x - (2 << eb), eb
+
+
+def _vp8l_prefix_decode(br: "_Vp8lBitReader", p: int) -> int:
+    if p < 4:
+        return p + 1
+    eb = (p - 2) >> 1
+    offset = (2 + (p & 1)) << eb
+    return offset + br.read(eb) + 1
+
+
+def _vp8l_normalize(lengths: dict) -> dict:
+    """1- and 2-symbol codes are canonically 1-bit (the wire's simple
+    form implies it); writer and encoder must agree on this."""
+    used = sorted(s for s, ln in lengths.items() if ln)
+    if len(used) == 1:
+        return {used[0]: 1}
+    if len(used) == 2:
+        return {used[0]: 1, used[1]: 1}
+    return lengths
+
+
+def _vp8l_write_lengths(bw: "_Vp8lBitWriter", lengths: dict,
+                        alphabet: int) -> None:
+    """Emit one prefix code: simple form for 1-2 symbols (< 256), else
+    the code-length code with RLE 16/17/18."""
+    lengths = _vp8l_normalize(lengths)
+    used = sorted(s for s, ln in lengths.items() if ln)
+    if 1 <= len(used) <= 2 and all(s < 256 for s in used):
+        bw.write(1, 1)                              # simple
+        bw.write(len(used) - 1, 1)
+        if used[0] <= 1:
+            bw.write(0, 1)                          # first symbol: 1 bit
+            bw.write(used[0], 1)
+        else:
+            bw.write(1, 1)
+            bw.write(used[0], 8)
+        if len(used) == 2:
+            bw.write(used[1], 8)
+        return
+    bw.write(0, 1)                                  # normal
+    # the full alphabet is RLE-coded (17/18 make zero runs ~10 bits per
+    # 138): with the max-symbol shortcut unused, the reader consumes
+    # length ops until every alphabet position is assigned
+    seq = [lengths.get(s, 0) for s in range(alphabet)]
+    rle = []                                        # (cl_sym, extra, ebits)
+    i = 0
+    while i < len(seq):
+        ln = seq[i]
+        run = 1
+        while i + run < len(seq) and seq[i + run] == ln:
+            run += 1
+        consumed = run
+        if ln == 0:
+            r = run
+            while r >= 3:
+                take = min(r, 138)
+                if take >= 11:
+                    rle.append((18, take - 11, 7))
+                else:
+                    rle.append((17, take - 3, 3))
+                r -= take
+            rle.extend((0, 0, 0) for _ in range(r))
+        else:
+            rle.append((ln, 0, 0))
+            r = run - 1
+            while r >= 3:
+                take = min(r, 6)
+                rle.append((16, take - 3, 2))
+                r -= take
+            rle.extend((ln, 0, 0) for _ in range(r))
+        i += consumed
+    cl_counts: dict = {}
+    for sym, _e, _b in rle:
+        cl_counts[sym] = cl_counts.get(sym, 0) + 1
+    cl_lengths = _limited_code_lengths(cl_counts, 7)
+    cl_tab = _vp8l_canonical(cl_lengths)
+    # num_code_lengths covers the highest used position in CL order
+    top = 0
+    for idx, sym in enumerate(_VP8L_CL_ORDER):
+        if cl_lengths.get(sym, 0):
+            top = idx + 1
+    num_cl = max(4, top)
+    bw.write(num_cl - 4, 4)
+    for idx in range(num_cl):
+        bw.write(cl_lengths.get(_VP8L_CL_ORDER[idx], 0), 3)
+    bw.write(0, 1)                                  # no max-symbol limit
+    enc = cl_tab["enc"]
+    for sym, extra, ebits in rle:
+        code, ln = enc[sym]
+        if ln:
+            bw.write_code(code, ln)
+        if ebits:
+            bw.write(extra, ebits)
+
+
+def _vp8l_read_code(br: "_Vp8lBitReader", alphabet: int) -> dict:
+    """Read one prefix code (simple or normal) into a decode table."""
+    if br.read(1):                                  # simple
+        num = br.read(1) + 1
+        if br.read(1):
+            s0 = br.read(8)
+        else:
+            s0 = br.read(1)
+        if num == 1:
+            return {"map": {}, "single": s0}
+        s1 = br.read(8)
+        lengths = {s0: 1, s1: 1}
+        t = _vp8l_canonical(lengths)
+        return {"map": t["map"], "single": None}
+    num_cl = 4 + br.read(4)
+    cl_lengths = {}
+    for idx in range(num_cl):
+        ln = br.read(3)
+        if ln:
+            cl_lengths[_VP8L_CL_ORDER[idx]] = ln
+    cl_tab = _vp8l_canonical(cl_lengths)
+    max_symbol = alphabet
+    if br.read(1):                                  # length-limited read
+        nbits = 2 + 2 * br.read(3)
+        max_symbol = 2 + br.read(nbits)
+    lengths = {}
+    prev_nz = 8
+    i = 0
+    while i < alphabet and max_symbol > 0:
+        max_symbol -= 1
+        sym = br.read_code(cl_tab)
+        if sym < 16:
+            if sym:
+                lengths[i] = sym
+                prev_nz = sym
+            i += 1
+        elif sym == 16:
+            rep = 3 + br.read(2)
+            for _ in range(rep):
+                if i < alphabet:
+                    lengths[i] = prev_nz
+                i += 1
+        elif sym == 17:
+            i += 3 + br.read(3)
+        else:
+            i += 11 + br.read(7)
+    t = _vp8l_canonical(lengths)
+    return {"map": t["map"], "single": t["single"]}
+
+
+def encode_webp(pixels) -> bytes:
+    """(h, w, 3) uint8 RGB -> lossless WebP (VP8L) bytes. No transforms,
+    no color cache, one prefix-code group; greedy LZ77 over the two
+    cheap-and-common match shapes (run-of-previous-pixel, copy-of-row-
+    above) with plain +120 distance codes. Alpha is opaque 255."""
+    import struct
+
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, nc = px.shape
+    if nc != 3:
+        raise ValueError("WebP: encoder expects (h, w, 3) RGB")
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError("WebP: dimensions out of VP8L range")
+    flat = px.reshape(-1, 3)
+    n = flat.shape[0]
+    # token stream: ('lit', r, g, b) | ('ref', length, dist)
+    tokens = []
+    i = 0
+    arr = flat.astype(np.int32)
+    while i < n:
+        best_len, best_dist = 0, 0
+        for dist in ((1, w) if i >= w else (1,)):
+            if i < dist:
+                continue
+            j = 0
+            limit = min(n - i, 4096)
+            while j < limit and (arr[i + j] == arr[i + j - dist]).all():
+                j += 1
+            if j > best_len:
+                best_len, best_dist = j, dist
+        if best_len >= 3:
+            tokens.append(("ref", best_len, best_dist))
+            i += best_len
+        else:
+            r, g, b = flat[i]
+            tokens.append(("lit", int(r), int(g), int(b)))
+            i += 1
+    # histogram
+    gcnt: dict = {}
+    rcnt: dict = {}
+    bcnt: dict = {}
+    acnt = {255: n and 1}
+    dcnt: dict = {}
+    for t in tokens:
+        if t[0] == "lit":
+            _, r, g, b = t
+            gcnt[g] = gcnt.get(g, 0) + 1
+            rcnt[r] = rcnt.get(r, 0) + 1
+            bcnt[b] = bcnt.get(b, 0) + 1
+        else:
+            _, ln, dist = t
+            p, _e, _b = _vp8l_prefix_encode(ln)
+            gcnt[256 + p] = gcnt.get(256 + p, 0) + 1
+            dp, _e2, _b2 = _vp8l_prefix_encode(dist + 120)
+            dcnt[dp] = dcnt.get(dp, 0) + 1
+    if not rcnt:
+        rcnt = {0: 1}
+    if not bcnt:
+        bcnt = {0: 1}
+    if not dcnt:
+        dcnt = {0: 1}
+    if not gcnt:
+        gcnt = {0: 1}
+    green_l = _vp8l_normalize(_limited_code_lengths(gcnt, _VP8L_MAX_LEN))
+    red_l = _vp8l_normalize(_limited_code_lengths(rcnt, _VP8L_MAX_LEN))
+    blue_l = _vp8l_normalize(_limited_code_lengths(bcnt, _VP8L_MAX_LEN))
+    alpha_l = _vp8l_normalize(_limited_code_lengths(acnt, _VP8L_MAX_LEN))
+    dist_l = _vp8l_normalize(_limited_code_lengths(dcnt, _VP8L_MAX_LEN))
+    bw = _Vp8lBitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)                                  # no alpha hint
+    bw.write(0, 3)                                  # version 0
+    bw.write(0, 1)                                  # no transforms
+    bw.write(0, 1)                                  # no color cache
+    bw.write(0, 1)                                  # no meta prefix image
+    for lengths, alphabet in ((green_l, 256 + 24), (red_l, 256),
+                              (blue_l, 256), (alpha_l, 256),
+                              (dist_l, 40)):
+        _vp8l_write_lengths(bw, lengths, alphabet)
+    g_enc = _vp8l_canonical(green_l)["enc"]
+    r_enc = _vp8l_canonical(red_l)["enc"]
+    b_enc = _vp8l_canonical(blue_l)["enc"]
+    d_enc = _vp8l_canonical(dist_l)["enc"]
+    for t in tokens:
+        if t[0] == "lit":
+            _, r, g, b = t
+            c, ln = g_enc[g]
+            bw.write_code(c, ln)
+            c, ln = r_enc[r]
+            bw.write_code(c, ln)
+            c, ln = b_enc[b]
+            bw.write_code(c, ln)
+            # alpha: single-symbol zero-bit code — nothing to write
+        else:
+            _, length, dist = t
+            p, extra, ebits = _vp8l_prefix_encode(length)
+            c, ln = g_enc[256 + p]
+            bw.write_code(c, ln)
+            if ebits:
+                bw.write(extra, ebits)
+            dp, dextra, debits = _vp8l_prefix_encode(dist + 120)
+            c, ln = d_enc[dp]
+            bw.write_code(c, ln)
+            if debits:
+                bw.write(dextra, debits)
+    data = b"\x2F" + bw.flush()
+    if len(data) % 2:
+        padded = data + b"\x00"
+    else:
+        padded = data
+    riff_size = 4 + 8 + len(padded)
+    return (b"RIFF" + struct.pack("<I", riff_size) + b"WEBP"
+            + b"VP8L" + struct.pack("<I", len(data)) + padded)
+
+
+def decode_webp(payload: bytes):
+    """Lossless WebP (VP8L) -> (w, h, (h, w, 3) uint8 RGB). Supports the
+    spec's core entropy layer (simple + code-length-coded prefix codes,
+    literals, LZ77 refs with plain distances, color cache); transforms,
+    meta-prefix images, and neighborhood distance codes raise — the
+    honest frontier, same policy as the other codecs."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("WebP: bad RIFF/WEBP magic")
+    pos = 12
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("WebP: truncated chunk")
+        if tag == b"VP8L":
+            data = body
+            break
+        if tag == b"VP8 " or tag == b"VP8X":
+            raise NotImplementedError(
+                "WebP: only VP8L (lossless) streams are supported")
+        pos += 8 + size + (size & 1)
+    if data is None:
+        raise ValueError("WebP: no VP8L chunk")
+    if not data or data[0] != 0x2F:
+        raise ValueError("WebP: bad VP8L signature")
+    br = _Vp8lBitReader(data, 1)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)                                      # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("WebP: unknown VP8L version")
+    if br.read(1):
+        raise NotImplementedError("WebP: VP8L transforms not supported")
+    cache_bits = 0
+    if br.read(1):
+        cache_bits = br.read(4)
+        if not 1 <= cache_bits <= 11:
+            raise ValueError("WebP: bad color-cache size")
+    if br.read(1):
+        raise NotImplementedError("WebP: meta prefix images not supported")
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    green_t = _vp8l_read_code(br, 256 + 24 + cache_size)
+    red_t = _vp8l_read_code(br, 256)
+    blue_t = _vp8l_read_code(br, 256)
+    alpha_t = _vp8l_read_code(br, 256)
+    dist_t = _vp8l_read_code(br, 40)
+    n = w * h
+    out = np.zeros((n, 3), dtype=np.uint8)
+    cache = [0] * cache_size
+    i = 0
+    while i < n:
+        s = br.read_code(green_t)
+        if s < 256:
+            g = s
+            r = br.read_code(red_t)
+            b = br.read_code(blue_t)
+            br.read_code(alpha_t)
+            out[i] = (r, g, b)
+            if cache_size:
+                argb = (0xFF << 24) | (r << 16) | (g << 8) | b
+                cache[(0x1E35A7BD * argb & 0xFFFFFFFF)
+                      >> (32 - cache_bits)] = argb
+            i += 1
+        elif s < 256 + 24:
+            length = _vp8l_prefix_decode(br, s - 256)
+            dp = br.read_code(dist_t)
+            dist_code = _vp8l_prefix_decode(br, dp)
+            if dist_code <= 120:
+                raise NotImplementedError(
+                    "WebP: neighborhood distance codes not supported")
+            dist = dist_code - 120
+            if dist < 1 or dist > i or i + length > n:
+                raise ValueError("WebP: backward reference out of range")
+            for j in range(length):
+                out[i + j] = out[i + j - dist]
+                if cache_size:
+                    r, g, b = (int(v) for v in out[i + j])
+                    argb = (0xFF << 24) | (r << 16) | (g << 8) | b
+                    cache[(0x1E35A7BD * argb & 0xFFFFFFFF)
+                          >> (32 - cache_bits)] = argb
+            i += length
+        else:
+            if not cache_size:
+                raise ValueError("WebP: cache symbol without color cache")
+            argb = cache[s - 256 - 24]
+            out[i] = ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)
+            i += 1
+    return w, h, out.reshape(h, w, 3)
+
+
 _JPEG_TABLE_CACHE: dict = {}
 
 
@@ -1965,6 +2515,10 @@ def decode_image(payload: bytes, *, fake: bool = False) -> dict[str, Any]:
                     "mean_intensity": round(float(px.mean()), 3)}
         if payload[:4] == b"GIF8":
             w, h, px = decode_gif(payload)
+            return {"width": w, "height": h,
+                    "mean_intensity": round(float(px.mean()), 3)}
+        if payload[:4] == b"RIFF" and payload[8:12] == b"WEBP":
+            w, h, px = decode_webp(payload)
             return {"width": w, "height": h,
                     "mean_intensity": round(float(px.mean()), 3)}
     except ValueError:
@@ -2575,6 +3129,8 @@ def image_phashes(assets: DataFrame) -> DataFrame:
                         _, _, px = decode_jpeg(p)
                     elif p[:4] == b"GIF8":
                         _, _, px = decode_gif(p)
+                    elif p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+                        _, _, px = decode_webp(p)
                     else:
                         continue
                 except ValueError:
@@ -2672,12 +3228,21 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str,
                 h = 24 + (aid * 13) % 25
                 px = synth_natural_image(aid, w, h)
                 out_ids += [aid, aid + CLONE_OFF]
-                medias += ["image/bmp", "image/jpeg"]
-                # clones alternate baseline / PROGRESSIVE re-encode (r5):
-                # the perceptual hash must see through both scan orders
-                enc = (encode_jpeg if aid % 2 == 0
-                       else encode_jpeg_progressive)
-                payloads += [encode_bmp(px), enc(px, quality=90)]
+                # clones rotate baseline JPEG / PROGRESSIVE JPEG / WEBP
+                # re-encodes (r5): the perceptual hash must see through
+                # lossy DCT in both scan orders AND the lossless VP8L
+                # re-container
+                sub = (aid // 3) % 3
+                if sub == 0:
+                    medias += ["image/bmp", "image/jpeg"]
+                    payloads += [encode_bmp(px), encode_jpeg(px, quality=90)]
+                elif sub == 1:
+                    medias += ["image/bmp", "image/jpeg"]
+                    payloads += [encode_bmp(px),
+                                 encode_jpeg_progressive(px, quality=90)]
+                else:
+                    medias += ["image/bmp", "image/webp"]
+                    payloads += [encode_bmp(px), encode_webp(px)]
             yield pd.DataFrame({
                 "asset_id": pd.Series(out_ids, dtype="int64"),
                 "media_type": pd.Series(medias, dtype="object"),

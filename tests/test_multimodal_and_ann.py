@@ -674,6 +674,48 @@ def test_jpeg_progressive_roundtrip_matches_baseline():
     assert bin(h0 ^ hp).count("1") <= 3
 
 
+def test_webp_lossless_roundtrip():
+    """r5: WebP lossless (VP8L) codec — RIFF container, LSB-first
+    bitstream, simple + code-length-coded prefix codes, literals + LZ77
+    backward refs. The format is LOSSLESS, so the oracle is bit-exact
+    RGBA equality; flat/row-copy images must actually compress via the
+    backward-reference path (size assertions), and truncation raises."""
+    import numpy as np
+
+    cases = [
+        MM.synth_natural_image(3, 40, 36),
+        np.full((32, 48, 3), 77, np.uint8),                # runs (dist 1)
+        np.tile(np.random.default_rng(7).integers(0, 256, (1, 50, 3))
+                .astype(np.uint8), (30, 1, 1)),            # row copies
+        np.random.default_rng(5).integers(0, 256, (25, 31, 3))
+        .astype(np.uint8),                                 # dense literals
+        np.array([[[1, 2, 3]]], dtype=np.uint8),           # 1x1
+    ]
+    for px in cases:
+        wb = MM.encode_webp(px)
+        assert wb[:4] == b"RIFF" and wb[8:16] == b"WEBPVP8L"
+        w, h, out = MM.decode_webp(wb)
+        assert (w, h) == (px.shape[1], px.shape[0])
+        assert (out == px).all()
+        assert wb == MM.encode_webp(px)                    # byte-stable
+    # LZ77 is real: a flat image must land far below 3 bytes/pixel
+    flat = MM.encode_webp(np.full((64, 64, 3), 9, np.uint8))
+    assert len(flat) < 200
+    # truncation raises, never fabricates
+    wb = MM.encode_webp(cases[0])
+    for cut in range(12, len(wb) - 1, 37):
+        with pytest.raises((ValueError, NotImplementedError)):
+            MM.decode_webp(wb[:cut])
+    # cross-format near-dup: a WEBP re-encode of BMP pixels is
+    # byte-disjoint but pHash-IDENTICAL (lossless pixels)
+    px = MM.synth_natural_image(5, 40, 36)
+    assert MM.phash64(MM.decode_webp(MM.encode_webp(px))[2]) \
+        == MM.phash64(px)
+    # decode_image dispatch routes RIFF/WEBP
+    meta = MM.decode_image(MM.encode_webp(px))
+    assert (meta["width"], meta["height"]) == (40, 36)
+
+
 def test_jpeg_resize_real_resample():
     """resize keeps the JPEG format: decode -> NN resample -> re-encode;
     the output re-decodes to the target dims and (being lossy) stays close
