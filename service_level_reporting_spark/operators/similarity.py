@@ -981,7 +981,8 @@ ANN_SEED = 1337
 @register("dedup_embedding_ann")  # rows-only: candidate set is approximate
 def dedup_embedding_ann(spark: SparkSession, sf_dir: str,
                         bucket_populations: DataFrame | None = None,
-                        threshold: float = EMB_DUP_THRESHOLD) -> DataFrame:
+                        threshold: float = EMB_DUP_THRESHOLD,
+                        n_tables: int = ANN_N_TABLES) -> DataFrame:
     """Same fused tile machinery as similarity_ann_lsh, thresholded: only
     pairs with exact cosine >= EMB_DUP_THRESHOLD leave the kernel, so the
     dense candidate sets a clone-heavy corpus produces are filtered inside
@@ -995,7 +996,7 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str,
     sig) counts, SAME seed/tables) — skips the per-query bucket-stats
     aggregate; see lsh_blocks."""
     e, n = _emb_n(spark, sf_dir)
-    sims = _lsh_tile_scores(e, ANN_N_TABLES, threshold=threshold,
+    sims = _lsh_tile_scores(e, n_tables, threshold=threshold,
                             local_topk=None, seed=ANN_SEED, n_rows=n,
                             bucket_populations=bucket_populations)
     return (
