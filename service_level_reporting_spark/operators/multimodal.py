@@ -1771,11 +1771,13 @@ def _vp8l_read_code(br: "_Vp8lBitReader", alphabet: int) -> dict:
     return {"map": t["map"], "single": t["single"]}
 
 
-def encode_webp(pixels) -> bytes:
+def encode_webp(pixels, cache_bits: int = 0) -> bytes:
     """(h, w, 3) uint8 RGB -> lossless WebP (VP8L) bytes. No transforms,
-    no color cache, one prefix-code group; greedy LZ77 over the two
-    cheap-and-common match shapes (run-of-previous-pixel, copy-of-row-
-    above) with plain +120 distance codes. Alpha is opaque 255."""
+    one prefix-code group; greedy LZ77 over the two cheap-and-common
+    match shapes (run-of-previous-pixel, copy-of-row-above) with plain
+    +120 distance codes; optional COLOR CACHE (cache_bits 1..11) — cache
+    hits replace three literal codes with one green-alphabet symbol, the
+    win on palette-ish content without spatial runs. Alpha is opaque."""
     import struct
 
     import numpy as np
@@ -1786,9 +1788,23 @@ def encode_webp(pixels) -> bytes:
         raise ValueError("WebP: encoder expects (h, w, 3) RGB")
     if not (1 <= w <= 16384 and 1 <= h <= 16384):
         raise ValueError("WebP: dimensions out of VP8L range")
+    if cache_bits and not 1 <= cache_bits <= 11:
+        raise ValueError("WebP: cache_bits must be 0 or 1..11")
     flat = px.reshape(-1, 3)
     n = flat.shape[0]
-    # token stream: ('lit', r, g, b) | ('ref', length, dist)
+    cache_size = (1 << cache_bits) if cache_bits else 0
+    cache = [None] * cache_size
+
+    def argb_of(i):
+        r, g, b = flat[i]
+        return (0xFF << 24) | (int(r) << 16) | (int(g) << 8) | int(b)
+
+    def cache_slot(argb):
+        return (0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)
+
+    # token stream: ('lit', r, g, b) | ('ref', length, dist) |
+    # ('cache', slot) — the cache state must evolve exactly as the
+    # decoder's (every emitted pixel inserts, ref copies included)
     tokens = []
     i = 0
     arr = flat.astype(np.int32)
@@ -1805,10 +1821,24 @@ def encode_webp(pixels) -> bytes:
                 best_len, best_dist = j, dist
         if best_len >= 3:
             tokens.append(("ref", best_len, best_dist))
+            if cache_size:
+                for k in range(i, i + best_len):
+                    a = argb_of(k)
+                    cache[cache_slot(a)] = a
             i += best_len
         else:
-            r, g, b = flat[i]
-            tokens.append(("lit", int(r), int(g), int(b)))
+            a = argb_of(i)
+            if cache_size:
+                slot = cache_slot(a)
+                if cache[slot] == a:
+                    tokens.append(("cache", slot))
+                else:
+                    cache[slot] = a
+                    r, g, b = flat[i]
+                    tokens.append(("lit", int(r), int(g), int(b)))
+            else:
+                r, g, b = flat[i]
+                tokens.append(("lit", int(r), int(g), int(b)))
             i += 1
     # histogram
     gcnt: dict = {}
@@ -1822,6 +1852,9 @@ def encode_webp(pixels) -> bytes:
             gcnt[g] = gcnt.get(g, 0) + 1
             rcnt[r] = rcnt.get(r, 0) + 1
             bcnt[b] = bcnt.get(b, 0) + 1
+        elif t[0] == "cache":
+            sym = 256 + 24 + t[1]
+            gcnt[sym] = gcnt.get(sym, 0) + 1
         else:
             _, ln, dist = t
             p, _e, _b = _vp8l_prefix_encode(ln)
@@ -1847,9 +1880,13 @@ def encode_webp(pixels) -> bytes:
     bw.write(0, 1)                                  # no alpha hint
     bw.write(0, 3)                                  # version 0
     bw.write(0, 1)                                  # no transforms
-    bw.write(0, 1)                                  # no color cache
+    if cache_bits:
+        bw.write(1, 1)
+        bw.write(cache_bits, 4)
+    else:
+        bw.write(0, 1)                              # no color cache
     bw.write(0, 1)                                  # no meta prefix image
-    for lengths, alphabet in ((green_l, 256 + 24), (red_l, 256),
+    for lengths, alphabet in ((green_l, 256 + 24 + cache_size), (red_l, 256),
                               (blue_l, 256), (alpha_l, 256),
                               (dist_l, 40)):
         _vp8l_write_lengths(bw, lengths, alphabet)
@@ -1867,6 +1904,9 @@ def encode_webp(pixels) -> bytes:
             c, ln = b_enc[b]
             bw.write_code(c, ln)
             # alpha: single-symbol zero-bit code — nothing to write
+        elif t[0] == "cache":
+            c, ln = g_enc[256 + 24 + t[1]]
+            bw.write_code(c, ln)
         else:
             _, length, dist = t
             p, extra, ebits = _vp8l_prefix_encode(length)

@@ -715,6 +715,55 @@ def test_webp_lossless_roundtrip():
     meta = MM.decode_image(MM.encode_webp(px))
     assert (meta["width"], meta["height"]) == (40, 36)
 
+    # COLOR CACHE: scattered palette colors (no spatial runs) must both
+    # roundtrip exactly and compress — cache hits replace three literal
+    # codes with one green symbol, and the encoder's cache state must
+    # track the decoder's exactly (ref-copied pixels insert too)
+    rng = np.random.default_rng(11)
+    palette = rng.integers(0, 256, (8, 3)).astype(np.uint8)
+    pal_img = palette[rng.integers(0, 8, (40, 50))]
+    plain = MM.encode_webp(pal_img)
+    cached = MM.encode_webp(pal_img, cache_bits=6)
+    assert (MM.decode_webp(cached)[2] == pal_img).all()
+    assert len(cached) < len(plain) * 0.6
+    for cb in (4, 8):
+        assert (MM.decode_webp(MM.encode_webp(
+            MM.synth_natural_image(3, 40, 36), cache_bits=cb))[2]
+            == MM.synth_natural_image(3, 40, 36)).all()
+
+
+def test_webp_property_random_roundtrip():
+    """Hypothesis-style sweep without the library overhead: seeded random
+    shapes/content classes through the full VP8L entropy layer — any
+    prefix-code, RLE, LZ77, or cache bug breaks exact equality."""
+    import numpy as np
+
+    rng = np.random.default_rng(424242)
+    for trial in range(25):
+        h = int(rng.integers(1, 40))
+        w = int(rng.integers(1, 40))
+        kind = trial % 5
+        if kind == 0:
+            px = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        elif kind == 1:
+            pal = rng.integers(0, 256, (int(rng.integers(2, 9)), 3))
+            px = pal[rng.integers(0, pal.shape[0], (h, w))].astype(np.uint8)
+        elif kind == 2:
+            px = np.full((h, w, 3), int(rng.integers(0, 256)), np.uint8)
+        elif kind == 3:
+            row = rng.integers(0, 256, (1, w, 3)).astype(np.uint8)
+            px = np.tile(row, (h, 1, 1))
+        else:
+            px = np.minimum(np.arange(h)[:, None, None]
+                            + np.arange(w)[None, :, None]
+                            + np.arange(3)[None, None, :], 255
+                            ).astype(np.uint8)
+        cb = int(rng.choice([0, 0, 3, 6, 10]))
+        wb = MM.encode_webp(px, cache_bits=cb)
+        gw, gh, out = MM.decode_webp(wb)
+        assert (gw, gh) == (w, h), (trial, kind, cb)
+        assert (out == px).all(), (trial, kind, cb)
+
 
 def test_jpeg_resize_real_resample():
     """resize keeps the JPEG format: decode -> NN resample -> re-encode;
