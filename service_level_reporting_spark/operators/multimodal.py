@@ -1771,7 +1771,8 @@ def _vp8l_read_code(br: "_Vp8lBitReader", alphabet: int) -> dict:
     return {"map": t["map"], "single": t["single"]}
 
 
-def encode_webp(pixels, cache_bits: int = 0) -> bytes:
+def encode_webp(pixels, cache_bits: int = 0,
+                subtract_green: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB -> lossless WebP (VP8L) bytes. No transforms,
     one prefix-code group; greedy LZ77 over the two cheap-and-common
     match shapes (run-of-previous-pixel, copy-of-row-above) with plain
@@ -1790,6 +1791,13 @@ def encode_webp(pixels, cache_bits: int = 0) -> bytes:
         raise ValueError("WebP: dimensions out of VP8L range")
     if cache_bits and not 1 <= cache_bits <= 11:
         raise ValueError("WebP: cache_bits must be 0 or 1..11")
+    if subtract_green:
+        # transform #2: r/b are coded relative to g (mod 256) — smooth
+        # natural content has strongly correlated channels, so the
+        # residuals concentrate near zero and the literal codes shorten
+        g = px[..., 1].astype(np.int16)
+        px = np.stack([(px[..., 0] - g) % 256, px[..., 1],
+                       (px[..., 2] - g) % 256], axis=-1).astype(np.uint8)
     flat = px.reshape(-1, 3)
     n = flat.shape[0]
     cache_size = (1 << cache_bits) if cache_bits else 0
@@ -1879,7 +1887,10 @@ def encode_webp(pixels, cache_bits: int = 0) -> bytes:
     bw.write(h - 1, 14)
     bw.write(0, 1)                                  # no alpha hint
     bw.write(0, 3)                                  # version 0
-    bw.write(0, 1)                                  # no transforms
+    if subtract_green:
+        bw.write(1, 1)                              # one transform...
+        bw.write(2, 2)                              # ...subtract-green
+    bw.write(0, 1)                                  # end of transforms
     if cache_bits:
         bw.write(1, 1)
         bw.write(cache_bits, 4)
@@ -1966,8 +1977,14 @@ def decode_webp(payload: bytes):
     br.read(1)                                      # alpha hint
     if br.read(3) != 0:
         raise ValueError("WebP: unknown VP8L version")
-    if br.read(1):
-        raise NotImplementedError("WebP: VP8L transforms not supported")
+    transforms = []
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype != 2:
+            raise NotImplementedError(
+                "WebP: only the subtract-green VP8L transform is "
+                "supported (predictor/color/indexing are not)")
+        transforms.append(ttype)
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
@@ -2022,6 +2039,10 @@ def decode_webp(payload: bytes):
             argb = cache[s - 256 - 24]
             out[i] = ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)
             i += 1
+    for ttype in reversed(transforms):              # inverse, reverse order
+        g = out[:, 1].astype(np.int16)
+        out[:, 0] = ((out[:, 0].astype(np.int16) + g) % 256).astype(np.uint8)
+        out[:, 2] = ((out[:, 2].astype(np.int16) + g) % 256).astype(np.uint8)
     return w, h, out.reshape(h, w, 3)
 
 

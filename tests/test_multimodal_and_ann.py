@@ -731,6 +731,22 @@ def test_webp_lossless_roundtrip():
             MM.synth_natural_image(3, 40, 36), cache_bits=cb))[2]
             == MM.synth_natural_image(3, 40, 36)).all()
 
+    # SUBTRACT-GREEN transform (r5): exact roundtrip, and on channel-
+    # correlated content (r ~ g ~ b + noise) the residuals concentrate
+    # near zero and the file shrinks
+    base = rng.integers(0, 250, (40, 50)).astype(np.int16)
+    corr = np.stack([base + rng.integers(0, 6, (40, 50)),
+                     base,
+                     base + rng.integers(0, 6, (40, 50))],
+                    axis=-1).clip(0, 255).astype(np.uint8)
+    plain = MM.encode_webp(corr)
+    sg = MM.encode_webp(corr, subtract_green=True)
+    assert (MM.decode_webp(sg)[2] == corr).all()
+    assert len(sg) < len(plain) * 0.8
+    # transform composes with the color cache
+    assert (MM.decode_webp(MM.encode_webp(
+        corr, cache_bits=6, subtract_green=True))[2] == corr).all()
+
 
 def test_webp_property_random_roundtrip():
     """Hypothesis-style sweep without the library overhead: seeded random
