@@ -1771,34 +1771,13 @@ def _vp8l_read_code(br: "_Vp8lBitReader", alphabet: int) -> dict:
     return {"map": t["map"], "single": t["single"]}
 
 
-def encode_webp(pixels, cache_bits: int = 0,
-                subtract_green: bool = False) -> bytes:
-    """(h, w, 3) uint8 RGB -> lossless WebP (VP8L) bytes. No transforms,
-    one prefix-code group; greedy LZ77 over the two cheap-and-common
-    match shapes (run-of-previous-pixel, copy-of-row-above) with plain
-    +120 distance codes; optional COLOR CACHE (cache_bits 1..11) — cache
-    hits replace three literal codes with one green-alphabet symbol, the
-    win on palette-ish content without spatial runs. Alpha is opaque."""
-    import struct
-
+def _vp8l_write_entropy_image(bw, flat, w, cache_bits: int) -> None:
+    """One spatially-coded VP8L image (cache-info + meta bit + 5 prefix
+    codes + pixel stream) written into an open bit writer — used for the
+    main image AND for transform sub-images (the palette). `flat` is an
+    (n, 3) uint8 array in scanline order; alpha is opaque."""
     import numpy as np
 
-    px = np.ascontiguousarray(pixels, dtype=np.uint8)
-    h, w, nc = px.shape
-    if nc != 3:
-        raise ValueError("WebP: encoder expects (h, w, 3) RGB")
-    if not (1 <= w <= 16384 and 1 <= h <= 16384):
-        raise ValueError("WebP: dimensions out of VP8L range")
-    if cache_bits and not 1 <= cache_bits <= 11:
-        raise ValueError("WebP: cache_bits must be 0 or 1..11")
-    if subtract_green:
-        # transform #2: r/b are coded relative to g (mod 256) — smooth
-        # natural content has strongly correlated channels, so the
-        # residuals concentrate near zero and the literal codes shorten
-        g = px[..., 1].astype(np.int16)
-        px = np.stack([(px[..., 0] - g) % 256, px[..., 1],
-                       (px[..., 2] - g) % 256], axis=-1).astype(np.uint8)
-    flat = px.reshape(-1, 3)
     n = flat.shape[0]
     cache_size = (1 << cache_bits) if cache_bits else 0
     cache = [None] * cache_size
@@ -1882,15 +1861,6 @@ def encode_webp(pixels, cache_bits: int = 0,
     blue_l = _vp8l_normalize(_limited_code_lengths(bcnt, _VP8L_MAX_LEN))
     alpha_l = _vp8l_normalize(_limited_code_lengths(acnt, _VP8L_MAX_LEN))
     dist_l = _vp8l_normalize(_limited_code_lengths(dcnt, _VP8L_MAX_LEN))
-    bw = _Vp8lBitWriter()
-    bw.write(w - 1, 14)
-    bw.write(h - 1, 14)
-    bw.write(0, 1)                                  # no alpha hint
-    bw.write(0, 3)                                  # version 0
-    if subtract_green:
-        bw.write(1, 1)                              # one transform...
-        bw.write(2, 2)                              # ...subtract-green
-    bw.write(0, 1)                                  # end of transforms
     if cache_bits:
         bw.write(1, 1)
         bw.write(cache_bits, 4)
@@ -1930,6 +1900,71 @@ def encode_webp(pixels, cache_bits: int = 0,
             bw.write_code(c, ln)
             if debits:
                 bw.write(dextra, debits)
+
+
+def encode_webp(pixels, cache_bits: int = 0,
+                subtract_green: bool = False,
+                color_indexing: bool = False) -> bytes:
+    """(h, w, 3) uint8 RGB -> lossless WebP (VP8L) bytes. One prefix-code
+    group; greedy LZ77 over the two cheap-and-common match shapes
+    (run-of-previous-pixel, copy-of-row-above) with plain +120 distance
+    codes; optional COLOR CACHE (cache_bits 1..11), optional
+    SUBTRACT-GREEN transform, optional COLOR-INDEXING transform (palette
+    of 17..256 colors stored delta-coded as a nested entropy image; the
+    <=16-color pixel-bundling variant is out of scope and refused).
+    Alpha is opaque."""
+    import struct
+
+    import numpy as np
+
+    px = np.ascontiguousarray(pixels, dtype=np.uint8)
+    h, w, nc = px.shape
+    if nc != 3:
+        raise ValueError("WebP: encoder expects (h, w, 3) RGB")
+    if not (1 <= w <= 16384 and 1 <= h <= 16384):
+        raise ValueError("WebP: dimensions out of VP8L range")
+    if cache_bits and not 1 <= cache_bits <= 11:
+        raise ValueError("WebP: cache_bits must be 0 or 1..11")
+    if subtract_green and color_indexing:
+        raise ValueError("WebP: pick one of subtract_green/color_indexing")
+    bw = _Vp8lBitWriter()
+    bw.write(w - 1, 14)
+    bw.write(h - 1, 14)
+    bw.write(0, 1)                                  # no alpha hint
+    bw.write(0, 3)                                  # version 0
+    if subtract_green:
+        # transform #2: r/b are coded relative to g (mod 256) — smooth
+        # natural content has strongly correlated channels, so the
+        # residuals concentrate near zero and the literal codes shorten
+        g = px[..., 1].astype(np.int16)
+        px = np.stack([(px[..., 0] - g) % 256, px[..., 1],
+                       (px[..., 2] - g) % 256], axis=-1).astype(np.uint8)
+        bw.write(1, 1)                              # one transform...
+        bw.write(2, 2)                              # ...subtract-green
+    if color_indexing:
+        colors, inverse = np.unique(px.reshape(-1, 3), axis=0,
+                                    return_inverse=True)
+        ncol = colors.shape[0]
+        if not 17 <= ncol <= 256:
+            raise ValueError(
+                f"WebP: color_indexing supports 17..256 distinct colors "
+                f"(got {ncol}; <=16 needs pixel bundling, out of scope)")
+        bw.write(1, 1)                              # one transform...
+        bw.write(3, 2)                              # ...color indexing
+        bw.write(ncol - 1, 8)
+        # palette rides as a 1-high nested entropy image, delta-coded
+        # component-wise against the previous entry (mod 256)
+        deltas = np.empty_like(colors)
+        deltas[0] = colors[0]
+        deltas[1:] = (colors[1:].astype(np.int16)
+                      - colors[:-1].astype(np.int16)) % 256
+        _vp8l_write_entropy_image(bw, deltas.astype(np.uint8), ncol, 0)
+        # the main image becomes indices in the GREEN channel
+        idx = inverse.reshape(-1).astype(np.uint8)
+        px = np.stack([np.zeros_like(idx), idx,
+                       np.zeros_like(idx)], axis=-1).reshape(h, w, 3)
+    bw.write(0, 1)                                  # end of transforms
+    _vp8l_write_entropy_image(bw, px.reshape(-1, 3), w, cache_bits)
     data = b"\x2F" + bw.flush()
     if len(data) % 2:
         padded = data + b"\x00"
@@ -1940,51 +1975,12 @@ def encode_webp(pixels, cache_bits: int = 0,
             + b"VP8L" + struct.pack("<I", len(data)) + padded)
 
 
-def decode_webp(payload: bytes):
-    """Lossless WebP (VP8L) -> (w, h, (h, w, 3) uint8 RGB). Supports the
-    spec's core entropy layer (simple + code-length-coded prefix codes,
-    literals, LZ77 refs with plain distances, color cache); transforms,
-    meta-prefix images, and neighborhood distance codes raise — the
-    honest frontier, same policy as the other codecs."""
-    import struct
-
+def _vp8l_decode_entropy_image(br, w: int, h: int):
+    """One spatially-coded VP8L image read from an open bit reader
+    (cache-info + meta bit + 5 prefix codes + pixel stream) — the main
+    image and transform sub-images (the palette) share this."""
     import numpy as np
 
-    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
-        raise ValueError("WebP: bad RIFF/WEBP magic")
-    pos = 12
-    data = None
-    while pos + 8 <= len(payload):
-        tag = payload[pos:pos + 4]
-        (size,) = struct.unpack_from("<I", payload, pos + 4)
-        body = payload[pos + 8:pos + 8 + size]
-        if len(body) != size:
-            raise ValueError("WebP: truncated chunk")
-        if tag == b"VP8L":
-            data = body
-            break
-        if tag == b"VP8 " or tag == b"VP8X":
-            raise NotImplementedError(
-                "WebP: only VP8L (lossless) streams are supported")
-        pos += 8 + size + (size & 1)
-    if data is None:
-        raise ValueError("WebP: no VP8L chunk")
-    if not data or data[0] != 0x2F:
-        raise ValueError("WebP: bad VP8L signature")
-    br = _Vp8lBitReader(data, 1)
-    w = br.read(14) + 1
-    h = br.read(14) + 1
-    br.read(1)                                      # alpha hint
-    if br.read(3) != 0:
-        raise ValueError("WebP: unknown VP8L version")
-    transforms = []
-    while br.read(1):
-        ttype = br.read(2)
-        if ttype != 2:
-            raise NotImplementedError(
-                "WebP: only the subtract-green VP8L transform is "
-                "supported (predictor/color/indexing are not)")
-        transforms.append(ttype)
     cache_bits = 0
     if br.read(1):
         cache_bits = br.read(4)
@@ -2039,10 +2035,78 @@ def decode_webp(payload: bytes):
             argb = cache[s - 256 - 24]
             out[i] = ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)
             i += 1
-    for ttype in reversed(transforms):              # inverse, reverse order
-        g = out[:, 1].astype(np.int16)
-        out[:, 0] = ((out[:, 0].astype(np.int16) + g) % 256).astype(np.uint8)
-        out[:, 2] = ((out[:, 2].astype(np.int16) + g) % 256).astype(np.uint8)
+    return out
+
+
+def decode_webp(payload: bytes):
+    """Lossless WebP (VP8L) -> (w, h, (h, w, 3) uint8 RGB). Supports the
+    spec's core entropy layer (simple + code-length-coded prefix codes,
+    literals, LZ77 refs with plain distances, color cache); transforms,
+    meta-prefix images, and neighborhood distance codes raise — the
+    honest frontier, same policy as the other codecs."""
+    import struct
+
+    import numpy as np
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        raise ValueError("WebP: bad RIFF/WEBP magic")
+    pos = 12
+    data = None
+    while pos + 8 <= len(payload):
+        tag = payload[pos:pos + 4]
+        (size,) = struct.unpack_from("<I", payload, pos + 4)
+        body = payload[pos + 8:pos + 8 + size]
+        if len(body) != size:
+            raise ValueError("WebP: truncated chunk")
+        if tag == b"VP8L":
+            data = body
+            break
+        if tag == b"VP8 " or tag == b"VP8X":
+            raise NotImplementedError(
+                "WebP: only VP8L (lossless) streams are supported")
+        pos += 8 + size + (size & 1)
+    if data is None:
+        raise ValueError("WebP: no VP8L chunk")
+    if not data or data[0] != 0x2F:
+        raise ValueError("WebP: bad VP8L signature")
+    br = _Vp8lBitReader(data, 1)
+    w = br.read(14) + 1
+    h = br.read(14) + 1
+    br.read(1)                                      # alpha hint
+    if br.read(3) != 0:
+        raise ValueError("WebP: unknown VP8L version")
+    transforms = []
+    while br.read(1):
+        ttype = br.read(2)
+        if ttype == 2:
+            transforms.append((2, None))
+        elif ttype == 3:
+            ncol = br.read(8) + 1
+            if ncol <= 16:
+                raise NotImplementedError(
+                    "WebP: <=16-color palettes use pixel bundling, "
+                    "not supported")
+            deltas = _vp8l_decode_entropy_image(br, ncol, 1)
+            palette = np.cumsum(deltas.astype(np.int64),
+                                axis=0) % 256       # undo delta coding
+            transforms.append((3, palette.astype(np.uint8)))
+        else:
+            raise NotImplementedError(
+                "WebP: the predictor/cross-color VP8L transforms are "
+                "not supported")
+    out = _vp8l_decode_entropy_image(br, w, h)
+    for ttype, arg in reversed(transforms):         # inverse, reverse order
+        if ttype == 2:
+            g = out[:, 1].astype(np.int16)
+            out[:, 0] = ((out[:, 0].astype(np.int16) + g)
+                         % 256).astype(np.uint8)
+            out[:, 2] = ((out[:, 2].astype(np.int16) + g)
+                         % 256).astype(np.uint8)
+        else:
+            idx = out[:, 1].astype(np.int64)
+            if idx.max(initial=0) >= arg.shape[0]:
+                raise ValueError("WebP: palette index out of range")
+            out = arg[idx]
     return w, h, out.reshape(h, w, 3)
 
 

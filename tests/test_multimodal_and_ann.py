@@ -747,6 +747,21 @@ def test_webp_lossless_roundtrip():
     assert (MM.decode_webp(MM.encode_webp(
         corr, cache_bits=6, subtract_green=True))[2] == corr).all()
 
+    # COLOR-INDEXING transform (r5): a 17..256-color image rides as
+    # green-channel indices + a delta-coded nested palette image —
+    # exact roundtrip, real compression, and the <=16-color
+    # pixel-bundling variant is refused, not guessed
+    pal = rng.integers(0, 256, (40, 3)).astype(np.uint8)
+    img = pal[rng.integers(0, 40, (50, 60))]
+    plain2 = MM.encode_webp(img)
+    idxed = MM.encode_webp(img, color_indexing=True)
+    assert (MM.decode_webp(idxed)[2] == img).all()
+    assert len(idxed) < len(plain2) * 0.6
+    assert (MM.decode_webp(MM.encode_webp(
+        img, color_indexing=True, cache_bits=6))[2] == img).all()
+    with pytest.raises(ValueError, match="17..256"):
+        MM.encode_webp(np.zeros((4, 4, 3), np.uint8), color_indexing=True)
+
 
 def test_webp_property_random_roundtrip():
     """Hypothesis-style sweep without the library overhead: seeded random
