@@ -1902,9 +1902,80 @@ def _vp8l_write_entropy_image(bw, flat, w, cache_bits: int) -> None:
                 bw.write(dextra, debits)
 
 
+_VP8L_PRED_BITS = 9                 # 512-px tiles: one mode per image
+
+
+def _vp8l_pred_residuals(px, mode: int):
+    """Forward predictor transform (vectorized): residual = pixel - pred
+    (mod 256) with the spec's edge rules — (0,0) predicts opaque black,
+    the top row predicts L, the left column predicts T. Only the
+    TR-independent modes 1 (L), 2 (T), 7 (avg(L,T)) are emitted."""
+    import numpy as np
+
+    p = px.astype(np.int16)
+    h, w, _ = p.shape
+    left = np.empty_like(p)
+    left[:, 1:] = p[:, :-1]
+    left[:, 0] = 0
+    top = np.empty_like(p)
+    top[1:] = p[:-1]
+    top[0] = 0
+    if mode == 1:
+        pred = left.copy()
+    elif mode == 2:
+        pred = top.copy()
+    elif mode == 7:
+        pred = (left + top) >> 1
+    else:
+        raise ValueError(f"WebP: encoder does not emit predictor {mode}")
+    pred[0, 1:] = left[0, 1:]           # top row: L
+    if h > 1:
+        pred[1:, 0] = top[1:, 0]        # left column: T
+    pred[0, 0] = 0                      # top-left: opaque black (RGB 0)
+    return ((p - pred) % 256).astype(np.uint8)
+
+
+def _vp8l_pred_inverse(res_flat, w: int, h: int, modes, sub_w: int,
+                       bits: int):
+    """Inverse predictor: sequential reconstruction (each prediction uses
+    already-reconstructed neighbors). Modes beyond the emitted 0/1/2/7
+    raise — untestable in-container, same policy as the other arms."""
+    import numpy as np
+
+    out = np.zeros((h, w, 3), dtype=np.int16)
+    res = res_flat.reshape(h, w, 3).astype(np.int16)
+    for y in range(h):
+        for x in range(w):
+            if y == 0 and x == 0:
+                pred = np.zeros(3, dtype=np.int16)
+            elif y == 0:
+                pred = out[0, x - 1]
+            elif x == 0:
+                pred = out[y - 1, 0]
+            else:
+                mode = int(modes[(y >> bits) * sub_w + (x >> bits)])
+                if mode == 0:
+                    pred = np.zeros(3, dtype=np.int16)
+                elif mode == 1:
+                    pred = out[y, x - 1]
+                elif mode == 2:
+                    pred = out[y - 1, x]
+                elif mode == 7:
+                    pred = (out[y, x - 1] + out[y - 1, x]) >> 1
+                else:
+                    raise NotImplementedError(
+                        f"WebP: predictor mode {mode} not supported "
+                        "(only 0/1/2/7 — the TR-dependent and "
+                        "clamp/select modes cannot be conformance-"
+                        "checked in-container)")
+            out[y, x] = (res[y, x] + pred) % 256
+    return out.astype(np.uint8).reshape(-1, 3)
+
+
 def encode_webp(pixels, cache_bits: int = 0,
                 subtract_green: bool = False,
-                color_indexing: bool = False) -> bytes:
+                color_indexing: bool = False,
+                predictor: bool = False) -> bytes:
     """(h, w, 3) uint8 RGB -> lossless WebP (VP8L) bytes. One prefix-code
     group; greedy LZ77 over the two cheap-and-common match shapes
     (run-of-previous-pixel, copy-of-row-above) with plain +120 distance
@@ -1925,8 +1996,9 @@ def encode_webp(pixels, cache_bits: int = 0,
         raise ValueError("WebP: dimensions out of VP8L range")
     if cache_bits and not 1 <= cache_bits <= 11:
         raise ValueError("WebP: cache_bits must be 0 or 1..11")
-    if subtract_green and color_indexing:
-        raise ValueError("WebP: pick one of subtract_green/color_indexing")
+    if sum((subtract_green, color_indexing, predictor)) > 1:
+        raise ValueError(
+            "WebP: pick one of subtract_green/color_indexing/predictor")
     bw = _Vp8lBitWriter()
     bw.write(w - 1, 14)
     bw.write(h - 1, 14)
@@ -1963,6 +2035,30 @@ def encode_webp(pixels, cache_bits: int = 0,
         idx = inverse.reshape(-1).astype(np.uint8)
         px = np.stack([np.zeros_like(idx), idx,
                        np.zeros_like(idx)], axis=-1).reshape(h, w, 3)
+    if predictor:
+        # transform #0: per-tile spatial prediction; one 512-px tile mode
+        # per image here, chosen by measuring all three TR-independent
+        # candidates (L / T / avg) and keeping the smallest stream
+        best = None
+        for mode in (1, 2, 7):
+            trial = _vp8l_pred_residuals(px, mode)
+            tw = _Vp8lBitWriter()
+            _vp8l_write_entropy_image(tw, trial.reshape(-1, 3), w,
+                                      cache_bits)
+            size = len(tw.buf)
+            if best is None or size < best[0]:
+                best = (size, mode, trial)
+        _size, mode, residuals = best
+        bits = _VP8L_PRED_BITS
+        sub_w = -(-w // (1 << bits))
+        sub_h = -(-h // (1 << bits))
+        bw.write(1, 1)                              # one transform...
+        bw.write(0, 2)                              # ...predictor
+        bw.write(bits - 2, 3)
+        sub = np.zeros((sub_w * sub_h, 3), dtype=np.uint8)
+        sub[:, 1] = mode                            # mode in GREEN
+        _vp8l_write_entropy_image(bw, sub, sub_w, 0)
+        px = residuals
     bw.write(0, 1)                                  # end of transforms
     _vp8l_write_entropy_image(bw, px.reshape(-1, 3), w, cache_bits)
     data = b"\x2F" + bw.flush()
@@ -2078,7 +2174,13 @@ def decode_webp(payload: bytes):
     transforms = []
     while br.read(1):
         ttype = br.read(2)
-        if ttype == 2:
+        if ttype == 0:
+            bits = br.read(3) + 2
+            sub_w = -(-w // (1 << bits))
+            sub_h = -(-h // (1 << bits))
+            sub = _vp8l_decode_entropy_image(br, sub_w, sub_h)
+            transforms.append((0, (sub[:, 1], sub_w, bits)))
+        elif ttype == 2:
             transforms.append((2, None))
         elif ttype == 3:
             ncol = br.read(8) + 1
@@ -2092,11 +2194,13 @@ def decode_webp(payload: bytes):
             transforms.append((3, palette.astype(np.uint8)))
         else:
             raise NotImplementedError(
-                "WebP: the predictor/cross-color VP8L transforms are "
-                "not supported")
+                "WebP: the cross-color VP8L transform is not supported")
     out = _vp8l_decode_entropy_image(br, w, h)
     for ttype, arg in reversed(transforms):         # inverse, reverse order
-        if ttype == 2:
+        if ttype == 0:
+            modes, sub_w, bits = arg
+            out = _vp8l_pred_inverse(out, w, h, modes, sub_w, bits)
+        elif ttype == 2:
             g = out[:, 1].astype(np.int16)
             out[:, 0] = ((out[:, 0].astype(np.int16) + g)
                          % 256).astype(np.uint8)

@@ -762,6 +762,22 @@ def test_webp_lossless_roundtrip():
     with pytest.raises(ValueError, match="17..256"):
         MM.encode_webp(np.zeros((4, 4, 3), np.uint8), color_indexing=True)
 
+    # PREDICTOR transform (r5): spatial prediction residuals — the
+    # natural/gradient win — emitted with the TR-independent modes only
+    # (L / T / avg, chosen by measuring all three); exact roundtrip
+    # alone and with the cache, and real compression on smooth content
+    nat = MM.synth_natural_image(3, 40, 36)
+    grad2 = np.tile(np.arange(64, dtype=np.uint8)[None, :, None],
+                    (20, 1, 3))
+    for img in (nat, grad2):
+        pw = MM.encode_webp(img, predictor=True)
+        assert (MM.decode_webp(pw)[2] == img).all()
+        assert len(pw) < len(MM.encode_webp(img))
+    assert (MM.decode_webp(MM.encode_webp(
+        nat, predictor=True, cache_bits=6))[2] == nat).all()
+    with pytest.raises(ValueError, match="pick one"):
+        MM.encode_webp(nat, predictor=True, subtract_green=True)
+
 
 def test_webp_property_random_roundtrip():
     """Hypothesis-style sweep without the library overhead: seeded random
@@ -790,7 +806,12 @@ def test_webp_property_random_roundtrip():
                             + np.arange(3)[None, None, :], 255
                             ).astype(np.uint8)
         cb = int(rng.choice([0, 0, 3, 6, 10]))
-        wb = MM.encode_webp(px, cache_bits=cb)
+        kw = {}
+        if trial % 3 == 0:
+            kw["predictor"] = True
+        elif trial % 3 == 1:
+            kw["subtract_green"] = True
+        wb = MM.encode_webp(px, cache_bits=cb, **kw)
         gw, gh, out = MM.decode_webp(wb)
         assert (gw, gh) == (w, h), (trial, kind, cb)
         assert (out == px).all(), (trial, kind, cb)
