@@ -1795,18 +1795,36 @@ def _vp8l_write_entropy_image(bw, flat, w, cache_bits: int) -> None:
     tokens = []
     i = 0
     arr = flat.astype(np.int32)
+    # hash-indexed general matcher (r5): last occurrence of each 3-pixel
+    # window joins the run (dist 1) and row-copy (dist w) candidates —
+    # catches repeated motifs at arbitrary offsets; depth-1 chain keeps
+    # the pass O(n)
+    last_pos: dict = {}
+    pix_bytes = flat.tobytes()
     while i < n:
         best_len, best_dist = 0, 0
-        for dist in ((1, w) if i >= w else (1,)):
-            if i < dist:
-                continue
+        cands = []
+        if i >= 1:
+            cands.append(1)
+        if i >= w:
+            cands.append(w)
+        if i + 3 <= n:
+            key = pix_bytes[3 * i:3 * (i + 3)]
+            j0 = last_pos.get(key)
+            if j0 is not None and i - j0 not in (1, w):
+                cands.append(i - j0)
+        for dist in cands:
             j = 0
             limit = min(n - i, 4096)
             while j < limit and (arr[i + j] == arr[i + j - dist]).all():
                 j += 1
             if j > best_len:
                 best_len, best_dist = j, dist
+        if i + 3 <= n:
+            last_pos[pix_bytes[3 * i:3 * (i + 3)]] = i
         if best_len >= 3:
+            for k in range(i + 1, min(i + best_len, n - 2)):
+                last_pos[pix_bytes[3 * k:3 * (k + 3)]] = k
             tokens.append(("ref", best_len, best_dist))
             if cache_size:
                 for k in range(i, i + best_len):

