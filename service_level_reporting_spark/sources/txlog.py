@@ -34,13 +34,24 @@ from __future__ import annotations
 
 import json
 import os
+import random
+import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 CHECKPOINT_EVERY = 10
-MERGE_MAX_RETRIES = 5
+# Rewriting commits (merge/optimize) retry until this wall-clock deadline,
+# not a fixed count: each lost O_EXCL race is cheap to retry (the logical
+# conflict check below usually avoids re-running the Spark rewrite), and a
+# fixed small cap lets fast appenders starve a slow merger (the r5
+# serializability test caught exactly that — VersionConflict escaped after
+# 5 blind rebases under 3 concurrent mergers).
+COMMIT_DEADLINE_SEC = 120.0
+# base/cap for exponential backoff + full jitter on every commit retry loop
+BACKOFF_BASE_SEC = 0.002
+BACKOFF_CAP_SEC = 0.25
 # vacuum never deletes unreferenced files younger than this: they may be
 # staged by a merge/append that has not committed yet (see vacuum docstring)
 VACUUM_MIN_AGE_SEC = 600.0
@@ -48,6 +59,14 @@ VACUUM_MIN_AGE_SEC = 600.0
 
 class VersionConflict(Exception):
     """Another writer committed the version this writer reserved."""
+
+
+def _backoff(attempt: int) -> None:
+    """Exponential backoff with FULL jitter (sleep uniform in [0, cap]):
+    decorrelates competing writers so a tight retry loop can't starve a
+    slower one — the standard optimistic-concurrency fairness move."""
+    cap = min(BACKOFF_CAP_SEC, BACKOFF_BASE_SEC * (2 ** attempt))
+    time.sleep(random.uniform(0.0, cap))
 
 
 class TxLogTable:
@@ -119,6 +138,7 @@ class TxLogTable:
         if batch_id <= self.last_txn_batch(writer):
             return False
         adds = self._write_data_files(df)
+        attempt = 0
         while True:
             base = self.latest_version()
             # re-check under the new snapshot: a competing retry of the
@@ -130,7 +150,8 @@ class TxLogTable:
                             txn={"writer": writer, "batch": batch_id})
                 return True
             except VersionConflict:
-                continue
+                _backoff(attempt)
+                attempt += 1
 
     def _write_checkpoint(self, version: int) -> None:
         files = self._resolve(version, use_checkpoint=False)
@@ -211,13 +232,17 @@ class TxLogTable:
     # ---- table operations -------------------------------------------------
 
     def append(self, df: DataFrame) -> int:
-        """Blind append: new files + adds; retries version races."""
+        """Blind append: new files + adds; retries version races (with
+        jittered backoff so a burst of appenders can't starve a concurrent
+        merge — appends never conflict logically, only on the version)."""
         adds = self._write_data_files(df)
+        attempt = 0
         while True:
             try:
                 return self.commit(adds, self.latest_version() + 1)
             except VersionConflict:
-                continue   # appends never conflict logically — re-reserve
+                _backoff(attempt)
+                attempt += 1
 
     def read(self, spark: SparkSession, version: int | None = None,
              merge_schema: bool = False) -> DataFrame:
@@ -236,69 +261,147 @@ class TxLogTable:
             reader = reader.option("mergeSchema", "true")
         return reader.parquet(*paths)
 
-    def merge(self, updates: DataFrame, _retries: int = 0) -> dict:
+    def _overlapping(self, live: list[dict],
+                     lo: str | None, hi: str | None) -> list[dict]:
+        """Live files whose stats range may hold keys in [lo, hi] (None
+        bounds are conservative: statless file or unbounded update)."""
+        return [a for a in live
+                if a["min"] is None or lo is None
+                or not (a["max"] < lo or a["min"] > hi)]
+
+    def merge(self, updates: DataFrame,
+              deadline_sec: float = COMMIT_DEADLINE_SEC) -> dict:
         """MERGE keyed on key_cols: rewrite ONLY live files whose stats
         range overlaps the updates (matched keys take the update, unmatched
         rows survive via anti-join), carry every other file by reference,
-        commit removes+adds as ONE version. On VersionConflict the whole
-        read-rewrite-commit rebases against the new snapshot and retries —
-        optimistic concurrency, not a lock. Returns commit stats."""
+        commit removes+adds as ONE version.
+
+        Concurrency (r6 — closes the r5 liveness bug): a lost O_EXCL race
+        first runs LOGICAL conflict detection, Delta-style — re-resolve the
+        live set at the winner's snapshot, and if the files overlapping the
+        update's key range are EXACTLY the ones this merge already rewrote
+        (the winners neither removed a touched file nor added one in our
+        range), the same actions are serializable at the next version and
+        are re-committed WITHOUT re-running the Spark read-rewrite. Only a
+        real overlap pays the rebase. Retries are deadline-bounded with
+        jittered backoff instead of a fixed cap, so fast appenders cannot
+        starve a slow merger. Returns commit stats."""
         bounds = updates.agg(
             F.min(F.col(self.stats_col).cast("string")).alias("lo"),
             F.max(F.col(self.stats_col).cast("string")).alias("hi")).first()
         lo, hi = bounds["lo"], bounds["hi"]
+        deadline = time.monotonic() + deadline_sec
+
+        def rewrite(touched: list[dict]) -> list[dict]:
+            if touched:
+                existing = self._files_df(updates.sparkSession, touched)
+                keep = existing.join(updates.select(*self.key_cols),
+                                     self.key_cols, "left_anti")
+                merged = keep.unionByName(updates)
+            else:
+                merged = updates
+            # materialize before committing: the plan reads files the
+            # commit logically removes (same hazard as
+            # merge_upsert_minutes; a production impl writes from
+            # executors then commits)
+            return self._write_data_files(merged.localCheckpoint(eager=True))
+
         base = self.latest_version()
         live = self._resolve(base)
-        touched = [a for a in live
-                   if a["min"] is None or lo is None
-                   or not (a["max"] < lo or a["min"] > hi)]
-        adds: list[dict] = []
-        if touched:
-            existing = self._files_df(updates.sparkSession, touched)
-            keep = existing.join(updates.select(*self.key_cols),
-                                 self.key_cols, "left_anti")
-            merged = keep.unionByName(updates)
-        else:
-            merged = updates
-        # materialize before committing: the plan reads files the commit
-        # logically removes (same hazard as merge_upsert_minutes; a
-        # production impl writes from executors then commits)
-        merged = merged.localCheckpoint(eager=True)
-        adds = self._write_data_files(merged)
-        actions = adds + [{"remove": a["path"]} for a in touched]
-        try:
-            v = self.commit(actions, base + 1)
-        except VersionConflict:
-            if _retries >= MERGE_MAX_RETRIES:
-                raise
-            return self.merge(updates, _retries=_retries + 1)
-        return {"version": v, "rewritten_files": len(touched),
-                "carried_files": len(live) - len(touched),
-                "added_files": len(adds), "retries": _retries}
+        touched = self._overlapping(live, lo, hi)
+        adds = rewrite(touched)
+        retries = rewrites = 0
+        while True:
+            actions = adds + [{"remove": a["path"]} for a in touched]
+            try:
+                v = self.commit(actions, base + 1)
+                return {"version": v, "rewritten_files": len(touched),
+                        "carried_files": len(live) - len(touched),
+                        "added_files": len(adds), "retries": retries,
+                        "rebases": rewrites}
+            except VersionConflict:
+                if time.monotonic() >= deadline:
+                    raise
+                _backoff(retries)
+                retries += 1
+                base = self.latest_version()
+                live = self._resolve(base)
+                new_touched = self._overlapping(live, lo, hi)
+                if ({a["path"] for a in new_touched}
+                        == {a["path"] for a in touched}):
+                    continue        # logical no-conflict: re-commit as-is
+                touched = new_touched
+                adds = rewrite(touched)
+                rewrites += 1
 
-    def optimize(self, target_files: int = 4, _retries: int = 0) -> dict:
+    def optimize(self, target_files: int = 4,
+                 zorder_by: tuple[str, str] | None = None,
+                 deadline_sec: float = COMMIT_DEADLINE_SEC) -> dict:
         """Compact the live file set into `target_files` larger files in
         ONE commit (add compacted, remove all current) — the S9 small-file
         maintenance pass expressed as a table-format operation. Readers of
         any existing snapshot are untouched (files are immutable); a
-        concurrent commit rebases and retries like merge. No-op when the
-        table already has <= target_files files."""
+        concurrent commit rebases and retries like merge (deadline-bounded
+        with jittered backoff; when the interleaved commits left the live
+        file set unchanged — e.g. an empty commit — the same actions are
+        re-committed without re-running the compaction).
+
+        ``zorder_by=(colA, colB)`` additionally Z-ORDERs the compacted
+        output: both columns are range-normalized to 16 bits, Morton-
+        interleaved (pure JVM expressions, sinks._zvalue), and the rows
+        sorted by the interleaved key before the write — so parquet
+        row-group min/max stats prune point predicates on EITHER column
+        (OPTIMIZE ZORDER BY as one atomic, snapshot-isolated commit).
+        Forces a rewrite even when the file count is already compact,
+        since the point is the layout, not the count."""
+        deadline = time.monotonic() + deadline_sec
+
+        def compact(live: list[dict]) -> list[dict]:
+            spark = SparkSession.getActiveSession()
+            df = self._files_df(spark, live)
+            if zorder_by is not None:
+                from service_level_reporting_spark.sources.sinks import _zvalue
+                ca, cb = zorder_by
+                lo = df.agg(
+                    F.min(ca).alias("alo"), F.max(ca).alias("ahi"),
+                    F.min(cb).alias("blo"), F.max(cb).alias("bhi")).first()
+                aspan = max(1, int(lo["ahi"]) - int(lo["alo"]))
+                bspan = max(1, int(lo["bhi"]) - int(lo["blo"]))
+                nx = ((F.col(ca).cast("long") - int(lo["alo"]))
+                      * 65535 / aspan).cast("long")
+                ny = ((F.col(cb).cast("long") - int(lo["blo"]))
+                      * 65535 / bspan).cast("long")
+                df = (df.withColumn("__z", _zvalue(nx, ny))
+                        .repartition(target_files)
+                        .sortWithinPartitions("__z").drop("__z"))
+            else:
+                df = df.coalesce(target_files)
+            return self._write_data_files(df.localCheckpoint(eager=True))
+
         base = self.latest_version()
         live = self._resolve(base)
-        if len(live) <= target_files:
+        if len(live) <= target_files and zorder_by is None:
             return {"version": base, "compacted": 0, "files": len(live)}
-        spark = SparkSession.getActiveSession()
-        merged = self._files_df(spark, live).coalesce(target_files)
-        merged = merged.localCheckpoint(eager=True)
-        adds = self._write_data_files(merged)
-        actions = adds + [{"remove": a["path"]} for a in live]
-        try:
-            v = self.commit(actions, base + 1)
-        except VersionConflict:
-            if _retries >= MERGE_MAX_RETRIES:
-                raise
-            return self.optimize(target_files, _retries=_retries + 1)
-        return {"version": v, "compacted": len(live), "files": len(adds)}
+        adds = compact(live)
+        retries = 0
+        while True:
+            actions = adds + [{"remove": a["path"]} for a in live]
+            try:
+                v = self.commit(actions, base + 1)
+                return {"version": v, "compacted": len(live),
+                        "files": len(adds), "retries": retries}
+            except VersionConflict:
+                if time.monotonic() >= deadline:
+                    raise
+                _backoff(retries)
+                retries += 1
+                base = self.latest_version()
+                new_live = self._resolve(base)
+                if ({a["path"] for a in new_live}
+                        == {a["path"] for a in live}):
+                    continue        # live set unchanged: re-commit as-is
+                live = new_live
+                adds = compact(live)
 
     def vacuum(self, retain_versions: int = 3,
                min_age_sec: float = VACUUM_MIN_AGE_SEC) -> dict:

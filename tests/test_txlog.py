@@ -189,16 +189,27 @@ def test_additive_schema_evolution(spark, table_path):
 
 
 def test_concurrent_writers_serializability(spark, table_path):
-    """r5 (VERDICT item 8): N concurrent writers x M commits, randomized
-    by hypothesis, REAL thread interleaving over the O_EXCL commit
-    protocol (txlog.py commit/merge). Properties:
+    """r5 (VERDICT item 8), extended r6 (item 5): N concurrent writers x
+    M commits, randomized by hypothesis, REAL thread interleaving over the
+    O_EXCL commit protocol (txlog.py commit/merge/optimize/vacuum).
+    Properties:
       * the version log is GAPLESS — every version 0..latest committed;
       * the final table equals the serial replay of the ops in COMMIT
         ORDER (optimistic concurrency must make some serial order real);
       * commit order respects each writer's program order (merge returns
-        only after its commit lands).
-    Ops mix blind appends (multiset add) and keyed merges (replace all
-    rows of the update's keys) against a Counter model."""
+        only after its commit lands);
+      * vacuum under contention removes NOTHING (the in-flight-writer age
+        guard — a concurrent merge's staged-but-uncommitted files must
+        survive);
+      * after a deterministic tail pushes the log past CHECKPOINT_EVERY,
+        checkpointed resolution equals full-log replay, and an aged-out
+        vacuum leaves every retained snapshot readable.
+    Ops mix blind appends (multiset add), keyed merges (replace all rows
+    of the update's keys), optimize (content-preserving commit), and
+    safe-mode vacuum against a Counter model. The r5 revision of this
+    test caught the MERGE_MAX_RETRIES liveness bug (VersionConflict
+    escaping merge() under 3 mergers); the deadline-bounded backoff +
+    logical-conflict-check commit loop is what keeps it green now."""
     import shutil
     from collections import Counter
     from concurrent.futures import ThreadPoolExecutor
@@ -211,8 +222,11 @@ def test_concurrent_writers_serializability(spark, table_path):
     append_op = st.tuples(
         st.just("append"),
         st.sets(st.integers(0, 5), min_size=1, max_size=2))
-    writer_st = st.lists(st.one_of(merge_op, append_op),
-                         min_size=2, max_size=3)
+    maint_op = st.tuples(
+        st.sampled_from(["optimize", "vacuum"]),
+        st.just(frozenset()))
+    writer_st = st.lists(st.one_of(merge_op, append_op, maint_op),
+                         min_size=2, max_size=4)
 
     def frame(rows):
         return spark.createDataFrame(
@@ -233,8 +247,17 @@ def test_concurrent_writers_serializability(spark, table_path):
                 rows = [(f"k{k:02d}", stamp) for k in sorted(keys)]
                 if kind == "merge":
                     v = t.merge(frame(rows))["version"]
-                else:
+                elif kind == "append":
                     v = t.append(frame(rows))
+                elif kind == "optimize":
+                    stats = t.optimize(target_files=2)
+                    if stats["compacted"] == 0:
+                        continue            # no-op: nothing committed
+                    v = stats["version"]
+                else:                       # safe-mode vacuum: age guard
+                    assert t.vacuum(retain_versions=2)["removed_files"] \
+                        == 0, "vacuum deleted a possibly-in-flight file"
+                    continue                # vacuum never commits
                 committed.append((v, wi, oi, kind, rows))
 
         with ThreadPoolExecutor(max_workers=len(writers)) as ex:
@@ -257,6 +280,7 @@ def test_concurrent_writers_serializability(spark, table_path):
             assert [oi for _, oi in mine] == sorted(oi for _, oi in mine)
 
         # serial replay in commit order == final table, exactly
+        # (optimize commits preserve content — the replay skips them)
         model = Counter(seed)
         for _, _, _, kind, rows in sorted(committed):
             if kind == "merge":
@@ -264,9 +288,30 @@ def test_concurrent_writers_serializability(spark, table_path):
                 for (k, v) in list(model):
                     if k in keys:
                         del model[(k, v)]
-            model.update(rows)
+            if kind != "optimize":
+                model.update(rows)
         got = Counter((r["k"], r["v"]) for r in t.read(spark).collect())
         assert got == model
+
+        # deterministic tail: push the log past CHECKPOINT_EVERY so
+        # checkpoint compaction runs ON TOP of the contended history,
+        # then prove checkpointed resolution == full replay and that an
+        # aged-out vacuum keeps every retained snapshot readable
+        while t.latest_version() <= CHECKPOINT_EVERY:
+            rows = [("k_tail", t.latest_version())]
+            t.append(frame(rows))
+            model.update(rows)
+        assert any(f.endswith(".checkpoint.json")
+                   for f in os.listdir(t.log_dir)), "no checkpoint"
+        assert t._resolve() == t._resolve(use_checkpoint=False)
+        got = Counter((r["k"], r["v"]) for r in t.read(spark).collect())
+        assert got == model
+        latest = t.latest_version()
+        retained = {v: t.read(spark, v).count()
+                    for v in range(latest - 2, latest + 1)}
+        t.vacuum(retain_versions=3, min_age_sec=0)
+        for v, n in retained.items():
+            assert t.read(spark, v).count() == n
 
     run()
 
