@@ -274,9 +274,37 @@ LSH_SEED = 42
 # layout expressed as a DataFrame: (centroid_id, vec_id, embedding),
 # partitioned by centroid_id so one probe touches few partitions.
 
-IVF_K = 16           # codebook size (sqrt-ish of test corpus; tuned per SF)
-IVF_NPROBE = 4       # buckets probed per query
-IVF_TRAIN_CAP = 2048  # driver-side training sample bound
+IVF_K = 16           # codebook floor (the hand-tuned small-corpus shape)
+IVF_NPROBE = 4       # probe floor
+IVF_TRAIN_CAP = 2048  # driver-side training sample bound (floor)
+
+
+def derived_ivf_knobs(n_vectors: int) -> dict:
+    """Corpus-scaled index defaults (VERDICT r5 item 2: the fixture
+    constants k=16/pq_k=16/nprobe=4 measured recall 0.4 at 10^6 vectors —
+    right for a 2k-row fixture, silently wrong at scale). Every entry
+    point now derives its knobs from the parquet-footer row count (the
+    same zero-cost seam lsh_blocks uses) unless the caller passes
+    explicit values:
+
+      k      ~ sqrt(n)/8  — the 1M-probe's measured-good centroid count
+               (BENCH_ANN_1M: recall 0.8 at k=125), floored at the
+               fixture shape so sf-corpus driver rows are unchanged;
+      nprobe = k/16       — a fixed ~6% cell-probe fraction, so the knob
+               tracks k instead of going stale as k grows;
+      pq_k   = 256 above 10^5 vectors — 8-bit books at the SAME 8 B/vector
+               code (the 4-bit fixture alphabet is quantization-bound:
+               recall 0.4 even at refine 800);
+      refine = 40 with 256-entry books (measured), else the fixture 12.
+    """
+    import math
+
+    k = min(4096, max(IVF_K, round(math.sqrt(max(1, n_vectors)) / 8)))
+    pq_k = 256 if n_vectors >= 100_000 else PQ_K
+    return {"k": k,
+            "nprobe": max(IVF_NPROBE, -(-k // 16)),
+            "pq_k": pq_k,
+            "refine": 40 if pq_k > PQ_K else PQ_REFINE}
 
 
 def _train_sample(e: DataFrame, n_rows: int | None = None,
@@ -344,29 +372,38 @@ def _assign_udf(centroids):
 
 
 def _ivf_index(spark: SparkSession, sf_dir: str,
-               k: int = IVF_K) -> dict:
+               k: int | None = None) -> dict:
     """Build the IVF index ONCE: one sample collect, one coarse codebook,
     one assignment column. The IVF-flat and IVF-PQ legs both consume this
     (VERDICT r2 item 3: each leg used to train and assign independently —
     two extra scans and a duplicate codebook per suite run). At cluster
     scale this dict is the persisted index artifact (centroids in the
-    catalog, `indexed` written partitioned by centroid_id)."""
+    catalog, `indexed` written partitioned by centroid_id).
+
+    k=None derives the codebook size from the corpus row count
+    (derived_ivf_knobs), so naive callers get the scale-correct shape."""
     e = _with_norm(_emb(spark, sf_dir))
     n = table_row_count(sf_dir, "embeddings")
-    # train-sample size follows the codebook (>= 32 rows/centroid), so a
-    # corpus-scaled k (the production knob: k ~ sqrt(n)) trains on enough
-    # data without unbounding the driver collect
-    x = _train_sample(e, n_rows=n, cap=max(IVF_TRAIN_CAP, 32 * k))
+    knobs = derived_ivf_knobs(n)
+    if k is None:
+        k = knobs["k"]
+    # train-sample size follows BOTH codebooks (>= 32 rows/centroid for
+    # the coarse k and the PQ alphabet), so corpus-scaled knobs train on
+    # enough data without unbounding the driver collect
+    x = _train_sample(e, n_rows=n,
+                      cap=max(IVF_TRAIN_CAP, 32 * k, 32 * knobs["pq_k"]))
     coarse = _train_centroids(x, k=k)
     indexed = e.withColumn("centroid_id", _assign_udf(coarse)("emb"))
-    return {"e": e, "x": x, "coarse": coarse, "indexed": indexed}
+    return {"e": e, "x": x, "coarse": coarse, "indexed": indexed, "n": n}
 
 
 def similarity_knn_ivf(spark: SparkSession, sf_dir: str,
                        index: dict | None = None,
-                       nprobe: int = IVF_NPROBE) -> DataFrame:
+                       nprobe: int | None = None) -> DataFrame:
     idx = index if index is not None else _ivf_index(spark, sf_dir)
     e, centroids, indexed = idx["e"], idx["coarse"], idx["indexed"]
+    if nprobe is None:          # track the index's actual codebook size
+        nprobe = max(IVF_NPROBE, -(-len(centroids) // 16))
 
     import numpy as np
 
@@ -495,16 +532,23 @@ def _adc_udf(lut, qc_dots):
 
 def similarity_knn_ivf_pq(spark: SparkSession, sf_dir: str,
                           index: dict | None = None,
-                          nprobe: int = IVF_NPROBE,
-                          refine: int = PQ_REFINE) -> DataFrame:
+                          nprobe: int | None = None,
+                          refine: int | None = None) -> DataFrame:
     import numpy as np
 
     idx = index if index is not None else _ivf_index(spark, sf_dir)
     e, coarse = idx["e"], idx["coarse"]
     books = idx.get("books")
     if books is None:
-        books = _train_pq(idx["x"], coarse)
+        # in-session index dicts carry the corpus count — train the books
+        # at the scale-derived alphabet (256-entry above 10^5 vectors)
+        pq_k = derived_ivf_knobs(idx["n"])["pq_k"] if "n" in idx else PQ_K
+        books = _train_pq(idx["x"], coarse, k=pq_k)
     indexed = idx["indexed"]
+    if nprobe is None:
+        nprobe = max(IVF_NPROBE, -(-len(coarse) // 16))
+    if refine is None:          # 256-entry books run the measured refine 40
+        refine = 40 if books.shape[1] > PQ_K else PQ_REFINE
     if "code" not in indexed.columns:       # persisted indexes carry codes
         indexed = indexed.withColumn(
             "code", _pq_encode_udf(coarse, books)("emb"))
@@ -811,11 +855,13 @@ _IVF_MEMO: dict[tuple, dict] = {}
 
 
 def shared_ivf_index(spark: SparkSession, sf_dir: str,
-                     k: int = IVF_K) -> dict:
+                     k: int | None = None) -> dict:
     import os
 
     from service_level_reporting_spark.tables import source_fingerprint
 
+    if k is None:       # concrete memo key: derive before the lookup
+        k = derived_ivf_knobs(table_row_count(sf_dir, "embeddings"))["k"]
     if not os.path.isdir(sf_dir):
         return _ivf_index(spark, sf_dir, k=k)
     app = spark.sparkContext.applicationId
@@ -838,7 +884,7 @@ def shared_ivf_index(spark: SparkSession, sf_dir: str,
 
 
 def save_ivf_index(spark: SparkSession, sf_dir: str, path: str,
-                   k: int = IVF_K, pq_k: int = PQ_K) -> None:
+                   k: int | None = None, pq_k: int | None = None) -> None:
     """Persist the trained IVF-PQ index as tables — build once, query many
     SESSIONS, which is what an index is for (the session memo above only
     amortizes within one process; at 100 TB the assignment pass alone is a
@@ -859,7 +905,11 @@ def save_ivf_index(spark: SparkSession, sf_dir: str, path: str,
     # same 8 B/vector code as the 4-bit fixture default, with 16x the ADC
     # resolution — at 10^6 isotropic vectors the 4-bit books measured
     # recall 0.4-0.6 even at refine=800 (quantization noise, not probe
-    # width); 256-entry books restore the refine knob's leverage
+    # width); 256-entry books restore the refine knob's leverage.
+    # pq_k=None takes that shape automatically above 10^5 vectors.
+    if pq_k is None:
+        pq_k = derived_ivf_knobs(idx.get(
+            "n", table_row_count(sf_dir, "embeddings")))["pq_k"]
     books = _train_pq(idx["x"], coarse, k=pq_k)
     indexed = idx["indexed"].withColumn(
         "code", _pq_encode_udf(coarse, books)("emb"))

@@ -280,6 +280,46 @@ def test_ann_suite_carries_recall_columns(spark):
     assert by_part["lsh_mp_knn"].pop() >= 0.4
 
 
+def test_derived_ivf_knobs_scale_with_corpus():
+    """r6 (VERDICT item 2): knob defaults derive from the corpus row count.
+    Small corpora keep the hand-tuned fixture shape EXACTLY (driver rows
+    unchanged); above 10^5 vectors the measured-good 1M-probe shape takes
+    over (k ~ sqrt(n)/8, 256-entry PQ books, refine 40)."""
+    for n in (500, 2000):               # the sf fixture corpus sizes
+        k = SIM.derived_ivf_knobs(n)
+        assert k == {"k": SIM.IVF_K, "nprobe": SIM.IVF_NPROBE,
+                     "pq_k": SIM.PQ_K, "refine": SIM.PQ_REFINE}, (n, k)
+    big = SIM.derived_ivf_knobs(1_000_500)
+    assert big["k"] == 125 and big["pq_k"] == 256 and big["refine"] == 40
+    assert big["nprobe"] == 8           # ~6% cell-probe fraction
+    mid = SIM.derived_ivf_knobs(100_000)
+    assert mid["pq_k"] == 256 and mid["k"] >= 32
+    # monotone, clamped: more corpus never means a smaller codebook
+    ks = [SIM.derived_ivf_knobs(n)["k"] for n in
+          (10**3, 10**5, 10**7, 10**9, 10**12)]
+    assert ks == sorted(ks) and ks[-1] == 4096
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.01",
+                                    "/root/testdata/sf0.1"])
+def test_default_derived_knobs_meet_recall_floors(sf_dir):
+    """r6 (VERDICT item 6): the DEFAULT (knob-free) IVF and IVF-PQ paths
+    must clear the same recall floors the explicit-knob tests pin, at both
+    sf fixtures — so the auto-derivation can't rot the naive caller's
+    recall."""
+    from service_level_reporting_spark.session import get_spark
+
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    exact = {r["vec_id"]
+             for r in SIM.similarity_knn_query(spark, sf_dir).collect()}
+    ivf = {r["vec_id"]
+           for r in SIM.similarity_knn_ivf(spark, sf_dir).collect()}
+    assert len(ivf & exact) / len(exact) >= 0.4
+    pq = {r["vec_id"]
+          for r in SIM.similarity_knn_ivf_pq(spark, sf_dir).collect()}
+    assert len(pq & exact) / len(exact) >= 0.8
+
+
 def test_train_clamps_to_tiny_corpus():
     """ADVICE r2: a corpus smaller than IVF_K/PQ_K must degrade (clamped
     codebooks), not raise a numpy shape error."""

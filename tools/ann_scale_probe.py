@@ -22,10 +22,13 @@ re-normalized (cos ~0.97 — strong near-dups, comfortably inside the 0.9
 threshold; 0.05-sigma put the planted cosines ON the threshold and
 measured the threshold boundary, not recall), ids offset by CLONE_OFF.
 
-Index knobs scale with the corpus (the production tuning surface,
-threaded through as parameters in r5): centroids k ~ sqrt(n)/8, nprobe
-k/16, PQ refine 40 — the sf-fixture defaults (k=16, nprobe=4, refine=12)
-are sized for 2k vectors and measured recall 0.2-0.8 at 10^5.
+Index knobs (r6, VERDICT item 2): the probe passes NO explicit knobs —
+every entry point scale-derives its defaults from the corpus row count
+(similarity.derived_ivf_knobs: k ~ sqrt(n)/8, nprobe k/16, pq_k 256 above
+10^5 vectors, refine 40 with 256-entry books), so this run certifies the
+configuration a naive caller gets. The old fixture constants (k=16,
+nprobe=4, pq_k=16, refine=12) measured recall 0.2-0.8 at 10^5+ and
+survive only as small-corpus floors.
 
 Usage: python tools/ann_scale_probe.py [n_base]   (default 1_000_000)
 Output: one JSON line; recorded in SCALE.md §ANN and BENCH notes.
@@ -161,23 +164,21 @@ def main() -> None:
     exact_ids = [r["vec_id"] for r in ex_rows]
     out["knn_exact"] = {"sec": ex_sec, "top": exact_ids}
 
-    import math
-
+    # r6 (VERDICT item 2): the probe now runs the DEFAULT path end to end
+    # — no explicit knobs anywhere; save/load/query all derive from the
+    # corpus row count via SIM.derived_ivf_knobs. The derived values are
+    # recorded so the artifact shows what the defaults resolved to.
     n_tot = n_base + N_PLANTED
-    ivf_k = max(SIM.IVF_K, int(math.sqrt(n_tot) / 8))
-    nprobe = max(SIM.IVF_NPROBE, ivf_k // 16)
-    refine = 40
-    out["index_knobs"] = {"k": ivf_k, "nprobe": nprobe, "refine": refine}
+    out["index_knobs"] = dict(SIM.derived_ivf_knobs(n_tot),
+                              derived="default_path")
     build_sec, _ = timed(
-        lambda: SIM.save_ivf_index(spark, DIR, INDEX_DIR, k=ivf_k))
+        lambda: SIM.save_ivf_index(spark, DIR, INDEX_DIR))
     load_sec, idx = timed(lambda: SIM.load_ivf_index(spark, INDEX_DIR))
     ivf_sec, ivf_rows = timed(
-        lambda: SIM.similarity_knn_ivf(spark, DIR, index=idx,
-                                       nprobe=nprobe).collect(), n=3)
+        lambda: SIM.similarity_knn_ivf(spark, DIR, index=idx).collect(),
+        n=3)
     pq_sec, pq_rows = timed(
-        lambda: SIM.similarity_knn_ivf_pq(spark, DIR, index=idx,
-                                          nprobe=nprobe,
-                                          refine=refine).collect(),
+        lambda: SIM.similarity_knn_ivf_pq(spark, DIR, index=idx).collect(),
         n=3)
     k = len(exact_ids)
     out["knn_ivf"] = {
