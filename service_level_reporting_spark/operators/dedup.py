@@ -547,13 +547,19 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 #     docs_in_oversized / docs_dropped per run.
 # The O(n·m) Levenshtein verify runs only inside bounded blocks.
 #
-# SYMMETRIC coverage (r5): the candidate pass runs TWICE — once blocked
-# on the 16-char PREFIX, once on the 16-char SUFFIX — and unions the
+# SYMMETRIC coverage (r5): the candidate pass runs per ANCHOR — blocked
+# on the 16-char PREFIX, on the 16-char SUFFIX, and (r6, VERDICT item 4)
+# on a 16-char MIDDLE slice centered at floor(len/2) — and unions the
 # (identical-valued) verified rows distinct. A bounded edit can touch the
 # prefix or the suffix but (for FUZZY_MAX_DIST << doc length) not both,
-# so every within-distance pair survives at least one key: the r4
-# in-prefix-edit recall miss is closed with the SAME join machinery, one
-# more equi-join pass. Both passes carry the hot-block cap independently.
+# so every within-distance pair survives at least one end key; pairs
+# edited at BOTH ends (the r5 documented miss) survive the middle key as
+# long as the edits preserve the center alignment (substitutions, or
+# length-preserving edit mixes). The remaining documented miss narrows to
+# length-CHANGING edits on both sides of the center — those shift the
+# middle slice — which MinHash banding (dedup_near_dup_signatures)
+# covers probabilistically. All passes share the join machinery and carry
+# the hot-block cap + accounting independently.
 # ---------------------------------------------------------------------------
 
 FUZZY_PREFIX = 16
@@ -561,18 +567,28 @@ FUZZY_LEN_BAND = 8
 FUZZY_MAX_DIST = 10
 FUZZY_MAX_BLOCK = 256   # max docs joined per block key (candidates <= n^2)
 
+FUZZY_SIDES = ("prefix", "suffix", "middle")
 
 _FUZZY_SUFFIX_SQL = (f"substring(text, greatest(1, length(text) - "
                      f"{FUZZY_PREFIX - 1}), {FUZZY_PREFIX})")
+# centered slice: floor(len/2) - 7 start, clamped to 1. floor-then-cast is
+# spelled out because bare double->int casts ROUND in DuckDB and TRUNCATE
+# in Spark; floor() agrees in both, so the oracle blocks identically.
+_FUZZY_MIDDLE_SQL = (f"substring(text, greatest(1, cast(floor(length(text)"
+                     f" / 2) as int) - {FUZZY_PREFIX // 2 - 1}), "
+                     f"{FUZZY_PREFIX})")
 
 
 def _fuzzy_key(side: str):
-    """The block key expression for one pass: 16-char prefix or suffix.
-    The suffix spells out greatest(1, len-15) rather than a negative
-    start — negative-start clipping differs between engines for strings
-    shorter than the key, and the oracle must block identically."""
+    """The block key expression for one pass: 16-char prefix, suffix, or
+    centered middle slice. The suffix spells out greatest(1, len-15)
+    rather than a negative start — negative-start clipping differs
+    between engines for strings shorter than the key, and the oracle must
+    block identically."""
     if side == "prefix":
         return F.substring("text", 1, FUZZY_PREFIX)
+    if side == "middle":
+        return F.expr(_FUZZY_MIDDLE_SQL)
     return F.expr(_FUZZY_SUFFIX_SQL)
 
 
@@ -646,13 +662,19 @@ def _fuzzy_side_pairs(d: DataFrame, max_block: int, side: str) -> DataFrame:
     oracle=f"""
     -- equality fast path: exact clones (the dominant near-dup class on a
     -- clone-heavy corpus) cost a string compare, not an O(n*m) DP.
-    -- r5: candidates from the PREFIX block OR the SUFFIX block (an edit
-    -- inside one key survives the other); DISTINCT dedups double hits.
+    -- r5/r6: candidates from the PREFIX, SUFFIX, or MIDDLE block (an
+    -- edit inside one key survives the others); DISTINCT dedups multi
+    -- hits. Parity note: this models the UNCAPPED block join — the Spark
+    -- side drops docs ranked past FUZZY_MAX_BLOCK={FUZZY_MAX_BLOCK} in a
+    -- same-key same-len-bucket sub-block (by-design, accounted in
+    -- dedup_fuzzy_block_stats); differential corpora are asserted
+    -- cap-free by that aux row (docs_dropped = 0), so the sets agree.
     WITH keyed AS (
         SELECT doc_id, text,
                substring(text, 1, {FUZZY_PREFIX}) AS pk,
                substring(text, greatest(1, length(text) - {FUZZY_PREFIX - 1}),
-                         {FUZZY_PREFIX}) AS sk
+                         {FUZZY_PREFIX}) AS sk,
+               {_FUZZY_MIDDLE_SQL} AS mk
         FROM documents
     ),
     cand AS (
@@ -662,7 +684,7 @@ def _fuzzy_side_pairs(d: DataFrame, max_block: int, side: str) -> DataFrame:
                     ELSE levenshtein(a.text, b.text) END AS lev_dist
         FROM keyed a
         JOIN keyed b
-          ON (a.pk = b.pk OR a.sk = b.sk)
+          ON (a.pk = b.pk OR a.sk = b.sk OR a.mk = b.mk)
          AND a.doc_id < b.doc_id
          AND abs(length(a.text) - length(b.text)) <= {FUZZY_LEN_BAND}
     )
@@ -674,11 +696,12 @@ def _fuzzy_side_pairs(d: DataFrame, max_block: int, side: str) -> DataFrame:
 def dedup_fuzzy_pairs(spark: SparkSession, sf_dir: str,
                       max_block: int = FUZZY_MAX_BLOCK) -> DataFrame:
     d = _docs(spark, sf_dir).select("doc_id", "text")
-    # a pair found by both passes emits identical rows (lev/sim are
+    # a pair found by several passes emits identical rows (lev/sim are
     # deterministic functions of the two texts) — distinct dedups them
-    return (_fuzzy_side_pairs(d, max_block, "prefix")
-            .unionByName(_fuzzy_side_pairs(d, max_block, "suffix"))
-            .distinct())
+    out = _fuzzy_side_pairs(d, max_block, FUZZY_SIDES[0])
+    for side in FUZZY_SIDES[1:]:
+        out = out.unionByName(_fuzzy_side_pairs(d, max_block, side))
+    return out.distinct()
 
 
 _FUZZY_STATS_SIDE_SQL = """
@@ -708,7 +731,7 @@ _FUZZY_STATS_SIDE_SQL = """
     "dedup_fuzzy_block_stats",
     aux=True,   # SQL-oracled, checked by the pytest differential
     oracle="-- the no-silent-caps accounting for dedup_fuzzy_pairs,\n"
-           "-- one row per block side (prefix / suffix)\n"
+           "-- one row per block side (middle / prefix / suffix)\n"
            + _FUZZY_STATS_SIDE_SQL.format(
                key=f"substring(text, 1, {FUZZY_PREFIX})",
                band=FUZZY_LEN_BAND, cap=FUZZY_MAX_BLOCK, side="prefix")
@@ -716,19 +739,26 @@ _FUZZY_STATS_SIDE_SQL = """
            + _FUZZY_STATS_SIDE_SQL.format(
                key=_FUZZY_SUFFIX_SQL,
                band=FUZZY_LEN_BAND, cap=FUZZY_MAX_BLOCK, side="suffix")
+           + "\n    UNION ALL\n"
+           + _FUZZY_STATS_SIDE_SQL.format(
+               key=_FUZZY_MIDDLE_SQL,
+               band=FUZZY_LEN_BAND, cap=FUZZY_MAX_BLOCK, side="middle")
            + "\n    ORDER BY side",
 )
 def dedup_fuzzy_block_stats(spark: SparkSession, sf_dir: str,
                             max_block: int = FUZZY_MAX_BLOCK) -> DataFrame:
-    """Dropped-volume accounting for the fuzzy-dedup cap (r5): one row of
-    block-size facts PER BLOCK SIDE (prefix / suffix) so a capped run is
-    visible in the driver artifact, never silent. docs_dropped > 0 means
-    FUZZY_MAX_BLOCK bit on a same-key same-length-bucket population and
-    recall is bounded for those docs only (on that side — the other side
-    still covers them unless it capped too)."""
+    """Dropped-volume accounting for the fuzzy-dedup cap (r5, +middle r6):
+    one row of block-size facts PER BLOCK SIDE (prefix / suffix / middle)
+    so a capped run is visible in the driver artifact, never silent.
+    docs_dropped > 0 means FUZZY_MAX_BLOCK bit on a same-key
+    same-length-bucket population and recall is bounded for those docs
+    only (on that side — the other sides still cover them unless they
+    capped too). It also certifies dedup_fuzzy_pairs' oracle parity: the
+    oracle SQL models the uncapped join, valid exactly while
+    docs_dropped = 0 on the differential corpus."""
     d = _docs(spark, sf_dir).select("doc_id", "text")
     sides = []
-    for side in ("prefix", "suffix"):
+    for side in FUZZY_SIDES:
         _, kept, over = _fuzzy_blocked_docs(d, max_block, side=side)
         blk = (d.select(_fuzzy_key(side).alias("p"))
                .groupBy("p").agg(F.count(F.lit(1)).alias("c")))
@@ -741,7 +771,10 @@ def dedup_fuzzy_block_stats(spark: SparkSession, sf_dir: str,
             F.count(F.lit(1)).alias("docs_dropped"))
         sides.append(stats.crossJoin(over_n).crossJoin(dropped)
                      .select(F.lit(side).alias("side"), "*"))
-    return sides[0].unionByName(sides[1]).orderBy("side")
+    out = sides[0]
+    for s in sides[1:]:
+        out = out.unionByName(s)
+    return out.orderBy("side")
 
 
 # ---------------------------------------------------------------------------

@@ -586,10 +586,12 @@ def test_scratch_dir_prunes_stale_siblings(spark):
 
 def test_fuzzy_dedup_semantics(spark, monkeypatch):
     """dedup_fuzzy_pairs (aux, SQL-oracled): bounded-edit pairs surface
-    through the prefix OR suffix block + length band; oversized edits are
-    excluded. r5: the symmetric suffix pass recovers edits INSIDE the
-    prefix key (doc 5) — the remaining documented miss is an edit at BOTH
-    ends (doc 3 vs doc 5: append at the tail + edit in the head)."""
+    through the prefix, suffix, OR middle block + length band; oversized
+    edits are excluded. r5: the symmetric suffix pass recovers edits
+    INSIDE the prefix key (doc 5). r6 (VERDICT item 4): the middle-anchor
+    pass recovers SUBSTITUTION edits at BOTH ends (doc 7) — the remaining
+    documented miss narrows to length-CHANGING edits on both sides of the
+    center (doc 3 vs doc 7: the append shifts doc 3's middle slice)."""
     import pandas as pd
 
     from service_level_reporting_spark.operators import dedup as DD
@@ -602,18 +604,28 @@ def test_fuzzy_dedup_semantics(spark, monkeypatch):
         (4, base.replace("again and again", "entirely different tail of text")),  # big edit
         (5, "THE quick brown fox jumps over the lazy dog again and again"),  # edit in prefix
         (6, "unrelated document body with nothing in common whatsoever"),
+        # r6: BOTH ends edited, substitutions only (length preserved) —
+        # prefix and suffix keys both differ from doc 1; the centered
+        # 16-char slice is untouched and must recover the pair
+        (7, "THE quick brown fox jumps over the lazy dog again and AGAIN"),
     ]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
     monkeypatch.setattr(DD, "_docs", lambda _s, _d: docs)
     got = {(r["doc_a"], r["doc_b"]): r
            for r in DD.dedup_fuzzy_pairs(spark, "ignored").collect()}
-    assert set(got) == {(1, 2), (1, 3), (2, 3), (1, 5), (2, 5)}
+    assert set(got) == {(1, 2), (1, 3), (2, 3), (1, 5), (2, 5),
+                        (1, 7), (5, 7)}
     assert got[(1, 2)]["lev_dist"] == 1
     assert got[(1, 3)]["lev_dist"] == 2
     assert got[(1, 5)]["lev_dist"] == 3     # in-prefix edit, suffix pass
+    assert got[(1, 7)]["lev_dist"] == 8     # both-ends edit, middle pass
+    assert got[(5, 7)]["lev_dist"] == 5     # shared edited prefix
     assert 0.9 < got[(1, 2)]["sim"] <= 1.0
-    # (3,5) missed by design: edits at BOTH ends (tail append + head
-    # case change) — neither 16-char key matches
+    # (2,7) missed by design: head+tail edits AND a middle-slice hit
+    # ("hazy" sits inside doc 2's centered key) — all three anchors
+    # touched; MinHash banding is the probabilistic backstop there
+    # (3,5)/(3,7) missed by design: length-changing edit at one end plus
+    # an edit at the other — the append shifts the centered slice
     # (4,*) excluded: distance beyond FUZZY_MAX_DIST
 
 
