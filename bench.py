@@ -200,6 +200,30 @@ def measure_pairwise(spark, sf_dir: str, names: list[str], n_runs: int,
     return spark_out, duck_out, notes
 
 
+def _pair_stats(s_runs: list[float], d_runs: list[float]) -> dict:
+    """Variance-probe statistics over the interleaved run arrays (r6,
+    VERDICT item 2: the probe methodology is now the bench's native form —
+    every recorded per-query entry carries min, median, per-PAIR ratios and
+    their spread, so a round-over-round delta is quotable only when it
+    falls outside the spread). measure_pairwise runs one DuckDB then one
+    Spark run per iteration, so zip pairs same-weather neighbors; the
+    DuckDB array may be shorter (adaptive stop / cap) — pairs cover the
+    common prefix."""
+    import statistics
+
+    out: dict = {"spark_min": round(min(s_runs), 4),
+                 "spark_med": round(statistics.median(s_runs), 4)}
+    if d_runs:
+        out["duck_min"] = round(min(d_runs), 4)
+        out["duck_med"] = round(statistics.median(d_runs), 4)
+        out["ratio_of_medians"] = round(out["spark_med"] / out["duck_med"], 3)
+    pairs = [round(s / d, 3) for s, d in zip(s_runs, d_runs) if d]
+    if pairs:
+        out["pair_ratios"] = pairs
+        out["pair_ratio_spread"] = round(max(pairs) / min(pairs), 3)
+    return out
+
+
 def _ratio_block(timings: dict, baseline: dict, notes: dict) -> dict:
     """Totals + ratio over the queries that have a valid baseline; queries
     whose oracle errored stay visible in `queries` and `baseline_notes` but
@@ -223,6 +247,9 @@ def _ratio_block(timings: dict, baseline: dict, notes: dict) -> dict:
     }
     if runs:
         block["runs"] = runs
+        block["run_stats"] = {
+            name: _pair_stats(r["spark"], r["duckdb"])
+            for name, r in runs.items() if r["spark"]}
     if notes:
         block["baseline_notes"] = notes
     return block
@@ -349,6 +376,17 @@ def main() -> None:
                 "ratio_vs_baseline": result[blk]["ratio_vs_baseline"]}
         elif f"{blk}_error" in result:
             compact[f"{blk}_error"] = result[f"{blk}_error"]
+    # r6 (VERDICT item 3): the sf10 per-query entries in the DRIVER's
+    # parsed artifact carry their own error bars — median ratio, per-pair
+    # ratios, and spread — so a round-over-round delta is quotable only
+    # when it falls outside the spread (kept condensed: the stdout line
+    # must stay within the driver's tail capture).
+    if "sf10" in result and "run_stats" in result["sf10"]:
+        compact["sf10"]["per_query"] = {
+            name: {"ratio_med": st.get("ratio_of_medians"),
+                   "pairs": st.get("pair_ratios"),
+                   "spread": st.get("pair_ratio_spread")}
+            for name, st in result["sf10"]["run_stats"].items()}
     compact["full"] = "BENCH.json"
     print(json.dumps(compact))
     spark.stop()
