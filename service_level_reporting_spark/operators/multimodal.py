@@ -1451,6 +1451,9 @@ def _jpeg_prog_block_coords(comp, maxh, maxv, fw, fh):
 _VP8L_CL_ORDER = (17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10,
                   11, 12, 13, 14, 15)
 _VP8L_MAX_LEN = 15
+# largest LZ77 distance whose +120-mapped code still fits the 40-symbol
+# distance alphabet (prefix symbol <= 39)
+_VP8L_MAX_DIST = (1 << 20) - 120
 
 
 class _Vp8lBitReader:
@@ -1771,11 +1774,25 @@ def _vp8l_read_code(br: "_Vp8lBitReader", alphabet: int) -> dict:
     return {"map": t["map"], "single": t["single"]}
 
 
-def _vp8l_write_entropy_image(bw, flat, w, cache_bits: int) -> None:
-    """One spatially-coded VP8L image (cache-info + meta bit + 5 prefix
+def _vp8l_write_entropy_image(bw, flat, w, cache_bits: int,
+                              top_level: bool = True,
+                              alpha_value: int = 255) -> None:
+    """One spatially-coded VP8L image (cache-info + [meta bit] + 5 prefix
     codes + pixel stream) written into an open bit writer — used for the
-    main image AND for transform sub-images (the palette). `flat` is an
-    (n, 3) uint8 array in scanline order; alpha is opaque."""
+    main image AND for transform sub-images (the palette, the predictor
+    mode image). `flat` is an (n, 3) uint8 array in scanline order.
+
+    Per the spec grammar only the TOP-LEVEL spatially-coded ARGB image
+    carries the meta-prefix bit; entropy-coded sub-images are
+    <color-cache-info><data> with no such bit (ADVICE r5: writing it
+    unconditionally made transform-bearing files mis-parse in real
+    decoders — invisible to the roundtrip oracle because the decoder
+    made the symmetric mistake).
+
+    `alpha_value` is the single literal-alpha symbol the wire table
+    carries: 255 normally, 0 when the stored pixels are PREDICTOR
+    RESIDUALS (a real decoder adds the alpha prediction chain, so the
+    residual must be 0 to reconstruct opaque alpha — ADVICE r5)."""
     import numpy as np
 
     n = flat.shape[0]
@@ -1811,7 +1828,12 @@ def _vp8l_write_entropy_image(bw, flat, w, cache_bits: int) -> None:
         if i + 3 <= n:
             key = pix_bytes[3 * i:3 * (i + 3)]
             j0 = last_pos.get(key)
-            if j0 is not None and i - j0 not in (1, w):
+            # cap at the VP8L maximum mapped distance (ADVICE r5: an
+            # uncapped hash candidate on >1M-pixel images yields prefix
+            # symbol >= 40, which the 40-entry wire table silently omits
+            # — the whole distance table desynchronizes)
+            if (j0 is not None and i - j0 not in (1, w)
+                    and i - j0 <= _VP8L_MAX_DIST):
                 cands.append(i - j0)
         for dist in cands:
             j = 0
@@ -1849,7 +1871,7 @@ def _vp8l_write_entropy_image(bw, flat, w, cache_bits: int) -> None:
     gcnt: dict = {}
     rcnt: dict = {}
     bcnt: dict = {}
-    acnt = {255: n and 1}
+    acnt = {alpha_value: n and 1}
     dcnt: dict = {}
     for t in tokens:
         if t[0] == "lit":
@@ -1865,6 +1887,7 @@ def _vp8l_write_entropy_image(bw, flat, w, cache_bits: int) -> None:
             p, _e, _b = _vp8l_prefix_encode(ln)
             gcnt[256 + p] = gcnt.get(256 + p, 0) + 1
             dp, _e2, _b2 = _vp8l_prefix_encode(dist + 120)
+            assert dp < 40, "VP8L distance prefix out of wire-table range"
             dcnt[dp] = dcnt.get(dp, 0) + 1
     if not rcnt:
         rcnt = {0: 1}
@@ -1884,7 +1907,8 @@ def _vp8l_write_entropy_image(bw, flat, w, cache_bits: int) -> None:
         bw.write(cache_bits, 4)
     else:
         bw.write(0, 1)                              # no color cache
-    bw.write(0, 1)                                  # no meta prefix image
+    if top_level:
+        bw.write(0, 1)                              # no meta prefix image
     for lengths, alphabet in ((green_l, 256 + 24 + cache_size), (red_l, 256),
                               (blue_l, 256), (alpha_l, 256),
                               (dist_l, 40)):
@@ -2048,7 +2072,8 @@ def encode_webp(pixels, cache_bits: int = 0,
         deltas[0] = colors[0]
         deltas[1:] = (colors[1:].astype(np.int16)
                       - colors[:-1].astype(np.int16)) % 256
-        _vp8l_write_entropy_image(bw, deltas.astype(np.uint8), ncol, 0)
+        _vp8l_write_entropy_image(bw, deltas.astype(np.uint8), ncol, 0,
+                                  top_level=False)
         # the main image becomes indices in the GREEN channel
         idx = inverse.reshape(-1).astype(np.uint8)
         px = np.stack([np.zeros_like(idx), idx,
@@ -2062,7 +2087,7 @@ def encode_webp(pixels, cache_bits: int = 0,
             trial = _vp8l_pred_residuals(px, mode)
             tw = _Vp8lBitWriter()
             _vp8l_write_entropy_image(tw, trial.reshape(-1, 3), w,
-                                      cache_bits)
+                                      cache_bits, alpha_value=0)
             size = len(tw.buf)
             if best is None or size < best[0]:
                 best = (size, mode, trial)
@@ -2075,10 +2100,13 @@ def encode_webp(pixels, cache_bits: int = 0,
         bw.write(bits - 2, 3)
         sub = np.zeros((sub_w * sub_h, 3), dtype=np.uint8)
         sub[:, 1] = mode                            # mode in GREEN
-        _vp8l_write_entropy_image(bw, sub, sub_w, 0)
+        _vp8l_write_entropy_image(bw, sub, sub_w, 0, top_level=False)
         px = residuals
     bw.write(0, 1)                                  # end of transforms
-    _vp8l_write_entropy_image(bw, px.reshape(-1, 3), w, cache_bits)
+    # under the predictor transform the stored alpha is a RESIDUAL: emit
+    # 0 so a real decoder's alpha prediction chain reconstructs opaque
+    _vp8l_write_entropy_image(bw, px.reshape(-1, 3), w, cache_bits,
+                              alpha_value=0 if predictor else 255)
     data = b"\x2F" + bw.flush()
     if len(data) % 2:
         padded = data + b"\x00"
@@ -2089,10 +2117,14 @@ def encode_webp(pixels, cache_bits: int = 0,
             + b"VP8L" + struct.pack("<I", len(data)) + padded)
 
 
-def _vp8l_decode_entropy_image(br, w: int, h: int):
+def _vp8l_decode_entropy_image(br, w: int, h: int,
+                               top_level: bool = True):
     """One spatially-coded VP8L image read from an open bit reader
-    (cache-info + meta bit + 5 prefix codes + pixel stream) — the main
-    image and transform sub-images (the palette) share this."""
+    (cache-info + [meta bit] + 5 prefix codes + pixel stream) — the main
+    image and transform sub-images (the palette, the predictor mode
+    image) share this. Only the top-level ARGB image carries the
+    meta-prefix bit (spec grammar; ADVICE r5 — reading it on sub-images
+    mis-parses spec-valid transform-bearing files by one bit)."""
     import numpy as np
 
     cache_bits = 0
@@ -2100,7 +2132,7 @@ def _vp8l_decode_entropy_image(br, w: int, h: int):
         cache_bits = br.read(4)
         if not 1 <= cache_bits <= 11:
             raise ValueError("WebP: bad color-cache size")
-    if br.read(1):
+    if top_level and br.read(1):
         raise NotImplementedError("WebP: meta prefix images not supported")
     cache_size = (1 << cache_bits) if cache_bits else 0
     green_t = _vp8l_read_code(br, 256 + 24 + cache_size)
@@ -2196,7 +2228,8 @@ def decode_webp(payload: bytes):
             bits = br.read(3) + 2
             sub_w = -(-w // (1 << bits))
             sub_h = -(-h // (1 << bits))
-            sub = _vp8l_decode_entropy_image(br, sub_w, sub_h)
+            sub = _vp8l_decode_entropy_image(br, sub_w, sub_h,
+                                             top_level=False)
             transforms.append((0, (sub[:, 1], sub_w, bits)))
         elif ttype == 2:
             transforms.append((2, None))
@@ -2206,7 +2239,8 @@ def decode_webp(payload: bytes):
                 raise NotImplementedError(
                     "WebP: <=16-color palettes use pixel bundling, "
                     "not supported")
-            deltas = _vp8l_decode_entropy_image(br, ncol, 1)
+            deltas = _vp8l_decode_entropy_image(br, ncol, 1,
+                                                top_level=False)
             palette = np.cumsum(deltas.astype(np.int64),
                                 axis=0) % 256       # undo delta coding
             transforms.append((3, palette.astype(np.uint8)))
@@ -3506,12 +3540,34 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str,
         F.count(F.lit(1)).alias("found"),
         F.avg("hamming").alias("avg_ham"),
         F.max("hamming").alias("max_ham")).collect()[0]
-    return spark.createDataFrame(
-        [("planted_found", int(pstats["found"]), len(ids),
-          float(pstats["avg_ham"]) if pstats["avg_ham"] is not None else None),
-         ("total_pairs", int(stats["total_pairs"]), None,
-          float(pstats["max_ham"]) if pstats["max_ham"] is not None else None)],
-        "key string, n long, n2 long, v double")
+    # r6 (VERDICT item 7): per-codec-pair recovery breakdown — the clone
+    # rotation means a single-codec regression (e.g. a progressive-JPEG
+    # decode drift) would previously only move the aggregate count; one
+    # accounting row per format pair (found vs expected in n/n2, avg
+    # hamming in v) makes it show as a CHANGED DRIVER ROW instead.
+    sub_labels = {0: "bmp_jpeg", 1: "bmp_jpeg_prog", 2: "bmp_webp"}
+    expected = {s: sum(1 for i in ids if (i // 3) % 3 == s)
+                for s in sub_labels}
+    by_sub = {int(r["sub"]): r for r in
+              planted.withColumn("sub", F.expr("(asset_a div 3) % 3"))
+              .groupBy("sub").agg(F.count(F.lit(1)).alias("found"),
+                                  F.avg("hamming").alias("avg_ham"))
+              .collect()}
+    rows = [
+        ("planted_found", int(pstats["found"]), len(ids),
+         float(pstats["avg_ham"]) if pstats["avg_ham"] is not None else None),
+        ("total_pairs", int(stats["total_pairs"]), None,
+         float(pstats["max_ham"]) if pstats["max_ham"] is not None else None),
+    ]
+    for s, label in sorted(sub_labels.items()):
+        r = by_sub.get(s)
+        rows.append((
+            f"planted_pair_{label}",
+            int(r["found"]) if r is not None else 0,
+            expected[s],
+            float(r["avg_ham"]) if r is not None
+            and r["avg_ham"] is not None else None))
+    return spark.createDataFrame(rows, "key string, n long, n2 long, v double")
 
 
 def video_phash_frames(assets: DataFrame) -> DataFrame:

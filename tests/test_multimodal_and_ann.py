@@ -1060,6 +1060,18 @@ def test_phash_cross_format_near_dup(spark):
     assert rows["planted_found"]["n"] == rows["planted_found"]["n2"]  # 100%
     assert rows["total_pairs"]["n"] == rows["planted_found"]["n"]    # no FPs
     assert rows["total_pairs"]["v"] <= MM.PHASH_MAX_HAMMING
+    # r6 (VERDICT item 7): per-codec-pair rows — every rotated re-encode
+    # format recovers ALL of its planted pairs, so one codec regressing
+    # shows as a changed driver row, not a diluted aggregate
+    per_pair = {k: r for k, r in rows.items()
+                if k.startswith("planted_pair_")}
+    assert set(per_pair) == {"planted_pair_bmp_jpeg",
+                             "planted_pair_bmp_jpeg_prog",
+                             "planted_pair_bmp_webp"}
+    for k, r in per_pair.items():
+        assert r["n"] == r["n2"] > 0, f"{k}: {r['n']}/{r['n2']} recovered"
+    assert sum(r["n2"] for r in per_pair.values()) \
+        == rows["planted_found"]["n2"]
 
     # pipeline stage present
     stages = {r["stage"] for r in
