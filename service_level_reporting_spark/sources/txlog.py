@@ -371,8 +371,13 @@ class TxLogTable:
                       * 65535 / aspan).cast("long")
                 ny = ((F.col(cb).cast("long") - int(lo["blo"]))
                       * 65535 / bspan).cast("long")
+                # range-partition on the Morton key so each output file
+                # covers a DISJOINT z-range (a hash repartition would
+                # scatter the curve across files and no file could be
+                # skipped); each z-range file spans only its quadrant's
+                # min/max in BOTH source columns
                 df = (df.withColumn("__z", _zvalue(nx, ny))
-                        .repartition(target_files)
+                        .repartitionByRange(target_files, "__z")
                         .sortWithinPartitions("__z").drop("__z"))
             else:
                 df = df.coalesce(target_files)

@@ -165,6 +165,56 @@ def test_optimize_compacts_in_one_commit(spark, table_path):
     assert again["compacted"] == 0                  # idempotent no-op
 
 
+def test_optimize_zorder_by_two_dims(spark, table_path):
+    """r6 (VERDICT item 8): OPTIMIZE ZORDER BY as ONE atomic TxLog commit
+    — content identical, snapshot isolation preserved, and parquet
+    footer stats prune point predicates on BOTH z-ordered columns where
+    the scattered pre-optimize layout prunes neither."""
+    import pyarrow.parquet as pq
+
+    def skip_stats(files, column, value):
+        total = skippable = 0
+        for a in files:
+            md = pq.ParquetFile(os.path.join(table_path, a["path"])).metadata
+            ci = md.schema.to_arrow_schema().get_field_index(column)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                total += 1
+                if st is not None and st.has_min_max and (
+                        value < st.min or value > st.max):
+                    skippable += 1
+        return total, skippable
+
+    import random
+    rng = random.Random(5)
+    rows = [(u, m, float(u * 1000 + m)) for u in range(40) for m in range(40)]
+    rng.shuffle(rows)                    # scattered on BOTH dimensions
+    t = TxLogTable(table_path, key_cols=["user_id", "minute_idx"],
+                   stats_col="minute_idx")
+    for i in range(4):
+        chunk = rows[i * 400:(i + 1) * 400]
+        t.append(spark.createDataFrame(
+            chunk, "user_id long, minute_idx long, value double").coalesce(1))
+    pre = t.latest_version()
+    before = sorted(tuple(r) for r in t.read(spark).collect())
+    for col, val in (("user_id", 5), ("minute_idx", 35)):
+        _, skip = skip_stats(t._resolve(), col, val)
+        assert skip == 0, f"scattered layout unexpectedly prunes {col}"
+
+    stats = t.optimize(target_files=4,
+                       zorder_by=("user_id", "minute_idx"))
+    assert stats["compacted"] == 4 and stats["files"] == 4
+    after = sorted(tuple(r) for r in t.read(spark).collect())
+    assert after == before                          # content preserved
+    assert len(t._resolve(pre)) == 4                # old snapshot intact
+    live = t._resolve()
+    # each z-range file covers one Morton quadrant: a point predicate on
+    # EITHER column must now skip at least one file's row groups
+    for col, val in (("user_id", 5), ("minute_idx", 35)):
+        total, skip = skip_stats(live, col, val)
+        assert skip >= 1, f"zorder layout prunes nothing on {col}"
+
+
 def test_additive_schema_evolution(spark, table_path):
     """A later append may carry a NEW column: merge_schema reads reconcile
     (old rows NULL in the added column, new rows carry values); time travel
