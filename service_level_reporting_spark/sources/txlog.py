@@ -114,20 +114,43 @@ class TxLogTable:
             self._write_checkpoint(version)
         return version
 
-    def last_txn_batch(self, writer: str) -> int:
-        """Highest batch id committed by `writer`; -1 if none. Walks the
-        commit records newest-first (they are tiny JSON files; at scale the
-        checkpoint would carry a writer->batch map the same way Delta's
-        does — the log walk is the correctness reference)."""
-        for v in range(self.latest_version(), -1, -1):
+    def _txn_map(self, version: int | None = None,
+                 use_checkpoint: bool = True) -> dict:
+        """writer -> highest committed batch id at `version` (default
+        latest). Resolution mirrors _resolve: latest checkpoint's txns map
+        + newer commits, O(checkpoint interval) not O(history) — the same
+        shape Delta's checkpoints use for txn actions. Checkpoints written
+        before this map existed fall back to a full-log walk."""
+        if version is None:
+            version = self.latest_version()
+        start = 0
+        txns: dict[str, int] = {}
+        if use_checkpoint:
+            ckpts = sorted(int(f[:20]) for f in os.listdir(self.log_dir)
+                           if f.endswith(".checkpoint.json")
+                           and int(f[:20]) <= version)
+            if ckpts:
+                cv = ckpts[-1]
+                with open(os.path.join(
+                        self.log_dir, f"{cv:020d}.checkpoint.json")) as fh:
+                    stored = json.load(fh).get("txns")
+                if stored is not None:
+                    txns = {w: int(b) for w, b in stored.items()}
+                    start = cv + 1
+        for v in range(start, version + 1):
             p = self._commit_path(v)
             if not os.path.exists(p):
                 continue
             with open(p) as fh:
                 txn = json.load(fh).get("txn")
-            if txn and txn.get("writer") == writer:
-                return int(txn["batch"])
-        return -1
+            if txn:
+                w = txn["writer"]
+                txns[w] = max(txns.get(w, -1), int(txn["batch"]))
+        return txns
+
+    def last_txn_batch(self, writer: str) -> int:
+        """Highest batch id committed by `writer`; -1 if none."""
+        return int(self._txn_map().get(writer, -1))
 
     def txn_append(self, df: DataFrame, writer: str, batch_id: int) -> bool:
         """Idempotent append for streaming foreachBatch: a batch id at or
@@ -155,10 +178,12 @@ class TxLogTable:
 
     def _write_checkpoint(self, version: int) -> None:
         files = self._resolve(version, use_checkpoint=False)
+        txns = self._txn_map(version, use_checkpoint=False)
         ckpt = os.path.join(self.log_dir, f"{version:020d}.checkpoint.json")
         tmp = ckpt + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "files": files}, fh)
+            json.dump({"version": version, "files": files,
+                       "txns": txns}, fh)
         os.replace(tmp, ckpt)          # atomic publish, idempotent rewrite
 
     def _resolve(self, version: int | None = None,

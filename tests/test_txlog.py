@@ -165,6 +165,37 @@ def test_optimize_compacts_in_one_commit(spark, table_path):
     assert again["compacted"] == 0                  # idempotent no-op
 
 
+def test_txn_map_rides_checkpoints(spark, table_path):
+    """r6: the checkpoint carries the writer->batch map (Delta's txn
+    shape), so last_txn_batch resolves from the latest checkpoint + newer
+    commits instead of walking the whole log. Checkpointed resolution
+    must equal the full-log walk, and idempotent skip must keep working
+    across the checkpoint boundary."""
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+
+    def frame(v):
+        return spark.createDataFrame([("k0", v)], "k string, v long")
+
+    n = CHECKPOINT_EVERY + 3
+    for b in range(n):
+        assert t.txn_append(frame(b), "writerA", b) is True
+    t.txn_append(frame(99), "writerB", 7)
+    assert t.latest_version() > CHECKPOINT_EVERY          # ckpt written
+    ckpts = [f for f in os.listdir(t.log_dir)
+             if f.endswith(".checkpoint.json")]
+    assert ckpts
+    with open(os.path.join(t.log_dir, sorted(ckpts)[-1])) as fh:
+        assert "txns" in json.load(fh)
+    assert t._txn_map() == t._txn_map(use_checkpoint=False)
+    assert t.last_txn_batch("writerA") == n - 1
+    assert t.last_txn_batch("writerB") == 7
+    assert t.last_txn_batch("nobody") == -1
+    # replayed batches are skipped on both sides of the checkpoint
+    assert t.txn_append(frame(0), "writerA", 0) is False
+    assert t.txn_append(frame(1), "writerA", CHECKPOINT_EVERY) is False
+    assert t.read(spark).count() == n + 1
+
+
 def test_optimize_zorder_by_two_dims(spark, table_path):
     """r6 (VERDICT item 8): OPTIMIZE ZORDER BY as ONE atomic TxLog commit
     — content identical, snapshot isolation preserved, and parquet
