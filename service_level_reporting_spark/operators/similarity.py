@@ -290,8 +290,11 @@ def derived_ivf_knobs(n_vectors: int) -> dict:
       k      ~ sqrt(n)/8  — the 1M-probe's measured-good centroid count
                (BENCH_ANN_1M: recall 0.8 at k=125), floored at the
                fixture shape so sf-corpus driver rows are unchanged;
-      nprobe = k/16       — a fixed ~6% cell-probe fraction, so the knob
-               tracks k instead of going stale as k grows;
+      nprobe = k/8        — a fixed ~12% cell-probe fraction, so the knob
+               tracks k instead of going stale as k grows (measured at
+               1M: nprobe 8/125 read recall 0.4 on a fresh codebook,
+               12+/125 read 1.0 at the same ~1.7 s — single-query
+               recall@5 is codebook-luck below ~10% probe fraction);
       pq_k   = 256 above 10^5 vectors — 8-bit books at the SAME 8 B/vector
                code (the 4-bit fixture alphabet is quantization-bound:
                recall 0.4 even at refine 800);
@@ -302,7 +305,7 @@ def derived_ivf_knobs(n_vectors: int) -> dict:
     k = min(4096, max(IVF_K, round(math.sqrt(max(1, n_vectors)) / 8)))
     pq_k = 256 if n_vectors >= 100_000 else PQ_K
     return {"k": k,
-            "nprobe": max(IVF_NPROBE, -(-k // 16)),
+            "nprobe": max(IVF_NPROBE, -(-k // 8)),
             "pq_k": pq_k,
             "refine": 40 if pq_k > PQ_K else PQ_REFINE}
 
@@ -403,7 +406,7 @@ def similarity_knn_ivf(spark: SparkSession, sf_dir: str,
     idx = index if index is not None else _ivf_index(spark, sf_dir)
     e, centroids, indexed = idx["e"], idx["coarse"], idx["indexed"]
     if nprobe is None:          # track the index's actual codebook size
-        nprobe = max(IVF_NPROBE, -(-len(centroids) // 16))
+        nprobe = max(IVF_NPROBE, -(-len(centroids) // 8))
 
     import numpy as np
 
@@ -546,7 +549,7 @@ def similarity_knn_ivf_pq(spark: SparkSession, sf_dir: str,
         books = _train_pq(idx["x"], coarse, k=pq_k)
     indexed = idx["indexed"]
     if nprobe is None:
-        nprobe = max(IVF_NPROBE, -(-len(coarse) // 16))
+        nprobe = max(IVF_NPROBE, -(-len(coarse) // 8))
     if refine is None:          # 256-entry books run the measured refine 40
         refine = 40 if books.shape[1] > PQ_K else PQ_REFINE
     if "code" not in indexed.columns:       # persisted indexes carry codes

@@ -291,7 +291,7 @@ def test_derived_ivf_knobs_scale_with_corpus():
                      "pq_k": SIM.PQ_K, "refine": SIM.PQ_REFINE}, (n, k)
     big = SIM.derived_ivf_knobs(1_000_500)
     assert big["k"] == 125 and big["pq_k"] == 256 and big["refine"] == 40
-    assert big["nprobe"] == 8           # ~6% cell-probe fraction
+    assert big["nprobe"] == 16          # ~12% cell-probe fraction
     mid = SIM.derived_ivf_knobs(100_000)
     assert mid["pq_k"] == 256 and mid["k"] >= 32
     # monotone, clamped: more corpus never means a smaller codebook

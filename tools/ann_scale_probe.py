@@ -24,7 +24,7 @@ measured the threshold boundary, not recall), ids offset by CLONE_OFF.
 
 Index knobs (r6, VERDICT item 2): the probe passes NO explicit knobs —
 every entry point scale-derives its defaults from the corpus row count
-(similarity.derived_ivf_knobs: k ~ sqrt(n)/8, nprobe k/16, pq_k 256 above
+(similarity.derived_ivf_knobs: k ~ sqrt(n)/8, nprobe k/8, pq_k 256 above
 10^5 vectors, refine 40 with 256-entry books), so this run certifies the
 configuration a naive caller gets. The old fixture constants (k=16,
 nprobe=4, pq_k=16, refine=12) measured recall 0.2-0.8 at 10^5+ and
