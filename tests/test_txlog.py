@@ -165,6 +165,63 @@ def test_optimize_compacts_in_one_commit(spark, table_path):
     assert again["compacted"] == 0                  # idempotent no-op
 
 
+def test_merge_logical_conflict_detection(spark, table_path):
+    """r6: a merge that loses the O_EXCL race re-commits WITHOUT
+    re-running the Spark rewrite when the winning commit's files don't
+    touch its key range (rebases=0 in stats), and pays the rebase only
+    on a genuine overlap (rebases=1). Injected deterministically: the
+    rogue commit lands between the merge's file write and its commit."""
+    t0 = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                    stats_col="minute")
+    for day in (1, 2, 3):
+        t0.append(_rollup(spark, f"2024-01-0{day}",
+                          f"2024-01-0{day + 1}").coalesce(1))
+
+    class _Inject(TxLogTable):
+        rogue_actions: list = []
+        injected = False
+
+        def _write_data_files(self, df):
+            adds = super()._write_data_files(df)
+            if not type(self).injected:
+                type(self).injected = True
+                plain = TxLogTable(self.path, self.key_cols, self.stats_col)
+                plain.commit(type(self).rogue_actions,
+                             plain.latest_version() + 1)
+            return adds
+
+    # disjoint winner: rogue appends a Jan-7 file (outside the merge's
+    # Jan-2 range) -> retry takes the logical no-conflict fast path
+    day7 = TxLogTable(table_path, ["indicator", "minute"], "minute")
+    day7_adds = day7._write_data_files(
+        _rollup(spark, "2024-01-07", "2024-01-08").coalesce(1))
+    _Inject.rogue_actions, _Inject.injected = day7_adds, False
+    t = _Inject(table_path, key_cols=["indicator", "minute"],
+                stats_col="minute")
+    stats = t.merge(_rollup(spark, "2024-01-02", "2024-01-03"))
+    assert stats["retries"] == 1 and stats["rebases"] == 0
+    assert stats["rewritten_files"] == 1        # only the Jan-2 file
+    # both the winner's Jan-7 rows and the merge survive
+    assert t.read(spark).count() == _rollup(
+        spark, "2024-01-01", "2024-01-04").count() + _rollup(
+        spark, "2024-01-07", "2024-01-08").count()
+
+    # overlapping winner: rogue appends ANOTHER Jan-2 file inside the
+    # merge's range -> the fast path must NOT fire (a serial replay
+    # would have the merge consume those keys); full rebase instead
+    dup2 = TxLogTable(table_path, ["indicator", "minute"], "minute")
+    dup2_adds = dup2._write_data_files(
+        _rollup(spark, "2024-01-02", "2024-01-03").coalesce(1))
+    _Inject.rogue_actions, _Inject.injected = dup2_adds, False
+    t2 = _Inject(table_path, key_cols=["indicator", "minute"],
+                 stats_col="minute")
+    stats2 = t2.merge(_rollup(spark, "2024-01-02", "2024-01-03"))
+    assert stats2["retries"] == 1 and stats2["rebases"] == 1
+    # the rebase consumed the duplicate file: every key appears once
+    got = t2.read(spark).groupBy("indicator", "minute").count()
+    assert got.where(F.col("count") > 1).count() == 0
+
+
 def test_txn_map_rides_checkpoints(spark, table_path):
     """r6: the checkpoint carries the writer->batch map (Delta's txn
     shape), so last_txn_batch resolves from the latest checkpoint + newer
