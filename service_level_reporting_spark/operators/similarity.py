@@ -477,14 +477,23 @@ def _train_pq(x, coarse, m: int = PQ_M, k: int = PQ_K):
         sub = res[:, j * d_sub:(j + 1) * d_sub]
         c = sub[:k].copy()
         for _ in range(3):
-            d2 = ((sub[:, None, :] - c[None, :, :]) ** 2).sum(-1)
-            assign = d2.argmin(axis=1)
+            assign = _nearest_sq(sub, c)
             for t in range(k):
                 members = sub[assign == t]
                 if len(members):
                     c[t] = members.mean(axis=0)
         books[j] = c
     return books
+
+
+def _nearest_sq(x, c):
+    """argmin_t ||x - c_t||² per row via one GEMM: argmax(x·cᵀ − ½||c||²)
+    — O(n·k) memory instead of the O(n·k·d) broadcast difference, which
+    at the 256-entry book + 8k-sample shape allocated ~134 MB per Lloyd
+    step (r6: books scaled up with the derived pq_k defaults)."""
+    import numpy as np
+
+    return (x @ c.T - 0.5 * (c * c).sum(axis=1)).argmax(axis=1)
 
 
 def _pq_encode_udf(coarse, books):
@@ -506,8 +515,7 @@ def _pq_encode_udf(coarse, books):
         codes = np.empty((x.shape[0], m), dtype=np.int32)
         for j in range(m):
             sub = res[:, j * d_sub:(j + 1) * d_sub]
-            d2 = ((sub[:, None, :] - b[j][None, :, :]) ** 2).sum(-1)
-            codes[:, j] = d2.argmin(axis=1)
+            codes[:, j] = _nearest_sq(sub, b[j])
         return pd.Series(list(codes))
 
     return pandas_udf(encode, "array<int>")
