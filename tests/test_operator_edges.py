@@ -533,6 +533,20 @@ def test_bench_helpers_smoke(spark):
     assert set(block["per_query_ratio"]) == set(names)
     assert set(block["runs"]) == set(names)       # arrays reach the block
     assert "_runs" not in block.get("baseline_notes", {})
+    # r6: every block natively carries the variance-probe statistics
+    assert set(block["run_stats"]) == set(names)
+    for st in block["run_stats"].values():
+        assert st["spark_min"] > 0 and st["ratio_of_medians"] > 0
+        assert len(st["pair_ratios"]) == 1 and st["pair_ratio_spread"] == 1.0
+
+    # _pair_stats arithmetic pinned, including the adaptive case where the
+    # DuckDB array is shorter (pairs cover the common prefix only)
+    st = bench._pair_stats([2.0, 4.0, 6.0], [1.0, 2.0])
+    assert st["spark_min"] == 2.0 and st["spark_med"] == 4.0
+    assert st["duck_med"] == 1.5 and st["ratio_of_medians"] == round(4.0 / 1.5, 3)
+    assert st["pair_ratios"] == [2.0, 2.0] and st["pair_ratio_spread"] == 1.0
+    st_nd = bench._pair_stats([1.0], [])          # no-baseline query
+    assert st_nd["spark_min"] == 1.0 and "pair_ratios" not in st_nd
 
     # a broken oracle must surface as an explicit note + None baseline and
     # must NOT poison the ratio over the remaining queries
