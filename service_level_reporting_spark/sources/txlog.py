@@ -101,15 +101,27 @@ class TxLogTable:
         ``txn`` ({"writer": str, "batch": int}) rides IN the commit record:
         data files and the idempotence marker become visible atomically —
         the exactly-once primitive streaming foreachBatch sinks need (the
-        same shape as Delta's txn action)."""
+        same shape as Delta's txn action).
+
+        r6 durability: the record is fully written to a temp file first
+        and PUBLISHED with os.link — link(2) fails with EEXIST when the
+        version exists (the same put-if-absent as O_EXCL) and the linked
+        name appears with its complete content, so a writer crash can
+        never leave a TORN commit file that poisons log replay (the old
+        open("x")+dump had a window between claim and content). A crash
+        leaves at most an orphan .tmp, which no reader globs."""
+        record = {"version": version, "actions": actions}
+        if txn is not None:
+            record["txn"] = txn
+        tmp = self._commit_path(version) + f".tmp.{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(record, fh)
         try:
-            with open(self._commit_path(version), "x") as fh:
-                record = {"version": version, "actions": actions}
-                if txn is not None:
-                    record["txn"] = txn
-                json.dump(record, fh)
+            os.link(tmp, self._commit_path(version))
         except FileExistsError as exc:
             raise VersionConflict(version) from exc
+        finally:
+            os.unlink(tmp)
         if version > 0 and version % CHECKPOINT_EVERY == 0:
             self._write_checkpoint(version)
         return version

@@ -85,6 +85,32 @@ def test_commit_conflict_raises_and_append_rebases(spark, table_path):
         _rollup(spark, "2024-01-02", "2024-01-03").count()
 
 
+def test_commit_publishes_atomically_no_torn_files(spark, table_path):
+    """r6: commits are written to a temp file and published via link(2)
+    — a conflict leaves no temp debris, stray temp files are invisible
+    to version listing and resolution, and every published commit file
+    is complete JSON (the torn-commit window of write-after-claim is
+    structurally gone)."""
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    t.append(_rollup(spark, "2024-01-01", "2024-01-02").coalesce(1))
+    with pytest.raises(VersionConflict):
+        t.commit([], 0)                    # claimed -> EEXIST on link
+    assert not [f for f in os.listdir(t.log_dir) if ".tmp." in f]
+    # a crashed writer's orphan temp must not perturb the log
+    orphan = os.path.join(t.log_dir, f"{1:020d}.json.tmp.deadbeef")
+    with open(orphan, "w") as fh:
+        fh.write('{"version": 1, "actions": [')      # torn content
+    assert t.latest_version() == 0
+    assert t._resolve() == t._resolve(use_checkpoint=False)
+    v = t.append(_rollup(spark, "2024-01-02", "2024-01-03").coalesce(1))
+    assert v == 1                          # orphan did not block the claim
+    for f in os.listdir(t.log_dir):
+        if f.endswith(".json") and ".tmp." not in f:
+            with open(os.path.join(t.log_dir, f)) as fh:
+                json.load(fh)              # complete JSON, parses
+
+
 def test_checkpoint_compaction_and_equivalence(spark, table_path):
     """Past CHECKPOINT_EVERY commits a checkpoint exists and resolution
     through it equals a full-log replay."""
