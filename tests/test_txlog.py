@@ -191,6 +191,40 @@ def test_optimize_compacts_in_one_commit(spark, table_path):
     assert again["compacted"] == 0                  # idempotent no-op
 
 
+def test_txn_append_exactly_once_under_concurrent_replay(spark, table_path):
+    """r6: the streaming-retry race for real — N threads submit the SAME
+    (writer, batch) concurrently (engine re-runs a batch whose sink wrote
+    but whose checkpoint didn't advance). The version claim serializes
+    them: exactly one submission applies, the rest skip on the re-check,
+    the losers' staged files stay orphaned (never referenced) and are
+    reclaimable by an aged-out vacuum."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(spark.createDataFrame([("seed", -1)], "k string, v long"))
+
+    def submit(_i):
+        df = spark.createDataFrame([("b7", 7)], "k string, v long")
+        return t.txn_append(df, "streamer", 7)
+
+    for attempt in range(3):           # several rounds of the same race
+        with ThreadPoolExecutor(max_workers=4) as ex:
+            outcomes = list(ex.map(submit, range(4)))
+        assert outcomes.count(True) == (1 if attempt == 0 else 0), outcomes
+    rows = t.read(spark).where(F.col("k") == "b7").count()
+    assert rows == 1                   # the batch landed exactly once
+    assert t.last_txn_batch("streamer") == 7
+    # a loser's staged-but-uncommitted files (raced past the first check
+    # before the winner landed) are orphans: never referenced, reclaimable
+    # by an aged-out vacuum. Thread scheduling may let every loser skip
+    # before writing, so plant one deterministic orphan for the assertion.
+    t._write_data_files(spark.createDataFrame([("orphan", 0)],
+                                              "k string, v long"))
+    stats = t.vacuum(retain_versions=10, min_age_sec=0)
+    assert stats["removed_files"] >= 1
+    assert t.read(spark).where(F.col("k") == "b7").count() == 1
+
+
 def test_merge_logical_conflict_detection(spark, table_path):
     """r6: a merge that loses the O_EXCL race re-commits WITHOUT
     re-running the Spark rewrite when the winning commit's files don't
