@@ -567,6 +567,14 @@ FUZZY_LEN_BAND = 8
 FUZZY_MAX_DIST = 10
 FUZZY_MAX_BLOCK = 256   # max docs joined per block key (candidates <= n^2)
 
+# The three passes are deliberately INDEPENDENT joins, not one unified
+# join over an exploded (side, key) frame. The unified form was built and
+# MEASURED (r6): value-identical, but 13.5 s -> 111 s at the 10x sweep
+# corpus (94 s at 32 shuffle partitions, still 55 s at 128) — fusing all
+# sides' candidates into one shuffle concentrates the expensive
+# Levenshtein rows into fewer straggler-prone tasks, while three smaller
+# independent joins overlap cleanly across the scheduler. Scans are NOT
+# the bottleneck here; the verify stage is.
 FUZZY_SIDES = ("prefix", "suffix", "middle")
 
 _FUZZY_SUFFIX_SQL = (f"substring(text, greatest(1, length(text) - "
