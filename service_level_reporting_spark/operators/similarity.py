@@ -302,6 +302,10 @@ def derived_ivf_knobs(n_vectors: int) -> dict:
     """
     import math
 
+    if n_vectors is None:
+        # non-parquet corpus (no footer count): the fixture floors — the
+        # same fallback contract table_row_count documents for callers
+        n_vectors = 0
     k = min(4096, max(IVF_K, round(math.sqrt(max(1, n_vectors)) / 8)))
     pq_k = 256 if n_vectors >= 100_000 else PQ_K
     return {"k": k,

@@ -285,7 +285,8 @@ def test_derived_ivf_knobs_scale_with_corpus():
     Small corpora keep the hand-tuned fixture shape EXACTLY (driver rows
     unchanged); above 10^5 vectors the measured-good 1M-probe shape takes
     over (k ~ sqrt(n)/8, 256-entry PQ books, refine 40)."""
-    for n in (500, 2000):               # the sf fixture corpus sizes
+    # None = non-parquet corpus (table_row_count's documented fallback)
+    for n in (500, 2000, None):         # sf fixture sizes + no-footer case
         k = SIM.derived_ivf_knobs(n)
         assert k == {"k": SIM.IVF_K, "nprobe": SIM.IVF_NPROBE,
                      "pq_k": SIM.PQ_K, "refine": SIM.PQ_REFINE}, (n, k)
