@@ -422,7 +422,7 @@ class TxLogTable:
 
         base = self.latest_version()
         live = self._resolve(base)
-        if len(live) <= target_files and zorder_by is None:
+        if not live or (len(live) <= target_files and zorder_by is None):
             return {"version": base, "compacted": 0, "files": len(live)}
         adds = compact(live)
         retries = 0
