@@ -1776,7 +1776,7 @@ def _vp8l_read_code(br: "_Vp8lBitReader", alphabet: int) -> dict:
 
 def _vp8l_write_entropy_image(bw, flat, w, cache_bits: int,
                               top_level: bool = True,
-                              alpha_value: int = 255) -> None:
+                              alpha_value=255) -> None:
     """One spatially-coded VP8L image (cache-info + [meta bit] + 5 prefix
     codes + pixel stream) written into an open bit writer — used for the
     main image AND for transform sub-images (the palette, the predictor
@@ -1789,19 +1789,31 @@ def _vp8l_write_entropy_image(bw, flat, w, cache_bits: int,
     decoders — invisible to the roundtrip oracle because the decoder
     made the symmetric mistake).
 
-    `alpha_value` is the single literal-alpha symbol the wire table
-    carries: 255 normally, 0 when the stored pixels are PREDICTOR
-    RESIDUALS (a real decoder adds the alpha prediction chain, so the
-    residual must be 0 to reconstruct opaque alpha — ADVICE r5)."""
+    `alpha_value` is the literal-alpha channel of the wire pixels: an
+    int when every pixel shares one alpha (255 normally, 0 when the
+    stored pixels are PREDICTOR RESIDUALS — a real decoder adds the
+    alpha prediction chain, so the residual must be 0 to reconstruct
+    opaque alpha, ADVICE r5), or a per-pixel uint8 array (the palette
+    sub-image's delta-coded alpha column: 255 then zeros, since a
+    conformant decoder delta-accumulates ALL FOUR channels). The color
+    cache keys on the full wire ARGB including this alpha, matching a
+    conformant decoder's cache exactly; with a per-pixel alpha, LZ77
+    matches additionally require alpha equality so back-references
+    reproduce the right alpha at the destination."""
     import numpy as np
 
     n = flat.shape[0]
     cache_size = (1 << cache_bits) if cache_bits else 0
     cache = [None] * cache_size
+    aarr = None if np.isscalar(alpha_value) else \
+        np.asarray(alpha_value, dtype=np.uint8)
+
+    def alpha_at(i):
+        return int(alpha_value) if aarr is None else int(aarr[i])
 
     def argb_of(i):
         r, g, b = flat[i]
-        return (0xFF << 24) | (int(r) << 16) | (int(g) << 8) | int(b)
+        return (alpha_at(i) << 24) | (int(r) << 16) | (int(g) << 8) | int(b)
 
     def cache_slot(argb):
         return (0x1E35A7BD * argb & 0xFFFFFFFF) >> (32 - cache_bits)
@@ -1838,7 +1850,9 @@ def _vp8l_write_entropy_image(bw, flat, w, cache_bits: int,
         for dist in cands:
             j = 0
             limit = min(n - i, 4096)
-            while j < limit and (arr[i + j] == arr[i + j - dist]).all():
+            while j < limit and (arr[i + j] == arr[i + j - dist]).all() \
+                    and (aarr is None
+                         or aarr[i + j] == aarr[i + j - dist]):
                 j += 1
             if j > best_len:
                 best_len, best_dist = j, dist
@@ -1862,23 +1876,25 @@ def _vp8l_write_entropy_image(bw, flat, w, cache_bits: int,
                 else:
                     cache[slot] = a
                     r, g, b = flat[i]
-                    tokens.append(("lit", int(r), int(g), int(b)))
+                    tokens.append(("lit", int(r), int(g), int(b),
+                                   alpha_at(i)))
             else:
                 r, g, b = flat[i]
-                tokens.append(("lit", int(r), int(g), int(b)))
+                tokens.append(("lit", int(r), int(g), int(b), alpha_at(i)))
             i += 1
     # histogram
     gcnt: dict = {}
     rcnt: dict = {}
     bcnt: dict = {}
-    acnt = {alpha_value: n and 1}
+    acnt: dict = {}
     dcnt: dict = {}
     for t in tokens:
         if t[0] == "lit":
-            _, r, g, b = t
+            _, r, g, b, a = t
             gcnt[g] = gcnt.get(g, 0) + 1
             rcnt[r] = rcnt.get(r, 0) + 1
             bcnt[b] = bcnt.get(b, 0) + 1
+            acnt[a] = acnt.get(a, 0) + 1
         elif t[0] == "cache":
             sym = 256 + 24 + t[1]
             gcnt[sym] = gcnt.get(sym, 0) + 1
@@ -1895,6 +1911,8 @@ def _vp8l_write_entropy_image(bw, flat, w, cache_bits: int,
         bcnt = {0: 1}
     if not dcnt:
         dcnt = {0: 1}
+    if not acnt:
+        acnt = {255: 1}
     if not gcnt:
         gcnt = {0: 1}
     green_l = _vp8l_normalize(_limited_code_lengths(gcnt, _VP8L_MAX_LEN))
@@ -1916,17 +1934,19 @@ def _vp8l_write_entropy_image(bw, flat, w, cache_bits: int,
     g_enc = _vp8l_canonical(green_l)["enc"]
     r_enc = _vp8l_canonical(red_l)["enc"]
     b_enc = _vp8l_canonical(blue_l)["enc"]
+    a_enc = _vp8l_canonical(alpha_l)["enc"]
     d_enc = _vp8l_canonical(dist_l)["enc"]
     for t in tokens:
         if t[0] == "lit":
-            _, r, g, b = t
+            _, r, g, b, a = t
             c, ln = g_enc[g]
             bw.write_code(c, ln)
             c, ln = r_enc[r]
             bw.write_code(c, ln)
             c, ln = b_enc[b]
             bw.write_code(c, ln)
-            # alpha: single-symbol zero-bit code — nothing to write
+            c, ln = a_enc[a]
+            bw.write_code(c, ln)   # zero-bit when single-symbol
         elif t[0] == "cache":
             c, ln = g_enc[256 + 24 + t[1]]
             bw.write_code(c, ln)
@@ -2072,8 +2092,14 @@ def encode_webp(pixels, cache_bits: int = 0,
         deltas[0] = colors[0]
         deltas[1:] = (colors[1:].astype(np.int16)
                       - colors[:-1].astype(np.int16)) % 256
+        # alpha is delta-coded with the other channels: 255 for entry 0,
+        # 0 after, so a conformant decoder accumulates opaque 255 for
+        # every palette entry (a constant 255 per DELTA would decode as
+        # 255, 254, 253, ... — ADVICE-class symmetric bug)
+        pal_alpha = np.zeros(ncol, dtype=np.uint8)
+        pal_alpha[0] = 255
         _vp8l_write_entropy_image(bw, deltas.astype(np.uint8), ncol, 0,
-                                  top_level=False)
+                                  top_level=False, alpha_value=pal_alpha)
         # the main image becomes indices in the GREEN channel
         idx = inverse.reshape(-1).astype(np.uint8)
         px = np.stack([np.zeros_like(idx), idx,
@@ -2142,6 +2168,10 @@ def _vp8l_decode_entropy_image(br, w: int, h: int,
     dist_t = _vp8l_read_code(br, 40)
     n = w * h
     out = np.zeros((n, 3), dtype=np.uint8)
+    # wire alpha per pixel: the RGB result discards it, but the color
+    # cache keys on the FULL decoded ARGB (a conformant decoder's cache
+    # state), so it must be tracked through literals, copies, and hits
+    alph = np.zeros(n, dtype=np.uint8)
     cache = [0] * cache_size
     i = 0
     while i < n:
@@ -2150,10 +2180,11 @@ def _vp8l_decode_entropy_image(br, w: int, h: int,
             g = s
             r = br.read_code(red_t)
             b = br.read_code(blue_t)
-            br.read_code(alpha_t)
+            a = br.read_code(alpha_t)
             out[i] = (r, g, b)
+            alph[i] = a
             if cache_size:
-                argb = (0xFF << 24) | (r << 16) | (g << 8) | b
+                argb = (a << 24) | (r << 16) | (g << 8) | b
                 cache[(0x1E35A7BD * argb & 0xFFFFFFFF)
                       >> (32 - cache_bits)] = argb
             i += 1
@@ -2169,9 +2200,11 @@ def _vp8l_decode_entropy_image(br, w: int, h: int,
                 raise ValueError("WebP: backward reference out of range")
             for j in range(length):
                 out[i + j] = out[i + j - dist]
+                alph[i + j] = alph[i + j - dist]
                 if cache_size:
                     r, g, b = (int(v) for v in out[i + j])
-                    argb = (0xFF << 24) | (r << 16) | (g << 8) | b
+                    argb = (int(alph[i + j]) << 24) | (r << 16) \
+                        | (g << 8) | b
                     cache[(0x1E35A7BD * argb & 0xFFFFFFFF)
                           >> (32 - cache_bits)] = argb
             i += length
@@ -2180,6 +2213,7 @@ def _vp8l_decode_entropy_image(br, w: int, h: int,
                 raise ValueError("WebP: cache symbol without color cache")
             argb = cache[s - 256 - 24]
             out[i] = ((argb >> 16) & 0xFF, (argb >> 8) & 0xFF, argb & 0xFF)
+            alph[i] = (argb >> 24) & 0xFF
             i += 1
     return out
 
@@ -2187,9 +2221,13 @@ def _vp8l_decode_entropy_image(br, w: int, h: int,
 def decode_webp(payload: bytes):
     """Lossless WebP (VP8L) -> (w, h, (h, w, 3) uint8 RGB). Supports the
     spec's core entropy layer (simple + code-length-coded prefix codes,
-    literals, LZ77 refs with plain distances, color cache); transforms,
-    meta-prefix images, and neighborhood distance codes raise — the
-    honest frontier, same policy as the other codecs."""
+    literals, LZ77 refs with plain distances, color cache) and three
+    transforms — predictor (TR-independent modes 0/1/2/7), subtract-
+    green, and color-indexing (17..256-color palettes). The remaining
+    frontier raises: the cross-color transform, TR-dependent/clamp/
+    select predictor modes, <=16-color pixel bundling, meta-prefix
+    images, and neighborhood distance codes — the honest frontier, same
+    policy as the other codecs."""
     import struct
 
     import numpy as np

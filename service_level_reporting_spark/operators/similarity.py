@@ -309,9 +309,22 @@ def derived_ivf_knobs(n_vectors: int) -> dict:
     k = min(4096, max(IVF_K, round(math.sqrt(max(1, n_vectors)) / 8)))
     pq_k = 256 if n_vectors >= 100_000 else PQ_K
     return {"k": k,
-            "nprobe": max(IVF_NPROBE, -(-k // 8)),
+            "nprobe": _derived_nprobe(k),
             "pq_k": pq_k,
-            "refine": 40 if pq_k > PQ_K else PQ_REFINE}
+            "refine": _derived_refine(pq_k)}
+
+
+def _derived_nprobe(k: int) -> int:
+    """k/8 probe fraction with the fixture floor — ONE definition shared
+    by the knob derivation and the query legs that derive from an
+    already-built index's codebook, so the certified default path and
+    naive callers can't drift apart."""
+    return max(IVF_NPROBE, -(-k // 8))
+
+
+def _derived_refine(pq_k: int) -> int:
+    """256-entry books run the measured refine 40; fixture books keep 12."""
+    return 40 if pq_k > PQ_K else PQ_REFINE
 
 
 def _train_sample(e: DataFrame, n_rows: int | None = None,
@@ -410,7 +423,7 @@ def similarity_knn_ivf(spark: SparkSession, sf_dir: str,
     idx = index if index is not None else _ivf_index(spark, sf_dir)
     e, centroids, indexed = idx["e"], idx["coarse"], idx["indexed"]
     if nprobe is None:          # track the index's actual codebook size
-        nprobe = max(IVF_NPROBE, -(-len(centroids) // 8))
+        nprobe = _derived_nprobe(len(centroids))
 
     import numpy as np
 
@@ -561,9 +574,9 @@ def similarity_knn_ivf_pq(spark: SparkSession, sf_dir: str,
         books = _train_pq(idx["x"], coarse, k=pq_k)
     indexed = idx["indexed"]
     if nprobe is None:
-        nprobe = max(IVF_NPROBE, -(-len(coarse) // 8))
+        nprobe = _derived_nprobe(len(coarse))
     if refine is None:          # 256-entry books run the measured refine 40
-        refine = 40 if books.shape[1] > PQ_K else PQ_REFINE
+        refine = _derived_refine(books.shape[1])
     if "code" not in indexed.columns:       # persisted indexes carry codes
         indexed = indexed.withColumn(
             "code", _pq_encode_udf(coarse, books)("emb"))

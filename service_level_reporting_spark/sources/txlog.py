@@ -126,6 +126,19 @@ class TxLogTable:
             self._write_checkpoint(version)
         return version
 
+    def _latest_checkpoint(self, version: int) -> dict | None:
+        """Parsed latest checkpoint at or below `version`, or None —
+        shared by file resolution, the txn map, and checkpoint writing."""
+        ckpts = sorted(int(f[:20]) for f in os.listdir(self.log_dir)
+                       if f.endswith(".checkpoint.json")
+                       and int(f[:20]) <= version)
+        if not ckpts:
+            return None
+        cv = ckpts[-1]
+        with open(os.path.join(
+                self.log_dir, f"{cv:020d}.checkpoint.json")) as fh:
+            return json.load(fh)
+
     def _txn_map(self, version: int | None = None,
                  use_checkpoint: bool = True) -> dict:
         """writer -> highest committed batch id at `version` (default
@@ -138,17 +151,10 @@ class TxLogTable:
         start = 0
         txns: dict[str, int] = {}
         if use_checkpoint:
-            ckpts = sorted(int(f[:20]) for f in os.listdir(self.log_dir)
-                           if f.endswith(".checkpoint.json")
-                           and int(f[:20]) <= version)
-            if ckpts:
-                cv = ckpts[-1]
-                with open(os.path.join(
-                        self.log_dir, f"{cv:020d}.checkpoint.json")) as fh:
-                    stored = json.load(fh).get("txns")
-                if stored is not None:
-                    txns = {w: int(b) for w, b in stored.items()}
-                    start = cv + 1
+            ckpt = self._latest_checkpoint(version)
+            if ckpt is not None and ckpt.get("txns") is not None:
+                txns = {w: int(b) for w, b in ckpt["txns"].items()}
+                start = ckpt["version"] + 1
         for v in range(start, version + 1):
             p = self._commit_path(v)
             if not os.path.exists(p):
@@ -189,8 +195,14 @@ class TxLogTable:
                 attempt += 1
 
     def _write_checkpoint(self, version: int) -> None:
-        files = self._resolve(version, use_checkpoint=False)
-        txns = self._txn_map(version, use_checkpoint=False)
+        """Checkpoints seed from the PREVIOUS checkpoint (correct by
+        induction — each one was itself prior checkpoint + interval), so
+        writing one costs O(checkpoint interval), not a full-log replay
+        in the committer's critical path. A pre-txn-map checkpoint in
+        the chain degrades the txn side to a full walk once; the next
+        checkpoint restores the bound."""
+        files = self._resolve(version)
+        txns = self._txn_map(version)
         ckpt = os.path.join(self.log_dir, f"{version:020d}.checkpoint.json")
         tmp = ckpt + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
@@ -209,15 +221,10 @@ class TxLogTable:
         start = 0
         live: dict[str, dict] = {}
         if use_checkpoint:
-            ckpts = sorted(int(f[:20]) for f in os.listdir(self.log_dir)
-                           if f.endswith(".checkpoint.json")
-                           and int(f[:20]) <= version)
-            if ckpts:
-                cv = ckpts[-1]
-                with open(os.path.join(
-                        self.log_dir, f"{cv:020d}.checkpoint.json")) as fh:
-                    live = {a["path"]: a for a in json.load(fh)["files"]}
-                start = cv + 1
+            ckpt = self._latest_checkpoint(version)
+            if ckpt is not None:
+                live = {a["path"]: a for a in ckpt["files"]}
+                start = ckpt["version"] + 1
         for v in range(start, version + 1):
             p = self._commit_path(v)
             if not os.path.exists(p):
@@ -402,6 +409,10 @@ class TxLogTable:
                 lo = df.agg(
                     F.min(ca).alias("alo"), F.max(ca).alias("ahi"),
                     F.min(cb).alias("blo"), F.max(cb).alias("bhi")).first()
+                if any(lo[c] is None for c in ("alo", "ahi", "blo", "bhi")):
+                    raise ValueError(
+                        f"txlog optimize: zorder_by columns {zorder_by} "
+                        "must be non-null numerics (a column is all NULL)")
                 aspan = max(1, int(lo["ahi"]) - int(lo["alo"]))
                 bspan = max(1, int(lo["bhi"]) - int(lo["blo"]))
                 nx = ((F.col(ca).cast("long") - int(lo["alo"]))
