@@ -715,6 +715,38 @@ def test_jpeg_progressive_roundtrip_matches_baseline():
     assert bin(h0 ^ hp).count("1") <= 3
 
 
+def test_vp8l_per_pixel_alpha_wire_path():
+    """r6 (self-review): the entropy-image writer accepts a per-pixel
+    alpha column (the palette sub-image's delta-coded alpha). The alpha
+    code becomes multi-symbol (emitted per literal, read back
+    symmetrically), LZ77 matches additionally require alpha equality so
+    a back-reference cannot smear the wrong alpha across RGB-identical
+    runs, and the RGB payload roundtrips exactly."""
+    import numpy as np
+
+    # all pixels share RGB -> pure-run territory for the matcher; alpha
+    # breaks at both ends, so matches must respect the alpha boundaries
+    flat = np.tile(np.array([[7, 77, 177]], dtype=np.uint8), (64, 1))
+    alpha = np.zeros(64, dtype=np.uint8)
+    alpha[0] = 255
+    alpha[-1] = 255
+    bw = MM._Vp8lBitWriter()
+    MM._vp8l_write_entropy_image(bw, flat, 8, 0, top_level=False,
+                                 alpha_value=alpha)
+    br = MM._Vp8lBitReader(bw.flush(), 0)
+    out = MM._vp8l_decode_entropy_image(br, 8, 8, top_level=False)
+    assert (out == flat).all()
+    # palette files (which ride this path with the [255, 0, ...] alpha
+    # column) still roundtrip end to end, with and without a color cache
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 5, (20, 24, 3)).astype(np.uint8) * 40
+    assert len(np.unique(px.reshape(-1, 3), axis=0)) >= 17
+    for cache_bits in (0, 4):
+        wb = MM.encode_webp(px, color_indexing=True, cache_bits=cache_bits)
+        _, _, out2 = MM.decode_webp(wb)
+        assert (out2 == px).all()
+
+
 def test_webp_lossless_roundtrip():
     """r5: WebP lossless (VP8L) codec — RIFF container, LSB-first
     bitstream, simple + code-length-coded prefix codes, literals + LZ77
