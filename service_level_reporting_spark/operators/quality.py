@@ -1,0 +1,254 @@
+"""Data-quality validation + distribution drift — the gate a training-data
+pipeline runs BEFORE dedup/curation ever see a snapshot (Deequ/
+Great-Expectations territory, re-expressed as plain Spark aggregates with a
+DuckDB oracle twin).
+
+Upstream parity note: the reference service (zalando-zmon/
+service-level-reporting, reconstructed per SURVEY.md's provenance note)
+validates SLI ingest payloads imperatively at its API boundary; this module
+is that concern at corpus scale, plus the drift check a 100 TB pipeline
+needs between snapshot versions.
+
+Parts (one labeled union, SQL-oracled end to end):
+  'null_rate'      — per audited column: null count / total / rate. The
+                     completeness check every Deequ suite starts with.
+  'profile_avg' /
+  'profile_stddev' — per event_type: row count, distinct users, and the
+                     value mean / sample stddev (the metric-store numbers a
+                     monitoring pipeline alarms on when they jump).
+  'constraint'     — Deequ-style declarative checks, one row per check
+                     (violations / total / rate): value >= 0, ts inside a
+                     sane epoch window, user_id present, doc_id unique,
+                     n_chars consistent with the text payload.
+  'psi' + 'psi_total' — Population Stability Index of the events value
+                     distribution, first half-month vs the rest, over 10
+                     fixed-width buckets spanning the observed range: the
+                     standard train-vs-serve / snapshot-vs-snapshot drift
+                     score (psi < 0.1 stable, > 0.25 action). Bucket edges
+                     are plain floor arithmetic (identical IEEE doubles in
+                     both engines), counts Laplace-smoothed so empty
+                     buckets contribute finite mass.
+
+100 TB posture: every part is a single-scan groupBy/agg (wordcount shape,
+map-side partial); the PSI bounds ride a broadcast 1-row frame (no driver
+collect); no UDF anywhere. The whole suite is one job per part over
+columnar scans with only the audited columns read.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from service_level_reporting_spark import functions as SF
+from service_level_reporting_spark.registry import register
+from service_level_reporting_spark.tables import load_tables
+
+PSI_SPLIT = "2024-01-15"        # snapshot boundary: first half-month vs rest
+PSI_BUCKETS = 10
+PSI_EPS_N = 1e-4                # Laplace smoothing, numerator
+PSI_EPS_T = 1e-3                # Laplace smoothing, denominator
+
+@register(
+    "data_quality_suite",
+    aux=True,   # full SQL oracle, checked by the pytest differential
+    oracle=f"""
+    -- Deequ-style validation + PSI drift, mirrored per part.
+    WITH null_audit AS (
+        SELECT 'null_rate' AS part, 'events.value' AS key,
+               CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n,
+               count(*) AS n2 FROM events
+        UNION ALL SELECT 'null_rate', 'events.props',
+               CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*)
+        FROM events
+        UNION ALL SELECT 'null_rate', 'events.user_id',
+               CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(*)
+        FROM events
+        UNION ALL SELECT 'null_rate', 'documents.text',
+               CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*)
+        FROM documents
+        UNION ALL SELECT 'null_rate', 'documents.lang',
+               CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(*)
+        FROM documents
+    ),
+    profile AS (
+        SELECT event_type, count(*) AS n,
+               count(DISTINCT user_id) AS n2,
+               round(avg(value), 6) AS avg_v,
+               round(stddev(value), 6) AS sd_v
+        FROM events GROUP BY event_type
+    ),
+    constraints AS (
+        SELECT 'constraint' AS part, 'value_non_negative' AS key,
+               CAST(sum(CASE WHEN value < 0 THEN 1 ELSE 0 END) AS BIGINT) AS n,
+               count(*) AS n2 FROM events
+        UNION ALL SELECT 'constraint', 'ts_in_epoch_window',
+               CAST(sum(CASE WHEN ts < TIMESTAMP '2023-01-01'
+                        OR ts >= TIMESTAMP '2026-01-01'
+                        THEN 1 ELSE 0 END) AS BIGINT), count(*) FROM events
+        UNION ALL SELECT 'constraint', 'user_id_present',
+               CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+               count(*)
+        FROM events
+        UNION ALL SELECT 'constraint', 'doc_id_unique',
+               count(*) - count(DISTINCT doc_id), count(*) FROM documents
+        UNION ALL SELECT 'constraint', 'n_chars_matches_text',
+               CAST(sum(CASE WHEN length(text) <> n_chars THEN 1 ELSE 0 END)
+                    AS BIGINT),
+               count(*) FROM documents
+    ),
+    b AS (
+        SELECT min(value) AS lo, max(value) AS hi,
+               CAST(sum(CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS t1,
+               CAST(sum(CASE WHEN ts >= TIMESTAMP '{PSI_SPLIT}'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS t2
+        FROM events
+    ),
+    bucketed AS (
+        SELECT CAST(least({PSI_BUCKETS - 1}, greatest(0,
+                   floor((value - b.lo)
+                         / (CASE WHEN b.hi > b.lo THEN b.hi - b.lo
+                                 ELSE 1 END) * {PSI_BUCKETS})))
+                   AS BIGINT) AS bucket,
+               CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 1 ELSE 0 END AS w1
+        FROM events, b
+    ),
+    g AS (
+        SELECT bucket, CAST(sum(w1) AS BIGINT) AS n1,
+               CAST(sum(1 - w1) AS BIGINT) AS nx
+        FROM bucketed GROUP BY bucket
+    ),
+    psi AS (
+        SELECT bucket, n1, nx,
+               ((n1 + {PSI_EPS_N}) / (t1 + {PSI_EPS_T})
+                - (nx + {PSI_EPS_N}) / (t2 + {PSI_EPS_T}))
+               * ln(((n1 + {PSI_EPS_N}) / (t1 + {PSI_EPS_T}))
+                    / ((nx + {PSI_EPS_N}) / (t2 + {PSI_EPS_T}))) AS c
+        FROM g, b
+    )
+    SELECT part, key, n, n2,
+           round(CAST(n AS DOUBLE) / n2, 6) AS v FROM null_audit
+    UNION ALL
+    SELECT 'profile_avg', event_type, n, n2, avg_v FROM profile
+    UNION ALL
+    SELECT 'profile_stddev', event_type, n, n2, sd_v FROM profile
+    UNION ALL
+    SELECT part, key, n, n2,
+           round(CAST(n AS DOUBLE) / n2, 6) AS v FROM constraints
+    UNION ALL
+    SELECT 'psi', CAST(bucket AS VARCHAR), n1, nx, round(c, 6) FROM psi
+    UNION ALL
+    SELECT 'psi_total', 'total', t1, t2,
+           round((SELECT sum(c) FROM psi), 6) FROM b
+    ORDER BY part, key
+    """,
+)
+def data_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = load_tables(spark, sf_dir, ("events", "documents"))
+    ev, docs = t["events"], t["documents"]
+
+    # --- null_rate: one agg pass per table, unpivoted to labeled rows ----
+    def null_rows(df: DataFrame, table: str, cols: list[str]) -> DataFrame:
+        agg = df.agg(
+            F.count(F.lit(1)).alias("_total"),
+            *[F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
+              .cast("long").alias(c) for c in cols])
+        parts = [
+            agg.select(F.lit("null_rate").alias("part"),
+                       F.lit(f"{table}.{c}").alias("key"),
+                       F.col(c).alias("n"),
+                       F.col("_total").alias("n2"),
+                       SF.r6(F.col(c) / F.col("_total")).alias("v"))
+            for c in cols]
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    nulls = null_rows(ev, "events", ["value", "props", "user_id"]).unionByName(
+        null_rows(docs, "documents", ["text", "lang"]))
+
+    # --- profile: per-type count / distinct users / mean / stddev --------
+    prof = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("n2"),
+        SF.r6(F.avg("value")).alias("avg_v"),
+        SF.r6(F.stddev("value")).alias("sd_v"))
+    prof_avg = prof.select(
+        F.lit("profile_avg").alias("part"),
+        F.col("event_type").alias("key"), "n", "n2",
+        F.col("avg_v").alias("v"))
+    prof_sd = prof.select(
+        F.lit("profile_stddev").alias("part"),
+        F.col("event_type").alias("key"), "n", "n2",
+        F.col("sd_v").alias("v"))
+
+    # --- constraints: declarative checks, one conditional-sum agg each ---
+    def check(df: DataFrame, name: str, violated) -> DataFrame:
+        agg = df.agg(
+            F.sum(F.when(violated, 1).otherwise(0)).cast("long").alias("n"),
+            F.count(F.lit(1)).alias("n2"))
+        return agg.select(F.lit("constraint").alias("part"),
+                          F.lit(name).alias("key"), "n", "n2",
+                          SF.r6(F.col("n") / F.col("n2")).alias("v"))
+
+    ts = F.col("ts").cast("timestamp")
+    cons = (
+        check(ev, "value_non_negative", F.col("value") < 0)
+        .unionByName(check(
+            ev, "ts_in_epoch_window",
+            (ts < F.lit("2023-01-01").cast("timestamp"))
+            | (ts >= F.lit("2026-01-01").cast("timestamp"))))
+        .unionByName(check(ev, "user_id_present", F.col("user_id").isNull()))
+        .unionByName(
+            docs.agg((F.count(F.lit(1)) - F.countDistinct("doc_id"))
+                     .cast("long").alias("n"),
+                     F.count(F.lit(1)).alias("n2"))
+            .select(F.lit("constraint").alias("part"),
+                    F.lit("doc_id_unique").alias("key"), "n", "n2",
+                    SF.r6(F.col("n") / F.col("n2")).alias("v")))
+        .unionByName(check(docs, "n_chars_matches_text",
+                           F.length("text") != F.col("n_chars"))))
+
+    # --- PSI drift: fixed-width buckets over the observed value range ----
+    # bounds + per-side totals ride ONE broadcast 1-row frame — the CMS
+    # lesson (r5): no driver collect in the operator body
+    split = F.lit(PSI_SPLIT).cast("timestamp")
+    bounds = ev.agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi"),
+        F.sum(F.when(ts < split, 1).otherwise(0)).cast("long").alias("t1"),
+        F.sum(F.when(ts >= split, 1).otherwise(0)).cast("long").alias("t2"))
+    span = F.when(F.col("hi") > F.col("lo"),
+                  F.col("hi") - F.col("lo")).otherwise(F.lit(1.0))
+    bucket = F.least(
+        F.lit(PSI_BUCKETS - 1),
+        F.greatest(F.lit(0), F.floor(
+            (F.col("value") - F.col("lo")) / span * PSI_BUCKETS))
+    ).cast("long")
+    g = (ev.crossJoin(F.broadcast(bounds))
+         .select(bucket.alias("bucket"),
+                 F.when(ts < split, 1).otherwise(0).alias("w1"),
+                 "t1", "t2")
+         .groupBy("bucket", "t1", "t2")
+         .agg(F.sum("w1").cast("long").alias("n1"),
+              F.sum(1 - F.col("w1")).cast("long").alias("nx")))
+    p = (F.col("n1") + PSI_EPS_N) / (F.col("t1") + PSI_EPS_T)
+    q = (F.col("nx") + PSI_EPS_N) / (F.col("t2") + PSI_EPS_T)
+    contrib = (p - q) * F.log(p / q)
+    psi = g.select("bucket", "n1", "nx", "t1", "t2",
+                   contrib.alias("c"))
+    psi_rows = psi.select(
+        F.lit("psi").alias("part"),
+        F.col("bucket").cast("string").alias("key"),
+        F.col("n1").alias("n"), F.col("nx").alias("n2"),
+        SF.r6(F.col("c")).alias("v"))
+    psi_total = psi.groupBy("t1", "t2").agg(
+        SF.r6(F.sum("c")).alias("v")).select(
+        F.lit("psi_total").alias("part"), F.lit("total").alias("key"),
+        F.col("t1").alias("n"), F.col("t2").alias("n2"), "v")
+
+    return (nulls.unionByName(prof_avg).unionByName(prof_sd)
+            .unionByName(cons).unionByName(psi_rows)
+            .unionByName(psi_total).orderBy("part", "key"))

@@ -707,6 +707,75 @@ def test_fuzzy_dedup_hot_prefix_capped(spark, monkeypatch):
         assert stats2[side]["docs_in_oversized"] == 300
 
 
+def test_data_quality_suite_semantics(spark, monkeypatch):
+    """data_quality_suite (aux, SQL-oracled): planted nulls, constraint
+    violations, and a hard distribution shift must each surface in their
+    labeled part with hand-computed counts; a no-drift control corpus
+    must score PSI ~0 (the drift metric can't cry wolf)."""
+    from service_level_reporting_spark.operators import quality as Q
+
+    def frames(ev_rows, doc_rows):
+        ev = spark.createDataFrame(
+            ev_rows, "event_id long, ts_s string, user_id long, "
+                     "event_type string, value double, props string"
+        ).select("event_id", F.col("ts_s").cast("timestamp").alias("ts"),
+                 "user_id", "event_type", "value", "props")
+        docs = spark.createDataFrame(
+            doc_rows, "doc_id long, text string, lang string, "
+                      "source string, n_chars long")
+        return {"events": ev, "documents": docs}
+
+    # side 1 (before the 2024-01-15 split): all values low; side 2: all
+    # high — maximal bucket separation => large PSI. One planted
+    # violation per constraint/null check.
+    ev_rows = [
+        (1, "2024-01-02 00:00:00", 10, "request_count", 10.0, "{}"),
+        (2, "2024-01-03 00:00:00", 11, "request_count", 10.0, None),  # null props
+        (3, "2024-01-04 00:00:00", None, "request_count", -5.0, "{}"),  # null user + negative
+        (4, "2024-01-05 00:00:00", 12, "error_count", 10.0, "{}"),
+        (5, "2024-01-20 00:00:00", 13, "request_count", 490.0, "{}"),
+        (6, "2024-01-21 00:00:00", 14, "request_count", 490.0, "{}"),
+        (7, "2022-06-01 00:00:00", 15, "error_count", 490.0, "{}"),  # out of window
+        (8, "2024-01-23 00:00:00", 16, "error_count", 490.0, "{}"),
+    ]
+    doc_rows = [
+        (1, "hello world", "en", "web", 11),
+        (1, "hello again", "en", "web", 11),          # duplicate doc_id
+        (2, "short", None, "web", 99),                # null lang + bad n_chars
+    ]
+    monkeypatch.setattr(
+        Q, "load_tables", lambda _s, _d, _names: frames(ev_rows, doc_rows))
+    got = {(r["part"], r["key"]): r
+           for r in Q.data_quality_suite(spark, "ignored").collect()}
+
+    assert got[("null_rate", "events.props")]["n"] == 1
+    assert got[("null_rate", "events.user_id")]["n"] == 1
+    assert got[("null_rate", "documents.lang")]["n"] == 1
+    assert got[("null_rate", "events.value")]["n"] == 0
+    assert got[("null_rate", "events.props")]["v"] == round(1 / 8, 6)
+    assert got[("constraint", "value_non_negative")]["n"] == 1
+    assert got[("constraint", "ts_in_epoch_window")]["n"] == 1
+    assert got[("constraint", "user_id_present")]["n"] == 1
+    assert got[("constraint", "doc_id_unique")]["n"] == 1
+    assert got[("constraint", "n_chars_matches_text")]["n"] == 1
+    assert got[("profile_avg", "request_count")]["n"] == 5
+    assert got[("profile_stddev", "error_count")]["n"] == 3
+    # drift: lows before the split, highs after -> bucket mass fully
+    # separated, PSI far above the 0.25 action threshold
+    assert got[("psi_total", "total")]["n"] == 5      # side-1 rows (ts<split)
+    assert got[("psi_total", "total")]["v"] > 1.0
+
+    # no-drift control: identical value distribution on both sides
+    flat = [(i, f"2024-01-{2 + (i % 2) * 20:02d} 00:00:00", i,
+             "request_count", float(10 + (i % 5) * 100), "{}")
+            for i in range(20)]
+    monkeypatch.setattr(
+        Q, "load_tables", lambda _s, _d, _names: frames(flat, doc_rows))
+    got2 = {(r["part"], r["key"]): r
+            for r in Q.data_quality_suite(spark, "ignored").collect()}
+    assert abs(got2[("psi_total", "total")]["v"]) < 0.01
+
+
 def test_time_weighted_average_hand_computed(spark, monkeypatch):
     """agg_time_weighted (aux, SQL-oracled): step-interpolated weights — a
     value holds until the next sample; the day's last sample holds until
