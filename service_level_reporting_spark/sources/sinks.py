@@ -710,15 +710,93 @@ def sink_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return final.unionByName(meta)
 
 
+def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r6 row-level lakehouse leg: DELETE / UPDATE / RESTORE / history /
+    change-data-feed on a TxLog table, each verified IN-FRAME (no driver
+    collects):
+      '_delete'  — n = files rewritten (stats-pruned to the one touched
+                   day), n2 = files carried by reference, v = rows deleted;
+      '_update'  — same shape for a scoped UPDATE;
+      '_cdf'     — n = CDF insert rows, n2 = delete rows, v = REPLAY
+                   MISMATCHES: snapshot(from) ⊎ inserts ∖ deletes compared
+                   against snapshot(to) by a groupBy-all-columns full-outer
+                   count join — must be 0;
+      '_restore' — n = rows diverging from the pre-delete snapshot after
+                   RESTORE (must be 0), n2 = latest version;
+      '_history' — n = commits in DESCRIBE HISTORY, n2 = distinct op
+                   labels, v = rows_added across appends."""
+    import shutil
+
+    from service_level_reporting_spark.sources.txlog import TxLogTable
+
+    root = _staging_dir(spark, sf_dir, "sink_txlog_rowops")
+    shutil.rmtree(root, ignore_errors=True)
+    t = TxLogTable(root, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    ev = load_tables(spark, sf_dir, ("events",))["events"]
+    for day in (1, 2, 3):
+        t.append(minute_rollup(
+            ev, (F.col("ts") >= f"2024-01-0{day}")
+            & (F.col("ts") < f"2024-01-0{day + 1}")).coalesce(1))
+    v_from = t.latest_version()
+
+    d = t.delete(
+        (F.col("minute") >= "2024-01-02 06:00:00")
+        & (F.col("minute") < "2024-01-02 18:00:00"),
+        key_range=("2024-01-02 06:00:00", "2024-01-02 18:00:00"))
+    u = t.update("indicator = 'error'", {"value": "value * 2"},
+                 key_range=("2024-01-03 00:00:00", "2024-01-04 00:00:00"))
+    v_to = t.latest_version()
+
+    # CDF replay check, entirely as a Spark plan: multiset(from)+ins-del
+    # vs multiset(to) over all data columns
+    cdf = t.changes(spark, v_from, v_to)
+    data_cols = [c for c in cdf.columns if not c.startswith("_")]
+    delta = (cdf.groupBy(*data_cols)
+             .agg(F.sum(F.when(F.col("_change_type") == "insert", 1)
+                        .otherwise(-1)).alias("d")))
+    frm = (t.read(spark, v_from).groupBy(*data_cols)
+           .agg(F.count(F.lit(1)).alias("a")))
+    to = (t.read(spark, v_to).groupBy(*data_cols)
+          .agg(F.count(F.lit(1)).alias("b")))
+    mismatches = (frm.join(delta, data_cols, "full_outer")
+                  .join(to, data_cols, "full_outer")
+                  .where(F.coalesce("a", F.lit(0)) + F.coalesce("d", F.lit(0))
+                         != F.coalesce("b", F.lit(0)))
+                  .count())
+    n_ins = cdf.where(F.col("_change_type") == "insert").count()
+    n_del = cdf.where(F.col("_change_type") == "delete").count()
+
+    # RESTORE back past the delete+update; divergence vs that snapshot
+    t.restore(v_from)
+    diverged = (t.read(spark).exceptAll(t.read(spark, v_from))
+                .unionAll(t.read(spark, v_from).exceptAll(t.read(spark)))
+                .count())
+    hist = t.history()
+    return spark.createDataFrame(
+        [("_delete", d["rewritten_files"], d["carried_files"],
+          float(d["matched_rows"])),
+         ("_update", u["rewritten_files"], u["carried_files"],
+          float(u["matched_rows"])),
+         ("_cdf", n_ins, n_del, float(mismatches)),
+         ("_restore", diverged, t.latest_version(), None),
+         ("_history", len(hist), len({h["op"] for h in hist}),
+          float(sum(h["rows_added"] for h in hist if h["op"] == "append")))],
+        "key string, n long, n2 long, v double")
+
+
 @register("sink_suite")  # rows-only: sink semantics, asserted via re-read
 def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Labeled union of the ten sink legs (consolidated so all land one
+    """Labeled union of the eleven sink legs (consolidated so all land one
     driver CORRECTNESS row):
       'txlog'            — the lakehouse table format as running code
         (sources/txlog.py): per-day appends, a MERGE through an atomic
         O_EXCL-claimed commit with a forced optimistic-concurrency retry,
         file-stats pruning (only overlapping days rewritten), and a
         snapshot-isolation / time-travel re-read at the pre-merge version;
+      'txlog_rowops'     — row-level DELETE / UPDATE (stats-pruned
+        copy-on-write), RESTORE, DESCRIBE HISTORY, and the change-data
+        feed with its in-frame multiset replay check (sink_txlog_rowops);
       'upsert_merge'     — partition-grain overwrite + key-grain MERGE,
         re-read per-indicator counts (idempotence pytest-pinned);
       'bucketed_groupby' — events written bucketed by user_id, then the
@@ -785,8 +863,10 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("zorder").alias("part"), "key", "n", "n2", "v")
     txlog = sink_txlog_merge(spark, sf_dir).select(
         F.lit("txlog").alias("part"), "key", "n", "n2", "v")
+    rowops = sink_txlog_rowops(spark, sf_dir).select(
+        F.lit("txlog_rowops").alias("part"), "key", "n", "n2", "v")
     return (upsert.unionByName(bucketed).unionByName(incremental)
             .unionByName(hll_inc).unionByName(compact).unionByName(cluster)
             .unionByName(formats).unionByName(codecs)
-            .unionByName(zorder).unionByName(txlog)
+            .unionByName(zorder).unionByName(txlog).unionByName(rowops)
             .orderBy("part", "key"))

@@ -94,7 +94,7 @@ class TxLogTable:
         return os.path.join(self.log_dir, f"{v:020d}.json")
 
     def commit(self, actions: list[dict], version: int,
-               txn: dict | None = None) -> int:
+               txn: dict | None = None, op: str | None = None) -> int:
         """Atomically claim `version` with O_EXCL; raises VersionConflict
         if another writer got there first. Returns the committed version.
 
@@ -113,6 +113,9 @@ class TxLogTable:
         record = {"version": version, "actions": actions}
         if txn is not None:
             record["txn"] = txn
+        if op is not None:
+            record["op"] = op      # operation label for history(); optional
+
         tmp = self._commit_path(version) + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump(record, fh)
@@ -187,7 +190,7 @@ class TxLogTable:
             if batch_id <= self.last_txn_batch(writer):
                 return False
             try:
-                self.commit(adds, base + 1,
+                self.commit(adds, base + 1, op="streaming_append",
                             txn={"writer": writer, "batch": batch_id})
                 return True
             except VersionConflict:
@@ -283,7 +286,8 @@ class TxLogTable:
         attempt = 0
         while True:
             try:
-                return self.commit(adds, self.latest_version() + 1)
+                return self.commit(adds, self.latest_version() + 1,
+                                   op="append")
             except VersionConflict:
                 _backoff(attempt)
                 attempt += 1
@@ -358,7 +362,7 @@ class TxLogTable:
         while True:
             actions = adds + [{"remove": a["path"]} for a in touched]
             try:
-                v = self.commit(actions, base + 1)
+                v = self.commit(actions, base + 1, op="merge")
                 return {"version": v, "rewritten_files": len(touched),
                         "carried_files": len(live) - len(touched),
                         "added_files": len(adds), "retries": retries,
@@ -440,7 +444,7 @@ class TxLogTable:
         while True:
             actions = adds + [{"remove": a["path"]} for a in live]
             try:
-                v = self.commit(actions, base + 1)
+                v = self.commit(actions, base + 1, op="optimize")
                 return {"version": v, "compacted": len(live),
                         "files": len(adds), "retries": retries}
             except VersionConflict:
@@ -497,3 +501,233 @@ class TxLogTable:
                     pass
         return {"removed_files": removed, "retained_files": len(keep),
                 "latest_version": latest}
+
+    # ---- row-level operations (r6: DELETE / UPDATE / RESTORE / CDF) ------
+
+    def _rewrite_where(self, op: str, key_range: tuple[str, str] | None,
+                       make_output, deadline_sec: float) -> dict:
+        """Shared copy-on-write machinery for DELETE/UPDATE: resolve the
+        live set, stats-prune to the files whose [min,max] range can hold
+        affected keys (``key_range`` over the stats column — None scopes
+        every file, the conservative bound), rewrite ONLY those through
+        ``make_output(src_df) -> (out_df, matched_rows)``, carry the rest
+        by reference, and commit removes+adds as one version. Retry
+        protocol is merge's: deadline-bounded, jittered backoff, and the
+        logical-conflict fast path (if the interleaved winners didn't
+        change which files we touch, the same actions re-commit without
+        re-running the Spark rewrite)."""
+        lo, hi = key_range if key_range is not None else (None, None)
+        deadline = time.monotonic() + deadline_sec
+        matched = {"rows": 0}
+
+        def rewrite(touched: list[dict]) -> list[dict]:
+            if not touched:
+                matched["rows"] = 0
+                return []
+            spark = SparkSession.getActiveSession()
+            out, n = make_output(self._files_df(spark, touched))
+            matched["rows"] = n
+            adds = self._write_data_files(out.localCheckpoint(eager=True))
+            # an all-rows-deleted file would be an add with 0 rows and no
+            # stats (min None => never prunable); drop it from the commit
+            return [a for a in adds if a["add"]["rows"] > 0]
+
+        base = self.latest_version()
+        live = self._resolve(base)
+        touched = self._overlapping(live, lo, hi)
+        adds = rewrite(touched)
+        retries = rebases = 0
+        while True:
+            actions = adds + [{"remove": a["path"]} for a in touched]
+            try:
+                v = self.commit(actions, base + 1, op=op)
+                return {"version": v, "rewritten_files": len(touched),
+                        "carried_files": len(live) - len(touched),
+                        "added_files": len(adds),
+                        "matched_rows": matched["rows"],
+                        "retries": retries, "rebases": rebases}
+            except VersionConflict:
+                if time.monotonic() >= deadline:
+                    raise
+                _backoff(retries)
+                retries += 1
+                base = self.latest_version()
+                live = self._resolve(base)
+                new_touched = self._overlapping(live, lo, hi)
+                if ({a["path"] for a in new_touched}
+                        == {a["path"] for a in touched}):
+                    continue        # logical no-conflict: re-commit as-is
+                touched = new_touched
+                adds = rewrite(touched)
+                rebases += 1
+
+    def delete(self, condition, key_range: tuple[str, str] | None = None,
+               deadline_sec: float = COMMIT_DEADLINE_SEC) -> dict:
+        """DELETE FROM table WHERE condition — SQL semantics: rows where
+        the predicate is TRUE go; NULL-predicate rows stay. ``condition``
+        is a Column or SQL string; ``key_range=(lo,hi)`` (string bounds
+        over the stats column, same contract as merge's pruning) limits
+        the rewrite to overlapping files — at 100 TB a date-scoped delete
+        touches only that date range's files, everything else is carried
+        by reference in the same atomic commit."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+
+        def make_output(src: DataFrame):
+            c = F.coalesce(cond, F.lit(False))
+            return src.filter(~c), src.filter(c).count()
+
+        return self._rewrite_where("delete", key_range, make_output,
+                                   deadline_sec)
+
+    def update(self, condition, assignments: dict,
+               key_range: tuple[str, str] | None = None,
+               deadline_sec: float = COMMIT_DEADLINE_SEC) -> dict:
+        """UPDATE table SET col = expr, ... WHERE condition. Assignment
+        values are Columns or SQL strings, cast back to the column's
+        existing type (an UPDATE never changes the schema). Scoping,
+        pruning, and the commit/retry protocol are delete's."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+
+        def make_output(src: DataFrame):
+            c = F.coalesce(cond, F.lit(False))
+            out = src
+            for col, val in assignments.items():
+                if col not in src.columns:
+                    raise ValueError(f"txlog update: no column {col!r}")
+                expr = F.expr(val) if isinstance(val, str) else val
+                dtype = src.schema[col].dataType
+                out = out.withColumn(
+                    col, F.when(c, expr.cast(dtype)).otherwise(F.col(col)))
+            return out, src.filter(c).count()
+
+        return self._rewrite_where("update", key_range, make_output,
+                                   deadline_sec)
+
+    def restore(self, version: int,
+                deadline_sec: float = COMMIT_DEADLINE_SEC) -> dict:
+        """RESTORE TABLE TO VERSION — a new commit whose live set equals
+        the target snapshot's: add back files it had that are no longer
+        live, remove files it lacked. Data files are immutable so this is
+        pure metadata (no rewrite); history is preserved — the restore is
+        itself a version, and time travel to the in-between versions still
+        works. Fails cleanly if vacuum already dropped a target file (the
+        Delta RESTORE retention caveat)."""
+        target = {a["path"]: a for a in self._resolve(version)}
+        gone = [p for p in target
+                if not os.path.exists(os.path.join(self.path, p))]
+        if gone:
+            raise ValueError(
+                f"txlog restore: {len(gone)} data file(s) of version "
+                f"{version} were vacuumed; cannot restore (first: {gone[0]})")
+        deadline = time.monotonic() + deadline_sec
+        retries = 0
+        while True:
+            base = self.latest_version()
+            cur = {a["path"]: a for a in self._resolve(base)}
+            actions = (
+                [{"add": a} for p, a in sorted(target.items())
+                 if p not in cur]
+                + [{"remove": p} for p in sorted(cur) if p not in target])
+            try:
+                v = self.commit(actions, base + 1, op="restore")
+                return {"version": v, "restored_to": version,
+                        "added_files": sum(1 for a in actions if "add" in a),
+                        "removed_files": sum(1 for a in actions
+                                             if "remove" in a),
+                        "retries": retries}
+            except VersionConflict:
+                if time.monotonic() >= deadline:
+                    raise
+                _backoff(retries)
+                retries += 1
+
+    def history(self) -> list[dict]:
+        """DESCRIBE HISTORY: one record per commit, newest first —
+        version, operation label, file/row deltas, and the streaming txn
+        marker if one rode the commit. Pure log metadata (no data reads);
+        commits written before op labels existed read as 'unknown'."""
+        out = []
+        for v in range(self.latest_version() + 1):
+            p = self._commit_path(v)
+            if not os.path.exists(p):
+                continue
+            with open(p) as fh:
+                rec = json.load(fh)
+            adds = [a["add"] for a in rec["actions"] if "add" in a]
+            out.append({
+                "version": v, "op": rec.get("op", "unknown"),
+                "n_added_files": len(adds),
+                "n_removed_files": sum(1 for a in rec["actions"]
+                                       if "remove" in a),
+                "rows_added": sum(int(a.get("rows", 0)) for a in adds),
+                "txn": rec.get("txn")})
+        return out[::-1]
+
+    def changes(self, spark: SparkSession, from_version: int,
+                to_version: int | None = None, net: bool = False
+                ) -> DataFrame:
+        """Change data feed for the half-open version range
+        (from_version, to_version]: row-level changes reconstructed from
+        the file-level log diff — each commit's added files surface as
+        ``_change_type='insert'`` rows, its removed files as ``'delete'``
+        rows, both tagged ``_commit_version``. Files carried by reference
+        produce nothing, so a stats-pruned MERGE/DELETE feeds only its
+        touched key range downstream — the incremental-consumer contract
+        that makes a 100 TB pipeline re-process deltas, not snapshots.
+
+        The replay invariant (pytest-pinned): snapshot(from) ⊎ inserts ∖
+        deletes == snapshot(to) as multisets. A rewrite commit re-emits
+        rows it merely carried through a touched file as a delete+insert
+        pair; ``net=True`` cancels those pairs distributedly (group by
+        every data column, sum +1/-1, keep the nonzero residue with its
+        multiplicity ``_n``) so consumers see only EFFECTIVE changes.
+        Requires the range's files to still exist — vacuum truncates how
+        far back a feed can start, exactly Delta's CDF retention rule."""
+        if to_version is None:
+            to_version = self.latest_version()
+        if from_version > to_version:
+            raise ValueError("txlog changes: from_version > to_version")
+        frames = []
+        for v in range(from_version + 1, to_version + 1):
+            p = self._commit_path(v)
+            if not os.path.exists(p):
+                raise ValueError(f"txlog: missing version {v} (corrupt log)")
+            with open(p) as fh:
+                rec = json.load(fh)
+            added = [a["add"]["path"] for a in rec["actions"]
+                     if "add" in a and a["add"]["rows"] > 0]
+            removed = [a["remove"] for a in rec["actions"] if "remove" in a]
+            for paths, ctype in ((added, "insert"), (removed, "delete")):
+                if not paths:
+                    continue
+                gone = [q for q in paths
+                        if not os.path.exists(os.path.join(self.path, q))]
+                if gone:
+                    raise ValueError(
+                        f"txlog changes: file(s) of version {v} were "
+                        f"vacuumed; start the feed later (first: {gone[0]})")
+                df = (spark.read.option("mergeSchema", "true")
+                      .parquet(*[os.path.join(self.path, q) for q in paths])
+                      .withColumn("_change_type", F.lit(ctype))
+                      .withColumn("_commit_version",
+                                  F.lit(v).cast("long")))
+                frames.append(df)
+        if not frames:
+            return (self.read(spark, to_version).limit(0)
+                    .withColumn("_change_type", F.lit("insert"))
+                    .withColumn("_commit_version", F.lit(0).cast("long")))
+        cdf = frames[0]
+        for df in frames[1:]:
+            cdf = cdf.unionByName(df, allowMissingColumns=True)
+        if not net:
+            return cdf
+        data_cols = [c for c in cdf.columns
+                     if c not in ("_change_type", "_commit_version")]
+        return (cdf.groupBy(*data_cols)
+                .agg(F.sum(F.when(F.col("_change_type") == "insert", 1)
+                           .otherwise(-1)).alias("_net"))
+                .where(F.col("_net") != 0)
+                .select(*data_cols,
+                        F.when(F.col("_net") > 0, F.lit("insert"))
+                        .otherwise(F.lit("delete")).alias("_change_type"),
+                        F.abs("_net").alias("_n")))

@@ -560,3 +560,164 @@ def test_model_based_op_interleavings(spark, table_path):
             want = sorted((k[0], k[1], val[2], val[3])
                           for k, val in model.items())
             assert got == want, (seed, step, op)
+
+
+# ---- r6 row-level operations: DELETE / UPDATE / RESTORE / history / CDF
+
+
+def _multiset(df):
+    from collections import Counter
+    cols = sorted(c for c in df.columns if not c.startswith("_"))
+    return Counter(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_delete_scoped_rewrite_equals_recompute(spark, table_path):
+    """DELETE with a key_range must rewrite ONLY the overlapping day file,
+    carry the rest by reference (identical paths), and leave exactly the
+    rows a DataFrame-level filter recompute leaves."""
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    for day in (1, 2, 3):
+        t.append(_rollup(spark, f"2024-01-0{day}",
+                         f"2024-01-0{day + 1}").coalesce(1))
+    before = t.read(spark)
+    want = _multiset(before.filter(
+        ~((F.col("minute") >= "2024-01-02 06:00:00")
+          & (F.col("minute") < "2024-01-02 18:00:00"))))
+    pre_paths = {a["path"] for a in t._resolve()}
+
+    stats = t.delete(
+        (F.col("minute") >= "2024-01-02 06:00:00")
+        & (F.col("minute") < "2024-01-02 18:00:00"),
+        key_range=("2024-01-02 06:00:00", "2024-01-02 18:00:00"))
+    assert stats["rewritten_files"] == 1 and stats["carried_files"] == 2
+    assert stats["matched_rows"] > 0
+    assert _multiset(t.read(spark)) == want
+    # carried files are the SAME paths (by-reference, no rewrite)
+    post_paths = {a["path"] for a in t._resolve()}
+    assert len(pre_paths & post_paths) == 2
+
+
+def test_delete_null_predicate_rows_survive(spark, table_path):
+    """SQL DELETE semantics: rows where the predicate evaluates NULL are
+    KEPT (only TRUE deletes) — the classic three-valued-logic trap."""
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    df = spark.createDataFrame(
+        [("a", 1.0), ("b", None), ("c", 5.0)], "k string, x double")
+    t.append(df.coalesce(1))
+    stats = t.delete("x > 2.0")
+    assert stats["matched_rows"] == 1
+    assert sorted(r["k"] for r in t.read(spark).collect()) == ["a", "b"]
+
+
+def test_update_equals_recompute_and_prunes(spark, table_path):
+    """UPDATE SET value = value * 2 over one day: matches the
+    withColumn/when recompute; untouched days carried by reference; the
+    column keeps its type."""
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    for day in (1, 2, 3):
+        t.append(_rollup(spark, f"2024-01-0{day}",
+                         f"2024-01-0{day + 1}").coalesce(1))
+    cond = (F.col("minute") >= "2024-01-03") & (F.col("indicator") == "error")
+    before = t.read(spark)
+    want = _multiset(before.withColumn(
+        "value", F.when(F.coalesce(cond, F.lit(False)),
+                        F.col("value") * 2).otherwise(F.col("value"))))
+    stats = t.update(cond, {"value": "value * 2"},
+                     key_range=("2024-01-03 00:00:00", "2024-01-04 00:00:00"))
+    assert stats["rewritten_files"] == 1 and stats["carried_files"] == 2
+    after = t.read(spark)
+    assert dict(after.dtypes)["value"] == "double"
+    assert _multiset(after) == want
+
+
+def test_restore_and_history(spark, table_path):
+    """RESTORE is a pure-metadata commit back to a prior snapshot; history
+    lists every commit newest-first with its op label and file deltas."""
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    t.append(_rollup(spark, "2024-01-01", "2024-01-02").coalesce(1))
+    t.append(_rollup(spark, "2024-01-02", "2024-01-03").coalesce(1))
+    v_before = t.latest_version()
+    snap_before = _multiset(t.read(spark, v_before))
+    t.delete("indicator = 'error'")     # drops one indicator's rows
+    assert _multiset(t.read(spark)) != snap_before
+    r = t.restore(v_before)
+    assert r["restored_to"] == v_before
+    assert _multiset(t.read(spark)) == snap_before
+    # in-between version still time-travels
+    assert t.read(spark, v_before + 1).count() < sum(snap_before.values())
+    ops = [h["op"] for h in t.history()]
+    assert ops == ["restore", "delete", "append", "append"]
+    newest = t.history()[0]
+    assert newest["version"] == t.latest_version()
+    # the restore re-adds the original files, so its row delta is the
+    # full pre-delete row count — all metadata, no data rewrite
+    assert newest["rows_added"] == sum(snap_before.values())
+
+
+def test_changes_replay_invariant_and_net(spark, table_path):
+    """CDF contract: over any version range, snapshot(from) ⊎ inserts ∖
+    deletes == snapshot(to) as multisets — across append, merge, delete,
+    and update commits. net=True must equal the direct multiset diff of
+    the two snapshots (rewrite-carried rows cancelled)."""
+    from collections import Counter
+
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    for day in (1, 2):
+        t.append(_rollup(spark, f"2024-01-0{day}",
+                         f"2024-01-0{day + 1}").coalesce(1))
+    v_from = t.latest_version()
+    snap_from = _multiset(t.read(spark, v_from))
+
+    t.merge(_rollup(spark, "2024-01-01 12:00:00", "2024-01-02 12:00:00"))
+    t.delete("indicator = 'error' "
+             "AND minute < timestamp'2024-01-01 06:00:00'")
+    t.update("indicator = 'click'", {"value": "value + 1000.0"})
+    v_to = t.latest_version()
+    snap_to = _multiset(t.read(spark, v_to))
+    assert snap_to != snap_from
+
+    cdf = t.changes(spark, v_from, v_to)
+    assert set(cdf.columns) >= {"_change_type", "_commit_version"}
+    ins = _multiset(cdf.filter(F.col("_change_type") == "insert"))
+    dels = _multiset(cdf.filter(F.col("_change_type") == "delete"))
+    replayed = Counter(snap_from)
+    replayed.update(ins)
+    replayed.subtract(dels)
+    assert +replayed == snap_to         # multiset replay invariant
+
+    # net feed == direct multiset diff of the snapshots
+    net = t.changes(spark, v_from, v_to, net=True)
+    got_ins = Counter()
+    got_del = Counter()
+    cols = sorted(c for c in net.columns if not c.startswith("_"))
+    for r in net.collect():
+        key = tuple(r[c] for c in cols)
+        (got_ins if r["_change_type"] == "insert" else got_del)[key] += r["_n"]
+    want_ins = snap_to - snap_from
+    want_del = snap_from - snap_to
+    assert got_ins == want_ins and got_del == want_del
+
+    # every commit version in range appears; none outside it
+    vs = {r["_commit_version"] for r in cdf.select("_commit_version").distinct().collect()}
+    assert vs == set(range(v_from + 1, v_to + 1))
+
+
+def test_changes_after_vacuum_raises(spark, table_path):
+    """Vacuum truncates how far back a feed can start (the CDF retention
+    rule): a range whose removed files were vacuumed fails cleanly."""
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    t.append(_rollup(spark, "2024-01-01", "2024-01-02").coalesce(1))
+    t.merge(_rollup(spark, "2024-01-01 06:00:00", "2024-01-01 18:00:00"))
+    t.merge(_rollup(spark, "2024-01-01 08:00:00", "2024-01-01 10:00:00"))
+    t.merge(_rollup(spark, "2024-01-01 09:00:00", "2024-01-01 11:00:00"))
+    t.vacuum(retain_versions=2, min_age_sec=0)
+    with pytest.raises(ValueError, match="vacuumed"):
+        t.changes(spark, 0).count()
+    # a recent-enough range still works
+    latest = t.latest_version()
+    assert t.changes(spark, latest - 1, latest).count() > 0
