@@ -42,6 +42,9 @@ _RUNTIME_CONFS = {
     # carry NO parquet statistics, which silently disables row-group
     # skipping and the txlog's file-stats MERGE pruning on time columns.
     "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
+    # Python DataSource filter pushdown (the txlog source's pushFilters
+    # prunes files from the commit log's stats before partition planning).
+    "spark.sql.python.filterPushdown.enabled": "true",
 }
 
 

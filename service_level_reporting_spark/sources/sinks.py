@@ -14,6 +14,7 @@ day-partitioned layout is what makes report time-range scans prune.
 
 from __future__ import annotations
 
+import datetime
 import os
 import tempfile
 
@@ -724,7 +725,14 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
       '_restore' — n = rows diverging from the pre-delete snapshot after
                    RESTORE (must be 0), n2 = latest version;
       '_history' — n = commits in DESCRIBE HISTORY, n2 = distinct op
-                   labels, v = rows_added across appends."""
+                   labels, v = rows_added across appends;
+      '_dsrc'    — the table read back through the REGISTERED Spark data
+                   source (spark.read.format('txlog'), PySpark 4 Python
+                   DataSource API): n = rows diverging from the direct
+                   snapshot read (must be 0), n2 = files pruned by a
+                   pushed stats-column filter at the LOG level before
+                   partition planning, v = CDF row count through the
+                   source's mode=changes path (must equal changes())."""
     import shutil
 
     from service_level_reporting_spark.sources.txlog import TxLogTable
@@ -773,8 +781,31 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .unionAll(t.read(spark, v_from).exceptAll(t.read(spark)))
                 .count())
     hist = t.history()
+
+    # the table as a first-class Spark source: snapshot equality via the
+    # registered format, log-level pushdown pruning, CDF through the source
+    from service_level_reporting_spark.sources.txlog_datasource import (
+        TxLogBatchReader, TxLogDataSource)
+    spark.dataSource.register(TxLogDataSource)
+    via_src = spark.read.format("txlog").load(root)
+    direct = t.read(spark)
+    src_diverged = (via_src.exceptAll(direct)
+                    .unionAll(direct.exceptAll(via_src)).count())
+    from pyspark.sql.datasource import GreaterThanOrEqual
+    probe = TxLogBatchReader(root, {"path": root})
+    list(probe.pushFilters([GreaterThanOrEqual(
+        ("minute",), datetime.datetime(2024, 1, 3))]))
+    probe.partitions()
+    src_cdf_rows = (spark.read.format("txlog").option("mode", "changes")
+                    .option("startingVersion", str(v_from))
+                    .option("endingVersion", str(v_to)).load(root)
+                    .count())
+    cdf_rows_direct = n_ins + n_del
+
     return spark.createDataFrame(
-        [("_delete", d["rewritten_files"], d["carried_files"],
+        [("_dsrc", src_diverged, probe.pruned_files,
+          float(src_cdf_rows - cdf_rows_direct)),
+         ("_delete", d["rewritten_files"], d["carried_files"],
           float(d["matched_rows"])),
          ("_update", u["rewritten_files"], u["carried_files"],
           float(u["matched_rows"])),

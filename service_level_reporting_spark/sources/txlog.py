@@ -81,13 +81,30 @@ class TxLogTable:
         self.stats_col = stats_col
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
+        # publish the table's write config so readers (the txlog Spark
+        # data source) can open it by path alone; atomic, write-once
+        meta = os.path.join(self.log_dir, "_meta.json")
+        if not os.path.exists(meta):
+            tmp = meta + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump({"key_cols": key_cols, "stats_col": stats_col}, fh)
+            os.replace(tmp, meta)
+
+    @classmethod
+    def open(cls, path: str) -> "TxLogTable":
+        """Open an existing table by path, config from _meta.json."""
+        with open(os.path.join(path, "_txlog", "_meta.json")) as fh:
+            meta = json.load(fh)
+        return cls(path, key_cols=meta["key_cols"],
+                   stats_col=meta["stats_col"])
 
     # ---- log primitives ---------------------------------------------------
 
     def latest_version(self) -> int:
         """-1 when the table has no commits yet."""
         vs = [int(f[:20]) for f in os.listdir(self.log_dir)
-              if f.endswith(".json") and not f.endswith(".checkpoint.json")]
+              if f.endswith(".json") and not f.endswith(".checkpoint.json")
+              and f[:20].isdigit()]
         return max(vs, default=-1)
 
     def _commit_path(self, v: int) -> str:

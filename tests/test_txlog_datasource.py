@@ -1,0 +1,200 @@
+"""The txlog Python DataSource: batch snapshot/time-travel reads, log-level
+filter pushdown pruning, batch CDF, and the streaming CDC source with
+checkpointed exactly-once offsets."""
+
+from __future__ import annotations
+
+import datetime
+import os
+import shutil
+import tempfile
+import uuid
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from service_level_reporting_spark.sources.txlog import TxLogTable
+from service_level_reporting_spark.sources.txlog_datasource import (
+    TxLogBatchReader, TxLogDataSource)
+from service_level_reporting_spark.sources.sinks import minute_rollup
+from service_level_reporting_spark.tables import load_tables
+
+from .conftest import SF_DIR_001
+
+
+@pytest.fixture()
+def table_path():
+    p = os.path.join(tempfile.gettempdir(),
+                     f"slr_dsrc_test_{uuid.uuid4().hex[:8]}")
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+    shutil.rmtree(p + "_ckpt", ignore_errors=True)
+
+
+def _rollup(spark, lo, hi):
+    ev = load_tables(spark, SF_DIR_001, ("events",))["events"]
+    return minute_rollup(ev, (F.col("ts") >= lo) & (F.col("ts") < hi))
+
+
+def _multiset(df):
+    cols = sorted(df.columns)
+    return Counter(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _three_day_table(spark, table_path) -> TxLogTable:
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    for day in (1, 2, 3):
+        t.append(_rollup(spark, f"2024-01-0{day}",
+                         f"2024-01-0{day + 1}").coalesce(1))
+    return t
+
+
+def test_batch_snapshot_time_travel_and_schema(spark, table_path):
+    spark.dataSource.register(TxLogDataSource)
+    t = _three_day_table(spark, table_path)
+    t.merge(_rollup(spark, "2024-01-02 06:00:00", "2024-01-02 18:00:00"))
+
+    df = spark.read.format("txlog").load(table_path)
+    assert df.schema == t.read(spark).schema
+    assert _multiset(df) == _multiset(t.read(spark))
+    v0 = spark.read.format("txlog").option("version", "0").load(table_path)
+    assert _multiset(v0) == _multiset(t.read(spark, 0))
+
+
+def test_filter_pushdown_prunes_from_log_stats(spark, table_path):
+    """A stats-column predicate must (a) return exactly the filtered rows
+    — Spark re-applies every filter, pruning is conservative — and (b)
+    plan partitions only for files the log's min/max cannot exclude."""
+    spark.dataSource.register(TxLogDataSource)
+    t = _three_day_table(spark, table_path)
+
+    df = spark.read.format("txlog").load(table_path)
+    got = _multiset(df.filter(F.col("minute") >= "2024-01-03 00:00:00"))
+    want = _multiset(t.read(spark).filter(
+        F.col("minute") >= "2024-01-03 00:00:00"))
+    assert got == want
+
+    # reader-level: the pushed bound keeps 1 of 3 day files
+    from pyspark.sql.datasource import GreaterThanOrEqual, LessThan
+    r = TxLogBatchReader(table_path, {"path": table_path})
+    unhandled = list(r.pushFilters(
+        [GreaterThanOrEqual(("minute",), datetime.datetime(2024, 1, 3))]))
+    assert len(unhandled) == 1          # prune-only: everything re-applied
+    assert len(r.partitions()) == 1 and r.pruned_files == 2
+    # one-sided upper bound also prunes
+    r2 = TxLogBatchReader(table_path, {"path": table_path})
+    list(r2.pushFilters([LessThan(("minute",),
+                                  datetime.datetime(2024, 1, 2))]))
+    assert len(r2.partitions()) == 1 and r2.pruned_files == 2
+    # a filter on a non-stats column prunes nothing
+    r3 = TxLogBatchReader(table_path, {"path": table_path})
+    list(r3.pushFilters([GreaterThanOrEqual(("value",), 0.0)]))
+    assert len(r3.partitions()) == 3 and r3.pruned_files == 0
+
+
+def test_batch_changes_equals_table_cdf(spark, table_path):
+    spark.dataSource.register(TxLogDataSource)
+    t = _three_day_table(spark, table_path)
+    v_from = t.latest_version()
+    t.merge(_rollup(spark, "2024-01-02 06:00:00", "2024-01-02 18:00:00"))
+    t.delete("indicator = 'error'")
+
+    ch = (spark.read.format("txlog").option("mode", "changes")
+          .option("startingVersion", str(v_from)).load(table_path))
+    assert ch.columns[-2:] == ["_change_type", "_commit_version"]
+    assert _multiset(ch) == _multiset(t.changes(spark, v_from))
+
+
+def test_stream_incremental_exactly_once(spark, table_path):
+    """Offsets are versions: a checkpointed stream delivers each commit's
+    rows exactly once across new data arriving mid-stream AND across a
+    stop/restart from the same checkpoint."""
+    spark.dataSource.register(TxLogDataSource)
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    t.append(_rollup(spark, "2024-01-01", "2024-01-02").coalesce(1))
+    ckpt = table_path + "_ckpt"
+    out = os.path.join(table_path + "_ckpt", "out")   # cleaned by fixture
+
+    def start():
+        return (spark.readStream.format("txlog")
+                .option("startingVersion", "-1").load(table_path)
+                .writeStream.format("parquet").option("path", out)
+                .option("checkpointLocation", os.path.join(ckpt, "offsets_"))
+                .start())
+
+    q = start()
+    try:
+        q.processAllAvailable()
+        assert spark.read.parquet(out).count() == t.read(spark).count()
+        t.append(_rollup(spark, "2024-01-02", "2024-01-03").coalesce(1))
+        q.processAllAvailable()
+        assert spark.read.parquet(out).count() == t.read(spark).count()
+    finally:
+        q.stop()
+    # restart from the same checkpoint: already-delivered versions must
+    # NOT replay (no duplicates in the sink); the commit landed while the
+    # stream was down must arrive exactly once
+    t.append(_rollup(spark, "2024-01-03", "2024-01-04").coalesce(1))
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+        sink = spark.read.parquet(out)
+        assert _multiset(sink) == _multiset(t.read(spark))
+    finally:
+        q2.stop()
+
+
+def test_stream_append_mode_refuses_rewrites(spark, table_path):
+    """Delta's contract: an append-only stream fails loudly on a commit
+    that changed existing data; skipChangeCommits=true skips that commit
+    wholesale and continues."""
+    spark.dataSource.register(TxLogDataSource)
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    t.append(_rollup(spark, "2024-01-01", "2024-01-02").coalesce(1))
+    t.merge(_rollup(spark, "2024-01-01 06:00:00", "2024-01-01 18:00:00"))
+    t.append(_rollup(spark, "2024-01-02", "2024-01-03").coalesce(1))
+
+    name = f"txs_{uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("txlog").option("startingVersion", "-1")
+         .load(table_path)
+         .writeStream.format("memory").queryName(name).start())
+    with pytest.raises(Exception, match="rewrites data"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    name2 = f"txs_{uuid.uuid4().hex[:8]}"
+    q2 = (spark.readStream.format("txlog").option("startingVersion", "-1")
+          .option("skipChangeCommits", "true").load(table_path)
+          .writeStream.format("memory").queryName(name2).start())
+    try:
+        q2.processAllAvailable()
+        # v0 append + v2 append arrive; the v1 merge commit is skipped
+        assert (spark.table(name2).count()
+                == t.read(spark, 0).count()
+                + (t.read(spark, 2).count()
+                   - t.read(spark, 1).count()))
+    finally:
+        q2.stop()
+
+
+def test_stream_changes_mode_equals_batch_cdf(spark, table_path):
+    spark.dataSource.register(TxLogDataSource)
+    t = _three_day_table(spark, table_path)
+    t.merge(_rollup(spark, "2024-01-02 06:00:00", "2024-01-02 18:00:00"))
+
+    name = f"txs_{uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("txlog").option("mode", "changes")
+         .option("startingVersion", "-1").load(table_path)
+         .writeStream.format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+        assert (_multiset(spark.table(name))
+                == _multiset(t.changes(spark, -1)))
+    finally:
+        q.stop()
