@@ -752,7 +752,15 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("minute") >= "2024-01-02 06:00:00")
         & (F.col("minute") < "2024-01-02 18:00:00"),
         key_range=("2024-01-02 06:00:00", "2024-01-02 18:00:00"))
-    u = t.update("indicator = 'error'", {"value": "value * 2"},
+    # predicate and key_range agree (r7: update()'s verify_scope probe
+    # REJECTS a range narrower than the predicate's true key span — the
+    # pre-r7 form "indicator = 'error'" with a day-3 range was exactly
+    # the silent-skip footgun ADVICE flagged; day-1/2 error rows were
+    # never touched, so the produced table is unchanged by this fix)
+    u = t.update((F.col("indicator") == "error")
+                 & (F.col("minute") >= "2024-01-03")
+                 & (F.col("minute") < "2024-01-04"),
+                 {"value": "value * 2"},
                  key_range=("2024-01-03 00:00:00", "2024-01-04 00:00:00"))
     v_to = t.latest_version()
 

@@ -69,6 +69,15 @@ def _backoff(attempt: int) -> None:
     time.sleep(random.uniform(0.0, cap))
 
 
+def add_rows(add: dict) -> int:
+    """Row count of an add-action; an add written by a log version that
+    didn't record 'rows' (or recorded null) reads as UNKNOWN = 1, so the
+    file is conservatively INCLUDED wherever rows>0 gates inclusion (the
+    CDF and data-source paths) instead of raising KeyError (r7, ADVICE)."""
+    r = add.get("rows")
+    return 1 if r is None else int(r)
+
+
 class TxLogTable:
     def __init__(self, path: str, key_cols: list[str], stats_col: str):
         self.path = path
@@ -82,12 +91,29 @@ class TxLogTable:
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         # publish the table's write config so readers (the txlog Spark
-        # data source) can open it by path alone; atomic, write-once
+        # data source) can open it by path alone; atomic, write-once.
+        # r7 (ADVICE): when _meta.json already exists the constructor's
+        # config must MATCH it — silently keeping the old config would let
+        # this writer prune/stat on one column while readers use another,
+        # and merge/delete pruning could then skip files holding matching
+        # rows. Mismatch is a table-identity error, raised loudly.
         meta = os.path.join(self.log_dir, "_meta.json")
-        if not os.path.exists(meta):
+        if os.path.exists(meta):
+            with open(meta) as fh:
+                existing = json.load(fh)
+            if (existing["key_cols"] != list(key_cols)
+                    or existing["stats_col"] != stats_col):
+                raise ValueError(
+                    f"txlog: table at {path} was created with "
+                    f"key_cols={existing['key_cols']} "
+                    f"stats_col={existing['stats_col']!r}; constructor got "
+                    f"key_cols={list(key_cols)} stats_col={stats_col!r}. "
+                    "Open existing tables with TxLogTable.open(path).")
+        else:
             tmp = meta + f".tmp.{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as fh:
-                json.dump({"key_cols": key_cols, "stats_col": stats_col}, fh)
+                json.dump({"key_cols": list(key_cols),
+                           "stats_col": stats_col}, fh)
             os.replace(tmp, meta)
 
     @classmethod
@@ -522,7 +548,8 @@ class TxLogTable:
     # ---- row-level operations (r6: DELETE / UPDATE / RESTORE / CDF) ------
 
     def _rewrite_where(self, op: str, key_range: tuple[str, str] | None,
-                       make_output, deadline_sec: float) -> dict:
+                       make_output, deadline_sec: float,
+                       scope_cond=None, verify_scope: bool = True) -> dict:
         """Shared copy-on-write machinery for DELETE/UPDATE: resolve the
         live set, stats-prune to the files whose [min,max] range can hold
         affected keys (``key_range`` over the stats column — None scopes
@@ -532,10 +559,39 @@ class TxLogTable:
         protocol is merge's: deadline-bounded, jittered backoff, and the
         logical-conflict fast path (if the interleaved winners didn't
         change which files we touch, the same actions re-commit without
-        re-running the Spark rewrite)."""
+        re-running the Spark rewrite).
+
+        r7 (ADVICE): ``key_range`` is a caller ASSERTION that no row
+        matching the predicate lives outside [lo, hi] of the stats column
+        — a too-narrow range would silently leave matching rows unmodified
+        in carried files. With ``verify_scope=True`` (the default) the
+        carried files are probed for predicate matches (filter + LIMIT 1;
+        parquet row-group stats prune most groups when the predicate keys
+        on the stats/sort column) and a stale assertion raises instead of
+        losing updates. Callers at extreme scale who can prove the range
+        (e.g. it was derived from the update frame itself) may pass
+        verify_scope=False to keep the operation strictly metadata-pruned."""
         lo, hi = key_range if key_range is not None else (None, None)
         deadline = time.monotonic() + deadline_sec
         matched = {"rows": 0}
+
+        def check_scope(live: list[dict], touched: list[dict]) -> None:
+            if scope_cond is None or not verify_scope or key_range is None:
+                return
+            tset = {a["path"] for a in touched}
+            carried = [a for a in live if a["path"] not in tset]
+            if not carried:
+                return
+            spark = SparkSession.getActiveSession()
+            stray = (self._files_df(spark, carried)
+                     .filter(F.coalesce(scope_cond, F.lit(False)))
+                     .limit(1).count())
+            if stray:
+                raise ValueError(
+                    f"txlog {op}: key_range={key_range} excludes file(s) "
+                    "that contain predicate-matching rows — the range "
+                    "assertion is wrong and would silently skip matches. "
+                    "Widen key_range (or pass key_range=None).")
 
         def rewrite(touched: list[dict]) -> list[dict]:
             if not touched:
@@ -552,6 +608,7 @@ class TxLogTable:
         base = self.latest_version()
         live = self._resolve(base)
         touched = self._overlapping(live, lo, hi)
+        check_scope(live, touched)
         adds = rewrite(touched)
         retries = rebases = 0
         while True:
@@ -575,18 +632,27 @@ class TxLogTable:
                         == {a["path"] for a in touched}):
                     continue        # logical no-conflict: re-commit as-is
                 touched = new_touched
+                check_scope(live, touched)
                 adds = rewrite(touched)
                 rebases += 1
 
     def delete(self, condition, key_range: tuple[str, str] | None = None,
-               deadline_sec: float = COMMIT_DEADLINE_SEC) -> dict:
+               deadline_sec: float = COMMIT_DEADLINE_SEC,
+               verify_scope: bool = True) -> dict:
         """DELETE FROM table WHERE condition — SQL semantics: rows where
         the predicate is TRUE go; NULL-predicate rows stay. ``condition``
         is a Column or SQL string; ``key_range=(lo,hi)`` (string bounds
         over the stats column, same contract as merge's pruning) limits
         the rewrite to overlapping files — at 100 TB a date-scoped delete
         touches only that date range's files, everything else is carried
-        by reference in the same atomic commit."""
+        by reference in the same atomic commit.
+
+        WARNING: ``key_range`` asserts the predicate matches NO row
+        outside the range; a too-narrow range silently skips matching
+        rows in carried files. ``verify_scope=True`` (default) probes the
+        carried files and raises on a stale assertion (see
+        ``_rewrite_where``); disable only when the range is provably
+        derived from the predicate itself."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
 
         def make_output(src: DataFrame):
@@ -594,15 +660,18 @@ class TxLogTable:
             return src.filter(~c), src.filter(c).count()
 
         return self._rewrite_where("delete", key_range, make_output,
-                                   deadline_sec)
+                                   deadline_sec, scope_cond=cond,
+                                   verify_scope=verify_scope)
 
     def update(self, condition, assignments: dict,
                key_range: tuple[str, str] | None = None,
-               deadline_sec: float = COMMIT_DEADLINE_SEC) -> dict:
+               deadline_sec: float = COMMIT_DEADLINE_SEC,
+               verify_scope: bool = True) -> dict:
         """UPDATE table SET col = expr, ... WHERE condition. Assignment
         values are Columns or SQL strings, cast back to the column's
         existing type (an UPDATE never changes the schema). Scoping,
-        pruning, and the commit/retry protocol are delete's."""
+        pruning, the commit/retry protocol, and the ``key_range``
+        assertion + ``verify_scope`` probe are delete's."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
 
         def make_output(src: DataFrame):
@@ -618,7 +687,8 @@ class TxLogTable:
             return out, src.filter(c).count()
 
         return self._rewrite_where("update", key_range, make_output,
-                                   deadline_sec)
+                                   deadline_sec, scope_cond=cond,
+                                   verify_scope=verify_scope)
 
     def restore(self, version: int,
                 deadline_sec: float = COMMIT_DEADLINE_SEC) -> dict:
@@ -699,12 +769,22 @@ class TxLogTable:
         every data column, sum +1/-1, keep the nonzero residue with its
         multiplicity ``_n``) so consumers see only EFFECTIVE changes.
         Requires the range's files to still exist — vacuum truncates how
-        far back a feed can start, exactly Delta's CDF retention rule."""
+        far back a feed can start, exactly Delta's CDF retention rule.
+
+        Plan shape (r7, VERDICT): ONE parquet scan per change type over
+        the range's distinct files, each row tagged with its commit
+        version by a broadcast join on ``input_file_name()`` against the
+        log's (file -> version) map — flat for any range length, instead
+        of the old per-commit read + O(commits)-deep unionByName chain
+        whose driver-side plan cost grew with the range. A file both
+        added and re-added in the range (RESTORE) appears once in the
+        scan and fans out to each of its versions through the join —
+        multiset-exact."""
         if to_version is None:
             to_version = self.latest_version()
         if from_version > to_version:
             raise ValueError("txlog changes: from_version > to_version")
-        frames = []
+        pairs = {"insert": [], "delete": []}   # (abs_path, version)
         for v in range(from_version + 1, to_version + 1):
             p = self._commit_path(v)
             if not os.path.exists(p):
@@ -712,30 +792,41 @@ class TxLogTable:
             with open(p) as fh:
                 rec = json.load(fh)
             added = [a["add"]["path"] for a in rec["actions"]
-                     if "add" in a and a["add"]["rows"] > 0]
+                     if "add" in a and add_rows(a["add"]) > 0]
             removed = [a["remove"] for a in rec["actions"] if "remove" in a]
             for paths, ctype in ((added, "insert"), (removed, "delete")):
-                if not paths:
-                    continue
-                gone = [q for q in paths
-                        if not os.path.exists(os.path.join(self.path, q))]
-                if gone:
-                    raise ValueError(
-                        f"txlog changes: file(s) of version {v} were "
-                        f"vacuumed; start the feed later (first: {gone[0]})")
-                df = (spark.read.option("mergeSchema", "true")
-                      .parquet(*[os.path.join(self.path, q) for q in paths])
-                      .withColumn("_change_type", F.lit(ctype))
-                      .withColumn("_commit_version",
-                                  F.lit(v).cast("long")))
-                frames.append(df)
-        if not frames:
+                for q in paths:
+                    full = os.path.join(self.path, q)
+                    if not os.path.exists(full):
+                        raise ValueError(
+                            f"txlog changes: file(s) of version {v} were "
+                            f"vacuumed; start the feed later (first: {q})")
+                    pairs[ctype].append((os.path.abspath(full), v))
+        if not pairs["insert"] and not pairs["delete"]:
             return (self.read(spark, to_version).limit(0)
                     .withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", F.lit(0).cast("long")))
-        cdf = frames[0]
-        for df in frames[1:]:
-            cdf = cdf.unionByName(df, allowMissingColumns=True)
+
+        def one_scan(ctype: str) -> DataFrame | None:
+            pv = pairs[ctype]
+            if not pv:
+                return None
+            fmap = spark.createDataFrame(pv, "_cdf_file string, "
+                                             "_commit_version long")
+            scan = (spark.read.option("mergeSchema", "true")
+                    .parquet(*sorted({p for p, _ in pv}))
+                    .withColumn("_cdf_file",
+                                F.regexp_replace(F.input_file_name(),
+                                                 "^file:(//)?", "")))
+            return (scan.join(F.broadcast(fmap), "_cdf_file")
+                    .drop("_cdf_file")
+                    .withColumn("_change_type", F.lit(ctype))
+                    .select(*[c for c in scan.columns if c != "_cdf_file"],
+                            "_change_type", "_commit_version"))
+
+        ins, dels = one_scan("insert"), one_scan("delete")
+        cdf = (ins if dels is None else dels if ins is None
+               else ins.unionByName(dels, allowMissingColumns=True))
         if not net:
             return cdf
         data_cols = [c for c in cdf.columns

@@ -7,14 +7,28 @@ bespoke Python API:
 
 * **Batch snapshot** — ``.option("version", v)`` time travel; one input
   partition PER DATA FILE (executor-parallel pyarrow reads, Arrow batches
-  handed to the JVM — no row-at-a-time Python path).
+  handed to the JVM — no row-at-a-time Python path). The snapshot version
+  is PINNED once at analysis time (r7, ADVICE): schema inference and
+  partition planning see the SAME version even if a concurrent commit
+  lands between them — Delta's analysis-time snapshot rule.
 * **Filter pushdown that reaches the LOG** — ``pushFilters`` intercepts
   comparisons on the table's stats column and prunes whole files by the
   commit log's min/max BEFORE any partition is planned: the scan never
   even opens a file the log proves irrelevant. All filters are returned
   as unhandled so Spark still applies them exactly (prune-only contract —
-  the same split Delta's data skipping uses). At 100 TB this is the
-  difference between touching 3 files and 30 000.
+  the same split Delta's data skipping uses). Pruning only fires when the
+  stats column's STRING ordering matches its value ordering (string /
+  timestamp / date); for numeric stats ('9' > '10' lexicographically) it
+  is disabled rather than silently losing rows (r7, ADVICE) — unlike
+  merge pruning, Spark's re-applied filter cannot recover a skipped file.
+* **Schema evolution** (r7, VERDICT): the snapshot schema is the UNION of
+  the live files' footer schemas when ``mergeSchema=true`` (per-file
+  batches are padded with nulls executor-side — the same semantics as
+  ``TxLogTable.read(merge_schema=True)``); without the option an evolved
+  table raises a clear error instead of projecting through the oldest
+  file's schema. At 100 TB a production format records the schema in the
+  log (Delta's metaData action) instead of reading O(files) footers at
+  analysis; footers here keep the log format minimal.
 * **Streaming CDC source** — offsets ARE log versions: each micro-batch
   reads the commits in ``(start, end]``; partitions are the commits'
   files, read executor-side. Default mode is append-only (a rewrite
@@ -39,7 +53,7 @@ from pyspark.sql.datasource import (
     GreaterThan, GreaterThanOrEqual, InputPartition, LessThan,
     LessThanOrEqual)
 
-from service_level_reporting_spark.sources.txlog import TxLogTable
+from service_level_reporting_spark.sources.txlog import TxLogTable, add_rows
 
 CDF_COLS = (("_change_type", "string"), ("_commit_version", "bigint"))
 
@@ -47,7 +61,7 @@ CDF_COLS = (("_change_type", "string"), ("_commit_version", "bigint"))
 @dataclass
 class _FilePart(InputPartition):
     path: str                     # absolute path of one parquet data file
-    change_type: str | None       # None = plain snapshot read
+    change_type: str | None      # None = plain snapshot read
     commit_version: int | None
 
 
@@ -59,14 +73,98 @@ def _stats_value(v) -> str:
     return str(v)
 
 
-def _read_file_batches(part: _FilePart, columns=None):
-    """Executor-side: stream one parquet file as Arrow batches, appending
-    the CDF literals when the partition carries them."""
+def _order_safe(arrow_type) -> bool:
+    """True when str() of the type's values orders the same as the values
+    themselves — ISO timestamps/dates and plain strings do; numerics do
+    NOT ('9' > '10'), so log-stats pruning must not fire on them."""
+    import pyarrow.types as pt
+
+    return (pt.is_string(arrow_type) or pt.is_large_string(arrow_type)
+            or pt.is_timestamp(arrow_type) or pt.is_date(arrow_type))
+
+
+def _unify_file_schemas(paths: list[str], merge: bool):
+    """Arrow schema across data files: identical-schema fast path, else
+    unify (additive evolution) when ``merge``, else a clear error. All
+    fields normalized nullable (any later file may hold nulls — the same
+    normalization spark.read.parquet applies)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    schemas: list[pa.Schema] = []
+    seen: set[tuple] = set()
+    for p in paths:
+        raw = pq.ParquetFile(p).schema_arrow
+        # normalize before comparing: nullable everywhere, writer metadata
+        # dropped (a rewrite commit's files differ only in footer metadata)
+        s = pa.schema([pa.field(f.name, f.type, nullable=True)
+                       for f in raw])
+        key = tuple(sorted((f.name, str(f.type)) for f in s))
+        if key not in seen:
+            seen.add(key)
+            schemas.append(s)
+    if len(schemas) > 1 and not merge:
+        raise ValueError(
+            "txlog source: data files carry different schemas (the table "
+            "underwent schema evolution); set .option('mergeSchema', "
+            "'true') to read the union, or use TxLogTable.read("
+            "merge_schema=True).")
+    return (schemas[0] if len(schemas) == 1
+            else pa.unify_schemas(schemas))
+
+
+def _pin_snapshot(path: str, options) -> dict:
+    """Resolve one read's snapshot: pinned version (latest at analysis
+    time unless given), changes-range end, the arrow target schema over
+    exactly that snapshot's files, and whether the stats column's type
+    makes log-stats pruning order-safe."""
+    t = TxLogTable.open(path)
+    mode = options.get("mode", "")
+    merge = str(options.get("mergeSchema", "false")).lower() == "true"
+    version = (int(options["version"])
+               if "version" in options else t.latest_version())
+    ending = (int(options["endingVersion"])
+              if "endingVersion" in options else t.latest_version())
+    if mode == "changes":
+        s = options.get("startingVersion", "-1")
+        starting = t.latest_version() if s == "latest" else int(s)
+        paths = sorted({q for _, adds, removes in _commit_file_sets(
+            t, starting, ending) for q in adds + removes})
+        if not paths:           # empty range (e.g. stream from 'latest'):
+            paths = [a["path"] for a in t._resolve(version)]
+    else:
+        paths = [a["path"] for a in t._resolve(version)]
+    if not paths:
+        raise ValueError("txlog source: empty table (no snapshot)")
+    schema = _unify_file_schemas(
+        [os.path.join(t.path, p) for p in paths], merge)
+    stats_safe = (t.stats_col in schema.names
+                  and _order_safe(schema.field(t.stats_col).type))
+    return {"version": version, "ending": ending,
+            "schema": schema, "stats_safe": stats_safe}
+
+
+def _read_file_batches(part: _FilePart, target_schema=None):
+    """Executor-side: stream one parquet file as Arrow batches, projected
+    and null-padded to ``target_schema`` (evolved-table reconciliation),
+    appending the CDF literals when the partition carries them."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
     pf = pq.ParquetFile(part.path)
-    for batch in pf.iter_batches(columns=columns):
+    for batch in pf.iter_batches():
+        if target_schema is not None and batch.schema != target_schema:
+            arrays = []
+            for field in target_schema:
+                i = batch.schema.get_field_index(field.name)
+                if i >= 0:
+                    col = batch.column(i)
+                    if col.type != field.type:
+                        col = col.cast(field.type)
+                    arrays.append(col)
+                else:
+                    arrays.append(pa.nulls(batch.num_rows, type=field.type))
+            batch = pa.RecordBatch.from_arrays(arrays, schema=target_schema)
         if part.change_type is not None:
             n = batch.num_rows
             arrays = list(batch.columns) + [
@@ -78,14 +176,18 @@ def _read_file_batches(part: _FilePart, columns=None):
 
 
 class TxLogBatchReader(DataSourceReader):
-    def __init__(self, path: str, options):
+    def __init__(self, path: str, options, pin: dict | None = None):
         self.table_path = path
-        self.version = (int(options["version"])
-                        if "version" in options else None)
         self.mode = options.get("mode", "snapshot")
         self.starting = int(options.get("startingVersion", -1))
-        self.ending = (int(options["endingVersion"])
-                       if "endingVersion" in options else None)
+        if pin is None:                 # direct construction (tests)
+            pin = _pin_snapshot(path, options)
+        # analysis-time pin (r7): version/ending resolved ONCE in the
+        # DataSource so schema inference and partition planning agree
+        self.version = pin["version"]
+        self.ending = pin["ending"]
+        self.target_schema = pin["schema"]        # arrow, padded to on read
+        self.stats_safe = pin["stats_safe"]       # ordering-safe stats col?
         t = TxLogTable.open(path)
         self.stats_col = t.stats_col
         self._table = t
@@ -96,10 +198,15 @@ class TxLogBatchReader(DataSourceReader):
     def pushFilters(self, filters):
         """Tighten [lo, hi] from stats-column comparisons; EVERYTHING is
         yielded back as unhandled (Spark re-applies exactly; we only use
-        the bounds to skip whole files via the log's min/max)."""
+        the bounds to skip whole files via the log's min/max). Disabled
+        entirely when the stats column's string ordering is not value
+        ordering (numerics) — pruning there could skip files holding
+        matching rows, and a skipped file is unrecoverable."""
         for f in filters:
-            if (isinstance(f, (EqualTo, GreaterThan, GreaterThanOrEqual,
-                               LessThan, LessThanOrEqual))
+            if (self.stats_safe
+                    and isinstance(f, (EqualTo, GreaterThan,
+                                       GreaterThanOrEqual, LessThan,
+                                       LessThanOrEqual))
                     and len(f.attribute) == 1
                     and f.attribute[0] == self.stats_col):
                 v = _stats_value(f.value)
@@ -115,9 +222,7 @@ class TxLogBatchReader(DataSourceReader):
             parts = [
                 _FilePart(os.path.join(t.path, p), ctype, v)
                 for v, adds, removes in _commit_file_sets(
-                    t, self.starting,
-                    self.ending if self.ending is not None
-                    else t.latest_version())
+                    t, self.starting, self.ending)
                 for ctype, paths in (("insert", adds), ("delete", removes))
                 for p in paths]
         else:
@@ -142,7 +247,7 @@ class TxLogBatchReader(DataSourceReader):
     def read(self, partition: _FilePart):
         if not partition.path:
             return iter(())
-        return _read_file_batches(partition)
+        return _read_file_batches(partition, self.target_schema)
 
 
 def _commit_file_sets(t: TxLogTable, start: int, end: int):
@@ -156,7 +261,7 @@ def _commit_file_sets(t: TxLogTable, start: int, end: int):
         with open(p) as fh:
             rec = json.load(fh)
         adds = [a["add"]["path"] for a in rec["actions"]
-                if "add" in a and a["add"]["rows"] > 0]
+                if "add" in a and add_rows(a["add"]) > 0]
         removes = [a["remove"] for a in rec["actions"] if "remove" in a]
         for q in adds + removes:
             if not os.path.exists(os.path.join(t.path, q)):
@@ -172,9 +277,11 @@ class TxLogStreamReader(DataSourceStreamReader):
     plans one partition per file of the range's commits, read on
     executors. Append mode refuses rewrite commits unless
     skipChangeCommits (then they are skipped whole); changes mode emits
-    the full feed."""
+    the full feed. Batches are padded to the stream-start schema, so an
+    additive evolution mid-stream neither drops rows nor breaks the sink
+    (new columns surface after a stream restart re-infers the schema)."""
 
-    def __init__(self, path: str, options):
+    def __init__(self, path: str, options, target_schema=None):
         self._table = TxLogTable.open(path)
         self.mode = options.get("mode", "append")
         self.skip_change = (options.get("skipChangeCommits", "false")
@@ -182,6 +289,7 @@ class TxLogStreamReader(DataSourceStreamReader):
         s = options.get("startingVersion", "-1")
         self.start_version = (self._table.latest_version()
                               if s == "latest" else int(s))
+        self.target_schema = target_schema
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
@@ -199,7 +307,7 @@ class TxLogStreamReader(DataSourceStreamReader):
             with open(p) as fh:
                 rec = json.load(fh)
             adds = [a["add"]["path"] for a in rec["actions"]
-                    if "add" in a and a["add"]["rows"] > 0]
+                    if "add" in a and add_rows(a["add"]) > 0]
             removes = [a["remove"] for a in rec["actions"] if "remove" in a]
             if self.mode == "changes":
                 parts += [_FilePart(os.path.join(t.path, q), "insert", v)
@@ -222,7 +330,7 @@ class TxLogStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePart):
         if not partition.path:
             return iter(())
-        return _read_file_batches(partition)
+        return _read_file_batches(partition, self.target_schema)
 
     def commit(self, end: dict) -> None:
         pass                          # log retention is vacuum's job
@@ -234,7 +342,8 @@ class TxLogDataSource(DataSource):
     (batch time travel), ``mode`` (``snapshot`` | ``changes`` batch;
     ``append`` | ``changes`` streaming), ``startingVersion`` /
     ``endingVersion`` (changes range; streaming start — ``latest`` for
-    new-data-only), ``skipChangeCommits`` (streaming)."""
+    new-data-only), ``mergeSchema`` (read an additively-evolved table as
+    the union of its files' schemas), ``skipChangeCommits`` (streaming)."""
 
     @classmethod
     def name(cls) -> str:
@@ -246,18 +355,20 @@ class TxLogDataSource(DataSource):
             raise ValueError("txlog source: .load(<table path>) required")
         return p
 
+    def _analyze(self) -> dict:
+        """Resolve the snapshot ONCE per read (cached): schema() and
+        reader() cannot observe different snapshots even if a commit
+        lands between Spark's analysis and planning."""
+        if getattr(self, "_pin", None) is None:
+            self._pin = _pin_snapshot(self._path(), self.options)
+        return self._pin
+
     def schema(self):
         from pyspark.sql.pandas.types import from_arrow_schema
-        import pyarrow.parquet as pq
-
-        t = TxLogTable.open(self._path())
-        files = t._resolve(int(self.options["version"])
-                           if "version" in self.options else None)
-        if not files:
-            raise ValueError("txlog source: empty table (no snapshot)")
         from pyspark.sql.types import StructField, StructType
-        sch = from_arrow_schema(pq.ParquetFile(
-            os.path.join(t.path, files[0]["path"])).schema_arrow)
+
+        pin = self._analyze()
+        sch = from_arrow_schema(pin["schema"])
         # file sources are nullable throughout (any later file may hold
         # nulls) — same normalization spark.read.parquet applies
         sch = StructType([StructField(f.name, f.dataType, True)
@@ -271,7 +382,8 @@ class TxLogDataSource(DataSource):
         return sch
 
     def reader(self, schema) -> TxLogBatchReader:
-        return TxLogBatchReader(self._path(), self.options)
+        return TxLogBatchReader(self._path(), self.options, self._analyze())
 
     def streamReader(self, schema) -> TxLogStreamReader:
-        return TxLogStreamReader(self._path(), self.options)
+        return TxLogStreamReader(self._path(), self.options,
+                                 self._analyze()["schema"])

@@ -706,6 +706,102 @@ def test_changes_replay_invariant_and_net(spark, table_path):
     assert vs == set(range(v_from + 1, v_to + 1))
 
 
+def test_meta_mismatch_raises(spark, table_path):
+    """r7 (ADVICE): _meta.json is the table's identity — constructing on
+    an existing table with a DIFFERENT key/stats config must raise, not
+    silently keep the old config (a writer pruning on one column while
+    readers use another loses rows)."""
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    t.append(_rollup(spark, "2024-01-01", "2024-01-02").coalesce(1))
+    with pytest.raises(ValueError, match="created with"):
+        TxLogTable(table_path, key_cols=["indicator"], stats_col="minute")
+    with pytest.raises(ValueError, match="created with"):
+        TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="value")
+    # identical config re-opens fine, as does open-by-path
+    t2 = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                    stats_col="minute")
+    assert t2.latest_version() == 0
+    assert TxLogTable.open(table_path).stats_col == "minute"
+
+
+def test_delete_stale_key_range_raises_or_documented_skip(spark, table_path):
+    """r7 (ADVICE): key_range is a caller ASSERTION. When the predicate
+    matches rows OUTSIDE the claimed range, the default verify_scope
+    probe raises (pre-commit, table unchanged); verify_scope=False is
+    the documented footgun — carried files' matches silently survive."""
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    for day in (1, 2, 3):
+        t.append(_rollup(spark, f"2024-01-0{day}",
+                         f"2024-01-0{day + 1}").coalesce(1))
+    n_before = t.read(spark).count()
+    v_before = t.latest_version()
+    cond = F.col("minute") >= "2024-01-02 00:00:00"   # matches days 2 AND 3
+    with pytest.raises(ValueError, match="key_range"):
+        t.delete(cond, key_range=("2024-01-03 00:00:00",
+                                  "2024-01-04 00:00:00"))
+    assert t.latest_version() == v_before             # nothing committed
+    assert t.read(spark).count() == n_before
+    # the unverified path: only the day-3 file is rewritten, day-2
+    # matches survive in the carried file — exactly the documented hazard
+    stats = t.delete(cond, key_range=("2024-01-03 00:00:00",
+                                      "2024-01-04 00:00:00"),
+                     verify_scope=False)
+    assert stats["rewritten_files"] == 1
+    survivors = t.read(spark).filter(cond).count()
+    assert survivors == _rollup(spark, "2024-01-02", "2024-01-03").count()
+    # a CORRECT range with verification on commits cleanly
+    stats2 = t.update(cond, {"value": "value + 1.0"},
+                      key_range=("2024-01-02 00:00:00",
+                                 "2024-01-04 00:00:00"))
+    assert stats2["rewritten_files"] >= 1
+
+
+def test_changes_long_range_flat_plan(spark, table_path):
+    """r7 (VERDICT item 4): changes(0, N) for N>=20 commits — including a
+    RESTORE that re-adds earlier files (the same path fans out to two
+    versions through the broadcast file->version map) — is value-correct
+    under the replay invariant AND plans a BOUNDED number of scans (one
+    per change type), not a per-commit union chain."""
+    from collections import Counter
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k string, v long").coalesce(1)
+
+    t.append(frame([("k00", -1)]))
+    v_from = t.latest_version()
+    for i in range(18):
+        t.append(frame([(f"k{i:02d}", i)]))
+    t.merge(frame([("k05", 500), ("k07", 700)]))
+    restore_target = t.latest_version() - 3
+    t.delete("v >= 10")
+    t.restore(restore_target)          # re-adds the deleted files
+    t.append(frame([("tail", 99)]))
+    v_to = t.latest_version()
+    assert v_to - v_from >= 20
+
+    cdf = t.changes(spark, v_from, v_to)
+    plan = cdf._jdf.queryExecution().optimizedPlan().toString()
+    n_scans = sum(1 for line in plan.splitlines() if "parquet" in line)
+    assert n_scans <= 2, f"per-commit union chain leaked in:\n{plan}"
+
+    snap_from = _multiset(t.read(spark, v_from))
+    snap_to = _multiset(t.read(spark, v_to))
+    replayed = Counter(snap_from)
+    replayed.update(_multiset(cdf.filter(F.col("_change_type") == "insert")))
+    replayed.subtract(
+        _multiset(cdf.filter(F.col("_change_type") == "delete")))
+    assert +replayed == snap_to
+    # every commit version in range appears in the feed
+    vs = {r["_commit_version"] for r in
+          cdf.select("_commit_version").distinct().collect()}
+    assert vs == set(range(v_from + 1, v_to + 1))
+
+
 def test_changes_after_vacuum_raises(spark, table_path):
     """Vacuum truncates how far back a feed can start (the CDF retention
     rule): a range whose removed files were vacuumed fails cleanly."""

@@ -107,6 +107,72 @@ def test_batch_changes_equals_table_cdf(spark, table_path):
     assert _multiset(ch) == _multiset(t.changes(spark, v_from))
 
 
+def test_numeric_stats_column_never_prunes(spark, table_path):
+    """r7 (ADVICE): the log's stats are STRINGS; for a numeric stats
+    column lexicographic compare is wrong ('10' < '2'), so pushdown
+    pruning must be disabled rather than skip a file that holds matching
+    rows (unlike merge pruning, Spark's re-applied filter cannot recover
+    a file the scan never planned)."""
+    spark.dataSource.register(TxLogDataSource)
+    t = TxLogTable(table_path, key_cols=["v"], stats_col="v")
+    t.append(spark.createDataFrame([(9, "nine")],
+                                   "v long, s string").coalesce(1))
+    t.append(spark.createDataFrame([(10, "ten")],
+                                   "v long, s string").coalesce(1))
+
+    df = spark.read.format("txlog").load(table_path)
+    # without the type gate, lo='2' lexicographically prunes the [10,10]
+    # file ('10' < '2') and the row is lost
+    got = sorted(r["v"] for r in df.filter(F.col("v") >= 2).collect())
+    assert got == [9, 10]
+
+    from pyspark.sql.datasource import GreaterThanOrEqual
+    r = TxLogBatchReader(table_path, {"path": table_path})
+    list(r.pushFilters([GreaterThanOrEqual(("v",), 2)]))
+    assert len(r.partitions()) == 2 and r.pruned_files == 0
+
+
+def test_snapshot_pinned_at_analysis_time(spark, table_path):
+    """r7 (ADVICE): the version is resolved ONCE at analysis — a commit
+    landing between .load() and the action must not leak into the scan
+    (schema and planned files agree on one snapshot)."""
+    spark.dataSource.register(TxLogDataSource)
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    t.append(_rollup(spark, "2024-01-01", "2024-01-02").coalesce(1))
+    df = spark.read.format("txlog").load(table_path)   # analysis pins here
+    n0 = t.read(spark).count()
+    t.append(_rollup(spark, "2024-01-02", "2024-01-03").coalesce(1))
+    assert df.count() == n0                      # pinned snapshot
+    assert (spark.read.format("txlog").load(table_path).count()
+            == t.read(spark).count())            # fresh read sees latest
+
+
+def test_schema_evolution_through_datasource(spark, table_path):
+    """r7 (VERDICT item 3): an additively-evolved table read through the
+    data source either raises the pinned error (default) or, with
+    mergeSchema=true, equals TxLogTable.read(merge_schema=True) — old
+    files' missing column padded NULL executor-side."""
+    spark.dataSource.register(TxLogDataSource)
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    t.append(_rollup(spark, "2024-01-01", "2024-01-02").coalesce(1))
+    t.append(_rollup(spark, "2024-01-02", "2024-01-03")
+             .withColumn("source_region", F.lit("eu-central")).coalesce(1))
+
+    with pytest.raises(Exception, match="mergeSchema"):
+        spark.read.format("txlog").load(table_path).collect()
+
+    df = (spark.read.format("txlog").option("mergeSchema", "true")
+          .load(table_path))
+    want = t.read(spark, merge_schema=True)
+    assert set(df.columns) == set(want.columns)
+    assert _multiset(df) == _multiset(want)
+    # the evolved column is NULL exactly for the pre-evolution rows
+    assert (df.filter(F.col("source_region").isNull()).count()
+            == t.read(spark, 0).count())
+
+
 def test_stream_incremental_exactly_once(spark, table_path):
     """Offsets are versions: a checkpointed stream delivers each commit's
     rows exactly once across new data arriving mid-stream AND across a
