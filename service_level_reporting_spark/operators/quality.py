@@ -28,6 +28,10 @@ Parts (one labeled union, SQL-oracled end to end):
                      are plain floor arithmetic (identical IEEE doubles in
                      both engines), counts Laplace-smoothed so empty
                      buckets contribute finite mass.
+  'psi_by_type'    — r7: the same PSI per event_type segment (global
+                     bucket edges, per-type totals) — a real gate alarms
+                     on the segment whose distribution shifted even when
+                     the blended global score stays quiet.
 
 100 TB posture: every part is a single-scan groupBy/agg (wordcount shape,
 map-side partial); the PSI bounds ride a broadcast 1-row frame (no driver
@@ -127,6 +131,35 @@ PSI_EPS_T = 1e-3                # Laplace smoothing, denominator
                * ln(((n1 + {PSI_EPS_N}) / (t1 + {PSI_EPS_T}))
                     / ((nx + {PSI_EPS_N}) / (t2 + {PSI_EPS_T}))) AS c
         FROM g, b
+    ),
+    bucketed_t AS (
+        SELECT event_type,
+               CAST(least({PSI_BUCKETS - 1}, greatest(0,
+                   floor((value - b.lo)
+                         / (CASE WHEN b.hi > b.lo THEN b.hi - b.lo
+                                 ELSE 1 END) * {PSI_BUCKETS})))
+                   AS BIGINT) AS bucket,
+               CASE WHEN ts < TIMESTAMP '{PSI_SPLIT}' THEN 1 ELSE 0 END AS w1
+        FROM events, b
+    ),
+    gt AS (
+        SELECT event_type, bucket, CAST(sum(w1) AS BIGINT) AS n1,
+               CAST(sum(1 - w1) AS BIGINT) AS nx
+        FROM bucketed_t GROUP BY event_type, bucket
+    ),
+    tt AS (
+        SELECT event_type, CAST(sum(n1) AS BIGINT) AS t1,
+               CAST(sum(nx) AS BIGINT) AS t2
+        FROM gt GROUP BY event_type
+    ),
+    psi_t AS (
+        SELECT gt.event_type, tt.t1, tt.t2,
+               sum(((n1 + {PSI_EPS_N}) / (tt.t1 + {PSI_EPS_T})
+                    - (nx + {PSI_EPS_N}) / (tt.t2 + {PSI_EPS_T}))
+                   * ln(((n1 + {PSI_EPS_N}) / (tt.t1 + {PSI_EPS_T}))
+                        / ((nx + {PSI_EPS_N}) / (tt.t2 + {PSI_EPS_T})))) AS c
+        FROM gt JOIN tt USING (event_type)
+        GROUP BY gt.event_type, tt.t1, tt.t2
     )
     SELECT part, key, n, n2,
            round(CAST(n AS DOUBLE) / n2, 6) AS v FROM null_audit
@@ -139,6 +172,8 @@ PSI_EPS_T = 1e-3                # Laplace smoothing, denominator
            round(CAST(n AS DOUBLE) / n2, 6) AS v FROM constraints
     UNION ALL
     SELECT 'psi', CAST(bucket AS VARCHAR), n1, nx, round(c, 6) FROM psi
+    UNION ALL
+    SELECT 'psi_by_type', event_type, t1, t2, round(c, 6) FROM psi_t
     UNION ALL
     SELECT 'psi_total', 'total', t1, t2,
            round((SELECT sum(c) FROM psi), 6) FROM b
@@ -249,6 +284,96 @@ def data_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("psi_total").alias("part"), F.lit("total").alias("key"),
         F.col("t1").alias("n"), F.col("t2").alias("n2"), "v")
 
+    # --- psi_by_type (r7, VERDICT item 5): the same bucketed drift score
+    # PER SEGMENT — a single event_type's distribution shift must alarm
+    # even when the blended global distribution stays quiet. Bucket edges
+    # stay GLOBAL (comparable across segments); the before/after totals
+    # are per-type. Buckets empty for a type are skipped identically in
+    # both engines (their smoothed contribution is ~eps-sized). Same
+    # shape as the global PSI: one groupBy, per-type totals joined back
+    # broadcast — no collect, no UDF.
+    gt = (ev.crossJoin(F.broadcast(bounds))
+          .select("event_type", bucket.alias("bucket"),
+                  F.when(ts < split, 1).otherwise(0).alias("w1"))
+          .groupBy("event_type", "bucket")
+          .agg(F.sum("w1").cast("long").alias("n1"),
+               F.sum(1 - F.col("w1")).cast("long").alias("nx")))
+    tt = gt.groupBy("event_type").agg(
+        F.sum("n1").cast("long").alias("t1"),
+        F.sum("nx").cast("long").alias("t2"))
+    jt = gt.join(F.broadcast(tt), "event_type")
+    pt = (F.col("n1") + PSI_EPS_N) / (F.col("t1") + PSI_EPS_T)
+    qt = (F.col("nx") + PSI_EPS_N) / (F.col("t2") + PSI_EPS_T)
+    psi_by_type = (jt.select("event_type", "t1", "t2",
+                             ((pt - qt) * F.log(pt / qt)).alias("c"))
+                   .groupBy("event_type", "t1", "t2")
+                   .agg(SF.r6(F.sum("c")).alias("v"))
+                   .select(F.lit("psi_by_type").alias("part"),
+                           F.col("event_type").alias("key"),
+                           F.col("t1").alias("n"),
+                           F.col("t2").alias("n2"), "v"))
+
     return (nulls.unionByName(prof_avg).unionByName(prof_sd)
             .unionByName(cons).unionByName(psi_rows)
+            .unionByName(psi_by_type)
             .unionByName(psi_total).orderBy("part", "key"))
+
+
+# ---- incremental quality over lakehouse deltas (r7, VERDICT item 8) -----
+#
+# The r6 families composed: the txlog change data feed supplies row-level
+# deltas, and the quality gate's LINEAR metrics (counts, sums, sums of
+# squares, violation counts) form a mergeable algebraic state — so a
+# 100 TB pipeline validates each snapshot by updating the previous
+# snapshot's state with ONE pass over the increment instead of rescanning
+# the table. Rewrite-carried rows (a merge re-emitting untouched rows as
+# delete+insert pairs) cancel exactly because every metric is a signed
+# sum. Distinct-style checks (doc_id_unique) are NOT linear and stay with
+# the full-snapshot suite — the mergeable-sketch path (operators/
+# sketches.py HLL) is their scale story.
+
+
+def quality_partials(df: DataFrame, weight=None) -> DataFrame:
+    """One-row algebraic quality state over a rollup-shaped frame
+    (``value`` double): row count, null count, sum, sum of squares, and
+    negative-value violations — each a plain (optionally ``weight``-ed)
+    sum, so states merge by column-wise addition and a CDF increment
+    applies with weight +1/-1. Single scan, map-side partials, no UDF."""
+    w = (F.lit(1) if weight is None else weight).cast("long")
+    val = F.col("value")
+    v0 = F.coalesce(val, F.lit(0.0))
+    return df.agg(
+        F.coalesce(F.sum(w), F.lit(0)).cast("long").alias("rows"),
+        F.coalesce(F.sum(F.when(val.isNull(), w).otherwise(0)),
+                   F.lit(0)).cast("long").alias("null_value"),
+        F.coalesce(F.sum(w * v0), F.lit(0.0)).alias("sum_value"),
+        F.coalesce(F.sum(w * v0 * v0), F.lit(0.0)).alias("sumsq_value"),
+        F.coalesce(F.sum(F.when(val < 0, w).otherwise(0)),
+                   F.lit(0)).cast("long").alias("neg_value"))
+
+
+def quality_apply_changes(state: DataFrame, cdf: DataFrame) -> DataFrame:
+    """state' = state + partials(inserts) - partials(deletes): ONE
+    partials pass over the change feed with signed weights, merged with
+    the stored state by a 2-row column-wise sum — the increment is the
+    only data scanned."""
+    w = F.when(F.col("_change_type") == "insert", F.lit(1)).otherwise(-1)
+    delta = quality_partials(cdf, weight=w)
+    return state.unionByName(delta).agg(
+        *[F.sum(c).alias(c) for c in state.columns])
+
+
+def quality_report_from_state(state: DataFrame) -> DataFrame:
+    """Derive the gate's human metrics (null rate, mean, sample stddev,
+    violation rate) from the algebraic state in-frame — the same numbers
+    a full-snapshot profile computes, without touching the table."""
+    n = F.col("rows")
+    nn = (n - F.col("null_value")).cast("double")
+    s, ss = F.col("sum_value"), F.col("sumsq_value")
+    var = (ss - s * s / nn) / (nn - F.lit(1.0))
+    return state.select(
+        "rows", "null_value",
+        SF.r6(F.col("null_value") / n).alias("null_rate"),
+        SF.r6(s / nn).alias("mean_value"),
+        SF.r6(F.sqrt(F.greatest(var, F.lit(0.0)))).alias("stddev_value"),
+        "neg_value", SF.r6(F.col("neg_value") / n).alias("neg_rate"))

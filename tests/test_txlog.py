@@ -423,7 +423,15 @@ def test_concurrent_writers_serializability(spark, table_path):
     maint_op = st.tuples(
         st.sampled_from(["optimize", "vacuum"]),
         st.just(frozenset()))
-    writer_st = st.lists(st.one_of(merge_op, append_op, maint_op),
+    # r7 (VERDICT item 2): row-level ops join the contention mix — they
+    # share merge's retry loop but their interleavings (a delete racing a
+    # merge on overlapping keys, restore racing append) were untested
+    rowop_op = st.tuples(
+        st.sampled_from(["delete", "update"]),
+        st.sets(st.integers(0, 5), min_size=1, max_size=2))
+    restore_op = st.tuples(st.just("restore"), st.just(frozenset()))
+    writer_st = st.lists(st.one_of(merge_op, append_op, maint_op,
+                                   rowop_op, restore_op),
                          min_size=2, max_size=4)
 
     def frame(rows):
@@ -443,10 +451,22 @@ def test_concurrent_writers_serializability(spark, table_path):
             for oi, (kind, keys) in enumerate(ops):
                 stamp = wi * 100 + oi
                 rows = [(f"k{k:02d}", stamp) for k in sorted(keys)]
+                knames = [f"k{k:02d}" for k in sorted(keys)]
+                payload = rows
                 if kind == "merge":
                     v = t.merge(frame(rows))["version"]
                 elif kind == "append":
                     v = t.append(frame(rows))
+                elif kind == "delete":
+                    v = t.delete(F.col("k").isin(knames))["version"]
+                    payload = knames
+                elif kind == "update":
+                    v = t.update(F.col("k").isin(knames),
+                                 {"v": "v + 10000"})["version"]
+                    payload = knames
+                elif kind == "restore":
+                    s = t.restore(t.latest_version())
+                    v, payload = s["version"], s["restored_to"]
                 elif kind == "optimize":
                     stats = t.optimize(target_files=2)
                     if stats["compacted"] == 0:
@@ -456,7 +476,7 @@ def test_concurrent_writers_serializability(spark, table_path):
                     assert t.vacuum(retain_versions=2)["removed_files"] \
                         == 0, "vacuum deleted a possibly-in-flight file"
                     continue                # vacuum never commits
-                committed.append((v, wi, oi, kind, rows))
+                committed.append((v, wi, oi, kind, payload))
 
         with ThreadPoolExecutor(max_workers=len(writers)) as ex:
             futs = [ex.submit(run_writer, wi, ops)
@@ -478,16 +498,32 @@ def test_concurrent_writers_serializability(spark, table_path):
             assert [oi for _, oi in mine] == sorted(oi for _, oi in mine)
 
         # serial replay in commit order == final table, exactly
-        # (optimize commits preserve content — the replay skips them)
+        # (optimize commits preserve content — the replay skips them;
+        # restore resets the model to its state AT the target version,
+        # which the per-version history makes replayable)
         model = Counter(seed)
-        for _, _, _, kind, rows in sorted(committed):
+        hist = {0: Counter(model)}
+        for ver, _, _, kind, payload in sorted(committed):
             if kind == "merge":
-                keys = {k for k, _ in rows}
+                keys = {k for k, _ in payload}
                 for (k, v) in list(model):
                     if k in keys:
                         del model[(k, v)]
-            if kind != "optimize":
-                model.update(rows)
+                model.update(payload)
+            elif kind == "append":
+                model.update(payload)
+            elif kind == "delete":
+                for (k, v) in list(model):
+                    if k in payload:
+                        del model[(k, v)]
+            elif kind == "update":
+                nm = Counter()
+                for (k, v), c in model.items():
+                    nm[(k, v + 10000 if k in payload else v)] += c
+                model = nm
+            elif kind == "restore":
+                model = Counter(hist[payload])
+            hist[ver] = Counter(model)
         got = Counter((r["k"], r["v"]) for r in t.read(spark).collect())
         assert got == model
 
