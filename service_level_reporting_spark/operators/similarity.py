@@ -659,7 +659,8 @@ def with_table_sigs(df: DataFrame, n_tables: int, planes_per_table: int,
 def lsh_blocks(e: DataFrame, n_vectors: int, n_tables: int = 1,
                planes_per_table: int | None = None,
                seed: int = LSH_SEED,
-               bucket_populations: DataFrame | None = None) -> DataFrame:
+               bucket_populations: DataFrame | None = None,
+               table_range: tuple[int, int] | None = None) -> DataFrame:
     """Per-(table, bucket) block table: (table_idx, sig, sub, ids[],
     embs[]) with EVERY aggregation buffer hard-bounded.
 
@@ -683,6 +684,15 @@ def lsh_blocks(e: DataFrame, n_vectors: int, n_tables: int = 1,
     exploded = with_table_sigs(e, n_tables, g, seed=seed).select(
         "vec_id", "embedding",
         F.posexplode("sigs").alias("table_idx", "sig"))
+    if table_range is not None:
+        # r7: chunked multi-table processing (see _lsh_tile_scores) —
+        # signatures are computed for every table (narrow, per-row JVM
+        # work, same seeded planes) but only this chunk's rows cross the
+        # exchange, so the heavy shuffle carries n * chunk rows, not
+        # n * n_tables
+        exploded = exploded.where(
+            (F.col("table_idx") >= table_range[0])
+            & (F.col("table_idx") < table_range[1]))
     if bucket_populations is not None:
         sizes = bucket_populations.select(
             "table_idx", "sig", F.col("n_vectors").alias("bucket_n"))
@@ -773,11 +783,19 @@ def similarity_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str,
     )
 
 
+# one chunked LSH pass shuffles at most this many exploded (row, table)
+# records; chunks are processed sequentially above it. 24M keeps every
+# corpus up to 3M rows (incl. the 1M artifact) on the existing one-pass
+# plan while the 10M probe runs 2-table passes that fit single-box disk.
+LSH_PASS_ROW_CAP = 24_000_000
+
+
 def _lsh_tile_scores(e: DataFrame, n_tables: int,
                      threshold: float | None, local_topk: int | None,
                      seed: int = LSH_SEED,
                      n_rows: int | None = None,
-                     bucket_populations: DataFrame | None = None) -> DataFrame:
+                     bucket_populations: DataFrame | None = None,
+                     tables_per_pass: int | None = None) -> DataFrame:
     """Multi-table LSH candidates scored by per-tile BLAS, in one fused
     pass: (vec_a, vec_b, cos_sim_raw) for same-(table, bucket) pairs.
 
@@ -787,13 +805,54 @@ def _lsh_tile_scores(e: DataFrame, n_tables: int,
     reduces them to survivors before they leave the task). Exact rescore
     is inherent: the kernel computes true cosines. A pair colliding in
     several tables emits duplicates — identical scores — deduplicated by
-    the caller."""
+    the caller.
+
+    r7 (measured at 10^7 vectors): the all-tables-at-once plan explodes
+    n * n_tables rows each carrying the full embedding across ~3
+    exchanges (bucket-count join, collect_list aggregate, tile self-join)
+    — at 10M x 8 tables that is ~85 GB of shuffle/spill, which filled this
+    box's disk. `tables_per_pass` (derived: keep n * chunk under
+    LSH_PASS_ROW_CAP) processes table chunks SEQUENTIALLY: identical pair
+    set (a pair found in table t is found in whichever pass holds t;
+    callers dedup across tables anyway), peak shuffle footprint bounded
+    by one chunk, survivors materialized per pass. Corpora small enough
+    for one pass keep the exact pre-r7 plan."""
+    n = n_rows if n_rows is not None else e.count()
+    if tables_per_pass is None:
+        tables_per_pass = max(1, min(n_tables,
+                                     int(LSH_PASS_ROW_CAP // max(1, n))))
+    if tables_per_pass >= n_tables:
+        blocks = lsh_blocks(e, n, n_tables=n_tables, seed=seed,
+                            bucket_populations=bucket_populations)
+        return _tile_score(blocks, threshold, local_topk)
+    spark = e.sparkSession
+    outs = []
+    for t0 in range(0, n_tables, tables_per_pass):
+        blocks = lsh_blocks(
+            e, n, n_tables=n_tables, seed=seed,
+            bucket_populations=bucket_populations,
+            table_range=(t0, min(t0 + tables_per_pass, n_tables)))
+        # materialize this pass's (small, threshold/topk-filtered)
+        # survivors; localCheckpoint truncates the lineage so the pass's
+        # shuffle files become unreferenced, and the explicit JVM GC lets
+        # ContextCleaner reclaim them BEFORE the next pass spills — the
+        # whole point of chunking on a single box
+        outs.append(_tile_score(blocks, threshold, local_topk)
+                    .localCheckpoint(eager=True))
+        spark.sparkContext._jvm.System.gc()
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out
+
+
+def _tile_score(blocks: DataFrame, threshold: float | None,
+                local_topk: int | None) -> DataFrame:
+    """Tile self-join + per-tile BLAS kernel over a (table, sig, sub)
+    block table — the scoring half of _lsh_tile_scores."""
     import numpy as np
     import pandas as pd
 
-    blocks = lsh_blocks(e, n_rows if n_rows is not None else e.count(),
-                        n_tables=n_tables, seed=seed,
-                        bucket_populations=bucket_populations)
     a = blocks.select("table_idx", "sig", F.col("sub").alias("sub_a"),
                       F.col("ids").alias("ids_a"), F.col("embs").alias("embs_a"))
     b = blocks.select("table_idx", "sig", F.col("sub").alias("sub_b"),

@@ -69,6 +69,15 @@ def _backoff(attempt: int) -> None:
     time.sleep(random.uniform(0.0, cap))
 
 
+def _session() -> SparkSession:
+    """The active session, falling back to the process-wide default:
+    getActiveSession() is THREAD-LOCAL and returns None inside worker
+    threads (the r7 concurrency property caught delete() failing under
+    ThreadPoolExecutor); builder.getOrCreate() resolves the existing
+    default session without creating a new one."""
+    return SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
+
+
 def add_rows(add: dict) -> int:
     """Row count of an add-action; an add written by a log version that
     didn't record 'rows' (or recorded null) reads as UNKNOWN = 1, so the
@@ -448,7 +457,7 @@ class TxLogTable:
         deadline = time.monotonic() + deadline_sec
 
         def compact(live: list[dict]) -> list[dict]:
-            spark = SparkSession.getActiveSession()
+            spark = _session()
             df = self._files_df(spark, live)
             if zorder_by is not None:
                 from service_level_reporting_spark.sources.sinks import _zvalue
@@ -582,7 +591,7 @@ class TxLogTable:
             carried = [a for a in live if a["path"] not in tset]
             if not carried:
                 return
-            spark = SparkSession.getActiveSession()
+            spark = _session()
             stray = (self._files_df(spark, carried)
                      .filter(F.coalesce(scope_cond, F.lit(False)))
                      .limit(1).count())
@@ -597,7 +606,7 @@ class TxLogTable:
             if not touched:
                 matched["rows"] = 0
                 return []
-            spark = SparkSession.getActiveSession()
+            spark = _session()
             out, n = make_output(self._files_df(spark, touched))
             matched["rows"] = n
             adds = self._write_data_files(out.localCheckpoint(eager=True))
