@@ -724,6 +724,9 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
                    count join — must be 0;
       '_restore' — n = rows diverging from the pre-delete snapshot after
                    RESTORE (must be 0), n2 = latest version;
+      '_merge_into' — r7 full MERGE INTO (ordered WHEN clauses): n =
+                   rows updated, n2 = rows inserted, v = divergence from
+                   the withColumn/when recompute (must be 0);
       '_history' — n = commits in DESCRIBE HISTORY, n2 = distinct op
                    labels, v = rows_added across appends;
       '_dsrc'    — the table read back through the REGISTERED Spark data
@@ -790,6 +793,25 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .count())
     hist = t.history()
 
+    # full MERGE INTO (r7): ordered WHEN clauses — update every matched
+    # 'error' row to the source's doubled value, insert clause present
+    # but vacuous (every source key matches). Verified IN-FRAME against
+    # the withColumn/when recompute of the same transformation.
+    m_from = t.latest_version()
+    pre_mi = t.read(spark, m_from)
+    mi_src = (pre_mi.where(F.col("indicator") == "error")
+              .select("indicator", "minute",
+                      (F.col("value") * 2).alias("value"), "n_points"))
+    mi = t.merge_into(mi_src, [
+        ("update", "src_n_points >= 1", {"value": "src_value"}),
+        ("insert", None, None)])
+    mi_want = pre_mi.withColumn(
+        "value", F.when(F.col("indicator") == "error",
+                        F.col("value") * 2).otherwise(F.col("value")))
+    mi_got = t.read(spark)
+    mi_diverged = (mi_got.exceptAll(mi_want)
+                   .unionAll(mi_want.exceptAll(mi_got)).count())
+
     # the table as a first-class Spark source: snapshot equality via the
     # registered format, log-level pushdown pruning, CDF through the source
     from service_level_reporting_spark.sources.txlog_datasource import (
@@ -819,6 +841,8 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
           float(u["matched_rows"])),
          ("_cdf", n_ins, n_del, float(mismatches)),
          ("_restore", diverged, t.latest_version(), None),
+         ("_merge_into", mi["updated"], mi["inserted"],
+          float(mi_diverged)),
          ("_history", len(hist), len({h["op"] for h in hist}),
           float(sum(h["rows_added"] for h in hist if h["op"] == "append")))],
         "key string, n long, n2 long, v double")
@@ -834,8 +858,10 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         file-stats pruning (only overlapping days rewritten), and a
         snapshot-isolation / time-travel re-read at the pre-merge version;
       'txlog_rowops'     — row-level DELETE / UPDATE (stats-pruned
-        copy-on-write), RESTORE, DESCRIBE HISTORY, and the change-data
-        feed with its in-frame multiset replay check (sink_txlog_rowops);
+        copy-on-write), RESTORE, DESCRIBE HISTORY, the change-data
+        feed with its in-frame multiset replay check, and (r7) full
+        MERGE INTO with ordered WHEN clauses verified in-frame against
+        the withColumn/when recompute (sink_txlog_rowops);
       'upsert_merge'     — partition-grain overwrite + key-grain MERGE,
         re-read per-indicator counts (idempotence pytest-pinned);
       'bucketed_groupby' — events written bucketed by user_id, then the

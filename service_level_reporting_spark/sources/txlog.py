@@ -434,6 +434,154 @@ class TxLogTable:
                 adds = rewrite(touched)
                 rewrites += 1
 
+    def merge_into(self, source: DataFrame, clauses: list[tuple],
+                   deadline_sec: float = COMMIT_DEADLINE_SEC) -> dict:
+        """Full MERGE INTO semantics (r7): ordered WHEN clauses, the
+        SQL/Delta shape the plain upsert ``merge()`` cannot express.
+
+        ``clauses`` is an ordered list of:
+          ``("update", condition|None, {col: expr, ...})`` — WHEN MATCHED
+            [AND condition] THEN UPDATE SET;
+          ``("delete", condition|None, None)`` — WHEN MATCHED [AND
+            condition] THEN DELETE;
+          ``("insert", condition|None, None)`` — WHEN NOT MATCHED [AND
+            condition] THEN INSERT (source row, cast to target types).
+        Matched-clause conditions and update expressions are SQL strings
+        (or Columns) over the TARGET row's columns plus the matching
+        source row's non-key columns as ``src_<col>``; insert-clause
+        conditions see the source row's OWN columns (there is no target
+        row). Matched clauses fire in listed
+        order — the FIRST clause whose condition holds wins for a row
+        (Delta's clause-order contract); unmatched-by-source target rows
+        always survive.
+
+        Like Delta, a source with MULTIPLE rows per key is rejected
+        (ambiguous matches would apply one arbitrarily). Pruning derives
+        from the source itself (stats-column min/max — no caller
+        assertion): only overlapping live files rewrite, the rest carry
+        by reference, inserts ride the same atomic commit. Retry protocol
+        is merge's: deadline-bounded jittered backoff + the logical
+        no-conflict fast path."""
+        for kind, _, assigns in clauses:
+            if kind not in ("update", "delete", "insert"):
+                raise ValueError(f"merge_into: unknown clause {kind!r}")
+            if kind == "update" and not assigns:
+                raise ValueError("merge_into: update clause needs "
+                                 "assignments")
+        spark = source.sparkSession
+        dup = (source.groupBy(*self.key_cols).count()
+               .where(F.col("count") > 1).limit(1).count())
+        if dup:
+            raise ValueError(
+                "merge_into: multiple source rows share a merge key — "
+                "matches would be ambiguous (Delta raises the same).")
+
+        def as_col(c):
+            return F.expr(c) if isinstance(c, str) else c
+
+        bounds = source.agg(
+            F.min(F.col(self.stats_col).cast("string")).alias("lo"),
+            F.max(F.col(self.stats_col).cast("string")).alias("hi")).first()
+        lo, hi = bounds["lo"], bounds["hi"]
+        deadline = time.monotonic() + deadline_sec
+        counts = {"updated": 0, "deleted": 0, "inserted": 0}
+
+        non_key = [c for c in source.columns if c not in self.key_cols]
+        src = source.select(
+            *self.key_cols,
+            *[F.col(c).alias(f"src_{c}") for c in non_key],
+            F.lit(True).alias("_m"))
+
+        def rewrite(touched: list[dict]) -> list[dict]:
+            target = (self._files_df(spark, touched) if touched
+                      else self.read(spark).limit(0))
+            tcols = target.columns
+            joined = target.join(src, self.key_cols, "left")
+            matched = F.coalesce(F.col("_m"), F.lit(False))
+            prior = F.lit(False)
+            values = {c: F.col(c) for c in tcols}
+            drop = F.lit(False)
+            upd_fire = F.lit(False)
+            del_fire = F.lit(False)
+            for kind, cond, assigns in clauses:
+                if kind == "insert":
+                    continue
+                c = matched & F.coalesce(
+                    as_col(cond) if cond is not None else F.lit(True),
+                    F.lit(False)) & ~prior
+                prior = prior | c
+                if kind == "update":
+                    upd_fire = upd_fire | c
+                    for col, expr in assigns.items():
+                        if col not in values:
+                            raise ValueError(
+                                f"merge_into: no target column {col!r}")
+                        dtype = target.schema[col].dataType
+                        values[col] = F.when(
+                            c, as_col(expr).cast(dtype)
+                        ).otherwise(values[col])
+                else:
+                    del_fire = del_fire | c
+                    drop = drop | c
+            tallies = joined.agg(
+                F.sum(upd_fire.cast("long")).alias("u"),
+                F.sum(del_fire.cast("long")).alias("d")).first()
+            counts["updated"] = int(tallies["u"] or 0)
+            counts["deleted"] = int(tallies["d"] or 0)
+            out = (joined.where(~drop)
+                   .select(*[values[c].alias(c) for c in tcols]))
+
+            ins_clauses = [(cond,) for kind, cond, _ in clauses
+                           if kind == "insert"]
+            if ins_clauses:
+                anti = source.join(
+                    self._files_df(spark, touched).select(*self.key_cols)
+                    if touched else source.limit(0).select(*self.key_cols),
+                    self.key_cols, "left_anti")
+                ins_cond = F.lit(False)
+                for (cond,) in ins_clauses:
+                    ins_cond = ins_cond | F.coalesce(
+                        as_col(cond) if cond is not None else F.lit(True),
+                        F.lit(False))
+                ins = anti.where(ins_cond).select(
+                    *[F.col(c).cast(target.schema[c].dataType)
+                      if c in source.columns else F.lit(None).cast(
+                          target.schema[c].dataType).alias(c)
+                      for c in tcols])
+                counts["inserted"] = ins.count()
+                out = out.unionByName(ins)
+            else:
+                counts["inserted"] = 0
+            return self._write_data_files(out.localCheckpoint(eager=True))
+
+        base = self.latest_version()
+        live = self._resolve(base)
+        touched = self._overlapping(live, lo, hi)
+        adds = rewrite(touched)
+        retries = rebases = 0
+        while True:
+            actions = adds + [{"remove": a["path"]} for a in touched]
+            try:
+                v = self.commit(actions, base + 1, op="merge_into")
+                return {"version": v, "rewritten_files": len(touched),
+                        "carried_files": len(live) - len(touched),
+                        "added_files": len(adds), "retries": retries,
+                        "rebases": rebases, **counts}
+            except VersionConflict:
+                if time.monotonic() >= deadline:
+                    raise
+                _backoff(retries)
+                retries += 1
+                base = self.latest_version()
+                live = self._resolve(base)
+                new_touched = self._overlapping(live, lo, hi)
+                if ({a["path"] for a in new_touched}
+                        == {a["path"] for a in touched}):
+                    continue        # logical no-conflict: re-commit as-is
+                touched = new_touched
+                adds = rewrite(touched)
+                rebases += 1
+
     def optimize(self, target_files: int = 4,
                  zorder_by: tuple[str, str] | None = None,
                  deadline_sec: float = COMMIT_DEADLINE_SEC) -> dict:

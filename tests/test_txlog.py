@@ -742,6 +742,67 @@ def test_changes_replay_invariant_and_net(spark, table_path):
     assert vs == set(range(v_from + 1, v_to + 1))
 
 
+def test_merge_into_clause_order_and_semantics(spark, table_path):
+    """r7 full MERGE INTO: matched clauses fire in listed order (first
+    TRUE condition wins), update expressions see the source row as
+    src_<col>, inserts are conditional and pad target-only columns with
+    NULL, unmatched target rows survive, and an ambiguous source (two
+    rows per key) is rejected like Delta."""
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(spark.createDataFrame(
+        [("a", 1.0, "keep"), ("b", -5.0, "old"), ("c", 10.0, "old"),
+         ("z", 3.0, "untouched")],
+        "k string, v double, tag string").coalesce(1))
+    source = spark.createDataFrame(
+        [("a", 100.0), ("b", 7.0), ("c", -1.0), ("n1", 50.0),
+         ("n2", -2.0)], "k string, v double")
+
+    stats = t.merge_into(source, [
+        ("delete", "v < 0", None),          # b: target v=-5 -> deleted
+        ("update", "src_v > 0",             # a: 1 + 100, tag rewritten
+         {"v": "v + src_v", "tag": "'merged'"}),
+        ("delete", None, None),             # c: src_v=-1 fails clause 2
+        ("insert", "v > 0", None),          # n1 in (50>0), n2 out (-2)
+    ])
+    got = {r["k"]: (r["v"], r["tag"]) for r in t.read(spark).collect()}
+    assert got == {"a": (101.0, "merged"), "z": (3.0, "untouched"),
+                   "n1": (50.0, None)}
+    assert (stats["updated"], stats["deleted"],
+            stats["inserted"]) == (1, 2, 1)
+    assert [h["op"] for h in t.history()][0] == "merge_into"
+
+    with pytest.raises(ValueError, match="multiple source rows"):
+        t.merge_into(spark.createDataFrame(
+            [("a", 1.0), ("a", 2.0)], "k string, v double"),
+            [("update", None, {"v": "src_v"})])
+
+
+def test_merge_into_prunes_and_matches_recompute(spark, table_path):
+    """merge_into derives pruning from the SOURCE's stats range: a
+    half-day window rewrites only its day file, carries the others by
+    reference, and the result equals the DataFrame-level recompute."""
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    for day in (1, 2, 3):
+        t.append(_rollup(spark, f"2024-01-0{day}",
+                         f"2024-01-0{day + 1}").coalesce(1))
+    pre = t.read(spark)
+    win = _rollup(spark, "2024-01-02 06:00:00", "2024-01-02 18:00:00")
+    source = win.select("indicator", "minute",
+                        (F.col("value") + 5.0).alias("value"), "n_points")
+    stats = t.merge_into(source, [
+        ("update", None, {"value": "src_value"}),
+        ("insert", None, None)])
+    assert stats["rewritten_files"] == 1 and stats["carried_files"] == 2
+    assert stats["updated"] == win.count() and stats["inserted"] == 0
+    in_win = ((F.col("minute") >= "2024-01-02 06:00:00")
+              & (F.col("minute") < "2024-01-02 18:00:00"))
+    want = _multiset(pre.withColumn(
+        "value", F.when(in_win, F.col("value") + 5.0)
+        .otherwise(F.col("value"))))
+    assert _multiset(t.read(spark)) == want
+
+
 def test_meta_mismatch_raises(spark, table_path):
     """r7 (ADVICE): _meta.json is the table's identity — constructing on
     an existing table with a DIFFERENT key/stats config must raise, not
