@@ -298,7 +298,11 @@ def derived_ivf_knobs(n_vectors: int) -> dict:
       pq_k   = 256 above 10^5 vectors — 8-bit books at the SAME 8 B/vector
                code (the 4-bit fixture alphabet is quantization-bound:
                recall 0.4 even at refine 800);
-      refine = 40 with 256-entry books (measured), else the fixture 12.
+      refine ~ n/24000 (floor 40) with 256-entry books — r7: the fixed
+               40 read recall 0.8 at 10^7 (flat through 160, 1.0 from
+               320: ADC rank noise grows with the ~n/8 candidate pool),
+               so refine tracks the pool; rescore cost measured
+               negligible. Fixture books keep 12.
     """
     import math
 
@@ -311,7 +315,7 @@ def derived_ivf_knobs(n_vectors: int) -> dict:
     return {"k": k,
             "nprobe": _derived_nprobe(k),
             "pq_k": pq_k,
-            "refine": _derived_refine(pq_k)}
+            "refine": _derived_refine(pq_k, n_vectors)}
 
 
 def _derived_nprobe(k: int) -> int:
@@ -322,9 +326,18 @@ def _derived_nprobe(k: int) -> int:
     return max(IVF_NPROBE, -(-k // 8))
 
 
-def _derived_refine(pq_k: int) -> int:
-    """256-entry books run the measured refine 40; fixture books keep 12."""
-    return 40 if pq_k > PQ_K else PQ_REFINE
+def _derived_refine(pq_k: int, n_vectors: int = 0) -> int:
+    """256-entry books: refine scales with the probed candidate pool
+    (r7, the 10M curve). Measured: refine 40 reads recall@5 1.0 at 1M
+    but 0.8 at 10M — flat through 160, snapping to 1.0 from 320 — i.e.
+    the ADC rank noise displacing a true neighbor grows ~linearly with
+    the ~n/8 candidate pool, so refine ≈ n/24000 with the measured-good
+    1M floor of 40. The rescore cost is negligible: the 10M refine
+    curve's wall was flat ~1.8–2.6 s from 80 through 640
+    (BENCH_ANN_10M.json). Fixture books keep 12."""
+    if pq_k <= PQ_K:
+        return PQ_REFINE
+    return max(40, round(n_vectors / 24_000))
 
 
 def _train_sample(e: DataFrame, n_rows: int | None = None,
@@ -575,8 +588,12 @@ def similarity_knn_ivf_pq(spark: SparkSession, sf_dir: str,
     indexed = idx["indexed"]
     if nprobe is None:
         nprobe = _derived_nprobe(len(coarse))
-    if refine is None:          # 256-entry books run the measured refine 40
-        refine = _derived_refine(books.shape[1])
+    if refine is None:
+        # refine scales with the probed pool (r7): corpus count from the
+        # in-session index dict, else a metadata-cheap count of the
+        # persisted assignments (pre-r7 saved indexes carry no 'n')
+        n_idx = idx.get("n") or indexed.count()
+        refine = _derived_refine(books.shape[1], n_idx)
     if "code" not in indexed.columns:       # persisted indexes carry codes
         indexed = indexed.withColumn(
             "code", _pq_encode_udf(coarse, books)("emb"))

@@ -291,10 +291,17 @@ def test_derived_ivf_knobs_scale_with_corpus():
         assert k == {"k": SIM.IVF_K, "nprobe": SIM.IVF_NPROBE,
                      "pq_k": SIM.PQ_K, "refine": SIM.PQ_REFINE}, (n, k)
     big = SIM.derived_ivf_knobs(1_000_500)
-    assert big["k"] == 125 and big["pq_k"] == 256 and big["refine"] == 40
+    assert big["k"] == 125 and big["pq_k"] == 256 and big["refine"] == 42
     assert big["nprobe"] == 16          # ~12% cell-probe fraction
     mid = SIM.derived_ivf_knobs(100_000)
     assert mid["pq_k"] == 256 and mid["k"] >= 32
+    # r7: refine tracks the ~n/8 candidate pool (the fixed 40 measured
+    # recall 0.8 at 10^7; 1.0 needed >=320 — BENCH_ANN_10M.json)
+    assert SIM.derived_ivf_knobs(10_000_500)["refine"] >= 320
+    assert SIM.derived_ivf_knobs(100_000)["refine"] == 40   # floor holds
+    refines = [SIM.derived_ivf_knobs(n)["refine"] for n in
+               (10**5, 10**6, 10**7, 10**8)]
+    assert refines == sorted(refines)   # monotone in corpus size
     # monotone, clamped: more corpus never means a smaller codebook
     ks = [SIM.derived_ivf_knobs(n)["k"] for n in
           (10**3, 10**5, 10**7, 10**9, 10**12)]
