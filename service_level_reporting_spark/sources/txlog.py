@@ -61,6 +61,10 @@ class VersionConflict(Exception):
     """Another writer committed the version this writer reserved."""
 
 
+class ConstraintViolation(Exception):
+    """A write would land rows that fail an active CHECK constraint."""
+
+
 def _backoff(attempt: int) -> None:
     """Exponential backoff with FULL jitter (sleep uniform in [0, cap]):
     decorrelates competing writers so a tight retry loop can't starve a
@@ -162,7 +166,8 @@ class TxLogTable:
         never leave a TORN commit file that poisons log replay (the old
         open("x")+dump had a window between claim and content). A crash
         leaves at most an orphan .tmp, which no reader globs."""
-        record = {"version": version, "actions": actions}
+        record = {"version": version, "actions": actions,
+                  "ts": round(time.time(), 6)}   # r7: timestamp time travel
         if txn is not None:
             record["txn"] = txn
         if op is not None:
@@ -258,12 +263,94 @@ class TxLogTable:
         checkpoint restores the bound."""
         files = self._resolve(version)
         txns = self._txn_map(version)
+        cons = self.constraints(version)
         ckpt = os.path.join(self.log_dir, f"{version:020d}.checkpoint.json")
         tmp = ckpt + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump({"version": version, "files": files,
-                       "txns": txns}, fh)
+                       "txns": txns, "constraints": cons}, fh)
         os.replace(tmp, ckpt)          # atomic publish, idempotent rewrite
+
+    # ---- CHECK constraints (r7): write-side enforcement in the log ------
+
+    def constraints(self, version: int | None = None,
+                    use_checkpoint: bool = True) -> dict:
+        """Active CHECK constraints {name: sql_expr} at `version` —
+        constraint add/drop actions ride commits (Delta records them in
+        table metadata), replayed like the txn map: latest checkpoint's
+        constraints + newer commits; pre-constraint checkpoints fall back
+        to a full walk once."""
+        if version is None:
+            version = self.latest_version()
+        start = 0
+        cons: dict[str, str] = {}
+        if use_checkpoint:
+            ckpt = self._latest_checkpoint(version)
+            if ckpt is not None and ckpt.get("constraints") is not None:
+                cons = dict(ckpt["constraints"])
+                start = ckpt["version"] + 1
+        for v in range(start, version + 1):
+            p = self._commit_path(v)
+            if not os.path.exists(p):
+                continue
+            with open(p) as fh:
+                for a in json.load(fh)["actions"]:
+                    if "constraint" in a:
+                        cons[a["constraint"]["name"]] = \
+                            a["constraint"]["expr"]
+                    elif "drop_constraint" in a:
+                        cons.pop(a["drop_constraint"], None)
+        return cons
+
+    def _check(self, df: DataFrame, cons: dict) -> None:
+        """Raise ConstraintViolation if any row FAILS a check. SQL CHECK
+        semantics: a NULL predicate passes — only expr IS FALSE violates.
+        One short-circuit probe over the union of checks; the violated
+        names are identified only on the failure path."""
+        if not cons:
+            return
+        fails = [~F.coalesce(F.expr(x), F.lit(True)) for x in cons.values()]
+        any_fail = fails[0]
+        for f in fails[1:]:
+            any_fail = any_fail | f
+        if df.filter(any_fail).limit(1).count() == 0:
+            return
+        bad = [name for name, x in cons.items()
+               if df.filter(~F.coalesce(F.expr(x), F.lit(True)))
+               .limit(1).count() > 0]
+        raise ConstraintViolation(
+            f"txlog: write violates CHECK constraint(s) {bad} "
+            f"({ {n: cons[n] for n in bad} }); no data was committed.")
+
+    def add_constraint(self, name: str, expr: str) -> int:
+        """ALTER TABLE ADD CONSTRAINT name CHECK (expr): existing data is
+        validated FIRST (the Delta contract — a constraint that current
+        rows already violate is rejected), then the constraint rides a
+        commit and every future write is checked at the single write
+        choke point (_write_data_files). Returns the commit version."""
+        if self.latest_version() >= 0:
+            snap = self.read(_session())
+            self._check(snap, {name: expr})
+        attempt = 0
+        while True:
+            try:
+                return self.commit(
+                    [{"constraint": {"name": name, "expr": expr}}],
+                    self.latest_version() + 1, op="add_constraint")
+            except VersionConflict:
+                _backoff(attempt)
+                attempt += 1
+
+    def drop_constraint(self, name: str) -> int:
+        attempt = 0
+        while True:
+            try:
+                return self.commit([{"drop_constraint": name}],
+                                   self.latest_version() + 1,
+                                   op="drop_constraint")
+            except VersionConflict:
+                _backoff(attempt)
+                attempt += 1
 
     def _resolve(self, version: int | None = None,
                  use_checkpoint: bool = True) -> list[dict]:
@@ -297,8 +384,18 @@ class TxLogTable:
     def _write_data_files(self, df: DataFrame) -> list[dict]:
         """Write df as immutable parquet files under a fresh subdir; return
         add-actions with footer-derived row counts and stats-column min/max
-        (exactly what a catalog/commit service records)."""
+        (exactly what a catalog/commit service records).
+
+        r7: the SINGLE enforcement point for CHECK constraints — every
+        write path (append, txn_append, merge, DELETE/UPDATE rewrites,
+        merge_into, optimize) funnels its outgoing rows through here, so
+        active constraints are validated BEFORE any file lands (a
+        violation raises with nothing staged and nothing committed)."""
         import pyarrow.parquet as pq
+
+        cons = self.constraints()
+        if cons:
+            self._check(df, cons)
 
         sub = os.path.join(self.data_dir, uuid.uuid4().hex[:12])
         df.write.mode("error").parquet(sub)
@@ -344,14 +441,66 @@ class TxLogTable:
                 _backoff(attempt)
                 attempt += 1
 
+    def version_at_timestamp(self, ts: float) -> int:
+        """Latest version whose commit timestamp is <= ts — Delta's
+        TIMESTAMP AS OF resolution. Commits written before timestamps
+        existed (pre-r7 logs) are treated as arbitrarily old (always
+        eligible). Raises if the table's first commit is newer than ts."""
+        best = -1
+        for v in range(self.latest_version() + 1):
+            p = self._commit_path(v)
+            if not os.path.exists(p):
+                continue
+            with open(p) as fh:
+                cts = json.load(fh).get("ts")
+            if cts is None or cts <= ts:
+                best = v
+        if best < 0:
+            raise ValueError(
+                f"txlog: no commit at or before timestamp {ts} "
+                "(table is newer than the requested time)")
+        return best
+
+    def overwrite(self, df: DataFrame) -> int:
+        """INSERT OVERWRITE: atomically replace the whole table's content
+        — new files added and every live file logically removed in ONE
+        commit, so readers see either the old snapshot or the new one,
+        never a mix; history and time travel to pre-overwrite versions
+        stay intact (files are immutable). CHECK constraints validate the
+        incoming frame like every write."""
+        cons0 = self.constraints()
+        adds = self._write_data_files(df)
+        attempt = 0
+        while True:
+            base = self.latest_version()
+            live = self._resolve(base)
+            new_cons = self.constraints(base)
+            if new_cons != cons0:       # constraint landed mid-flight:
+                self._check(self._files_df(     # re-validate staged files
+                    _session(), [a["add"] for a in adds]), new_cons)
+                cons0 = new_cons
+            actions = adds + [{"remove": a["path"]} for a in live]
+            try:
+                return self.commit(actions, base + 1, op="overwrite")
+            except VersionConflict:
+                _backoff(attempt)
+                attempt += 1
+
     def read(self, spark: SparkSession, version: int | None = None,
-             merge_schema: bool = False) -> DataFrame:
+             merge_schema: bool = False,
+             as_of_timestamp: float | None = None) -> DataFrame:
         """Snapshot read at `version` (default latest). merge_schema=True
         reconciles files written with EVOLVED schemas (a column appended in
         later commits reads as NULL for older files) — parquet's
         mergeSchema, which is exactly how lakehouse add-column evolution
         works at the file layer; the log needs no schema registry for the
-        additive case."""
+        additive case. ``as_of_timestamp`` (r7) resolves the snapshot by
+        commit time instead — TIMESTAMP AS OF time travel."""
+        if as_of_timestamp is not None:
+            if version is not None:
+                raise ValueError("txlog read: give version OR "
+                                 "as_of_timestamp, not both")
+            version = self.version_at_timestamp(as_of_timestamp)
         files = self._resolve(version)
         if not files:
             raise ValueError("txlog: empty table (no snapshot to read)")
@@ -408,6 +557,7 @@ class TxLogTable:
 
         base = self.latest_version()
         live = self._resolve(base)
+        cons0 = self.constraints(base)
         touched = self._overlapping(live, lo, hi)
         adds = rewrite(touched)
         retries = rewrites = 0
@@ -427,10 +577,16 @@ class TxLogTable:
                 base = self.latest_version()
                 live = self._resolve(base)
                 new_touched = self._overlapping(live, lo, hi)
+                # fast path requires BOTH an unchanged touched set and
+                # unchanged constraints (r7): an interleaved
+                # add_constraint must force re-validation of the staged
+                # rows, not a blind re-commit
                 if ({a["path"] for a in new_touched}
-                        == {a["path"] for a in touched}):
+                        == {a["path"] for a in touched}
+                        and self.constraints(base) == cons0):
                     continue        # logical no-conflict: re-commit as-is
                 touched = new_touched
+                cons0 = self.constraints(base)
                 adds = rewrite(touched)
                 rewrites += 1
 
@@ -556,6 +712,7 @@ class TxLogTable:
 
         base = self.latest_version()
         live = self._resolve(base)
+        cons0 = self.constraints(base)
         touched = self._overlapping(live, lo, hi)
         adds = rewrite(touched)
         retries = rebases = 0
@@ -576,9 +733,11 @@ class TxLogTable:
                 live = self._resolve(base)
                 new_touched = self._overlapping(live, lo, hi)
                 if ({a["path"] for a in new_touched}
-                        == {a["path"] for a in touched}):
+                        == {a["path"] for a in touched}
+                        and self.constraints(base) == cons0):
                     continue        # logical no-conflict: re-commit as-is
                 touched = new_touched
+                cons0 = self.constraints(base)
                 adds = rewrite(touched)
                 rebases += 1
 
@@ -639,6 +798,7 @@ class TxLogTable:
         live = self._resolve(base)
         if not live or (len(live) <= target_files and zorder_by is None):
             return {"version": base, "compacted": 0, "files": len(live)}
+        cons0 = self.constraints(base)
         adds = compact(live)
         retries = 0
         while True:
@@ -655,9 +815,11 @@ class TxLogTable:
                 base = self.latest_version()
                 new_live = self._resolve(base)
                 if ({a["path"] for a in new_live}
-                        == {a["path"] for a in live}):
+                        == {a["path"] for a in live}
+                        and self.constraints(base) == cons0):
                     continue        # live set unchanged: re-commit as-is
                 live = new_live
+                cons0 = self.constraints(base)
                 adds = compact(live)
 
     def vacuum(self, retain_versions: int = 3,
@@ -764,6 +926,7 @@ class TxLogTable:
 
         base = self.latest_version()
         live = self._resolve(base)
+        cons0 = self.constraints(base)
         touched = self._overlapping(live, lo, hi)
         check_scope(live, touched)
         adds = rewrite(touched)
@@ -786,9 +949,11 @@ class TxLogTable:
                 live = self._resolve(base)
                 new_touched = self._overlapping(live, lo, hi)
                 if ({a["path"] for a in new_touched}
-                        == {a["path"] for a in touched}):
+                        == {a["path"] for a in touched}
+                        and self.constraints(base) == cons0):
                     continue        # logical no-conflict: re-commit as-is
                 touched = new_touched
+                cons0 = self.constraints(base)
                 check_scope(live, touched)
                 adds = rewrite(touched)
                 rebases += 1
@@ -900,6 +1065,7 @@ class TxLogTable:
             adds = [a["add"] for a in rec["actions"] if "add" in a]
             out.append({
                 "version": v, "op": rec.get("op", "unknown"),
+                "ts": rec.get("ts"),
                 "n_added_files": len(adds),
                 "n_removed_files": sum(1 for a in rec["actions"]
                                        if "remove" in a),

@@ -121,8 +121,15 @@ def _pin_snapshot(path: str, options) -> dict:
     t = TxLogTable.open(path)
     mode = options.get("mode", "")
     merge = str(options.get("mergeSchema", "false")).lower() == "true"
-    version = (int(options["version"])
-               if "version" in options else t.latest_version())
+    if "timestampAsOf" in options:          # r7: TIMESTAMP AS OF (Delta's
+        if "version" in options:            # option name) through the source
+            raise ValueError("txlog source: give version OR timestampAsOf, "
+                             "not both")
+        version = t.version_at_timestamp(float(options["timestampAsOf"]))
+    elif "version" in options:
+        version = int(options["version"])
+    else:
+        version = t.latest_version()
     ending = (int(options["endingVersion"])
               if "endingVersion" in options else t.latest_version())
     if mode == "changes":

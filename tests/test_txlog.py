@@ -742,6 +742,113 @@ def test_changes_replay_invariant_and_net(spark, table_path):
     assert vs == set(range(v_from + 1, v_to + 1))
 
 
+def test_check_constraints_enforced_at_write(spark, table_path):
+    """r7 CHECK constraints: ALTER ADD validates existing data first;
+    every write path funnels through the single enforcement point, so a
+    violating append/UPDATE raises with NOTHING committed; NULL passes
+    (SQL CHECK semantics); DROP re-opens the gate; the constraint set
+    rides checkpoints."""
+    from service_level_reporting_spark.sources.txlog import (
+        ConstraintViolation)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k string, v long").coalesce(1)
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(frame([("a", 1), ("b", -2)]))
+    with pytest.raises(ConstraintViolation):      # existing rows violate
+        t.add_constraint("v_pos", "v >= 0")
+    t.delete("v < 0")
+    t.add_constraint("v_pos", "v >= 0")
+    assert t.constraints() == {"v_pos": "v >= 0"}
+
+    lv = t.latest_version()
+    with pytest.raises(ConstraintViolation, match="v_pos"):
+        t.append(frame([("c", -1)]))
+    assert t.latest_version() == lv               # nothing committed
+    t.append(frame([("d", None)]))                # NULL passes CHECK
+    with pytest.raises(ConstraintViolation):      # UPDATE-created violation
+        t.update("k = 'a'", {"v": "v - 100"})
+    t.update("k = 'a'", {"v": "v + 100"})         # valid rewrite lands
+    assert {r["k"]: r["v"] for r in t.read(spark).collect()} == {
+        "a": 101, "d": None}
+
+    t.drop_constraint("v_pos")
+    t.append(frame([("f", -9)]))                  # gate re-opened
+    ops = [h["op"] for h in t.history()]
+    assert "add_constraint" in ops and "drop_constraint" in ops
+
+    # constraints survive checkpoint compaction
+    t.add_constraint("v_big", "v > -100")
+    while t.latest_version() <= CHECKPOINT_EVERY:
+        t.append(frame([("tail", t.latest_version())]))
+    assert any(f.endswith(".checkpoint.json") for f in os.listdir(t.log_dir))
+    assert t.constraints() == t.constraints(use_checkpoint=False) == {
+        "v_big": "v > -100"}
+    with pytest.raises(ConstraintViolation):
+        t.append(frame([("g", -200)]))
+
+
+def test_timestamp_time_travel(spark, table_path):
+    """r7 TIMESTAMP AS OF: commits carry wall-clock timestamps; a read
+    at a historical commit's timestamp resolves that snapshot, a
+    too-early timestamp fails loudly, and version/timestamp are
+    mutually exclusive."""
+    import time as _time
+
+    t = TxLogTable(table_path, key_cols=["indicator", "minute"],
+                   stats_col="minute")
+    t.append(_rollup(spark, "2024-01-01", "2024-01-02").coalesce(1))
+    _time.sleep(0.02)        # distinct rounded commit timestamps
+    t.append(_rollup(spark, "2024-01-02", "2024-01-03").coalesce(1))
+    hist = {h["version"]: h["ts"] for h in t.history()}
+    assert all(ts is not None for ts in hist.values())
+    assert t.version_at_timestamp(hist[0]) == 0
+    assert (t.read(spark, as_of_timestamp=hist[0]).count()
+            == t.read(spark, 0).count())
+    assert t.version_at_timestamp(hist[1] + 1.0) == 1
+    with pytest.raises(ValueError, match="newer than"):
+        t.version_at_timestamp(hist[0] - 10.0)
+    with pytest.raises(ValueError, match="not both"):
+        t.read(spark, version=0, as_of_timestamp=hist[0])
+
+
+def test_overwrite_atomic_and_time_travel(spark, table_path):
+    """r7 INSERT OVERWRITE: one commit replaces the whole content;
+    pre-overwrite versions still time-travel; CHECK constraints gate the
+    incoming frame; the txlog data source honors timestampAsOf."""
+    from service_level_reporting_spark.sources.txlog import (
+        ConstraintViolation)
+    from service_level_reporting_spark.sources.txlog_datasource import (
+        TxLogDataSource)
+
+    def frame(rows):
+        return spark.createDataFrame(rows, "k string, v long").coalesce(1)
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(frame([("a", 1), ("b", 2)]))
+    v0 = t.latest_version()
+    v1 = t.overwrite(frame([("x", 10)]))
+    assert sorted(r["k"] for r in t.read(spark).collect()) == ["x"]
+    assert sorted(r["k"] for r in t.read(spark, v0).collect()) == ["a", "b"]
+    assert t.history()[0]["op"] == "overwrite" and v1 == v0 + 1
+
+    t.add_constraint("v_pos", "v >= 0")
+    with pytest.raises(ConstraintViolation):
+        t.overwrite(frame([("bad", -1)]))
+    assert sorted(r["k"] for r in t.read(spark).collect()) == ["x"]
+
+    # timestampAsOf through the registered data source == table API
+    spark.dataSource.register(TxLogDataSource)
+    ts0 = {h["version"]: h["ts"] for h in t.history()}[v0]
+    via = (spark.read.format("txlog")
+           .option("timestampAsOf", str(ts0)).load(table_path))
+    assert sorted(r["k"] for r in via.collect()) == ["a", "b"]
+    with pytest.raises(Exception, match="not both"):
+        (spark.read.format("txlog").option("timestampAsOf", str(ts0))
+         .option("version", "0").load(table_path).collect())
+
+
 def test_merge_into_clause_order_and_semantics(spark, table_path):
     """r7 full MERGE INTO: matched clauses fire in listed order (first
     TRUE condition wins), update expressions see the source row as
