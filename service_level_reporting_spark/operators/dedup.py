@@ -867,3 +867,121 @@ def graph_pagerank(spark: SparkSession, sf_dir: str,
     return top.unionByName(spark.createDataFrame(
         [(-1, round(float(total), 9), None)],
         "doc_id long, rank double, degree long"))
+
+
+# ---------------------------------------------------------------------------
+# D24 (r7) — exact substring deduplication: maximal duplicated token spans.
+# The ExactSubstr operator of Lee et al., "Deduplicating Training Data Makes
+# Language Models Better" (ACL 2022): any token window of length K that
+# occurs more than once ANYWHERE in the corpus marks its tokens as
+# duplicated; overlapping/adjacent duplicated windows merge into maximal
+# spans (the paper removes them; we emit them — removal is one anti-join).
+#
+# The paper builds a single suffix array over the concatenated corpus —
+# inherently sequential and RAM-bound. The distributed re-expression is the
+# classic shingle pipeline: every K-token window becomes a (gram, doc, pos)
+# row, a groupBy finds grams with corpus frequency > 1, and a per-doc
+# gaps-and-islands window merges surviving window starts into maximal
+# spans. Three shuffles total (gram rollup, dup join, per-doc window), each
+# on keys, never on documents.
+#
+# Scale notes (100 TB): here the dup rollup keys on the gram STRING so the
+# DuckDB oracle is exactly equivalent; at corpus scale key on
+# xxhash64(gram) (8-byte shuffle keys, collision odds ~n²/2⁶⁴ — one
+# false-dup window per ~10¹⁹ gram pairs, and a false positive only ever
+# extends a span, never loses one). Everything else is unchanged: the
+# window fan-out is ~n_tokens rows of (8B key, doc, pos), linear in corpus
+# size; the per-doc island window partitions on doc_id — bounded by the
+# longest single document, not the corpus.
+# ---------------------------------------------------------------------------
+
+SUBSTR_K = 12     # window length in tokens (the paper uses 50 BPE tokens;
+#                   the fixture docs are ~50 words, so 12 keeps sub-doc
+#                   spans observable while full-doc clones still merge)
+
+
+@register(
+    "dedup_substring_spans",
+    aux=True,   # driver window is full at 50 — full SQL oracle, checked
+    #             by the pytest differential (tests/test_differential.py)
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS tokens FROM documents
+        WHERE len(string_split(text, ' ')) >= {SUBSTR_K}
+    ), grams0 AS (
+        SELECT doc_id, tokens,
+               CAST(unnest(range(0, len(tokens) - {SUBSTR_K - 1}))
+                    AS BIGINT) AS pos
+        FROM toks
+    ), grams AS (
+        SELECT doc_id, pos,
+               array_to_string(tokens[pos + 1:pos + {SUBSTR_K}], ' ') AS gram
+        FROM grams0
+    ), dup AS (
+        SELECT gram FROM grams GROUP BY gram HAVING count(*) > 1
+    ), marked AS (
+        SELECT g.doc_id, g.pos,
+               CASE WHEN g.pos - lag(g.pos) OVER (
+                        PARTITION BY g.doc_id ORDER BY g.pos)
+                    <= {SUBSTR_K} THEN 0 ELSE 1 END AS brk
+        FROM grams g JOIN dup USING (gram)
+    ), isl AS (
+        SELECT doc_id, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM marked
+    ), spans AS (
+        SELECT doc_id, min(pos) AS span_start,
+               max(pos) + {SUBSTR_K} - min(pos) AS span_len
+        FROM isl GROUP BY doc_id, island
+    )
+    SELECT s.doc_id, s.span_start, s.span_len,
+           array_to_string(
+               t.tokens[s.span_start + 1:s.span_start + s.span_len],
+               ' ') AS span_text
+    FROM spans s JOIN toks t USING (doc_id)
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str,
+                          k: int = SUBSTR_K) -> DataFrame:
+    """Maximal duplicated token spans (ExactSubstr, Lee et al. 2022):
+    every k-token window occurring >1 time in the corpus (across OR within
+    documents) marks its tokens; touching windows (start gap <= k) merge
+    per-doc into maximal spans via gaps-and-islands. Output one row per
+    span: (doc_id, span_start token index, span_len in tokens, span_text).
+    Removal = slice span ranges out of the token array (one anti-join) —
+    emitting spans keeps the operator composable with keep-one policies."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir)
+    toks = (d.select("doc_id", F.split("text", " ").alias("tokens"))
+             .filter(F.size("tokens") >= k))
+    # tokens ride the explode projection NARROWLY (no shuffle) and are
+    # projected away before the first exchange — only (doc, pos, gram)
+    # rows ever move
+    grams = (toks.select(
+                "doc_id", "tokens",
+                F.explode(F.sequence(F.lit(0), F.size("tokens") - k))
+                 .alias("pos"))
+             .select("doc_id", F.col("pos").cast("long").alias("pos"),
+                     F.array_join(F.slice("tokens", F.col("pos") + 1, k),
+                                  " ").alias("gram")))
+    # one groupBy finds corpus-frequency>1 grams (map-side partial counts);
+    # semi-join keeps only duplicated window starts
+    dup = (grams.groupBy("gram").count()
+                .filter(F.col("count") > 1).select("gram"))
+    marked = grams.join(dup, "gram").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = (marked
+           .withColumn("brk", F.when(F.col("pos") - F.lag("pos").over(w)
+                                     <= k, 0).otherwise(1))
+           .withColumn("island", F.sum("brk").over(w)))
+    spans = (isl.groupBy("doc_id", "island")
+                .agg(F.min("pos").alias("span_start"),
+                     (F.max("pos") + k - F.min("pos"))
+                     .cast("long").alias("span_len"))
+                .drop("island"))
+    return (spans.join(toks, "doc_id")
+            .select("doc_id", "span_start", "span_len",
+                    F.array_join(
+                        F.slice("tokens", F.col("span_start") + 1,
+                                F.col("span_len")), " ").alias("span_text")))

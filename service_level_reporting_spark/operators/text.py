@@ -374,3 +374,188 @@ def training_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(keep_final, 1)).alias("n_final"),
         SF.r6(F.count(F.when(keep_final, 1)) / F.count(F.lit(1))).alias("pct_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# r7 — repetition-based quality filtering (the Gopher/MassiveText rules,
+# Rae et al. 2021 §A1.1): documents dominated by repeated n-grams are
+# low-quality (boilerplate, keyword stuffing, degenerate generations) and
+# get filtered before training. Per doc: duplicate-word fraction, the
+# heaviest 2-/3-gram's character share, and the fraction of tokens covered
+# by WITHIN-doc duplicated 5-grams (coverage via gaps-and-islands, so
+# overlapping occurrences count each token once). ``keep`` applies
+# Gopher-shaped thresholds.
+#
+# Scale notes: dup_word_frac is a pure array expression (zero shuffle);
+# the n-gram parts are per-doc wordcounts — groupBy(doc, gram) with
+# map-side partial aggregation, key cardinality ~n_tokens per doc, no
+# cross-doc skew; the 5-gram coverage window partitions by doc_id, bounded
+# by the longest document, not the corpus.
+# ---------------------------------------------------------------------------
+
+REP_TOP2_MAX = 0.20     # Gopher: top 2-gram char fraction thresholds
+REP_TOP3_MAX = 0.18
+REP_DUP5_MAX = 0.30     # duplicated-5-gram token coverage
+
+
+def _rep_sql() -> str:
+    return f"""
+    WITH base AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               length(text) AS n_chars
+        FROM documents
+    ), stats AS (
+        SELECT doc_id, toks, n_chars,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               round(1.0 - len(list_distinct(toks)) * 1.0 / len(toks), 6)
+                   AS dup_word_frac
+        FROM base
+    ), pos2 AS (
+        SELECT doc_id, n_chars, toks,
+               CAST(unnest(range(0, len(toks) - 1)) AS BIGINT) AS pos
+        FROM stats WHERE len(toks) >= 2
+    ), c2 AS (
+        SELECT doc_id, array_to_string(toks[pos+1:pos+2], ' ') AS gram,
+               count(*) AS c, any_value(n_chars) AS nc
+        FROM pos2 GROUP BY doc_id, gram
+    ), t2 AS (
+        SELECT doc_id,
+               round(max(c * length(gram)) * 1.0 / any_value(nc), 6)
+                   AS top2_char_frac
+        FROM c2 GROUP BY doc_id
+    ), pos3 AS (
+        SELECT doc_id, n_chars, toks,
+               CAST(unnest(range(0, len(toks) - 2)) AS BIGINT) AS pos
+        FROM stats WHERE len(toks) >= 3
+    ), c3 AS (
+        SELECT doc_id, array_to_string(toks[pos+1:pos+3], ' ') AS gram,
+               count(*) AS c, any_value(n_chars) AS nc
+        FROM pos3 GROUP BY doc_id, gram
+    ), t3 AS (
+        SELECT doc_id,
+               round(max(c * length(gram)) * 1.0 / any_value(nc), 6)
+                   AS top3_char_frac
+        FROM c3 GROUP BY doc_id
+    ), pos5 AS (
+        SELECT doc_id, n_tokens, toks,
+               CAST(unnest(range(0, len(toks) - 4)) AS BIGINT) AS pos
+        FROM stats WHERE len(toks) >= 5
+    ), g5 AS (
+        SELECT doc_id, n_tokens, pos,
+               array_to_string(toks[pos+1:pos+5], ' ') AS gram
+        FROM pos5
+    ), d5 AS (
+        SELECT doc_id, n_tokens, pos,
+               count(*) OVER (PARTITION BY doc_id, gram) AS c
+        FROM g5
+    ), m5 AS (
+        SELECT doc_id, n_tokens, pos,
+               CASE WHEN pos - lag(pos) OVER (
+                        PARTITION BY doc_id ORDER BY pos) <= 5
+                    THEN 0 ELSE 1 END AS brk
+        FROM d5 WHERE c > 1
+    ), i5 AS (
+        SELECT doc_id, n_tokens, pos,
+               sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+        FROM m5
+    ), cov AS (
+        SELECT doc_id, any_value(n_tokens) AS nt,
+               sum(covered) AS covered
+        FROM (SELECT doc_id, island, any_value(n_tokens) AS n_tokens,
+                     max(pos) + 5 - min(pos) AS covered
+              FROM i5 GROUP BY doc_id, island)
+        GROUP BY doc_id
+    ), t5 AS (
+        SELECT doc_id,
+               round(least(covered * 1.0 / nt, 1.0), 6) AS dup5_token_frac
+        FROM cov
+    )
+    SELECT s.doc_id, s.n_tokens, s.dup_word_frac,
+           coalesce(t2.top2_char_frac, 0.0) AS top2_char_frac,
+           coalesce(t3.top3_char_frac, 0.0) AS top3_char_frac,
+           coalesce(t5.dup5_token_frac, 0.0) AS dup5_token_frac,
+           CAST(CASE WHEN coalesce(t2.top2_char_frac, 0.0) < {REP_TOP2_MAX}
+                      AND coalesce(t3.top3_char_frac, 0.0) < {REP_TOP3_MAX}
+                      AND coalesce(t5.dup5_token_frac, 0.0) < {REP_DUP5_MAX}
+                     THEN 1 ELSE 0 END AS BIGINT) AS keep
+    FROM stats s
+    LEFT JOIN t2 USING (doc_id)
+    LEFT JOIN t3 USING (doc_id)
+    LEFT JOIN t5 USING (doc_id)
+    """
+
+
+@register(
+    "text_repetition_suite",
+    aux=True,   # driver window is full at 50 — full SQL oracle, checked
+    #             by the pytest differential
+    oracle=_rep_sql(),
+)
+def text_repetition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters, one row per doc: duplicate-word
+    fraction (array expression, no shuffle), heaviest 2-/3-gram character
+    share (per-doc wordcount, ``max(count * gram_chars) / doc_chars`` —
+    the deterministic tie-free form of 'most frequent n-gram'), and the
+    token-coverage fraction of within-doc duplicated 5-grams (islands
+    merge overlapping occurrences so each token counts once). ``keep`` =
+    all three under the Gopher-shaped thresholds."""
+    from pyspark.sql.window import Window
+
+    d = _docs(spark, sf_dir).select("doc_id", "text")
+    stats = d.select(
+        "doc_id", F.split("text", " ").alias("toks"),
+        F.length("text").alias("n_chars")
+    ).select(
+        "doc_id", "toks", "n_chars",
+        F.size("toks").cast("long").alias("n_tokens"),
+        SF.r6(1.0 - F.size(F.array_distinct("toks")) / F.size("toks"))
+            .alias("dup_word_frac"))
+
+    def grams(n: int) -> DataFrame:
+        return (stats.filter(F.size("toks") >= n)
+                .select("doc_id", "n_chars", "n_tokens",
+                        F.explode(F.expr(
+                            f"transform(sequence(0, size(toks) - {n}), "
+                            f"i -> struct(CAST(i AS BIGINT) AS pos, "
+                            f"array_join(slice(toks, i + 1, {n}), ' ') "
+                            f"AS gram))")).alias("g"))
+                .select("doc_id", "n_chars", "n_tokens",
+                        "g.pos", "g.gram"))
+
+    def top_frac(n: int, alias: str) -> DataFrame:
+        return (grams(n)
+                .groupBy("doc_id", "gram")
+                .agg(F.count("*").alias("c"),
+                     F.first("n_chars").alias("nc"))
+                .groupBy("doc_id")
+                .agg(SF.r6(F.max(F.col("c") * F.length("gram"))
+                           / F.first("nc")).alias(alias)))
+
+    wd = Window.partitionBy("doc_id").orderBy("pos")
+    five = grams(5).withColumn(
+        "c", F.count("*").over(Window.partitionBy("doc_id", "gram")))
+    cov = (five.filter(F.col("c") > 1)
+           .withColumn("brk", F.when(F.col("pos") - F.lag("pos").over(wd)
+                                     <= 5, 0).otherwise(1))
+           .withColumn("island", F.sum("brk").over(wd))
+           .groupBy("doc_id", "island")
+           .agg(F.first("n_tokens").alias("nt"),
+                (F.max("pos") + 5 - F.min("pos")).alias("covered"))
+           .groupBy("doc_id")
+           .agg(SF.r6(F.least(F.sum("covered") / F.first("nt"),
+                              F.lit(1.0))).alias("dup5_token_frac")))
+
+    t2 = top_frac(2, "top2_char_frac")
+    t3 = top_frac(3, "top3_char_frac")
+    out = (stats.select("doc_id", "n_tokens", "dup_word_frac")
+           .join(t2, "doc_id", "left")
+           .join(t3, "doc_id", "left")
+           .join(cov, "doc_id", "left")
+           .fillna(0.0, subset=["top2_char_frac", "top3_char_frac",
+                                "dup5_token_frac"]))
+    return out.withColumn(
+        "keep",
+        ((F.col("top2_char_frac") < REP_TOP2_MAX)
+         & (F.col("top3_char_frac") < REP_TOP3_MAX)
+         & (F.col("dup5_token_frac") < REP_DUP5_MAX))
+        .cast("long"))

@@ -55,6 +55,10 @@ BACKOFF_CAP_SEC = 0.25
 # vacuum never deletes unreferenced files younger than this: they may be
 # staged by a merge/append that has not committed yet (see vacuum docstring)
 VACUUM_MIN_AGE_SEC = 600.0
+# per-file typed skip-stats are recorded for at most this many leading
+# schema columns (Delta's dataSkippingNumIndexedCols default) — stats are
+# log metadata, and a 1000-column table must not pay 1000 entries per add
+STATS_MAX_COLS = 32
 
 
 class VersionConflict(Exception):
@@ -82,6 +86,111 @@ def _session() -> SparkSession:
     return SparkSession.getActiveSession() or SparkSession.builder.getOrCreate()
 
 
+def _stat_norm(v):
+    """Normalize a footer-stats / filter-bound value into the log's typed
+    stats domain: ints and floats stay NUMBERS (compared numerically, so
+    the '9' > '10' lexicographic trap cannot fire), strings stay strings,
+    date/timestamp become their ISO ``str()`` form (whose lexicographic
+    order IS value order). Types whose ordering we cannot reproduce
+    faithfully in JSON (bool, bytes, Decimal) normalize to None — such a
+    column simply records no skip-stats and never prunes."""
+    import datetime
+
+    if v is None or isinstance(v, bool):
+        return None
+    if isinstance(v, (int, float)):
+        return v
+    if isinstance(v, str):
+        return v
+    if isinstance(v, (datetime.datetime, datetime.date)):
+        return str(v)
+    return None
+
+
+def _comparable(a, b) -> bool:
+    """True when ``a < b`` is order-meaningful in the typed-stats domain:
+    number-vs-number or string-vs-string; never across kinds (a numeric
+    filter against string stats must not prune)."""
+    def num(x):
+        return isinstance(x, (int, float)) and not isinstance(x, bool)
+
+    return (num(a) and num(b)) or (isinstance(a, str) and isinstance(b, str))
+
+
+def file_may_match(add: dict, ranges: dict) -> bool:
+    """Conservative typed data skipping over one add-action: False ONLY
+    when the file's recorded per-column stats PROVE no row can satisfy
+    every ``col -> (lo, hi)`` bound (a conjunction — each bound must
+    overlap). Missing stats, an unusable column type, or a cross-kind
+    comparison all mean "may match". A column recorded as ALL-NULL
+    (``lo is hi is None`` with the stats entry present) can never satisfy
+    a range bound — SQL comparisons with NULL are not TRUE — so any
+    bounded column that is all-null in the file prunes it."""
+    st_all = add.get("stats") or {}
+    for col, (lo, hi) in ranges.items():
+        if lo is None and hi is None:
+            continue
+        st = st_all.get(col)
+        if st is None or "lo" not in st:
+            continue                      # no usable bounds: may match
+        fmin, fmax = st["lo"], st["hi"]
+        if fmin is None:
+            return False                  # all-null column, bounded filter
+        if lo is not None and _comparable(fmax, lo) and fmax < lo:
+            return False
+        if hi is not None and _comparable(fmin, hi) and fmin > hi:
+            return False
+    return True
+
+
+def _file_stats(meta) -> dict:
+    """Per-column typed skip-stats from one parquet file's footer (r7):
+    ``{col: {"lo", "hi", "nulls"}}`` for the first STATS_MAX_COLS leaf
+    columns — the multi-column analogue of the legacy single stats_col
+    min/max strings, with values kept NATIVELY TYPED (numbers as JSON
+    numbers) so numeric pruning compares numerically. Bounds are recorded
+    only when EVERY row group's statistics are usable (a group may also be
+    provably all-null); null counts only when every group reports one.
+    An all-null column records ``lo=hi=None`` — a real fact (bounded
+    filters can't match), distinct from "no stats" (key absent)."""
+    stats: dict[str, dict] = {}
+    for i in range(min(meta.num_columns, STATS_MAX_COLS)):
+        name = meta.schema.column(i).name
+        if "." in name:
+            continue                      # nested leaves: skip (top-level only)
+        lo = hi = None
+        nulls = 0
+        mm_ok = nulls_ok = True
+        for rg in range(meta.num_row_groups):
+            grp = meta.row_group(rg)
+            st = grp.column(i).statistics
+            if st is None:
+                mm_ok = nulls_ok = False
+                break
+            if st.null_count is not None:
+                nulls += st.null_count
+            else:
+                nulls_ok = False
+            if st.has_min_max:
+                mn, mx = _stat_norm(st.min), _stat_norm(st.max)
+                if mn is None or mx is None:
+                    mm_ok = False         # unorderable type (bool/bytes/…)
+                else:
+                    lo = mn if lo is None or mn < lo else lo
+                    hi = mx if hi is None or mx > hi else hi
+            elif not (st.null_count is not None
+                      and st.null_count == grp.num_rows):
+                mm_ok = False             # no bounds, not provably all-null
+        ent = {}
+        if mm_ok:
+            ent["lo"], ent["hi"] = lo, hi
+        if nulls_ok:
+            ent["nulls"] = nulls
+        if ent:
+            stats[name] = ent
+    return stats
+
+
 def add_rows(add: dict) -> int:
     """Row count of an add-action; an add written by a log version that
     didn't record 'rows' (or recorded null) reads as UNKNOWN = 1, so the
@@ -92,7 +201,8 @@ def add_rows(add: dict) -> int:
 
 
 class TxLogTable:
-    def __init__(self, path: str, key_cols: list[str], stats_col: str):
+    def __init__(self, path: str, key_cols: list[str], stats_col: str,
+                 cluster_by: list[str] | None = None):
         self.path = path
         self.log_dir = os.path.join(path, "_txlog")
         self.data_dir = os.path.join(path, "data")
@@ -101,6 +211,17 @@ class TxLogTable:
         # lexicographically, so the column must be ISO-timestamp/zero-padded
         # (documented contract, like Delta's stats-schema restrictions)
         self.stats_col = stats_col
+        # r7 clustered layout: every write path range-partitions its output
+        # on these columns before the parquet write, so each data file
+        # covers a TIGHT, largely disjoint value range and the typed
+        # per-file skip-stats become partition-pruning-grade. This is the
+        # Spark-first answer to Hive partition columns: same pruning power
+        # at plan time (via stats), no small-file explosion at high
+        # cardinality, no separate partition-value metadata to re-attach
+        # on per-file reads — and rewrites (merge/delete/update/
+        # replace_where) RE-cluster automatically because they funnel
+        # through the same writer (liquid-clustering-style maintenance).
+        self.cluster_by = list(cluster_by) if cluster_by else None
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         # publish the table's write config so readers (the txlog Spark
@@ -115,18 +236,24 @@ class TxLogTable:
             with open(meta) as fh:
                 existing = json.load(fh)
             if (existing["key_cols"] != list(key_cols)
-                    or existing["stats_col"] != stats_col):
+                    or existing["stats_col"] != stats_col
+                    or (existing.get("cluster_by") or None)
+                    != self.cluster_by):
                 raise ValueError(
                     f"txlog: table at {path} was created with "
                     f"key_cols={existing['key_cols']} "
-                    f"stats_col={existing['stats_col']!r}; constructor got "
-                    f"key_cols={list(key_cols)} stats_col={stats_col!r}. "
+                    f"stats_col={existing['stats_col']!r} "
+                    f"cluster_by={existing.get('cluster_by')}; constructor "
+                    f"got key_cols={list(key_cols)} stats_col={stats_col!r} "
+                    f"cluster_by={self.cluster_by}. "
                     "Open existing tables with TxLogTable.open(path).")
         else:
             tmp = meta + f".tmp.{uuid.uuid4().hex[:8]}"
             with open(tmp, "w") as fh:
                 json.dump({"key_cols": list(key_cols),
-                           "stats_col": stats_col}, fh)
+                           "stats_col": stats_col,
+                           **({"cluster_by": self.cluster_by}
+                              if self.cluster_by else {})}, fh)
             os.replace(tmp, meta)
 
     @classmethod
@@ -135,7 +262,8 @@ class TxLogTable:
         with open(os.path.join(path, "_txlog", "_meta.json")) as fh:
             meta = json.load(fh)
         return cls(path, key_cols=meta["key_cols"],
-                   stats_col=meta["stats_col"])
+                   stats_col=meta["stats_col"],
+                   cluster_by=meta.get("cluster_by"))
 
     # ---- log primitives ---------------------------------------------------
 
@@ -381,7 +509,8 @@ class TxLogTable:
 
     # ---- data-file helpers ------------------------------------------------
 
-    def _write_data_files(self, df: DataFrame) -> list[dict]:
+    def _write_data_files(self, df: DataFrame,
+                          layout: bool = True) -> list[dict]:
         """Write df as immutable parquet files under a fresh subdir; return
         add-actions with footer-derived row counts and stats-column min/max
         (exactly what a catalog/commit service records).
@@ -390,12 +519,21 @@ class TxLogTable:
         write path (append, txn_append, merge, DELETE/UPDATE rewrites,
         merge_into, optimize) funnels its outgoing rows through here, so
         active constraints are validated BEFORE any file lands (a
-        violation raises with nothing staged and nothing committed)."""
+        violation raises with nothing staged and nothing committed).
+
+        r7 clustered layout: when the table declares ``cluster_by`` the
+        frame is range-partitioned on those columns first, so files cover
+        tight disjoint ranges and the typed skip-stats prune like Hive
+        partitions. ``layout=False`` opts out for callers that already
+        arranged their own physical layout (optimize's coalesce/Z-order)."""
         import pyarrow.parquet as pq
 
         cons = self.constraints()
         if cons:
             self._check(df, cons)
+
+        if layout and self.cluster_by:
+            df = df.repartitionByRange(*self.cluster_by)
 
         sub = os.path.join(self.data_dir, uuid.uuid4().hex[:12])
         df.write.mode("error").parquet(sub)
@@ -418,7 +556,9 @@ class TxLogTable:
                     hi = mx if hi is None or mx > hi else hi
                 adds.append({"add": {"path": os.path.relpath(full, self.path),
                                      "rows": meta.num_rows,
-                                     "min": lo, "max": hi}})
+                                     "min": lo, "max": hi,
+                                     **({"stats": s} if (
+                                         s := _file_stats(meta)) else {})}})
         return adds
 
     def _files_df(self, spark: SparkSession, files: list[dict]) -> DataFrame:
@@ -518,6 +658,41 @@ class TxLogTable:
                 if a["min"] is None or lo is None
                 or not (a["max"] < lo or a["min"] > hi)]
 
+    def _key_ranges(self, df: DataFrame, cols: list[str]) -> dict:
+        """One agg over ``df``: normalized (lo, hi) per column — the
+        typed pruning bounds a merge/upsert derives from its own source
+        frame. Columns whose type the stats domain can't order (or an
+        empty/all-null frame) read as (None, None) = unbounded."""
+        names = list(dict.fromkeys(cols))
+        row = df.agg(*[f for c in names
+                       for f in (F.min(c), F.max(c))]).first()
+        return {c: (_stat_norm(row[2 * i]), _stat_norm(row[2 * i + 1]))
+                for i, c in enumerate(names)}
+
+    def _prune_files(self, live: list[dict], ranges: dict) -> list[dict]:
+        """Generalized file skipping (r7): keep live files that MAY hold a
+        row satisfying every column bound. Adds that carry typed stats
+        prune through ``file_may_match`` on EVERY bounded column (numeric
+        columns compare numerically — safe where the legacy string
+        compare is not); adds from pre-stats logs fall back to the legacy
+        single-column string bounds over stats_col, whose order-safety is
+        that column's documented contract."""
+        lo, hi = ranges.get(self.stats_col, (None, None))
+        slo = None if lo is None else str(lo)
+        shi = None if hi is None else str(hi)
+        out = []
+        for a in live:
+            if a.get("stats"):
+                if not file_may_match(a, ranges):
+                    continue
+            elif a.get("min") is not None:
+                if slo is not None and a["max"] < slo:
+                    continue
+                if shi is not None and a["min"] > shi:
+                    continue
+            out.append(a)
+        return out
+
     def merge(self, updates: DataFrame,
               deadline_sec: float = COMMIT_DEADLINE_SEC) -> dict:
         """MERGE keyed on key_cols: rewrite ONLY live files whose stats
@@ -534,11 +709,14 @@ class TxLogTable:
         are re-committed WITHOUT re-running the Spark read-rewrite. Only a
         real overlap pays the rebase. Retries are deadline-bounded with
         jittered backoff instead of a fixed cap, so fast appenders cannot
-        starve a slow merger. Returns commit stats."""
-        bounds = updates.agg(
-            F.min(F.col(self.stats_col).cast("string")).alias("lo"),
-            F.max(F.col(self.stats_col).cast("string")).alias("hi")).first()
-        lo, hi = bounds["lo"], bounds["hi"]
+        starve a slow merger. Returns commit stats.
+
+        r7: pruning bounds derive from EVERY key column of the updates
+        (plus the stats column), not just stats_col — a file overlapping
+        the update's time range but disjoint in another key column is
+        carried by reference, and numeric columns compare numerically
+        (typed stats) instead of through the string trap."""
+        ranges = self._key_ranges(updates, [*self.key_cols, self.stats_col])
         deadline = time.monotonic() + deadline_sec
 
         def rewrite(touched: list[dict]) -> list[dict]:
@@ -558,7 +736,7 @@ class TxLogTable:
         base = self.latest_version()
         live = self._resolve(base)
         cons0 = self.constraints(base)
-        touched = self._overlapping(live, lo, hi)
+        touched = self._prune_files(live, ranges)
         adds = rewrite(touched)
         retries = rewrites = 0
         while True:
@@ -576,7 +754,7 @@ class TxLogTable:
                 retries += 1
                 base = self.latest_version()
                 live = self._resolve(base)
-                new_touched = self._overlapping(live, lo, hi)
+                new_touched = self._prune_files(live, ranges)
                 # fast path requires BOTH an unchanged touched set and
                 # unchanged constraints (r7): an interleaved
                 # add_constraint must force re-validation of the staged
@@ -613,9 +791,10 @@ class TxLogTable:
 
         Like Delta, a source with MULTIPLE rows per key is rejected
         (ambiguous matches would apply one arbitrarily). Pruning derives
-        from the source itself (stats-column min/max — no caller
-        assertion): only overlapping live files rewrite, the rest carry
-        by reference, inserts ride the same atomic commit. Retry protocol
+        from the source itself (typed min/max over every key column plus
+        the stats column — no caller assertion): only overlapping live
+        files rewrite, the rest carry by reference, inserts ride the
+        same atomic commit. Retry protocol
         is merge's: deadline-bounded jittered backoff + the logical
         no-conflict fast path."""
         for kind, _, assigns in clauses:
@@ -635,10 +814,7 @@ class TxLogTable:
         def as_col(c):
             return F.expr(c) if isinstance(c, str) else c
 
-        bounds = source.agg(
-            F.min(F.col(self.stats_col).cast("string")).alias("lo"),
-            F.max(F.col(self.stats_col).cast("string")).alias("hi")).first()
-        lo, hi = bounds["lo"], bounds["hi"]
+        ranges = self._key_ranges(source, [*self.key_cols, self.stats_col])
         deadline = time.monotonic() + deadline_sec
         counts = {"updated": 0, "deleted": 0, "inserted": 0}
 
@@ -713,7 +889,7 @@ class TxLogTable:
         base = self.latest_version()
         live = self._resolve(base)
         cons0 = self.constraints(base)
-        touched = self._overlapping(live, lo, hi)
+        touched = self._prune_files(live, ranges)
         adds = rewrite(touched)
         retries = rebases = 0
         while True:
@@ -731,7 +907,7 @@ class TxLogTable:
                 retries += 1
                 base = self.latest_version()
                 live = self._resolve(base)
-                new_touched = self._overlapping(live, lo, hi)
+                new_touched = self._prune_files(live, ranges)
                 if ({a["path"] for a in new_touched}
                         == {a["path"] for a in touched}
                         and self.constraints(base) == cons0):
@@ -792,7 +968,10 @@ class TxLogTable:
                         .sortWithinPartitions("__z").drop("__z"))
             else:
                 df = df.coalesce(target_files)
-            return self._write_data_files(df.localCheckpoint(eager=True))
+            # optimize OWNS its physical layout (coalesce / z-range):
+            # cluster_by must not re-shuffle it away
+            return self._write_data_files(df.localCheckpoint(eager=True),
+                                          layout=False)
 
         base = self.latest_version()
         live = self._resolve(base)
@@ -868,7 +1047,9 @@ class TxLogTable:
 
     def _rewrite_where(self, op: str, key_range: tuple[str, str] | None,
                        make_output, deadline_sec: float,
-                       scope_cond=None, verify_scope: bool = True) -> dict:
+                       scope_cond=None, verify_scope: bool = True,
+                       column_ranges: dict | None = None,
+                       extra_adds: list[dict] | None = None) -> dict:
         """Shared copy-on-write machinery for DELETE/UPDATE: resolve the
         live set, stats-prune to the files whose [min,max] range can hold
         affected keys (``key_range`` over the stats column — None scopes
@@ -889,13 +1070,30 @@ class TxLogTable:
         on the stats/sort column) and a stale assertion raises instead of
         losing updates. Callers at extreme scale who can prove the range
         (e.g. it was derived from the update frame itself) may pass
-        verify_scope=False to keep the operation strictly metadata-pruned."""
+        verify_scope=False to keep the operation strictly metadata-pruned.
+
+        r7 ``column_ranges`` ({col: (lo, hi)}) generalizes the scoping to
+        ANY column with recorded typed stats — bounds compare numerically
+        for numeric columns, and every bounded column must overlap a file
+        for it to rewrite. Same assertion semantics (and the same
+        verify-scope probe) as key_range; both compose conjunctively."""
         lo, hi = key_range if key_range is not None else (None, None)
+        ranges = {c: (_stat_norm(b[0]), _stat_norm(b[1]))
+                  for c, b in (column_ranges or {}).items()}
         deadline = time.monotonic() + deadline_sec
         matched = {"rows": 0}
 
+        def prune(live: list[dict]) -> list[dict]:
+            touched = self._overlapping(live, lo, hi)
+            if ranges:
+                touched = [a for a in touched
+                           if not a.get("stats")
+                           or file_may_match(a, ranges)]
+            return touched
+
         def check_scope(live: list[dict], touched: list[dict]) -> None:
-            if scope_cond is None or not verify_scope or key_range is None:
+            if (scope_cond is None or not verify_scope
+                    or (key_range is None and not ranges)):
                 return
             tset = {a["path"] for a in touched}
             carried = [a for a in live if a["path"] not in tset]
@@ -907,10 +1105,11 @@ class TxLogTable:
                      .limit(1).count())
             if stray:
                 raise ValueError(
-                    f"txlog {op}: key_range={key_range} excludes file(s) "
-                    "that contain predicate-matching rows — the range "
-                    "assertion is wrong and would silently skip matches. "
-                    "Widen key_range (or pass key_range=None).")
+                    f"txlog {op}: key_range={key_range} / column_ranges="
+                    f"{column_ranges} exclude file(s) that contain "
+                    "predicate-matching rows — the range assertion is "
+                    "wrong and would silently skip matches. Widen the "
+                    "ranges (or pass None).")
 
         def rewrite(touched: list[dict]) -> list[dict]:
             if not touched:
@@ -924,20 +1123,24 @@ class TxLogTable:
             # stats (min None => never prunable); drop it from the commit
             return [a for a in adds if a["add"]["rows"] > 0]
 
+        extra = [a for a in (extra_adds or []) if a["add"]["rows"] > 0]
         base = self.latest_version()
         live = self._resolve(base)
         cons0 = self.constraints(base)
-        touched = self._overlapping(live, lo, hi)
+        touched = prune(live)
         check_scope(live, touched)
         adds = rewrite(touched)
         retries = rebases = 0
         while True:
-            actions = adds + [{"remove": a["path"]} for a in touched]
+            actions = (adds + extra
+                       + [{"remove": a["path"]} for a in touched])
             try:
                 v = self.commit(actions, base + 1, op=op)
                 return {"version": v, "rewritten_files": len(touched),
                         "carried_files": len(live) - len(touched),
-                        "added_files": len(adds),
+                        "added_files": len(adds) + len(extra),
+                        "inserted_rows": sum(a["add"]["rows"]
+                                             for a in extra),
                         "matched_rows": matched["rows"],
                         "retries": retries, "rebases": rebases}
             except VersionConflict:
@@ -947,20 +1150,28 @@ class TxLogTable:
                 retries += 1
                 base = self.latest_version()
                 live = self._resolve(base)
-                new_touched = self._overlapping(live, lo, hi)
+                new_touched = prune(live)
                 if ({a["path"] for a in new_touched}
                         == {a["path"] for a in touched}
                         and self.constraints(base) == cons0):
                     continue        # logical no-conflict: re-commit as-is
                 touched = new_touched
-                cons0 = self.constraints(base)
+                new_cons = self.constraints(base)
+                if new_cons != cons0 and extra:
+                    # an interleaved add_constraint must also gate the
+                    # pre-staged insert files (rewritten files re-validate
+                    # inside rewrite() via _write_data_files)
+                    self._check(self._files_df(
+                        _session(), [a["add"] for a in extra]), new_cons)
+                cons0 = new_cons
                 check_scope(live, touched)
                 adds = rewrite(touched)
                 rebases += 1
 
     def delete(self, condition, key_range: tuple[str, str] | None = None,
                deadline_sec: float = COMMIT_DEADLINE_SEC,
-               verify_scope: bool = True) -> dict:
+               verify_scope: bool = True,
+               column_ranges: dict | None = None) -> dict:
         """DELETE FROM table WHERE condition — SQL semantics: rows where
         the predicate is TRUE go; NULL-predicate rows stay. ``condition``
         is a Column or SQL string; ``key_range=(lo,hi)`` (string bounds
@@ -974,7 +1185,9 @@ class TxLogTable:
         rows in carried files. ``verify_scope=True`` (default) probes the
         carried files and raises on a stale assertion (see
         ``_rewrite_where``); disable only when the range is provably
-        derived from the predicate itself."""
+        derived from the predicate itself. ``column_ranges`` scopes on
+        ANY typed-stats column (numeric bounds compare numerically) —
+        same assertion + probe semantics as key_range."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
 
         def make_output(src: DataFrame):
@@ -983,12 +1196,14 @@ class TxLogTable:
 
         return self._rewrite_where("delete", key_range, make_output,
                                    deadline_sec, scope_cond=cond,
-                                   verify_scope=verify_scope)
+                                   verify_scope=verify_scope,
+                                   column_ranges=column_ranges)
 
     def update(self, condition, assignments: dict,
                key_range: tuple[str, str] | None = None,
                deadline_sec: float = COMMIT_DEADLINE_SEC,
-               verify_scope: bool = True) -> dict:
+               verify_scope: bool = True,
+               column_ranges: dict | None = None) -> dict:
         """UPDATE table SET col = expr, ... WHERE condition. Assignment
         values are Columns or SQL strings, cast back to the column's
         existing type (an UPDATE never changes the schema). Scoping,
@@ -1010,7 +1225,48 @@ class TxLogTable:
 
         return self._rewrite_where("update", key_range, make_output,
                                    deadline_sec, scope_cond=cond,
-                                   verify_scope=verify_scope)
+                                   verify_scope=verify_scope,
+                                   column_ranges=column_ranges)
+
+    def replace_where(self, df: DataFrame, condition,
+                      key_range: tuple[str, str] | None = None,
+                      deadline_sec: float = COMMIT_DEADLINE_SEC,
+                      verify_scope: bool = True,
+                      column_ranges: dict | None = None) -> dict:
+        """INSERT OVERWRITE ... WHERE — Delta's ``replaceWhere``: in ONE
+        atomic commit, delete every existing row matching ``condition``
+        and insert ``df`` in its place. The canonical backfill/restatement
+        op: rebuild one day/segment and swap it in without readers ever
+        seeing the region half-empty.
+
+        Delta-parity input validation: every incoming row must itself
+        satisfy the predicate (a row outside the replaced region would
+        silently widen the overwrite) — violations raise with nothing
+        committed. The new files are staged ONCE before the retry loop
+        (they don't depend on the snapshot); only the delete-side rewrite
+        rebases on conflicts, re-using delete's stats pruning, the
+        ``key_range``/``column_ranges`` assertions + verify-scope probe,
+        and the constraint gate (an interleaved add_constraint re-validates
+        the staged inserts too)."""
+        cond = F.expr(condition) if isinstance(condition, str) else condition
+        stray = (df.filter(~F.coalesce(cond, F.lit(False)))
+                 .limit(1).count())
+        if stray:
+            raise ValueError(
+                "txlog replace_where: the incoming frame has row(s) NOT "
+                "matching the predicate — they fall outside the replaced "
+                "region. Fix the frame or widen the predicate.")
+        extra = self._write_data_files(df)
+
+        def make_output(src: DataFrame):
+            c = F.coalesce(cond, F.lit(False))
+            return src.filter(~c), src.filter(c).count()
+
+        return self._rewrite_where("replace_where", key_range, make_output,
+                                   deadline_sec, scope_cond=cond,
+                                   verify_scope=verify_scope,
+                                   column_ranges=column_ranges,
+                                   extra_adds=extra)
 
     def restore(self, version: int,
                 deadline_sec: float = COMMIT_DEADLINE_SEC) -> dict:

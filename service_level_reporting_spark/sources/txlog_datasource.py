@@ -49,11 +49,12 @@ import os
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
-    DataSource, DataSourceReader, DataSourceStreamReader, EqualTo,
-    GreaterThan, GreaterThanOrEqual, InputPartition, LessThan,
-    LessThanOrEqual)
+    DataSource, DataSourceReader, DataSourceStreamReader, EqualNullSafe,
+    EqualTo, GreaterThan, GreaterThanOrEqual, In, InputPartition, IsNotNull,
+    IsNull, LessThan, LessThanOrEqual)
 
-from service_level_reporting_spark.sources.txlog import TxLogTable, add_rows
+from service_level_reporting_spark.sources.txlog import (
+    TxLogTable, _comparable, _stat_norm, add_rows, file_may_match)
 
 CDF_COLS = (("_change_type", "string"), ("_commit_version", "bigint"))
 
@@ -198,29 +199,72 @@ class TxLogBatchReader(DataSourceReader):
         t = TxLogTable.open(path)
         self.stats_col = t.stats_col
         self._table = t
-        self.lo: str | None = None     # pushed pruning bounds on stats_col
-        self.hi: str | None = None
+        self.lo: str | None = None     # legacy bounds on stats_col (string
+        self.hi: str | None = None     # domain — pre-typed-stats adds)
+        self.bounds: dict[str, list] = {}   # typed bounds, ANY column (r7)
+        self.not_null: set[str] = set()     # IsNotNull pushdowns
+        self.null_only: set[str] = set()    # IsNull pushdowns
         self.pruned_files = 0          # observable (tests / EXPLAIN notes)
 
+    def _tighten(self, col: str, lo=None, hi=None) -> None:
+        cur = self.bounds.setdefault(col, [None, None])
+        if lo is not None and (cur[0] is None
+                               or (_comparable(cur[0], lo) and lo > cur[0])):
+            cur[0] = lo
+        if hi is not None and (cur[1] is None
+                               or (_comparable(cur[1], hi) and hi < cur[1])):
+            cur[1] = hi
+
     def pushFilters(self, filters):
-        """Tighten [lo, hi] from stats-column comparisons; EVERYTHING is
-        yielded back as unhandled (Spark re-applies exactly; we only use
-        the bounds to skip whole files via the log's min/max). Disabled
-        entirely when the stats column's string ordering is not value
-        ordering (numerics) — pruning there could skip files holding
-        matching rows, and a skipped file is unrecoverable."""
+        """Collect per-column pruning bounds; EVERYTHING is yielded back
+        as unhandled (Spark re-applies exactly; we only use the bounds to
+        skip whole files via the log's stats). Two stat domains (r7):
+
+        * **Typed stats** (adds carrying ``stats``): comparisons, ``In``,
+          ``IsNull``/``IsNotNull`` prune on ANY recorded column — numeric
+          values compare numerically, so the '9' > '10' string trap
+          cannot fire, and a cross-kind comparison never prunes
+          (``file_may_match``'s conservative contract).
+        * **Legacy string stats** (pre-r7 adds: only stats_col min/max
+          strings): bounds fire only when the stats column's string
+          ordering is value ordering (string/timestamp/date) — disabled
+          for numerics rather than silently losing rows, since a skipped
+          file is unrecoverable."""
         for f in filters:
-            if (self.stats_safe
-                    and isinstance(f, (EqualTo, GreaterThan,
-                                       GreaterThanOrEqual, LessThan,
-                                       LessThanOrEqual))
-                    and len(f.attribute) == 1
-                    and f.attribute[0] == self.stats_col):
-                v = _stats_value(f.value)
-                if isinstance(f, (GreaterThan, GreaterThanOrEqual, EqualTo)):
-                    self.lo = v if self.lo is None else max(self.lo, v)
-                if isinstance(f, (LessThan, LessThanOrEqual, EqualTo)):
-                    self.hi = v if self.hi is None else min(self.hi, v)
+            attr = getattr(f, "attribute", None)
+            col = attr[0] if attr is not None and len(attr) == 1 else None
+            if col is not None:
+                if isinstance(f, (EqualTo, EqualNullSafe, GreaterThan,
+                                  GreaterThanOrEqual, LessThan,
+                                  LessThanOrEqual)):
+                    v = _stat_norm(f.value)
+                    if v is not None:
+                        if isinstance(f, (GreaterThan, GreaterThanOrEqual,
+                                          EqualTo, EqualNullSafe)):
+                            self._tighten(col, lo=v)
+                        if isinstance(f, (LessThan, LessThanOrEqual,
+                                          EqualTo, EqualNullSafe)):
+                            self._tighten(col, hi=v)
+                    if (self.stats_safe and col == self.stats_col
+                            and not isinstance(f, EqualNullSafe)):
+                        s = _stats_value(f.value)
+                        if isinstance(f, (GreaterThan, GreaterThanOrEqual,
+                                          EqualTo)):
+                            self.lo = (s if self.lo is None
+                                       else max(self.lo, s))
+                        if isinstance(f, (LessThan, LessThanOrEqual,
+                                          EqualTo)):
+                            self.hi = (s if self.hi is None
+                                       else min(self.hi, s))
+                elif isinstance(f, In):
+                    vs = [_stat_norm(x) for x in f.value]
+                    if (vs and all(v is not None for v in vs)
+                            and all(_comparable(vs[0], v) for v in vs[1:])):
+                        self._tighten(col, lo=min(vs), hi=max(vs))
+                elif isinstance(f, IsNotNull):
+                    self.not_null.add(col)
+                elif isinstance(f, IsNull):
+                    self.null_only.add(col)
             yield f                   # prune-only: Spark still applies all
 
     def partitions(self):
@@ -234,15 +278,33 @@ class TxLogBatchReader(DataSourceReader):
                 for p in paths]
         else:
             live = t._resolve(self.version)
+            ranges = {c: tuple(b) for c, b in self.bounds.items()}
 
             def overlaps(a: dict) -> bool:
-                # one-sided bounds allowed (unlike merge, a pushed filter
-                # may bound only one end); statless files never prune
-                if a["min"] is None:
+                # legacy single-column string bounds (one-sided allowed;
+                # statless files never prune)
+                if a["min"] is not None:
+                    if self.lo is not None and a["max"] < self.lo:
+                        return False
+                    if self.hi is not None and a["min"] > self.hi:
+                        return False
+                st = a.get("stats")
+                if not st:
                     return True
-                if self.lo is not None and a["max"] < self.lo:
+                # typed per-column bounds (r7) — conjunctive, type-safe
+                if ranges and not file_may_match(a, ranges):
                     return False
-                return not (self.hi is not None and a["min"] > self.hi)
+                rows = a.get("rows")
+                for col in self.not_null:     # all-null file, IS NOT NULL
+                    e = st.get(col)
+                    if (e and rows and e.get("nulls") is not None
+                            and e["nulls"] == rows):
+                        return False
+                for col in self.null_only:    # null-free file, IS NULL
+                    e = st.get(col)
+                    if e and rows and e.get("nulls") == 0:
+                        return False
+                return True
 
             keep = [a for a in live if overlaps(a)]
             self.pruned_files = len(live) - len(keep)

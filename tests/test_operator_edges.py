@@ -1094,3 +1094,82 @@ def test_pagerank_matches_pure_python_reference(spark, monkeypatch):
     # hub (clone keeper) > leaf > isolated baseline
     assert got[1]["rank"] > got[2]["rank"] > got[6]["rank"]
     assert got[1]["degree"] == 2 and got[6]["degree"] == 0
+
+
+def test_substring_span_semantics(spark, monkeypatch):
+    """dedup_substring_spans (ExactSubstr, Lee et al. 2022): a k-token
+    window occurring >1 time anywhere marks its tokens; touching windows
+    merge per-doc into MAXIMAL spans. Planted: a 16-token run shared
+    across two docs (longer than k=12 — islands must extend it), a
+    WITHIN-doc repeated 12-token phrase (both occurrences surface, with
+    the unique gap between them splitting the islands), exact clones
+    (full-doc span), and a unique doc (no rows)."""
+    from service_level_reporting_spark.operators import dedup as DD
+
+    shared = [f"s{i}" for i in range(16)]        # 16-token shared run
+    phrase = [f"p{i}" for i in range(12)]        # exactly k tokens
+    clone = [f"c{i}" for i in range(20)]
+    doc1 = [f"a{i}" for i in range(5)] + shared + [f"b{i}" for i in range(4)]
+    doc2 = [f"d{i}" for i in range(3)] + shared + [f"e{i}" for i in range(5)]
+    doc3 = ([f"f{i}" for i in range(3)] + phrase + ["g0", "g1"]
+            + phrase + ["h0", "h1"])
+    doc6 = [f"u{i}" for i in range(30)]
+    doc7 = ["v0", "v1"]                          # < k tokens: filtered
+    rows = [(1, " ".join(doc1)), (2, " ".join(doc2)), (3, " ".join(doc3)),
+            (4, " ".join(clone)), (5, " ".join(clone)),
+            (6, " ".join(doc6)), (7, " ".join(doc7))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(DD, "_docs", lambda _s, _d: docs)
+
+    got = {(r["doc_id"], r["span_start"]): r
+           for r in DD.dedup_substring_spans(spark, "ignored").collect()}
+    assert set(got) == {(1, 5), (2, 3), (3, 3), (3, 17), (4, 0), (5, 0)}
+    # cross-doc run: maximal span covers all 16 shared tokens, not just k
+    assert got[(1, 5)]["span_len"] == 16
+    assert got[(1, 5)]["span_text"] == " ".join(shared)
+    assert got[(2, 3)]["span_len"] == 16
+    # within-doc repeat: two islands split by the 2-token unique gap
+    assert got[(3, 3)]["span_len"] == 12
+    assert got[(3, 17)]["span_len"] == 12
+    assert got[(3, 17)]["span_text"] == " ".join(phrase)
+    # exact clones: one full-doc span each
+    assert got[(4, 0)]["span_len"] == 20 and got[(5, 0)]["span_len"] == 20
+
+
+def test_repetition_suite_semantics(spark, monkeypatch):
+    """text_repetition_suite (Gopher repetition rules): a degenerate
+    alternating doc maxes every metric; a within-doc repeated 5-gram is
+    covered exactly once per token (islands, overlapping occurrences);
+    clean text keeps; a 1-token doc yields zero fracs (no crash on
+    sub-n-gram lengths)."""
+    from service_level_reporting_spark.operators import text as TX
+
+    doc1 = "a b a b a b a b"                       # 8 toks, 15 chars
+    doc2 = " ".join(f"u{i}" for i in range(30))    # clean unique
+    doc3 = "p q r s t x p q r s t y"               # 5-gram twice, gap > 5
+    rows = [(1, doc1), (2, doc2), (3, doc3), (4, "solo")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    monkeypatch.setattr(TX, "_docs", lambda _s, _d: docs)
+
+    got = {r["doc_id"]: r
+           for r in TX.text_repetition_suite(spark, "ignored").collect()}
+    assert set(got) == {1, 2, 3, 4}
+    # doc1: "a b" 4x (12 of 15 chars), "a b a" 3x (15/15), every 5-gram
+    # duplicated (coverage 1.0), 2 distinct of 8 words
+    assert got[1]["top2_char_frac"] == 0.8
+    assert got[1]["top3_char_frac"] == 1.0
+    assert got[1]["dup5_token_frac"] == 1.0
+    assert got[1]["dup_word_frac"] == 0.75
+    assert got[1]["keep"] == 0
+    # doc3: two disjoint islands of 5 tokens each -> 10/12
+    assert got[3]["dup5_token_frac"] == round(10 / 12, 6)
+    assert got[3]["keep"] == 0
+    # clean doc keeps; zero repetition signals
+    assert got[2]["keep"] == 1
+    assert got[2]["dup_word_frac"] == 0.0
+    assert got[2]["dup5_token_frac"] == 0.0
+    # 1-token doc: below every n-gram length, all fracs coalesce to 0
+    assert got[4]["n_tokens"] == 1
+    assert (got[4]["top2_char_frac"], got[4]["top3_char_frac"],
+            got[4]["dup5_token_frac"]) == (0.0, 0.0, 0.0)
+    assert got[4]["keep"] == 1

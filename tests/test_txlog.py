@@ -1021,3 +1021,165 @@ def test_changes_after_vacuum_raises(spark, table_path):
     # a recent-enough range still works
     latest = t.latest_version()
     assert t.changes(spark, latest - 1, latest).count() > 0
+
+
+def test_typed_multicol_stats_and_pruning(spark, table_path):
+    """r7 multi-column skip-stats: every add records typed per-column
+    min/max + null counts (numbers as numbers); merge prunes on EVERY
+    key column of its source, not just stats_col; DELETE/UPDATE accept
+    ``column_ranges`` over any stats column with the same verified-
+    assertion semantics as key_range."""
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "k long, g string, v double, s string").coalesce(1)
+
+    t = TxLogTable(table_path, key_cols=["k", "g"], stats_col="g")
+    t.append(frame([(i, "a", float(i), None) for i in range(10)]))
+    t.append(frame([(i, "a", float(i), "x") for i in range(100, 110)]))
+
+    live = t._resolve()
+    st = {a["stats"]["k"]["lo"]: a["stats"] for a in live}
+    assert st[0]["k"] == {"lo": 0, "hi": 9, "nulls": 0}
+    assert st[100]["v"] == {"lo": 100.0, "hi": 109.0, "nulls": 0}
+    # all-null column: bounds None-None is a recorded FACT, nulls = rows
+    assert st[0]["s"] == {"lo": None, "hi": None, "nulls": 10}
+
+    # merge: both files overlap on stats_col g='a', but the k bounds of
+    # the source prove the low file disjoint — 1 rewritten, 1 carried
+    # (the legacy single-column pruning would rewrite both)
+    r = t.merge(frame([(105, "a", 999.0, "y")]))
+    assert r["rewritten_files"] == 1 and r["carried_files"] == 1
+    rows = {x["k"]: x["v"] for x in t.read(spark).collect()}
+    assert rows[105] == 999.0 and len(rows) == 20
+
+    # delete scoped by column_ranges on the non-stats key column
+    live_n = len(t._resolve())
+    r2 = t.delete("k >= 100 AND k <= 101", column_ranges={"k": (100, 101)})
+    assert r2["matched_rows"] == 2
+    assert r2["rewritten_files"] < live_n     # low file carried by stats
+    assert t.read(spark).count() == 18
+
+    # a stale column_ranges assertion raises instead of losing matches
+    with pytest.raises(ValueError, match="column_ranges"):
+        t.update("v >= 0", {"v": "v + 1"}, column_ranges={"k": (0, 5)})
+
+    # adds without typed stats (pre-r7 log) are conservatively included
+    from service_level_reporting_spark.sources.txlog import file_may_match
+    assert file_may_match({"min": "a", "max": "a"}, {"k": (0, 1)})
+    # cross-kind bounds never prune (numeric filter vs string stats)
+    assert file_may_match({"stats": {"k": {"lo": "5", "hi": "9"}}},
+                          {"k": (100, 200)})
+
+
+def test_replace_where_atomic_backfill(spark, table_path):
+    """r7 replace_where (Delta's replaceWhere): one atomic commit deletes
+    every row matching the predicate and inserts the new frame — the
+    canonical backfill. Old snapshots stay readable; an incoming row
+    OUTSIDE the predicate raises with nothing committed; CDF of the
+    commit nets to exactly (old region deleted, new region inserted)."""
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "day string, k long, v double").coalesce(1)
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="day")
+    t.append(frame([("2024-01-01", 1, 1.0), ("2024-01-01", 2, 2.0)]))
+    t.append(frame([("2024-01-02", 3, 3.0), ("2024-01-02", 4, 4.0),
+                    ("2024-01-02", 5, 5.0)]))
+    v0 = t.latest_version()
+
+    new = frame([("2024-01-02", 30, 33.0), ("2024-01-02", 40, 44.0)])
+    r = t.replace_where(new, "day = '2024-01-02'",
+                        key_range=("2024-01-02", "2024-01-02"))
+    assert r["matched_rows"] == 3 and r["inserted_rows"] == 2
+    assert r["rewritten_files"] == 1 and r["carried_files"] == 1
+
+    got = {(x["day"], x["k"], x["v"]) for x in t.read(spark).collect()}
+    assert got == {("2024-01-01", 1, 1.0), ("2024-01-01", 2, 2.0),
+                   ("2024-01-02", 30, 33.0), ("2024-01-02", 40, 44.0)}
+    # pre-backfill snapshot untouched (time travel)
+    assert t.read(spark, version=v0).count() == 5
+    assert t.history()[0]["op"] == "replace_where"
+
+    # CDF nets to: 3 old day-2 rows deleted, 2 new rows inserted
+    # (half-open range (v0, latest])
+    ch = t.changes(spark, v0, net=True).collect()
+    by = {(x["day"], x["k"]): x["_change_type"] for x in ch}
+    assert by == {("2024-01-02", 3): "delete", ("2024-01-02", 4): "delete",
+                  ("2024-01-02", 5): "delete", ("2024-01-02", 30): "insert",
+                  ("2024-01-02", 40): "insert"}
+
+    # a row outside the predicate region: refused, nothing committed
+    vbad = t.latest_version()
+    with pytest.raises(ValueError, match="NOT matching"):
+        t.replace_where(frame([("2024-01-01", 9, 9.0)]),
+                        "day = '2024-01-02'")
+    assert t.latest_version() == vbad
+
+    # a stale key_range assertion raises instead of losing rows
+    with pytest.raises(ValueError, match="exclude file"):
+        t.replace_where(frame([("2024-01-01", 1, -1.0),
+                               ("2024-01-02", 30, -1.0)]),
+                        "day >= '2024-01-01'",
+                        key_range=("2024-01-02", "2024-01-02"))
+
+    # CHECK constraints gate the staged inserts like every write
+    t.add_constraint("v_positive", "v > 0")
+    from service_level_reporting_spark.sources.txlog import (
+        ConstraintViolation)
+    with pytest.raises(ConstraintViolation):
+        t.replace_where(frame([("2024-01-02", 50, -5.0)]),
+                        "day = '2024-01-02'")
+
+
+def test_cluster_by_layout_and_pruning(spark, table_path):
+    """r7 clustered layout: cluster_by range-partitions every write on the
+    declared columns, so per-file typed stats cover disjoint ranges and a
+    point merge rewrites exactly one file — Hive-partition pruning power
+    without partition metadata. The layout survives open() (recorded in
+    _meta.json), a mismatched constructor raises, and rewrites re-cluster
+    through the same writer."""
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="g",
+                   cluster_by=["k"])
+    df = spark.range(0, 96).select(
+        F.col("id").alias("k"), F.lit("a").alias("g"),
+        (F.col("id") * 1.0).alias("v")).repartition(4)   # writer re-ranges
+    # at test scale AQE would coalesce the tiny range shuffle into ONE
+    # partition (at real scale that coalescing is exactly the file-sizing
+    # we want); pin it off for the append so the layout is observable
+    coalesce_key = "spark.sql.adaptive.coalescePartitions.enabled"
+    prev = spark.conf.get(coalesce_key, None)
+    spark.conf.set(coalesce_key, "false")
+    try:
+        t.append(df)
+    finally:
+        if prev is None:
+            spark.conf.unset(coalesce_key)
+        else:
+            spark.conf.set(coalesce_key, prev)
+
+    live = t._resolve()
+    assert len(live) > 1
+    # files cover DISJOINT k-ranges (range partitioning, not hash)
+    spans = sorted((a["stats"]["k"]["lo"], a["stats"]["k"]["hi"])
+                   for a in live)
+    for (l1, h1), (l2, h2) in zip(spans, spans[1:]):
+        assert h1 < l2
+    # point merge touches exactly one file despite identical stats_col g
+    upd = spark.createDataFrame([(50, "a", 999.0)],
+                                "k long, g string, v double")
+    r = t.merge(upd)
+    assert r["rewritten_files"] == 1
+    assert r["carried_files"] == len(live) - 1
+    assert {x["v"] for x in t.read(spark).filter("k = 50").collect()} \
+        == {999.0}
+
+    # config identity: open() restores cluster_by; a different constructor
+    # config is a loud error
+    assert TxLogTable.open(table_path).cluster_by == ["k"]
+    with pytest.raises(ValueError, match="cluster_by"):
+        TxLogTable(table_path, key_cols=["k"], stats_col="g")
+
+    # optimize keeps its own layout (coalesce) — no re-cluster fight
+    t.optimize(target_files=2)
+    assert len(t._resolve()) <= 2
+    assert t.read(spark).count() == 96

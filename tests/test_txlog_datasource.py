@@ -88,10 +88,16 @@ def test_filter_pushdown_prunes_from_log_stats(spark, table_path):
     list(r2.pushFilters([LessThan(("minute",),
                                   datetime.datetime(2024, 1, 2))]))
     assert len(r2.partitions()) == 1 and r2.pruned_files == 2
-    # a filter on a non-stats column prunes nothing
+    # r7: a NON-stats column prunes too, through the typed per-column
+    # stats — an impossible bound proves every file irrelevant (the scan
+    # plans only the empty sentinel partition)
     r3 = TxLogBatchReader(table_path, {"path": table_path})
-    list(r3.pushFilters([GreaterThanOrEqual(("value",), 0.0)]))
-    assert len(r3.partitions()) == 3 and r3.pruned_files == 0
+    list(r3.pushFilters([GreaterThanOrEqual(("value",), 1e18)]))
+    assert len(r3.partitions()) == 1 and r3.pruned_files == 3
+    # ...while a satisfiable bound on it keeps every overlapping file
+    r4 = TxLogBatchReader(table_path, {"path": table_path})
+    list(r4.pushFilters([GreaterThanOrEqual(("value",), 0.0)]))
+    assert len(r4.partitions()) == 3 and r4.pruned_files == 0
 
 
 def test_batch_changes_equals_table_cdf(spark, table_path):
@@ -107,12 +113,15 @@ def test_batch_changes_equals_table_cdf(spark, table_path):
     assert _multiset(ch) == _multiset(t.changes(spark, v_from))
 
 
-def test_numeric_stats_column_never_prunes(spark, table_path):
-    """r7 (ADVICE): the log's stats are STRINGS; for a numeric stats
-    column lexicographic compare is wrong ('10' < '2'), so pushdown
-    pruning must be disabled rather than skip a file that holds matching
-    rows (unlike merge pruning, Spark's re-applied filter cannot recover
-    a file the scan never planned)."""
+def test_numeric_stats_prune_typed_not_lexicographic(spark, table_path):
+    """Numeric pruning must be VALUE-ordered, never string-ordered
+    ('10' < '2' lexicographically — r7 ADVICE). With typed per-column
+    stats (r7) a numeric bound prunes CORRECTLY: v >= 2 keeps both the
+    [9,9] and [10,10] files (the string compare would lose the 10), and
+    v >= 10 skips the [9,9] file. Adds from PRE-typed-stats logs carry
+    only the string min/max, where numeric pruning stays disabled."""
+    import json as _json
+
     spark.dataSource.register(TxLogDataSource)
     t = TxLogTable(table_path, key_cols=["v"], stats_col="v")
     t.append(spark.createDataFrame([(9, "nine")],
@@ -121,8 +130,7 @@ def test_numeric_stats_column_never_prunes(spark, table_path):
                                    "v long, s string").coalesce(1))
 
     df = spark.read.format("txlog").load(table_path)
-    # without the type gate, lo='2' lexicographically prunes the [10,10]
-    # file ('10' < '2') and the row is lost
+    # the lexicographic trap case: lo='2' would prune the [10,10] file
     got = sorted(r["v"] for r in df.filter(F.col("v") >= 2).collect())
     assert got == [9, 10]
 
@@ -130,6 +138,52 @@ def test_numeric_stats_column_never_prunes(spark, table_path):
     r = TxLogBatchReader(table_path, {"path": table_path})
     list(r.pushFilters([GreaterThanOrEqual(("v",), 2)]))
     assert len(r.partitions()) == 2 and r.pruned_files == 0
+    # typed stats DO prune when the numbers prove disjointness
+    r2 = TxLogBatchReader(table_path, {"path": table_path})
+    list(r2.pushFilters([GreaterThanOrEqual(("v",), 10)]))
+    assert len(r2.partitions()) == 1 and r2.pruned_files == 1
+    got = sorted(r_["v"] for r_ in spark.read.format("txlog")
+                 .load(table_path).filter(F.col("v") >= 10).collect())
+    assert got == [10]
+
+    # back-compat: strip the typed stats (simulating a pre-r7 log) —
+    # numeric pruning must fall back to DISABLED, not to the string trap
+    for f in sorted(os.listdir(t.log_dir)):
+        if f.endswith(".json") and f[:20].isdigit():
+            p = os.path.join(t.log_dir, f)
+            with open(p) as fh:
+                rec = _json.load(fh)
+            for a in rec.get("actions", rec.get("files", [])):
+                (a.get("add") or a).pop("stats", None)
+            with open(p, "w") as fh:
+                _json.dump(rec, fh)
+    r3 = TxLogBatchReader(table_path, {"path": table_path})
+    list(r3.pushFilters([GreaterThanOrEqual(("v",), 10)]))
+    assert len(r3.partitions()) == 2 and r3.pruned_files == 0
+
+
+def test_null_count_pruning(spark, table_path):
+    """r7: IsNull/IsNotNull pushdowns prune via the recorded per-file
+    null counts — an all-null file can't satisfy IS NOT NULL (or any
+    bounded comparison), a null-free file can't satisfy IS NULL."""
+    from pyspark.sql.datasource import GreaterThan, IsNotNull, IsNull
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(spark.createDataFrame([("a", None), ("b", None)],
+                                   "k string, s string").coalesce(1))
+    t.append(spark.createDataFrame([("c", "x"), ("d", "y")],
+                                   "k string, s string").coalesce(1))
+
+    r = TxLogBatchReader(table_path, {"path": table_path})
+    list(r.pushFilters([IsNotNull(("s",))]))
+    assert len(r.partitions()) == 1 and r.pruned_files == 1
+    r2 = TxLogBatchReader(table_path, {"path": table_path})
+    list(r2.pushFilters([IsNull(("s",))]))
+    assert len(r2.partitions()) == 1 and r2.pruned_files == 1
+    # a range bound on an all-null column prunes that file too
+    r3 = TxLogBatchReader(table_path, {"path": table_path})
+    list(r3.pushFilters([GreaterThan(("s",), "a")]))
+    assert len(r3.partitions()) == 1 and r3.pruned_files == 1
 
 
 def test_snapshot_pinned_at_analysis_time(spark, table_path):
