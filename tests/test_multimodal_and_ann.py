@@ -1205,3 +1205,36 @@ def test_audio_fingerprint_near_dup(spark):
     # planted twins are byte-disjoint (volume re-render, not a copy)
     for s in range(4):
         assert rows[s * 2][2] != rows[s * 2 + 1][2]
+
+
+def test_semdedup_subset_and_measured_recall(spark):
+    """SemDeDup (r7 s2, dedup_semantic_pairs): cluster-local pairwise with
+    soft top-2 assignment. Two pinned properties:
+      * SUBSET-ness / zero false positives — every emitted pair is
+        exact-rescored inside the tile, so it must appear in the exact
+        thresholded pair set with the identical cosine;
+      * measured recall — full at sf0.001/sf0.01; at sf0.1 the fixture's
+        threshold-0.5 pairs (~60 deg apart, far below SemDeDup's
+        high-similarity design point) straddle clusters and the measured
+        recall is 9/14 (hard argmax read 5/14 — the top-2 lift is itself
+        pinned by this floor). LSH (dedup_embedding_ann) remains the
+        loose-threshold recall engine; SemDeDup is the cheap
+        tight-threshold mechanism. Deterministic trainer/assigner ->
+        stable numbers."""
+    import service_level_reporting_spark.operators.similarity as SIM
+
+    for sf_dir, floor in ((SF_DIR_001, 1.0),
+                          ("/root/testdata/sf0.01", 1.0),
+                          ("/root/testdata/sf0.1", 0.6)):
+        exact = {(r["vec_a"], r["vec_b"]): r["cos_sim"]
+                 for r in SIM.dedup_embedding_cosine(spark, sf_dir).collect()}
+        sem = {(r["vec_a"], r["vec_b"]): r["cos_sim"]
+               for r in SIM.dedup_semantic_pairs(spark, sf_dir).collect()}
+        wrong = {p for p, c in sem.items() if exact.get(p) != c}
+        assert not wrong, f"{sf_dir}: false/mis-scored pairs {wrong}"
+        recall = len(set(sem) & set(exact)) / len(exact) if exact else 1.0
+        assert recall >= floor, (sf_dir, recall)
+    # the driver row carries the accounting sentinel
+    rows = SIM.dedup_semantic(spark, SF_DIR_001).collect()
+    sent = [r for r in rows if r["vec_a"] == -1]
+    assert len(sent) == 1 and sent[0]["vec_b"] == len(rows) - 1

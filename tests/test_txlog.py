@@ -430,8 +430,13 @@ def test_concurrent_writers_serializability(spark, table_path):
         st.sampled_from(["delete", "update"]),
         st.sets(st.integers(0, 5), min_size=1, max_size=2))
     restore_op = st.tuples(st.just("restore"), st.just(frozenset()))
+    # r7 s2: replace_where joins the mix — same keyed-replacement model
+    # transition as merge, but through the staged-extra-adds commit path
+    replace_op = st.tuples(
+        st.just("replace"),
+        st.sets(st.integers(0, 5), min_size=1, max_size=2))
     writer_st = st.lists(st.one_of(merge_op, append_op, maint_op,
-                                   rowop_op, restore_op),
+                                   rowop_op, restore_op, replace_op),
                          min_size=2, max_size=4)
 
     def frame(rows):
@@ -455,6 +460,9 @@ def test_concurrent_writers_serializability(spark, table_path):
                 payload = rows
                 if kind == "merge":
                     v = t.merge(frame(rows))["version"]
+                elif kind == "replace":
+                    v = t.replace_where(
+                        frame(rows), F.col("k").isin(knames))["version"]
                 elif kind == "append":
                     v = t.append(frame(rows))
                 elif kind == "delete":
@@ -504,7 +512,7 @@ def test_concurrent_writers_serializability(spark, table_path):
         model = Counter(seed)
         hist = {0: Counter(model)}
         for ver, _, _, kind, payload in sorted(committed):
-            if kind == "merge":
+            if kind in ("merge", "replace"):
                 keys = {k for k, _ in payload}
                 for (k, v) in list(model):
                     if k in keys:
