@@ -1,0 +1,125 @@
+"""Incremental materialized-view maintenance (operators/matview.py):
+state folded from the txlog change feed equals a full recompute after
+every commit kind, and the base table is touched ONLY when a delete
+removes a group extreme (the IVM min/max contract)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from service_level_reporting_spark.operators import matview as MV
+from service_level_reporting_spark.sources.txlog import TxLogTable
+
+SPEC = {"keys": ["g"],
+        "aggs": {"v_sum": ("sum", "v"), "n_rows": ("count", "*"),
+                 "v_min": ("min", "v"), "v_max": ("max", "v"),
+                 "v_avg": ("avg", "v")}}
+
+
+@pytest.fixture()
+def table_path():
+    p = os.path.join(tempfile.gettempdir(),
+                     f"slr_mv_test_{uuid.uuid4().hex[:8]}")
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+
+
+def _view(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_matview_incremental_equals_recompute(spark, table_path):
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "k long, g string, v double").coalesce(1)
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="g")
+    # exact-in-binary values: incremental sum must equal recompute sum
+    t.append(frame([(1, "a", 1.0), (2, "a", 4.0), (3, "b", 2.0),
+                    (4, "b", 8.0), (5, "b", None)]))
+    state = MV.mv_init(t.read(spark), SPEC)
+    v = t.latest_version()
+
+    def step(expect_suspects):
+        nonlocal state, v
+        cur = t.latest_version()
+        res = MV.mv_apply_changes(state, t.changes(spark, v, net=True),
+                                  SPEC, base=t.read(spark))
+        state = res["state"].localCheckpoint(eager=True)
+        got_susp = {r["g"] for r in res["suspects"].collect()}
+        assert got_susp == expect_suspects, got_susp
+        assert _view(MV.mv_read(state, SPEC)) == \
+            _view(MV.mv_read(MV.mv_init(t.read(spark), SPEC), SPEC))
+        v = cur
+
+    # 1. pure append incl. a brand-new group: NO base recompute
+    t.append(frame([(6, "a", 0.5), (7, "c", 3.0)]))
+    step(set())
+
+    # 2. merge that replaces a NON-extreme row upward: the delete side
+    # removes v=4.0 while max(a)=4.0 — that IS the stored extreme, so the
+    # group is suspect and the scoped recompute must restore max from the
+    # inserted 16.0
+    t.merge(frame([(2, "a", 16.0)]))
+    step({"a"})
+
+    # 3. delete the row holding b's max: suspect + recompute
+    t.delete("k = 4")
+    step({"b"})
+
+    # 4. update that lowers a's min: delete-side value 0.5 == stored min
+    t.update("k = 6", {"v": "v + 1.0"})
+    step({"a"})
+
+    # 5. replace_where an entire group (all rows swapped atomically)
+    t.replace_where(frame([(30, "c", 6.0), (31, "c", 2.0)]), "g = 'c'")
+    step({"c"})
+
+    # 6. delete strictly inside the envelope: fast path again
+    # (b's extremes after steps 3+6: min 0.25, max 9.0 — 5.0 is interior)
+    t.append(frame([(40, "b", 5.0), (41, "b", 0.25), (42, "b", 9.0)]))
+    step(set())
+    t.delete("k = 40")
+    step(set())
+
+    # group death: delete every 'c' row -> group leaves the view
+    t.delete("g = 'c'", key_range=("c", "c"))
+    cur = t.latest_version()
+    res = MV.mv_apply_changes(state, t.changes(spark, v, net=True),
+                              SPEC, base=t.read(spark))
+    state = res["state"]
+    assert not [r for r in MV.mv_read(state, SPEC).collect()
+                if r["g"] == "c"]
+    assert _view(MV.mv_read(state, SPEC)) == \
+        _view(MV.mv_read(MV.mv_init(t.read(spark), SPEC), SPEC))
+
+
+def test_matview_requires_base_only_when_extreme_dies(spark, table_path):
+    """The min/max+delete case without a base snapshot is a LOUD error;
+    sum/count/avg-only specs never need the base at all."""
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "k long, g string, v double").coalesce(1)
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="g")
+    t.append(frame([(1, "a", 1.0), (2, "a", 2.0)]))
+    state = MV.mv_init(t.read(spark), SPEC)
+    v0 = t.latest_version()
+    t.delete("k = 2")                       # kills max(a)
+    with pytest.raises(ValueError, match="scoped base recompute"):
+        MV.mv_apply_changes(state, t.changes(spark, v0, net=True), SPEC)
+
+    # additive-only spec: same feed folds with no base, equals recompute
+    spec2 = {"keys": ["g"], "aggs": {"v_sum": ("sum", "v"),
+                                     "n_rows": ("count", "*"),
+                                     "v_avg": ("avg", "v")}}
+    st2 = MV.mv_init(t.read(spark, version=v0), spec2)
+    res = MV.mv_apply_changes(st2, t.changes(spark, v0, net=True), spec2)
+    assert _view(MV.mv_read(res["state"], spec2)) == \
+        _view(MV.mv_read(MV.mv_init(t.read(spark), spec2), spec2))
