@@ -123,3 +123,50 @@ def test_matview_requires_base_only_when_extreme_dies(spark, table_path):
     res = MV.mv_apply_changes(st2, t.changes(spark, v0, net=True), spec2)
     assert _view(MV.mv_read(res["state"], spec2)) == \
         _view(MV.mv_read(MV.mv_init(t.read(spark), spec2), spec2))
+
+
+def test_stream_matview_exactly_once(spark, table_path):
+    """Streaming maintenance (streaming/matview_stream.py): the txlog CDC
+    stream folds every commit into a PERSISTED view state table; the
+    checkpointed source replays only new commits across restarts; a full
+    forced replay (fresh checkpoint) is absorbed by the __applied_ver
+    watermark — the state never double-folds."""
+    import os as _os
+
+    from service_level_reporting_spark.streaming.matview_stream import (
+        read_view, stream_matview)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "k long, g string, v double").coalesce(1)
+
+    base_path = _os.path.join(table_path, "base")
+    state_path = _os.path.join(table_path, "view")
+    ck1 = _os.path.join(table_path, "ck1")
+    ck2 = _os.path.join(table_path, "ck2")
+
+    t = TxLogTable(base_path, key_cols=["k"], stats_col="g")
+    t.append(frame([(1, "a", 1.0), (2, "a", 4.0), (3, "b", 2.0)]))
+    t.merge(frame([(2, "a", 8.0), (4, "b", 16.0)]))
+
+    st = stream_matview(spark, base_path, SPEC, state_path, ck1)
+    want = _view(MV.mv_read(MV.mv_init(t.read(spark), SPEC), SPEC))
+    assert _view(read_view(spark, st, SPEC)) == want
+
+    # new commits incl. an extreme-killing delete; same checkpoint folds
+    # ONLY the new versions
+    t.delete("k = 4")                       # kills max(b)
+    t.append(frame([(5, "c", 0.5)]))
+    v_state_before = st.latest_version()
+    st = stream_matview(spark, base_path, SPEC, state_path, ck1)
+    assert _view(read_view(spark, st, SPEC)) == \
+        _view(MV.mv_read(MV.mv_init(t.read(spark), SPEC), SPEC))
+    assert st.latest_version() > v_state_before
+
+    # forced FULL replay (fresh checkpoint, startingVersion=-1): every
+    # batch's max version is <= the watermark -> skipped, state unchanged
+    v_state = st.latest_version()
+    st = stream_matview(spark, base_path, SPEC, state_path, ck2)
+    assert st.latest_version() == v_state
+    assert _view(read_view(spark, st, SPEC)) == \
+        _view(MV.mv_read(MV.mv_init(t.read(spark), SPEC), SPEC))
