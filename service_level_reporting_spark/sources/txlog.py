@@ -191,6 +191,72 @@ def _file_stats(meta) -> dict:
     return stats
 
 
+# ---- per-file Bloom key index (r7 s2) -------------------------------------
+# Range stats can't prune POINT lookups on a high-cardinality key that is
+# scattered across files (every file spans the whole key space, the uuid
+# case) — Delta/Iceberg answer with per-file Bloom filters. Opt-in via
+# bloom_col: each add-action carries a small base64 Bloom over the file's
+# distinct key values; merge/merge_into probe it with their source's key
+# set, the data source probes EqualTo/In pushdowns. False-positive-only by
+# construction (a file containing the key is NEVER pruned); files without
+# a bloom (pre-bloom logs, too many distinct keys) stay conservative.
+BLOOM_MAX_DISTINCT = 8192     # above this the filter is omitted (log size)
+BLOOM_BITS_PER_KEY = 10       # ~1% fpp at k=6
+BLOOM_K = 6
+BLOOM_PROBE_MAX = 1024        # max source keys collected for probing
+
+
+def _bloom_canon(v) -> str | None:
+    """Canonical probe string — must match between build and probe sides.
+    Only exact-representation types participate (str/int); floats and
+    everything else return None and neither build nor prune."""
+    if isinstance(v, bool) or v is None:
+        return None
+    if isinstance(v, (str, int)):
+        return str(v)
+    return None
+
+
+def _bloom_indexes(s: str, m: int, k: int = BLOOM_K) -> list[int]:
+    import hashlib
+
+    d = hashlib.blake2b(s.encode("utf-8"), digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1     # odd -> full-cycle stride
+    return [(h1 + i * h2) % m for i in range(k)]
+
+
+def bloom_build(values) -> dict | None:
+    """Bloom dict {"m","k","b64"} over canonicalizable values; None when
+    nothing canonicalizes (the add then records no bloom)."""
+    import base64
+
+    canon = [c for c in (_bloom_canon(v) for v in values) if c is not None]
+    if not canon:
+        return None
+    m = max(1024, min(1 << 20, BLOOM_BITS_PER_KEY * len(canon)))
+    bits = bytearray((m + 7) // 8)
+    for c in canon:
+        for ix in _bloom_indexes(c, m):
+            bits[ix >> 3] |= 1 << (ix & 7)
+    return {"m": m, "k": BLOOM_K,
+            "b64": base64.b64encode(bytes(bits)).decode("ascii")}
+
+
+def bloom_may_contain(bloom: dict, probes: list[str]) -> bool:
+    """True when ANY canonical probe string may be present. Probes that
+    failed canonicalization must not reach here (treat as may-match)."""
+    import base64
+
+    bits = base64.b64decode(bloom["b64"])
+    m, k = int(bloom["m"]), int(bloom.get("k", BLOOM_K))
+    for c in probes:
+        if all(bits[ix >> 3] & (1 << (ix & 7))
+               for ix in _bloom_indexes(c, m, k)):
+            return True
+    return False
+
+
 def add_rows(add: dict) -> int:
     """Row count of an add-action; an add written by a log version that
     didn't record 'rows' (or recorded null) reads as UNKNOWN = 1, so the
@@ -202,7 +268,8 @@ def add_rows(add: dict) -> int:
 
 class TxLogTable:
     def __init__(self, path: str, key_cols: list[str], stats_col: str,
-                 cluster_by: list[str] | None = None):
+                 cluster_by: list[str] | None = None,
+                 bloom_col: str | None = None):
         self.path = path
         self.log_dir = os.path.join(path, "_txlog")
         self.data_dir = os.path.join(path, "data")
@@ -222,6 +289,11 @@ class TxLogTable:
         # replace_where) RE-cluster automatically because they funnel
         # through the same writer (liquid-clustering-style maintenance).
         self.cluster_by = list(cluster_by) if cluster_by else None
+        # r7 s2 Bloom key index: per-file membership filter over this
+        # column's distinct values (see bloom_build) — the point-lookup
+        # pruning a scattered high-cardinality key needs where ranges
+        # can't help. Opt-in; restricted to str/int columns.
+        self.bloom_col = bloom_col
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         # publish the table's write config so readers (the txlog Spark
@@ -238,14 +310,16 @@ class TxLogTable:
             if (existing["key_cols"] != list(key_cols)
                     or existing["stats_col"] != stats_col
                     or (existing.get("cluster_by") or None)
-                    != self.cluster_by):
+                    != self.cluster_by
+                    or existing.get("bloom_col") != bloom_col):
                 raise ValueError(
                     f"txlog: table at {path} was created with "
                     f"key_cols={existing['key_cols']} "
                     f"stats_col={existing['stats_col']!r} "
-                    f"cluster_by={existing.get('cluster_by')}; constructor "
+                    f"cluster_by={existing.get('cluster_by')} "
+                    f"bloom_col={existing.get('bloom_col')!r}; constructor "
                     f"got key_cols={list(key_cols)} stats_col={stats_col!r} "
-                    f"cluster_by={self.cluster_by}. "
+                    f"cluster_by={self.cluster_by} bloom_col={bloom_col!r}. "
                     "Open existing tables with TxLogTable.open(path).")
         else:
             tmp = meta + f".tmp.{uuid.uuid4().hex[:8]}"
@@ -253,7 +327,9 @@ class TxLogTable:
                 json.dump({"key_cols": list(key_cols),
                            "stats_col": stats_col,
                            **({"cluster_by": self.cluster_by}
-                              if self.cluster_by else {})}, fh)
+                              if self.cluster_by else {}),
+                           **({"bloom_col": bloom_col}
+                              if bloom_col else {})}, fh)
             os.replace(tmp, meta)
 
     @classmethod
@@ -263,7 +339,8 @@ class TxLogTable:
             meta = json.load(fh)
         return cls(path, key_cols=meta["key_cols"],
                    stats_col=meta["stats_col"],
-                   cluster_by=meta.get("cluster_by"))
+                   cluster_by=meta.get("cluster_by"),
+                   bloom_col=meta.get("bloom_col"))
 
     # ---- log primitives ---------------------------------------------------
 
@@ -554,11 +631,24 @@ class TxLogTable:
                     mn, mx = str(st.min), str(st.max)
                     lo = mn if lo is None or mn < lo else lo
                     hi = mx if hi is None or mx > hi else hi
-                adds.append({"add": {"path": os.path.relpath(full, self.path),
-                                     "rows": meta.num_rows,
-                                     "min": lo, "max": hi,
-                                     **({"stats": s} if (
-                                         s := _file_stats(meta)) else {})}})
+                add = {"path": os.path.relpath(full, self.path),
+                       "rows": meta.num_rows,
+                       "min": lo, "max": hi,
+                       **({"stats": s} if (s := _file_stats(meta)) else {})}
+                cols = {meta.schema.column(i).name
+                        for i in range(meta.num_columns)}
+                if (self.bloom_col is not None
+                        and self.bloom_col in cols and meta.num_rows > 0):
+                    # write-time cost: one column re-read per fresh file;
+                    # omitted (conservative) past BLOOM_MAX_DISTINCT
+                    col = pq.read_table(
+                        full, columns=[self.bloom_col])[self.bloom_col]
+                    distinct = set(col.to_pylist())
+                    if len(distinct) <= BLOOM_MAX_DISTINCT:
+                        bl = bloom_build(distinct)
+                        if bl is not None:
+                            add["bloom"] = bl
+                adds.append({"add": add})
         return adds
 
     def _files_df(self, spark: SparkSession, files: list[dict]) -> DataFrame:
@@ -669,7 +759,25 @@ class TxLogTable:
         return {c: (_stat_norm(row[2 * i]), _stat_norm(row[2 * i + 1]))
                 for i, c in enumerate(names)}
 
-    def _prune_files(self, live: list[dict], ranges: dict) -> list[dict]:
+    def _bloom_probes(self, df: DataFrame) -> list[str] | None:
+        """Canonical probe strings from a source frame's distinct bloom-
+        column values, or None when bloom pruning must stay off: table has
+        no bloom_col, the frame lacks the column, the key set exceeds
+        BLOOM_PROBE_MAX (a broad merge prunes fine by range), or any value
+        fails canonicalization (None would under-probe)."""
+        if self.bloom_col is None or self.bloom_col not in df.columns:
+            return None
+        rows = (df.select(self.bloom_col).distinct()
+                .limit(BLOOM_PROBE_MAX + 1).collect())
+        if len(rows) > BLOOM_PROBE_MAX:
+            return None
+        canon = [_bloom_canon(r[0]) for r in rows]
+        if not canon or any(c is None for c in canon):
+            return None
+        return canon
+
+    def _prune_files(self, live: list[dict], ranges: dict,
+                     probes: list[str] | None = None) -> list[dict]:
         """Generalized file skipping (r7): keep live files that MAY hold a
         row satisfying every column bound. Adds that carry typed stats
         prune through ``file_may_match`` on EVERY bounded column (numeric
@@ -690,6 +798,10 @@ class TxLogTable:
                     continue
                 if shi is not None and a["min"] > shi:
                     continue
+            if (probes is not None and a.get("bloom")
+                    and not bloom_may_contain(a["bloom"], probes)):
+                continue          # point-key prune: no probe key can be
+                #                   in this file (false-positive-only)
             out.append(a)
         return out
 
@@ -717,6 +829,7 @@ class TxLogTable:
         carried by reference, and numeric columns compare numerically
         (typed stats) instead of through the string trap."""
         ranges = self._key_ranges(updates, [*self.key_cols, self.stats_col])
+        probes = self._bloom_probes(updates)
         deadline = time.monotonic() + deadline_sec
 
         def rewrite(touched: list[dict]) -> list[dict]:
@@ -736,7 +849,7 @@ class TxLogTable:
         base = self.latest_version()
         live = self._resolve(base)
         cons0 = self.constraints(base)
-        touched = self._prune_files(live, ranges)
+        touched = self._prune_files(live, ranges, probes)
         adds = rewrite(touched)
         retries = rewrites = 0
         while True:
@@ -754,7 +867,7 @@ class TxLogTable:
                 retries += 1
                 base = self.latest_version()
                 live = self._resolve(base)
-                new_touched = self._prune_files(live, ranges)
+                new_touched = self._prune_files(live, ranges, probes)
                 # fast path requires BOTH an unchanged touched set and
                 # unchanged constraints (r7): an interleaved
                 # add_constraint must force re-validation of the staged
@@ -815,6 +928,7 @@ class TxLogTable:
             return F.expr(c) if isinstance(c, str) else c
 
         ranges = self._key_ranges(source, [*self.key_cols, self.stats_col])
+        probes = self._bloom_probes(source)
         deadline = time.monotonic() + deadline_sec
         counts = {"updated": 0, "deleted": 0, "inserted": 0}
 
@@ -889,7 +1003,7 @@ class TxLogTable:
         base = self.latest_version()
         live = self._resolve(base)
         cons0 = self.constraints(base)
-        touched = self._prune_files(live, ranges)
+        touched = self._prune_files(live, ranges, probes)
         adds = rewrite(touched)
         retries = rebases = 0
         while True:
@@ -907,7 +1021,7 @@ class TxLogTable:
                 retries += 1
                 base = self.latest_version()
                 live = self._resolve(base)
-                new_touched = self._prune_files(live, ranges)
+                new_touched = self._prune_files(live, ranges, probes)
                 if ({a["path"] for a in new_touched}
                         == {a["path"] for a in touched}
                         and self.constraints(base) == cons0):

@@ -54,7 +54,8 @@ from pyspark.sql.datasource import (
     IsNull, LessThan, LessThanOrEqual)
 
 from service_level_reporting_spark.sources.txlog import (
-    TxLogTable, _comparable, _stat_norm, add_rows, file_may_match)
+    TxLogTable, _bloom_canon, _comparable, _stat_norm, add_rows,
+    bloom_may_contain, file_may_match)
 
 CDF_COLS = (("_change_type", "string"), ("_commit_version", "bigint"))
 
@@ -204,7 +205,16 @@ class TxLogBatchReader(DataSourceReader):
         self.bounds: dict[str, list] = {}   # typed bounds, ANY column (r7)
         self.not_null: set[str] = set()     # IsNotNull pushdowns
         self.null_only: set[str] = set()    # IsNull pushdowns
+        self.bloom_probes: list[str] | None = None   # EqualTo/In on the
+        #   table's bloom_col (r7 s2) — smallest conjunct wins (any single
+        #   conjunct is a safe upper bound on matching rows)
         self.pruned_files = 0          # observable (tests / EXPLAIN notes)
+
+    def _probe(self, canon: list) -> None:
+        if not canon or any(c is None for c in canon):
+            return                  # un-canonicalizable: bloom stays off
+        if self.bloom_probes is None or len(canon) < len(self.bloom_probes):
+            self.bloom_probes = canon
 
     def _tighten(self, col: str, lo=None, hi=None) -> None:
         cur = self.bounds.setdefault(col, [None, None])
@@ -245,6 +255,9 @@ class TxLogBatchReader(DataSourceReader):
                         if isinstance(f, (LessThan, LessThanOrEqual,
                                           EqualTo, EqualNullSafe)):
                             self._tighten(col, hi=v)
+                    if (col == self._table.bloom_col
+                            and isinstance(f, (EqualTo, EqualNullSafe))):
+                        self._probe(([_bloom_canon(f.value)]))
                     if (self.stats_safe and col == self.stats_col
                             and not isinstance(f, EqualNullSafe)):
                         s = _stats_value(f.value)
@@ -261,6 +274,8 @@ class TxLogBatchReader(DataSourceReader):
                     if (vs and all(v is not None for v in vs)
                             and all(_comparable(vs[0], v) for v in vs[1:])):
                         self._tighten(col, lo=min(vs), hi=max(vs))
+                    if col == self._table.bloom_col:
+                        self._probe([_bloom_canon(x) for x in f.value])
                 elif isinstance(f, IsNotNull):
                     self.not_null.add(col)
                 elif isinstance(f, IsNull):
@@ -288,6 +303,10 @@ class TxLogBatchReader(DataSourceReader):
                         return False
                     if self.hi is not None and a["min"] > self.hi:
                         return False
+                bl = a.get("bloom")
+                if (bl and self.bloom_probes is not None
+                        and not bloom_may_contain(bl, self.bloom_probes)):
+                    return False      # point-key bloom prune (r7 s2)
                 st = a.get("stats")
                 if not st:
                     return True

@@ -1191,3 +1191,72 @@ def test_cluster_by_layout_and_pruning(spark, table_path):
     t.optimize(target_files=2)
     assert len(t._resolve()) <= 2
     assert t.read(spark).count() == 96
+
+
+def test_bloom_key_index_point_merge_pruning(spark, table_path):
+    """r7 s2 Bloom key index: a point merge on a high-cardinality key
+    SCATTERED across files (every file spans the whole key range — range
+    stats prune nothing) rewrites only the file(s) whose bloom may hold
+    the key. False-positive-only: the file holding the key is never
+    pruned; statless/pre-bloom adds and >BLOOM_PROBE_MAX sources stay
+    conservative."""
+    from service_level_reporting_spark.sources.txlog import (
+        BLOOM_PROBE_MAX, bloom_build, bloom_may_contain)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "uid string, g string, v double").coalesce(1)
+
+    t = TxLogTable(table_path, key_cols=["uid"], stats_col="g",
+                   bloom_col="uid")
+    # 4 files, keys interleaved so every file's uid range is ~identical
+    for f in range(4):
+        t.append(frame([(f"user_{i:04d}", "a", float(i))
+                        for i in range(f, 400, 4)]))
+    live = t._resolve()
+    assert len(live) == 4 and all(a.get("bloom") for a in live)
+
+    # the key user_0013 lives in file f=1 (13 % 4) only
+    r = t.merge(frame([("user_0013", "a", 999.0)]))
+    assert r["rewritten_files"] == 1 and r["carried_files"] == 3
+    got = {x["uid"]: x["v"] for x in t.read(spark).collect()}
+    assert got["user_0013"] == 999.0 and len(got) == 400
+
+    # config identity + open() roundtrip
+    assert TxLogTable.open(table_path).bloom_col == "uid"
+    with pytest.raises(ValueError, match="bloom_col"):
+        TxLogTable(table_path, key_cols=["uid"], stats_col="g")
+
+    # unit: membership has no false negatives; canonicalization gates
+    bl = bloom_build({"a", "b", 7})
+    assert bloom_may_contain(bl, ["a"]) and bloom_may_contain(bl, ["7"])
+    assert not bloom_may_contain(bl, ["definitely-not-present-xyz"])
+    # a wide merge (> BLOOM_PROBE_MAX keys) skips bloom probing entirely
+    assert t._bloom_probes(
+        frame([(f"u{i}", "a", 0.0)
+               for i in range(BLOOM_PROBE_MAX + 1)])) is None
+    # a null key in the source disables pruning (bloom can't encode null)
+    assert t._bloom_probes(frame([(None, "a", 0.0)])) is None
+
+    # pre-bloom adds (stripped) are conservatively kept
+    import json as _json
+    for f in sorted(os.listdir(t.log_dir)):
+        if f.endswith(".json") and f[:20].isdigit():
+            pth = os.path.join(t.log_dir, f)
+            with open(pth) as fh:
+                rec = _json.load(fh)
+            for a in rec.get("actions", []):
+                (a.get("add") or {}).pop("bloom", None)
+            with open(pth, "w") as fh:
+                _json.dump(rec, fh)
+    # drop checkpoints too (they carry the adds verbatim)
+    for f in list(os.listdir(t.log_dir)):
+        if f.endswith(".checkpoint.json"):
+            os.remove(os.path.join(t.log_dir, f))
+    # without blooms the 3 untouched ORIGINAL files (each spanning the
+    # whole uid range) must all rewrite — only typed RANGE stats may
+    # still prune (a rewrite-output file with a disjoint uid range)
+    r2 = t.merge(frame([("user_0014", "a", -1.0)]))
+    assert r2["rewritten_files"] >= 3, r2
+    got2 = {x["uid"]: x["v"] for x in t.read(spark).collect()}
+    assert got2["user_0014"] == -1.0 and len(got2) == 400

@@ -318,3 +318,50 @@ def test_stream_changes_mode_equals_batch_cdf(spark, table_path):
                 == _multiset(t.changes(spark, -1)))
     finally:
         q.stop()
+
+
+def test_bloom_pushdown_prunes_point_lookups(spark, table_path):
+    """r7 s2: EqualTo/In pushdowns on the table's bloom column probe the
+    per-file Bloom filters — a point lookup on a scattered key plans only
+    the file(s) that may hold it (range stats alone keep all files, since
+    every file spans the whole key space). Conjunct policy: the smallest
+    probe set wins; un-canonicalizable probe values disable bloom pruning
+    rather than risk a false prune."""
+    from pyspark.sql.datasource import EqualTo, In
+
+    t = TxLogTable(table_path, key_cols=["uid"], stats_col="g",
+                   bloom_col="uid")
+    for f in range(3):
+        t.append(spark.createDataFrame(
+            [(f"user_{i:04d}", "a", float(i)) for i in range(f, 300, 3)],
+            "uid string, g string, v double").coalesce(1))
+
+    spark.dataSource.register(TxLogDataSource)
+    # full scan plans all 3 files
+    r0 = TxLogBatchReader(table_path, {"path": table_path})
+    assert len(r0.partitions()) == 3
+
+    # EqualTo: user_0010 lives in file f=1 only (10 % 3)
+    r1 = TxLogBatchReader(table_path, {"path": table_path})
+    list(r1.pushFilters([EqualTo(("uid",), "user_0010")]))
+    assert len(r1.partitions()) == 1 and r1.pruned_files == 2
+    got = (spark.read.format("txlog").load(table_path)
+           .filter(F.col("uid") == "user_0010").collect())
+    assert [r["v"] for r in got] == [10.0]
+
+    # In over keys from two files keeps exactly those two
+    r2 = TxLogBatchReader(table_path, {"path": table_path})
+    list(r2.pushFilters([In(("uid",), ("user_0010", "user_0011"))]))
+    assert len(r2.partitions()) == 2 and r2.pruned_files == 1
+
+    # a key in NO file prunes everything (empty sentinel partition)
+    r3 = TxLogBatchReader(table_path, {"path": table_path})
+    list(r3.pushFilters([EqualTo(("uid",), "user_9999")]))
+    assert len(r3.partitions()) == 1 and r3.pruned_files == 3
+    assert (spark.read.format("txlog").load(table_path)
+            .filter(F.col("uid") == "user_9999").count()) == 0
+
+    # a float probe value cannot canonicalize: pruning stays off
+    r4 = TxLogBatchReader(table_path, {"path": table_path})
+    list(r4.pushFilters([EqualTo(("uid",), 1.5)]))
+    assert len(r4.partitions()) == 3 and r4.pruned_files == 0

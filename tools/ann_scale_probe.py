@@ -186,6 +186,20 @@ def main() -> None:
     }
     print(f"ann dedup: {out['dedup_ann']}", file=sys.stderr)
 
+    # --- SemDeDup (r7 s2): cluster-local pairwise at its DESIGN point ----
+    # (planted clones at cos~0.97 against threshold 0.9 — the paper's
+    # high-similarity regime, unlike the fixture's 0.5-threshold pairs)
+    sem_sec, sem_rows = timed(lambda: SIM.dedup_semantic_pairs(
+        spark, DIR, threshold=PROBE_THRESHOLD).collect())
+    sem_pairs = {(r["vec_a"], r["vec_b"]) for r in sem_rows}
+    out["dedup_semantic"] = {
+        "sec": sem_sec, "pairs": len(sem_pairs),
+        "planted_recall": round(
+            len(sem_pairs & planted) / len(planted), 4),
+        "non_planted_pairs": len(sem_pairs - planted),
+    }
+    print(f"semdedup: {out['dedup_semantic']}", file=sys.stderr)
+
     if n_base <= EXACT_GEMM_MAX:
         exact_sec, exact_rows = timed(lambda: SIM.dedup_embedding_cosine(
             spark, DIR, threshold=PROBE_THRESHOLD).collect())
