@@ -355,7 +355,8 @@ class TxLogTable:
         return os.path.join(self.log_dir, f"{v:020d}.json")
 
     def commit(self, actions: list[dict], version: int,
-               txn: dict | None = None, op: str | None = None) -> int:
+               txn: dict | None = None, op: str | None = None,
+               extra: dict | None = None) -> int:
         """Atomically claim `version` with O_EXCL; raises VersionConflict
         if another writer got there first. Returns the committed version.
 
@@ -373,6 +374,8 @@ class TxLogTable:
         leaves at most an orphan .tmp, which no reader globs."""
         record = {"version": version, "actions": actions,
                   "ts": round(time.time(), 6)}   # r7: timestamp time travel
+        if extra:
+            record.update(extra)     # e.g. the MoR delete's cdf sidecar
         if txn is not None:
             record["txn"] = txn
         if op is not None:
@@ -651,9 +654,39 @@ class TxLogTable:
                 adds.append({"add": add})
         return adds
 
-    def _files_df(self, spark: SparkSession, files: list[dict]) -> DataFrame:
+    def _files_df_meta(self, spark: SparkSession, files: list[dict],
+                       merge_schema: bool = False) -> DataFrame:
+        """The central file reader, deletion-vector-aware (r7 s2): data
+        columns plus ``__file`` (table-relative path) and ``__ri``
+        (parquet row index). Rows masked by any referenced DV are
+        filtered OUT via a broadcast anti-join on (file, row_index) —
+        every consumer (snapshot read, merge/rewrite inputs, scope
+        probes, compaction) sees only live rows, so a rewrite can never
+        resurrect a soft-deleted row."""
         paths = [os.path.join(self.path, a["path"]) for a in files]
-        return spark.read.parquet(*paths)
+        reader = spark.read
+        if merge_schema:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*paths)
+        prefix = os.path.abspath(self.path) + "/"
+        rel = F.expr(
+            f"substring(regexp_replace(_metadata.file_path, "
+            f"'^file:(//)?', ''), {len(prefix) + 1})")
+        df = (df.withColumn("__file", rel)
+                .withColumn("__ri", F.col("_metadata.row_index")))
+        dv_rels = sorted({d for a in files for d in a.get("dv", ())})
+        if dv_rels:
+            dv = (spark.read.parquet(
+                      *[os.path.join(self.path, d) for d in dv_rels])
+                  .select(F.col("file").alias("__file"),
+                          F.col("row_index").alias("__ri")).distinct())
+            df = df.join(F.broadcast(dv), ["__file", "__ri"], "left_anti")
+        return df
+
+    def _files_df(self, spark: SparkSession, files: list[dict],
+                  merge_schema: bool = False) -> DataFrame:
+        df = self._files_df_meta(spark, files, merge_schema=merge_schema)
+        return df.drop("__file", "__ri")
 
     # ---- table operations -------------------------------------------------
 
@@ -734,11 +767,7 @@ class TxLogTable:
         files = self._resolve(version)
         if not files:
             raise ValueError("txlog: empty table (no snapshot to read)")
-        paths = [os.path.join(self.path, a["path"]) for a in files]
-        reader = spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        return reader.parquet(*paths)
+        return self._files_df(spark, files, merge_schema=merge_schema)
 
     def _overlapping(self, live: list[dict],
                      lo: str | None, hi: str | None) -> list[dict]:
@@ -1089,7 +1118,10 @@ class TxLogTable:
 
         base = self.latest_version()
         live = self._resolve(base)
-        if not live or (len(live) <= target_files and zorder_by is None):
+        # a DV-carrying file always qualifies: OPTIMIZE is also the DV
+        # PURGE (rewrite folds the mask in and drops the sidecar refs)
+        if not live or (len(live) <= target_files and zorder_by is None
+                        and not any(a.get("dv") for a in live)):
             return {"version": base, "compacted": 0, "files": len(live)}
         cons0 = self.constraints(base)
         adds = compact(live)
@@ -1154,7 +1186,42 @@ class TxLogTable:
                     removed += 1
                 except OSError:
                     pass
+        # r7 s2 sidecar retention: DV dirs referenced by any RETAINED
+        # snapshot's add chains survive (their data files do too); CDC
+        # sidecars of retained-window commits survive (a change feed may
+        # still start inside the window). Everything older and
+        # unreferenced reclaims under the same in-flight age guard —
+        # the same trade as data files: space for deep time travel.
+        import shutil as _shutil
+
+        keep_side: set[str] = set()
+        for v in range(max(0, latest - retain_versions + 1), latest + 1):
+            for a in self._resolve(v):
+                keep_side.update(a.get("dv", ()))
+            cp = self._commit_path(v)
+            if os.path.exists(cp):
+                with open(cp) as fh:
+                    c = json.load(fh).get("cdf")
+                if c:
+                    keep_side.add(c)
+        removed_side = 0
+        for sub in ("dv", "cdc"):
+            d = os.path.join(self.path, sub)
+            if not os.path.isdir(d):
+                continue
+            for name in os.listdir(d):
+                if f"{sub}/{name}" in keep_side:
+                    continue
+                full = os.path.join(d, name)
+                try:
+                    if now - os.path.getmtime(full) < min_age_sec:
+                        continue
+                    _shutil.rmtree(full)
+                    removed_side += 1
+                except OSError:
+                    pass
         return {"removed_files": removed, "retained_files": len(keep),
+                "removed_sidecars": removed_side,
                 "latest_version": latest}
 
     # ---- row-level operations (r6: DELETE / UPDATE / RESTORE / CDF) ------
@@ -1282,10 +1349,139 @@ class TxLogTable:
                 adds = rewrite(touched)
                 rebases += 1
 
+    def _delete_mor(self, cond, key_range, column_ranges,
+                    deadline_sec: float, verify_scope: bool) -> dict:
+        """DELETE as merge-on-read (r7 s2 deletion vectors): instead of
+        rewriting every touched file (copy-on-write), record the deleted
+        rows' (file, row_index) pairs in a DELETION VECTOR sidecar and
+        re-add each touched file with the DV attached — a 1-row delete
+        costs one small parquet write, not a table rewrite. Every reader
+        funnels through ``_files_df_meta``, which anti-joins the DV, so
+        snapshots, rewrites, probes, and compaction all see only live
+        rows (a later rewrite drops the DV naturally by writing fresh
+        files). DVs ACCRETE: a second MoR delete on the same file appends
+        to the chain, and row indexes are the file's ORIGINAL parquet
+        indexes, so chains union cleanly.
+
+        CDF contract: the commit carries a CHANGE-DATA sidecar (``cdf``)
+        holding exactly the deleted rows — changes() serves the commit
+        from it instead of file-diff reconstruction (the actions of a
+        MoR commit are DV bookkeeping, not row churn). Stats/bloom on a
+        DV-carrying add stay the ORIGINAL file's — conservative
+        supersets, still prune-safe. Same pruning, scope-verification,
+        and deadline/backoff retry protocol as copy-on-write delete."""
+        spark = _session()
+        lo, hi = key_range if key_range is not None else (None, None)
+        ranges = {c: (_stat_norm(b[0]), _stat_norm(b[1]))
+                  for c, b in (column_ranges or {}).items()}
+        deadline = time.monotonic() + deadline_sec
+
+        def prune(live: list[dict]) -> list[dict]:
+            touched = self._overlapping(live, lo, hi)
+            if ranges:
+                touched = [a for a in touched
+                           if not a.get("stats")
+                           or file_may_match(a, ranges)]
+            return touched
+
+        def check_scope(live: list[dict], touched: list[dict]) -> None:
+            if (not verify_scope
+                    or (key_range is None and not ranges)):
+                return
+            tset = {a["path"] for a in touched}
+            carried = [a for a in live if a["path"] not in tset]
+            if not carried:
+                return
+            stray = (self._files_df(spark, carried)
+                     .filter(F.coalesce(cond, F.lit(False)))
+                     .limit(1).count())
+            if stray:
+                raise ValueError(
+                    f"txlog delete(mor): key_range={key_range} / "
+                    f"column_ranges={column_ranges} exclude file(s) with "
+                    "predicate-matching rows — widen the ranges.")
+
+        def stage(touched: list[dict]):
+            if not touched:
+                return [], None, 0
+            src = self._files_df_meta(spark, touched)
+            hits = (src.filter(F.coalesce(cond, F.lit(False)))
+                    .localCheckpoint(eager=True))
+            per = {r["__file"]: r["n"]
+                   for r in hits.groupBy("__file")
+                   .agg(F.count(F.lit(1)).alias("n")).collect()}
+            matched = sum(per.values())
+            if not matched:
+                return [], None, 0
+            tag = uuid.uuid4().hex[:12]
+            dv_rel, cdc_rel = f"dv/{tag}", f"cdc/{tag}"
+            (hits.select(F.col("__file").alias("file"),
+                         F.col("__ri").alias("row_index"))
+             .coalesce(1).write.parquet(os.path.join(self.path, dv_rel)))
+            data_cols = [c for c in src.columns
+                         if c not in ("__file", "__ri")]
+            hits.select(*data_cols).write.parquet(
+                os.path.join(self.path, cdc_rel))
+            actions = []
+            for a in touched:
+                d = per.get(a["path"], 0)
+                if not d:
+                    continue              # no hit: file stays as-is
+                left = add_rows(a) - d
+                if left <= 0:             # fully dead: plain remove
+                    actions.append({"remove": a["path"]})
+                else:
+                    new = dict(a)
+                    new["rows"] = left
+                    new["dv"] = list(a.get("dv", ())) + [dv_rel]
+                    actions.append({"add": new})
+            return actions, {"cdf": cdc_rel}, matched
+
+        def ident(touched):
+            return [(a["path"], tuple(a.get("dv", ()))) for a in touched]
+
+        base = self.latest_version()
+        live = self._resolve(base)
+        touched = prune(live)
+        check_scope(live, touched)
+        actions, extra, matched = stage(touched)
+        retries = rebases = 0
+        while True:
+            if not actions:               # nothing matched: no commit
+                return {"version": base, "matched_rows": 0, "dv_files": 0,
+                        "removed_files": 0, "carried_files": len(live),
+                        "retries": retries, "rebases": rebases}
+            try:
+                v = self.commit(actions, base + 1, op="delete_mor",
+                                extra=extra)
+                return {"version": v, "matched_rows": matched,
+                        "dv_files": sum(1 for a in actions if "add" in a),
+                        "removed_files": sum(1 for a in actions
+                                             if "remove" in a),
+                        "carried_files": len(live) - len(touched),
+                        "retries": retries, "rebases": rebases}
+            except VersionConflict:
+                if time.monotonic() >= deadline:
+                    raise
+                _backoff(retries)
+                retries += 1
+                base = self.latest_version()
+                live = self._resolve(base)
+                new_touched = prune(live)
+                # fast path needs identical adds INCLUDING dv chains (an
+                # interleaved MoR delete on the same file must re-stage)
+                if ident(new_touched) == ident(touched):
+                    continue
+                touched = new_touched
+                check_scope(live, touched)
+                actions, extra, matched = stage(touched)
+                rebases += 1
+
     def delete(self, condition, key_range: tuple[str, str] | None = None,
                deadline_sec: float = COMMIT_DEADLINE_SEC,
                verify_scope: bool = True,
-               column_ranges: dict | None = None) -> dict:
+               column_ranges: dict | None = None,
+               mode: str = "cow") -> dict:
         """DELETE FROM table WHERE condition — SQL semantics: rows where
         the predicate is TRUE go; NULL-predicate rows stay. ``condition``
         is a Column or SQL string; ``key_range=(lo,hi)`` (string bounds
@@ -1303,6 +1499,12 @@ class TxLogTable:
         ANY typed-stats column (numeric bounds compare numerically) —
         same assertion + probe semantics as key_range."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        if mode == "mor":
+            return self._delete_mor(cond, key_range, column_ranges,
+                                    deadline_sec, verify_scope)
+        if mode != "cow":
+            raise ValueError(f"txlog delete: unknown mode {mode!r} "
+                             "(use 'cow' or 'mor')")
 
         def make_output(src: DataFrame):
             c = F.coalesce(cond, F.lit(False))
@@ -1478,27 +1680,80 @@ class TxLogTable:
         if from_version > to_version:
             raise ValueError("txlog changes: from_version > to_version")
         pairs = {"insert": [], "delete": []}   # (abs_path, version)
+        # DV bookkeeping (r7 s2): cur tracks the live add per path so a
+        # removed DV-carrying file contributes only its rows LIVE at
+        # removal; entries = (rel_path, version, dv_chain) per side
+        cur = {a["path"]: a for a in self._resolve(from_version)}
+        entries = {"insert": [], "delete": []}
+
+        def exists_or_raise(q: str, v: int) -> str:
+            full = os.path.join(self.path, q)
+            if not os.path.exists(full):
+                raise ValueError(
+                    f"txlog changes: file(s) of version {v} were "
+                    f"vacuumed; start the feed later (first: {q})")
+            return os.path.abspath(full)
+
         for v in range(from_version + 1, to_version + 1):
             p = self._commit_path(v)
             if not os.path.exists(p):
                 raise ValueError(f"txlog: missing version {v} (corrupt log)")
             with open(p) as fh:
                 rec = json.load(fh)
-            added = [a["add"]["path"] for a in rec["actions"]
-                     if "add" in a and add_rows(a["add"]) > 0]
-            removed = [a["remove"] for a in rec["actions"] if "remove" in a]
-            for paths, ctype in ((added, "insert"), (removed, "delete")):
-                for q in paths:
-                    full = os.path.join(self.path, q)
-                    if not os.path.exists(full):
-                        raise ValueError(
-                            f"txlog changes: file(s) of version {v} were "
-                            f"vacuumed; start the feed later (first: {q})")
-                    pairs[ctype].append((os.path.abspath(full), v))
+            if rec.get("cdf"):
+                # MoR delete: the commit's actions are DV bookkeeping;
+                # the change-data sidecar holds EXACTLY the deleted rows
+                side = exists_or_raise(rec["cdf"], v)
+                for root, _, fs in os.walk(side):
+                    for f in sorted(fs):
+                        if f.endswith(".parquet"):
+                            pairs["delete"].append(
+                                (os.path.abspath(os.path.join(root, f)), v))
+            else:
+                for a in rec["actions"]:
+                    if "add" in a and add_rows(a["add"]) > 0:
+                        q = a["add"]["path"]
+                        pairs["insert"].append((exists_or_raise(q, v), v))
+                        if a["add"].get("dv"):   # restore of a DV'd add
+                            entries["insert"].append(
+                                (q, v, tuple(a["add"]["dv"])))
+                    elif "remove" in a:
+                        q = a["remove"]
+                        pairs["delete"].append((exists_or_raise(q, v), v))
+                        ch = (cur.get(q) or {}).get("dv")
+                        if ch:       # only rows live at removal count
+                            entries["delete"].append((q, v, tuple(ch)))
+            for a in rec["actions"]:
+                if "add" in a:
+                    cur[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    cur.pop(a["remove"], None)
         if not pairs["insert"] and not pairs["delete"]:
             return (self.read(spark, to_version).limit(0)
                     .withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", F.lit(0).cast("long")))
+
+        prefix = os.path.abspath(self.path) + "/"
+
+        def dv_rows(side: str) -> DataFrame | None:
+            """(file, _commit_version, row_index) triples masked from the
+            side's scan: each (path, version) entry anti-joins only the
+            DV dirs of ITS chain (the chain the file carried at that
+            version), so accreting chains across versions stay exact."""
+            ent = entries[side]
+            if not ent:
+                return None
+            rows = [(rel, v, d) for rel, v, ch in ent for d in ch]
+            emap = spark.createDataFrame(
+                rows, "file string, _commit_version long, __dv_dir string")
+            rels = sorted({d for _, _, d in rows})
+            dvs = (spark.read.parquet(
+                       *[os.path.join(self.path, d) for d in rels])
+                   .withColumn("__dv_dir",
+                               F.regexp_extract(F.input_file_name(),
+                                                "(dv/[^/]+)/", 1)))
+            return (dvs.join(F.broadcast(emap), ["file", "__dv_dir"])
+                    .select("file", "_commit_version", "row_index"))
 
         def one_scan(ctype: str) -> DataFrame | None:
             pv = pairs[ctype]
@@ -1511,9 +1766,20 @@ class TxLogTable:
                     .withColumn("_cdf_file",
                                 F.regexp_replace(F.input_file_name(),
                                                  "^file:(//)?", "")))
-            return (scan.join(F.broadcast(fmap), "_cdf_file")
-                    .drop("_cdf_file")
-                    .withColumn("_change_type", F.lit(ctype))
+            out = (scan.join(F.broadcast(fmap), "_cdf_file")
+                   .withColumn("_change_type", F.lit(ctype)))
+            dv = dv_rows(ctype)
+            if dv is not None:
+                out = (out
+                       .withColumn("file", F.expr(
+                           f"substring(_cdf_file, {len(prefix) + 1})"))
+                       .withColumn("row_index",
+                                   F.col("_metadata.row_index"))
+                       .join(F.broadcast(dv),
+                             ["file", "_commit_version", "row_index"],
+                             "left_anti")
+                       .drop("file", "row_index"))
+            return (out.drop("_cdf_file")
                     .select(*[c for c in scan.columns if c != "_cdf_file"],
                             "_change_type", "_commit_version"))
 

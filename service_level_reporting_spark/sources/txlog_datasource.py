@@ -65,6 +65,8 @@ class _FilePart(InputPartition):
     path: str                     # absolute path of one parquet data file
     change_type: str | None      # None = plain snapshot read
     commit_version: int | None
+    rel: str | None = None       # table-relative path (DV row matching)
+    dv: tuple = ()               # absolute DV dirs masking this file
 
 
 def _stats_value(v) -> str:
@@ -153,15 +155,38 @@ def _pin_snapshot(path: str, options) -> dict:
             "schema": schema, "stats_safe": stats_safe}
 
 
+def _dv_indexes(part: _FilePart) -> set:
+    """Executor-side deletion-vector load: the masked ORIGINAL row
+    indexes of this file, unioned over its DV chain (r7 s2)."""
+    import pyarrow.dataset as ds
+
+    dead: set = set()
+    for d in part.dv:
+        t = ds.dataset(d).to_table(
+            filter=ds.field("file") == part.rel, columns=["row_index"])
+        dead.update(t["row_index"].to_pylist())
+    return dead
+
+
 def _read_file_batches(part: _FilePart, target_schema=None):
     """Executor-side: stream one parquet file as Arrow batches, projected
     and null-padded to ``target_schema`` (evolved-table reconciliation),
-    appending the CDF literals when the partition carries them."""
+    masking deletion-vector rows (original-row-index based), appending
+    the CDF literals when the partition carries them."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
+    dead = _dv_indexes(part) if part.dv else None
+    offset = 0
     pf = pq.ParquetFile(part.path)
     for batch in pf.iter_batches():
+        if dead is not None:
+            n = batch.num_rows
+            keep = [offset + i not in dead for i in range(n)]
+            offset += n
+            batch = batch.filter(pa.array(keep))
+            if batch.num_rows == 0:
+                continue
         if target_schema is not None and batch.schema != target_schema:
             arrays = []
             for field in target_schema:
@@ -327,7 +352,11 @@ class TxLogBatchReader(DataSourceReader):
 
             keep = [a for a in live if overlaps(a)]
             self.pruned_files = len(live) - len(keep)
-            parts = [_FilePart(os.path.join(t.path, a["path"]), None, None)
+            parts = [_FilePart(
+                         os.path.join(t.path, a["path"]), None, None,
+                         rel=a["path"],
+                         dv=tuple(os.path.join(t.path, d)
+                                  for d in a.get("dv", ())))
                      for a in keep]
         # Spark requires >= 1 partition; an empty-scan sentinel reads nothing
         return parts or [_FilePart("", None, None)]
@@ -348,6 +377,12 @@ def _commit_file_sets(t: TxLogTable, start: int, end: int):
             raise ValueError(f"txlog: missing version {v} (corrupt log)")
         with open(p) as fh:
             rec = json.load(fh)
+        if rec.get("cdf"):
+            raise ValueError(
+                f"txlog source: version {v} is a merge-on-read delete "
+                "(deletion vectors + change-data sidecar); the source's "
+                "changes mode does not reconstruct MoR commits — consume "
+                "this range via TxLogTable.changes().")
         adds = [a["add"]["path"] for a in rec["actions"]
                 if "add" in a and add_rows(a["add"]) > 0]
         removes = [a["remove"] for a in rec["actions"] if "remove" in a]
@@ -398,12 +433,22 @@ class TxLogStreamReader(DataSourceStreamReader):
                     if "add" in a and add_rows(a["add"]) > 0]
             removes = [a["remove"] for a in rec["actions"] if "remove" in a]
             if self.mode == "changes":
+                if rec.get("cdf"):
+                    raise ValueError(
+                        f"txlog stream: version {v} is a merge-on-read "
+                        "delete (deletion vectors + change-data sidecar). "
+                        "The streaming source does not reconstruct MoR "
+                        "commits yet — consume this range via "
+                        "TxLogTable.changes(), or delete with mode='cow' "
+                        "on streamed tables.")
                 parts += [_FilePart(os.path.join(t.path, q), "insert", v)
                           for q in adds]
                 parts += [_FilePart(os.path.join(t.path, q), "delete", v)
                           for q in removes]
             else:
-                if removes:
+                if removes or rec.get("cdf"):
+                    # a MoR delete changes data without removes in the
+                    # degenerate case; treat it like any rewrite commit
                     if self.skip_change:
                         continue     # skip the rewrite commit wholesale
                     raise ValueError(

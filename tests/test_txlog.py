@@ -1260,3 +1260,151 @@ def test_bloom_key_index_point_merge_pruning(spark, table_path):
     assert r2["rewritten_files"] >= 3, r2
     got2 = {x["uid"]: x["v"] for x in t.read(spark).collect()}
     assert got2["user_0014"] == -1.0 and len(got2) == 400
+
+
+def test_deletion_vector_merge_on_read_delete(spark, table_path):
+    """r7 s2 deletion vectors: delete(mode='mor') masks rows via a
+    (file, row_index) sidecar instead of rewriting files. Pinned:
+    no data file is rewritten; every reader (snapshot, time travel,
+    rewrites, compaction) sees only live rows and a later rewrite does
+    NOT resurrect soft-deleted rows; DV chains accrete across deletes;
+    the CDF serves MoR commits from the change-data sidecar with the
+    replay invariant intact; a fully-emptied file degrades to a plain
+    remove."""
+    from service_level_reporting_spark.operators import matview as MV
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "k long, g string, v double").coalesce(1)
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="g")
+    t.append(frame([(0, "a", 0.0), (1, "a", 1.0), (2, "a", 2.0),
+                    (3, "a", 3.0)]))
+    t.append(frame([(10, "b", 10.0), (11, "b", 11.0)]))
+    v0 = t.latest_version()
+    paths0 = {a["path"] for a in t._resolve()}
+
+    r = t.delete("k = 2", mode="mor", key_range=("a", "a"))
+    assert r["matched_rows"] == 1 and r["dv_files"] == 1
+    assert r["removed_files"] == 0 and r["carried_files"] == 1
+    # the live PATHS are unchanged — nothing was rewritten
+    assert {a["path"] for a in t._resolve()} == paths0
+    assert sorted(x["k"] for x in t.read(spark).collect()) \
+        == [0, 1, 3, 10, 11]
+    assert t.read(spark, version=v0).count() == 6     # time travel intact
+
+    # chain accretion: second MoR delete on the same file
+    r2 = t.delete("k = 1", mode="mor")
+    dv_add = [a for a in t._resolve() if a.get("dv")]
+    assert len(dv_add) == 1 and len(dv_add[0]["dv"]) == 2
+    assert dv_add[0]["rows"] == 2
+    assert sorted(x["k"] for x in t.read(spark).collect()) == [0, 3, 10, 11]
+
+    # CDF: both MoR commits serve from their sidecars — effective deletes
+    ch = t.changes(spark, v0, net=True).collect()
+    assert {(x["k"], x["_change_type"]) for x in ch} \
+        == {(2, "delete"), (1, "delete")}
+    # replay invariant through a matview fold (additive spec, no base)
+    spec = {"keys": ["g"], "aggs": {"v_sum": ("sum", "v"),
+                                    "n_rows": ("count", "*")}}
+    st = MV.mv_init(t.read(spark, version=v0), spec)
+    folded = MV.mv_apply_changes(st, t.changes(spark, v0, net=True),
+                                 spec)["state"]
+    assert sorted(tuple(r_) for r_ in MV.mv_read(folded, spec).collect()) \
+        == sorted(tuple(r_) for r_ in MV.mv_read(
+            MV.mv_init(t.read(spark), spec), spec).collect())
+
+    # a copy-on-write UPDATE reads THROUGH the DV: rewrites the file
+    # without resurrecting k=1/k=2, and drops the DV from the new add
+    t.update("k = 3", {"v": "v + 100.0"})
+    got = {x["k"]: x["v"] for x in t.read(spark).collect()}
+    assert got == {0: 0.0, 3: 103.0, 10: 10.0, 11: 11.0}
+
+    # fully-emptied file: MoR delete of every remaining 'b' row is a
+    # plain remove (no 0-row DV add)
+    r3 = t.delete("g = 'b'", mode="mor", key_range=("b", "b"))
+    assert r3["removed_files"] >= 1 and r3["matched_rows"] == 2
+    assert sorted(x["k"] for x in t.read(spark).collect()) == [0, 3]
+
+    # optimize compacts through whatever DVs remain; content preserved
+    t.delete("k = 0", mode="mor")
+    t.optimize(target_files=1)
+    assert [x["k"] for x in t.read(spark).collect()] == [3]
+    assert not [a for a in t._resolve() if a.get("dv")]   # rewrite drops DVs
+
+
+def test_deletion_vector_datasource_and_stream_guard(spark, table_path):
+    """The native data source masks DVs executor-side (snapshot equals
+    the table API, point pushdown still prunes), and the streaming /
+    changes modes refuse MoR commits with a clear error (the table-API
+    CDF is the complete path)."""
+    import uuid as _uuid
+
+    from service_level_reporting_spark.sources.txlog_datasource import (
+        TxLogDataSource)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "k long, g string, v double").coalesce(1)
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="g")
+    t.append(frame([(i, "a", float(i)) for i in range(6)]))
+    t.append(frame([(i, "b", float(i)) for i in range(10, 14)]))
+    v0 = t.latest_version()
+    t.delete("k = 3 OR k = 11", mode="mor")
+
+    spark.dataSource.register(TxLogDataSource)
+    src = spark.read.format("txlog").load(table_path)
+    assert sorted(r["k"] for r in src.collect()) \
+        == sorted(r["k"] for r in t.read(spark).collect())
+    assert 3 not in {r["k"] for r in src.collect()}
+    # time travel through the source still sees pre-delete rows
+    assert (spark.read.format("txlog").option("version", v0)
+            .load(table_path).count()) == 10
+
+    # changes mode over a MoR range: loud, actionable error
+    with pytest.raises(Exception, match="merge-on-read"):
+        (spark.read.format("txlog").option("mode", "changes")
+         .option("startingVersion", str(v0)).load(table_path).collect())
+    # append-only stream: skipChangeCommits skips the MoR commit
+    name = f"dvs_{_uuid.uuid4().hex[:8]}"
+    q = (spark.readStream.format("txlog")
+         .option("startingVersion", str(v0))
+         .option("skipChangeCommits", "true").load(table_path)
+         .writeStream.format("memory").queryName(name)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    assert spark.table(name).count() == 0      # only the MoR commit existed
+
+
+def test_deletion_vector_vacuum_retention(spark, table_path):
+    """Sidecar retention mirrors the data-file contract: DV/CDC dirs
+    referenced by retained snapshots survive vacuum; once the MoR commit
+    ages out of the window AND no retained add references the DV chain
+    (a rewrite dropped it), both sidecars reclaim."""
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "k long, g string, v double").coalesce(1)
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="g")
+    t.append(frame([(i, "a", float(i)) for i in range(4)]))
+    t.delete("k = 1", mode="mor")
+    dv_dir = os.path.join(table_path, "dv")
+    cdc_dir = os.path.join(table_path, "cdc")
+    assert len(os.listdir(dv_dir)) == 1 and len(os.listdir(cdc_dir)) == 1
+
+    # retained window still references the chain: vacuum keeps both
+    s = t.vacuum(retain_versions=3, min_age_sec=0)
+    assert s["removed_sidecars"] == 0
+    assert sorted(x["k"] for x in t.read(spark).collect()) == [0, 2, 3]
+
+    # rewrite drops the DV ref, then push the MoR commit out of the
+    # retained window: both sidecars reclaim, current reads unaffected
+    t.optimize(target_files=1)
+    for _ in range(3):
+        t.append(frame([(99, "z", 0.0)]))
+        t.delete("k = 99")
+    s2 = t.vacuum(retain_versions=2, min_age_sec=0)
+    assert s2["removed_sidecars"] == 2
+    assert not os.listdir(dv_dir) and not os.listdir(cdc_dir)
+    assert sorted(x["k"] for x in t.read(spark).collect()) == [0, 2, 3]
