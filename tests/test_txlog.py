@@ -427,7 +427,7 @@ def test_concurrent_writers_serializability(spark, table_path):
     # share merge's retry loop but their interleavings (a delete racing a
     # merge on overlapping keys, restore racing append) were untested
     rowop_op = st.tuples(
-        st.sampled_from(["delete", "update"]),
+        st.sampled_from(["delete", "update", "delete_mor"]),
         st.sets(st.integers(0, 5), min_size=1, max_size=2))
     restore_op = st.tuples(st.just("restore"), st.just(frozenset()))
     # r7 s2: replace_where joins the mix — same keyed-replacement model
@@ -468,6 +468,14 @@ def test_concurrent_writers_serializability(spark, table_path):
                 elif kind == "delete":
                     v = t.delete(F.col("k").isin(knames))["version"]
                     payload = knames
+                elif kind == "delete_mor":
+                    # r7 s2: deletion-vector delete under contention —
+                    # same serial model as delete; a no-match MoR delete
+                    # commits NOTHING (version unchanged), so skip it
+                    stats_ = t.delete(F.col("k").isin(knames), mode="mor")
+                    if stats_["matched_rows"] == 0:
+                        continue
+                    v, payload, kind = stats_["version"], knames, "delete"
                 elif kind == "update":
                     v = t.update(F.col("k").isin(knames),
                                  {"v": "v + 10000"})["version"]
