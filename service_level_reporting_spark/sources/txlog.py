@@ -1350,7 +1350,8 @@ class TxLogTable:
                 rebases += 1
 
     def _delete_mor(self, cond, key_range, column_ranges,
-                    deadline_sec: float, verify_scope: bool) -> dict:
+                    deadline_sec: float, verify_scope: bool,
+                    assignments: dict | None = None) -> dict:
         """DELETE as merge-on-read (r7 s2 deletion vectors): instead of
         rewriting every touched file (copy-on-write), record the deleted
         rows' (file, row_index) pairs in a DELETION VECTOR sidecar and
@@ -1369,7 +1370,15 @@ class TxLogTable:
         MoR commit are DV bookkeeping, not row churn). Stats/bloom on a
         DV-carrying add stay the ORIGINAL file's — conservative
         supersets, still prune-safe. Same pruning, scope-verification,
-        and deadline/backoff retry protocol as copy-on-write delete."""
+        and deadline/backoff retry protocol as copy-on-write delete.
+
+        With ``assignments`` this is MERGE-ON-READ UPDATE: the matched
+        rows' PRE-images are DV-masked (and ride the change-data sidecar
+        as deletes) while their POST-images append as a NEW data file in
+        the same atomic commit — an update never rewrites untouched rows.
+        The new file funnels through ``_write_data_files`` (CHECK
+        constraints, clustered layout), and the retry fast path
+        additionally requires an unchanged constraint set."""
         spark = _session()
         lo, hi = key_range if key_range is not None else (None, None)
         ranges = {c: (_stat_norm(b[0]), _stat_norm(b[1]))
@@ -1423,6 +1432,15 @@ class TxLogTable:
             hits.select(*data_cols).write.parquet(
                 os.path.join(self.path, cdc_rel))
             actions = []
+            if assignments is not None:   # MoR UPDATE: post-image file
+                post = hits.select(*data_cols)
+                for col, val in assignments.items():
+                    if col not in data_cols:
+                        raise ValueError(f"txlog update: no column {col!r}")
+                    expr = F.expr(val) if isinstance(val, str) else val
+                    dtype = post.schema[col].dataType
+                    post = post.withColumn(col, expr.cast(dtype))
+                actions += self._write_data_files(post)
             for a in touched:
                 d = per.get(a["path"], 0)
                 if not d:
@@ -1442,9 +1460,11 @@ class TxLogTable:
 
         base = self.latest_version()
         live = self._resolve(base)
+        cons0 = self.constraints(base)
         touched = prune(live)
         check_scope(live, touched)
         actions, extra, matched = stage(touched)
+        op = "delete_mor" if assignments is None else "update_mor"
         retries = rebases = 0
         while True:
             if not actions:               # nothing matched: no commit
@@ -1452,10 +1472,13 @@ class TxLogTable:
                         "removed_files": 0, "carried_files": len(live),
                         "retries": retries, "rebases": rebases}
             try:
-                v = self.commit(actions, base + 1, op="delete_mor",
+                v = self.commit(actions, base + 1, op=op,
                                 extra=extra)
                 return {"version": v, "matched_rows": matched,
-                        "dv_files": sum(1 for a in actions if "add" in a),
+                        "dv_files": sum(1 for a in actions if "add" in a
+                                        and a["add"].get("dv")),
+                        "new_files": sum(1 for a in actions if "add" in a
+                                         and not a["add"].get("dv")),
                         "removed_files": sum(1 for a in actions
                                              if "remove" in a),
                         "carried_files": len(live) - len(touched),
@@ -1470,9 +1493,13 @@ class TxLogTable:
                 new_touched = prune(live)
                 # fast path needs identical adds INCLUDING dv chains (an
                 # interleaved MoR delete on the same file must re-stage)
-                if ident(new_touched) == ident(touched):
+                # and, when staging new rows, an unchanged constraint set
+                if (ident(new_touched) == ident(touched)
+                        and (assignments is None
+                             or self.constraints(base) == cons0)):
                     continue
                 touched = new_touched
+                cons0 = self.constraints(base)
                 check_scope(live, touched)
                 actions, extra, matched = stage(touched)
                 rebases += 1
@@ -1519,13 +1546,21 @@ class TxLogTable:
                key_range: tuple[str, str] | None = None,
                deadline_sec: float = COMMIT_DEADLINE_SEC,
                verify_scope: bool = True,
-               column_ranges: dict | None = None) -> dict:
+               column_ranges: dict | None = None,
+               mode: str = "cow") -> dict:
         """UPDATE table SET col = expr, ... WHERE condition. Assignment
         values are Columns or SQL strings, cast back to the column's
         existing type (an UPDATE never changes the schema). Scoping,
         pruning, the commit/retry protocol, and the ``key_range``
         assertion + ``verify_scope`` probe are delete's."""
         cond = F.expr(condition) if isinstance(condition, str) else condition
+        if mode == "mor":
+            return self._delete_mor(cond, key_range, column_ranges,
+                                    deadline_sec, verify_scope,
+                                    assignments=assignments)
+        if mode != "cow":
+            raise ValueError(f"txlog update: unknown mode {mode!r} "
+                             "(use 'cow' or 'mor')")
 
         def make_output(src: DataFrame):
             c = F.coalesce(cond, F.lit(False))
@@ -1701,14 +1736,21 @@ class TxLogTable:
             with open(p) as fh:
                 rec = json.load(fh)
             if rec.get("cdf"):
-                # MoR delete: the commit's actions are DV bookkeeping;
-                # the change-data sidecar holds EXACTLY the deleted rows
+                # MoR delete/update: re-adds and removes of EXISTING
+                # paths are DV bookkeeping (the change-data sidecar holds
+                # exactly the deleted/pre-image rows); adds of NEW paths
+                # (a MoR UPDATE's post-image file) are real inserts
                 side = exists_or_raise(rec["cdf"], v)
                 for root, _, fs in os.walk(side):
                     for f in sorted(fs):
                         if f.endswith(".parquet"):
                             pairs["delete"].append(
                                 (os.path.abspath(os.path.join(root, f)), v))
+                for a in rec["actions"]:
+                    if ("add" in a and add_rows(a["add"]) > 0
+                            and a["add"]["path"] not in cur):
+                        pairs["insert"].append(
+                            (exists_or_raise(a["add"]["path"], v), v))
             else:
                 for a in rec["actions"]:
                     if "add" in a and add_rows(a["add"]) > 0:

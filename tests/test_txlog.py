@@ -1416,3 +1416,43 @@ def test_deletion_vector_vacuum_retention(spark, table_path):
     assert s2["removed_sidecars"] == 2
     assert not os.listdir(dv_dir) and not os.listdir(cdc_dir)
     assert sorted(x["k"] for x in t.read(spark).collect()) == [0, 2, 3]
+
+
+def test_deletion_vector_merge_on_read_update(spark, table_path):
+    """r7 s2 MoR UPDATE: matched rows' pre-images are DV-masked while the
+    post-images append as a new data file in the SAME atomic commit —
+    untouched rows never rewrite. CDF shows delete(pre) + insert(post);
+    CHECK constraints gate the post-image; time travel intact."""
+    from service_level_reporting_spark.sources.txlog import (
+        ConstraintViolation)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "k long, g string, v double").coalesce(1)
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="g")
+    t.append(frame([(0, "a", 0.0), (1, "a", 1.0), (2, "a", 2.0)]))
+    t.append(frame([(10, "b", 10.0)]))
+    v0 = t.latest_version()
+    paths0 = {a["path"] for a in t._resolve()}
+
+    r = t.update("k = 1", {"v": "v + 100.0"}, mode="mor")
+    assert r["matched_rows"] == 1 and r["dv_files"] == 1
+    assert t.history()[0]["op"] == "update_mor"
+    # original paths all still live; ONE new post-image file appeared
+    live = {a["path"] for a in t._resolve()}
+    assert paths0 <= live and len(live) == len(paths0) + 1
+    got = {x["k"]: x["v"] for x in t.read(spark).collect()}
+    assert got == {0: 0.0, 1: 101.0, 2: 2.0, 10: 10.0}
+    assert t.read(spark, version=v0).count() == 4
+
+    # CDF: pre-image delete + post-image insert, net-exact
+    ch = {(x["k"], x["v"], x["_change_type"])
+          for x in t.changes(spark, v0, net=True).collect()}
+    assert ch == {(1, 1.0, "delete"), (1, 101.0, "insert")}
+
+    # constraints gate the post-image like every write
+    t.add_constraint("v_small", "v < 1000")
+    with pytest.raises(ConstraintViolation):
+        t.update("k = 2", {"v": "v + 10000.0"}, mode="mor")
+    assert {x["k"]: x["v"] for x in t.read(spark).collect()} == got
