@@ -1801,6 +1801,7 @@ class TxLogTable:
             pv = pairs[ctype]
             if not pv:
                 return None
+            dv = dv_rows(ctype)
             fmap = spark.createDataFrame(pv, "_cdf_file string, "
                                              "_commit_version long")
             scan = (spark.read.option("mergeSchema", "true")
@@ -1808,22 +1809,24 @@ class TxLogTable:
                     .withColumn("_cdf_file",
                                 F.regexp_replace(F.input_file_name(),
                                                  "^file:(//)?", "")))
+            data_cols = [c for c in scan.columns if c != "_cdf_file"]
+            if dv is not None:
+                # _metadata must be captured ON the scan (hidden columns
+                # don't survive the fmap join)
+                scan = scan.withColumn("row_index",
+                                       F.col("_metadata.row_index"))
             out = (scan.join(F.broadcast(fmap), "_cdf_file")
                    .withColumn("_change_type", F.lit(ctype)))
-            dv = dv_rows(ctype)
             if dv is not None:
                 out = (out
                        .withColumn("file", F.expr(
                            f"substring(_cdf_file, {len(prefix) + 1})"))
-                       .withColumn("row_index",
-                                   F.col("_metadata.row_index"))
                        .join(F.broadcast(dv),
                              ["file", "_commit_version", "row_index"],
                              "left_anti")
                        .drop("file", "row_index"))
             return (out.drop("_cdf_file")
-                    .select(*[c for c in scan.columns if c != "_cdf_file"],
-                            "_change_type", "_commit_version"))
+                    .select(*data_cols, "_change_type", "_commit_version"))
 
         ins, dels = one_scan("insert"), one_scan("delete")
         cdf = (ins if dels is None else dels if ins is None

@@ -1456,3 +1456,45 @@ def test_deletion_vector_merge_on_read_update(spark, table_path):
     with pytest.raises(ConstraintViolation):
         t.update("k = 2", {"v": "v + 10000.0"}, mode="mor")
     assert {x["k"]: x["v"] for x in t.read(spark).collect()} == got
+
+
+def test_cdf_masks_dv_rows_of_rewritten_files(spark, table_path):
+    """The delete side of a NORMAL rewrite commit must apply the DV the
+    removed file carried AT REMOVAL: without masking, a CoW rewrite of a
+    DV-carrying file would re-emit the soft-deleted rows as spurious
+    deletes (they were already deleted by the MoR commits' sidecars) and
+    the net feed would double-count them. Range spans [MoR, MoR, CoW
+    update]; expected effective changes: k1,k2 deleted once each (the
+    sidecars), k3 pre-image delete + post-image insert (the rewrite),
+    k0 carried through and cancelled."""
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "k long, g string, v double").coalesce(1)
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="g")
+    t.append(frame([(0, "a", 0.0), (1, "a", 1.0), (2, "a", 2.0),
+                    (3, "a", 3.0)]))
+    v0 = t.latest_version()
+    t.delete("k = 1", mode="mor")
+    t.delete("k = 2", mode="mor")          # chain of 2 DVs on the file
+    t.update("k = 3", {"v": "v + 100.0"})  # CoW rewrite removes the file
+
+    ch = t.changes(spark, v0, net=True).collect()
+    got = {(x["k"], x["v"], x["_change_type"], x["_n"]) for x in ch}
+    assert got == {(1, 1.0, "delete", 1), (2, 2.0, "delete", 1),
+                   (3, 3.0, "delete", 1), (3, 103.0, "insert", 1)}
+    # replay invariant across the mixed range
+    from collections import Counter
+
+    def snap(v=None):
+        return Counter((x["k"], x["v"])
+                       for x in t.read(spark, version=v).collect())
+
+    raw = t.changes(spark, v0).collect()
+    model = snap(v0)
+    for x in sorted(raw, key=lambda r: r["_commit_version"]):
+        if x["_change_type"] == "insert":
+            model[(x["k"], x["v"])] += 1
+        else:
+            model[(x["k"], x["v"])] -= 1
+    assert +model == snap()
