@@ -257,6 +257,15 @@ def bloom_may_contain(bloom: dict, probes: list[str]) -> bool:
     return False
 
 
+def file_ident(add: dict) -> tuple:
+    """Content identity of a live add for retry fast paths: path PLUS the
+    deletion-vector chain. A MoR delete re-adds the SAME path with a new
+    DV — a retry loop comparing paths alone would re-commit a rewrite
+    staged from the pre-DV file content and RESURRECT soft-deleted rows
+    (caught by the randomized concurrency property, r7 s2)."""
+    return (add["path"], tuple(add.get("dv", ())))
+
+
 def add_rows(add: dict) -> int:
     """Row count of an add-action; an add written by a log version that
     didn't record 'rows' (or recorded null) reads as UNKNOWN = 1, so the
@@ -669,9 +678,15 @@ class TxLogTable:
             reader = reader.option("mergeSchema", "true")
         df = reader.parquet(*paths)
         prefix = os.path.abspath(self.path) + "/"
-        rel = F.expr(
-            f"substring(regexp_replace(_metadata.file_path, "
-            f"'^file:(//)?', ''), {len(prefix) + 1})")
+        fp = F.regexp_replace(F.col("_metadata.file_path"),
+                              "^file:(//)?", "")
+        # table-relative for own files; FULL path for clone-foreign files
+        # (matches the add's absolute "path", so DV keys stay consistent
+        # between the table API and the data source)
+        rel = F.when(fp.startswith(prefix),
+                     F.expr(f"substring(regexp_replace("
+                            f"_metadata.file_path, '^file:(//)?', ''), "
+                            f"{len(prefix) + 1})")).otherwise(fp)
         df = (df.withColumn("__file", rel)
                 .withColumn("__ri", F.col("_metadata.row_index")))
         dv_rels = sorted({d for a in files for d in a.get("dv", ())})
@@ -703,6 +718,47 @@ class TxLogTable:
             except VersionConflict:
                 _backoff(attempt)
                 attempt += 1
+
+    def clone(self, target_path: str,
+              version: int | None = None) -> "TxLogTable":
+        """SHALLOW CLONE (Delta parity): create a NEW table whose
+        version-0 commit references the source snapshot's data files by
+        ABSOLUTE path — zero bytes copied, instant at any size. Every
+        reader resolves add paths with os.path.join, which passes
+        absolute paths through untouched, so reads, stats/bloom pruning,
+        and the data source work unchanged. The clone then evolves
+        independently: its own log, its own data dir for new writes,
+        its own constraints (the source's ACTIVE set is copied into the
+        v0 commit); rewrites land clone-local files, so divergence is
+        natural copy-on-write. Source CHECK: vacuum on the SOURCE can
+        delete files the clone still references (Delta documents the
+        same shallow-clone caveat) — clones are for experiments and
+        short-lived branches, not archival. DV-carrying snapshots are
+        refused (DV row `file` keys are source-relative and would not
+        match through the clone's path prefix): OPTIMIZE first — the
+        purge that retires DVs anyway."""
+        files = self._resolve(version)
+        if any(a.get("dv") for a in files):
+            raise ValueError(
+                "txlog clone: the source snapshot carries deletion "
+                "vectors; run optimize() (DV purge) before cloning.")
+        t = TxLogTable(target_path, key_cols=self.key_cols,
+                       stats_col=self.stats_col,
+                       cluster_by=self.cluster_by,
+                       bloom_col=self.bloom_col)
+        if t.latest_version() >= 0:
+            raise ValueError(f"txlog clone: {target_path} already has "
+                             "commits")
+        actions = []
+        for a in files:
+            n = dict(a)
+            n["path"] = os.path.abspath(
+                os.path.join(self.path, a["path"]))
+            actions.append({"add": n})
+        actions += [{"constraint": {"name": k, "expr": v}}
+                    for k, v in sorted(self.constraints(version).items())]
+        t.commit(actions, 0, op="clone")
+        return t
 
     def version_at_timestamp(self, ts: float) -> int:
         """Latest version whose commit timestamp is <= ts — Delta's
@@ -897,12 +953,14 @@ class TxLogTable:
                 base = self.latest_version()
                 live = self._resolve(base)
                 new_touched = self._prune_files(live, ranges, probes)
-                # fast path requires BOTH an unchanged touched set and
-                # unchanged constraints (r7): an interleaved
+                # fast path requires an unchanged touched set by
+                # CONTENT identity (path + dv chain: an interleaved MoR
+                # delete keeps paths but changes what the file holds)
+                # and unchanged constraints (r7): an interleaved
                 # add_constraint must force re-validation of the staged
                 # rows, not a blind re-commit
-                if ({a["path"] for a in new_touched}
-                        == {a["path"] for a in touched}
+                if ({file_ident(a) for a in new_touched}
+                        == {file_ident(a) for a in touched}
                         and self.constraints(base) == cons0):
                     continue        # logical no-conflict: re-commit as-is
                 touched = new_touched
@@ -1051,8 +1109,8 @@ class TxLogTable:
                 base = self.latest_version()
                 live = self._resolve(base)
                 new_touched = self._prune_files(live, ranges, probes)
-                if ({a["path"] for a in new_touched}
-                        == {a["path"] for a in touched}
+                if ({file_ident(a) for a in new_touched}
+                        == {file_ident(a) for a in touched}
                         and self.constraints(base) == cons0):
                     continue        # logical no-conflict: re-commit as-is
                 touched = new_touched
@@ -1139,8 +1197,8 @@ class TxLogTable:
                 retries += 1
                 base = self.latest_version()
                 new_live = self._resolve(base)
-                if ({a["path"] for a in new_live}
-                        == {a["path"] for a in live}
+                if ({file_ident(a) for a in new_live}
+                        == {file_ident(a) for a in live}
                         and self.constraints(base) == cons0):
                     continue        # live set unchanged: re-commit as-is
                 live = new_live
@@ -1332,8 +1390,8 @@ class TxLogTable:
                 base = self.latest_version()
                 live = self._resolve(base)
                 new_touched = prune(live)
-                if ({a["path"] for a in new_touched}
-                        == {a["path"] for a in touched}
+                if ({file_ident(a) for a in new_touched}
+                        == {file_ident(a) for a in touched}
                         and self.constraints(base) == cons0):
                     continue        # logical no-conflict: re-commit as-is
                 touched = new_touched
@@ -1455,9 +1513,6 @@ class TxLogTable:
                     actions.append({"add": new})
             return actions, {"cdf": cdc_rel}, matched
 
-        def ident(touched):
-            return [(a["path"], tuple(a.get("dv", ()))) for a in touched]
-
         base = self.latest_version()
         live = self._resolve(base)
         cons0 = self.constraints(base)
@@ -1494,7 +1549,8 @@ class TxLogTable:
                 # fast path needs identical adds INCLUDING dv chains (an
                 # interleaved MoR delete on the same file must re-stage)
                 # and, when staging new rows, an unchanged constraint set
-                if (ident(new_touched) == ident(touched)
+                if ([file_ident(a) for a in new_touched]
+                        == [file_ident(a) for a in touched]
                         and (assignments is None
                              or self.constraints(base) == cons0)):
                     continue

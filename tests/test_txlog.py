@@ -1498,3 +1498,57 @@ def test_cdf_masks_dv_rows_of_rewritten_files(spark, table_path):
         else:
             model[(x["k"], x["v"])] -= 1
     assert +model == snap()
+
+
+def test_shallow_clone_zero_copy(spark, table_path):
+    """r7 s2 SHALLOW CLONE: the clone's v0 references the source's data
+    files by absolute path — nothing copied; reads equal the source
+    snapshot; the clone evolves independently (its writes land in its
+    own data dir, the source never sees them and vice versa); active
+    constraints carry over; DV-carrying snapshots are refused until
+    purged."""
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "k long, g string, v double").coalesce(1)
+
+    src_path = os.path.join(table_path, "src")
+    cl_path = os.path.join(table_path, "cl")
+    src = TxLogTable(src_path, key_cols=["k"], stats_col="g")
+    src.append(frame([(1, "a", 1.0), (2, "a", 2.0)]))
+    src.append(frame([(3, "b", 3.0)]))
+    src.add_constraint("v_pos", "v > 0")
+    v_src = src.latest_version()
+
+    cl = src.clone(cl_path)
+    assert cl.latest_version() == 0
+    assert {tuple(r) for r in cl.read(spark).collect()} \
+        == {tuple(r) for r in src.read(spark).collect()}
+    # zero copy: no parquet landed under the clone's data dir
+    assert not any(f.endswith(".parquet")
+                   for _, _, fs in os.walk(cl.data_dir) for f in fs)
+    # constraints carried: a violating append on the CLONE refuses
+    from service_level_reporting_spark.sources.txlog import (
+        ConstraintViolation)
+    with pytest.raises(ConstraintViolation):
+        cl.append(frame([(9, "z", -1.0)]))
+
+    # independent evolution: clone merge rewrites into ITS OWN data dir;
+    # source unchanged, and source writes don't appear in the clone
+    cl.merge(frame([(2, "a", 22.0)]))
+    assert {x["k"]: x["v"] for x in cl.read(spark).collect()} \
+        == {1: 1.0, 2: 22.0, 3: 3.0}
+    assert {x["k"]: x["v"] for x in src.read(spark).collect()} \
+        == {1: 1.0, 2: 2.0, 3: 3.0}
+    src.append(frame([(4, "c", 4.0)]))
+    assert cl.read(spark).count() == 3
+    # reopening by path keeps working; time travel on the source intact
+    assert TxLogTable.open(cl_path).read(spark).count() == 3
+    assert src.read(spark, version=v_src).count() == 3
+
+    # a MoR-deleted snapshot refuses to clone until OPTIMIZE purges
+    src.delete("k = 1", mode="mor")
+    with pytest.raises(ValueError, match="deletion(\\s|-)?vectors"):
+        src.clone(os.path.join(table_path, "cl2"))
+    src.optimize(target_files=1)
+    cl2 = src.clone(os.path.join(table_path, "cl2"))
+    assert sorted(x["k"] for x in cl2.read(spark).collect()) == [2, 3, 4]
