@@ -14,9 +14,13 @@ The algebra, per group:
   read. One pass over the increment, never the base.
 * **min / max are NOT invertible under deletes** (removing the current
   extreme says nothing about the runner-up). The standard IVM answer is
-  a scoped recompute: a group is SUSPECT only when a delete touches its
-  current extreme (deleted_min <= state_min, or deleted_max >=
-  state_max); suspect groups — and only those — re-aggregate min/max
+  a scoped recompute: a group is SUSPECT only when a delete reaches the
+  MERGED candidate extreme (deleted_min <= candidate_min, or deleted_max
+  >= candidate_max, where candidate folds the stored state with the
+  feed's insert side — r8 ADVICE: comparing against the stored state
+  alone missed a group created and extreme-deleted within one raw feed,
+  and recomputed needlessly when an insert strictly dominated the
+  deleted value); suspect groups — and only those — re-aggregate min/max
   from the base snapshot via one key-scoped scan (left-semi join on the
   suspect keys; on a txlog base with cluster_by/typed stats that scan
   prunes to the groups' files). Inserts never force a recompute
@@ -163,11 +167,16 @@ def mv_apply_changes(state: DataFrame, changes: DataFrame, spec: dict,
                     .otherwise(pick(cur, ins))
             out_cols.append(cand.alias(f"__{op}_{out}"))
             dext = F.col(f"d.__del_{op}_{out}")
-            # a delete at/beyond the stored extreme may have removed it;
-            # a delete into a group with NO stored state (created and
-            # deleted within the feed) is covered by the insert side
-            hit = (dext <= cur) if op == "min" else (dext >= cur)
-            suspect = suspect | (dext.isNotNull() & cur.isNotNull() & hit)
+            # a delete at/beyond the MERGED candidate may have removed the
+            # candidate's witness row. Comparing against the candidate —
+            # not the stored state — also covers a group with NO stored
+            # state whose within-feed-inserted extreme is deleted in the
+            # SAME (raw, non-net) feed: there cur is null but cand falls
+            # back to the insert-side extreme, which includes the deleted
+            # row (r8, ADVICE — reachable via stream_matview's first run,
+            # which folds the whole history as one raw batch).
+            hit = (dext <= cand) if op == "min" else (dext >= cand)
+            suspect = suspect | (dext.isNotNull() & cand.isNotNull() & hit)
     merged = (st.select(*out_cols, suspect.alias("__suspect"))
               .where(F.col("__cnt") > 0))
 

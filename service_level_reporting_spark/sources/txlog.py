@@ -1845,11 +1845,19 @@ class TxLogTable:
             emap = spark.createDataFrame(
                 rows, "file string, _commit_version long, __dv_dir string")
             rels = sorted({d for _, _, d in rows})
+            # __dv_dir must come from the path RELATIVE to the table
+            # prefix: matching the first 'dv/' segment of the ABSOLUTE
+            # path breaks for a table rooted under a directory that
+            # itself contains 'dv/' (e.g. /data/dv/warehouse/t) — the
+            # wrong key silently drops the mask through the emap join
+            # and re-emits already-deleted rows (r8, ADVICE).
             dvs = (spark.read.parquet(
                        *[os.path.join(self.path, d) for d in rels])
-                   .withColumn("__dv_dir",
-                               F.regexp_extract(F.input_file_name(),
-                                                "(dv/[^/]+)/", 1)))
+                   .withColumn("__dv_dir", F.regexp_extract(
+                       F.expr(f"substring(regexp_replace("
+                              f"input_file_name(), '^file:(//)?', ''), "
+                              f"{len(prefix) + 1})"),
+                       "^(dv/[^/]+)/", 1)))
             return (dvs.join(F.broadcast(emap), ["file", "__dv_dir"])
                     .select("file", "_commit_version", "row_index"))
 

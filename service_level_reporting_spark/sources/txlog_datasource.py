@@ -339,11 +339,21 @@ class TxLogBatchReader(DataSourceReader):
                 if ranges and not file_may_match(a, ranges):
                     return False
                 rows = a.get("rows")
-                for col in self.not_null:     # all-null file, IS NOT NULL
-                    e = st.get(col)
-                    if (e and rows and e.get("nulls") is not None
-                            and e["nulls"] == rows):
-                        return False
+                # The nulls==rows ("all-null") prune must compare the
+                # file's ORIGINAL footer null count against the ORIGINAL
+                # row count — but a merge-on-read delete decrements the
+                # add's live 'rows' while keeping the original 'stats', so
+                # a DV-carrying file where original_nulls == remaining
+                # live rows would be wrongly skipped even though non-null
+                # rows survive (r8, ADVICE). Skip the prune whenever the
+                # add carries a DV chain; the IsNull prune below (nulls ==
+                # 0) is deletion-monotone and stays.
+                if not a.get("dv"):
+                    for col in self.not_null:  # all-null file, IS NOT NULL
+                        e = st.get(col)
+                        if (e and rows and e.get("nulls") is not None
+                                and e["nulls"] == rows):
+                            return False
                 for col in self.null_only:    # null-free file, IS NULL
                     e = st.get(col)
                     if e and rows and e.get("nulls") == 0:

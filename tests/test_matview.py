@@ -62,12 +62,13 @@ def test_matview_incremental_equals_recompute(spark, table_path):
     t.append(frame([(6, "a", 0.5), (7, "c", 3.0)]))
     step(set())
 
-    # 2. merge that replaces a NON-extreme row upward: the delete side
-    # removes v=4.0 while max(a)=4.0 — that IS the stored extreme, so the
-    # group is suspect and the scoped recompute must restore max from the
-    # inserted 16.0
+    # 2. merge that replaces the stored max (4.0) with a LARGER value:
+    # the insert-side 16.0 strictly dominates the deleted 4.0, so the
+    # merged candidate is provably correct and the fast path holds (r8:
+    # suspects compare the delete extreme against the CANDIDATE, which is
+    # sharper than the old stored-state compare — no wasted recompute)
     t.merge(frame([(2, "a", 16.0)]))
-    step({"a"})
+    step(set())
 
     # 3. delete the row holding b's max: suspect + recompute
     t.delete("k = 4")
@@ -77,9 +78,11 @@ def test_matview_incremental_equals_recompute(spark, table_path):
     t.update("k = 6", {"v": "v + 1.0"})
     step({"a"})
 
-    # 5. replace_where an entire group (all rows swapped atomically)
+    # 5. replace_where an entire group (all rows swapped atomically):
+    # deleted extremes (3.0) are strictly inside the inserted envelope
+    # [2.0, 6.0], so both candidates are provably exact — fast path
     t.replace_where(frame([(30, "c", 6.0), (31, "c", 2.0)]), "g = 'c'")
-    step({"c"})
+    step(set())
 
     # 6. delete strictly inside the envelope: fast path again
     # (b's extremes after steps 3+6: min 0.25, max 9.0 — 5.0 is interior)
@@ -170,3 +173,42 @@ def test_stream_matview_exactly_once(spark, table_path):
     assert st.latest_version() == v_state
     assert _view(read_view(spark, st, SPEC)) == \
         _view(MV.mv_read(MV.mv_init(t.read(spark), SPEC), SPEC))
+
+
+def test_matview_first_run_raw_feed_deleted_extreme(spark, table_path):
+    """r8 (ADVICE): a group with NO stored state whose within-feed
+    inserted extreme is ALSO deleted in the same raw (non-net) feed must
+    be suspect — comparing the delete-side extreme against the stored
+    state alone let the candidate fall back to the insert-side extreme
+    (which includes the later-deleted row) with no recompute. Reachable
+    via stream_matview's first run: availableNow folds the whole history
+    as ONE raw batch over empty state."""
+    from service_level_reporting_spark.streaming.matview_stream import (
+        read_view, stream_matview)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "k long, g string, v double").coalesce(1)
+
+    base_path = os.path.join(table_path, "base")
+    t = TxLogTable(base_path, key_cols=["k"], stats_col="g")
+    t.append(frame([(1, "a", 1.0), (2, "a", 9.0), (3, "b", 2.0)]))
+    t.delete("k = 2")                      # kills max(a) WITHIN history
+
+    # unit level: fold the raw feed over EMPTY state
+    empty = MV.mv_init(t.read(spark).limit(0), SPEC)
+    res = MV.mv_apply_changes(empty, t.changes(spark, -1), SPEC,
+                              base=t.read(spark))
+    # 'a' MUST be suspect; carried-through rows in a raw feed re-emit
+    # delete+insert pairs, so other groups may be conservatively suspect
+    assert "a" in {r["g"] for r in res["suspects"].collect()}
+    assert _view(MV.mv_read(res["state"], SPEC)) == \
+        _view(MV.mv_read(MV.mv_init(t.read(spark), SPEC), SPEC))
+
+    # reachable path: FIRST streaming run over the same history
+    st = stream_matview(spark, base_path, SPEC,
+                        os.path.join(table_path, "view"),
+                        os.path.join(table_path, "ck"))
+    got = {r["g"]: (r["v_min"], r["v_max"])
+           for r in read_view(spark, st, SPEC).collect()}
+    assert got["a"] == (1.0, 1.0)          # 9.0 must NOT survive

@@ -1552,3 +1552,29 @@ def test_shallow_clone_zero_copy(spark, table_path):
     src.optimize(target_files=1)
     cl2 = src.clone(os.path.join(table_path, "cl2"))
     assert sorted(x["k"] for x in cl2.read(spark).collect()) == [2, 3, 4]
+
+
+def test_changes_dv_mask_with_dv_in_table_path(spark, table_path):
+    """r8 (ADVICE): changes() maps DV rows back to their sidecar via the
+    path suffix RELATIVE to the table prefix. A table rooted under a
+    directory that itself contains 'dv/' used to extract the wrong key
+    from the absolute path, silently drop the mask through the emap
+    join, and re-emit rows already deleted at removal time."""
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "k long, g string, v double").coalesce(1)
+
+    # the trap: a 'dv/' path segment ABOVE the table root
+    path = os.path.join(table_path, "dv", "warehouse", "t")
+    t = TxLogTable(path, key_cols=["k"], stats_col="g")
+    t.append(frame([(0, "a", 0.0), (1, "a", 1.0), (2, "a", 2.0)]))
+    v0 = t.latest_version()
+    t.delete("k = 1", mode="mor")          # DV on the file
+    t.update("k = 2", {"v": "v + 10.0"})   # CoW removes the DV'd file
+
+    ch = t.changes(spark, v0, net=True).collect()
+    got = {(x["k"], x["v"], x["_change_type"], x["_n"]) for x in ch}
+    # k=1 deleted ONCE (the sidecar); the rewrite's remove must NOT
+    # re-emit it (it was masked at removal); k=0 carried and cancelled
+    assert got == {(1, 1.0, "delete", 1), (2, 2.0, "delete", 1),
+                   (2, 12.0, "insert", 1)}

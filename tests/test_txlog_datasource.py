@@ -365,3 +365,43 @@ def test_bloom_pushdown_prunes_point_lookups(spark, table_path):
     r4 = TxLogBatchReader(table_path, {"path": table_path})
     list(r4.pushFilters([EqualTo(("uid",), 1.5)]))
     assert len(r4.partitions()) == 3 and r4.pruned_files == 0
+
+
+def test_null_count_prune_skips_dv_carrying_files(spark, table_path):
+    """r8 (ADVICE): the IsNotNull 'all-null file' prune compares the
+    file's ORIGINAL footer null count against the add's LIVE row count —
+    after a MoR delete those can coincide on a file whose non-null rows
+    survive, and the file was wrongly skipped. Spark pushes IsNotNull
+    alongside nearly every comparison filter, so any predicate on such a
+    column silently lost rows through the registered source."""
+    from pyspark.sql.datasource import IsNotNull, IsNull
+
+    spark.dataSource.register(TxLogDataSource)
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    # 4 rows, 2 nulls in x; MoR-delete the 2 null rows -> live rows (2)
+    # == original null count (2), but both live rows are NON-null
+    t.append(spark.createDataFrame(
+        [("a", None), ("b", None), ("c", 7), ("d", 8)],
+        "k string, x long").coalesce(1))
+    t.delete("x IS NULL", mode="mor")
+
+    r = TxLogBatchReader(table_path, {"path": table_path})
+    list(r.pushFilters([IsNotNull(("x",))]))
+    assert len(r.partitions()) == 1 and r.pruned_files == 0
+    # end-to-end: a comparison filter (which pushes IsNotNull too) sees
+    # the surviving rows
+    got = sorted(x["x"] for x in spark.read.format("txlog")
+                 .load(table_path).filter(F.col("x") > 0).collect())
+    assert got == [7, 8]
+    # the IsNull prune (nulls == 0) is deletion-monotone and still fires
+    # on a null-free DV-less file
+    t2_path = table_path + "_nf"
+    try:
+        t2 = TxLogTable(t2_path, key_cols=["k"], stats_col="k")
+        t2.append(spark.createDataFrame([("a", 1)],
+                                        "k string, x long").coalesce(1))
+        r2 = TxLogBatchReader(t2_path, {"path": t2_path})
+        list(r2.pushFilters([IsNull(("x",))]))
+        assert len(r2.partitions()) == 1 and r2.pruned_files == 1
+    finally:
+        shutil.rmtree(t2_path, ignore_errors=True)
