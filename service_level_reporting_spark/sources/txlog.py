@@ -59,6 +59,13 @@ VACUUM_MIN_AGE_SEC = 600.0
 # schema columns (Delta's dataSkippingNumIndexedCols default) — stats are
 # log metadata, and a 1000-column table must not pay 1000 entries per add
 STATS_MAX_COLS = 32
+# the DV mask anti-join broadcasts its (file, row_index) frame only while
+# the sidecars' total recorded rows (footer-counted, driver-side) stay
+# under this; past it the join degrades to SHUFFLE_HASH — bounded by the
+# DV-carrying files' size, never the table (r8, VERDICT: DV volume is
+# unbounded between OPTIMIZE purges, and an explicit broadcast() hint
+# ignores autoBroadcastJoinThreshold all the way to the 8 GB hard cap)
+DV_BROADCAST_MAX_ROWS = 1_000_000
 
 
 class VersionConflict(Exception):
@@ -663,40 +670,83 @@ class TxLogTable:
                 adds.append({"add": add})
         return adds
 
+    def _dv_sidecar_rows(self, dv_rels) -> int:
+        """Total recorded (file, row_index) pairs across DV sidecars —
+        from the sidecars' parquet FOOTERS, driver-side, O(#sidecars)
+        (each sidecar is a single coalesced file). Decides the mask's
+        join strategy without scanning any data."""
+        import pyarrow.parquet as pq
+
+        n = 0
+        for d in dv_rels:
+            full = os.path.join(self.path, d)
+            for root, _, fs in os.walk(full):
+                for f in fs:
+                    if f.endswith(".parquet"):
+                        n += pq.ParquetFile(
+                            os.path.join(root, f)).metadata.num_rows
+        return n
+
     def _files_df_meta(self, spark: SparkSession, files: list[dict],
                        merge_schema: bool = False) -> DataFrame:
         """The central file reader, deletion-vector-aware (r7 s2): data
         columns plus ``__file`` (table-relative path) and ``__ri``
         (parquet row index). Rows masked by any referenced DV are
-        filtered OUT via a broadcast anti-join on (file, row_index) —
-        every consumer (snapshot read, merge/rewrite inputs, scope
-        probes, compaction) sees only live rows, so a rewrite can never
-        resurrect a soft-deleted row."""
-        paths = [os.path.join(self.path, a["path"]) for a in files]
-        reader = spark.read
-        if merge_schema:
-            reader = reader.option("mergeSchema", "true")
-        df = reader.parquet(*paths)
+        filtered OUT via an anti-join on (file, row_index) — every
+        consumer (snapshot read, merge/rewrite inputs, scope probes,
+        compaction) sees only live rows, so a rewrite can never
+        resurrect a soft-deleted row.
+
+        Scale posture (r8, VERDICT): DV volume is unbounded between
+        OPTIMIZE purges, so the mask must not assume the DV frame
+        broadcasts. (a) Files WITHOUT a DV chain — the overwhelming
+        majority of a 100 TB table — scan in their own branch and never
+        touch the join at all. (b) The DV-carrying branch anti-joins
+        only ITS files' sidecar rows: broadcast while the sidecars'
+        footer-counted row total stays under DV_BROADCAST_MAX_ROWS,
+        SHUFFLE_HASH past it (shuffle bounded by the DV-carrying files'
+        size, never the table; an unconditional broadcast() hint would
+        ignore autoBroadcastJoinThreshold and drive straight into the
+        8 GB broadcast cap / driver OOM). Consumer filters still push
+        through the anti-join into both parquet scans."""
         prefix = os.path.abspath(self.path) + "/"
-        fp = F.regexp_replace(F.col("_metadata.file_path"),
-                              "^file:(//)?", "")
-        # table-relative for own files; FULL path for clone-foreign files
-        # (matches the add's absolute "path", so DV keys stay consistent
-        # between the table API and the data source)
-        rel = F.when(fp.startswith(prefix),
-                     F.expr(f"substring(regexp_replace("
-                            f"_metadata.file_path, '^file:(//)?', ''), "
-                            f"{len(prefix) + 1})")).otherwise(fp)
-        df = (df.withColumn("__file", rel)
-                .withColumn("__ri", F.col("_metadata.row_index")))
-        dv_rels = sorted({d for a in files for d in a.get("dv", ())})
-        if dv_rels:
-            dv = (spark.read.parquet(
-                      *[os.path.join(self.path, d) for d in dv_rels])
-                  .select(F.col("file").alias("__file"),
-                          F.col("row_index").alias("__ri")).distinct())
-            df = df.join(F.broadcast(dv), ["__file", "__ri"], "left_anti")
-        return df
+
+        def scan(subset: list[dict]) -> DataFrame:
+            paths = [os.path.join(self.path, a["path"]) for a in subset]
+            reader = spark.read
+            if merge_schema:
+                reader = reader.option("mergeSchema", "true")
+            df = reader.parquet(*paths)
+            fp = F.regexp_replace(F.col("_metadata.file_path"),
+                                  "^file:(//)?", "")
+            # table-relative for own files; FULL path for clone-foreign
+            # files (matches the add's absolute "path", so DV keys stay
+            # consistent between the table API and the data source)
+            rel = F.when(fp.startswith(prefix),
+                         F.expr(f"substring(regexp_replace("
+                                f"_metadata.file_path, '^file:(//)?', ''), "
+                                f"{len(prefix) + 1})")).otherwise(fp)
+            return (df.withColumn("__file", rel)
+                      .withColumn("__ri", F.col("_metadata.row_index")))
+
+        clean = [a for a in files if not a.get("dv")]
+        dirty = [a for a in files if a.get("dv")]
+        if not dirty:
+            return scan(clean)
+        dv_rels = sorted({d for a in dirty for d in a.get("dv", ())})
+        dv = (spark.read.parquet(
+                  *[os.path.join(self.path, d) for d in dv_rels])
+              .select(F.col("file").alias("__file"),
+                      F.col("row_index").alias("__ri")).distinct())
+        if self._dv_sidecar_rows(dv_rels) <= DV_BROADCAST_MAX_ROWS:
+            dv = F.broadcast(dv)
+        else:
+            dv = dv.hint("shuffle_hash")
+        masked = scan(dirty).join(dv, ["__file", "__ri"], "left_anti")
+        if not clean:
+            return masked
+        return scan(clean).unionByName(masked,
+                                       allowMissingColumns=merge_schema)
 
     def _files_df(self, spark: SparkSession, files: list[dict],
                   merge_schema: bool = False) -> DataFrame:

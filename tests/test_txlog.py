@@ -1578,3 +1578,61 @@ def test_changes_dv_mask_with_dv_in_table_path(spark, table_path):
     # re-emit it (it was masked at removal); k=0 carried and cancelled
     assert got == {(1, 1.0, "delete", 1), (2, 2.0, "delete", 1),
                    (2, 12.0, "insert", 1)}
+
+
+def test_dv_mask_scales_past_broadcast(spark, table_path):
+    """r8 (VERDICT): the DV mask must not assume the deletion-vector
+    frame broadcasts — DV volume is unbounded between OPTIMIZE purges.
+    With a planted sidecar of >10^6 masked rows the central reader (a)
+    scans DV-less files in a join-free branch, (b) anti-joins only the
+    DV-carrying files' rows via SHUFFLE_HASH (no broadcast anywhere in
+    the plan), and (c) stays value-identical with the datasource's
+    executor-side per-file masking."""
+    from service_level_reporting_spark.plans import plan_facts
+    from service_level_reporting_spark.sources.txlog_datasource import (
+        TxLogDataSource)
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="g")
+    n, cut = 1_300_000, 1_100_000
+    t.append(spark.range(n).select(
+        F.col("id").alias("k"), F.lit("a").alias("g"),
+        (F.col("id") % 97).cast("double").alias("v")).coalesce(2))
+    t.append(spark.createDataFrame(
+        [(n + 1, "b", 1.0), (n + 2, "b", 2.0), (n + 3, "b", 3.0)],
+        "k long, g string, v double").coalesce(1))   # clean file
+    res = t.delete(f"k < {cut} and g = 'a'", mode="mor")
+    assert res["matched_rows"] == cut
+
+    df = t.read(spark)
+    facts = plan_facts(df)
+    assert facts["n_broadcast_hash_joins"] == 0, facts["plan"]
+    assert "ShuffledHashJoin" in facts["plan"]
+    # join-free clean branch rides a union around the masked branch
+    assert "Union" in facts["plan"]
+
+    want_rows = n - cut + 3
+    want_sum = sum(range(cut, n)) + 3 * n + 6
+    row = df.agg(F.count(F.lit(1)).alias("c"),
+                 F.sum("k").alias("s")).first()
+    assert (row["c"], row["s"]) == (want_rows, want_sum)
+
+    spark.dataSource.register(TxLogDataSource)
+    row2 = (spark.read.format("txlog").load(table_path)
+            .agg(F.count(F.lit(1)).alias("c"),
+                 F.sum("k").alias("s")).first())
+    assert (row2["c"], row2["s"]) == (want_rows, want_sum)
+
+    # a SMALL DV set still takes the broadcast fast path (fresh table —
+    # chains accrete, so the big sidecar above keeps ITS table shuffled)
+    t2_path = table_path + "_small"
+    try:
+        t2 = TxLogTable(t2_path, key_cols=["k"], stats_col="g")
+        t2.append(spark.createDataFrame(
+            [(1, "a", 1.0), (2, "a", 2.0)], "k long, g string, v double")
+            .coalesce(1))
+        t2.delete("k = 1", mode="mor")
+        small = plan_facts(t2.read(spark))
+        assert small["n_broadcast_hash_joins"] >= 1
+        assert [x["k"] for x in t2.read(spark).collect()] == [2]
+    finally:
+        shutil.rmtree(t2_path, ignore_errors=True)
