@@ -76,6 +76,20 @@ class ConstraintViolation(Exception):
     """A write would land rows that fail an active CHECK constraint."""
 
 
+class SchemaEvolutionError(ValueError):
+    """A write attempts a NON-additive schema change (r8, VERDICT item 6).
+
+    The pinned contract (Delta's, minus column mapping which is out of
+    scope): adding columns is allowed and recorded in the log; a write
+    may OMIT recorded columns (they read as NULL — Delta with
+    autoMerge); changing a recorded column's TYPE (widening or
+    narrowing) raises this error listing the offending fields, through
+    both the table API (at write) and the data source (reading a legacy
+    log whose footers conflict). Renames and drops are not expressible:
+    a rename degrades to omit-old + add-new, which reads as NULLs for
+    old rows — rewrite the table (overwrite) to truly change a column."""
+
+
 def _backoff(attempt: int) -> None:
     """Exponential backoff with FULL jitter (sleep uniform in [0, cap]):
     decorrelates competing writers so a tight retry loop can't starve a
@@ -488,11 +502,14 @@ class TxLogTable:
         files = self._resolve(version)
         txns = self._txn_map(version)
         cons = self.constraints(version)
+        sch, sev = self.table_schema_info(version)
         ckpt = os.path.join(self.log_dir, f"{version:020d}.checkpoint.json")
         tmp = ckpt + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
             json.dump({"version": version, "files": files,
-                       "txns": txns, "constraints": cons}, fh)
+                       "txns": txns, "constraints": cons,
+                       "schema": sch.json() if sch is not None else None,
+                       "schema_evolved": sev}, fh)
         os.replace(tmp, ckpt)          # atomic publish, idempotent rewrite
 
     # ---- CHECK constraints (r7): write-side enforcement in the log ------
@@ -525,6 +542,113 @@ class TxLogTable:
                     elif "drop_constraint" in a:
                         cons.pop(a["drop_constraint"], None)
         return cons
+
+    # ---- table schema in the log (r8, VERDICT item 1) -------------------
+
+    def table_schema_info(self, version: int | None = None,
+                          use_checkpoint: bool = True):
+        """``(schema: StructType | None, evolved: bool)`` at ``version``
+        — the table's schema as recorded by the log's ``metaData``
+        actions (Delta's metaData action), NOT parquet footers: a reader
+        derives its schema in O(checkpoint interval) log reads instead
+        of an O(n_files) driver-side footer storm at analysis time.
+
+        Replay mirrors constraints(): seed from the latest checkpoint's
+        carried schema, fold newer commits' metaData actions — the
+        running schema is the UNION of all recorded field sets (fields
+        never leave; a racing pair of additive writers lands both
+        columns regardless of commit order), with last-wins per field.
+        ``evolved`` flips when any action's field set differs from the
+        union so far — the data source uses it for the pinned
+        read-without-mergeSchema error. Returns (None, False) for a
+        legacy log with no metaData action (readers fall back to footer
+        unification). A recorded TYPE conflict raises
+        SchemaEvolutionError (writes enforce it, so this only fires on
+        hand-edited logs)."""
+        from pyspark.sql.types import StructType
+
+        if version is None:
+            version = self.latest_version()
+        start = 0
+        fields: dict = {}                 # insertion-ordered field union
+        evolved = False
+        seen = False
+        if use_checkpoint:
+            ckpt = self._latest_checkpoint(version)
+            if ckpt is not None and "schema" in ckpt:
+                if ckpt["schema"] is not None:
+                    st = StructType.fromJson(json.loads(ckpt["schema"]))
+                    fields = {f.name: f for f in st.fields}
+                    evolved = bool(ckpt.get("schema_evolved"))
+                    seen = True
+                start = ckpt["version"] + 1
+            # a pre-schema checkpoint (no "schema" key) degrades to a
+            # full walk once, like the txn map and constraints
+        for v in range(start, version + 1):
+            p = self._commit_path(v)
+            if not os.path.exists(p):
+                continue
+            with open(p) as fh:
+                actions = json.load(fh)["actions"]
+            for a in actions:
+                md = a.get("metaData")
+                if not md:
+                    continue
+                st = StructType.fromJson(json.loads(md["schemaString"]))
+                new = {f.name: f for f in st.fields}
+                bad = [n for n, f in new.items()
+                       if n in fields
+                       and f.dataType != fields[n].dataType]
+                if bad:
+                    raise SchemaEvolutionError(
+                        f"txlog schema: incompatible type change for "
+                        f"column(s) {bad} recorded at version {v}. "
+                        "Non-additive schema evolution (rename/drop/"
+                        "type change) is unsupported — rewrite the "
+                        "table with one schema (overwrite).")
+                if seen and set(new) != set(fields):
+                    evolved = True
+                fields.update(new)
+                seen = True
+        if not seen:
+            return None, False
+        return StructType(list(fields.values())), evolved
+
+    def _schema_action(self, df: DataFrame):
+        """The metaData action a write must carry, or None when the
+        incoming frame's fields are already recorded. Enforces the
+        SchemaEvolutionError contract: type changes raise BEFORE any
+        file is staged; new fields append to the recorded union
+        (additive evolution); omitted recorded fields are allowed
+        (they read as NULL)."""
+        from pyspark.sql.types import StructField, StructType
+
+        norm = [StructField(f.name, f.dataType, True)
+                for f in df.schema.fields]
+        cur, _ = self.table_schema_info()
+        if cur is None:
+            union = norm
+        else:
+            have = {f.name: f for f in cur.fields}
+            bad = [f.name for f in norm
+                   if f.name in have
+                   and f.dataType != have[f.name].dataType]
+            if bad:
+                raise SchemaEvolutionError(
+                    f"txlog schema: incompatible type change for "
+                    f"column(s) {bad} (recorded "
+                    f"{ {b: have[b].dataType.simpleString() for b in bad} }"
+                    f", incoming "
+                    f"{ {f.name: f.dataType.simpleString() for f in norm if f.name in bad} }"
+                    "). Non-additive schema evolution (rename/drop/type "
+                    "change) is unsupported — rewrite the table with one "
+                    "schema (overwrite).")
+            fresh = [f for f in norm if f.name not in have]
+            if not fresh:
+                return None
+            union = list(cur.fields) + fresh
+        return {"metaData":
+                {"schemaString": StructType(union).json()}}
 
     def _check(self, df: DataFrame, cons: dict) -> None:
         """Raise ConstraintViolation if any row FAILS a check. SQL CHECK
@@ -627,6 +751,11 @@ class TxLogTable:
         cons = self.constraints()
         if cons:
             self._check(df, cons)
+        # r8: the table schema lives in the LOG, not parquet footers —
+        # enforce the evolution contract and stage the metaData action
+        # BEFORE any file lands (a type conflict raises with nothing
+        # staged, like a constraint violation)
+        meta_action = self._schema_action(df)
 
         if layout and self.cluster_by:
             df = df.repartitionByRange(*self.cluster_by)
@@ -668,7 +797,9 @@ class TxLogTable:
                         if bl is not None:
                             add["bloom"] = bl
                 adds.append({"add": add})
-        return adds
+        # the metaData action rides the SAME commit as the files it
+        # describes — schema and data become visible atomically
+        return ([meta_action] + adds) if meta_action else adds
 
     def _dv_sidecar_rows(self, dv_rels) -> int:
         """Total recorded (file, row_index) pairs across DV sidecars —
@@ -807,6 +938,10 @@ class TxLogTable:
             actions.append({"add": n})
         actions += [{"constraint": {"name": k, "expr": v}}
                     for k, v in sorted(self.constraints(version).items())]
+        sch, _ = self.table_schema_info(version)
+        if sch is not None:   # schema rides the clone's v0 (r8): the
+            # clone's readers derive it from THEIR log, no footer reads
+            actions.append({"metaData": {"schemaString": sch.json()}})
         t.commit(actions, 0, op="clone")
         return t
 
@@ -846,7 +981,8 @@ class TxLogTable:
             new_cons = self.constraints(base)
             if new_cons != cons0:       # constraint landed mid-flight:
                 self._check(self._files_df(     # re-validate staged files
-                    _session(), [a["add"] for a in adds]), new_cons)
+                    _session(), [a["add"] for a in adds if "add" in a]),
+                    new_cons)
                 cons0 = new_cons
             actions = adds + [{"remove": a["path"]} for a in live]
             try:
@@ -993,8 +1129,8 @@ class TxLogTable:
                 v = self.commit(actions, base + 1, op="merge")
                 return {"version": v, "rewritten_files": len(touched),
                         "carried_files": len(live) - len(touched),
-                        "added_files": len(adds), "retries": retries,
-                        "rebases": rewrites}
+                        "added_files": sum(1 for a in adds if "add" in a),
+                        "retries": retries, "rebases": rewrites}
             except VersionConflict:
                 if time.monotonic() >= deadline:
                     raise
@@ -1149,8 +1285,8 @@ class TxLogTable:
                 v = self.commit(actions, base + 1, op="merge_into")
                 return {"version": v, "rewritten_files": len(touched),
                         "carried_files": len(live) - len(touched),
-                        "added_files": len(adds), "retries": retries,
-                        "rebases": rebases, **counts}
+                        "added_files": sum(1 for a in adds if "add" in a),
+                        "retries": retries, "rebases": rebases, **counts}
             except VersionConflict:
                 if time.monotonic() >= deadline:
                     raise
@@ -1239,7 +1375,8 @@ class TxLogTable:
             try:
                 v = self.commit(actions, base + 1, op="optimize")
                 return {"version": v, "compacted": len(live),
-                        "files": len(adds), "retries": retries}
+                        "files": sum(1 for a in adds if "add" in a),
+                        "retries": retries}
             except VersionConflict:
                 if time.monotonic() >= deadline:
                     raise
@@ -1410,9 +1547,11 @@ class TxLogTable:
             adds = self._write_data_files(out.localCheckpoint(eager=True))
             # an all-rows-deleted file would be an add with 0 rows and no
             # stats (min None => never prunable); drop it from the commit
-            return [a for a in adds if a["add"]["rows"] > 0]
+            return [a for a in adds
+                    if "metaData" in a or a["add"]["rows"] > 0]
 
-        extra = [a for a in (extra_adds or []) if a["add"]["rows"] > 0]
+        extra = [a for a in (extra_adds or [])
+                 if "metaData" in a or a["add"]["rows"] > 0]
         base = self.latest_version()
         live = self._resolve(base)
         cons0 = self.constraints(base)
@@ -1427,9 +1566,10 @@ class TxLogTable:
                 v = self.commit(actions, base + 1, op=op)
                 return {"version": v, "rewritten_files": len(touched),
                         "carried_files": len(live) - len(touched),
-                        "added_files": len(adds) + len(extra),
+                        "added_files": sum(1 for a in adds + extra
+                                           if "add" in a),
                         "inserted_rows": sum(a["add"]["rows"]
-                                             for a in extra),
+                                             for a in extra if "add" in a),
                         "matched_rows": matched["rows"],
                         "retries": retries, "rebases": rebases}
             except VersionConflict:
@@ -1451,7 +1591,8 @@ class TxLogTable:
                     # pre-staged insert files (rewritten files re-validate
                     # inside rewrite() via _write_data_files)
                     self._check(self._files_df(
-                        _session(), [a["add"] for a in extra]), new_cons)
+                        _session(),
+                        [a["add"] for a in extra if "add" in a]), new_cons)
                 cons0 = new_cons
                 check_scope(live, touched)
                 adds = rewrite(touched)

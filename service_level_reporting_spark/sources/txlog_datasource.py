@@ -21,14 +21,16 @@ bespoke Python API:
   timestamp / date); for numeric stats ('9' > '10' lexicographically) it
   is disabled rather than silently losing rows (r7, ADVICE) — unlike
   merge pruning, Spark's re-applied filter cannot recover a skipped file.
-* **Schema evolution** (r7, VERDICT): the snapshot schema is the UNION of
-  the live files' footer schemas when ``mergeSchema=true`` (per-file
-  batches are padded with nulls executor-side — the same semantics as
-  ``TxLogTable.read(merge_schema=True)``); without the option an evolved
-  table raises a clear error instead of projecting through the oldest
-  file's schema. At 100 TB a production format records the schema in the
-  log (Delta's metaData action) instead of reading O(files) footers at
-  analysis; footers here keep the log format minimal.
+* **Schema from the COMMIT LOG** (r8, VERDICT): the snapshot schema
+  derives from the log's checkpoint-carried ``metaData`` actions —
+  O(checkpoint interval) log reads at analysis, never an O(n_files)
+  driver-side footer storm (Delta's metaData action, for the same
+  reason). Evolution semantics are unchanged: an additively-evolved
+  table raises a clear error unless ``mergeSchema=true``, in which case
+  per-file batches are padded with nulls executor-side — the same
+  semantics as ``TxLogTable.read(merge_schema=True)``. Footer
+  unification survives only as the fallback for legacy logs with no
+  metaData action.
 * **Streaming CDC source** — offsets ARE log versions: each micro-batch
   reads the commits in ``(start, end]``; partitions are the commits'
   files, read executor-side. Default mode is append-only (a rewrite
@@ -113,8 +115,44 @@ def _unify_file_schemas(paths: list[str], merge: bool):
             "underwent schema evolution); set .option('mergeSchema', "
             "'true') to read the union, or use TxLogTable.read("
             "merge_schema=True).")
-    return (schemas[0] if len(schemas) == 1
-            else pa.unify_schemas(schemas))
+    if len(schemas) == 1:
+        return schemas[0]
+    try:
+        return pa.unify_schemas(schemas)
+    except Exception as exc:
+        # same actionable message as the table API's write-side guard
+        raise ValueError(
+            f"txlog schema: incompatible column type(s) across data "
+            f"files ({exc}). Non-additive schema evolution (rename/drop/"
+            "type change) is unsupported — rewrite the table with one "
+            "schema (overwrite).") from exc
+
+
+def _log_schema(t: TxLogTable, version: int, merge: bool):
+    """Arrow snapshot schema from the COMMIT LOG's metaData actions (r8,
+    VERDICT item 1): O(checkpoint interval) log reads instead of opening
+    every live file's parquet footer on the driver at analysis time —
+    at 10^5–10^6 live files the footer path is an O(n_files) storm per
+    query analysis (Delta records schema in the log for the same
+    reason). None = legacy log, caller falls back to footers. The
+    pinned evolution contract is preserved: an additively-evolved table
+    read without mergeSchema raises the same error the footer path
+    raised (old files are null-padded executor-side once the option is
+    set)."""
+    from pyspark.sql.pandas.types import to_arrow_schema
+    from pyspark.sql.types import StructField, StructType
+
+    sch, evolved = t.table_schema_info(version)
+    if sch is None:
+        return None
+    if evolved and not merge:
+        raise ValueError(
+            "txlog source: data files carry different schemas (the table "
+            "underwent schema evolution); set .option('mergeSchema', "
+            "'true') to read the union, or use TxLogTable.read("
+            "merge_schema=True).")
+    return to_arrow_schema(StructType(
+        [StructField(f.name, f.dataType, True) for f in sch.fields]))
 
 
 def _pin_snapshot(path: str, options) -> dict:
@@ -147,8 +185,13 @@ def _pin_snapshot(path: str, options) -> dict:
         paths = [a["path"] for a in t._resolve(version)]
     if not paths:
         raise ValueError("txlog source: empty table (no snapshot)")
-    schema = _unify_file_schemas(
-        [os.path.join(t.path, p) for p in paths], merge)
+    schema = _log_schema(t, ending if mode == "changes" else version,
+                         merge)
+    if schema is None:       # legacy log (no metaData action): fall back
+        # to footer unification — the pre-r8 O(n_files) path, kept only
+        # for tables written before the schema rode the commit log
+        schema = _unify_file_schemas(
+            [os.path.join(t.path, p) for p in paths], merge)
     stats_safe = (t.stats_col in schema.names
                   and _order_safe(schema.field(t.stats_col).type))
     return {"version": version, "ending": ending,

@@ -405,3 +405,120 @@ def test_null_count_prune_skips_dv_carrying_files(spark, table_path):
         assert len(r2.partitions()) == 1 and r2.pruned_files == 1
     finally:
         shutil.rmtree(t2_path, ignore_errors=True)
+
+
+def _strip_schema_meta(t):
+    """Rewrite the log as a PRE-r8 'legacy' log: drop metaData actions
+    and checkpoint-carried schemas (checkpoints removed wholesale —
+    resolution falls back to the full-log walk)."""
+    import json as _json
+
+    for f in sorted(os.listdir(t.log_dir)):
+        p = os.path.join(t.log_dir, f)
+        if f.endswith(".checkpoint.json"):
+            os.remove(p)
+        elif f.endswith(".json") and f[:20].isdigit():
+            with open(p) as fh:
+                rec = _json.load(fh)
+            rec["actions"] = [a for a in rec["actions"]
+                              if "metaData" not in a]
+            with open(p, "w") as fh:
+                _json.dump(rec, fh)
+
+
+def test_schema_from_log_o1_footer_reads(spark, table_path, monkeypatch):
+    """r8 (VERDICT item 1): analysis of a many-file, additively-evolved
+    table derives its schema from the commit log's metaData actions —
+    ZERO driver-side parquet footer opens (the old path opened every
+    live file; at 10^5-10^6 files that is an O(n_files) storm per query
+    analysis). Values and columns stay identical to
+    TxLogTable.read(merge_schema=True); a legacy log (metaData stripped)
+    falls back to footer unification and still reads correctly."""
+    import pyarrow.parquet as pq
+
+    spark.dataSource.register(TxLogDataSource)
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    for i in range(6):
+        t.append(spark.createDataFrame(
+            [(f"k{i}{j}", float(i + j)) for j in range(3)],
+            "k string, v double").coalesce(1))
+    t.append(spark.createDataFrame(
+        [("z1", 9.0, "eu")], "k string, v double, region string")
+        .coalesce(1))                        # additive evolution
+
+    calls = {"n": 0}
+    orig = pq.ParquetFile
+
+    def counting(*a, **kw):
+        calls["n"] += 1
+        return orig(*a, **kw)
+
+    # the DataSource's schema() runs _pin_snapshot; count ITS footer
+    # opens in-process (the registered source executes user code in a
+    # separate Python worker, where a monkeypatch cannot see)
+    from service_level_reporting_spark.sources.txlog_datasource import (
+        _pin_snapshot)
+
+    monkeypatch.setattr(pq, "ParquetFile", counting)
+    pin = _pin_snapshot(table_path, {"mergeSchema": "true"})
+    assert calls["n"] == 0, f"{calls['n']} driver-side footer reads"
+    assert set(pin["schema"].names) == {"k", "v", "region"}
+    df = (spark.read.format("txlog").option("mergeSchema", "true")
+          .load(table_path))
+    want = t.read(spark, merge_schema=True)
+    assert set(df.columns) == set(want.columns)
+    assert _multiset(df) == _multiset(want)
+    # the pinned evolution contract still raises without the option
+    with pytest.raises(Exception, match="mergeSchema"):
+        spark.read.format("txlog").load(table_path).collect()
+
+    # legacy log: footer fallback engages (reads > 0) and stays correct
+    _strip_schema_meta(t)
+    calls["n"] = 0
+    pin2 = _pin_snapshot(table_path, {"mergeSchema": "true"})
+    assert calls["n"] > 0                    # one open per live file
+    assert set(pin2["schema"].names) == {"k", "v", "region"}
+    df2 = (spark.read.format("txlog").option("mergeSchema", "true")
+           .load(table_path))
+    assert _multiset(df2) == _multiset(want)
+
+
+def test_non_additive_evolution_pinned_errors(spark, table_path):
+    """r8 (VERDICT item 6): the pinned non-additive contract — a TYPE
+    change raises the same actionable error through the table API (at
+    write, nothing staged) and the data source (reading a legacy log
+    whose footers conflict); omitted recorded columns stay allowed
+    (NULL-fill, Delta-with-autoMerge parity)."""
+    from service_level_reporting_spark.sources.txlog import (
+        SchemaEvolutionError)
+
+    spark.dataSource.register(TxLogDataSource)
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(spark.createDataFrame([("a", 1)],
+                                   "k string, x long").coalesce(1))
+    with pytest.raises(SchemaEvolutionError, match="Non-additive"):
+        t.append(spark.createDataFrame([("b", "s")],
+                                       "k string, x string").coalesce(1))
+    with pytest.raises(SchemaEvolutionError, match="'x'"):
+        t.append(spark.createDataFrame([("b", 1.5)],
+                                       "k string, x double").coalesce(1))
+    assert t.latest_version() == 0           # nothing committed
+
+    # omitting a recorded column is the ALLOWED additive case
+    t.append(spark.createDataFrame(
+        [("c", 2, "eu")], "k string, x long, region string").coalesce(1))
+    t.append(spark.createDataFrame([("d", 3)],
+                                   "k string, x long").coalesce(1))
+    got = {r["k"]: r["region"]
+           for r in t.read(spark, merge_schema=True).collect()}
+    assert got == {"a": None, "c": "eu", "d": None}
+
+    # legacy log with genuinely conflicting file types: the data source
+    # raises the SAME actionable message (footer unify path)
+    _strip_schema_meta(t)
+    t.append(spark.createDataFrame([("e", "notanum")],
+                                   "k string, x string").coalesce(1))
+    _strip_schema_meta(t)
+    with pytest.raises(Exception, match="Non-additive"):
+        (spark.read.format("txlog").option("mergeSchema", "true")
+         .load(table_path).collect())
