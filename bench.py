@@ -99,6 +99,98 @@ BASELINE_SEC_RECORDED = {
 }
 
 
+# ---- lakehouse ops block (r8, VERDICT item 7) ------------------------------
+# The round's table-format operations as first-class, round-over-round
+# tracked headliners: append (write baseline), MERGE INTO, merge-on-read
+# DELETE, and an incremental CDF fold into a matview state. No baseline
+# engine performs these ops, so the variance-native form here is the
+# Spark-only run array per op (fresh table per repetition — a lakehouse op
+# mutates its input, so repeats on one table would measure different work)
+# with min / median / spread quotable round-over-round like the sf10
+# per-query stats.
+LH_RUNS = 3
+LH_ROWS = int(os.environ.get("SPARK_GRAFT_LH_ROWS", "2000000"))
+
+
+def _lakehouse_block(spark) -> dict:
+    import shutil
+    import statistics
+    import tempfile
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from service_level_reporting_spark.operators import matview as MV
+    from service_level_reporting_spark.sources.txlog import TxLogTable
+
+    n = LH_ROWS
+    m = n // 100                        # 1% MERGE source: updates + inserts
+    spec = {"keys": ["g"], "aggs": {"v_sum": ("sum", "v"),
+                                    "n_rows": ("count", "*"),
+                                    "v_avg": ("avg", "v")}}
+    runs: dict[str, list[float]] = {
+        "append": [], "merge_into": [], "delete_mor": [],
+        "changes_fold": []}
+    for _ in range(LH_RUNS):
+        path = os.path.join(tempfile.gettempdir(),
+                            f"slr_bench_lh_{_uuid.uuid4().hex[:8]}")
+        try:
+            t = TxLogTable(path, key_cols=["k"], stats_col="g")
+
+            def g_of(col):
+                return F.format_string(
+                    "g%04d", (col % 500).cast("int"))
+
+            base = spark.range(n).select(
+                F.col("id").alias("k"), g_of(F.col("id")).alias("g"),
+                (F.col("id") % 997).cast("double").alias("v")
+            ).repartition(16)
+            t0 = time.perf_counter()
+            t.append(base)
+            runs["append"].append(time.perf_counter() - t0)
+            v_append = t.latest_version()
+            # pre-materialize the view state OUTSIDE the timed fold
+            state = MV.mv_init(t.read(spark, version=v_append),
+                               spec).localCheckpoint(eager=True)
+
+            # MERGE INTO: half scattered updates (k = 97*id stays in
+            # range and distinct for id < n/100), half inserts past n
+            k = F.when(F.col("id") % 2 == 0, F.col("id") * 97) \
+                 .otherwise(F.col("id") + n)
+            src = spark.range(m).select(
+                k.alias("k"), g_of(k).alias("g"),
+                (k % 991).cast("double").alias("v")).repartition(4)
+            t0 = time.perf_counter()
+            t.merge_into(src, [("update", None, {"v": "src_v"}),
+                               ("insert", None, None)])
+            runs["merge_into"].append(time.perf_counter() - t0)
+
+            # merge-on-read DELETE: scattered rows across EVERY file —
+            # the case whose copy-on-write amplification DVs exist for
+            t0 = time.perf_counter()
+            t.delete("k % 1000 = 7", mode="mor")
+            runs["delete_mor"].append(time.perf_counter() - t0)
+
+            # incremental consumer: fold the (merge + MoR delete) CDF
+            # into the matview state — deltas, never the snapshot
+            t0 = time.perf_counter()
+            ch = t.changes(spark, v_append, net=True)
+            MV.mv_apply_changes(state, ch, spec)["state"].collect()
+            runs["changes_fold"].append(time.perf_counter() - t0)
+        finally:
+            shutil.rmtree(path, ignore_errors=True)
+
+    stats = {op: {"min": round(min(a), 4),
+                  "med": round(statistics.median(a), 4),
+                  "spread": round(max(a) / min(a), 3)}
+             for op, a in runs.items()}
+    return {"rows": n, "runs_per_op": LH_RUNS,
+            "runs": {op: [round(x, 4) for x in a]
+                     for op, a in runs.items()},
+            "stats": stats,
+            "ops_med_sec": {op: s["med"] for op, s in stats.items()}}
+
+
 def _duckdb_cold_run(sf_dir: str, sql: str,
                      cap_sec: float | None = None) -> tuple[float, bool]:
     """One cold-connection DuckDB run. With cap_sec set, a watchdog thread
@@ -354,6 +446,15 @@ def main() -> None:
         except Exception as exc:  # noqa: BLE001 — artifact must survive
             result["sf10_error"] = f"{type(exc).__name__}: {exc}"[:300]
 
+    # ---- lakehouse ops block (r8, VERDICT item 7): merge_into /
+    # delete_mor / changes-fold wall-times on a fresh synthetic table per
+    # repetition, tracked round-over-round like the query set.
+    if not os.environ.get("SPARK_GRAFT_SKIP_LAKEHOUSE"):
+        try:
+            result["lakehouse"] = _lakehouse_block(spark)
+        except Exception as exc:  # noqa: BLE001 — artifact must survive
+            result["lakehouse_error"] = f"{type(exc).__name__}: {exc}"[:300]
+
     # r5 (VERDICT item 3): the full JSON outgrew the driver's tail capture
     # in r4 ("parsed": null — a truncated string as the artifact of
     # record). The COMPLETE result now lands in BENCH.json next to this
@@ -387,6 +488,12 @@ def main() -> None:
                    "pairs": st.get("pair_ratios"),
                    "spread": st.get("pair_ratio_spread")}
             for name, st in result["sf10"]["run_stats"].items()}
+    if "lakehouse" in result:
+        compact["lakehouse"] = {
+            "rows": result["lakehouse"]["rows"],
+            "ops_med_sec": result["lakehouse"]["ops_med_sec"]}
+    elif "lakehouse_error" in result:
+        compact["lakehouse_error"] = result["lakehouse_error"]
     compact["full"] = "BENCH.json"
     print(json.dumps(compact))
     spark.stop()

@@ -199,6 +199,9 @@ def _rep_jaccard(reps: DataFrame):
 
 @register(
     "dedup_ngram_jaccard",
+    aux=True,   # r8 rotation (VERDICT item 4): subsumed by dedup_clusters'
+    #             edge set in the driver window; stays SQL-oracled in the
+    #             pytest differential
     oracle=f"""
     WITH tok AS (
         SELECT doc_id, string_split(text, ' ') AS w FROM documents
@@ -902,8 +905,8 @@ SUBSTR_K = 12     # window length in tokens (the paper uses 50 BPE tokens;
 
 @register(
     "dedup_substring_spans",
-    aux=True,   # driver window is full at 50 — full SQL oracle, checked
-    #             by the pytest differential (tests/test_differential.py)
+    # r8 rotation (VERDICT item 4): promoted into the driver's 50-row
+    # hash window (slot freed by dedup_ngram_jaccard)
     oracle=f"""
     WITH toks AS (
         SELECT doc_id, string_split(text, ' ') AS tokens FROM documents

@@ -280,6 +280,9 @@ FP_BASE = 131
 
 @register(
     "text_fingerprint",
+    aux=True,   # r8 rotation (VERDICT item 4): subsumed by
+    #             text_profile_suite in the driver window; stays
+    #             SQL-oracled in the pytest differential
     oracle=f"""
     -- empty tokens (leading/trailing/double spaces) are dropped on BOTH
     -- sides: Spark ascii('') = 0 but DuckDB ord(''[1]) = -1, which would
@@ -487,8 +490,8 @@ def _rep_sql() -> str:
 
 @register(
     "text_repetition_suite",
-    aux=True,   # driver window is full at 50 — full SQL oracle, checked
-    #             by the pytest differential
+    # r8 rotation (VERDICT item 4): promoted into the driver's 50-row
+    # hash window (slot freed by text_fingerprint)
     oracle=_rep_sql(),
 )
 def text_repetition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:

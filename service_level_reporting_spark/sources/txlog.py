@@ -900,6 +900,36 @@ class TxLogTable:
                 _backoff(attempt)
                 attempt += 1
 
+    def _copy_dv_sidecar(self, rel: str, target: "TxLogTable") -> str:
+        """Copy one deletion-vector sidecar into ``target``'s dv/
+        namespace, remapping each row's ``file`` key to the ABSOLUTE
+        source path (what the clone's add actions — and therefore its
+        readers' ``__file`` — use for foreign files). Keys that are
+        already absolute (clone-of-clone) pass through os.path.join
+        untouched. Sidecars are small by construction (row indexes, not
+        rows), so this is a driver-side pyarrow copy."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        parts = []
+        src_dir = os.path.join(self.path, rel)
+        for root, _, fs in os.walk(src_dir):
+            for f in sorted(fs):
+                if f.endswith(".parquet"):
+                    parts.append(pq.read_table(os.path.join(root, f)))
+        tbl = pa.concat_tables(parts)
+        prefix = os.path.abspath(self.path)
+        remapped = pa.array(
+            [os.path.join(prefix, v) for v in tbl["file"].to_pylist()],
+            type=pa.string())
+        tbl = tbl.set_column(tbl.schema.get_field_index("file"),
+                             "file", remapped)
+        new_rel = f"dv/{uuid.uuid4().hex[:12]}"
+        out = os.path.join(target.path, new_rel)
+        os.makedirs(out, exist_ok=True)
+        pq.write_table(tbl, os.path.join(out, "part-00000.parquet"))
+        return new_rel
+
     def clone(self, target_path: str,
               version: int | None = None) -> "TxLogTable":
         """SHALLOW CLONE (Delta parity): create a NEW table whose
@@ -914,15 +944,16 @@ class TxLogTable:
         natural copy-on-write. Source CHECK: vacuum on the SOURCE can
         delete files the clone still references (Delta documents the
         same shallow-clone caveat) — clones are for experiments and
-        short-lived branches, not archival. DV-carrying snapshots are
-        refused (DV row `file` keys are source-relative and would not
-        match through the clone's path prefix): OPTIMIZE first — the
-        purge that retires DVs anyway."""
+        short-lived branches, not archival.
+
+        DV-carrying snapshots clone too (r8, VERDICT item 5): each
+        referenced deletion-vector sidecar is COPIED into the clone's
+        own dv/ namespace with its ``file`` keys remapped to the
+        absolute source paths the clone's adds use — bytes copied stay
+        O(DV), never O(data), and the clone owns its sidecars, so a
+        later OPTIMIZE purge (or DV vacuum) on the source cannot
+        disturb the clone's snapshot."""
         files = self._resolve(version)
-        if any(a.get("dv") for a in files):
-            raise ValueError(
-                "txlog clone: the source snapshot carries deletion "
-                "vectors; run optimize() (DV purge) before cloning.")
         t = TxLogTable(target_path, key_cols=self.key_cols,
                        stats_col=self.stats_col,
                        cluster_by=self.cluster_by,
@@ -930,11 +961,18 @@ class TxLogTable:
         if t.latest_version() >= 0:
             raise ValueError(f"txlog clone: {target_path} already has "
                              "commits")
+        dv_map = {}           # source sidecar rel -> clone sidecar rel
+        for a in files:
+            for d in a.get("dv", ()):
+                if d not in dv_map:
+                    dv_map[d] = self._copy_dv_sidecar(d, t)
         actions = []
         for a in files:
             n = dict(a)
             n["path"] = os.path.abspath(
                 os.path.join(self.path, a["path"]))
+            if a.get("dv"):
+                n["dv"] = [dv_map[d] for d in a["dv"]]
             actions.append({"add": n})
         actions += [{"constraint": {"name": k, "expr": v}}
                     for k, v in sorted(self.constraints(version).items())]
@@ -2073,9 +2111,15 @@ class TxLogTable:
             out = (scan.join(F.broadcast(fmap), "_cdf_file")
                    .withColumn("_change_type", F.lit(ctype)))
             if dv is not None:
+                # table-relative for own files, FULL path for
+                # clone-foreign files — must match the DV sidecars'
+                # `file` keys (remapped to absolute paths at clone time)
+                fkey = F.when(
+                    F.col("_cdf_file").startswith(prefix),
+                    F.expr(f"substring(_cdf_file, {len(prefix) + 1})")
+                ).otherwise(F.col("_cdf_file"))
                 out = (out
-                       .withColumn("file", F.expr(
-                           f"substring(_cdf_file, {len(prefix) + 1})"))
+                       .withColumn("file", fkey)
                        .join(F.broadcast(dv),
                              ["file", "_commit_version", "row_index"],
                              "left_anti")

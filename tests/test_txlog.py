@@ -1545,11 +1545,9 @@ def test_shallow_clone_zero_copy(spark, table_path):
     assert TxLogTable.open(cl_path).read(spark).count() == 3
     assert src.read(spark, version=v_src).count() == 3
 
-    # a MoR-deleted snapshot refuses to clone until OPTIMIZE purges
+    # a MoR-deleted snapshot clones too (r8) — deep coverage in
+    # test_clone_dv_carrying_snapshot
     src.delete("k = 1", mode="mor")
-    with pytest.raises(ValueError, match="deletion(\\s|-)?vectors"):
-        src.clone(os.path.join(table_path, "cl2"))
-    src.optimize(target_files=1)
     cl2 = src.clone(os.path.join(table_path, "cl2"))
     assert sorted(x["k"] for x in cl2.read(spark).collect()) == [2, 3, 4]
 
@@ -1636,3 +1634,60 @@ def test_dv_mask_scales_past_broadcast(spark, table_path):
         assert [x["k"] for x in t2.read(spark).collect()] == [2]
     finally:
         shutil.rmtree(t2_path, ignore_errors=True)
+
+
+def test_clone_dv_carrying_snapshot(spark, table_path):
+    """r8 (VERDICT item 5): cloning a merge-on-read snapshot copies the
+    tiny DV sidecars into the clone's namespace with `file` keys
+    remapped to the absolute source paths — the clone reads value-
+    identical to the source snapshot, diverges copy-on-write, keeps its
+    own change feed exact, and the source's later OPTIMIZE purge (which
+    retires the source's DVs) does not disturb the clone."""
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "k long, g string, v double").coalesce(1)
+
+    src_path = os.path.join(table_path, "src")
+    cl_path = os.path.join(table_path, "cl")
+    src = TxLogTable(src_path, key_cols=["k"], stats_col="g")
+    src.append(frame([(1, "a", 1.0), (2, "a", 2.0), (3, "a", 3.0)]))
+    src.append(frame([(4, "b", 4.0)]))
+    src.delete("k = 2", mode="mor")
+    src.delete("k = 3", mode="mor")         # chain of 2 DVs on file 1
+
+    cl = src.clone(cl_path)
+    want = {(1, 1.0), (4, 4.0)}
+    assert {(x["k"], x["v"]) for x in cl.read(spark).collect()} == want
+    # bytes copied are O(DV): sidecars only, never data parquet
+    assert not any(f.endswith(".parquet")
+                   for _, _, fs in os.walk(cl.data_dir) for f in fs)
+    assert os.path.isdir(os.path.join(cl_path, "dv"))
+
+    # the clone's feed starts from its v0 with the mask applied: a CoW
+    # rewrite on the clone must not resurrect source-masked rows
+    cl.update("k = 1", {"v": "v + 10.0"})
+    assert {(x["k"], x["v"]) for x in cl.read(spark).collect()} \
+        == {(1, 11.0), (4, 4.0)}
+    ch = cl.changes(spark, 0, net=True).collect()
+    assert {(x["k"], x["v"], x["_change_type"]) for x in ch} \
+        == {(1, 1.0, "delete"), (1, 11.0, "insert")}
+
+    # divergence is copy-on-write: source untouched by the clone's ops
+    assert {(x["k"], x["v"]) for x in src.read(spark).collect()} == want
+    # the source's purge retires ITS sidecars; the clone keeps reading
+    src.optimize(target_files=1)
+    src.vacuum(retain_versions=1, min_age_sec=0)
+    assert {(x["k"], x["v"]) for x in cl.read(spark).collect()} \
+        == {(1, 11.0), (4, 4.0)}
+    # MoR on the CLONE over still-foreign files masks via the clone's
+    # own namespace (keys are absolute paths there)
+    cl.delete("k = 4", mode="mor")
+    assert {(x["k"], x["v"]) for x in cl.read(spark).collect()} \
+        == {(1, 11.0)}
+    # datasource parity over the clone's mixed (own + foreign) snapshot
+    from service_level_reporting_spark.sources.txlog_datasource import (
+        TxLogDataSource)
+    spark.dataSource.register(TxLogDataSource)
+    got = {(x["k"], x["v"]) for x in
+           spark.read.format("txlog").load(cl_path).collect()}
+    assert got == {(1, 11.0)}
