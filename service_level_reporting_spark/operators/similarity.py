@@ -1076,6 +1076,322 @@ def load_ivf_index(spark: SparkSession, path: str) -> dict:
             "coarse": coarse, "indexed": indexed, "books": books}
 
 
+# ---------------------------------------------------------------------------
+# Incremental IVF index maintenance from the lakehouse CDF (r8, VERDICT
+# item 3). Everything else downstream of the txlog already consumes deltas
+# (quality state, matviews, T9's LSH buckets) while the IVF/PQ index
+# rebuilt per run; this closes the loop: fold txlog change-feed increments
+# into the PERSISTED index — new vectors assign to the EXISTING centroids
+# (one Arrow-batched GEMM over the increment, never the corpus), deletes
+# rewrite only the centroid partitions that actually hold them (their cell
+# is recomputable from the vector itself, so the write set is exact), and
+# a PSI drift gate over the per-centroid occupancy distribution (the same
+# statistic quality.py's drift monitor uses) triggers the full re-train
+# only when the folded corpus no longer matches the codebook's training
+# distribution. At 100 TB the fold is bounded by write traffic; the
+# rebuild is the rare, gated event.
+# ---------------------------------------------------------------------------
+
+IVF_PSI_THRESHOLD = 0.25    # industry-standard "significant shift" bar
+
+
+def _ivf_sync_path(path: str) -> str:
+    import os
+
+    return os.path.join(path, "_sync.json")
+
+
+def _read_sync(path: str) -> dict:
+    import json
+
+    with open(_ivf_sync_path(path)) as fh:
+        return json.load(fh)
+
+
+def _write_sync(path: str, meta: dict) -> None:
+    import json
+    import os
+    import uuid
+
+    tmp = _ivf_sync_path(path) + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump(meta, fh)
+    os.replace(tmp, _ivf_sync_path(path))
+
+
+def _psi(p_counts: dict, q_counts: dict) -> float:
+    """Population-stability index between two per-centroid occupancy
+    count maps (driver-side: k bins, never rows). Standard smoothing so
+    empty bins don't blow up the log."""
+    import math
+
+    bins = set(p_counts) | set(q_counts)
+    pt = sum(p_counts.values()) or 1
+    qt = sum(q_counts.values()) or 1
+    eps = 1e-6
+    out = 0.0
+    for b in bins:
+        p = max(p_counts.get(b, 0) / pt, eps)
+        q = max(q_counts.get(b, 0) / qt, eps)
+        out += (q - p) * math.log(q / p)
+    return out
+
+
+def build_ivf_index(spark: SparkSession, emb_raw: DataFrame, path: str,
+                    k: int | None = None, pq_k: int | None = None,
+                    version: int = -1) -> dict:
+    """Frame-based persisted-index build (save_ivf_index's layout, fed by
+    any (vec_id, label, embedding) frame — e.g. a txlog snapshot instead
+    of a static sf_dir). Additionally records <path>/stats (the trained
+    per-centroid occupancy, the PSI gate's reference distribution) and
+    <path>/_sync.json (the folded-through table version plus the RUNNING
+    occupancy counts, updated by each fold without rescanning the
+    index)."""
+    e = _with_norm(emb_raw)
+    n = e.count()
+    knobs = derived_ivf_knobs(n)
+    k = k if k is not None else knobs["k"]
+    pq_k = pq_k if pq_k is not None else knobs["pq_k"]
+    x = _train_sample(e, n_rows=n,
+                      cap=max(IVF_TRAIN_CAP, 32 * k, 32 * pq_k))
+    coarse = _train_centroids(x, k=k)
+    books = _train_pq(x, coarse, k=pq_k)
+    indexed = (e.withColumn("centroid_id", _assign_udf(coarse)("emb"))
+                .withColumn("code", _pq_encode_udf(coarse, books)("emb"))
+                .localCheckpoint(eager=True))
+    (indexed.repartition("centroid_id").write.mode("overwrite")
+     .partitionBy("centroid_id").parquet(path + "/assignments"))
+    spark.createDataFrame(
+        [(int(i), [float(v) for v in coarse[i]])
+         for i in range(coarse.shape[0])],
+        "centroid_id int, vector array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/centroids")
+    spark.createDataFrame(
+        [(int(j), int(t), [float(v) for v in books[j][t]])
+         for j in range(books.shape[0]) for t in range(books.shape[1])],
+        "sub_id int, code_id int, vector array<double>",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/pq_books")
+    counts = {str(r["centroid_id"]): int(r["n"]) for r in
+              indexed.groupBy("centroid_id")
+              .agg(F.count(F.lit(1)).alias("n")).collect()}
+    spark.createDataFrame(
+        sorted((int(c), n_) for c, n_ in counts.items()),
+        "centroid_id int, n long",
+    ).coalesce(1).write.mode("overwrite").parquet(path + "/stats")
+    _write_sync(path, {"version": int(version), "counts": counts,
+                       "k": int(coarse.shape[0]),
+                       "pq_k": int(books.shape[1]), "n": int(n)})
+    return {"k": int(coarse.shape[0]), "pq_k": int(books.shape[1]),
+            "n": int(n)}
+
+
+def _ivf_apply_changes(spark: SparkSession, path: str, changes: DataFrame,
+                       counts: dict) -> dict:
+    """Fold one effective change feed (columns vec_id/label/embedding +
+    `_change_type`) into the persisted index. Inserts: assign + PQ-encode
+    against the EXISTING codebooks (one pass over the increment) and
+    append to their centroid partitions. Deletes: their cells derive
+    from the vectors themselves (assignment is deterministic), so only
+    those partitions rewrite — read, anti-join on vec_id, dynamic
+    partition overwrite. Returns the updated running occupancy counts
+    plus fold statistics; never touches non-affected partitions and
+    never rescans the corpus."""
+    idx = load_ivf_index(spark, path)
+    coarse, books = idx["coarse"], idx["books"]
+    cols = ["vec_id", "label", "embedding"]
+    ins = (_with_norm(changes.where(F.col("_change_type") == "insert")
+                      .select(*cols))
+           .withColumn("centroid_id", _assign_udf(coarse)("emb"))
+           .withColumn("code", _pq_encode_udf(coarse, books)("emb"))
+           .localCheckpoint(eager=True))
+    dels = (_with_norm(changes.where(F.col("_change_type") == "delete")
+                       .select(*cols))
+            .withColumn("centroid_id", _assign_udf(coarse)("emb"))
+            .select("vec_id", "centroid_id")
+            .localCheckpoint(eager=True))
+    ins_counts = {str(r["centroid_id"]): int(r["n"]) for r in
+                  ins.groupBy("centroid_id")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+    del_counts = {str(r["centroid_id"]): int(r["n"]) for r in
+                  dels.groupBy("centroid_id")
+                  .agg(F.count(F.lit(1)).alias("n")).collect()}
+    del_cids = [int(c) for c in del_counts]
+
+    assignments = spark.read.parquet(path + "/assignments")
+    out_cols = assignments.columns
+    if del_cids:
+        keep = (assignments
+                .where(F.col("centroid_id").isin(del_cids))
+                .join(dels.select("vec_id"), "vec_id", "left_anti"))
+        merged = keep.unionByName(
+            ins.where(F.col("centroid_id").isin(del_cids))
+            .select(*out_cols))
+        # materialize BEFORE overwriting the partitions it reads (a
+        # production impl writes fresh files then swaps, like the txlog)
+        merged = merged.localCheckpoint(eager=True)
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        try:
+            (merged.repartition("centroid_id").write.mode("overwrite")
+             .partitionBy("centroid_id").parquet(path + "/assignments"))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           prev)
+        ins_rest = ins.where(~F.col("centroid_id").isin(del_cids))
+    else:
+        ins_rest = ins
+    n_ins = sum(ins_counts.values())
+    n_del = sum(del_counts.values())
+    if ins_counts and (not del_cids
+                       or any(int(c) not in del_cids for c in ins_counts)):
+        (ins_rest.select(*out_cols).repartition("centroid_id")
+         .write.mode("append").partitionBy("centroid_id")
+         .parquet(path + "/assignments"))
+    new_counts = dict(counts)
+    for c, n_ in ins_counts.items():
+        new_counts[c] = new_counts.get(c, 0) + n_
+    for c, n_ in del_counts.items():
+        new_counts[c] = new_counts.get(c, 0) - n_
+    return {"counts": new_counts, "inserted": n_ins, "deleted": n_del,
+            "rewritten_partitions": len(del_cids)}
+
+
+def ivf_index_sync(spark: SparkSession, table_path: str, index_path: str,
+                   psi_threshold: float = IVF_PSI_THRESHOLD) -> dict:
+    """Bring a persisted IVF index up to date with its txlog base table:
+    fold the change feed since the last synced version, then check the
+    PSI drift gate — the per-centroid occupancy (running counts folded
+    delta-by-delta, no index rescans) against the codebook's trained
+    reference distribution (<path>/stats). Under the gate the fold IS
+    the maintenance (bounded by write traffic); past it the codebook no
+    longer matches the corpus and the index re-trains from the CURRENT
+    snapshot (the rare, gated event — the same trigger discipline
+    quality.py's PSI drift monitor uses). Idempotent: a second call at
+    the same table version is a no-op."""
+    from service_level_reporting_spark.sources.txlog import TxLogTable
+
+    t = TxLogTable.open(table_path)
+    meta = _read_sync(index_path)
+    last, cur = int(meta["version"]), t.latest_version()
+    if cur <= last:
+        return {"mode": "noop", "version": last, "psi": 0.0}
+    ch = t.changes(spark, last, cur, net=True)
+    res = _ivf_apply_changes(spark, index_path, ch, meta["counts"])
+    ref = {str(r["centroid_id"]): int(r["n"]) for r in
+           spark.read.parquet(index_path + "/stats").collect()}
+    psi = round(_psi(ref, res["counts"]), 6)
+    if psi > psi_threshold:
+        built = build_ivf_index(spark, t.read(spark), index_path,
+                                version=cur)
+        return {"mode": "rebuild", "version": cur, "psi": psi,
+                "inserted": res["inserted"], "deleted": res["deleted"],
+                **built}
+    meta.update({"version": cur, "counts": res["counts"]})
+    _write_sync(index_path, meta)
+    return {"mode": "fold", "version": cur, "psi": psi,
+            "inserted": res["inserted"], "deleted": res["deleted"],
+            "rewritten_partitions": res["rewritten_partitions"]}
+
+
+def ivf_query_topk(spark: SparkSession, idx: dict, q_vec, k: int = KNN_K,
+                   nprobe: int | None = None,
+                   exclude_vec_id: int | None = None) -> list:
+    """Top-k (vec_id, cos_sim) for one query vector against a loaded
+    index dict: probe the nearest nprobe cells, exact cosine within them
+    (IVF-flat — the partition-pruned scan reads only probed cells)."""
+    import numpy as np
+
+    c = idx["coarse"]
+    if nprobe is None:
+        nprobe = _derived_nprobe(len(c))
+    q = np.asarray(q_vec, dtype=np.float64)
+    qn = float(np.linalg.norm(q)) or 1.0
+    probe = np.argsort(-(c @ (q / qn)))[:nprobe].tolist()
+    qdf = spark.createDataFrame([([float(v) for v in q], qn)],
+                                "ea array<double>, na double")
+    cos = _pair_cos("ea", "emb", "na", "norm")
+    rows = idx["indexed"].where(
+        F.col("centroid_id").isin([int(p) for p in probe]))
+    if exclude_vec_id is not None:
+        rows = rows.where(F.col("vec_id") != exclude_vec_id)
+    return [(r["vec_id"], r["cos_sim"]) for r in
+            (rows.join(F.broadcast(qdf))
+             .select("vec_id", F.round(cos, 6).alias("cos_sim"))
+             .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+             .limit(k).collect())]
+
+
+@register(
+    "ann_index_incremental", aux=True)  # rows-only: ANN maintenance is
+#   approximate by design; semantics pinned by tests/test_multimodal_and_ann
+def ann_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fold-vs-rebuild divergence IN-FRAME (r8, VERDICT item 3): stage
+    the embeddings corpus as a txlog table, index the first two thirds,
+    land the rest via append + a scattered MoR delete, FOLD the change
+    feed into the index, and rebuild a fresh index from the same final
+    snapshot. One row per probe query: top-k overlap between the folded
+    and rebuilt indexes and each side's recall against the exact
+    brute-force answer over the final snapshot."""
+    import os
+    import shutil
+    import tempfile
+    import uuid
+
+    from service_level_reporting_spark.sources.txlog import TxLogTable
+
+    base = os.path.join(tempfile.gettempdir(),
+                        f"slr_annsync_{uuid.uuid4().hex[:8]}")
+    try:
+        e = _emb(spark, sf_dir).select("vec_id", "label", "embedding")
+        t = TxLogTable(os.path.join(base, "t"), key_cols=["vec_id"],
+                       stats_col="label")
+        t.append(e.where(F.col("vec_id") % 3 != 0))
+        build_ivf_index(spark, t.read(spark), os.path.join(base, "idx"),
+                        version=t.latest_version())
+        t.append(e.where(F.col("vec_id") % 3 == 0))
+        t.delete("vec_id % 10 = 1", mode="mor")
+        sync = ivf_index_sync(spark, os.path.join(base, "t"),
+                              os.path.join(base, "idx"))
+        build_ivf_index(spark, t.read(spark), os.path.join(base, "fresh"),
+                        version=t.latest_version())
+        folded = load_ivf_index(spark, os.path.join(base, "idx"))
+        fresh = load_ivf_index(spark, os.path.join(base, "fresh"))
+        snap = _with_norm(t.read(spark)).localCheckpoint(eager=True)
+        probes = [r["vec_id"] for r in
+                  snap.orderBy("vec_id").limit(5).collect()]
+        out = []
+        for pv in probes:
+            q = snap.where(F.col("vec_id") == pv).first()["emb"]
+            top_f = [v for v, _ in ivf_query_topk(
+                spark, folded, q, exclude_vec_id=pv)]
+            top_r = [v for v, _ in ivf_query_topk(
+                spark, fresh, q, exclude_vec_id=pv)]
+            qdf = spark.createDataFrame(
+                [([float(x) for x in q], 1.0)],
+                "ea array<double>, na double")
+            cos = SF.dot_fixed("ea", "emb", EMB_DIM) / F.col("norm")
+            exact = [r["vec_id"] for r in
+                     (snap.where(F.col("vec_id") != pv)
+                      .join(F.broadcast(qdf))
+                      .select("vec_id", cos.alias("c"))
+                      .orderBy(F.desc("c"), F.asc("vec_id"))
+                      .limit(KNN_K).collect())]
+            out.append((int(pv),
+                        round(len(set(top_f) & set(top_r)) / KNN_K, 4),
+                        round(len(set(top_f) & set(exact)) / KNN_K, 4),
+                        round(len(set(top_r) & set(exact)) / KNN_K, 4),
+                        float(sync["psi"]), sync["mode"]))
+        return spark.createDataFrame(
+            out, "probe_vec_id long, overlap_fold_rebuild double, "
+                 "recall_fold double, recall_rebuild double, "
+                 "psi double, sync_mode string"
+        ).orderBy("probe_vec_id")
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def _recall_frame(ann_keys: DataFrame, exact_keys: DataFrame,
                   keys: list[str], k: int) -> DataFrame:
     """1-row (recall_at_k) frame: fraction of the exact top-k present in

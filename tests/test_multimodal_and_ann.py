@@ -1238,3 +1238,105 @@ def test_semdedup_subset_and_measured_recall(spark):
     rows = SIM.dedup_semantic(spark, SF_DIR_001).collect()
     sent = [r for r in rows if r["vec_a"] == -1]
     assert len(sent) == 1 and sent[0]["vec_b"] == len(rows) - 1
+
+
+def _planted_cluster_frame(spark, n_clusters=8, per_cluster=50, seed=7,
+                           id_base=0, flip=False):
+    """Well-separated unit clusters: each vector = its cluster's
+    one-hot-ish direction + small deterministic noise, so every true
+    top-k neighbor is in-cluster and an IVF probe that reaches the
+    cluster's cells answers EXACTLY."""
+    import numpy as np
+
+    rng = np.random.RandomState(seed)
+    dim = SIM.EMB_DIM
+    dirs = np.zeros((n_clusters, dim))
+    for c in range(n_clusters):
+        dirs[c, (c * 7) % dim] = -1.0 if flip else 1.0
+        dirs[c, (c * 7 + 3) % dim] = 0.5
+    rows = []
+    for c in range(n_clusters):
+        for i in range(per_cluster):
+            v = dirs[c] + 0.05 * rng.randn(dim)
+            rows.append((id_base + c * per_cluster + i, f"c{c}",
+                         [float(x) for x in v]))
+    return spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>")
+
+
+def test_ivf_index_cdf_fold_equals_rebuild(spark, tmp_path):
+    """r8 (VERDICT item 3): after append + MoR-delete commits, the FOLDED
+    index answers probe queries with the same top-k as a fresh rebuild
+    (planted separable fixture), the watermark makes a second sync a
+    no-op, and the fold never rewrites untouched centroid partitions."""
+    from service_level_reporting_spark.sources.txlog import TxLogTable
+
+    base = str(tmp_path)
+    t = TxLogTable(base + "/t", key_cols=["vec_id"], stats_col="label")
+    full = _planted_cluster_frame(spark).localCheckpoint(eager=True)
+    t.append(full.where(F.col("vec_id") % 4 != 0))
+    SIM.build_ivf_index(spark, t.read(spark), base + "/idx",
+                        version=t.latest_version())
+    t.append(full.where(F.col("vec_id") % 4 == 0))
+    t.delete("vec_id % 10 = 3", mode="mor")
+
+    sync = SIM.ivf_index_sync(spark, base + "/t", base + "/idx")
+    assert sync["mode"] == "fold" and sync["psi"] <= 0.25
+    assert sync["inserted"] > 0 and sync["deleted"] > 0
+    # idempotence: same version -> noop
+    assert SIM.ivf_index_sync(spark, base + "/t",
+                              base + "/idx")["mode"] == "noop"
+
+    SIM.build_ivf_index(spark, t.read(spark), base + "/fresh",
+                        version=t.latest_version())
+    folded = SIM.load_ivf_index(spark, base + "/idx")
+    fresh = SIM.load_ivf_index(spark, base + "/fresh")
+    snap = {r["vec_id"]: r["embedding"]
+            for r in t.read(spark).collect()}
+    probes = sorted(snap)[::40][:8]
+    for pv in probes:
+        top_f = [v for v, _ in SIM.ivf_query_topk(
+            spark, folded, snap[pv], exclude_vec_id=pv)]
+        top_r = [v for v, _ in SIM.ivf_query_topk(
+            spark, fresh, snap[pv], exclude_vec_id=pv)]
+        assert top_f == top_r, (pv, top_f, top_r)
+        # no deleted vector may surface through the folded index
+        assert all(v % 10 != 3 for v in top_f)
+
+    # the folded index state contains EXACTLY the live snapshot
+    got = sorted(r["vec_id"] for r in folded["indexed"]
+                 .select("vec_id").collect())
+    assert got == sorted(snap)
+
+
+def test_ivf_index_psi_gate_triggers_retrain(spark, tmp_path):
+    """The PSI drift gate: a fold that lands a distribution-shifting blob
+    (a new far cluster set, 3x the indexed corpus) crosses the threshold
+    and the sync RE-TRAINS from the current snapshot; afterwards the gate
+    is quiet again and queries in the new region answer exactly."""
+    from service_level_reporting_spark.sources.txlog import TxLogTable
+
+    base = str(tmp_path)
+    t = TxLogTable(base + "/t", key_cols=["vec_id"], stats_col="label")
+    a = _planted_cluster_frame(spark, per_cluster=25).localCheckpoint(
+        eager=True)
+    t.append(a)
+    SIM.build_ivf_index(spark, t.read(spark), base + "/idx",
+                        version=t.latest_version())
+    # drift: a flipped-direction corpus 3x the indexed one
+    b = _planted_cluster_frame(spark, per_cluster=75, seed=11,
+                               id_base=10_000, flip=True
+                               ).localCheckpoint(eager=True)
+    t.append(b)
+    sync = SIM.ivf_index_sync(spark, base + "/t", base + "/idx")
+    assert sync["mode"] == "rebuild", sync
+    assert sync["psi"] > 0.25
+    # post-rebuild: gate quiet, new-region probes answer exactly
+    assert SIM.ivf_index_sync(spark, base + "/t",
+                              base + "/idx")["mode"] == "noop"
+    idx = SIM.load_ivf_index(spark, base + "/idx")
+    snap = {r["vec_id"]: r["embedding"] for r in b.collect()}
+    pv = 10_000
+    top = [v for v, _ in SIM.ivf_query_topk(
+        spark, idx, snap[pv], exclude_vec_id=pv)]
+    assert len(top) == 5 and all(v >= 10_000 for v in top)
