@@ -1430,6 +1430,83 @@ class TxLogTable:
                 cons0 = self.constraints(base)
                 adds = compact(live)
 
+    def optimize_bin_pack(self, small_file_rows: int,
+                          target_rows_per_file: int | None = None,
+                          deadline_sec: float = COMMIT_DEADLINE_SEC
+                          ) -> dict:
+        """SELECTIVE compaction (r8): compact only the live files that
+        are undersized (live rows < ``small_file_rows``) or carry
+        deletion vectors (folding their masks in — a targeted DV purge);
+        every right-sized clean file is carried by reference, untouched.
+
+        This is the maintenance shape that survives 100 TB: the
+        full-table ``optimize()`` is a complete rewrite (right for
+        re-layout, wrong for routine upkeep) — bin-packing pays for the
+        debt it retires (small files from streaming appends, DV chains
+        from MoR deletes), proportional to that debt, never to the
+        table. Output files target ``target_rows_per_file`` (default 8×
+        the selection threshold); with ``cluster_by`` the shared writer
+        re-clusters the compacted rows instead (AQE sizes the range
+        files). Same deadline/backoff retry + logical-conflict fast
+        path as every rewriting commit."""
+        if target_rows_per_file is None:
+            target_rows_per_file = 8 * small_file_rows
+        deadline = time.monotonic() + deadline_sec
+
+        def select(live: list[dict]) -> list[dict]:
+            return [a for a in live
+                    if add_rows(a) < small_file_rows or a.get("dv")]
+
+        def compact(sel: list[dict]) -> list[dict]:
+            spark = _session()
+            df = self._files_df(spark, sel).localCheckpoint(eager=True)
+            if self.cluster_by:
+                return self._write_data_files(df)   # range layout sizes
+            total = sum(add_rows(a) for a in sel)
+            n_out = max(1, -(-total // target_rows_per_file))
+            return self._write_data_files(df.coalesce(n_out),
+                                          layout=False)
+
+        base = self.latest_version()
+        live = self._resolve(base)
+        sel = select(live)
+        # a lone small clean file has nothing to merge WITH; DV carriers
+        # always qualify (the purge is the point)
+        if not sel or (len(sel) == 1 and not sel[0].get("dv")):
+            return {"version": base, "compacted": 0, "purged_dv": 0,
+                    "carried_files": len(live), "files": 0}
+        cons0 = self.constraints(base)
+        adds = compact(sel)
+        retries = 0
+        while True:
+            actions = adds + [{"remove": a["path"]} for a in sel]
+            try:
+                v = self.commit(actions, base + 1, op="optimize_bin_pack")
+                return {"version": v, "compacted": len(sel),
+                        "purged_dv": sum(1 for a in sel if a.get("dv")),
+                        "carried_files": len(live) - len(sel),
+                        "files": sum(1 for a in adds if "add" in a),
+                        "retries": retries}
+            except VersionConflict:
+                if time.monotonic() >= deadline:
+                    raise
+                _backoff(retries)
+                retries += 1
+                base = self.latest_version()
+                live = self._resolve(base)
+                new_sel = select(live)
+                if ({file_ident(a) for a in new_sel}
+                        == {file_ident(a) for a in sel}
+                        and self.constraints(base) == cons0):
+                    continue        # selection unchanged: re-commit as-is
+                sel = new_sel
+                cons0 = self.constraints(base)
+                if not sel or (len(sel) == 1 and not sel[0].get("dv")):
+                    return {"version": base, "compacted": 0,
+                            "purged_dv": 0, "carried_files": len(live),
+                            "files": 0, "retries": retries}
+                adds = compact(sel)
+
     def vacuum(self, retain_versions: int = 3,
                min_age_sec: float = VACUUM_MIN_AGE_SEC) -> dict:
         """Delete data files referenced by NO version in the retained

@@ -178,7 +178,7 @@ def _pin_snapshot(path: str, options) -> dict:
         s = options.get("startingVersion", "-1")
         starting = t.latest_version() if s == "latest" else int(s)
         paths = sorted({q for _, adds, removes in _commit_file_sets(
-            t, starting, ending) for q in adds + removes})
+            t, starting, ending) for q, _ in adds + removes})
         if not paths:           # empty range (e.g. stream from 'latest'):
             paths = [a["path"] for a in t._resolve(version)]
     else:
@@ -354,11 +354,13 @@ class TxLogBatchReader(DataSourceReader):
         t = self._table
         if self.mode == "changes":
             parts = [
-                _FilePart(os.path.join(t.path, p), ctype, v)
+                _FilePart(os.path.join(t.path, p), ctype, v, rel=p,
+                          dv=tuple(os.path.join(t.path, d) for d in ch))
                 for v, adds, removes in _commit_file_sets(
                     t, self.starting, self.ending)
-                for ctype, paths in (("insert", adds), ("delete", removes))
-                for p in paths]
+                for ctype, entries in (("insert", adds),
+                                       ("delete", removes))
+                for p, ch in entries]
         else:
             live = t._resolve(self.version)
             ranges = {c: tuple(b) for c, b in self.bounds.items()}
@@ -421,8 +423,30 @@ class TxLogBatchReader(DataSourceReader):
 
 
 def _commit_file_sets(t: TxLogTable, start: int, end: int):
-    """(version, added_paths, removed_paths) per commit in (start, end],
-    verifying the files still exist (vacuum truncates the feed)."""
+    """Per commit in (start, end]: ``(version, inserts, deletes)`` where
+    each side is a list of ``(table-relative path, dv_chain)`` entries,
+    verifying the files still exist (vacuum truncates the feed).
+
+    Merge-on-read commits (r8): the delete side is served from the
+    commit's CHANGE-DATA sidecar files (exactly the deleted rows, known
+    at delete time) and the insert side from adds of NEW files (a MoR
+    UPDATE's post-images) — DV-carrying re-adds are bookkeeping, not
+    row churn, and fully-dead removes are covered by the sidecar.
+
+    DV-at-removal masking: a NORMAL commit that removes (or re-adds,
+    RESTORE-style) a DV-carrying file contributes only the rows LIVE
+    under the chain the file carried at that version — the chain rides
+    the partition and `_read_file_batches` masks executor-side, same as
+    snapshot reads. Chains are tracked from the range start's resolved
+    snapshot, mirroring TxLogTable.changes()."""
+    def exists_or_raise(q: str, v: int) -> str:
+        if not os.path.exists(os.path.join(t.path, q)):
+            raise ValueError(
+                f"txlog source: file of version {v} was vacuumed; "
+                f"start the read later ({q})")
+        return q
+
+    cur = {a["path"]: a for a in t._resolve(max(start, -1))}
     out = []
     for v in range(start + 1, end + 1):
         p = t._commit_path(v)
@@ -430,22 +454,34 @@ def _commit_file_sets(t: TxLogTable, start: int, end: int):
             raise ValueError(f"txlog: missing version {v} (corrupt log)")
         with open(p) as fh:
             rec = json.load(fh)
+        adds: list[tuple] = []
+        removes: list[tuple] = []
         if rec.get("cdf"):
-            raise ValueError(
-                f"txlog source: version {v} is a merge-on-read delete "
-                "(deletion vectors + change-data sidecar); the source's "
-                "changes mode does not reconstruct MoR commits — consume "
-                "this range via TxLogTable.changes().")
-        adds = [a["add"]["path"] for a in rec["actions"]
-                if "add" in a and add_rows(a["add"]) > 0]
-        removes = [a["remove"] for a in rec["actions"] if "remove" in a]
-        for q in adds + removes:
-            if not os.path.exists(os.path.join(t.path, q)):
-                raise ValueError(
-                    f"txlog source: file of version {v} was vacuumed; "
-                    f"start the read later ({q})")
-        out.append((v, adds, removes, rec.get("op", "unknown")))
-    return [(v, a, r) for v, a, r, _ in out]
+            side = os.path.join(t.path, exists_or_raise(rec["cdf"], v))
+            removes += [(os.path.relpath(os.path.join(root, f), t.path),
+                         ())
+                        for root, _, fs in os.walk(side)
+                        for f in sorted(fs) if f.endswith(".parquet")]
+            adds += [(exists_or_raise(a["add"]["path"], v), ())
+                     for a in rec["actions"]
+                     if "add" in a and add_rows(a["add"]) > 0
+                     and not a["add"].get("dv")]
+        else:
+            for a in rec["actions"]:
+                if "add" in a and add_rows(a["add"]) > 0:
+                    adds.append((exists_or_raise(a["add"]["path"], v),
+                                 tuple(a["add"].get("dv", ()))))
+                elif "remove" in a:
+                    q = exists_or_raise(a["remove"], v)
+                    removes.append(
+                        (q, tuple((cur.get(q) or {}).get("dv", ()))))
+        for a in rec["actions"]:
+            if "add" in a:
+                cur[a["add"]["path"]] = a["add"]
+            elif "remove" in a:
+                cur.pop(a["remove"], None)
+        out.append((v, adds, removes))
+    return out
 
 
 class TxLogStreamReader(DataSourceStreamReader):
@@ -486,22 +522,26 @@ class TxLogStreamReader(DataSourceStreamReader):
                     if "add" in a and add_rows(a["add"]) > 0]
             removes = [a["remove"] for a in rec["actions"] if "remove" in a]
             if self.mode == "changes":
-                if rec.get("cdf"):
-                    raise ValueError(
-                        f"txlog stream: version {v} is a merge-on-read "
-                        "delete (deletion vectors + change-data sidecar). "
-                        "The streaming source does not reconstruct MoR "
-                        "commits yet — consume this range via "
-                        "TxLogTable.changes(), or delete with mode='cow' "
-                        "on streamed tables.")
-                parts += [_FilePart(os.path.join(t.path, q), "insert", v)
-                          for q in adds]
-                parts += [_FilePart(os.path.join(t.path, q), "delete", v)
-                          for q in removes]
+                # r8: MoR commits are served from their change-data
+                # sidecar, and removed/re-added DV-carrying files mask
+                # executor-side — one shared planner with the batch path
+                for cv, cadds, cremoves in _commit_file_sets(t, v - 1, v):
+                    parts += [
+                        _FilePart(os.path.join(t.path, q), ctype, cv,
+                                  rel=q,
+                                  dv=tuple(os.path.join(t.path, d)
+                                           for d in ch))
+                        for ctype, entries in (("insert", cadds),
+                                               ("delete", cremoves))
+                        for q, ch in entries]
             else:
-                if removes or rec.get("cdf"):
+                dv_adds = any("add" in a and a["add"].get("dv")
+                              for a in rec["actions"])
+                if removes or rec.get("cdf") or dv_adds:
                     # a MoR delete changes data without removes in the
-                    # degenerate case; treat it like any rewrite commit
+                    # degenerate case, and a RESTORE-style re-add of a
+                    # DV-carrying file is changed data too; treat both
+                    # like any rewrite commit
                     if self.skip_change:
                         continue     # skip the rewrite commit wholesale
                     raise ValueError(

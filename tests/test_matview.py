@@ -315,3 +315,37 @@ def test_stream_matview_state_optimize_races_fold(spark, table_path):
         stop.set()
         th.join()
     assert not errs, errs
+
+
+def test_stream_matview_on_mor_deleted_base(spark, table_path):
+    """r8: the streaming CDC source now serves merge-on-read commits
+    from the change-data sidecar, so streaming view maintenance works on
+    a base table using DV deletes/updates — previously it refused with
+    an error and only the batch table-API CDF could feed the fold."""
+    from service_level_reporting_spark.streaming.matview_stream import (
+        read_view, stream_matview)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "k long, g string, v double").coalesce(1)
+
+    base_path = os.path.join(table_path, "base")
+    t = TxLogTable(base_path, key_cols=["k"], stats_col="g")
+    t.append(frame([(1, "a", 1.0), (2, "a", 9.0), (3, "b", 2.0),
+                    (4, "b", 8.0)]))
+    t.delete("k = 2", mode="mor")            # kills max(a), MoR
+    st = stream_matview(spark, base_path, SPEC,
+                        os.path.join(table_path, "view"),
+                        os.path.join(table_path, "ck"))
+    want = _view(MV.mv_read(MV.mv_init(t.read(spark), SPEC), SPEC))
+    assert _view(read_view(spark, st, SPEC)) == want
+
+    # incremental: MoR UPDATE (pre-image delete + post-image insert)
+    # and a second MoR delete fold through the same checkpoint
+    t.update("k = 4", {"v": "v + 100.0"}, mode="mor")
+    t.delete("k = 3", mode="mor")
+    st = stream_matview(spark, base_path, SPEC,
+                        os.path.join(table_path, "view"),
+                        os.path.join(table_path, "ck"))
+    assert _view(read_view(spark, st, SPEC)) == \
+        _view(MV.mv_read(MV.mv_init(t.read(spark), SPEC), SPEC))

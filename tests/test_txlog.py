@@ -1343,10 +1343,14 @@ def test_deletion_vector_merge_on_read_delete(spark, table_path):
 
 def test_deletion_vector_datasource_and_stream_guard(spark, table_path):
     """The native data source masks DVs executor-side (snapshot equals
-    the table API, point pushdown still prunes), and the streaming /
-    changes modes refuse MoR commits with a clear error (the table-API
-    CDF is the complete path)."""
+    the table API, point pushdown still prunes). r8: the changes modes
+    SERVE merge-on-read commits from the change-data sidecar — batch and
+    streaming feeds equal the table-API CDF, a CoW rewrite of a
+    DV-carrying file masks at-removal rows, and the append-only stream
+    still treats MoR commits as changed data (skipChangeCommits skips
+    them wholesale)."""
     import uuid as _uuid
+    from collections import Counter
 
     from service_level_reporting_spark.sources.txlog_datasource import (
         TxLogDataSource)
@@ -1354,6 +1358,10 @@ def test_deletion_vector_datasource_and_stream_guard(spark, table_path):
     def frame(rows):
         return spark.createDataFrame(
             rows, "k long, g string, v double").coalesce(1)
+
+    def ms(df):
+        cols = sorted(df.columns)
+        return Counter(tuple(r[c] for c in cols) for r in df.collect())
 
     t = TxLogTable(table_path, key_cols=["k"], stats_col="g")
     t.append(frame([(i, "a", float(i)) for i in range(6)]))
@@ -1370,20 +1378,44 @@ def test_deletion_vector_datasource_and_stream_guard(spark, table_path):
     assert (spark.read.format("txlog").option("version", v0)
             .load(table_path).count()) == 10
 
-    # changes mode over a MoR range: loud, actionable error
-    with pytest.raises(Exception, match="merge-on-read"):
-        (spark.read.format("txlog").option("mode", "changes")
-         .option("startingVersion", str(v0)).load(table_path).collect())
-    # append-only stream: skipChangeCommits skips the MoR commit
+    # batch changes over the MoR range == the table-API CDF
+    ch = (spark.read.format("txlog").option("mode", "changes")
+          .option("startingVersion", str(v0)).load(table_path))
+    assert ms(ch) == ms(t.changes(spark, v0))
+
+    # a CoW rewrite of the DV-carrying file: its remove contributes only
+    # rows LIVE at removal (k=3 must not re-surface as a delete)
+    t.update("k = 4", {"v": "v + 100.0"})
+    ch2 = (spark.read.format("txlog").option("mode", "changes")
+           .option("startingVersion", str(v0)).load(table_path))
+    assert ms(ch2) == ms(t.changes(spark, v0))
+    # the raw feed re-emits carried rows as delete+insert pairs (net=True
+    # is the table-API answer); the DV-masking claim is that the already-
+    # deleted k=3 appears as a delete EXACTLY once (the sidecar) — the
+    # CoW remove of its file must not re-emit it
+    from collections import Counter as _C
+    del_counts = _C(r["k"] for r in ch2.collect()
+                    if r["_change_type"] == "delete")
+    assert del_counts[3] == 1 and del_counts[11] == 1
+
+    # streaming changes mode delivers the same feed
     name = f"dvs_{_uuid.uuid4().hex[:8]}"
-    q = (spark.readStream.format("txlog")
-         .option("startingVersion", str(v0))
-         .option("skipChangeCommits", "true").load(table_path)
+    q = (spark.readStream.format("txlog").option("mode", "changes")
+         .option("startingVersion", str(v0)).load(table_path)
          .writeStream.format("memory").queryName(name)
          .trigger(availableNow=True).start())
     q.awaitTermination(120)
-    assert spark.table(name).count() == 0      # only the MoR commit existed
+    assert ms(spark.table(name)) == ms(t.changes(spark, v0))
 
+    # append-only stream: skipChangeCommits skips MoR + rewrite commits
+    name2 = f"dvs_{_uuid.uuid4().hex[:8]}"
+    q2 = (spark.readStream.format("txlog")
+          .option("startingVersion", str(v0))
+          .option("skipChangeCommits", "true").load(table_path)
+          .writeStream.format("memory").queryName(name2)
+          .trigger(availableNow=True).start())
+    q2.awaitTermination(120)
+    assert spark.table(name2).count() == 0
 
 def test_deletion_vector_vacuum_retention(spark, table_path):
     """Sidecar retention mirrors the data-file contract: DV/CDC dirs
@@ -1691,3 +1723,47 @@ def test_clone_dv_carrying_snapshot(spark, table_path):
     got = {(x["k"], x["v"]) for x in
            spark.read.format("txlog").load(cl_path).collect()}
     assert got == {(1, 11.0)}
+
+
+def test_optimize_bin_pack_selective(spark, table_path):
+    """r8: bin-pack compaction touches ONLY undersized or DV-carrying
+    files — the right-sized clean file's add action survives IDENTICALLY
+    (same path, by reference), small files merge to the target size, a
+    DV-carrying file gets its mask folded in (targeted purge), and the
+    snapshot is value-identical throughout."""
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "k long, g string, v double").coalesce(1)
+
+    from service_level_reporting_spark.sources.txlog import add_rows
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="g")
+    t.append(spark.range(1000).select(
+        (F.col("id") + 10_000).alias("k"), F.lit("z").alias("g"),
+        F.col("id").cast("double").alias("v")).coalesce(1))  # big, clean
+    for i in range(6):                                       # 6 small files
+        t.append(frame([(3 * i + j, "a", float(3 * i + j))
+                        for j in range(3)]))
+    big = [a for a in t._resolve() if add_rows(a) == 1000][0]
+    before = {(x["k"], x["v"]) for x in t.read(spark).collect()}
+
+    res = t.optimize_bin_pack(small_file_rows=10)
+    assert res["compacted"] == 6 and res["purged_dv"] == 0
+    assert res["carried_files"] == 1 and res["files"] == 1  # 18 rows -> 1
+    live = t._resolve()
+    assert any(a["path"] == big["path"] for a in live)       # untouched
+    assert len(live) == 2
+    assert {(x["k"], x["v"]) for x in t.read(spark).collect()} == before
+
+    # a DV-carrying file qualifies regardless of size: targeted purge
+    t.delete("k = 10500", mode="mor")
+    res2 = t.optimize_bin_pack(small_file_rows=10)
+    assert res2["compacted"] == 1 and res2["purged_dv"] == 1
+    assert not any(a.get("dv") for a in t._resolve())
+    assert {(x["k"], x["v"]) for x in t.read(spark).collect()} \
+        == before - {(10_500, 500.0)}
+
+    # nothing undersized, nothing masked: no-op, no commit
+    v = t.latest_version()
+    res3 = t.optimize_bin_pack(small_file_rows=10)
+    assert res3["compacted"] == 0 and t.latest_version() == v
