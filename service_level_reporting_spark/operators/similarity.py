@@ -1056,10 +1056,17 @@ def save_ivf_index(spark: SparkSession, sf_dir: str, path: str,
     ).coalesce(1).write.mode("overwrite").parquet(path + "/pq_books")
 
 
-def load_ivf_index(spark: SparkSession, path: str) -> dict:
+def load_ivf_index(spark: SparkSession, path: str,
+                   mask_tombstones: bool = True) -> dict:
     """Reload a persisted index into the same dict shape the query legs
     consume — no sample, no training, no assignment pass; the probe reads
-    only its centroid partitions (PartitionFilters, plan-asserted)."""
+    only its centroid partitions (PartitionFilters, plan-asserted).
+
+    r8: pending delete TOMBSTONES (the incremental fold's merge-on-read
+    mask, bounded by IVF_TOMBSTONE_COMPACT_FRACTION of the index) are
+    anti-joined out of ``indexed`` — broadcast under the same 1M-row
+    gate the lakehouse DV mask uses, SHUFFLE_HASH past it. Maintenance
+    passes that manage the mask themselves opt out."""
     import numpy as np
 
     crows = spark.read.parquet(path + "/centroids").collect()
@@ -1072,6 +1079,14 @@ def load_ivf_index(spark: SparkSession, path: str) -> dict:
     for r in brows:
         books[r["sub_id"], r["code_id"]] = r["vector"]
     indexed = spark.read.parquet(path + "/assignments")
+    if mask_tombstones:
+        tomb = _read_tombstones(spark, path + "/tombstones")
+        if tomb is not None:
+            mask = tomb.select("vec_id")
+            n_tomb = tomb.count()
+            mask = (F.broadcast(mask) if n_tomb <= 1_000_000
+                    else mask.hint("shuffle_hash"))
+            indexed = indexed.join(mask, "vec_id", "left_anti")
     return {"e": indexed.drop("centroid_id", "code"), "x": None,
             "coarse": coarse, "indexed": indexed, "books": books}
 
@@ -1093,6 +1108,23 @@ def load_ivf_index(spark: SparkSession, path: str) -> dict:
 # ---------------------------------------------------------------------------
 
 IVF_PSI_THRESHOLD = 0.25    # industry-standard "significant shift" bar
+# deletes fold as TOMBSTONES (the index's own merge-on-read); cell
+# partitions rewrite only when the mask crosses this fraction of the
+# index — uniformly scattered deletes otherwise touch nearly every cell
+# and the eager rewrite costs almost a rebuild (measured at 1M)
+IVF_TOMBSTONE_COMPACT_FRACTION = 0.10
+
+
+def _read_tombstones(spark: SparkSession, tomb_dir: str):
+    """The index's pending (vec_id, centroid_id) tombstones, or None."""
+    import os
+
+    if not os.path.isdir(tomb_dir):
+        return None
+    if not any(f.endswith(".parquet")
+               for _, _, fs in os.walk(tomb_dir) for f in fs):
+        return None
+    return spark.read.parquet(tomb_dir)
 
 
 def _ivf_sync_path(path: str) -> str:
@@ -1147,6 +1179,10 @@ def build_ivf_index(spark: SparkSession, emb_raw: DataFrame, path: str,
     <path>/_sync.json (the folded-through table version plus the RUNNING
     occupancy counts, updated by each fold without rescanning the
     index)."""
+    import os
+    import shutil
+
+    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
     e = _with_norm(emb_raw)
     n = e.count()
     knobs = derived_ivf_knobs(n)
@@ -1190,13 +1226,18 @@ def _ivf_apply_changes(spark: SparkSession, path: str, changes: DataFrame,
     """Fold one effective change feed (columns vec_id/label/embedding +
     `_change_type`) into the persisted index. Inserts: assign + PQ-encode
     against the EXISTING codebooks (one pass over the increment) and
-    append to their centroid partitions. Deletes: their cells derive
-    from the vectors themselves (assignment is deterministic), so only
-    those partitions rewrite — read, anti-join on vec_id, dynamic
-    partition overwrite. Returns the updated running occupancy counts
-    plus fold statistics; never touches non-affected partitions and
-    never rescans the corpus."""
-    idx = load_ivf_index(spark, path)
+    append to their centroid partitions. Deletes: TOMBSTONED (r8 — the
+    index's own merge-on-read: O(increment) per fold, queries mask the
+    pending set) and folded into their cell partitions only when the
+    mask crosses IVF_TOMBSTONE_COMPACT_FRACTION of the index; the cells
+    derive from the vectors themselves (assignment is deterministic),
+    so the compaction write set is exact. Returns the updated running
+    occupancy counts plus fold statistics; never rescans the corpus."""
+    import os
+    import shutil
+    import uuid
+
+    idx = load_ivf_index(spark, path, mask_tombstones=False)
     coarse, books = idx["coarse"], idx["books"]
     cols = ["vec_id", "label", "embedding"]
     ins = (_with_norm(changes.where(F.col("_change_type") == "insert")
@@ -1215,47 +1256,76 @@ def _ivf_apply_changes(spark: SparkSession, path: str, changes: DataFrame,
     del_counts = {str(r["centroid_id"]): int(r["n"]) for r in
                   dels.groupBy("centroid_id")
                   .agg(F.count(F.lit(1)).alias("n")).collect()}
-    del_cids = [int(c) for c in del_counts]
+    n_ins = sum(ins_counts.values())
+    n_del = sum(del_counts.values())
 
     assignments = spark.read.parquet(path + "/assignments")
     out_cols = assignments.columns
-    if del_cids:
-        keep = (assignments
-                .where(F.col("centroid_id").isin(del_cids))
-                .join(dels.select("vec_id"), "vec_id", "left_anti"))
-        merged = keep.unionByName(
-            ins.where(F.col("centroid_id").isin(del_cids))
-            .select(*out_cols))
-        # materialize BEFORE overwriting the partitions it reads (a
-        # production impl writes fresh files then swaps, like the txlog)
-        merged = merged.localCheckpoint(eager=True)
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                              "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
-        try:
-            (merged.repartition("centroid_id").write.mode("overwrite")
-             .partitionBy("centroid_id").parquet(path + "/assignments"))
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                           prev)
-        ins_rest = ins.where(~F.col("centroid_id").isin(del_cids))
-    else:
-        ins_rest = ins
-    n_ins = sum(ins_counts.values())
-    n_del = sum(del_counts.values())
-    if ins_counts and (not del_cids
-                       or any(int(c) not in del_cids for c in ins_counts)):
-        (ins_rest.select(*out_cols).repartition("centroid_id")
+    if n_ins:
+        # inserts ALWAYS append to their cells — never a rewrite
+        (ins.select(*out_cols).repartition("centroid_id")
          .write.mode("append").partitionBy("centroid_id")
          .parquet(path + "/assignments"))
+
+    # deletes take the TOMBSTONE fast path (the index's own
+    # merge-on-read, r8): the fold writes O(increment) tombstone rows
+    # and queries mask them; cell partitions rewrite only when the
+    # accumulated tombstone mass crosses IVF_TOMBSTONE_COMPACT_FRACTION
+    # of the index — the 1M probe measured the eager per-fold rewrite at
+    # barely 1.8x cheaper than a rebuild under uniformly scattered
+    # deletes (119/125 cells touched), which is exactly the case
+    # deferral fixes. A re-inserted vec_id cancels its tombstone in the
+    # same fold (the new tombstone set = (old ∪ deletes) ∖ inserts —
+    # one bounded job over ≤ the compact fraction of the index).
+    tomb_dir = path + "/tombstones"
+    tomb = _read_tombstones(spark, tomb_dir)
+    new_tomb = tomb.unionByName(dels) if tomb is not None else dels
+    if n_ins:
+        new_tomb = new_tomb.join(ins.select("vec_id"), "vec_id",
+                                 "left_anti")
+    new_tomb = new_tomb.localCheckpoint(eager=True)
+    n_tomb = new_tomb.count()
     new_counts = dict(counts)
     for c, n_ in ins_counts.items():
         new_counts[c] = new_counts.get(c, 0) + n_
     for c, n_ in del_counts.items():
         new_counts[c] = new_counts.get(c, 0) - n_
+    index_rows = max(1, sum(new_counts.values()))
+    compacted = 0
+    if n_tomb > IVF_TOMBSTONE_COMPACT_FRACTION * index_rows:
+        # fold the mask in: rewrite ONLY the tombstoned cells
+        cids = [int(r["centroid_id"]) for r in
+                new_tomb.select("centroid_id").distinct().collect()]
+        keep = (spark.read.parquet(path + "/assignments")
+                .where(F.col("centroid_id").isin(cids))
+                .join(new_tomb.select("vec_id"), "vec_id", "left_anti")
+                # materialize BEFORE overwriting the partitions it reads
+                # (a production impl writes fresh files then swaps)
+                .localCheckpoint(eager=True))
+        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
+                              "static")
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                       "dynamic")
+        try:
+            (keep.select(*out_cols).repartition("centroid_id")
+             .write.mode("overwrite").partitionBy("centroid_id")
+             .parquet(path + "/assignments"))
+        finally:
+            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
+                           prev)
+        shutil.rmtree(tomb_dir, ignore_errors=True)
+        compacted = len(cids)
+        n_tomb = 0
+    else:
+        tmp = tomb_dir + f".tmp.{uuid.uuid4().hex[:8]}"
+        new_tomb.coalesce(1).write.mode("overwrite").parquet(tmp)
+        old = tomb_dir + f".old.{uuid.uuid4().hex[:8]}"
+        if os.path.isdir(tomb_dir):
+            os.rename(tomb_dir, old)
+        os.rename(tmp, tomb_dir)
+        shutil.rmtree(old, ignore_errors=True)
     return {"counts": new_counts, "inserted": n_ins, "deleted": n_del,
-            "rewritten_partitions": len(del_cids)}
+            "tombstones": n_tomb, "compacted_partitions": compacted}
 
 
 def ivf_index_sync(spark: SparkSession, table_path: str, index_path: str,
@@ -1292,7 +1362,8 @@ def ivf_index_sync(spark: SparkSession, table_path: str, index_path: str,
     _write_sync(index_path, meta)
     return {"mode": "fold", "version": cur, "psi": psi,
             "inserted": res["inserted"], "deleted": res["deleted"],
-            "rewritten_partitions": res["rewritten_partitions"]}
+            "tombstones": res["tombstones"],
+            "compacted_partitions": res["compacted_partitions"]}
 
 
 def ivf_query_topk(spark: SparkSession, idx: dict, q_vec, k: int = KNN_K,

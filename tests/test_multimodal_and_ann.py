@@ -1340,3 +1340,57 @@ def test_ivf_index_psi_gate_triggers_retrain(spark, tmp_path):
     top = [v for v, _ in SIM.ivf_query_topk(
         spark, idx, snap[pv], exclude_vec_id=pv)]
     assert len(top) == 5 and all(v >= 10_000 for v in top)
+
+
+def test_ivf_tombstone_mask_reinsert_and_compaction(spark, tmp_path):
+    """r8: index deletes fold as TOMBSTONES (the index's own
+    merge-on-read) — O(increment) per fold, queries mask the pending
+    set; a re-inserted vec_id cancels its tombstone in the same fold;
+    and a mask crossing the compact fraction rewrites ONLY the
+    tombstoned cells and clears the pending set."""
+    import os
+
+    from service_level_reporting_spark.sources.txlog import TxLogTable
+
+    base = str(tmp_path)
+    t = TxLogTable(base + "/t", key_cols=["vec_id"], stats_col="label")
+    full = _planted_cluster_frame(spark).localCheckpoint(eager=True)
+    t.append(full)
+    SIM.build_ivf_index(spark, t.read(spark), base + "/idx",
+                        version=t.latest_version())
+
+    # a small scattered delete: tombstoned, nothing rewritten
+    t.delete("vec_id % 100 = 7", mode="mor")      # 4 of 400 rows (1%)
+    sync = SIM.ivf_index_sync(spark, base + "/t", base + "/idx")
+    assert sync["mode"] == "fold"
+    assert sync["tombstones"] == 4 and sync["compacted_partitions"] == 0
+    idx = SIM.load_ivf_index(spark, base + "/idx")
+    got = {r["vec_id"] for r in idx["indexed"].select("vec_id").collect()}
+    assert got == {r["vec_id"] for r in t.read(spark).collect()}
+    snap = {r["vec_id"]: r["embedding"] for r in full.collect()}
+    # a deleted vector's near-clone query must not return it
+    top = [v for v, _ in SIM.ivf_query_topk(spark, idx, snap[7],
+                                            exclude_vec_id=7)]
+    assert 7 not in top and 107 not in top and 207 not in top \
+        and 307 not in top
+
+    # re-insert one deleted vec_id: the fold cancels its tombstone
+    t.append(spark.createDataFrame(
+        [(7, "c0", snap[7])], "vec_id long, label string, "
+                              "embedding array<double>").coalesce(1))
+    sync2 = SIM.ivf_index_sync(spark, base + "/t", base + "/idx")
+    assert sync2["mode"] == "fold" and sync2["tombstones"] == 3
+    idx2 = SIM.load_ivf_index(spark, base + "/idx")
+    assert 7 in {r["vec_id"]
+                 for r in idx2["indexed"].select("vec_id").collect()}
+
+    # a mass delete crosses the compact fraction: the mask folds into
+    # exactly the tombstoned cells and the pending set clears
+    t.delete("vec_id % 5 = 2", mode="mor")        # 20% of the corpus
+    sync3 = SIM.ivf_index_sync(spark, base + "/t", base + "/idx")
+    assert sync3["mode"] == "fold"
+    assert sync3["compacted_partitions"] > 0 and sync3["tombstones"] == 0
+    assert not os.path.isdir(base + "/idx/tombstones")
+    idx3 = SIM.load_ivf_index(spark, base + "/idx")
+    assert {r["vec_id"] for r in idx3["indexed"].select("vec_id")
+            .collect()} == {r["vec_id"] for r in t.read(spark).collect()}

@@ -421,7 +421,7 @@ def test_concurrent_writers_serializability(spark, table_path):
         st.just("append"),
         st.sets(st.integers(0, 5), min_size=1, max_size=2))
     maint_op = st.tuples(
-        st.sampled_from(["optimize", "vacuum"]),
+        st.sampled_from(["optimize", "vacuum", "bin_pack"]),
         st.just(frozenset()))
     # r7 (VERDICT item 2): row-level ops join the contention mix — they
     # share merge's retry loop but their interleavings (a delete racing a
@@ -488,6 +488,13 @@ def test_concurrent_writers_serializability(spark, table_path):
                     if stats["compacted"] == 0:
                         continue            # no-op: nothing committed
                     v = stats["version"]
+                elif kind == "bin_pack":
+                    # r8: selective compaction in the contention mix --
+                    # content-preserving like optimize (replay skips it)
+                    stats = t.optimize_bin_pack(small_file_rows=4)
+                    if stats["compacted"] == 0:
+                        continue            # no-op: nothing committed
+                    v, kind = stats["version"], "optimize"
                 else:                       # safe-mode vacuum: age guard
                     assert t.vacuum(retain_versions=2)["removed_files"] \
                         == 0, "vacuum deleted a possibly-in-flight file"

@@ -1,0 +1,133 @@
+"""Incremental ANN maintenance at its design scale (r8, VERDICT item 3).
+
+The pytest contract pins fold==rebuild top-k on a planted separable
+fixture; this probe measures the CLAIM that makes incremental
+maintenance worth having — folding the change feed is much cheaper than
+re-training and re-assigning the corpus — at 10⁶ × 64-d, against the
+same isotropic corpus `ann_scale_probe` stages:
+
+* stage a txlog table with 90% of the corpus, `build_ivf_index` (timed)
+* land the remaining 10% via append + a 2% scattered MoR delete
+* `ivf_index_sync` folds the feed (timed; PSI expected under the gate —
+  an isotropic split does not drift)
+* `build_ivf_index` again into a fresh dir (timed — the rebuild the
+  fold replaces)
+* 20 probe queries: recall@5 of the folded and the rebuilt index
+  against the exact linear scan over the final snapshot
+
+Usage: python tools/ann_sync_probe.py [n_base]   (default 1_000_000)
+Output: one JSON line; full record in BENCH_ANN_SYNC.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "24g")
+
+from pyspark.sql import functions as F
+
+from service_level_reporting_spark.session import get_spark
+from tools import ann_scale_probe as STAGE
+
+WORK = "/tmp/slr_ann_sync"
+N_PROBES = 20
+KNN_K = 5
+
+
+def main() -> None:
+    from service_level_reporting_spark import functions as SF
+    from service_level_reporting_spark.operators import similarity as SIM
+    from service_level_reporting_spark.sources.txlog import TxLogTable
+
+    n_base = int(sys.argv[1]) if len(sys.argv) > 1 else 1_000_000
+    STAGE._stage_for(n_base)
+    spark = get_spark(app_name="slr-ann-sync-probe", shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    STAGE.build(spark, n_base)
+    e = spark.read.parquet(os.path.join(STAGE.DIR, "embeddings.parquet"))
+
+    shutil.rmtree(WORK, ignore_errors=True)
+    tbl_path = os.path.join(WORK, "t")
+    idx_path = os.path.join(WORK, "idx")
+    fresh_path = os.path.join(WORK, "fresh")
+    t = TxLogTable(tbl_path, key_cols=["vec_id"], stats_col="label")
+    t.append(e.where(F.col("vec_id") % 10 != 0).repartition(16))
+
+    t0 = time.perf_counter()
+    SIM.build_ivf_index(spark, t.read(spark), idx_path,
+                        version=t.latest_version())
+    build_sec = round(time.perf_counter() - t0, 3)
+
+    t.append(e.where(F.col("vec_id") % 10 == 0).repartition(4))
+    del_res = t.delete("vec_id % 50 = 1", mode="mor")
+
+    t0 = time.perf_counter()
+    sync = SIM.ivf_index_sync(spark, tbl_path, idx_path)
+    fold_sec = round(time.perf_counter() - t0, 3)
+
+    t0 = time.perf_counter()
+    SIM.build_ivf_index(spark, t.read(spark), fresh_path,
+                        version=t.latest_version())
+    rebuild_sec = round(time.perf_counter() - t0, 3)
+
+    folded = SIM.load_ivf_index(spark, idx_path)
+    fresh = SIM.load_ivf_index(spark, fresh_path)
+    snap = SIM._with_norm(t.read(spark)).localCheckpoint(eager=True)
+    probes = [r["vec_id"] for r in snap.where(
+        (F.col("vec_id") % 9973 == 5) & (F.col("vec_id") % 50 != 1))
+        .orderBy("vec_id").limit(N_PROBES).collect()]
+
+    def exact_topk(q):
+        qdf = spark.createDataFrame(
+            [([float(x) for x in q], 1.0)], "ea array<double>, na double")
+        cos = SF.dot_fixed("ea", "emb", SIM.EMB_DIM) / F.col("norm")
+        return [r["vec_id"] for r in
+                (snap.join(F.broadcast(qdf))
+                 .select("vec_id", cos.alias("c"))
+                 .orderBy(F.desc("c"), F.asc("vec_id"))
+                 .limit(KNN_K + 1).collect())]
+
+    rec_f = rec_r = 0.0
+    for pv in probes:
+        q = snap.where(F.col("vec_id") == pv).first()["emb"]
+        exact = [v for v in exact_topk(q) if v != pv][:KNN_K]
+        top_f = [v for v, _ in SIM.ivf_query_topk(
+            spark, folded, q, k=KNN_K, exclude_vec_id=pv)]
+        top_r = [v for v, _ in SIM.ivf_query_topk(
+            spark, fresh, q, k=KNN_K, exclude_vec_id=pv)]
+        rec_f += len(set(top_f) & set(exact)) / KNN_K
+        rec_r += len(set(top_r) & set(exact)) / KNN_K
+    rec_f = round(rec_f / len(probes), 4)
+    rec_r = round(rec_r / len(probes), 4)
+
+    out = {"metric": "ann_sync_probe",
+           "n_vectors": n_base + STAGE.N_PLANTED,
+           "indexed_initial_pct": 90,
+           "folded_inserts": sync.get("inserted"),
+           "folded_deletes": sync.get("deleted"),
+           "mor_deleted_rows": del_res["matched_rows"],
+           "build_sec": build_sec, "fold_sec": fold_sec,
+           "rebuild_sec": rebuild_sec,
+           "fold_speedup_vs_rebuild": round(rebuild_sec / fold_sec, 2),
+           "sync_mode": sync["mode"], "psi": sync["psi"],
+           "tombstones": sync.get("tombstones"),
+           "compacted_partitions": sync.get("compacted_partitions"),
+           "recall_folded": rec_f, "recall_rebuilt": rec_r,
+           "n_probes": len(probes), "k": KNN_K}
+    with open(os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "BENCH_ANN_SYNC.json"), "w") as fh:
+        json.dump(out, fh, indent=1)
+    print(json.dumps(out))
+    shutil.rmtree(WORK, ignore_errors=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
