@@ -352,9 +352,25 @@ def _train_sample(e: DataFrame, n_rows: int | None = None,
 
     n = n_rows if n_rows is not None else e.count()
     stride = max(1, n // cap)
-    sample = (e.where(F.col("vec_id") % stride == 0)
-              .select("emb").limit(cap).collect())
-    x = np.array([r["emb"] for r in sample], dtype=np.float64)
+
+    def collect_with(pred):
+        sample = e.where(pred).select("emb").limit(cap).collect()
+        return np.array([r["emb"] for r in sample], dtype=np.float64)
+
+    x = collect_with(F.col("vec_id") % stride == 0)
+    if len(x) < max(1, min(cap, n) // 4):
+        # id-STRUCTURED corpora break the raw-id stride: a table whose
+        # ids exclude a residue class (every 3rd id deleted, shifted
+        # clones) can leave `id % stride == 0` nearly or fully EMPTY —
+        # the r8 10x sweep caught an empty sample (AxisError) on exactly
+        # that shape. Hash the id first: pmod(xxhash64(id), stride) is
+        # uniform for ANY id structure, still deterministic, still one
+        # job. The raw-id stride stays the primary path so previously
+        # certified samples (1M/10M recall probes) are unchanged.
+        x = collect_with(F.pmod(F.xxhash64(F.col("vec_id")),
+                                F.lit(stride)) == 0)
+    if len(x) == 0:
+        raise ValueError("ivf training sample is empty — empty corpus?")
     norms = np.linalg.norm(x, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
     return x / norms

@@ -1394,3 +1394,24 @@ def test_ivf_tombstone_mask_reinsert_and_compaction(spark, tmp_path):
     idx3 = SIM.load_ivf_index(spark, base + "/idx")
     assert {r["vec_id"] for r in idx3["indexed"].select("vec_id")
             .collect()} == {r["vec_id"] for r in t.read(spark).collect()}
+
+
+def test_train_sample_survives_id_structured_corpus(spark):
+    """r8 (caught by the 10x sweep): the trainer's raw-id stride sample
+    can land on an EMPTY residue class when the corpus ids are
+    structured (all odd here, stride even -> id % stride == 0 never
+    holds); the hash-stride fallback must produce a healthy sample and
+    the build must succeed end to end."""
+    import numpy as np
+
+    rows = [(2 * i + 1, "a",
+             [float((i + j) % 7 - 3) for j in range(SIM.EMB_DIM)])
+            for i in range(200)]
+    e = SIM._with_norm(spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<double>"))
+    # n=200, cap=50 -> stride 4; no odd id is ever % 4 == 0
+    x = SIM._train_sample(e, n_rows=200, cap=50)
+    assert len(x) >= 12                      # healthy fallback sample
+    assert np.allclose(np.linalg.norm(x, axis=1), 1.0)
+    c = SIM._train_centroids(x, k=4)
+    assert c.shape == (4, SIM.EMB_DIM)
