@@ -1058,7 +1058,11 @@ def save_ivf_index(spark: SparkSession, sf_dir: str, path: str,
     books = _train_pq(idx["x"], coarse, k=pq_k)
     indexed = idx["indexed"].withColumn(
         "code", _pq_encode_udf(coarse, books)("emb"))
+    # partitionOverwriteMode pinned STATIC per-write (r9, ADVICE): a
+    # session running with dynamic mode globally would otherwise leave a
+    # smaller-k rebuild's stale extra centroid partitions in place
     (indexed.repartition("centroid_id").write.mode("overwrite")
+     .option("partitionOverwriteMode", "static")
      .partitionBy("centroid_id").parquet(path + "/assignments"))
     spark.createDataFrame(
         [(int(i), [float(v) for v in coarse[i]])
@@ -1096,7 +1100,7 @@ def load_ivf_index(spark: SparkSession, path: str,
         books[r["sub_id"], r["code_id"]] = r["vector"]
     indexed = spark.read.parquet(path + "/assignments")
     if mask_tombstones:
-        tomb = _read_tombstones(spark, path + "/tombstones")
+        tomb = _read_tombstones(spark, path)
         if tomb is not None:
             mask = tomb.select("vec_id")
             n_tomb = tomb.count()
@@ -1131,16 +1135,66 @@ IVF_PSI_THRESHOLD = 0.25    # industry-standard "significant shift" bar
 IVF_TOMBSTONE_COMPACT_FRACTION = 0.10
 
 
-def _read_tombstones(spark: SparkSession, tomb_dir: str):
-    """The index's pending (vec_id, centroid_id) tombstones, or None."""
+def _tomb_pointer(path: str) -> str:
     import os
 
-    if not os.path.isdir(tomb_dir):
+    return os.path.join(path, "_tombstones.json")
+
+
+def _tomb_current_dir(path: str) -> str | None:
+    """The tombstone directory the pointer currently names (relative to
+    the index root), None when the mask is empty. Legacy indexes (pre-r9,
+    no pointer file) fall back to the fixed ``tombstones/`` directory."""
+    import json
+    import os
+
+    ptr = _tomb_pointer(path)
+    if os.path.exists(ptr):
+        with open(ptr) as fh:
+            return json.load(fh).get("dir")
+    legacy = os.path.join(path, "tombstones")
+    if os.path.isdir(legacy) and any(
+            f.endswith(".parquet")
+            for _, _, fs in os.walk(legacy) for f in fs):
+        return "tombstones"
+    return None
+
+
+def _publish_tombstones(path: str, new_dir: str | None) -> None:
+    """Atomically flip the index's tombstone pointer (r9, ADVICE): the
+    sidecar is written under a fresh versioned directory and readers
+    resolve it through ``_tombstones.json``, published with a single
+    ``os.replace`` — a concurrent ``load_ivf_index`` sees either the old
+    complete mask or the new one, never a half-swapped directory, and a
+    crash mid-publish leaves the old pointer (and its mask) intact
+    instead of orphaning the pending deletes. Superseded directories are
+    reclaimed best-effort AFTER the flip (a reader that resolved the old
+    pointer just before the flip may race the cleanup — that read fails
+    loudly and retries; it can never silently serve deleted rows)."""
+    import json
+    import os
+    import shutil
+    import uuid
+
+    tmp = _tomb_pointer(path) + f".tmp.{uuid.uuid4().hex[:8]}"
+    with open(tmp, "w") as fh:
+        json.dump({"dir": new_dir}, fh)
+    os.replace(tmp, _tomb_pointer(path))
+    for name in os.listdir(path):
+        if (name.startswith("tombstones") and name != new_dir
+                and os.path.isdir(os.path.join(path, name))):
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+
+def _read_tombstones(spark: SparkSession, path: str):
+    """The index's pending (vec_id, centroid_id) tombstones, or None —
+    resolved through the atomic pointer (legacy fixed-dir fallback)."""
+    import os
+
+    d = _tomb_current_dir(path)
+    if d is None:
         return None
-    if not any(f.endswith(".parquet")
-               for _, _, fs in os.walk(tomb_dir) for f in fs):
-        return None
-    return spark.read.parquet(tomb_dir)
+    return spark.read.parquet(os.path.join(path, d))
 
 
 def _ivf_sync_path(path: str) -> str:
@@ -1198,7 +1252,8 @@ def build_ivf_index(spark: SparkSession, emb_raw: DataFrame, path: str,
     import os
     import shutil
 
-    shutil.rmtree(os.path.join(path, "tombstones"), ignore_errors=True)
+    if os.path.isdir(path):     # a rebuild voids any pending delete mask
+        _publish_tombstones(path, None)
     e = _with_norm(emb_raw)
     n = e.count()
     knobs = derived_ivf_knobs(n)
@@ -1211,7 +1266,11 @@ def build_ivf_index(spark: SparkSession, emb_raw: DataFrame, path: str,
     indexed = (e.withColumn("centroid_id", _assign_udf(coarse)("emb"))
                 .withColumn("code", _pq_encode_udf(coarse, books)("emb"))
                 .localCheckpoint(eager=True))
+    # partitionOverwriteMode pinned STATIC per-write (r9, ADVICE): a
+    # session running with dynamic mode globally would otherwise leave a
+    # smaller-k rebuild's stale extra centroid partitions in place
     (indexed.repartition("centroid_id").write.mode("overwrite")
+     .option("partitionOverwriteMode", "static")
      .partitionBy("centroid_id").parquet(path + "/assignments"))
     spark.createDataFrame(
         [(int(i), [float(v) for v in coarse[i]])
@@ -1277,7 +1336,53 @@ def _ivf_apply_changes(spark: SparkSession, path: str, changes: DataFrame,
 
     assignments = spark.read.parquet(path + "/assignments")
     out_cols = assignments.columns
+
+    def rewrite_cells(mask: DataFrame) -> int:
+        """Rewrite ONLY the cells the (vec_id, centroid_id) mask names,
+        with the masked vec_ids anti-joined out; returns cells touched.
+        partitionOverwriteMode rides the WRITE (dynamic), immune to the
+        session's global setting (r9, ADVICE)."""
+        cids = [int(r["centroid_id"]) for r in
+                mask.select("centroid_id").distinct().collect()]
+        if not cids:
+            return 0
+        keep = (spark.read.parquet(path + "/assignments")
+                .where(F.col("centroid_id").isin(cids))
+                .join(mask.select("vec_id").distinct(), "vec_id",
+                      "left_anti")
+                # materialize BEFORE overwriting the partitions it reads
+                # (a production impl writes fresh files then swaps)
+                .localCheckpoint(eager=True))
+        (keep.select(*out_cols).repartition("centroid_id")
+         .write.mode("overwrite")
+         .option("partitionOverwriteMode", "dynamic")
+         .partitionBy("centroid_id").parquet(path + "/assignments"))
+        return len(cids)
+
+    # pending mask = prior tombstones ∪ this fold's deletes
+    tomb = _read_tombstones(spark, path)
+    all_tomb = (tomb.unionByName(dels) if tomb is not None
+                else dels).localCheckpoint(eager=True)
+    new_tomb = all_tomb
+    cancelled_cells = 0
     if n_ins:
+        # r9 (ADVICE, high): a re-inserted vec_id (any UPDATE arrives
+        # via changes(net=True) as delete+insert) must NOT cancel its
+        # tombstone by key alone — the tombstone also masks the OLD
+        # physical row still sitting in its cell, and a key-only cancel
+        # would resurrect it (two live rows per vec_id, one stale).
+        # Assignment is deterministic, so the cancelled tombstones ARE
+        # the exact (vec_id, centroid_id) write set: force-compact those
+        # cells first, THEN append the fresh inserts (appending first
+        # would let the compaction sweep the new rows too).
+        ins_ids = ins.select("vec_id").distinct().localCheckpoint(
+            eager=True)
+        cancelled = (all_tomb.join(ins_ids, "vec_id", "left_semi")
+                     .localCheckpoint(eager=True))
+        if cancelled.count():
+            cancelled_cells = rewrite_cells(cancelled)
+            new_tomb = (all_tomb.join(ins_ids, "vec_id", "left_anti")
+                        .localCheckpoint(eager=True))
         # inserts ALWAYS append to their cells — never a rewrite
         (ins.select(*out_cols).repartition("centroid_id")
          .write.mode("append").partitionBy("centroid_id")
@@ -1290,16 +1395,7 @@ def _ivf_apply_changes(spark: SparkSession, path: str, changes: DataFrame,
     # of the index — the 1M probe measured the eager per-fold rewrite at
     # barely 1.8x cheaper than a rebuild under uniformly scattered
     # deletes (119/125 cells touched), which is exactly the case
-    # deferral fixes. A re-inserted vec_id cancels its tombstone in the
-    # same fold (the new tombstone set = (old ∪ deletes) ∖ inserts —
-    # one bounded job over ≤ the compact fraction of the index).
-    tomb_dir = path + "/tombstones"
-    tomb = _read_tombstones(spark, tomb_dir)
-    new_tomb = tomb.unionByName(dels) if tomb is not None else dels
-    if n_ins:
-        new_tomb = new_tomb.join(ins.select("vec_id"), "vec_id",
-                                 "left_anti")
-    new_tomb = new_tomb.localCheckpoint(eager=True)
+    # deferral fixes.
     n_tomb = new_tomb.count()
     new_counts = dict(counts)
     for c, n_ in ins_counts.items():
@@ -1310,38 +1406,26 @@ def _ivf_apply_changes(spark: SparkSession, path: str, changes: DataFrame,
     compacted = 0
     if n_tomb > IVF_TOMBSTONE_COMPACT_FRACTION * index_rows:
         # fold the mask in: rewrite ONLY the tombstoned cells
-        cids = [int(r["centroid_id"]) for r in
-                new_tomb.select("centroid_id").distinct().collect()]
-        keep = (spark.read.parquet(path + "/assignments")
-                .where(F.col("centroid_id").isin(cids))
-                .join(new_tomb.select("vec_id"), "vec_id", "left_anti")
-                # materialize BEFORE overwriting the partitions it reads
-                # (a production impl writes fresh files then swaps)
-                .localCheckpoint(eager=True))
-        prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode",
-                              "static")
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                       "dynamic")
-        try:
-            (keep.select(*out_cols).repartition("centroid_id")
-             .write.mode("overwrite").partitionBy("centroid_id")
-             .parquet(path + "/assignments"))
-        finally:
-            spark.conf.set("spark.sql.sources.partitionOverwriteMode",
-                           prev)
-        shutil.rmtree(tomb_dir, ignore_errors=True)
-        compacted = len(cids)
+        compacted = rewrite_cells(new_tomb)
+        _publish_tombstones(path, None)
         n_tomb = 0
-    else:
-        tmp = tomb_dir + f".tmp.{uuid.uuid4().hex[:8]}"
-        new_tomb.coalesce(1).write.mode("overwrite").parquet(tmp)
-        old = tomb_dir + f".old.{uuid.uuid4().hex[:8]}"
-        if os.path.isdir(tomb_dir):
-            os.rename(tomb_dir, old)
-        os.rename(tmp, tomb_dir)
-        shutil.rmtree(old, ignore_errors=True)
+    elif n_del or cancelled_cells:
+        if n_tomb == 0:               # every pending delete cancelled
+            _publish_tombstones(path, None)
+        else:
+            # persist the pending mask PARTITIONED BY centroid_id (r9,
+            # VERDICT item 4): tombstones live next to the cells they
+            # mask, so a fold writes/reads only touched cells and
+            # compaction never funnels the whole set through one task;
+            # published atomically through the pointer flip (r9, ADVICE)
+            new_dir = f"tombstones.{uuid.uuid4().hex[:8]}"
+            (new_tomb.repartition("centroid_id").write
+             .partitionBy("centroid_id")
+             .parquet(os.path.join(path, new_dir)))
+            _publish_tombstones(path, new_dir)
     return {"counts": new_counts, "inserted": n_ins, "deleted": n_del,
-            "tombstones": n_tomb, "compacted_partitions": compacted}
+            "tombstones": n_tomb,
+            "compacted_partitions": compacted + cancelled_cells}
 
 
 def ivf_index_sync(spark: SparkSession, table_path: str, index_path: str,

@@ -491,6 +491,7 @@ class TxLogTable:
             except VersionConflict:
                 _backoff(attempt)
                 attempt += 1
+                adds = self._refresh_schema_action(adds)
 
     def _write_checkpoint(self, version: int) -> None:
         """Checkpoints seed from the PREVIOUS checkpoint (correct by
@@ -596,6 +597,19 @@ class TxLogTable:
                     continue
                 st = StructType.fromJson(json.loads(md["schemaString"]))
                 new = {f.name: f for f in st.fields}
+                if md.get("reset"):
+                    # r9 (ADVICE): overwrite/restore REPLACE the recorded
+                    # schema (Delta overwriteSchema parity) — dropped
+                    # columns leave the field set, type changes become
+                    # expressible, and `evolved` recomputes from the
+                    # post-reset log. An overwrite's files share one
+                    # schema by construction (evolved=False); a RESTORE
+                    # carries the target version's own evolved flag —
+                    # its snapshot may mix per-file schemas.
+                    fields = dict(new)
+                    evolved = bool(md.get("evolved"))
+                    seen = True
+                    continue
                 bad = [n for n, f in new.items()
                        if n in fields
                        and f.dataType != fields[n].dataType]
@@ -621,10 +635,15 @@ class TxLogTable:
         file is staged; new fields append to the recorded union
         (additive evolution); omitted recorded fields are allowed
         (they read as NULL)."""
-        from pyspark.sql.types import StructField, StructType
+        from pyspark.sql.types import StructField
 
-        norm = [StructField(f.name, f.dataType, True)
-                for f in df.schema.fields]
+        return self._schema_action_fields(
+            [StructField(f.name, f.dataType, True)
+             for f in df.schema.fields])
+
+    def _schema_action_fields(self, norm):
+        from pyspark.sql.types import StructType
+
         cur, _ = self.table_schema_info()
         if cur is None:
             union = norm
@@ -649,6 +668,29 @@ class TxLogTable:
             union = list(cur.fields) + fresh
         return {"metaData":
                 {"schemaString": StructType(union).json()}}
+
+    def _refresh_schema_action(self, actions: list[dict]) -> list[dict]:
+        """Revalidate a staged (non-reset) metaData action against the
+        CURRENT log before a conflict-retry re-commit (r9, ADVICE): two
+        concurrent writers adding the same NEW column with different
+        types would otherwise both pass the stage-time pre-check and
+        both commit, poisoning every later schema replay. The race's
+        loser re-derives here — a type conflict surfaces as a write-side
+        SchemaEvolutionError with nothing committed; a now-redundant
+        action drops; genuinely-new fields re-union. Mirrors the
+        constraint re-check the same retry loops already perform."""
+        from pyspark.sql.types import StructType
+
+        idx = next((i for i, a in enumerate(actions)
+                    if "metaData" in a
+                    and not a["metaData"].get("reset")), None)
+        if idx is None:
+            return actions
+        staged = StructType.fromJson(
+            json.loads(actions[idx]["metaData"]["schemaString"]))
+        fresh = self._schema_action_fields(list(staged.fields))
+        rest = [a for i, a in enumerate(actions) if i != idx]
+        return ([fresh] + rest) if fresh else rest
 
     def _check(self, df: DataFrame, cons: dict) -> None:
         """Raise ConstraintViolation if any row FAILS a check. SQL CHECK
@@ -730,7 +772,8 @@ class TxLogTable:
     # ---- data-file helpers ------------------------------------------------
 
     def _write_data_files(self, df: DataFrame,
-                          layout: bool = True) -> list[dict]:
+                          layout: bool = True,
+                          schema_reset: bool = False) -> list[dict]:
         """Write df as immutable parquet files under a fresh subdir; return
         add-actions with footer-derived row counts and stats-column min/max
         (exactly what a catalog/commit service records).
@@ -754,8 +797,17 @@ class TxLogTable:
         # r8: the table schema lives in the LOG, not parquet footers —
         # enforce the evolution contract and stage the metaData action
         # BEFORE any file lands (a type conflict raises with nothing
-        # staged, like a constraint violation)
-        meta_action = self._schema_action(df)
+        # staged, like a constraint violation). schema_reset (r9,
+        # ADVICE) REPLACES the recorded field set with the incoming
+        # frame's — Delta overwriteSchema parity for overwrite/restore,
+        # the one legal path to a type change or column drop.
+        if schema_reset:
+            from pyspark.sql.types import StructField, StructType
+            meta_action = {"metaData": {"schemaString": StructType(
+                [StructField(f.name, f.dataType, True)
+                 for f in df.schema.fields]).json(), "reset": True}}
+        else:
+            meta_action = self._schema_action(df)
 
         if layout and self.cluster_by:
             df = df.repartitionByRange(*self.cluster_by)
@@ -899,6 +951,9 @@ class TxLogTable:
             except VersionConflict:
                 _backoff(attempt)
                 attempt += 1
+                # a racing writer may have recorded a conflicting type
+                # for a staged NEW column — revalidate (r9, ADVICE)
+                adds = self._refresh_schema_action(adds)
 
     def _copy_dv_sidecar(self, rel: str, target: "TxLogTable") -> str:
         """Copy one deletion-vector sidecar into ``target``'s dv/
@@ -1009,9 +1064,15 @@ class TxLogTable:
         commit, so readers see either the old snapshot or the new one,
         never a mix; history and time travel to pre-overwrite versions
         stay intact (files are immutable). CHECK constraints validate the
-        incoming frame like every write."""
+        incoming frame like every write.
+
+        r9 (ADVICE): the overwrite RESETS the recorded schema to the
+        incoming frame's (Delta overwriteSchema parity) — the one legal
+        path to a type change or a true column drop; phantom NULL fields
+        from earlier evolution leave the schema, and the `evolved` flag
+        recomputes from the post-overwrite log."""
         cons0 = self.constraints()
-        adds = self._write_data_files(df)
+        adds = self._write_data_files(df, schema_reset=True)
         attempt = 0
         while True:
             base = self.latest_version()
@@ -1186,7 +1247,10 @@ class TxLogTable:
                 if ({file_ident(a) for a in new_touched}
                         == {file_ident(a) for a in touched}
                         and self.constraints(base) == cons0):
-                    continue        # logical no-conflict: re-commit as-is
+                    # logical no-conflict: re-commit as-is, after the
+                    # schema-race revalidation (r9, ADVICE)
+                    adds = self._refresh_schema_action(adds)
+                    continue
                 touched = new_touched
                 cons0 = self.constraints(base)
                 adds = rewrite(touched)
@@ -1336,7 +1400,10 @@ class TxLogTable:
                 if ({file_ident(a) for a in new_touched}
                         == {file_ident(a) for a in touched}
                         and self.constraints(base) == cons0):
-                    continue        # logical no-conflict: re-commit as-is
+                    # logical no-conflict: re-commit as-is, after the
+                    # schema-race revalidation (r9, ADVICE)
+                    adds = self._refresh_schema_action(adds)
+                    continue
                 touched = new_touched
                 cons0 = self.constraints(base)
                 adds = rewrite(touched)
@@ -1425,6 +1492,7 @@ class TxLogTable:
                 if ({file_ident(a) for a in new_live}
                         == {file_ident(a) for a in live}
                         and self.constraints(base) == cons0):
+                    adds = self._refresh_schema_action(adds)
                     continue        # live set unchanged: re-commit as-is
                 live = new_live
                 cons0 = self.constraints(base)
@@ -1498,6 +1566,7 @@ class TxLogTable:
                 if ({file_ident(a) for a in new_sel}
                         == {file_ident(a) for a in sel}
                         and self.constraints(base) == cons0):
+                    adds = self._refresh_schema_action(adds)
                     continue        # selection unchanged: re-commit as-is
                 sel = new_sel
                 cons0 = self.constraints(base)
@@ -1698,8 +1767,14 @@ class TxLogTable:
                 if ({file_ident(a) for a in new_touched}
                         == {file_ident(a) for a in touched}
                         and self.constraints(base) == cons0):
-                    continue        # logical no-conflict: re-commit as-is
+                    # logical no-conflict: re-commit as-is (after the
+                    # schema-race revalidation, r9 ADVICE — the rebase
+                    # path below re-derives through rewrite() instead)
+                    adds = self._refresh_schema_action(adds)
+                    extra = self._refresh_schema_action(extra)
+                    continue
                 touched = new_touched
+                extra = self._refresh_schema_action(extra)
                 new_cons = self.constraints(base)
                 if new_cons != cons0 and extra:
                     # an interleaved add_constraint must also gate the
@@ -1859,6 +1934,7 @@ class TxLogTable:
                         == [file_ident(a) for a in touched]
                         and (assignments is None
                              or self.constraints(base) == cons0)):
+                    actions = self._refresh_schema_action(actions)
                     continue
                 touched = new_touched
                 cons0 = self.constraints(base)
@@ -1989,7 +2065,10 @@ class TxLogTable:
         pure metadata (no rewrite); history is preserved — the restore is
         itself a version, and time travel to the in-between versions still
         works. Fails cleanly if vacuum already dropped a target file (the
-        Delta RESTORE retention caveat)."""
+        Delta RESTORE retention caveat). The target version's SCHEMA is
+        restored too (r9): the commit carries a reset metaData action, so
+        a restore across an overwrite that changed the schema leaves the
+        log self-consistent."""
         target = {a["path"]: a for a in self._resolve(version)}
         gone = [p for p in target
                 if not os.path.exists(os.path.join(self.path, p))]
@@ -2006,6 +2085,11 @@ class TxLogTable:
                 [{"add": a} for p, a in sorted(target.items())
                  if p not in cur]
                 + [{"remove": p} for p in sorted(cur) if p not in target])
+            sch, sev = self.table_schema_info(version)
+            if sch is not None:
+                actions.append({"metaData": {"schemaString": sch.json(),
+                                             "reset": True,
+                                             "evolved": sev}})
             try:
                 v = self.commit(actions, base + 1, op="restore")
                 return {"version": v, "restored_to": version,

@@ -1396,6 +1396,73 @@ def test_ivf_tombstone_mask_reinsert_and_compaction(spark, tmp_path):
             .collect()} == {r["vec_id"] for r in t.read(spark).collect()}
 
 
+def test_ivf_update_does_not_resurrect_stale_row(spark, tmp_path):
+    """r9 (ADVICE high): an UPDATE reaches the fold via changes(net=True)
+    as delete+insert of the same vec_id. Cancelling the tombstone by key
+    alone would resurrect the OLD physical row (two live rows per
+    vec_id, the stale embedding queryable); the fold must force-compact
+    the cancelled tombstone's exact cell before appending the new row.
+    Pins: exactly one row per vec_id, the live embedding is the NEW one,
+    and fold == rebuild on probe queries after the update."""
+    import os
+
+    from service_level_reporting_spark.sources.txlog import TxLogTable
+
+    base = str(tmp_path)
+    t = TxLogTable(base + "/t", key_cols=["vec_id"], stats_col="label")
+    full = _planted_cluster_frame(spark).localCheckpoint(eager=True)
+    t.append(full)
+    SIM.build_ivf_index(spark, t.read(spark), base + "/idx",
+                        version=t.latest_version())
+    snap = {r["vec_id"]: r["embedding"] for r in full.collect()}
+    # move vec 7 to cluster 3's region: delete + re-insert with a NEW
+    # embedding (exactly what MERGE/UPDATE emits through the net feed)
+    new_emb = snap[3 * 50 + 1]          # a c3 vector's embedding
+    t.delete("vec_id = 7", mode="mor")
+    t.append(spark.createDataFrame(
+        [(7, "c3", new_emb)], "vec_id long, label string, "
+                              "embedding array<double>").coalesce(1))
+    sync = SIM.ivf_index_sync(spark, base + "/t", base + "/idx")
+    assert sync["mode"] == "fold"
+    folded = SIM.load_ivf_index(spark, base + "/idx")
+    # exactly one physical row per vec_id — the stale row is GONE
+    dup = (folded["indexed"].groupBy("vec_id")
+           .agg(F.count(F.lit(1)).alias("n"))
+           .where(F.col("n") > 1).count())
+    assert dup == 0
+    assert folded["indexed"].count() == t.read(spark).count()
+    live = folded["indexed"].where(F.col("vec_id") == 7).collect()
+    assert len(live) == 1
+    # the live embedding is the NEW one (norm against new_emb ~ exact)
+    import numpy as np
+
+    got = np.asarray(live[0]["emb"] if "emb" in folded["indexed"].columns
+                     else live[0]["embedding"])
+    want = np.asarray(new_emb) / (np.linalg.norm(new_emb) or 1.0)
+    assert np.allclose(got / (np.linalg.norm(got) or 1.0), want,
+                       atol=1e-9)
+    # a query at the OLD location must not return vec 7; one at the NEW
+    # location must — and fold == rebuild on both probes
+    SIM.build_ivf_index(spark, t.read(spark), base + "/fresh",
+                        version=t.latest_version())
+    fresh = SIM.load_ivf_index(spark, base + "/fresh")
+    for qv in (snap[7], new_emb):
+        top_f = [v for v, _ in SIM.ivf_query_topk(spark, folded, qv,
+                                                  exclude_vec_id=7)]
+        top_r = [v for v, _ in SIM.ivf_query_topk(spark, fresh, qv,
+                                                  exclude_vec_id=7)]
+        assert top_f == top_r, (top_f, top_r)
+    near_new = [v for v, _ in SIM.ivf_query_topk(spark, folded, new_emb)]
+    assert 7 in near_new
+    # the pending mask (if any) publishes through the ATOMIC pointer,
+    # partitioned by centroid_id — never the legacy two-rename dir
+    assert not os.path.isdir(base + "/idx/tombstones")
+    d = SIM._tomb_current_dir(base + "/idx")
+    if d is not None:
+        assert any(n.startswith("centroid_id=")
+                   for n in os.listdir(os.path.join(base, "idx", d)))
+
+
 def test_train_sample_survives_id_structured_corpus(spark):
     """r8 (caught by the 10x sweep): the trainer's raw-id stride sample
     can land on an EMPTY residue class when the corpus ids are

@@ -872,6 +872,106 @@ def test_overwrite_atomic_and_time_travel(spark, table_path):
          .option("version", "0").load(table_path).collect())
 
 
+def test_overwrite_resets_schema(spark, table_path):
+    """r9 (ADVICE): overwrite() REPLACES the recorded schema (Delta
+    overwriteSchema parity) — the SchemaEvolutionError remedy is no
+    longer a dead end. A type change or true column drop becomes
+    expressible by rewriting the table; phantom NULL fields leave the
+    schema, `evolved` recomputes from the post-overwrite log (so
+    mergeSchema is no longer forced on a one-schema table), the NEW
+    types gate later appends, pre-overwrite versions still read their
+    old schema, and RESTORE across the overwrite restores the old
+    schema (with its own evolved flag)."""
+    from service_level_reporting_spark.sources.txlog import (
+        SchemaEvolutionError)
+    from service_level_reporting_spark.sources.txlog_datasource import (
+        TxLogDataSource)
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(spark.createDataFrame([("a", 1)],
+                                   "k string, v int").coalesce(1))
+    t.append(spark.createDataFrame([("b", 2, "x")],
+                                   "k string, v int, extra string")
+             .coalesce(1))
+    # the additive contract still rejects a type change on APPEND
+    wide = spark.createDataFrame([("c", "wide")],
+                                 "k string, v string").coalesce(1)
+    with pytest.raises(SchemaEvolutionError):
+        t.append(wide)
+    sch, evolved = t.table_schema_info()
+    assert evolved and {f.name for f in sch.fields} == {"k", "v", "extra"}
+    pre = t.latest_version()
+
+    # the documented remedy WORKS: overwrite with the new schema
+    t.overwrite(wide)
+    sch2, evolved2 = t.table_schema_info()
+    assert not evolved2          # recomputed: one schema, no mergeSchema
+    assert {f.name: f.dataType.simpleString() for f in sch2.fields} \
+        == {"k": "string", "v": "string"}        # extra DROPPED
+    got = t.read(spark)          # plain read — no mergeSchema required
+    assert [(r["k"], r["v"]) for r in got.collect()] == [("c", "wide")]
+    # the data source derives the reset schema from the log too
+    spark.dataSource.register(TxLogDataSource)
+    via = spark.read.format("txlog").load(table_path)
+    assert [f.dataType.simpleString() for f in via.schema.fields
+            if f.name == "v"] == ["string"]
+    assert [(r["k"], r["v"]) for r in via.collect()] == [("c", "wide")]
+    # the NEW types now gate appends (old int-v is the violation now)
+    with pytest.raises(SchemaEvolutionError):
+        t.append(spark.createDataFrame([("d", 3)],
+                                       "k string, v int").coalesce(1))
+    # time travel: the pre-overwrite version reads its old schema
+    old_sch, old_ev = t.table_schema_info(pre)
+    assert old_ev and {f.name for f in old_sch.fields} \
+        == {"k", "v", "extra"}
+    assert "extra" in t.read(spark, pre, merge_schema=True).columns
+
+    # RESTORE across the overwrite restores schema + evolved flag
+    t.restore(pre)
+    sch3, ev3 = t.table_schema_info()
+    assert ev3 and {f.name for f in sch3.fields} == {"k", "v", "extra"}
+    back = t.read(spark, merge_schema=True)
+    assert sorted(r["k"] for r in back.collect()) == ["a", "b"]
+
+
+def test_schema_race_revalidated_on_conflict_retry(spark, table_path):
+    """r9 (ADVICE): two writers adding the SAME new column with
+    DIFFERENT types — the stage-time pre-check passes for both, but the
+    O_EXCL race's loser must re-validate its staged metaData on the
+    conflict retry and surface a write-side SchemaEvolutionError instead
+    of committing a second, conflicting type that poisons every later
+    schema replay. Simulated deterministically: stage the loser's adds,
+    land the winner, then force the loser's commit path."""
+    from service_level_reporting_spark.sources.txlog import (
+        SchemaEvolutionError)
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(spark.createDataFrame([("a", 1)],
+                                   "k string, v long").coalesce(1))
+    # loser stages files + metaData for NEW column `tag` as long...
+    loser_adds = t._write_data_files(
+        spark.createDataFrame([("b", 2, 7)],
+                              "k string, v long, tag long").coalesce(1))
+    assert any("metaData" in a for a in loser_adds)
+    # ...winner lands `tag` as string first
+    t.append(spark.createDataFrame([("c", 3, "x")],
+                                   "k string, v long, tag string")
+             .coalesce(1))
+    # the loser's retry-path revalidation must raise, not poison the log
+    with pytest.raises(SchemaEvolutionError):
+        t._refresh_schema_action(loser_adds)
+    # the log stays healthy: schema replay works, reads work
+    sch, _ = t.table_schema_info()
+    assert sch["tag"].dataType.simpleString() == "string"
+    assert t.read(spark, merge_schema=True).count() == 2
+    # a COMPATIBLE staged action passes revalidation (drops to no-op)
+    ok_adds = t._write_data_files(
+        spark.createDataFrame([("d", 4, "y")],
+                              "k string, v long, tag string").coalesce(1))
+    refreshed = t._refresh_schema_action(ok_adds)
+    assert not any("metaData" in a for a in refreshed)
+
+
 def test_merge_into_clause_order_and_semantics(spark, table_path):
     """r7 full MERGE INTO: matched clauses fire in listed order (first
     TRUE condition wins), update expressions see the source row as
