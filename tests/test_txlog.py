@@ -496,8 +496,13 @@ def test_concurrent_writers_serializability(spark, table_path):
                         continue            # no-op: nothing committed
                     v, kind = stats["version"], "optimize"
                 else:                       # safe-mode vacuum: age guard
-                    assert t.vacuum(retain_versions=2)["removed_files"] \
-                        == 0, "vacuum deleted a possibly-in-flight file"
+                    # r9: log retention rides the contended mix too — a
+                    # background log vacuum must never break concurrent
+                    # writers (they resolve via checkpoints >= the cut)
+                    res_ = t.vacuum(retain_versions=2,
+                                    log_retain_versions=8)
+                    assert res_["removed_files"] == 0, \
+                        "vacuum deleted a possibly-in-flight file"
                     continue                # vacuum never commits
                 committed.append((v, wi, oi, kind, payload))
 
@@ -507,11 +512,12 @@ def test_concurrent_writers_serializability(spark, table_path):
             for f in futs:
                 f.result()      # re-raise writer failures
 
-        # gapless log: every version 0..latest has exactly one commit file
+        # gapless log: every version 0..latest committed exactly once;
+        # commit files gapless from the (possibly log-vacuumed) earliest
         latest = t.latest_version()
         versions = sorted(v for v, *_ in committed)
         assert versions == list(range(1, latest + 1))   # v0 = seed append
-        for v in range(latest + 1):
+        for v in range(t.earliest_version(), latest + 1):
             assert os.path.exists(t._commit_path(v)), v
 
         # per-writer program order is preserved in commit order
@@ -569,6 +575,17 @@ def test_concurrent_writers_serializability(spark, table_path):
         t.vacuum(retain_versions=3, min_age_sec=0)
         for v, n in retained.items():
             assert t.read(spark, v).count() == n
+        # r9: a final log vacuum on top of the contended history — the
+        # latest read is unchanged and an expired version raises
+        from service_level_reporting_spark.sources.txlog import (
+            VersionExpiredError)
+        t.vacuum(retain_versions=3, min_age_sec=0, log_retain_versions=3)
+        got = Counter((r["k"], r["v"]) for r in t.read(spark).collect())
+        assert got == model
+        e = t.earliest_version()
+        if e > 0:
+            with pytest.raises(VersionExpiredError):
+                t.read(spark, e - 1)
 
     run()
 
@@ -870,6 +887,100 @@ def test_overwrite_atomic_and_time_travel(spark, table_path):
     with pytest.raises(Exception, match="not both"):
         (spark.read.format("txlog").option("timestampAsOf", str(ts0))
          .option("version", "0").load(table_path).collect())
+
+
+def test_commit_log_retention(spark, table_path):
+    """r9 (VERDICT item 2): vacuum(log_retain_versions=...) expires
+    commit JSONs (and superseded checkpoints) once a covering checkpoint
+    exists — a 100-commit table keeps O(retained) log files; latest
+    reads and retained-window CDF are value-identical; expired version /
+    timestamp / CDF / restore / stream requests raise the pinned
+    VersionExpiredError; and the table keeps working (appends,
+    checkpoints, further vacuums) after the cut."""
+    from collections import Counter
+
+    from service_level_reporting_spark.sources.txlog import (
+        VersionExpiredError)
+    from service_level_reporting_spark.sources.txlog_datasource import (
+        TxLogDataSource)
+
+    def frame(v):
+        return spark.createDataFrame(
+            [(f"k{v:03d}_{i}", v) for i in range(3)],
+            "k string, v long").coalesce(1)
+
+    def ms(df):
+        return Counter((r["k"], r["v"]) for r in df.collect())
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    for v in range(100):
+        t.append(frame(v))
+    ts5 = {h["version"]: h["ts"] for h in t.history()}[5]
+    want_latest = ms(t.read(spark))
+    want_cdf = ms(t.changes(spark, 90).drop("_change_type",
+                                            "_commit_version"))
+
+    res = t.vacuum(retain_versions=3, min_age_sec=0,
+                   log_retain_versions=10)
+    assert res["removed_log_files"] > 0
+    commits = [f for f in os.listdir(t.log_dir)
+               if f.endswith(".json")
+               and not f.endswith(".checkpoint.json")
+               and f[:20].isdigit()]
+    # expire_before = 99 - 10 + 1 = 90; checkpoint at 90 covers it
+    assert t.earliest_version() == 90
+    assert len(commits) == 10                     # versions 90..99
+    assert not any(int(f[:20]) < 90 for f in os.listdir(t.log_dir)
+                   if f[:20].isdigit())           # old checkpoints gone
+
+    # latest reads and retained-window CDF are value-identical
+    assert ms(t.read(spark)) == want_latest
+    assert ms(t.changes(spark, 90).drop("_change_type",
+                                        "_commit_version")) == want_cdf
+
+    # expired ranges raise the PINNED error through every surface
+    with pytest.raises(VersionExpiredError, match="predates the retained"):
+        t.read(spark, 50)
+    with pytest.raises(VersionExpiredError):
+        t.changes(spark, 10)
+    with pytest.raises(VersionExpiredError):
+        t.restore(50)
+    with pytest.raises(VersionExpiredError):
+        t.version_at_timestamp(ts5)
+    spark.dataSource.register(TxLogDataSource)
+    with pytest.raises(Exception, match="predates the retained"):
+        (spark.read.format("txlog").option("version", "50")
+         .load(table_path).collect())
+    with pytest.raises(Exception, match="predates the retained"):
+        (spark.read.format("txlog").option("mode", "changes")
+         .option("startingVersion", "10").load(table_path).collect())
+    q = (spark.readStream.format("txlog").option("startingVersion", "10")
+         .load(table_path)
+         .writeStream.format("memory")
+         .queryName(f"exp_{uuid.uuid4().hex[:6]}").start())
+    with pytest.raises(Exception, match="predates the retained"):
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+    # retained-window surfaces still work: version read, timestamp, CDF
+    assert ms(t.read(spark, 95)) == ms(
+        t.read(spark, t.version_at_timestamp(
+            {h["version"]: h["ts"] for h in t.history()}[95])))
+    assert len(t.history()) == 10
+
+    # the table keeps LIVING after the cut: append, re-vacuum, read
+    t.append(frame(100))
+    assert t.latest_version() == 100
+    res2 = t.vacuum(retain_versions=3, min_age_sec=0,
+                    log_retain_versions=5)
+    assert t.earliest_version() == 96
+    assert ms(t.read(spark)) == want_latest + Counter(
+        {(f"k100_{i}", 100) for i in range(3)})
+    # guard: log retention may never undercut data retention
+    with pytest.raises(ValueError, match="must be >= retain_versions"):
+        t.vacuum(retain_versions=5, log_retain_versions=3)
 
 
 def test_overwrite_resets_schema(spark, table_path):
