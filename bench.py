@@ -489,8 +489,13 @@ def main() -> None:
                    "spread": st.get("pair_ratio_spread")}
             for name, st in result["sf10"]["run_stats"].items()}
     if "lakehouse" in result:
+        # r9 (VERDICT item 6): per-op run arrays + spread ride the
+        # compact line too — medians alone can't separate signal from
+        # this box's weather round-over-round
         compact["lakehouse"] = {
             "rows": result["lakehouse"]["rows"],
+            "runs": result["lakehouse"]["runs"],
+            "stats": result["lakehouse"]["stats"],
             "ops_med_sec": result["lakehouse"]["ops_med_sec"]}
     elif "lakehouse_error" in result:
         compact["lakehouse_error"] = result["lakehouse_error"]

@@ -735,7 +735,24 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
                    snapshot read (must be 0), n2 = files pruned by a
                    pushed stats-column filter at the LOG level before
                    partition planning, v = CDF row count through the
-                   source's mode=changes path (must equal changes())."""
+                   source's mode=changes path (must equal changes());
+      '_colmap'  — r9 column mapping: enable + RENAME COLUMN as a
+                   metadata-only commit — n = (rows diverging from the
+                   renamed recompute) + (data files changed by the
+                   rename, must both be 0), n2 = latest version, v =
+                   divergence through the data source (must be 0);
+      '_retention' — r9 commit-log retention: n = commit/checkpoint
+                   JSONs expired by vacuum(log_retain_versions), n2 =
+                   earliest retained version, v = latest-read divergence
+                   across the vacuum (must be 0);
+      '_protocol' — r9 protocol gate: n/n2 = the table's min reader/
+                   writer versions after enabling mapping (2/2), v = 0
+                   iff a clone stamped minReaderVersion=99 REFUSED to
+                   read (ProtocolError);
+      '_admission' — r9 streaming admission control: n = latestOffset
+                   steps a maxCommitsPerTrigger=2 reader takes to drain
+                   the backlog, n2 = the expected ceil(commits/2), v =
+                   n - n2 (must be 0)."""
     import shutil
 
     from service_level_reporting_spark.sources.txlog import TxLogTable
@@ -832,8 +849,63 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .count())
     cdf_rows_direct = n_ins + n_del
 
+    # ---- r9 legs: column mapping / log retention / protocol gate /
+    # streaming admission control, each verified in-frame ----------------
+    from service_level_reporting_spark.sources.txlog import ProtocolError
+    from service_level_reporting_spark.sources.txlog_datasource import (
+        TxLogStreamReader)
+
+    pre_map = t.read(spark).localCheckpoint(eager=True)
+    files_before = {a["path"] for a in t._resolve()}
+    t.enable_column_mapping()
+    t.rename_column("value", "value_x")
+    rewrote = len({a["path"] for a in t._resolve()} ^ files_before)
+    want_map = pre_map.withColumnRenamed("value", "value_x")
+    got_map = t.read(spark)
+    map_div = (got_map.exceptAll(want_map)
+               .unionAll(want_map.exceptAll(got_map)).count())
+    via_map = spark.read.format("txlog").load(root)
+    map_src_div = (via_map.exceptAll(got_map)
+                   .unionAll(got_map.exceptAll(via_map)).count())
+
+    pre_vac = t.read(spark).localCheckpoint(eager=True)
+    vac = t.vacuum(retain_versions=3, min_age_sec=0,
+                   log_retain_versions=5)
+    post_vac = t.read(spark)
+    vac_div = (post_vac.exceptAll(pre_vac)
+               .unionAll(pre_vac.exceptAll(post_vac)).count())
+
+    proto = t.table_protocol()
+    shutil.rmtree(root + "_proto", ignore_errors=True)
+    c_pr = t.clone(root + "_proto")
+    c_pr.commit([{"protocol": {"minReaderVersion": 99,
+                               "minWriterVersion": 99}}],
+                c_pr.latest_version() + 1, op="upgrade_protocol")
+    try:
+        c_pr.read(spark)
+        proto_refused = 0
+    except ProtocolError:
+        proto_refused = 1
+
+    rdr = TxLogStreamReader(root, {"startingVersion": "-1",
+                                   "maxCommitsPerTrigger": "2"})
+    rdr.initialOffset()
+    head = t.latest_version()
+    cur, steps = -1, 0
+    while cur < head and steps <= head + 2:
+        cur = rdr.latestOffset()["version"]
+        steps += 1
+    want_steps = -(-(head + 1) // 2)
+
     return spark.createDataFrame(
-        [("_dsrc", src_diverged, probe.pruned_files,
+        [("_colmap", map_div + rewrote, t.latest_version(),
+          float(map_src_div)),
+         ("_retention", vac["removed_log_files"], t.earliest_version(),
+          float(vac_div)),
+         ("_protocol", proto["minReaderVersion"],
+          proto["minWriterVersion"], float(1 - proto_refused)),
+         ("_admission", steps, want_steps, float(steps - want_steps)),
+         ("_dsrc", src_diverged, probe.pruned_files,
           float(src_cdf_rows - cdf_rows_direct)),
          ("_delete", d["rewritten_files"], d["carried_files"],
           float(d["matched_rows"])),

@@ -66,6 +66,12 @@ STATS_MAX_COLS = 32
 # unbounded between OPTIMIZE purges, and an explicit broadcast() hint
 # ignores autoBroadcastJoinThreshold all the way to the 8 GB hard cap)
 DV_BROADCAST_MAX_ROWS = 1_000_000
+# r9 (VERDICT item 8): the log format has accreted features (schema
+# actions, DVs, constraints, Bloom, CDF, column mapping) — a protocol
+# action (Delta's shape) lets an old reader/writer fail actionably on a
+# future log instead of mis-reading it. This implementation speaks:
+SUPPORTED_READER_VERSION = 2
+SUPPORTED_WRITER_VERSION = 2
 
 
 class VersionConflict(Exception):
@@ -83,6 +89,14 @@ class VersionExpiredError(ValueError):
 
 class ConstraintViolation(Exception):
     """A write would land rows that fail an active CHECK constraint."""
+
+
+class ProtocolError(ValueError):
+    """The log requires a newer reader/writer than this implementation
+    (r9, VERDICT item 8): a ``protocol`` action recorded a
+    minReaderVersion/minWriterVersion above what this code speaks —
+    reads/writes fail HERE, actionably, instead of silently mis-reading
+    a future log (Delta's protocol-versioning contract)."""
 
 
 class SchemaEvolutionError(ValueError):
@@ -287,6 +301,29 @@ def bloom_may_contain(bloom: dict, probes: list[str]) -> bool:
     return False
 
 
+def _mapping_fold_add(state: dict, delta: dict) -> dict:
+    """Fold a columnMappingAdd DELTA (a writer registering new columns)
+    into a full mapping state, append-if-absent by logical name — the
+    mapping analogue of the schema union: two racing additive writers
+    land both columns regardless of commit order."""
+    have = {f["logical"] for f in state["fields"]}
+    fields = list(state["fields"])
+    max_id = int(state.get("maxId", len(fields)))
+    for f in delta.get("fields", ()):
+        if f["logical"] not in have:
+            fields.append(dict(f))
+            have.add(f["logical"])
+            max_id = max(max_id, int(f["id"]))
+    return {**state, "fields": fields, "maxId": max_id}
+
+
+def _l2p(mapping: dict | None) -> dict:
+    """logical -> physical column map; empty when mapping is off."""
+    if mapping is None:
+        return {}
+    return {f["logical"]: f["physical"] for f in mapping["fields"]}
+
+
 def file_ident(add: dict) -> tuple:
     """Content identity of a live add for retry fast paths: path PLUS the
     deletion-vector chain. A MoR delete re-adds the SAME path with a new
@@ -370,6 +407,21 @@ class TxLogTable:
                            **({"bloom_col": bloom_col}
                               if bloom_col else {})}, fh)
             os.replace(tmp, meta)
+        # r9 column mapping: a rename of a config-referenced column
+        # rides a `config` action — the handle's effective config is
+        # creation-time values overridden by the log (handles opened
+        # BEFORE a rename should be re-opened, like Delta's
+        # snapshot-bound table handles)
+        self._base_config = {"key_cols": list(key_cols),
+                             "stats_col": stats_col,
+                             "cluster_by": self.cluster_by,
+                             "bloom_col": bloom_col}
+        cfg = self._replay_last("config", default=None)
+        if cfg:
+            self.key_cols = list(cfg["key_cols"])
+            self.stats_col = cfg["stats_col"]
+            self.cluster_by = cfg.get("cluster_by") or None
+            self.bloom_col = cfg.get("bloom_col")
 
     @classmethod
     def open(cls, path: str) -> "TxLogTable":
@@ -543,7 +595,14 @@ class TxLogTable:
             json.dump({"version": version, "files": files,
                        "txns": txns, "constraints": cons,
                        "schema": sch.json() if sch is not None else None,
-                       "schema_evolved": sev}, fh)
+                       "schema_evolved": sev,
+                       # r9: protocol / mapping / config ride checkpoints
+                       # so their replay stays O(interval) after vacuum
+                       # expires the commits that carried them
+                       "protocol": self._replay_last("protocol", version),
+                       "columnMapping": self.column_mapping(version),
+                       "config": self._replay_last("config", version)},
+                      fh)
         os.replace(tmp, ckpt)          # atomic publish, idempotent rewrite
 
     # ---- CHECK constraints (r7): write-side enforcement in the log ------
@@ -576,6 +635,87 @@ class TxLogTable:
                     elif "drop_constraint" in a:
                         cons.pop(a["drop_constraint"], None)
         return cons
+
+    # ---- generic last-wins action replay (r9) ----------------------------
+
+    def _replay_last(self, key: str, version: int | None = None,
+                     default=None, use_checkpoint: bool = True):
+        """Last-wins replay of a single-action kind (``protocol``,
+        ``config``, full-state ``columnMapping``): seed from the latest
+        checkpoint's carried value, fold newer commits — O(checkpoint
+        interval), the same shape as constraints(). ``columnMappingAdd``
+        DELTAS (a concurrent writer's new-column registration) fold into
+        the running mapping state append-if-absent, so racing additive
+        writers land both columns regardless of commit order."""
+        if version is None:
+            version = self.latest_version()
+        start = 0
+        val = default
+        if use_checkpoint:
+            ckpt = self._latest_checkpoint(version)
+            if ckpt is not None and key in ckpt:
+                if ckpt[key] is not None:
+                    val = ckpt[key]
+                start = ckpt["version"] + 1
+        for v in range(start, version + 1):
+            p = self._commit_path(v)
+            if not os.path.exists(p):
+                continue
+            with open(p) as fh:
+                for a in json.load(fh)["actions"]:
+                    if key in a:
+                        val = a[key]
+                    elif key == "columnMapping" and "columnMappingAdd" \
+                            in a and val is not None:
+                        val = _mapping_fold_add(val, a["columnMappingAdd"])
+        return val
+
+    def table_protocol(self, version: int | None = None) -> dict:
+        """minReaderVersion/minWriterVersion at ``version`` — default
+        (1, 1) for logs written before protocol actions existed."""
+        return self._replay_last(
+            "protocol", version,
+            default={"minReaderVersion": 1, "minWriterVersion": 1})
+
+    def _check_protocol(self, version: int | None = None,
+                        write: bool = False) -> None:
+        p = self.table_protocol(version)
+        if int(p.get("minReaderVersion", 1)) > SUPPORTED_READER_VERSION:
+            raise ProtocolError(
+                f"txlog: this table requires reader version "
+                f"{p['minReaderVersion']} but this implementation speaks "
+                f"{SUPPORTED_READER_VERSION} — upgrade the reader before "
+                "touching this table (its log uses features this code "
+                "does not understand).")
+        if write and int(p.get("minWriterVersion", 1)) \
+                > SUPPORTED_WRITER_VERSION:
+            raise ProtocolError(
+                f"txlog: this table requires writer version "
+                f"{p['minWriterVersion']} but this implementation speaks "
+                f"{SUPPORTED_WRITER_VERSION} — upgrade before writing "
+                "(a downlevel write could corrupt features the log "
+                "already uses).")
+
+    def column_mapping(self, version: int | None = None):
+        """The column-mapping state at ``version`` (r9, VERDICT item 3 —
+        Delta's 'name' mapping mode), or None when mapping was never
+        enabled: ``{"mode": "name", "fields": [{"id", "logical",
+        "physical"}], "maxId": n}``. Physical parquet column names are
+        FROZEN at enable time (existing columns keep their names, so
+        existing files read unchanged); renames/drops are metadata-only
+        commits that change the LOGICAL side; new columns written after
+        enable get collision-proof ``col-<id>-<hex>`` physical names so
+        a dropped-then-readded logical name can never alias old data."""
+        return self._replay_last("columnMapping", version)
+
+    def effective_config(self, version: int | None = None) -> dict:
+        """The table's write/prune config at ``version``: _meta.json's
+        creation-time values overridden by ``config`` actions — a RENAME
+        of a config-referenced column (stats/bloom/cluster_by/key)
+        rewrites the config in the same commit, so the config follows
+        the rename (r9)."""
+        return self._replay_last("config", version,
+                                 default=dict(self._base_config))
 
     # ---- table schema in the log (r8, VERDICT item 1) -------------------
 
@@ -714,6 +854,24 @@ class TxLogTable:
         constraint re-check the same retry loops already perform."""
         from pyspark.sql.types import StructType
 
+        # r9 column mapping: a raced registration of the SAME new
+        # logical column under a different physical name means this
+        # writer's already-written files carry an unreachable column —
+        # surface it instead of committing orphaned data
+        for a in actions:
+            d = a.get("columnMappingAdd")
+            if not d:
+                continue
+            cur = _l2p(self.column_mapping())
+            for f in d["fields"]:
+                ex = cur.get(f["logical"])
+                if ex is not None and ex != f["physical"]:
+                    raise SchemaEvolutionError(
+                        f"txlog: a concurrent writer registered new "
+                        f"column {f['logical']!r} under a different "
+                        "physical id; this write's staged files are "
+                        "unreachable — retry the write against the "
+                        "current table.")
         idx = next((i for i, a in enumerate(actions)
                     if "metaData" in a
                     and not a["metaData"].get("reset")), None)
@@ -775,6 +933,153 @@ class TxLogTable:
                 _backoff(attempt)
                 attempt += 1
 
+    # ---- column mapping: rename/drop without rewrite (r9, VERDICT 3) ----
+
+    def enable_column_mapping(self) -> int:
+        """Switch the table to 'name' column mapping (Delta parity):
+        every recorded field gets a stable id and a FROZEN physical
+        parquet name — its current logical name, so every existing file
+        reads unchanged. From then on renames and drops are
+        METADATA-ONLY commits (zero data rewritten at any table size)
+        and new columns get collision-proof ``col-<id>-<hex>`` physical
+        names. Bumps the protocol to (2, 2) in the same commit: a
+        pre-mapping reader must fail actionably rather than serve
+        physical names as columns. Idempotent."""
+        attempt = 0
+        while True:
+            if self.column_mapping() is not None:
+                return self.latest_version()          # idempotent
+            sch, _ = self.table_schema_info()
+            if sch is None:
+                raise ValueError(
+                    "txlog enable_column_mapping: the table has no "
+                    "recorded schema yet — write data first.")
+            fields = [{"id": i + 1, "logical": f.name, "physical": f.name}
+                      for i, f in enumerate(sch.fields)]
+            actions = [
+                {"columnMapping": {"mode": "name", "fields": fields,
+                                   "maxId": len(fields)}},
+                {"protocol": {"minReaderVersion": 2,
+                              "minWriterVersion": 2}}]
+            try:
+                return self.commit(actions, self.latest_version() + 1,
+                                   op="enable_column_mapping")
+            except VersionConflict:
+                _backoff(attempt)
+                attempt += 1
+
+    def _require_mapping(self, op: str) -> dict:
+        m = self.column_mapping()
+        if m is None:
+            raise SchemaEvolutionError(
+                f"txlog {op}: column mapping is not enabled on this "
+                "table — a rename/drop would degrade to omit-old + "
+                "add-new and read NULLs for old rows. Call "
+                "enable_column_mapping() first (metadata-only renames "
+                "from then on), or rewrite the table (overwrite).")
+        return m
+
+    def rename_column(self, old: str, new: str) -> int:
+        """ALTER TABLE RENAME COLUMN — metadata-only (r9): the mapping's
+        LOGICAL side changes; the physical parquet name is untouched, so
+        zero data files rewrite at any table size. The commit carries
+        the updated mapping, a schema reset with the new logical names
+        (types/order/evolved flag preserved), and — when the renamed
+        column is referenced by the table's stats/bloom/cluster_by/key
+        config — the updated config, so pruning and layout follow the
+        rename. Time travel still reads OLD names at old versions.
+        Requires enable_column_mapping() (pinned error otherwise)."""
+        from pyspark.sql.types import StructField, StructType
+
+        attempt = 0
+        while True:
+            m = self._require_mapping("rename_column")
+            sch, sev = self.table_schema_info()
+            names = {f.name for f in sch.fields}
+            if old not in names:
+                raise ValueError(f"txlog rename_column: no column {old!r}")
+            if new in names:
+                raise ValueError(
+                    f"txlog rename_column: column {new!r} already exists")
+            new_sch = StructType(
+                [StructField(new if f.name == old else f.name,
+                             f.dataType, True) for f in sch.fields])
+            fields = [dict(f, logical=new) if f["logical"] == old
+                      else dict(f) for f in m["fields"]]
+            actions = [
+                {"columnMapping": {**m, "fields": fields}},
+                {"metaData": {"schemaString": new_sch.json(),
+                              "reset": True, "evolved": sev}}]
+            cfg = self.effective_config()
+            ncfg = {
+                "key_cols": [new if c == old else c
+                             for c in cfg["key_cols"]],
+                "stats_col": new if cfg["stats_col"] == old
+                else cfg["stats_col"],
+                "cluster_by": ([new if c == old else c
+                                for c in cfg["cluster_by"]]
+                               if cfg.get("cluster_by") else
+                               cfg.get("cluster_by")),
+                "bloom_col": new if cfg.get("bloom_col") == old
+                else cfg.get("bloom_col")}
+            if ncfg != cfg:
+                actions.append({"config": ncfg})
+            try:
+                v = self.commit(actions, self.latest_version() + 1,
+                                op="rename_column")
+            except VersionConflict:
+                _backoff(attempt)
+                attempt += 1
+                continue            # re-derive from the fresh state
+            self.key_cols = list(ncfg["key_cols"])
+            self.stats_col = ncfg["stats_col"]
+            self.cluster_by = ncfg.get("cluster_by") or None
+            self.bloom_col = ncfg.get("bloom_col")
+            return v
+
+    def drop_column(self, name: str) -> int:
+        """ALTER TABLE DROP COLUMN — metadata-only (r9): the field
+        leaves the logical schema and the mapping; its physical data
+        stays in existing files (readers simply never select it) and
+        old snapshots still show it through time travel. A column the
+        table config references must be re-pointed first (Delta
+        restricts dropping partition columns the same way). A later
+        re-add of the same logical name mints a FRESH physical name, so
+        it can never alias the dropped data."""
+        from pyspark.sql.types import StructField, StructType
+
+        attempt = 0
+        while True:
+            m = self._require_mapping("drop_column")
+            sch, sev = self.table_schema_info()
+            if name not in {f.name for f in sch.fields}:
+                raise ValueError(f"txlog drop_column: no column {name!r}")
+            cfg = self.effective_config()
+            if (name in cfg["key_cols"] or cfg["stats_col"] == name
+                    or name in (cfg.get("cluster_by") or ())
+                    or cfg.get("bloom_col") == name):
+                raise ValueError(
+                    f"txlog drop_column: {name!r} is referenced by the "
+                    "table config (key_cols/stats_col/cluster_by/"
+                    "bloom_col) — pruning and layout would break. "
+                    "Re-point the config (rename_column keeps it in "
+                    "sync) before dropping.")
+            new_sch = StructType(
+                [StructField(f.name, f.dataType, True)
+                 for f in sch.fields if f.name != name])
+            fields = [dict(f) for f in m["fields"]
+                      if f["logical"] != name]
+            actions = [
+                {"columnMapping": {**m, "fields": fields}},
+                {"metaData": {"schemaString": new_sch.json(),
+                              "reset": True, "evolved": sev}}]
+            try:
+                return self.commit(actions, self.latest_version() + 1,
+                                   op="drop_column")
+            except VersionConflict:
+                _backoff(attempt)
+                attempt += 1
+
     def _resolve(self, version: int | None = None,
                  use_checkpoint: bool = True) -> list[dict]:
         """Live add-actions at `version` (default: latest): latest
@@ -824,6 +1129,7 @@ class TxLogTable:
         arranged their own physical layout (optimize's coalesce/Z-order)."""
         import pyarrow.parquet as pq
 
+        self._check_protocol(write=True)     # r9: fail before staging
         cons = self.constraints()
         if cons:
             self._check(df, cons)
@@ -845,6 +1151,36 @@ class TxLogTable:
         if layout and self.cluster_by:
             df = df.repartitionByRange(*self.cluster_by)
 
+        # r9 column mapping: once enabled, data files are written with
+        # PHYSICAL names (frozen at enable / minted per new column), so
+        # renames and drops never rewrite data; NEW logical columns get
+        # collision-proof col-<id>-<hex> physical names, registered via
+        # a columnMappingAdd DELTA that folds append-if-absent (racing
+        # additive writers land both columns regardless of order).
+        # All add-action metadata (typed stats keys, stats_col min/max,
+        # bloom) is therefore keyed by PHYSICAL names; query-side bounds
+        # translate logical->physical at prune time (_phys_ranges).
+        mapping = self.column_mapping()
+        map_action = None
+        phys: dict = {}
+        if mapping is not None:
+            phys = _l2p(mapping)
+            fresh = [c for c in df.columns if c not in phys]
+            if fresh:
+                mid = int(mapping["maxId"])
+                new_entries = []
+                for c in fresh:
+                    mid += 1
+                    new_entries.append(
+                        {"id": mid, "logical": c,
+                         "physical": f"col-{mid}-{uuid.uuid4().hex[:8]}"})
+                map_action = {"columnMappingAdd": {"fields": new_entries}}
+                phys.update({e["logical"]: e["physical"]
+                             for e in new_entries})
+            df = df.select(*[F.col(c).alias(phys[c]) for c in df.columns])
+        p_stats = phys.get(self.stats_col, self.stats_col)
+        p_bloom = phys.get(self.bloom_col, self.bloom_col)
+
         sub = os.path.join(self.data_dir, uuid.uuid4().hex[:12])
         df.write.mode("error").parquet(sub)
         adds = []
@@ -855,7 +1191,7 @@ class TxLogTable:
                 full = os.path.join(root, f)
                 meta = pq.ParquetFile(full).metadata
                 idx = {meta.schema.column(i).name: i
-                       for i in range(meta.num_columns)}[self.stats_col]
+                       for i in range(meta.num_columns)}[p_stats]
                 lo = hi = None
                 for rg in range(meta.num_row_groups):
                     st = meta.row_group(rg).column(idx).statistics
@@ -871,11 +1207,11 @@ class TxLogTable:
                 cols = {meta.schema.column(i).name
                         for i in range(meta.num_columns)}
                 if (self.bloom_col is not None
-                        and self.bloom_col in cols and meta.num_rows > 0):
+                        and p_bloom in cols and meta.num_rows > 0):
                     # write-time cost: one column re-read per fresh file;
                     # omitted (conservative) past BLOOM_MAX_DISTINCT
                     col = pq.read_table(
-                        full, columns=[self.bloom_col])[self.bloom_col]
+                        full, columns=[p_bloom])[p_bloom]
                     distinct = set(col.to_pylist())
                     if len(distinct) <= BLOOM_MAX_DISTINCT:
                         bl = bloom_build(distinct)
@@ -884,7 +1220,7 @@ class TxLogTable:
                 adds.append({"add": add})
         # the metaData action rides the SAME commit as the files it
         # describes — schema and data become visible atomically
-        return ([meta_action] + adds) if meta_action else adds
+        return [a for a in (meta_action, map_action) if a] + adds
 
     def _dv_sidecar_rows(self, dv_rels) -> int:
         """Total recorded (file, row_index) pairs across DV sidecars —
@@ -904,7 +1240,8 @@ class TxLogTable:
         return n
 
     def _files_df_meta(self, spark: SparkSession, files: list[dict],
-                       merge_schema: bool = False) -> DataFrame:
+                       merge_schema: bool = False,
+                       version: int | None = None) -> DataFrame:
         """The central file reader, deletion-vector-aware (r7 s2): data
         columns plus ``__file`` (table-relative path) and ``__ri``
         (parquet row index). Rows masked by any referenced DV are
@@ -926,6 +1263,7 @@ class TxLogTable:
         8 GB broadcast cap / driver OOM). Consumer filters still push
         through the anti-join into both parquet scans."""
         prefix = os.path.abspath(self.path) + "/"
+        mapping = self.column_mapping(version)
 
         def scan(subset: list[dict]) -> DataFrame:
             paths = [os.path.join(self.path, a["path"]) for a in subset]
@@ -948,7 +1286,7 @@ class TxLogTable:
         clean = [a for a in files if not a.get("dv")]
         dirty = [a for a in files if a.get("dv")]
         if not dirty:
-            return scan(clean)
+            return self._apply_mapping(scan(clean), mapping, version)
         dv_rels = sorted({d for a in dirty for d in a.get("dv", ())})
         dv = (spark.read.parquet(
                   *[os.path.join(self.path, d) for d in dv_rels])
@@ -960,13 +1298,50 @@ class TxLogTable:
             dv = dv.hint("shuffle_hash")
         masked = scan(dirty).join(dv, ["__file", "__ri"], "left_anti")
         if not clean:
-            return masked
-        return scan(clean).unionByName(masked,
-                                       allowMissingColumns=merge_schema)
+            return self._apply_mapping(masked, mapping, version)
+        out = scan(clean).unionByName(masked,
+                                      allowMissingColumns=merge_schema)
+        return self._apply_mapping(out, mapping, version)
+
+    def _apply_mapping(self, df: DataFrame, mapping: dict | None,
+                       version: int | None = None) -> DataFrame:
+        """Project a PHYSICAL-named file frame to the table's LOGICAL
+        schema at ``version`` (r9 column mapping): renamed columns read
+        old parquet names through the map, dropped columns simply are
+        not selected, a re-added column missing from pre-readd files
+        reads as NULL. Identity when mapping is off. ``__file``/``__ri``
+        meta columns ride through when present."""
+        if mapping is None:
+            return df
+        l2p = _l2p(mapping)
+        sch, _ = self.table_schema_info(version)
+        cols = []
+        for f in sch.fields:
+            p = l2p.get(f.name, f.name)
+            if p in df.columns:
+                cols.append(F.col(p).alias(f.name))
+            else:
+                cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        cols += [F.col(c) for c in ("__file", "__ri") if c in df.columns]
+        return df.select(*cols)
+
+    def _phys_ranges(self, ranges: dict,
+                     mapping: dict | None = None) -> dict:
+        """Translate LOGICAL-keyed pruning bounds to the PHYSICAL names
+        the add-actions' typed stats are recorded under (identity when
+        mapping is off — pre-mapping adds have logical == physical)."""
+        if mapping is None:
+            mapping = self.column_mapping()
+        if mapping is None:
+            return ranges
+        l2p = _l2p(mapping)
+        return {l2p.get(c, c): b for c, b in ranges.items()}
 
     def _files_df(self, spark: SparkSession, files: list[dict],
-                  merge_schema: bool = False) -> DataFrame:
-        df = self._files_df_meta(spark, files, merge_schema=merge_schema)
+                  merge_schema: bool = False,
+                  version: int | None = None) -> DataFrame:
+        df = self._files_df_meta(spark, files, merge_schema=merge_schema,
+                                 version=version)
         return df.drop("__file", "__ri")
 
     # ---- table operations -------------------------------------------------
@@ -1042,10 +1417,11 @@ class TxLogTable:
         later OPTIMIZE purge (or DV vacuum) on the source cannot
         disturb the clone's snapshot."""
         files = self._resolve(version)
-        t = TxLogTable(target_path, key_cols=self.key_cols,
-                       stats_col=self.stats_col,
-                       cluster_by=self.cluster_by,
-                       bloom_col=self.bloom_col)
+        cfg_v = self.effective_config(version)   # config AT the snapshot
+        t = TxLogTable(target_path, key_cols=cfg_v["key_cols"],
+                       stats_col=cfg_v["stats_col"],
+                       cluster_by=cfg_v.get("cluster_by"),
+                       bloom_col=cfg_v.get("bloom_col"))
         if t.latest_version() >= 0:
             raise ValueError(f"txlog clone: {target_path} already has "
                              "commits")
@@ -1068,6 +1444,14 @@ class TxLogTable:
         if sch is not None:   # schema rides the clone's v0 (r8): the
             # clone's readers derive it from THEIR log, no footer reads
             actions.append({"metaData": {"schemaString": sch.json()}})
+        # r9: column mapping and protocol ride the clone's v0 too — the
+        # clone reads the source's physical names through its own log
+        m = self.column_mapping(version)
+        if m is not None:
+            actions.append({"columnMapping": m})
+        proto = self.table_protocol(version)
+        if proto != {"minReaderVersion": 1, "minWriterVersion": 1}:
+            actions.append({"protocol": proto})
         t.commit(actions, 0, op="clone")
         return t
 
@@ -1145,10 +1529,12 @@ class TxLogTable:
                 raise ValueError("txlog read: give version OR "
                                  "as_of_timestamp, not both")
             version = self.version_at_timestamp(as_of_timestamp)
+        self._check_protocol(version)        # r9: actionable, pre-read
         files = self._resolve(version)
         if not files:
             raise ValueError("txlog: empty table (no snapshot to read)")
-        return self._files_df(spark, files, merge_schema=merge_schema)
+        return self._files_df(spark, files, merge_schema=merge_schema,
+                              version=version)
 
     def _overlapping(self, live: list[dict],
                      lo: str | None, hi: str | None) -> list[dict]:
@@ -1194,8 +1580,11 @@ class TxLogTable:
         columns compare numerically — safe where the legacy string
         compare is not); adds from pre-stats logs fall back to the legacy
         single-column string bounds over stats_col, whose order-safety is
-        that column's documented contract."""
+        that column's documented contract. Bounds arrive LOGICAL-keyed;
+        typed stats are PHYSICAL-keyed (r9 column mapping) — translated
+        here, once per prune."""
         lo, hi = ranges.get(self.stats_col, (None, None))
+        ranges = self._phys_ranges(ranges)
         slo = None if lo is None else str(lo)
         shi = None if hi is None else str(hi)
         out = []
@@ -1775,8 +2164,9 @@ class TxLogTable:
         for it to rewrite. Same assertion semantics (and the same
         verify-scope probe) as key_range; both compose conjunctively."""
         lo, hi = key_range if key_range is not None else (None, None)
-        ranges = {c: (_stat_norm(b[0]), _stat_norm(b[1]))
-                  for c, b in (column_ranges or {}).items()}
+        ranges = self._phys_ranges(
+            {c: (_stat_norm(b[0]), _stat_norm(b[1]))
+             for c, b in (column_ranges or {}).items()})
         deadline = time.monotonic() + deadline_sec
         matched = {"rows": 0}
 
@@ -1907,8 +2297,9 @@ class TxLogTable:
         additionally requires an unchanged constraint set."""
         spark = _session()
         lo, hi = key_range if key_range is not None else (None, None)
-        ranges = {c: (_stat_norm(b[0]), _stat_norm(b[1]))
-                  for c, b in (column_ranges or {}).items()}
+        ranges = self._phys_ranges(
+            {c: (_stat_norm(b[0]), _stat_norm(b[1]))
+             for c, b in (column_ranges or {}).items()})
         deadline = time.monotonic() + deadline_sec
 
         def prune(live: list[dict]) -> list[dict]:
@@ -1955,8 +2346,13 @@ class TxLogTable:
              .coalesce(1).write.parquet(os.path.join(self.path, dv_rel)))
             data_cols = [c for c in src.columns
                          if c not in ("__file", "__ri")]
-            hits.select(*data_cols).write.parquet(
-                os.path.join(self.path, cdc_rel))
+            # the change-data sidecar is written with PHYSICAL names
+            # (r9 column mapping) so CDF scans mix sidecars and data
+            # files under ONE name set; readers map back to logical
+            l2p = _l2p(self.column_mapping())
+            (hits.select(*[F.col(c).alias(l2p.get(c, c))
+                           for c in data_cols])
+             .write.parquet(os.path.join(self.path, cdc_rel)))
             actions = []
             if assignments is not None:   # MoR UPDATE: post-image file
                 post = hits.select(*data_cols)
@@ -2169,16 +2565,53 @@ class TxLogTable:
             base = self.latest_version()
             cur = {a["path"]: a for a in self._resolve(base)}
             actions = (
+                # re-add when missing OR when the live add's CONTENT
+                # differs (r9: a MoR delete after the target version
+                # left a DV chain on the same path — restoring must
+                # re-publish the target's DV-less add or the rows stay
+                # masked; file_ident covers path + dv chain + rows)
                 [{"add": a} for p, a in sorted(target.items())
-                 if p not in cur]
+                 if p not in cur or file_ident(cur[p]) != file_ident(a)]
                 + [{"remove": p} for p in sorted(cur) if p not in target])
             sch, sev = self.table_schema_info(version)
             if sch is not None:
                 actions.append({"metaData": {"schemaString": sch.json(),
                                              "reset": True,
                                              "evolved": sev}})
+            # r9: the target version's column mapping and config are
+            # restored too (a restore across a rename must read the OLD
+            # names again). Mapping enabled only AFTER the target:
+            # restore an identity mapping over the target schema (its
+            # files are identity-named), reusing ids by physical name
+            # so they stay stable.
+            m_now = self.column_mapping(base)
+            m_t = self.column_mapping(version)
+            if m_now is not None and m_t is None and sch is not None:
+                byphys = {f["physical"]: f for f in m_now["fields"]}
+                mid = int(m_now["maxId"])
+                fields = []
+                for f in sch.fields:
+                    e = byphys.get(f.name)
+                    if e is not None:
+                        fields.append({**e, "logical": f.name})
+                    else:
+                        mid += 1
+                        fields.append({"id": mid, "logical": f.name,
+                                       "physical": f.name})
+                m_t = {"mode": "name", "fields": fields, "maxId": mid}
+            if m_now is not None or m_t is not None:
+                actions.append({"columnMapping": m_t})
+            cfg_t = self.effective_config(version)
+            cfg_changed = cfg_t != self.effective_config(base)
+            if cfg_changed:
+                actions.append({"config": cfg_t})
             try:
                 v = self.commit(actions, base + 1, op="restore")
+                if cfg_changed:      # handle follows the restored config
+                    self.key_cols = list(cfg_t["key_cols"])
+                    self.stats_col = cfg_t["stats_col"]
+                    self.cluster_by = cfg_t.get("cluster_by") or None
+                    self.bloom_col = cfg_t.get("bloom_col")
                 return {"version": v, "restored_to": version,
                         "added_files": sum(1 for a in actions if "add" in a),
                         "removed_files": sum(1 for a in actions
@@ -2247,6 +2680,7 @@ class TxLogTable:
             to_version = self.latest_version()
         if from_version > to_version:
             raise ValueError("txlog changes: from_version > to_version")
+        self._check_protocol(to_version)     # r9: actionable, pre-read
         pairs = {"insert": [], "delete": []}   # (abs_path, version)
         # DV bookkeeping (r7 s2): cur tracks the live add per path so a
         # removed DV-carrying file contributes only its rows LIVE at
@@ -2378,6 +2812,20 @@ class TxLogTable:
         ins, dels = one_scan("insert"), one_scan("delete")
         cdf = (ins if dels is None else dels if ins is None
                else ins.unionByName(dels, allowMissingColumns=True))
+        mapping = self.column_mapping(to_version)
+        if mapping is not None:
+            # scans above are PHYSICAL-named (data files and MoR change
+            # sidecars alike); project to the logical schema at the
+            # range end, like every other reader (r9 column mapping)
+            l2p = _l2p(mapping)
+            sch, _ = self.table_schema_info(to_version)
+            proj = []
+            for f in sch.fields:
+                p = l2p.get(f.name, f.name)
+                proj.append(F.col(p).alias(f.name) if p in cdf.columns
+                            else F.lit(None).cast(f.dataType)
+                            .alias(f.name))
+            cdf = cdf.select(*proj, "_change_type", "_commit_version")
         if not net:
             return cdf
         data_cols = [c for c in cdf.columns

@@ -164,6 +164,7 @@ def _pin_snapshot(path: str, options) -> dict:
     exactly that snapshot's files, and whether the stats column's type
     makes log-stats pruning order-safe."""
     t = TxLogTable.open(path)
+    t._check_protocol()       # r9: a future log fails HERE, actionably
     mode = options.get("mode", "")
     merge = str(options.get("mergeSchema", "false")).lower() == "true"
     if "timestampAsOf" in options:          # r7: TIMESTAMP AS OF (Delta's
@@ -197,8 +198,13 @@ def _pin_snapshot(path: str, options) -> dict:
             [os.path.join(t.path, p) for p in paths], merge)
     stats_safe = (t.stats_col in schema.names
                   and _order_safe(schema.field(t.stats_col).type))
+    # r9 column mapping: executors project physical parquet names to the
+    # pinned snapshot's logical schema; pruning translates its bounds
+    m = t.column_mapping(ending if mode == "changes" else version)
+    l2p = ({f["logical"]: f["physical"] for f in m["fields"]}
+           if m is not None else None)
     return {"version": version, "ending": ending,
-            "schema": schema, "stats_safe": stats_safe}
+            "schema": schema, "stats_safe": stats_safe, "mapping": l2p}
 
 
 def _dv_indexes(part: _FilePart) -> set:
@@ -214,11 +220,13 @@ def _dv_indexes(part: _FilePart) -> set:
     return dead
 
 
-def _read_file_batches(part: _FilePart, target_schema=None):
+def _read_file_batches(part: _FilePart, target_schema=None, mapping=None):
     """Executor-side: stream one parquet file as Arrow batches, projected
     and null-padded to ``target_schema`` (evolved-table reconciliation),
     masking deletion-vector rows (original-row-index based), appending
-    the CDF literals when the partition carries them."""
+    the CDF literals when the partition carries them. With column
+    mapping (r9) the file's PHYSICAL names resolve to the target's
+    logical fields through ``mapping`` (logical -> physical)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
 
@@ -233,10 +241,12 @@ def _read_file_batches(part: _FilePart, target_schema=None):
             batch = batch.filter(pa.array(keep))
             if batch.num_rows == 0:
                 continue
-        if target_schema is not None and batch.schema != target_schema:
+        if target_schema is not None and (mapping is not None
+                                          or batch.schema != target_schema):
             arrays = []
             for field in target_schema:
-                i = batch.schema.get_field_index(field.name)
+                phys = (mapping or {}).get(field.name, field.name)
+                i = batch.schema.get_field_index(phys)
                 if i >= 0:
                     col = batch.column(i)
                     if col.type != field.type:
@@ -268,6 +278,7 @@ class TxLogBatchReader(DataSourceReader):
         self.ending = pin["ending"]
         self.target_schema = pin["schema"]        # arrow, padded to on read
         self.stats_safe = pin["stats_safe"]       # ordering-safe stats col?
+        self.mapping = pin.get("mapping")         # logical->physical (r9)
         t = TxLogTable.open(path)
         self.stats_col = t.stats_col
         self._table = t
@@ -366,7 +377,13 @@ class TxLogBatchReader(DataSourceReader):
                 for p, ch in entries]
         else:
             live = t._resolve(self.version)
-            ranges = {c: tuple(b) for c, b in self.bounds.items()}
+            # r9 column mapping: pushed-down bounds arrive LOGICAL-keyed,
+            # the adds' typed stats are PHYSICAL-keyed — translate once
+            l2p = self.mapping or {}
+            ranges = {l2p.get(c, c): tuple(b)
+                      for c, b in self.bounds.items()}
+            not_null = {l2p.get(c, c) for c in self.not_null}
+            null_only = {l2p.get(c, c) for c in self.null_only}
 
             def overlaps(a: dict) -> bool:
                 # legacy single-column string bounds (one-sided allowed;
@@ -397,12 +414,12 @@ class TxLogBatchReader(DataSourceReader):
                 # add carries a DV chain; the IsNull prune below (nulls ==
                 # 0) is deletion-monotone and stays.
                 if not a.get("dv"):
-                    for col in self.not_null:  # all-null file, IS NOT NULL
+                    for col in not_null:      # all-null file, IS NOT NULL
                         e = st.get(col)
                         if (e and rows and e.get("nulls") is not None
                                 and e["nulls"] == rows):
                             return False
-                for col in self.null_only:    # null-free file, IS NULL
+                for col in null_only:         # null-free file, IS NULL
                     e = st.get(col)
                     if e and rows and e.get("nulls") == 0:
                         return False
@@ -422,7 +439,8 @@ class TxLogBatchReader(DataSourceReader):
     def read(self, partition: _FilePart):
         if not partition.path:
             return iter(())
-        return _read_file_batches(partition, self.target_schema)
+        return _read_file_batches(partition, self.target_schema,
+                                  self.mapping)
 
 
 def _commit_file_sets(t: TxLogTable, start: int, end: int):
@@ -518,8 +536,10 @@ class TxLogStreamReader(DataSourceStreamReader):
     batch; the floor can therefore never trail the checkpoint and
     offsets never regress."""
 
-    def __init__(self, path: str, options, target_schema=None):
+    def __init__(self, path: str, options, target_schema=None,
+                 mapping=None):
         self._table = TxLogTable.open(path)
+        self.mapping = mapping        # logical->physical (r9)
         self.mode = options.get("mode", "append")
         self.skip_change = (options.get("skipChangeCommits", "false")
                             .lower() == "true")
@@ -629,7 +649,8 @@ class TxLogStreamReader(DataSourceStreamReader):
     def read(self, partition: _FilePart):
         if not partition.path:
             return iter(())
-        return _read_file_batches(partition, self.target_schema)
+        return _read_file_batches(partition, self.target_schema,
+                                  self.mapping)
 
     def commit(self, end: dict) -> None:
         # log retention is vacuum's job; remember the committed offset
@@ -688,5 +709,6 @@ class TxLogDataSource(DataSource):
         return TxLogBatchReader(self._path(), self.options, self._analyze())
 
     def streamReader(self, schema) -> TxLogStreamReader:
+        pin = self._analyze()
         return TxLogStreamReader(self._path(), self.options,
-                                 self._analyze()["schema"])
+                                 pin["schema"], pin.get("mapping"))

@@ -1,0 +1,296 @@
+"""Column mapping (r9, VERDICT item 3): rename/drop without rewrite —
+metadata-only commits over frozen physical parquet names, Delta's 'name'
+mapping mode — plus the protocol/version gate (item 8) that lets an old
+reader fail actionably instead of mis-reading a mapped log."""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import tempfile
+import uuid
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from service_level_reporting_spark.sources.txlog import (
+    ProtocolError, SchemaEvolutionError, TxLogTable)
+from service_level_reporting_spark.sources.txlog_datasource import (
+    TxLogDataSource)
+
+
+@pytest.fixture()
+def table_path():
+    p = os.path.join(tempfile.gettempdir(),
+                     f"slr_cmap_test_{uuid.uuid4().hex[:8]}")
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+    shutil.rmtree(p + "_clone", ignore_errors=True)
+
+
+def _ms(df):
+    cols = sorted(df.columns)
+    return Counter(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def _frame(spark, rows, ddl="k string, v long, tag string"):
+    return spark.createDataFrame(rows, ddl).coalesce(1)
+
+
+def _data_file_columns(t: TxLogTable) -> set:
+    """Union of column names across the table's live parquet files —
+    the PHYSICAL truth a rename must not touch."""
+    import pyarrow.parquet as pq
+
+    cols = set()
+    for a in t._resolve():
+        meta = pq.ParquetFile(os.path.join(t.path, a["path"])).metadata
+        cols |= {meta.schema.column(i).name
+                 for i in range(meta.num_columns)}
+    return cols
+
+
+def test_rename_without_rewrite_both_apis(spark, table_path):
+    """Rename is a METADATA-ONLY commit: zero data files change, both
+    the table API and the data source read the new name with identical
+    values, writes using the new name land in the old physical column,
+    and time travel still shows the old name at old versions."""
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(_frame(spark, [("a", 1, "x"), ("b", 2, "y")]))
+    t.enable_column_mapping()
+    pre_files = {a["path"] for a in t._resolve()}
+    pre_rename_version = t.latest_version()
+
+    t.rename_column("v", "value")
+    # metadata-only: the live file set is EXACTLY the same files
+    assert {a["path"] for a in t._resolve()} == pre_files
+    got = t.read(spark)
+    assert sorted(got.columns) == ["k", "tag", "value"]
+    assert _ms(got.select("k", "value")) == Counter(
+        [("a", 1), ("b", 2)])
+    # data source agrees
+    spark.dataSource.register(TxLogDataSource)
+    via = spark.read.format("txlog").load(table_path)
+    assert sorted(via.columns) == ["k", "tag", "value"]
+    assert _ms(via) == _ms(got)
+    # filters on the RENAMED name work through both APIs
+    assert got.where(F.col("value") == 2).count() == 1
+    assert via.where(F.col("value") == 2).count() == 1
+    # a write using the new logical name lands in the OLD physical col
+    t.append(_frame(spark, [("c", 3, "z")], "k string, value long, "
+                                            "tag string"))
+    assert _ms(t.read(spark).select("k", "value")) == Counter(
+        [("a", 1), ("b", 2), ("c", 3)])
+    assert "value" not in _data_file_columns(t)   # physical stays "v"
+    # time travel: the pre-rename version reads the OLD name
+    old = t.read(spark, pre_rename_version)
+    assert "v" in old.columns and "value" not in old.columns
+    via_old = (spark.read.format("txlog")
+               .option("version", str(pre_rename_version))
+               .load(table_path))
+    assert "v" in via_old.columns
+    assert _ms(via_old) == _ms(old)
+
+
+def test_drop_and_readd_never_alias(spark, table_path):
+    """Drop hides the column (old snapshots still show it); a re-added
+    column with the same logical name gets a FRESH physical name, so
+    old rows read NULL instead of the dropped column's data."""
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(_frame(spark, [("a", 1, "x"), ("b", 2, "y")]))
+    t.enable_column_mapping()
+    pre_drop = t.latest_version()
+    t.drop_column("tag")
+    assert sorted(t.read(spark).columns) == ["k", "v"]
+    spark.dataSource.register(TxLogDataSource)
+    assert sorted(spark.read.format("txlog").load(table_path).columns) \
+        == ["k", "v"]
+    # the old snapshot still shows the column with its values
+    old = t.read(spark, pre_drop)
+    assert _ms(old) == Counter([("a", "x", 1), ("b", "y", 2)])
+    # re-add the same logical name: fresh physical, no aliasing
+    t.append(_frame(spark, [("c", 3, "NEW")]))
+    got = t.read(spark, merge_schema=True)
+    by_k = {r["k"]: r["tag"] for r in got.collect()}
+    assert by_k == {"a": None, "b": None, "c": "NEW"}
+    phys = _data_file_columns(t)
+    assert "tag" in phys                      # the dropped physical col
+    assert any(c.startswith("col-") for c in phys)   # the fresh one
+    via = (spark.read.format("txlog").option("mergeSchema", "true")
+           .load(table_path))
+    assert {r["k"]: r["tag"] for r in via.collect()} == by_k
+
+
+def test_config_follows_rename_and_pruning_still_fires(spark, table_path):
+    """stats_col / cluster_by / key_cols / bloom_col keyed by a renamed
+    column follow the rename (config action rides the same commit), and
+    log-stats pruning keeps firing on the NEW name — against add actions
+    written BEFORE and AFTER the rename."""
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k",
+                   cluster_by=["k"], bloom_col="k")
+    for i in range(3):
+        t.append(_frame(spark, [(f"k{i}{j}", i * 10 + j, "t")
+                                for j in range(4)]))
+    t.enable_column_mapping()
+    t.rename_column("k", "key")
+    assert t.stats_col == "key" and t.key_cols == ["key"]
+    assert t.cluster_by == ["key"] and t.bloom_col == "key"
+    # a fresh handle sees the effective config too
+    t2 = TxLogTable.open(table_path)
+    assert t2.stats_col == "key" and t2.key_cols == ["key"]
+    # writes + merge on the renamed key still work and still prune
+    t.append(_frame(spark, [("k90", 90, "t")],
+                    "key string, v long, tag string"))
+    stats = t.merge(_frame(spark, [("k00", 1000, "t")],
+                           "key string, v long, tag string"))
+    assert stats["rewritten_files"] < len(t._resolve())   # pruned
+    got = {r["key"]: r["v"] for r in t.read(spark).collect()}
+    assert got["k00"] == 1000 and got["k90"] == 90
+    # datasource pushdown on the renamed column prunes from the log
+    spark.dataSource.register(TxLogDataSource)
+    via = (spark.read.format("txlog").load(table_path)
+           .where(F.col("key") == "k90"))
+    assert via.count() == 1
+    # typed-bounds delete scoped by the renamed column
+    res = t.delete("key = 'k90'", column_ranges={"key": ("k90", "k90")})
+    assert res["rewritten_files"] <= 2
+    assert "k90" not in {r["key"] for r in t.read(spark).collect()}
+
+
+def test_mapping_cdf_clone_restore(spark, table_path):
+    """The change feed (batch + streaming) speaks LOGICAL names across a
+    rename; a clone carries the mapping; RESTORE across a rename reads
+    the OLD names again (schema + mapping + config restored)."""
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(_frame(spark, [("a", 1, "x"), ("b", 2, "y")]))
+    t.enable_column_mapping()
+    t.rename_column("v", "value")
+    v_renamed = t.latest_version()
+    t.append(_frame(spark, [("c", 3, "z")],
+                    "k string, value long, tag string"))
+    t.delete("k = 'a'", mode="mor")
+
+    # batch CDF after the rename: logical names, MoR sidecar included
+    ch = t.changes(spark, v_renamed)
+    assert "value" in ch.columns and "v" not in ch.columns
+    kinds = {(r["k"], r["_change_type"]) for r in ch.collect()}
+    assert ("c", "insert") in kinds and ("a", "delete") in kinds
+    # streaming changes mode agrees
+    spark.dataSource.register(TxLogDataSource)
+    name = f"cm_{uuid.uuid4().hex[:6]}"
+    q = (spark.readStream.format("txlog").option("mode", "changes")
+         .option("startingVersion", str(v_renamed)).load(table_path)
+         .writeStream.format("memory").queryName(name).start())
+    try:
+        q.processAllAvailable()
+        assert _ms(spark.table(name)) == _ms(ch)
+    finally:
+        q.stop()
+
+    # clone carries mapping + schema: same logical view, zero copies
+    c = t.clone(table_path + "_clone")
+    got = c.read(spark)
+    assert sorted(got.columns) == ["k", "tag", "value"]
+    assert _ms(got) == _ms(t.read(spark))
+
+    # restore across the rename: old names come back, handle config too
+    t.restore(v_renamed - 2)          # pre-rename, pre-mapping-enable? no:
+    # v_renamed-2 is the version right before enable_column_mapping
+    back = t.read(spark)
+    assert "v" in back.columns and "value" not in back.columns
+    assert _ms(back) == Counter([("a", "x", 1), ("b", "y", 2)])
+    via = spark.read.format("txlog").load(table_path)
+    assert _ms(via) == _ms(back)
+
+
+def test_unmapped_table_keeps_pinned_raise(spark, table_path):
+    """Without enable_column_mapping, rename/drop keep today's pinned
+    SchemaEvolutionError — the legacy contract is unchanged."""
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(_frame(spark, [("a", 1, "x")]))
+    with pytest.raises(SchemaEvolutionError,
+                       match="column mapping is not enabled"):
+        t.rename_column("v", "value")
+    with pytest.raises(SchemaEvolutionError,
+                       match="column mapping is not enabled"):
+        t.drop_column("tag")
+    # dropping a config-referenced column is refused even when mapped
+    t.enable_column_mapping()
+    with pytest.raises(ValueError, match="referenced by the table"):
+        t.drop_column("k")
+
+
+def test_protocol_gate_old_reader_fails_actionably(spark, table_path):
+    """r9 (VERDICT item 8): a log stamped with a higher minReaderVersion
+    raises the pinned ProtocolError through BOTH APIs (read, changes,
+    write) instead of mis-reading a future log; existing logs read
+    unchanged; enable_column_mapping bumps the protocol to (2,2)."""
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(_frame(spark, [("a", 1, "x")]))
+    assert t.table_protocol() == {"minReaderVersion": 1,
+                                  "minWriterVersion": 1}
+    t.enable_column_mapping()
+    assert t.table_protocol() == {"minReaderVersion": 2,
+                                  "minWriterVersion": 2}
+    assert t.read(spark).count() == 1       # we speak v2: unchanged
+
+    # hand-stamp a writer-only bump: reads fine, writes refuse
+    t.commit([{"protocol": {"minReaderVersion": 2,
+                            "minWriterVersion": 99}}],
+             t.latest_version() + 1, op="upgrade_protocol")
+    assert t.read(spark).count() == 1
+    with pytest.raises(ProtocolError, match="requires writer version"):
+        t.append(_frame(spark, [("b", 2, "y")]))
+    # hand-stamp a FUTURE reader bump (what a newer writer would leave)
+    t.commit([{"protocol": {"minReaderVersion": 99,
+                            "minWriterVersion": 99}}],
+             t.latest_version() + 1, op="upgrade_protocol")
+    with pytest.raises(ProtocolError, match="requires reader version"):
+        t.read(spark)
+    with pytest.raises(ProtocolError, match="requires reader version"):
+        t.changes(spark, 0)
+    with pytest.raises(ProtocolError, match="requires reader version"):
+        t.append(_frame(spark, [("b", 2, "y")]))   # can't even read
+    spark.dataSource.register(TxLogDataSource)
+    with pytest.raises(Exception, match="requires reader version"):
+        spark.read.format("txlog").load(table_path).collect()
+    with pytest.raises(Exception, match="requires reader version"):
+        (spark.readStream.format("txlog").load(table_path)
+         .writeStream.format("memory")
+         .queryName(f"p_{uuid.uuid4().hex[:6]}").start())
+
+
+def test_mapping_survives_checkpoints_and_log_retention(spark,
+                                                        table_path):
+    """The mapping/protocol/config ride checkpoints (r9): after enough
+    commits to roll a checkpoint AND a log vacuum that expires the
+    commits that carried the mapping actions, a fresh handle still
+    resolves the renamed schema, the effective config, and the
+    protocol."""
+    from service_level_reporting_spark.sources.txlog import (
+        CHECKPOINT_EVERY)
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(_frame(spark, [("a", 1, "x")]))
+    t.enable_column_mapping()
+    t.rename_column("v", "value")
+    for i in range(2 * CHECKPOINT_EVERY):
+        t.append(_frame(spark, [(f"b{i}", 10 + i, "y")],
+                        "k string, value long, tag string"))
+    t.vacuum(retain_versions=3, min_age_sec=0,
+             log_retain_versions=CHECKPOINT_EVERY)
+    assert t.earliest_version() > 2   # the mapping commits are EXPIRED
+    t2 = TxLogTable.open(table_path)
+    assert t2.column_mapping() is not None
+    assert t2.table_protocol()["minReaderVersion"] == 2
+    got = t2.read(spark)
+    assert "value" in got.columns and "v" not in got.columns
+    assert got.count() == 1 + 2 * CHECKPOINT_EVERY
+    # JSON-serializability of everything the checkpoint carries
+    ck = [f for f in os.listdir(t2.log_dir)
+          if f.endswith(".checkpoint.json")]
+    with open(os.path.join(t2.log_dir, sorted(ck)[-1])) as fh:
+        payload = json.load(fh)
+    assert payload["columnMapping"]["mode"] == "name"

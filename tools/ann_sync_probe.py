@@ -107,8 +107,20 @@ def main() -> None:
     rec_f = round(rec_f / len(probes), 4)
     rec_r = round(rec_r / len(probes), 4)
 
+    # r9 (VERDICT item 5): record the operating point EXPLICITLY — the
+    # queries run the derived default path (nprobe from the loaded
+    # codebook via the shared _derived_nprobe definition, IVF-flat exact
+    # within probed cells); `n_query_vectors` is the number of averaged
+    # probe QUERIES, not a knob. Absolute recall here is a 20-query
+    # average of cell-coverage recall on an isotropic corpus; the 10M
+    # probe's 1.0 was the single-query knn leg at the same derived
+    # knobs. The claim under test is fold==rebuild PARITY.
     out = {"metric": "ann_sync_probe",
            "n_vectors": n_base + STAGE.N_PLANTED,
+           "query_leg": "ivf_flat_derived_nprobe",
+           "nprobe_used": SIM._derived_nprobe(len(folded["coarse"])),
+           "derived_knobs": SIM.derived_ivf_knobs(
+               n_base + STAGE.N_PLANTED),
            "indexed_initial_pct": 90,
            "folded_inserts": sync.get("inserted"),
            "folded_deletes": sync.get("deleted"),
@@ -120,7 +132,7 @@ def main() -> None:
            "tombstones": sync.get("tombstones"),
            "compacted_partitions": sync.get("compacted_partitions"),
            "recall_folded": rec_f, "recall_rebuilt": rec_r,
-           "n_probes": len(probes), "k": KNN_K}
+           "n_query_vectors": len(probes), "k": KNN_K}
     with open(os.path.join(os.path.dirname(os.path.dirname(
             os.path.abspath(__file__))), "BENCH_ANN_SYNC.json"), "w") as fh:
         json.dump(out, fh, indent=1)
