@@ -512,15 +512,42 @@ class TxLogTable:
     def _latest_checkpoint(self, version: int) -> dict | None:
         """Parsed latest checkpoint at or below `version`, or None —
         shared by file resolution, the txn map, and checkpoint writing."""
-        ckpts = sorted(int(f[:20]) for f in os.listdir(self.log_dir)
-                       if f.endswith(".checkpoint.json")
-                       and int(f[:20]) <= version)
-        if not ckpts:
-            return None
-        cv = ckpts[-1]
-        with open(os.path.join(
-                self.log_dir, f"{cv:020d}.checkpoint.json")) as fh:
-            return json.load(fh)
+        for ckpt in self._checkpoints_desc(version):
+            return ckpt
+        return None
+
+    def _checkpoints_desc(self, version: int):
+        """Parsed checkpoints at or below ``version``, newest first."""
+        for cv in sorted((int(f[:20]) for f in os.listdir(self.log_dir)
+                          if f.endswith(".checkpoint.json")
+                          and int(f[:20]) <= version), reverse=True):
+            with open(os.path.join(
+                    self.log_dir, f"{cv:020d}.checkpoint.json")) as fh:
+                yield json.load(fh)
+
+    def _seed(self, version: int, key: str) -> tuple:
+        """(checkpoint carrying ``key``, replay start): the NEWEST
+        checkpoint at or below ``version`` that carries the key — a
+        checkpoint written before the key existed falls back to OLDER
+        ones instead of forcing a full walk from 0 (r9: after log
+        retention that walk would silently skip expired commits and
+        reconstruct WRONG state — lost constraints, a wrong schema; the
+        retention boundary checkpoint always carries every key, so the
+        search bottoms out there on any vacuumed log). (None, 0) when no
+        checkpoint carries the key — the legacy full walk, which now
+        raises on expired commits instead of dropping their actions."""
+        for ckpt in self._checkpoints_desc(version):
+            if key in ckpt:
+                return ckpt, ckpt["version"] + 1
+        return None, 0
+
+    def _walk_missing(self, v: int) -> None:
+        """A replay walk hit a missing commit file: expired commits make
+        the reconstruction WRONG, not merely incomplete — raise the
+        pinned error; a genuinely absent mid-log file stays tolerated
+        (legacy leniency for hand-pruned test logs)."""
+        if v < self.earliest_version():
+            self._raise_missing(v)
 
     def _txn_map(self, version: int | None = None,
                  use_checkpoint: bool = True) -> dict:
@@ -534,13 +561,13 @@ class TxLogTable:
         start = 0
         txns: dict[str, int] = {}
         if use_checkpoint:
-            ckpt = self._latest_checkpoint(version)
-            if ckpt is not None and ckpt.get("txns") is not None:
+            ckpt, start = self._seed(version, "txns")
+            if ckpt is not None and ckpt["txns"] is not None:
                 txns = {w: int(b) for w, b in ckpt["txns"].items()}
-                start = ckpt["version"] + 1
         for v in range(start, version + 1):
             p = self._commit_path(v)
             if not os.path.exists(p):
+                self._walk_missing(v)
                 continue
             with open(p) as fh:
                 txn = json.load(fh).get("txn")
@@ -619,13 +646,13 @@ class TxLogTable:
         start = 0
         cons: dict[str, str] = {}
         if use_checkpoint:
-            ckpt = self._latest_checkpoint(version)
-            if ckpt is not None and ckpt.get("constraints") is not None:
+            ckpt, start = self._seed(version, "constraints")
+            if ckpt is not None and ckpt["constraints"] is not None:
                 cons = dict(ckpt["constraints"])
-                start = ckpt["version"] + 1
         for v in range(start, version + 1):
             p = self._commit_path(v)
             if not os.path.exists(p):
+                self._walk_missing(v)
                 continue
             with open(p) as fh:
                 for a in json.load(fh)["actions"]:
@@ -652,14 +679,13 @@ class TxLogTable:
         start = 0
         val = default
         if use_checkpoint:
-            ckpt = self._latest_checkpoint(version)
-            if ckpt is not None and key in ckpt:
-                if ckpt[key] is not None:
-                    val = ckpt[key]
-                start = ckpt["version"] + 1
+            ckpt, start = self._seed(version, key)
+            if ckpt is not None and ckpt[key] is not None:
+                val = ckpt[key]
         for v in range(start, version + 1):
             p = self._commit_path(v)
             if not os.path.exists(p):
+                self._walk_missing(v)
                 continue
             with open(p) as fh:
                 for a in json.load(fh)["actions"]:
@@ -748,19 +774,21 @@ class TxLogTable:
         evolved = False
         seen = False
         if use_checkpoint:
-            ckpt = self._latest_checkpoint(version)
-            if ckpt is not None and "schema" in ckpt:
-                if ckpt["schema"] is not None:
-                    st = StructType.fromJson(json.loads(ckpt["schema"]))
-                    fields = {f.name: f for f in st.fields}
-                    evolved = bool(ckpt.get("schema_evolved"))
-                    seen = True
-                start = ckpt["version"] + 1
-            # a pre-schema checkpoint (no "schema" key) degrades to a
-            # full walk once, like the txn map and constraints
+            # a pre-schema checkpoint falls back to an OLDER checkpoint
+            # carrying the key (r9, _seed — after log retention the old
+            # full-walk-from-0 would silently skip expired commits and
+            # reconstruct a WRONG schema), else a full walk that raises
+            # on expired commits
+            ckpt, start = self._seed(version, "schema")
+            if ckpt is not None and ckpt["schema"] is not None:
+                st = StructType.fromJson(json.loads(ckpt["schema"]))
+                fields = {f.name: f for f in st.fields}
+                evolved = bool(ckpt.get("schema_evolved"))
+                seen = True
         for v in range(start, version + 1):
             p = self._commit_path(v)
             if not os.path.exists(p):
+                self._walk_missing(v)
                 continue
             with open(p) as fh:
                 actions = json.load(fh)["actions"]
@@ -979,6 +1007,22 @@ class TxLogTable:
                 "from then on), or rewrite the table (overwrite).")
         return m
 
+    def _check_constraint_refs(self, op: str, col: str) -> None:
+        """A rename/drop of a column an active CHECK constraint
+        references would break every later write (the stored SQL names
+        the old column) — refuse, Delta's constraint-dependency rule.
+        Identifier match is word-boundary conservative."""
+        import re
+
+        pat = re.compile(rf"(?<![A-Za-z0-9_`]){re.escape(col)}"
+                         rf"(?![A-Za-z0-9_`])")
+        hits = [n for n, x in self.constraints().items() if pat.search(x)]
+        if hits:
+            raise ValueError(
+                f"txlog {op}: column {col!r} is referenced by CHECK "
+                f"constraint(s) {hits} — drop them first "
+                "(drop_constraint), then re-add against the new name.")
+
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN — metadata-only (r9): the mapping's
         LOGICAL side changes; the physical parquet name is untouched, so
@@ -994,6 +1038,7 @@ class TxLogTable:
         attempt = 0
         while True:
             m = self._require_mapping("rename_column")
+            self._check_constraint_refs("rename_column", old)
             sch, sev = self.table_schema_info()
             names = {f.name for f in sch.fields}
             if old not in names:
@@ -1051,6 +1096,7 @@ class TxLogTable:
         attempt = 0
         while True:
             m = self._require_mapping("drop_column")
+            self._check_constraint_refs("drop_column", name)
             sch, sev = self.table_schema_info()
             if name not in {f.name for f in sch.fields}:
                 raise ValueError(f"txlog drop_column: no column {name!r}")

@@ -164,7 +164,6 @@ def _pin_snapshot(path: str, options) -> dict:
     exactly that snapshot's files, and whether the stats column's type
     makes log-stats pruning order-safe."""
     t = TxLogTable.open(path)
-    t._check_protocol()       # r9: a future log fails HERE, actionably
     mode = options.get("mode", "")
     merge = str(options.get("mergeSchema", "false")).lower() == "true"
     if "timestampAsOf" in options:          # r7: TIMESTAMP AS OF (Delta's
@@ -178,6 +177,10 @@ def _pin_snapshot(path: str, options) -> dict:
         version = t.latest_version()
     ending = (int(options["endingVersion"])
               if "endingVersion" in options else t.latest_version())
+    # r9: a future log fails HERE, actionably — checked at the PINNED
+    # snapshot (Delta's rule: a pre-upgrade version stays readable by a
+    # reader that speaks its features; only commits <= the pin gate it)
+    t._check_protocol(ending if mode == "changes" else version)
     if mode == "changes":
         s = options.get("startingVersion", "-1")
         starting = t.latest_version() if s == "latest" else int(s)

@@ -205,6 +205,118 @@ def test_mapping_cdf_clone_restore(spark, table_path):
     assert _ms(via) == _ms(back)
 
 
+def test_mapping_model_based_random_ops(spark, table_path):
+    """Model-based property (r9): a seeded random interleaving of
+    append / add-column append / rename / drop / overwrite / restore /
+    vacuum against a plain dict model — reads through BOTH APIs
+    (mergeSchema) must equal the model at every checkpointed step.
+    This is the interaction lattice the focused tests can't enumerate:
+    rename-after-overwrite, drop-then-restore, mapping identity
+    restored across the enable boundary, vacuumed-restore skipped."""
+    import random as rnd
+
+    r = rnd.Random(2024)
+    spark.dataSource.register(TxLogDataSource)
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    cols = ["v1"]
+    state = {"next_col": 2, "next_key": 0}
+    model: list[dict] = []
+    hist: dict[int, tuple] = {}
+
+    def frame(rows, fields):
+        ddl = "k string, " + ", ".join(f"{c} long" for c in fields)
+        data = [tuple([row["k"]] + [row.get(c) for c in fields])
+                for row in rows]
+        return spark.createDataFrame(data, ddl).coalesce(1)
+
+    def fresh_rows(n, fields):
+        out = []
+        for _ in range(n):
+            out.append({"k": f"k{state['next_key']:04d}",
+                        **{c: r.randrange(100) for c in fields}})
+            state["next_key"] += 1
+        return out
+
+    def snap():
+        hist[t.latest_version()] = (list(cols),
+                                    [dict(x) for x in model])
+
+    def verify():
+        want_cols = ["k"] + cols
+        wm = Counter(tuple(row.get(c) for c in want_cols)
+                     for row in model)
+        got = t.read(spark, merge_schema=True)
+        assert sorted(got.columns) == sorted(want_cols), got.columns
+        gm = Counter(tuple(x[c] for c in want_cols)
+                     for x in got.collect())
+        assert gm == wm
+        via = (spark.read.format("txlog").option("mergeSchema", "true")
+               .load(table_path))
+        gm2 = Counter(tuple(x[c] for c in want_cols)
+                      for x in via.select(*want_cols).collect())
+        assert gm2 == wm
+
+    model += fresh_rows(4, cols)
+    t.append(frame(model, cols))
+    snap()
+    t.enable_column_mapping()
+    snap()
+
+    for step in range(14):
+        op = r.choice(["append", "append", "append_new_col", "rename",
+                       "drop", "overwrite", "restore", "vacuum"])
+        if op == "append":
+            rows = fresh_rows(2, cols)
+            t.append(frame(rows, cols))
+            model += rows
+        elif op == "append_new_col":
+            nc = f"c{state['next_col']}"
+            state["next_col"] += 1
+            rows = fresh_rows(1, cols + [nc])
+            t.append(frame(rows, cols + [nc]))
+            cols.append(nc)
+            model += rows
+        elif op == "rename":
+            old = r.choice(cols)
+            new = f"r{state['next_col']}"
+            state["next_col"] += 1
+            t.rename_column(old, new)
+            cols[cols.index(old)] = new
+            for row in model:
+                if old in row:
+                    row[new] = row.pop(old)
+        elif op == "drop":
+            if len(cols) < 2:
+                continue
+            c = r.choice(cols)
+            t.drop_column(c)
+            cols.remove(c)
+            for row in model:
+                row.pop(c, None)
+        elif op == "overwrite":
+            cols = [f"o{state['next_col']}"]
+            state["next_col"] += 1
+            model = fresh_rows(3, cols)
+            t.overwrite(frame(model, cols))
+        elif op == "restore":
+            if not hist:
+                continue
+            v = r.choice(sorted(hist))
+            try:
+                t.restore(v)
+            except ValueError:
+                continue     # target files vacuumed: refused pre-commit
+            vc, vm = hist[v]
+            cols = list(vc)
+            model = [dict(x) for x in vm]
+        else:
+            t.vacuum(retain_versions=3, min_age_sec=0)
+        snap()
+        if step % 3 == 0:
+            verify()
+    verify()
+
+
 def test_unmapped_table_keeps_pinned_raise(spark, table_path):
     """Without enable_column_mapping, rename/drop keep today's pinned
     SchemaEvolutionError — the legacy contract is unchanged."""
@@ -254,12 +366,88 @@ def test_protocol_gate_old_reader_fails_actionably(spark, table_path):
     with pytest.raises(ProtocolError, match="requires reader version"):
         t.append(_frame(spark, [("b", 2, "y")]))   # can't even read
     spark.dataSource.register(TxLogDataSource)
+    # the protocol gates at the PINNED snapshot (Delta's rule): versions
+    # before the reader bump stay readable through both APIs
+    pre_bump = t.latest_version() - 1
+    assert t.read(spark, pre_bump).count() == 1
+    assert (spark.read.format("txlog").option("version", str(pre_bump))
+            .load(table_path).count()) == 1
     with pytest.raises(Exception, match="requires reader version"):
         spark.read.format("txlog").load(table_path).collect()
     with pytest.raises(Exception, match="requires reader version"):
         (spark.readStream.format("txlog").load(table_path)
          .writeStream.format("memory")
          .queryName(f"p_{uuid.uuid4().hex[:6]}").start())
+
+
+def test_downlevel_checkpoint_seeding_after_retention(spark, table_path):
+    """r9: a checkpoint written WITHOUT a state key (a downlevel
+    writer's format) must not force the replay into a full walk from 0
+    — after log retention that walk would silently skip expired commits
+    and reconstruct WRONG state (lost constraints, a pre-rename
+    schema). Seeding falls back to an OLDER checkpoint carrying the key
+    (the retention boundary checkpoint always does); with NO carrying
+    checkpoint, a walk that needs expired commits raises the pinned
+    VersionExpiredError instead of dropping their actions. Also pins
+    the constraint-dependency rule: renaming/dropping a column an
+    active CHECK references is refused."""
+    from service_level_reporting_spark.sources.txlog import (
+        VersionExpiredError)
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(_frame(spark, [("a", 1, "x")]))                     # v0
+    t.add_constraint("v_pos", "v >= 0")                          # v1
+    t.enable_column_mapping()                                    # v2
+    # a column referenced by an active CHECK cannot rename/drop
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        t.rename_column("v", "value")
+    with pytest.raises(ValueError, match="CHECK constraint"):
+        t.drop_column("v")
+    t.drop_constraint("v_pos")                                   # v3
+    t.rename_column("v", "value")                                # v4
+    t.add_constraint("val_pos", "value >= 0")                    # v5
+    for i in range(20):                                          # v6..v25
+        t.append(_frame(spark, [(f"b{i}", 10 + i, "y")],
+                        "k string, value long, tag string"))
+    t.vacuum(retain_versions=3, min_age_sec=0,
+             log_retain_versions=10)
+    eb = t.earliest_version()
+    assert eb > 5                 # the mapping/constraint commits expired
+
+    # strip the r7-r9 keys from the NEWEST checkpoint (downlevel format)
+    cks = sorted(f for f in os.listdir(t.log_dir)
+                 if f.endswith(".checkpoint.json"))
+    with open(os.path.join(t.log_dir, cks[-1])) as fh:
+        payload = json.load(fh)
+    for key in ("schema", "schema_evolved", "constraints", "txns",
+                "protocol", "columnMapping", "config"):
+        payload.pop(key, None)
+    with open(os.path.join(t.log_dir, cks[-1]), "w") as fh:
+        json.dump(payload, fh)
+
+    # every replay must seed from the OLDER (boundary) checkpoint —
+    # correct state, not a silent walk-from-0 reconstruction
+    t2 = TxLogTable.open(table_path)
+    sch, _ = t2.table_schema_info()
+    assert "value" in {f.name for f in sch.fields} \
+        and "v" not in {f.name for f in sch.fields}
+    assert t2.constraints() == {"val_pos": "value >= 0"}
+    assert t2.column_mapping() is not None
+    assert t2.table_protocol()["minReaderVersion"] == 2
+    assert t2.read(spark).count() == 21
+
+    # strip ALL checkpoints: the walk would need expired commits —
+    # the pinned error, never silently-wrong state
+    for ck in cks:
+        with open(os.path.join(t.log_dir, ck)) as fh:
+            payload = json.load(fh)
+        for key in ("schema", "schema_evolved", "constraints", "txns",
+                    "protocol", "columnMapping", "config"):
+            payload.pop(key, None)
+        with open(os.path.join(t.log_dir, ck), "w") as fh:
+            json.dump(payload, fh)
+    with pytest.raises(VersionExpiredError):
+        TxLogTable.open(table_path)   # __init__'s config replay raises
 
 
 def test_mapping_survives_checkpoints_and_log_retention(spark,
