@@ -537,7 +537,16 @@ class TxLogStreamReader(DataSourceStreamReader):
     ``latestOffset``, so a restarted stream's floor lands on the
     checkpointed offset and the cap stays engaged from the first new
     batch; the floor can therefore never trail the checkpoint and
-    offsets never regress."""
+    offsets never regress.
+
+    Trigger.AvailableNow caveat (measured): Spark's availableNow wrapper
+    for a plain MicroBatchStream captures ONE ``latestOffset()`` as the
+    pass's target — with a cap set that target is the first capped
+    offset, so a single availableNow pass drains only one cap's worth
+    (the Python stream protocol has no ``reportLatestOffset`` to
+    advertise the true head separately). Default/processingTime triggers
+    drain fully in capped batches; availableNow callers loop passes
+    until caught up (``streaming/matview_stream.stream_matview``)."""
 
     def __init__(self, path: str, options, target_schema=None,
                  mapping=None):

@@ -44,12 +44,25 @@ from service_level_reporting_spark.sources.txlog import TxLogTable
 
 def stream_matview(spark: SparkSession, table_path: str, spec: dict,
                    state_path: str, checkpoint_dir: str,
-                   timeout_sec: float = 180.0) -> TxLogTable:
+                   timeout_sec: float = 180.0,
+                   max_commits_per_trigger: int | None = None
+                   ) -> TxLogTable:
     """Run one availableNow maintenance pass: fold every unprocessed base
     commit into the view state table at ``state_path`` (created on first
     run) and return its TxLogTable. Re-running with the same checkpoint
     folds only NEW commits; a replayed batch is detected by the
-    ``__applied_ver`` watermark and skipped."""
+    ``__applied_ver`` watermark and skipped.
+
+    ``max_commits_per_trigger`` (r9): bound each micro-batch by the CDC
+    source's admission control — a maintenance pass bootstrapping
+    against a deep base backlog folds bounded pieces with checkpoint
+    progress after each, instead of one monolithic batch that must
+    succeed or replay wholesale. Spark's availableNow wrapper targets
+    the FIRST capped offset per pass (see the stream reader's measured
+    caveat), so the capped form loops passes until the state watermark
+    catches the head seen at entry — same checkpoint, so each pass
+    resumes where the previous stopped, and a crash between passes loses
+    nothing."""
     from service_level_reporting_spark.sources.txlog_datasource import (
         TxLogDataSource)
 
@@ -77,17 +90,39 @@ def stream_matview(spark: SparkSession, table_path: str, spec: dict,
                                  F.lit(maxv).cast("long")))
         st.overwrite(new_state.localCheckpoint(eager=True))
 
-    q = (spark.readStream.format("txlog")
-         .option("mode", "changes").option("startingVersion", "-1")
-         .load(table_path)
-         .writeStream.foreachBatch(fold)
-         .option("checkpointLocation", checkpoint_dir)
-         .trigger(availableNow=True).start())
-    try:
-        q.awaitTermination(timeout_sec)
-    finally:
-        q.stop()
-    return st
+    def one_pass():
+        reader = (spark.readStream.format("txlog")
+                  .option("mode", "changes").option("startingVersion", "-1"))
+        if max_commits_per_trigger:
+            reader = reader.option("maxCommitsPerTrigger",
+                                   str(max_commits_per_trigger))
+        q = (reader.load(table_path)
+             .writeStream.foreachBatch(fold)
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            q.stop()
+
+    def applied_ver() -> int:
+        if st.latest_version() < 0:
+            return -1
+        row = st.read(spark).agg(F.max("__applied_ver")).first()
+        return -1 if row[0] is None else int(row[0])
+
+    head0 = base.latest_version()
+    prev = applied_ver()
+    while True:
+        one_pass()
+        if not max_commits_per_trigger:
+            return st
+        cur = applied_ver()
+        # caught up to the entry-time head, or no progress (the
+        # remaining commits carry no foldable rows — metadata-only)
+        if cur >= head0 or cur <= prev:
+            return st
+        prev = cur
 
 
 def read_view(spark: SparkSession, st: TxLogTable, spec: dict):

