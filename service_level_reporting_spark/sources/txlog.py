@@ -2053,7 +2053,8 @@ class TxLogTable:
 
     def vacuum(self, retain_versions: int = 3,
                min_age_sec: float = VACUUM_MIN_AGE_SEC,
-               log_retain_versions: int | None = None) -> dict:
+               log_retain_versions: int | None = None,
+               dry_run: bool = False) -> dict:
         """Delete data files referenced by NO version in the retained
         window [latest - retain_versions + 1, latest]. Files still visible
         to any retained snapshot survive, so readers of those versions are
@@ -2082,7 +2083,13 @@ class TxLogTable:
         version still resolves in O(interval). Expired versions raise
         VersionExpiredError (Delta pairs checkpoints with log retention
         and fails expired reads the same way). Must be >=
-        ``retain_versions``: data-retained snapshots stay resolvable."""
+        ``retain_versions``: data-retained snapshots stay resolvable.
+
+        ``dry_run=True`` (r9, Delta's VACUUM DRY RUN): report exactly
+        what a real run would reclaim — counts in the usual keys plus
+        the candidate paths under ``would_remove`` — deleting NOTHING
+        and writing NO boundary checkpoint. The age guard applies to
+        the preview too, so the listing matches the real run's."""
         import time
 
         latest = self.latest_version()
@@ -2091,6 +2098,7 @@ class TxLogTable:
             keep.update(a["path"] for a in self._resolve(v))
         now = time.time()
         removed = 0
+        would: list[str] = []
         for root, _, files in os.walk(self.data_dir):
             for f in files:
                 full = os.path.join(root, f)
@@ -2100,7 +2108,10 @@ class TxLogTable:
                 try:
                     if now - os.path.getmtime(full) < min_age_sec:
                         continue            # possibly a commit in flight
-                    os.remove(full)
+                    if dry_run:
+                        would.append(rel)
+                    else:
+                        os.remove(full)
                     removed += 1
                 except OSError:
                     pass
@@ -2134,7 +2145,10 @@ class TxLogTable:
                 try:
                     if now - os.path.getmtime(full) < min_age_sec:
                         continue
-                    _shutil.rmtree(full)
+                    if dry_run:
+                        would.append(f"{sub}/{name}")
+                    else:
+                        _shutil.rmtree(full)
                     removed_side += 1
                 except OSError:
                     pass
@@ -2154,7 +2168,8 @@ class TxLogTable:
                     if f.endswith(".checkpoint.json")
                     and int(f[:20]) <= expire_before)
                 cb = expire_before
-                if not (ckpts and ckpts[-1] == expire_before):
+                if not dry_run \
+                        and not (ckpts and ckpts[-1] == expire_before):
                     # ensure a checkpoint AT the boundary so the cut is
                     # exact and every retained version still resolves
                     # in O(interval) after the expired commits vanish
@@ -2166,14 +2181,52 @@ class TxLogTable:
                     is_ckpt = f.endswith(".checkpoint.json")
                     if v < cb and (is_ckpt or f.endswith(".json")):
                         try:
-                            os.remove(os.path.join(self.log_dir, f))
+                            if dry_run:
+                                would.append(f"_txlog/{f}")
+                            else:
+                                os.remove(os.path.join(self.log_dir, f))
                             removed_log += 1
                         except OSError:
                             pass
         return {"removed_files": removed, "retained_files": len(keep),
                 "removed_sidecars": removed_side,
                 "removed_log_files": removed_log,
-                "latest_version": latest}
+                "latest_version": latest, "dry_run": dry_run,
+                **({"would_remove": sorted(would)} if dry_run else {})}
+
+    def describe_detail(self, version: int | None = None) -> dict:
+        """DESCRIBE DETAIL (r9, Delta parity): one metadata record for
+        the snapshot at ``version`` — live file/row/byte totals, DV
+        debt, schema + evolution flag, column-mapping mode, protocol,
+        active constraints, and the effective write config. Pure log +
+        filesystem-stat metadata: no data file is opened."""
+        if version is None:
+            version = self.latest_version()
+        files = self._resolve(version)
+        size = 0
+        for a in files:
+            try:
+                size += os.path.getsize(os.path.join(self.path, a["path"]))
+            except OSError:
+                pass                      # clone-foreign or vacuumed-away
+        sch, evolved = self.table_schema_info(version)
+        m = self.column_mapping(version)
+        dv_files = [a for a in files if a.get("dv")]
+        return {
+            "version": version,
+            "earliest_version": self.earliest_version(),
+            "num_files": len(files),
+            "num_rows": sum(add_rows(a) for a in files),
+            "size_bytes": size,
+            "num_dv_files": len(dv_files),
+            "dv_masked_rows": self._dv_sidecar_rows(
+                sorted({d for a in dv_files for d in a.get("dv", ())})),
+            "schema": sch.simpleString() if sch is not None else None,
+            "schema_evolved": evolved,
+            "column_mapping": (m or {}).get("mode"),
+            "protocol": self.table_protocol(version),
+            "constraints": self.constraints(version),
+            "config": self.effective_config(version)}
 
     # ---- row-level operations (r6: DELETE / UPDATE / RESTORE / CDF) ------
 

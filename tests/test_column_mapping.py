@@ -317,6 +317,50 @@ def test_mapping_model_based_random_ops(spark, table_path):
     verify()
 
 
+def test_vacuum_dry_run_and_describe_detail(spark, table_path):
+    """r9 polish (Delta parity): vacuum(dry_run=True) reports exactly
+    what a real run would reclaim — same counts, candidate paths listed,
+    NOTHING deleted, no boundary checkpoint written; describe_detail()
+    surfaces the snapshot's metadata (files/rows/DV debt/schema/mapping/
+    protocol/constraints/config) without opening a data file."""
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    for v in range(12):
+        t.append(_frame(spark, [(f"k{v}", v, "x")]))
+    t.overwrite(_frame(spark, [("z", 99, "y")]))   # orphans 12 files
+    t.delete("k = 'z' and v < 0", mode="mor")      # no-op MoR (no commit)
+    t.add_constraint("k_nn", "k is not null")
+    t.enable_column_mapping()
+    t.rename_column("v", "val")
+
+    pre_logs = sorted(os.listdir(t.log_dir))
+    dry = t.vacuum(retain_versions=3, min_age_sec=0,
+                   log_retain_versions=5, dry_run=True)
+    assert dry["dry_run"] and dry["removed_files"] > 0
+    assert len(dry["would_remove"]) \
+        == (dry["removed_files"] + dry["removed_sidecars"]
+            + dry["removed_log_files"])
+    # NOTHING happened: log untouched, every version still readable
+    assert sorted(os.listdir(t.log_dir)) == pre_logs
+    assert t.read(spark, 0).count() == 1
+    # the real run reclaims exactly what the preview promised
+    real = t.vacuum(retain_versions=3, min_age_sec=0,
+                    log_retain_versions=5)
+    assert real["removed_files"] == dry["removed_files"]
+    assert real["removed_sidecars"] == dry["removed_sidecars"]
+    # (the real run may expire one more log file than the preview: it
+    # writes the boundary checkpoint the preview deliberately doesn't)
+    assert real["removed_log_files"] >= dry["removed_log_files"]
+
+    d = t.describe_detail()
+    assert d["num_files"] == 1 and d["num_rows"] == 1
+    assert d["size_bytes"] > 0 and d["num_dv_files"] == 0
+    assert d["column_mapping"] == "name"
+    assert d["protocol"]["minReaderVersion"] == 2
+    assert d["constraints"] == {"k_nn": "k is not null"}
+    assert d["config"]["stats_col"] == "k"
+    assert "val" in d["schema"] and d["earliest_version"] > 0
+
+
 def test_unmapped_table_keeps_pinned_raise(spark, table_path):
     """Without enable_column_mapping, rename/drop keep today's pinned
     SchemaEvolutionError — the legacy contract is unchanged."""
