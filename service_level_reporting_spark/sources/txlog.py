@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import random
+import re
 import time
 import uuid
 
@@ -42,6 +43,25 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 CHECKPOINT_EVERY = 10
+# r10 (VERDICT #2): checkpoints are SHARDED. r9 wrote the FULL resolved
+# add-list — per-file typed stats included — into one {v}.checkpoint.json
+# and every _resolve/_seed JSON-parsed it whole on the driver. At 100 TB /
+# 10^5–10^6 live files that is a 10^2–10^3 MB JSON written per checkpoint
+# interval and parsed per table open — the r7 footer storm one layer up.
+# Now the add-action payload lives in bounded {v}.{i}.checkpoint.part
+# files (at most this many actions each; JSON arrays), the small
+# {v}.checkpoint.json META carries everything else (txns, constraints,
+# schema, protocol, mapping, config) plus the part count, and a
+# _last_checkpoint pointer skips the directory listing (Delta's
+# multi-part checkpoint + _last_checkpoint, JSON parts instead of
+# parquet because the payload is already line-sized dicts). Metadata
+# walkers (_txn_map/constraints/schema/_replay_last) therefore never
+# touch the O(live files) payload at all, and snapshot resolution is
+# cached per version (a version's file set is immutable), so repeated
+# reads parse the parts once.
+CHECKPOINT_PART_ACTIONS = 25_000
+# bounded per-handle cache of resolved snapshots (version -> add list)
+SNAP_CACHE_MAX = 8
 # Rewriting commits (merge/optimize) retry until this wall-clock deadline,
 # not a fixed count: each lost O_EXCL race is cheap to retry (the logical
 # conflict check below usually avoids re-running the Spark rewrite), and a
@@ -72,6 +92,42 @@ DV_BROADCAST_MAX_ROWS = 1_000_000
 # future log instead of mis-reading it. This implementation speaks:
 SUPPORTED_READER_VERSION = 2
 SUPPORTED_WRITER_VERSION = 2
+# r10 (VERDICT #8): named table features — Delta 3.x readerFeatures /
+# writerFeatures under (3, 7) protocol semantics. A new capability gates
+# INDIVIDUALLY (an unknown feature name fails actionably) instead of
+# forcing a monolithic version bump that locks out every older client at
+# once; plain version gates (minReaderVersion 2 / 99) keep working.
+FEATURES_READER_VERSION = 3
+FEATURES_WRITER_VERSION = 7
+SUPPORTED_READER_FEATURES = frozenset({
+    "columnMapping", "deletionVectors", "changeDataFeed"})
+SUPPORTED_WRITER_FEATURES = frozenset({
+    "columnMapping", "deletionVectors", "changeDataFeed",
+    "checkConstraints"})
+
+
+def _norm_dtype(dt):
+    """Nullability-normalized data type: every nested containsNull /
+    valueContainsNull / struct-field nullable flag forced True (r10).
+    Spark flips these flags on expression provenance — ``F.array`` over
+    non-null columns yields ``array<bigint> containsNull=false`` while
+    the same column read back from parquet is containsNull=true — and
+    parquet cannot round-trip the distinction reliably, so schema
+    identity (and the SchemaEvolutionError type-change check) must
+    compare MODULO nullability; the strict != tripped a false 'type
+    change between array<bigint> and array<bigint>'."""
+    from pyspark.sql.types import (ArrayType, MapType, StructField,
+                                   StructType)
+
+    if isinstance(dt, StructType):
+        return StructType([StructField(f.name, _norm_dtype(f.dataType),
+                                       True) for f in dt.fields])
+    if isinstance(dt, ArrayType):
+        return ArrayType(_norm_dtype(dt.elementType), True)
+    if isinstance(dt, MapType):
+        return MapType(_norm_dtype(dt.keyType),
+                       _norm_dtype(dt.valueType), True)
+    return dt
 
 
 class VersionConflict(Exception):
@@ -370,6 +426,11 @@ class TxLogTable:
         # pruning a scattered high-cardinality key needs where ranges
         # can't help. Opt-in; restricted to str/int columns.
         self.bloom_col = bloom_col
+        # r10 (VERDICT #2): sharding knob (tests shrink it) + per-handle
+        # snapshot cache — a version's resolved file set is immutable,
+        # so caching by version is safe across concurrent writers
+        self.checkpoint_part_actions = CHECKPOINT_PART_ACTIONS
+        self._snap_cache: dict[int, list] = {}
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         # publish the table's write config so readers (the txlog Spark
@@ -455,9 +516,24 @@ class TxLogTable:
     def _raise_missing(self, v: int, requested=None):
         """Diagnose a missing commit file: expired (actionable, r9) vs
         genuinely corrupt. Only called on the failure path, so the happy
-        path pays no extra log listing."""
+        path pays no extra log listing.
+
+        r10 (VERDICT #1b): name the right victim. When the REQUESTED
+        version is itself readable (>= earliest) but a replay walk's
+        BASE commit expired, the old message blamed the requested
+        version — "version 11 predates the retained log" for a version
+        11 that reads fine via checkpoints. Now the message names the
+        expired replay base and points at the checkpointed path."""
         e = self.earliest_version()
         if v < e:
+            if requested is not None and requested >= e:
+                raise VersionExpiredError(
+                    f"txlog: replay base version {v} predates the "
+                    f"retained commit log (earliest available: {e}); it "
+                    "was expired by vacuum(log_retain_versions=...). "
+                    f"Version {requested} itself is still readable — "
+                    "resolve it via checkpoints (use_checkpoint=True) "
+                    "instead of a full-from-0 replay.")
             what = v if requested is None else requested
             raise VersionExpiredError(
                 f"txlog: version {what} predates the retained commit log "
@@ -487,8 +563,28 @@ class TxLogTable:
         never leave a TORN commit file that poisons log replay (the old
         open("x")+dump had a window between claim and content). A crash
         leaves at most an orphan .tmp, which no reader globs."""
-        record = {"version": version, "actions": actions,
-                  "ts": round(time.time(), 6)}   # r7: timestamp time travel
+        # r10 (ADVICE): EVERY transaction is writer-gated here — r9
+        # checked the protocol only in _write_data_files, so a pure MoR
+        # delete, restore, or constraint/metadata-only commit from a
+        # downlevel writer could still mutate a future-protocol table.
+        # A commit whose own actions establish/upgrade the protocol is
+        # judged against the CURRENT state — exactly right: upgrading
+        # requires speaking the table's current protocol.
+        self._check_protocol(write=True)
+        # r10 (VERDICT #7): commit timestamps are MONOTONIC in-commit
+        # timestamps (Delta's ICT) — max(wall clock, previous commit's
+        # ts + 1µs). The claim below serializes on version-1 being fully
+        # published, so a successful commit always read its predecessor's
+        # FINAL ts and version_at_timestamp can binary-search. "ts" is
+        # serialized as the FIRST key so _commit_ts reads a 96-byte
+        # header, never the O(actions) record.
+        now = round(time.time(), 6)
+        if version > 0:
+            prev = self._commit_ts(version - 1)
+            if prev is not None and now <= prev:
+                now = round(prev + 1e-6, 6)
+        record = {"ts": now,                     # r7: timestamp time travel
+                  "version": version, "actions": actions}
         if extra:
             record.update(extra)     # e.g. the MoR delete's cdf sidecar
         if txn is not None:
@@ -510,20 +606,64 @@ class TxLogTable:
         return version
 
     def _latest_checkpoint(self, version: int) -> dict | None:
-        """Parsed latest checkpoint at or below `version`, or None —
-        shared by file resolution, the txn map, and checkpoint writing."""
+        """Parsed latest checkpoint META at or below `version`, or None —
+        shared by file resolution, the txn map, and checkpoint writing.
+        r10: tries the `_last_checkpoint` pointer first (Delta's), so the
+        common read-latest path skips the directory listing entirely."""
+        ptr = os.path.join(self.log_dir, "_last_checkpoint")
+        if os.path.exists(ptr):
+            try:
+                with open(ptr) as fh:
+                    pv = int(json.load(fh)["version"])
+                p = os.path.join(self.log_dir,
+                                 f"{pv:020d}.checkpoint.json")
+                if pv <= version and os.path.exists(p):
+                    with open(p) as fh:
+                        return json.load(fh)
+            except (ValueError, KeyError, json.JSONDecodeError):
+                pass          # stale/corrupt pointer -> listing fallback
         for ckpt in self._checkpoints_desc(version):
             return ckpt
         return None
 
     def _checkpoints_desc(self, version: int):
-        """Parsed checkpoints at or below ``version``, newest first."""
+        """Parsed checkpoint METAS at or below ``version``, newest first.
+        r10: metas are small (no add-list payload) — walkers that only
+        need txns/constraints/schema/protocol never touch the O(live
+        files) part files."""
         for cv in sorted((int(f[:20]) for f in os.listdir(self.log_dir)
                           if f.endswith(".checkpoint.json")
                           and int(f[:20]) <= version), reverse=True):
             with open(os.path.join(
                     self.log_dir, f"{cv:020d}.checkpoint.json")) as fh:
                 yield json.load(fh)
+
+    def _part_path(self, version: int, i: int) -> str:
+        # .part (NOT .json): latest_version/earliest_version glob commit
+        # files by the .json suffix — a part named *.json would be
+        # miscounted as a commit
+        return os.path.join(self.log_dir,
+                            f"{version:020d}.{i:05d}.checkpoint.part")
+
+    def _ckpt_files(self, ckpt: dict) -> list[dict]:
+        """The add-action payload of a checkpoint: inline ``files`` for
+        legacy single-JSON checkpoints (still readable, r10), else the
+        concatenation of its bounded .checkpoint.part shards."""
+        if ckpt.get("files") is not None:
+            return ckpt["files"]
+        out: list[dict] = []
+        for i in range(int(ckpt["files_parts"])):
+            with open(self._part_path(ckpt["version"], i)) as fh:
+                out.extend(json.load(fh))
+        return out
+
+    @staticmethod
+    def _ckpt_carries(ckpt: dict, key: str) -> bool:
+        """Does this checkpoint carry ``key``? The files payload counts
+        as carried whether inline (legacy) or sharded (r10)."""
+        if key == "files":
+            return "files" in ckpt or "files_parts" in ckpt
+        return key in ckpt
 
     def _seed(self, version: int, key: str) -> tuple:
         """(checkpoint carrying ``key``, replay start): the NEWEST
@@ -537,9 +677,52 @@ class TxLogTable:
         checkpoint carries the key — the legacy full walk, which now
         raises on expired commits instead of dropping their actions."""
         for ckpt in self._checkpoints_desc(version):
-            if key in ckpt:
+            if self._ckpt_carries(ckpt, key):
                 return ckpt, ckpt["version"] + 1
         return None, 0
+
+    def _replay_base(self, version: int, key: str | None = None) -> tuple:
+        """Full-replay seed for ``use_checkpoint=False`` walkers (r10,
+        VERDICT #1a). Returns ``(checkpoint_or_None, start_version)``.
+
+        ``use_checkpoint=False`` exists to VALIDATE checkpoints: replay
+        the raw commit log and compare. While the whole log is retained
+        that means replay-from-0 → (None, 0). Once
+        vacuum(log_retain_versions=...) expired head commits, a from-0
+        replay is impossible by construction — the r9 behavior raised
+        VersionExpiredError, making the validation silently unusable on
+        any vacuumed table (and the randomized concurrency property
+        red). The strongest full-replay check that CAN exist after
+        retention is: seed from the OLDEST checkpoint whose replay tail
+        lies entirely inside the retained log (the retention boundary
+        checkpoint vacuum wrote for exactly this purpose), then replay
+        every surviving commit on top. That still independently
+        validates every NEWER checkpoint — only the boundary itself is
+        trusted, and it is the one artifact retention cannot avoid
+        trusting.
+
+        ``key`` (constraints/txns/schema walkers): the seed must carry
+        the key; boundary checkpoints carry every key by construction
+        (_write_checkpoint), so this only skips legacy pre-key
+        checkpoints. Raises VersionExpiredError when no covering seed
+        exists (a hand-pruned log)."""
+        e = self.earliest_version()
+        if e <= 0:
+            return None, 0
+        best = None
+        for ckpt in self._checkpoints_desc(version):
+            if ckpt["version"] + 1 < e:
+                break           # older ones cover even less — stop
+            if key is None or self._ckpt_carries(ckpt, key):
+                best = ckpt     # keep scanning: want the OLDEST covering
+        if best is None:
+            raise VersionExpiredError(
+                f"txlog: full replay of version {version} is impossible "
+                f"— commits before {e} were expired by "
+                "vacuum(log_retain_versions=...) and no retained "
+                "checkpoint covers the expired range "
+                f"{'for key ' + key if key else ''}.")
+        return best, best["version"] + 1
 
     def _walk_missing(self, v: int) -> None:
         """A replay walk hit a missing commit file: expired commits make
@@ -562,6 +745,10 @@ class TxLogTable:
         txns: dict[str, int] = {}
         if use_checkpoint:
             ckpt, start = self._seed(version, "txns")
+            if ckpt is not None and ckpt["txns"] is not None:
+                txns = {w: int(b) for w, b in ckpt["txns"].items()}
+        else:
+            ckpt, start = self._replay_base(version, "txns")
             if ckpt is not None and ckpt["txns"] is not None:
                 txns = {w: int(b) for w, b in ckpt["txns"].items()}
         for v in range(start, version + 1):
@@ -616,10 +803,25 @@ class TxLogTable:
         txns = self._txn_map(version)
         cons = self.constraints(version)
         sch, sev = self.table_schema_info(version)
+        # r10 (VERDICT #2): shard the O(live files) payload into bounded
+        # parts, write parts FIRST, publish the small meta JSON last
+        # (a reader can never see a meta whose parts are missing), then
+        # advance the _last_checkpoint pointer (never regress it — the
+        # retention boundary checkpoint may be OLDER than the newest)
+        psz = max(1, int(self.checkpoint_part_actions))
+        parts = [files[i:i + psz] for i in range(0, len(files), psz)] \
+            or [[]]
+        for i, part in enumerate(parts):
+            pp = self._part_path(version, i)
+            tmp = pp + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump(part, fh)
+            os.replace(tmp, pp)
         ckpt = os.path.join(self.log_dir, f"{version:020d}.checkpoint.json")
         tmp = ckpt + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
-            json.dump({"version": version, "files": files,
+            json.dump({"version": version,
+                       "files_parts": len(parts), "n_files": len(files),
                        "txns": txns, "constraints": cons,
                        "schema": sch.json() if sch is not None else None,
                        "schema_evolved": sev,
@@ -631,6 +833,17 @@ class TxLogTable:
                        "config": self._replay_last("config", version)},
                       fh)
         os.replace(tmp, ckpt)          # atomic publish, idempotent rewrite
+        ptr = os.path.join(self.log_dir, "_last_checkpoint")
+        try:
+            with open(ptr) as fh:
+                cur = int(json.load(fh)["version"])
+        except (OSError, ValueError, KeyError, json.JSONDecodeError):
+            cur = -1
+        if version > cur:
+            tmp = ptr + f".tmp.{uuid.uuid4().hex[:8]}"
+            with open(tmp, "w") as fh:
+                json.dump({"version": version, "parts": len(parts)}, fh)
+            os.replace(tmp, ptr)
 
     # ---- CHECK constraints (r7): write-side enforcement in the log ------
 
@@ -647,6 +860,10 @@ class TxLogTable:
         cons: dict[str, str] = {}
         if use_checkpoint:
             ckpt, start = self._seed(version, "constraints")
+            if ckpt is not None and ckpt["constraints"] is not None:
+                cons = dict(ckpt["constraints"])
+        else:
+            ckpt, start = self._replay_base(version, "constraints")
             if ckpt is not None and ckpt["constraints"] is not None:
                 cons = dict(ckpt["constraints"])
         for v in range(start, version + 1):
@@ -682,6 +899,10 @@ class TxLogTable:
             ckpt, start = self._seed(version, key)
             if ckpt is not None and ckpt[key] is not None:
                 val = ckpt[key]
+        else:
+            ckpt, start = self._replay_base(version, key)
+            if ckpt is not None and ckpt[key] is not None:
+                val = ckpt[key]
         for v in range(start, version + 1):
             p = self._commit_path(v)
             if not os.path.exists(p):
@@ -706,21 +927,78 @@ class TxLogTable:
     def _check_protocol(self, version: int | None = None,
                         write: bool = False) -> None:
         p = self.table_protocol(version)
-        if int(p.get("minReaderVersion", 1)) > SUPPORTED_READER_VERSION:
+        mrv = int(p.get("minReaderVersion", 1))
+        if mrv == FEATURES_READER_VERSION:
+            # r10 (VERDICT #8): table-features protocol — gate on the
+            # NAMED feature set, not the version number
+            unknown = sorted(set(p.get("readerFeatures", ()))
+                             - SUPPORTED_READER_FEATURES)
+            if unknown:
+                raise ProtocolError(
+                    f"txlog: this table requires reader feature(s) "
+                    f"{unknown} this implementation does not support "
+                    f"(it speaks {sorted(SUPPORTED_READER_FEATURES)}) — "
+                    "upgrade the reader before touching this table.")
+        elif mrv > SUPPORTED_READER_VERSION:
             raise ProtocolError(
                 f"txlog: this table requires reader version "
                 f"{p['minReaderVersion']} but this implementation speaks "
                 f"{SUPPORTED_READER_VERSION} — upgrade the reader before "
                 "touching this table (its log uses features this code "
                 "does not understand).")
-        if write and int(p.get("minWriterVersion", 1)) \
-                > SUPPORTED_WRITER_VERSION:
+        if not write:
+            return
+        mwv = int(p.get("minWriterVersion", 1))
+        if mwv == FEATURES_WRITER_VERSION:
+            unknown = sorted(set(p.get("writerFeatures", ()))
+                             - SUPPORTED_WRITER_FEATURES)
+            if unknown:
+                raise ProtocolError(
+                    f"txlog: this table requires writer feature(s) "
+                    f"{unknown} this implementation does not support "
+                    f"(it speaks {sorted(SUPPORTED_WRITER_FEATURES)}) — "
+                    "upgrade before writing.")
+        elif mwv > SUPPORTED_WRITER_VERSION:
             raise ProtocolError(
                 f"txlog: this table requires writer version "
                 f"{p['minWriterVersion']} but this implementation speaks "
                 f"{SUPPORTED_WRITER_VERSION} — upgrade before writing "
                 "(a downlevel write could corrupt features the log "
                 "already uses).")
+
+    def upgrade_protocol(self, reader_features=(),
+                         writer_features=()) -> int:
+        """Upgrade the table to the table-features protocol (r10,
+        VERDICT #8 — Delta's (3, 7)) adding the named features to the
+        current sets; monotonic and idempotent. Reader features imply
+        the matching writer feature (a writer that can't maintain a
+        reader-visible invariant must not write — Delta's rule)."""
+        unknown = (set(reader_features) - SUPPORTED_READER_FEATURES) \
+            | (set(writer_features) - SUPPORTED_WRITER_FEATURES)
+        if unknown:
+            raise ValueError(
+                f"txlog upgrade_protocol: unsupported feature(s) "
+                f"{sorted(unknown)} — this implementation cannot "
+                "maintain what it does not understand.")
+        attempt = 0
+        while True:
+            p = self.table_protocol()
+            rf = sorted(set(p.get("readerFeatures", ()))
+                        | set(reader_features))
+            wf = sorted(set(p.get("writerFeatures", ()))
+                        | set(writer_features) | set(reader_features))
+            new = {"minReaderVersion": FEATURES_READER_VERSION,
+                   "minWriterVersion": FEATURES_WRITER_VERSION,
+                   "readerFeatures": rf, "writerFeatures": wf}
+            if p == new:
+                return self.latest_version()          # idempotent
+            try:
+                return self.commit([{"protocol": new}],
+                                   self.latest_version() + 1,
+                                   op="upgrade_protocol")
+            except VersionConflict:
+                _backoff(attempt)
+                attempt += 1
 
     def column_mapping(self, version: int | None = None):
         """The column-mapping state at ``version`` (r9, VERDICT item 3 —
@@ -785,6 +1063,13 @@ class TxLogTable:
                 fields = {f.name: f for f in st.fields}
                 evolved = bool(ckpt.get("schema_evolved"))
                 seen = True
+        else:
+            ckpt, start = self._replay_base(version, "schema")
+            if ckpt is not None and ckpt["schema"] is not None:
+                st = StructType.fromJson(json.loads(ckpt["schema"]))
+                fields = {f.name: f for f in st.fields}
+                evolved = bool(ckpt.get("schema_evolved"))
+                seen = True
         for v in range(start, version + 1):
             p = self._commit_path(v)
             if not os.path.exists(p):
@@ -813,7 +1098,8 @@ class TxLogTable:
                     continue
                 bad = [n for n, f in new.items()
                        if n in fields
-                       and f.dataType != fields[n].dataType]
+                       and _norm_dtype(f.dataType)
+                       != _norm_dtype(fields[n].dataType)]
                 if bad:
                     raise SchemaEvolutionError(
                         f"txlog schema: incompatible type change for "
@@ -839,12 +1125,14 @@ class TxLogTable:
         from pyspark.sql.types import StructField
 
         return self._schema_action_fields(
-            [StructField(f.name, f.dataType, True)
+            [StructField(f.name, _norm_dtype(f.dataType), True)
              for f in df.schema.fields])
 
     def _schema_action_fields(self, norm):
-        from pyspark.sql.types import StructType
+        from pyspark.sql.types import StructField, StructType
 
+        norm = [StructField(f.name, _norm_dtype(f.dataType), True)
+                for f in norm]
         cur, _ = self.table_schema_info()
         if cur is None:
             union = norm
@@ -852,7 +1140,7 @@ class TxLogTable:
             have = {f.name: f for f in cur.fields}
             bad = [f.name for f in norm
                    if f.name in have
-                   and f.dataType != have[f.name].dataType]
+                   and f.dataType != _norm_dtype(have[f.name].dataType)]
             if bad:
                 raise SchemaEvolutionError(
                     f"txlog schema: incompatible type change for "
@@ -907,6 +1195,31 @@ class TxLogTable:
             return actions
         staged = StructType.fromJson(
             json.loads(actions[idx]["metaData"]["schemaString"]))
+        # r10 (ADVICE): with column mapping on, a concurrent
+        # rename_column/drop_column can remove a STAGED column's logical
+        # name mid-retry. Re-unioning it would re-add it as a "new"
+        # field with NO mapping entry, and _apply_mapping's identity
+        # fallback would resolve it to the renamed column's frozen
+        # physical name — two logical columns aliasing one physical
+        # column. Delta fails the losing transaction on a metadata
+        # change; so do we. (Genuinely-new columns are exempt: they ride
+        # a columnMappingAdd in this same action list.)
+        m = self.column_mapping()
+        if m is not None:
+            registered = {f["logical"] for a in actions
+                          for f in (a.get("columnMappingAdd")
+                                    or {}).get("fields", ())}
+            cur_logical = {f["logical"] for f in m["fields"]}
+            lost = [f.name for f in staged.fields
+                    if f.name not in cur_logical
+                    and f.name not in registered]
+            if lost:
+                raise SchemaEvolutionError(
+                    f"txlog: column(s) {lost} were renamed or dropped "
+                    "by a concurrent writer while this write was staged "
+                    "— re-adding them would alias another column's "
+                    "physical data. Retry the write against the "
+                    "current table.")
         fresh = self._schema_action_fields(list(staged.fields))
         rest = [a for i, a in enumerate(actions) if i != idx]
         return ([fresh] + rest) if fresh else rest
@@ -970,9 +1283,12 @@ class TxLogTable:
         reads unchanged. From then on renames and drops are
         METADATA-ONLY commits (zero data rewritten at any table size)
         and new columns get collision-proof ``col-<id>-<hex>`` physical
-        names. Bumps the protocol to (2, 2) in the same commit: a
-        pre-mapping reader must fail actionably rather than serve
-        physical names as columns. Idempotent."""
+        names. Upgrades the protocol to the table-features form (3, 7)
+        with the ``columnMapping`` feature in the same commit (r10,
+        VERDICT #8 — Delta 3.x semantics): a pre-mapping reader must
+        fail actionably rather than serve physical names as columns,
+        and it fails on the NAMED feature, not a monolithic version
+        bump. Idempotent."""
         attempt = 0
         while True:
             if self.column_mapping() is not None:
@@ -984,11 +1300,19 @@ class TxLogTable:
                     "recorded schema yet — write data first.")
             fields = [{"id": i + 1, "logical": f.name, "physical": f.name}
                       for i, f in enumerate(sch.fields)]
+            p = self.table_protocol()
             actions = [
                 {"columnMapping": {"mode": "name", "fields": fields,
                                    "maxId": len(fields)}},
-                {"protocol": {"minReaderVersion": 2,
-                              "minWriterVersion": 2}}]
+                {"protocol": {
+                    "minReaderVersion": FEATURES_READER_VERSION,
+                    "minWriterVersion": FEATURES_WRITER_VERSION,
+                    "readerFeatures": sorted(
+                        set(p.get("readerFeatures", ()))
+                        | {"columnMapping"}),
+                    "writerFeatures": sorted(
+                        set(p.get("writerFeatures", ()))
+                        | {"columnMapping"})}}]
             try:
                 return self.commit(actions, self.latest_version() + 1,
                                    op="enable_column_mapping")
@@ -1134,13 +1458,25 @@ class TxLogTable:
             version = self.latest_version()
         if version < 0:
             return []
+        # r10 (VERDICT #2): a version's file set is immutable — cache the
+        # resolved list per handle so repeated reads of one version parse
+        # the checkpoint parts once. Only the checkpointed path caches:
+        # use_checkpoint=False exists to VALIDATE, so it always re-reads.
+        if use_checkpoint and version in self._snap_cache:
+            return self._snap_cache[version]
         start = 0
         live: dict[str, dict] = {}
         if use_checkpoint:
             ckpt = self._latest_checkpoint(version)
             if ckpt is not None:
-                live = {a["path"]: a for a in ckpt["files"]}
+                live = {a["path"]: a for a in self._ckpt_files(ckpt)}
                 start = ckpt["version"] + 1
+        else:
+            # r10 (VERDICT #1a): post-retention full replay seeds from
+            # the oldest covering boundary checkpoint — see _replay_base
+            ckpt, start = self._replay_base(version, "files")
+            if ckpt is not None:
+                live = {a["path"]: a for a in self._ckpt_files(ckpt)}
         for v in range(start, version + 1):
             p = self._commit_path(v)
             if not os.path.exists(p):
@@ -1151,7 +1487,12 @@ class TxLogTable:
                         live[a["add"]["path"]] = a["add"]
                     elif "remove" in a:
                         live.pop(a["remove"], None)
-        return sorted(live.values(), key=lambda a: a["path"])
+        out = sorted(live.values(), key=lambda a: a["path"])
+        if use_checkpoint:
+            if len(self._snap_cache) >= SNAP_CACHE_MAX:
+                self._snap_cache.pop(next(iter(self._snap_cache)))
+            self._snap_cache[version] = out
+        return out
 
     # ---- data-file helpers ------------------------------------------------
 
@@ -1189,7 +1530,7 @@ class TxLogTable:
         if schema_reset:
             from pyspark.sql.types import StructField, StructType
             meta_action = {"metaData": {"schemaString": StructType(
-                [StructField(f.name, f.dataType, True)
+                [StructField(f.name, _norm_dtype(f.dataType), True)
                  for f in df.schema.fields]).json(), "reset": True}}
         else:
             meta_action = self._schema_action(df)
@@ -1310,6 +1651,18 @@ class TxLogTable:
         through the anti-join into both parquet scans."""
         prefix = os.path.abspath(self.path) + "/"
         mapping = self.column_mapping(version)
+        if mapping is not None and not merge_schema:
+            # r10 (ADVICE): with mapping on, a column added AFTER enable
+            # (physical col-<id>-<hex>) can live only in newer files; a
+            # single-footer inferred schema would omit it and
+            # _apply_mapping would NULL-pad it for ALL rows — wrong
+            # NULLs for files that hold data. The LOG knows whether
+            # per-file schemas diverge (the evolved flag) — force
+            # mergeSchema exactly then, never for the common
+            # homogeneous case.
+            _, evolved = self.table_schema_info(version)
+            if evolved:
+                merge_schema = True
 
         def scan(subset: list[dict]) -> DataFrame:
             paths = [os.path.join(self.path, a["path"]) for a in subset]
@@ -1501,20 +1854,52 @@ class TxLogTable:
         t.commit(actions, 0, op="clone")
         return t
 
+    def _commit_ts(self, v: int) -> float | None:
+        """Commit timestamp of version ``v`` via an O(1) header read —
+        r10 commits serialize "ts" as the FIRST record key, so 96 bytes
+        suffice; legacy records (ts elsewhere, or absent) fall back to
+        one full parse. None when the file is missing or carries no
+        timestamp."""
+        p = self._commit_path(v)
+        try:
+            with open(p) as fh:
+                head = fh.read(96)
+        except OSError:
+            return None
+        m = re.match(r'\{"ts": ([0-9][0-9.eE+-]*)', head)
+        if m:
+            return float(m.group(1))
+        try:
+            with open(p) as fh:
+                return json.load(fh).get("ts")
+        except (OSError, json.JSONDecodeError):
+            return None
+
     def version_at_timestamp(self, ts: float) -> int:
         """Latest version whose commit timestamp is <= ts — Delta's
         TIMESTAMP AS OF resolution. Commits written before timestamps
         existed (pre-r7 logs) are treated as arbitrarily old (always
-        eligible). Raises if the table's first commit is newer than ts."""
+        eligible). Raises if the table's first commit is newer than ts.
+
+        r10 (VERDICT #7): O(log n) — commit timestamps are
+        write-enforced monotonic (each commit records max(wall clock,
+        predecessor's ts + 1µs); the O_EXCL claim serializes on the
+        predecessor being fully published), so this binary-searches the
+        retained version range, and every probe is a 96-byte header
+        read (_commit_ts), never an O(actions) record parse. The r9
+        behavior opened EVERY retained commit JSON per call. Legacy
+        pre-r10 logs (best-effort wall clocks) can misresolve only
+        inside a commit-race window of milliseconds."""
+        lo, hi = self.earliest_version(), self.latest_version()
         best = -1
-        for v in range(self.earliest_version(), self.latest_version() + 1):
-            p = self._commit_path(v)
-            if not os.path.exists(p):
-                continue
-            with open(p) as fh:
-                cts = json.load(fh).get("ts")
+        while lo <= hi:
+            mid = (lo + hi) // 2
+            cts = self._commit_ts(mid)
             if cts is None or cts <= ts:
-                best = v
+                best = mid
+                lo = mid + 1
+            else:
+                hi = mid - 1
         if best < 0:
             e = self.earliest_version()
             if e > 0:
@@ -2178,7 +2563,8 @@ class TxLogTable:
                     if not f[:20].isdigit():
                         continue          # _meta.json, orphan tmp files
                     v = int(f[:20])
-                    is_ckpt = f.endswith(".checkpoint.json")
+                    is_ckpt = f.endswith(".checkpoint.json") \
+                        or f.endswith(".checkpoint.part")   # r10 shards
                     if v < cb and (is_ckpt or f.endswith(".json")):
                         try:
                             if dry_run:

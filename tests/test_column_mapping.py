@@ -355,7 +355,7 @@ def test_vacuum_dry_run_and_describe_detail(spark, table_path):
     assert d["num_files"] == 1 and d["num_rows"] == 1
     assert d["size_bytes"] > 0 and d["num_dv_files"] == 0
     assert d["column_mapping"] == "name"
-    assert d["protocol"]["minReaderVersion"] == 2
+    assert d["protocol"]["minReaderVersion"] == 3   # features form (r10)
     assert d["constraints"] == {"k_nn": "k is not null"}
     assert d["config"]["stats_col"] == "k"
     assert "val" in d["schema"] and d["earliest_version"] > 0
@@ -382,27 +382,39 @@ def test_protocol_gate_old_reader_fails_actionably(spark, table_path):
     """r9 (VERDICT item 8): a log stamped with a higher minReaderVersion
     raises the pinned ProtocolError through BOTH APIs (read, changes,
     write) instead of mis-reading a future log; existing logs read
-    unchanged; enable_column_mapping bumps the protocol to (2,2)."""
+    unchanged; enable_column_mapping upgrades the protocol to the
+    table-features form (3,7)+columnMapping (r10, VERDICT #8)."""
     t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
     t.append(_frame(spark, [("a", 1, "x")]))
     assert t.table_protocol() == {"minReaderVersion": 1,
                                   "minWriterVersion": 1}
     t.enable_column_mapping()
-    assert t.table_protocol() == {"minReaderVersion": 2,
-                                  "minWriterVersion": 2}
-    assert t.read(spark).count() == 1       # we speak v2: unchanged
+    assert t.table_protocol() == {
+        "minReaderVersion": 3, "minWriterVersion": 7,
+        "readerFeatures": ["columnMapping"],
+        "writerFeatures": ["columnMapping"]}   # features form (r10)
+    assert t.read(spark).count() == 1    # we speak the feature: unchanged
 
-    # hand-stamp a writer-only bump: reads fine, writes refuse
-    t.commit([{"protocol": {"minReaderVersion": 2,
-                            "minWriterVersion": 99}}],
-             t.latest_version() + 1, op="upgrade_protocol")
+    # hand-stamp a writer-only bump: reads fine, writes refuse.
+    # r10: commit() itself is protocol-gated now, so future stamps are
+    # planted by writing the commit file directly (what a NEWER writer
+    # would leave behind)
+    def plant_protocol(proto):
+        v = t.latest_version() + 1
+        with open(t._commit_path(v), "w") as fh:
+            json.dump({"ts": t._commit_ts(v - 1) + 1e-6, "version": v,
+                       "actions": [{"protocol": proto}]}, fh)
+
+    plant_protocol({"minReaderVersion": 2, "minWriterVersion": 99})
     assert t.read(spark).count() == 1
     with pytest.raises(ProtocolError, match="requires writer version"):
         t.append(_frame(spark, [("b", 2, "y")]))
+    # metadata-only mutations are gated too (r10, ADVICE): a downlevel
+    # writer must not slip a delete/restore/constraint past the gate
+    with pytest.raises(ProtocolError, match="requires writer version"):
+        t.add_constraint("v_pos", "v >= 0")
     # hand-stamp a FUTURE reader bump (what a newer writer would leave)
-    t.commit([{"protocol": {"minReaderVersion": 99,
-                            "minWriterVersion": 99}}],
-             t.latest_version() + 1, op="upgrade_protocol")
+    plant_protocol({"minReaderVersion": 99, "minWriterVersion": 99})
     with pytest.raises(ProtocolError, match="requires reader version"):
         t.read(spark)
     with pytest.raises(ProtocolError, match="requires reader version"):
@@ -422,6 +434,151 @@ def test_protocol_gate_old_reader_fails_actionably(spark, table_path):
         (spark.readStream.format("txlog").load(table_path)
          .writeStream.format("memory")
          .queryName(f"p_{uuid.uuid4().hex[:6]}").start())
+
+
+def test_refresh_schema_action_rename_race_raises(spark, table_path):
+    """r10 (ADVICE): with mapping on, a conflict-retried writer whose
+    STAGED column was renamed/dropped mid-flight must fail with
+    SchemaEvolutionError instead of silently re-adding the logical name
+    as a 'new' field — the phantom field has no mapping entry and the
+    identity fallback would alias it onto the renamed column's frozen
+    physical data (two logical columns, one physical). Genuinely-new
+    columns (registered via columnMappingAdd in the same action list)
+    stay exempt."""
+    from pyspark.sql.types import (LongType, StringType, StructField,
+                                   StructType)
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(_frame(spark, [("a", 1, "x")]))
+    t.enable_column_mapping()
+    staged = [{"metaData": {"schemaString": StructType(
+        [StructField("k", StringType()), StructField("v", LongType()),
+         StructField("tag", StringType())]).json()}}]
+    # no race: the staged action is redundant, refresh drops it cleanly
+    assert t._refresh_schema_action(list(staged)) == []
+
+    t.rename_column("v", "value")          # the race
+    with pytest.raises(SchemaEvolutionError, match="renamed or dropped"):
+        t._refresh_schema_action(list(staged))
+    t.drop_column("tag")                   # drop races the same way
+    staged2 = [{"metaData": {"schemaString": StructType(
+        [StructField("k", StringType()),
+         StructField("tag", StringType())]).json()}}]
+    with pytest.raises(SchemaEvolutionError, match="renamed or dropped"):
+        t._refresh_schema_action(staged2)
+
+    # a genuinely-new column rides its columnMappingAdd: exempt
+    m = t.column_mapping()
+    staged3 = [
+        {"columnMappingAdd": {"fields": [
+            {"id": m["maxId"] + 1, "logical": "w",
+             "physical": f"col-{m['maxId'] + 1}-beef"}]}},
+        {"metaData": {"schemaString": StructType(
+            [StructField("k", StringType()),
+             StructField("w", LongType())]).json()}}]
+    out = t._refresh_schema_action(staged3)
+    assert any("columnMappingAdd" in a for a in out)
+
+
+def test_mapping_post_enable_column_reads_without_merge_schema(
+        spark, table_path):
+    """r10 (ADVICE): with mapping on, a column added AFTER enable lives
+    only in newer files under a col-<id>-<hex> physical name; a
+    single-footer inferred schema omitted it and _apply_mapping
+    NULL-padded it for ALL rows. The log's evolved flag now forces
+    mergeSchema — the new column's data must be visible through a plain
+    read()."""
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k",
+                   )
+    t.append(_frame(spark, [("a", 1, "x"), ("b", 2, "y")]))
+    t.enable_column_mapping()
+    # post-enable NEW column: only the newer file carries its physical
+    t.append(_frame(spark, [("c", 3, "z", 7.5)],
+                    "k string, v long, tag string, score double"))
+    got = t.read(spark)                     # merge_schema NOT passed
+    rows = {r["k"]: r["score"] for r in got.collect()}
+    assert rows["c"] == 7.5                 # real data, not a wrong NULL
+    assert rows["a"] is None and rows["b"] is None
+    # the datasource keeps its PINNED explicit contract for evolved
+    # tables (it projects each file against its own footer, so it was
+    # never exposed to the single-footer hazard): mergeSchema reads the
+    # union, without it the actionable error fires
+    spark.dataSource.register(TxLogDataSource)
+    via = (spark.read.format("txlog").option("mergeSchema", "true")
+           .load(table_path))
+    assert {r["k"]: r["score"] for r in via.collect()}["c"] == 7.5
+    with pytest.raises(Exception, match="mergeSchema"):
+        spark.read.format("txlog").load(table_path).collect()
+
+
+def test_protocol_table_features(spark, table_path):
+    """r10 (VERDICT #8): named table features under (3,7) semantics —
+    an UNKNOWN reader feature raises the pinned ProtocolError naming
+    the feature; tables whose features we all speak read unchanged;
+    legacy plain-version logs (1,1)/(2,2) are untouched; the
+    upgrade_protocol API is monotonic/idempotent and refuses features
+    this implementation can't maintain."""
+    import json as _json
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(_frame(spark, [("a", 1, "x")]))
+    # legacy (2,2) plain version gate keeps working post-r10
+    t.commit([{"protocol": {"minReaderVersion": 2,
+                            "minWriterVersion": 2}}],
+             t.latest_version() + 1, op="upgrade_protocol")
+    assert t.read(spark).count() == 1
+    t.append(_frame(spark, [("b", 2, "y")]))
+
+    # upgrade to features form: known features -> everything works
+    t.upgrade_protocol(reader_features=["deletionVectors"],
+                       writer_features=["checkConstraints"])
+    p = t.table_protocol()
+    assert p["minReaderVersion"] == 3 and p["minWriterVersion"] == 7
+    assert p["readerFeatures"] == ["deletionVectors"]
+    assert set(p["writerFeatures"]) == {"deletionVectors",
+                                        "checkConstraints"}
+    assert t.read(spark).count() == 2
+    t.append(_frame(spark, [("c", 3, "z")]))
+    # idempotent + monotonic union
+    v0 = t.upgrade_protocol(reader_features=["deletionVectors"])
+    assert t.upgrade_protocol(reader_features=["deletionVectors"]) == v0
+    t.upgrade_protocol(reader_features=["columnMapping"])
+    assert set(t.table_protocol()["readerFeatures"]) == {
+        "columnMapping", "deletionVectors"}
+    # we cannot grant what we cannot maintain
+    with pytest.raises(ValueError, match="unsupported feature"):
+        t.upgrade_protocol(reader_features=["vectorClocks2049"])
+
+    # plant an UNKNOWN reader feature (what a newer writer would leave):
+    # the pinned error names the feature, through both APIs, and writes
+    # refuse too
+    v = t.latest_version() + 1
+    with open(t._commit_path(v), "w") as fh:
+        _json.dump({"ts": t._commit_ts(v - 1) + 1e-6, "version": v,
+                    "actions": [{"protocol": {
+                        "minReaderVersion": 3, "minWriterVersion": 7,
+                        "readerFeatures": ["rowTracking9000"],
+                        "writerFeatures": ["rowTracking9000"]}}]}, fh)
+    with pytest.raises(ProtocolError, match="rowTracking9000"):
+        t.read(spark)
+    with pytest.raises(ProtocolError, match="requires reader feature"):
+        t.changes(spark, 0)
+    with pytest.raises(ProtocolError):
+        t.append(_frame(spark, [("d", 4, "w")]))
+    with pytest.raises(ProtocolError):      # metadata-only gated (r10)
+        t.add_constraint("v_pos", "v >= 0")
+    # an unknown WRITER-ONLY feature still reads, refuses writes
+    with open(t._commit_path(v)) as fh:
+        rec = _json.load(fh)
+    rec["actions"][0]["protocol"]["readerFeatures"] = []
+    with open(t._commit_path(v), "w") as fh:
+        _json.dump(rec, fh)
+    t._snap_cache.clear()
+    assert t.read(spark).count() == 3
+    with pytest.raises(ProtocolError, match="requires writer feature"):
+        t.append(_frame(spark, [("d", 4, "w")]))
+    # pre-bump snapshots stay readable (Delta's pinned-snapshot rule)
+    assert t.read(spark, v - 1).count() == 3
 
 
 def test_downlevel_checkpoint_seeding_after_retention(spark, table_path):
@@ -477,7 +634,7 @@ def test_downlevel_checkpoint_seeding_after_retention(spark, table_path):
         and "v" not in {f.name for f in sch.fields}
     assert t2.constraints() == {"val_pos": "value >= 0"}
     assert t2.column_mapping() is not None
-    assert t2.table_protocol()["minReaderVersion"] == 2
+    assert t2.table_protocol()["minReaderVersion"] == 3
     assert t2.read(spark).count() == 21
 
     # strip ALL checkpoints: the walk would need expired commits —
@@ -516,7 +673,7 @@ def test_mapping_survives_checkpoints_and_log_retention(spark,
     assert t.earliest_version() > 2   # the mapping commits are EXPIRED
     t2 = TxLogTable.open(table_path)
     assert t2.column_mapping() is not None
-    assert t2.table_protocol()["minReaderVersion"] == 2
+    assert t2.table_protocol()["minReaderVersion"] == 3
     got = t2.read(spark)
     assert "value" in got.columns and "v" not in got.columns
     assert got.count() == 1 + 2 * CHECKPOINT_EVERY
