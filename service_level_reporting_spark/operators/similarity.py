@@ -1342,6 +1342,9 @@ def _ivf_apply_changes(spark: SparkSession, path: str, changes: DataFrame,
         with the masked vec_ids anti-joined out; returns cells touched.
         partitionOverwriteMode rides the WRITE (dynamic), immune to the
         session's global setting (r9, ADVICE)."""
+        import os as _os
+        import shutil as _sh
+
         cids = [int(r["centroid_id"]) for r in
                 mask.select("centroid_id").distinct().collect()]
         if not cids:
@@ -1353,10 +1356,26 @@ def _ivf_apply_changes(spark: SparkSession, path: str, changes: DataFrame,
                 # materialize BEFORE overwriting the partitions it reads
                 # (a production impl writes fresh files then swaps)
                 .localCheckpoint(eager=True))
-        (keep.select(*out_cols).repartition("centroid_id")
-         .write.mode("overwrite")
-         .option("partitionOverwriteMode", "dynamic")
-         .partitionBy("centroid_id").parquet(path + "/assignments"))
+        # r10 (ADVICE, high): dynamic overwrite replaces only partitions
+        # PRESENT in the written frame — a cell whose every row is
+        # masked out contributes no rows, its stale partition survives
+        # untouched, and the caller's subsequent tombstone drop would
+        # silently RESURRECT its rows (reachable via the re-insert
+        # cancel path and whole-cluster deletes). Remove zero-survivor
+        # cell dirs explicitly; `keep` is materialized above, so nothing
+        # reads them anymore.
+        alive = {int(r["centroid_id"]) for r in
+                 keep.select("centroid_id").distinct().collect()}
+        for c in cids:
+            if c not in alive:
+                _sh.rmtree(_os.path.join(path, "assignments",
+                                         f"centroid_id={c}"),
+                           ignore_errors=True)
+        if alive:
+            (keep.select(*out_cols).repartition("centroid_id")
+             .write.mode("overwrite")
+             .option("partitionOverwriteMode", "dynamic")
+             .partitionBy("centroid_id").parquet(path + "/assignments"))
         return len(cids)
 
     # pending mask = prior tombstones ∪ this fold's deletes

@@ -1396,6 +1396,41 @@ def test_ivf_tombstone_mask_reinsert_and_compaction(spark, tmp_path):
             .collect()} == {r["vec_id"] for r in t.read(spark).collect()}
 
 
+def test_ivf_whole_cell_delete_does_not_resurrect(spark, tmp_path):
+    """r10 (ADVICE high): compaction rewrites cells with dynamic
+    partitionOverwriteMode, which only replaces partitions PRESENT in
+    the written frame — when EVERY row of a cell is masked out (a whole
+    cluster deleted), the survivors frame has no rows for that
+    centroid, the stale partition used to survive untouched, and the
+    post-compaction tombstone drop resurrected the deleted rows. The
+    fold must delete zero-survivor cell partitions explicitly."""
+    from service_level_reporting_spark.sources.txlog import TxLogTable
+
+    base = str(tmp_path)
+    t = TxLogTable(base + "/t", key_cols=["vec_id"], stats_col="label")
+    full = _planted_cluster_frame(spark).localCheckpoint(eager=True)
+    t.append(full)
+    SIM.build_ivf_index(spark, t.read(spark), base + "/idx",
+                        version=t.latest_version())
+    # delete cluster c2 ENTIRELY: 50/400 = 12.5% crosses the 10%
+    # compact fraction, so the fold rewrites the tombstoned cells and
+    # clears the pending mask — the exact resurrection window
+    t.delete("label = 'c2'", mode="mor")
+    sync = SIM.ivf_index_sync(spark, base + "/t", base + "/idx")
+    assert sync["mode"] == "fold"
+    assert sync["compacted_partitions"] > 0 and sync["tombstones"] == 0
+    idx = SIM.load_ivf_index(spark, base + "/idx")
+    got = {r["vec_id"] for r in idx["indexed"].select("vec_id").collect()}
+    live = {r["vec_id"] for r in t.read(spark).collect()}
+    assert got == live                  # nothing resurrected
+    assert not any(100 <= v < 150 for v in got)   # c2 ids are 100..149
+    # a probe straight at c2's direction returns only LIVE vectors
+    snap = {r["vec_id"]: r["embedding"] for r in full.collect()}
+    top = [v for v, _ in SIM.ivf_query_topk(spark, idx, snap[110],
+                                            exclude_vec_id=110)]
+    assert all(not (100 <= v < 150) for v in top), top
+
+
 def test_ivf_update_does_not_resurrect_stale_row(spark, tmp_path):
     """r9 (ADVICE high): an UPDATE reaches the fold via changes(net=True)
     as delete+insert of the same vec_id. Cancelling the tombstone by key
