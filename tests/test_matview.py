@@ -219,6 +219,46 @@ def test_stream_matview_bounded_bootstrap(spark, table_path):
         _view(MV.mv_read(MV.mv_init(t.read(spark), SPEC), SPEC))
 
 
+def test_stream_matview_bootstrap_metadata_only_window(spark, table_path):
+    """r10 (ADVICE): a capped bootstrap window that contains ONLY
+    metadata-only commits (constraints filling an entire
+    max_commits_per_trigger window) folds zero rows and moves no state
+    watermark — the r9 loop read that as 'drained' and returned with
+    data commits beyond the window unfolded. Progress is now the stream
+    checkpoint's committed offset, which advances even for empty
+    batches; the loop must drain the data tail."""
+    import os as _os
+
+    from service_level_reporting_spark.streaming.matview_stream import (
+        read_view, stream_matview)
+
+    def frame(rows):
+        return spark.createDataFrame(
+            rows, "k long, g string, v double").coalesce(1)
+
+    base_path = _os.path.join(table_path, "base")
+    t = TxLogTable(base_path, key_cols=["k"], stats_col="g")
+    # head: 3 data commits
+    for i in range(3):
+        t.append(frame([(10 * i + j, f"g{j % 3}", float(i + j))
+                        for j in range(3)]))
+    # a FULL cap-width window of metadata-only commits
+    t.add_constraint("c1", "v >= 0")
+    t.add_constraint("c2", "k >= 0")
+    t.drop_constraint("c1")
+    # tail: 3 more data commits that r9 would have left unfolded
+    for i in range(3, 6):
+        t.append(frame([(10 * i + j, f"g{j % 3}", float(i + j))
+                        for j in range(3)]))
+
+    st = stream_matview(spark, base_path, SPEC,
+                        _os.path.join(table_path, "view"),
+                        _os.path.join(table_path, "ck"),
+                        max_commits_per_trigger=3)
+    want = _view(MV.mv_read(MV.mv_init(t.read(spark), SPEC), SPEC))
+    assert _view(read_view(spark, st, SPEC)) == want
+
+
 def test_matview_first_run_raw_feed_deleted_extreme(spark, table_path):
     """r8 (ADVICE): a group with NO stored state whose within-feed
     inserted extreme is ALSO deleted in the same raw (non-net) feed must
