@@ -745,14 +745,24 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
                    JSONs expired by vacuum(log_retain_versions), n2 =
                    earliest retained version, v = latest-read divergence
                    across the vacuum (must be 0);
-      '_protocol' — r9 protocol gate: n/n2 = the table's min reader/
-                   writer versions after enabling mapping (2/2), v = 0
+      '_protocol' — protocol gate: n/n2 = the table's min reader/
+                   writer versions after enabling mapping (r10: the
+                   table-features form, 3/7 + columnMapping), v = 0
                    iff a clone stamped minReaderVersion=99 REFUSED to
                    read (ProtocolError);
       '_admission' — r9 streaming admission control: n = latestOffset
                    steps a maxCommitsPerTrigger=2 reader takes to drain
                    the backlog, n2 = the expected ceil(commits/2), v =
-                   n - n2 (must be 0)."""
+                   n - n2 (must be 0);
+      '_dedup_state' — r10 incremental TEXT-dedup state (VERDICT #3):
+                   a documents corpus staged as a txlog table, dedup
+                   state built at two-thirds, the rest landed via
+                   append + delete and FOLDED from the change feed —
+                   n = signatures computed by the fold (the DELTA
+                   only, proving O(delta)), n2 = the delta's insert
+                   row count (n must equal n2), v = fold-vs-rebuild
+                   divergence across dedup PAIRS and cluster LABELS
+                   (must be 0)."""
     import shutil
 
     from service_level_reporting_spark.sources.txlog import TxLogTable
@@ -897,6 +907,37 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
         steps += 1
     want_steps = -(-(head + 1) // 2)
 
+    # -- r10 (VERDICT #3): incremental TEXT-dedup state — fold the
+    # corpus change feed, compare decisions against a full rebuild
+    from service_level_reporting_spark.operators import (
+        dedup_state as _DS)
+
+    docs = (load_tables(spark, sf_dir)["documents"]
+            .select("doc_id", "text").where(F.col("doc_id") < 120))
+    ds_root = root + "_dstate"
+    shutil.rmtree(ds_root, ignore_errors=True)
+    dc = TxLogTable(os.path.join(ds_root, "corpus"),
+                    key_cols=["doc_id"], stats_col="text")
+    dc.append(docs.where(F.col("doc_id") % 3 != 0).coalesce(2))
+    _DS.build_dedup_state(spark, os.path.join(ds_root, "corpus"),
+                          os.path.join(ds_root, "folded"))
+    dc.append(docs.where(F.col("doc_id") % 3 == 0).coalesce(2))
+    dc.delete(F.col("doc_id") % 10 == 1)
+    delta_ins = docs.where((F.col("doc_id") % 3 == 0)
+                           & (F.col("doc_id") % 10 != 1)).count()
+    ds_sync = _DS.dedup_state_sync(spark, os.path.join(ds_root, "corpus"),
+                                   os.path.join(ds_root, "folded"))
+    _DS.build_dedup_state(spark, os.path.join(ds_root, "corpus"),
+                          os.path.join(ds_root, "fresh"))
+    pf = _DS.dedup_pairs_from_state(spark, os.path.join(ds_root, "folded"))
+    pr = _DS.dedup_pairs_from_state(spark, os.path.join(ds_root, "fresh"))
+    lf = _DS.dedup_labels_from_state(spark,
+                                     os.path.join(ds_root, "folded"))
+    lr = _DS.dedup_labels_from_state(spark, os.path.join(ds_root, "fresh"))
+    ds_div = (pf.exceptAll(pr).unionAll(pr.exceptAll(pf)).count()
+              + lf.exceptAll(lr).unionAll(lr.exceptAll(lf)).count())
+    shutil.rmtree(ds_root, ignore_errors=True)
+
     return spark.createDataFrame(
         [("_colmap", map_div + rewrote, t.latest_version(),
           float(map_src_div)),
@@ -905,6 +946,7 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("_protocol", proto["minReaderVersion"],
           proto["minWriterVersion"], float(1 - proto_refused)),
          ("_admission", steps, want_steps, float(steps - want_steps)),
+         ("_dedup_state", ds_sync["signed"], delta_ins, float(ds_div)),
          ("_dsrc", src_diverged, probe.pruned_files,
           float(src_cdf_rows - cdf_rows_direct)),
          ("_delete", d["rewritten_files"], d["carried_files"],
