@@ -108,7 +108,9 @@ BASELINE_SEC_RECORDED = {
 # mutates its input, so repeats on one table would measure different work)
 # with min / median / spread quotable round-over-round like the sf10
 # per-query stats.
-LH_RUNS = 3
+# r10 (VERDICT #6): n=3 with spread 7.4 could not separate a 50%
+# regression from weather — 5 interleaved reps give the median teeth.
+LH_RUNS = 5
 LH_ROWS = int(os.environ.get("SPARK_GRAFT_LH_ROWS", "2000000"))
 
 
@@ -234,7 +236,8 @@ def _duckdb_cold_run(sf_dir: str, sql: str,
 
 def measure_pairwise(spark, sf_dir: str, names: list[str], n_runs: int,
                      cap_sec: float | None = None,
-                     adaptive: bool = False) -> tuple[dict, dict, dict]:
+                     adaptive: bool = False,
+                     min_pairs: int = 1) -> tuple[dict, dict, dict]:
     """Per-headliner timing with the engines INTERLEAVED run-by-run (one
     cold DuckDB run, then one Spark run, repeated) so a transient bad-weather
     window on this shared container hits both engines symmetrically instead
@@ -246,7 +249,13 @@ def measure_pairwise(spark, sf_dir: str, names: list[str], n_runs: int,
     first-run broadcast builds and AQE stage materialization); both engines
     record best-of-n. adaptive=True stops repeating the DuckDB side once a
     run exceeds SF1_ONE_RUN_THRESHOLD_SEC (the job floor the repeats exist
-    to dodge is already dwarfed) or hits the cap. A non-interrupt DuckDB
+    to dodge is already dwarfed) or hits the cap. min_pairs (r10, VERDICT
+    #6) keeps the adaptive stop from starving the variance statistics:
+    the threshold rule is ignored until at least that many interleaved
+    pairs exist, so a per-pair MEDIAN at sf10 always rests on >= 3 pairs
+    (the r9 artifact quoted one headliner's median from a SINGLE pair).
+    The hard cap still stops immediately — a capped run is a lower-bound
+    measurement, more repeats of it add no information. A non-interrupt DuckDB
     failure records an explicit `baseline_error` note and a None baseline
     (excluded from totals) rather than a bogus measurement.
 
@@ -277,7 +286,8 @@ def measure_pairwise(spark, sf_dir: str, names: list[str], n_runs: int,
                         notes[name] = (f"interrupted at {cap_sec}s cap "
                                        f"(lower bound)")
                         duck_done = True
-                    elif adaptive and dt > SF1_ONE_RUN_THRESHOLD_SEC:
+                    elif adaptive and dt > SF1_ONE_RUN_THRESHOLD_SEC \
+                            and len(d_runs) >= min_pairs:
                         duck_done = True
             t0 = time.perf_counter()
             qs[name](spark, sf_dir).collect()
@@ -313,6 +323,17 @@ def _pair_stats(s_runs: list[float], d_runs: list[float]) -> dict:
     if pairs:
         out["pair_ratios"] = pairs
         out["pair_ratio_spread"] = round(max(pairs) / min(pairs), 3)
+        out["pair_ratio_med"] = round(statistics.median(pairs), 3)
+        # r10 (VERDICT #6) outlier policy: with >= 5 pairs the quotable
+        # number is the TRIMMED median (min and max pair dropped) — one
+        # 18.6x bad-weather pair poisoned the r9 spread; trimming is
+        # symmetric, documented, and leaves the raw pairs in the artifact
+        if len(pairs) >= 5:
+            trimmed = sorted(pairs)[1:-1]
+            out["pair_ratio_trimmed_med"] = round(
+                statistics.median(trimmed), 3)
+            out["pair_ratio_trimmed_spread"] = round(
+                max(trimmed) / min(trimmed), 3)
     return out
 
 
@@ -441,7 +462,8 @@ def main() -> None:
                 spark.conf.set("spark.sql.shuffle.partitions", "32")
                 t10, b10, n10 = measure_pairwise(
                     spark, floor_curve.SF10, floor_curve.AGG_HEADLINERS,
-                    SF10_RUNS, cap_sec=SF1_DUCKDB_CAP_SEC, adaptive=True)
+                    SF10_RUNS, cap_sec=SF1_DUCKDB_CAP_SEC, adaptive=True,
+                    min_pairs=3)
                 result["sf10"] = {"sf": 10.0, **_ratio_block(t10, b10, n10)}
         except Exception as exc:  # noqa: BLE001 — artifact must survive
             result["sf10_error"] = f"{type(exc).__name__}: {exc}"[:300]
