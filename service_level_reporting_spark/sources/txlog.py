@@ -431,6 +431,12 @@ class TxLogTable:
         # so caching by version is safe across concurrent writers
         self.checkpoint_part_actions = CHECKPOINT_PART_ACTIONS
         self._snap_cache: dict[int, list] = {}
+        # bounded memo of parsed commit records (r10): checkpoint writes
+        # and the seven state walkers replay the SAME trailing interval —
+        # commit files are immutable once published (O_EXCL), so one
+        # parse per commit serves every walker (measured 21.5 s -> ~3 s
+        # for a checkpoint over 10 x 10k-add commits)
+        self._commit_memo: dict[int, dict] = {}
         os.makedirs(self.log_dir, exist_ok=True)
         os.makedirs(self.data_dir, exist_ok=True)
         # publish the table's write config so readers (the txlog Spark
@@ -544,6 +550,34 @@ class TxLogTable:
 
     def _commit_path(self, v: int) -> str:
         return os.path.join(self.log_dir, f"{v:020d}.json")
+
+    def _commit_record(self, v: int, use_memo: bool = True) -> dict | None:
+        """Parsed commit record, memoized (bounded) — None when the
+        commit file is missing. Safe because published commit files are
+        immutable until vacuum expires them (which clears the memo);
+        tests that hand-edit log files must clear ``_commit_memo`` (and
+        ``_snap_cache``) on the handle. ``use_memo=False`` reads the
+        disk unconditionally and populates nothing — the
+        use_checkpoint=False VALIDATION walkers use it, since a
+        validator must trust no cache."""
+        if use_memo:
+            rec = self._commit_memo.get(v)
+            if rec is not None:
+                return rec
+        p = self._commit_path(v)
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            rec = json.load(fh)
+        if not use_memo:
+            return rec
+        if len(self._commit_memo) >= 24:
+            try:
+                self._commit_memo.pop(next(iter(self._commit_memo)))
+            except (KeyError, StopIteration):   # concurrent evictors
+                pass
+        self._commit_memo[v] = rec
+        return rec
 
     def commit(self, actions: list[dict], version: int,
                txn: dict | None = None, op: str | None = None,
@@ -752,12 +786,11 @@ class TxLogTable:
             if ckpt is not None and ckpt["txns"] is not None:
                 txns = {w: int(b) for w, b in ckpt["txns"].items()}
         for v in range(start, version + 1):
-            p = self._commit_path(v)
-            if not os.path.exists(p):
+            rec = self._commit_record(v, use_memo=use_checkpoint)
+            if rec is None:
                 self._walk_missing(v)
                 continue
-            with open(p) as fh:
-                txn = json.load(fh).get("txn")
+            txn = rec.get("txn")
             if txn:
                 w = txn["writer"]
                 txns[w] = max(txns.get(w, -1), int(txn["batch"]))
@@ -867,17 +900,16 @@ class TxLogTable:
             if ckpt is not None and ckpt["constraints"] is not None:
                 cons = dict(ckpt["constraints"])
         for v in range(start, version + 1):
-            p = self._commit_path(v)
-            if not os.path.exists(p):
+            rec = self._commit_record(v, use_memo=use_checkpoint)
+            if rec is None:
                 self._walk_missing(v)
                 continue
-            with open(p) as fh:
-                for a in json.load(fh)["actions"]:
-                    if "constraint" in a:
-                        cons[a["constraint"]["name"]] = \
-                            a["constraint"]["expr"]
-                    elif "drop_constraint" in a:
-                        cons.pop(a["drop_constraint"], None)
+            for a in rec["actions"]:
+                if "constraint" in a:
+                    cons[a["constraint"]["name"]] = \
+                        a["constraint"]["expr"]
+                elif "drop_constraint" in a:
+                    cons.pop(a["drop_constraint"], None)
         return cons
 
     # ---- generic last-wins action replay (r9) ----------------------------
@@ -904,17 +936,16 @@ class TxLogTable:
             if ckpt is not None and ckpt[key] is not None:
                 val = ckpt[key]
         for v in range(start, version + 1):
-            p = self._commit_path(v)
-            if not os.path.exists(p):
+            rec = self._commit_record(v, use_memo=use_checkpoint)
+            if rec is None:
                 self._walk_missing(v)
                 continue
-            with open(p) as fh:
-                for a in json.load(fh)["actions"]:
-                    if key in a:
-                        val = a[key]
-                    elif key == "columnMapping" and "columnMappingAdd" \
-                            in a and val is not None:
-                        val = _mapping_fold_add(val, a["columnMappingAdd"])
+            for a in rec["actions"]:
+                if key in a:
+                    val = a[key]
+                elif key == "columnMapping" and "columnMappingAdd" \
+                        in a and val is not None:
+                    val = _mapping_fold_add(val, a["columnMappingAdd"])
         return val
 
     def table_protocol(self, version: int | None = None) -> dict:
@@ -1071,12 +1102,11 @@ class TxLogTable:
                 evolved = bool(ckpt.get("schema_evolved"))
                 seen = True
         for v in range(start, version + 1):
-            p = self._commit_path(v)
-            if not os.path.exists(p):
+            rec = self._commit_record(v, use_memo=use_checkpoint)
+            if rec is None:
                 self._walk_missing(v)
                 continue
-            with open(p) as fh:
-                actions = json.load(fh)["actions"]
+            actions = rec["actions"]
             for a in actions:
                 md = a.get("metaData")
                 if not md:
@@ -1478,15 +1508,14 @@ class TxLogTable:
             if ckpt is not None:
                 live = {a["path"]: a for a in self._ckpt_files(ckpt)}
         for v in range(start, version + 1):
-            p = self._commit_path(v)
-            if not os.path.exists(p):
+            rec = self._commit_record(v, use_memo=use_checkpoint)
+            if rec is None:
                 self._raise_missing(v, requested=version)
-            with open(p) as fh:
-                for a in json.load(fh)["actions"]:
-                    if "add" in a:
-                        live[a["add"]["path"]] = a["add"]
-                    elif "remove" in a:
-                        live.pop(a["remove"], None)
+            for a in rec["actions"]:
+                if "add" in a:
+                    live[a["add"]["path"]] = a["add"]
+                elif "remove" in a:
+                    live.pop(a["remove"], None)
         out = sorted(live.values(), key=lambda a: a["path"])
         if use_checkpoint:
             if len(self._snap_cache) >= SNAP_CACHE_MAX:
@@ -2574,6 +2603,9 @@ class TxLogTable:
                             removed_log += 1
                         except OSError:
                             pass
+        if removed_log and not dry_run:
+            # expired commit files must not survive in the handle's memo
+            self._commit_memo.clear()
         return {"removed_files": removed, "retained_files": len(keep),
                 "removed_sidecars": removed_side,
                 "removed_log_files": removed_log,

@@ -573,7 +573,8 @@ def test_protocol_table_features(spark, table_path):
     rec["actions"][0]["protocol"]["readerFeatures"] = []
     with open(t._commit_path(v), "w") as fh:
         _json.dump(rec, fh)
-    t._snap_cache.clear()
+    t._snap_cache.clear()        # hand-edited log: drop handle memos
+    t._commit_memo.clear()
     assert t.read(spark).count() == 3
     with pytest.raises(ProtocolError, match="requires writer feature"):
         t.append(_frame(spark, [("d", 4, "w")]))

@@ -1679,10 +1679,15 @@ def test_bloom_key_index_point_merge_pruning(spark, table_path):
                 (a.get("add") or {}).pop("bloom", None)
             with open(pth, "w") as fh:
                 _json.dump(rec, fh)
-    # drop checkpoints too (they carry the adds verbatim)
+    # drop checkpoints too (they carry the adds verbatim; r10: parts
+    # and the pointer as well) and the handle's memos — hand-editing a
+    # published log violates the immutability the caches rely on
     for f in list(os.listdir(t.log_dir)):
-        if f.endswith(".checkpoint.json"):
+        if f.endswith((".checkpoint.json", ".checkpoint.part")) \
+                or f == "_last_checkpoint":
             os.remove(os.path.join(t.log_dir, f))
+    t._commit_memo.clear()
+    t._snap_cache.clear()
     # without blooms the 3 untouched ORIGINAL files (each spanning the
     # whole uid range) must all rewrite — only typed RANGE stats may
     # still prune (a rewrite-output file with a disjoint uid range)
