@@ -51,6 +51,7 @@ _OPERATOR_MODULES = (
     "service_level_reporting_spark.operators.multimodal",
     "service_level_reporting_spark.operators.udfs",
     "service_level_reporting_spark.operators.quality",
+    "service_level_reporting_spark.operators.curation_pipeline",
     "service_level_reporting_spark.sources.kairosdb",
     "service_level_reporting_spark.sources.jdbc",
     "service_level_reporting_spark.sources.sinks",

@@ -1,0 +1,127 @@
+"""End-to-end incremental curation pipeline (r10, VERDICT #4): the
+pipeline's outputs over N incremental commits equal the batch recompute
+over the final snapshot; a FORCED mid-pipeline crash (between the
+quality fold and the dedup fold) restarts exactly-once — the interrupted
+stage folds on the retry, the completed stage folds nothing twice; a
+replayed pass folds nothing at all."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from service_level_reporting_spark.operators import curation_pipeline as CP
+from service_level_reporting_spark.operators import dedup_state as DS
+from service_level_reporting_spark.sources.txlog import TxLogTable
+
+
+@pytest.fixture()
+def base_path():
+    p = os.path.join(tempfile.gettempdir(),
+                     f"slr_curpipe_t_{uuid.uuid4().hex[:8]}")
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+
+
+def _rows(start, n):
+    stem = "the quick brown fox jumps over the lazy dog"
+    out = []
+    for i in range(start, start + n):
+        if i % 6 == 0:
+            out.append((i, f"{stem} shared family text"))      # clones
+        elif i % 6 == 1:
+            out.append((i, "xs"))                              # too_short
+        else:
+            out.append((i, f"{stem} unique {i} tail {i * 13}"))
+    return out
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string") \
+        .coalesce(1)
+
+
+def _ms(df):
+    cols = sorted(df.columns)
+    return Counter(tuple(r[c] for c in cols) for r in df.collect())
+
+
+def test_incremental_equals_batch_with_forced_restart(
+        spark, base_path, monkeypatch):
+    corpus = os.path.join(base_path, "corpus")
+    work = os.path.join(base_path, "work")
+    fresh = os.path.join(base_path, "fresh")
+    t = TxLogTable(corpus, key_cols=["doc_id"], stats_col="text")
+    t.append(_frame(spark, _rows(0, 18)))
+    res0 = CP.pipeline_sync(spark, corpus, work)
+    assert res0["quality"]["mode"] == "init"
+    assert res0["dedup"]["mode"] == "rebuild"
+
+    # increment 1 + a FORCED CRASH between quality and dedup folds
+    t.append(_frame(spark, _rows(18, 9)))
+    real_sync = DS.dedup_state_sync
+
+    def boom(*a, **k):
+        raise RuntimeError("forced mid-pipeline crash")
+
+    monkeypatch.setattr(DS, "dedup_state_sync", boom)
+    with pytest.raises(RuntimeError, match="forced mid-pipeline"):
+        CP.pipeline_sync(spark, corpus, work)
+    monkeypatch.setattr(DS, "dedup_state_sync", real_sync)
+
+    # restart: quality already folded (noop), dedup folds ONCE
+    res1 = CP.pipeline_sync(spark, corpus, work)
+    assert res1["quality"]["mode"] == "noop"       # nothing double-folds
+    assert res1["dedup"]["mode"] == "fold"
+    assert res1["dedup"]["signed"] == 9
+
+    # increment 2: delete + update, one normal pass
+    t.delete(F.col("doc_id").isin([4, 6]))
+    t.merge(_frame(spark, [(10, _rows(0, 1)[0][1])]))   # joins the clones
+    res2 = CP.pipeline_sync(spark, corpus, work)
+    assert res2["quality"]["mode"] == "fold"
+    assert res2["dedup"]["mode"] == "fold"
+
+    # replayed pass folds NOTHING
+    rep = CP.pipeline_sync(spark, corpus, work)
+    assert rep["quality"]["mode"] == "noop"
+    assert rep["dedup"]["mode"] == "noop"
+
+    # incremental == batch recompute over the final snapshot, for every
+    # pipeline output
+    CP.batch_recompute(spark, corpus, fresh)
+    assert _ms(CP.quality_report(spark, work)) == \
+        _ms(CP.quality_report(spark, fresh))
+    assert _ms(CP.verdicts(spark, corpus, work)) == \
+        _ms(CP.verdicts(spark, corpus, fresh))
+    assert _ms(CP.packed_sequences(spark, corpus, work)) == \
+        _ms(CP.packed_sequences(spark, corpus, fresh))
+
+    # semantic spot checks on the final verdicts
+    v = {r["doc_id"]: r["verdict"]
+         for r in CP.verdicts(spark, corpus, work).collect()}
+    fam = [i for i in v if i % 6 == 0] + [10]      # the clone family
+    assert v[min(fam)] == "keep"
+    assert all(v[i] == "duplicate" for i in fam if i != min(fam))
+    assert all(v[i] == "too_short" for i in v if i % 6 == 1 and i != 10)
+    assert 4 not in v and 6 not in v               # deleted docs: no row
+    # every kept doc lands in exactly one packed sequence
+    kept = sum(1 for x in v.values() if x == "keep")
+    packed = CP.packed_sequences(spark, corpus, work)
+    assert packed.agg(F.sum("n_docs")).first()[0] == kept
+
+
+def test_driver_leg_divergence_zero(spark):
+    out = {r["part"]: (r["n"], r["n2"], r["v"]) for r in
+           CP.curation_pipeline_incremental(
+               spark, "/root/testdata/sf0.001").collect()}
+    assert set(out) == {"quality", "verdicts", "packed", "_replay"}
+    for part, (n, n2, vv) in out.items():
+        assert vv == 0.0, (part, n, n2, vv)
+    assert out["verdicts"][0] == out["verdicts"][1] > 0
