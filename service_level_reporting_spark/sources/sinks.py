@@ -754,6 +754,13 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
                    steps a maxCommitsPerTrigger=2 reader takes to drain
                    the backlog, n2 = the expected ceil(commits/2), v =
                    n - n2 (must be 0);
+      '_rowtrack' — r10 row tracking: enable → append → CoW update →
+                   OPTIMIZE on the rowops table; n = rows whose
+                   _row_id changed across update+optimize (must be 0 —
+                   identity survives rewrites), n2 = duplicate-id
+                   count (must be 0), v = 0 iff the updated row's
+                   _row_commit_version bumped while every other row's
+                   held;
       '_dedup_state' — r10 incremental TEXT-dedup state (VERDICT #3):
                    a documents corpus staged as a txlog table, dedup
                    state built at two-thirds, the rest landed via
@@ -907,6 +914,31 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
         steps += 1
     want_steps = -(-(head + 1) // 2)
 
+    # -- r10 row tracking: identity survives rewrites, allocation never
+    # collides, update bumps the row's commit version
+    rt_root = root + "_rt"
+    shutil.rmtree(rt_root, ignore_errors=True)
+    rt = TxLogTable(rt_root, key_cols=["k"], stats_col="k")
+    rt.append(spark.createDataFrame(
+        [(f"k{i:02d}", i) for i in range(40)],
+        "k string, v long").coalesce(2))
+    rt.enable_row_tracking()
+
+    def rt_ids():
+        return {r["k"]: (r["_row_id"], r["_row_commit_version"])
+                for r in rt.read(spark, with_row_ids=True).collect()}
+
+    rt0 = rt_ids()
+    rt.update(F.col("k") == "k05", {"v": "v + 1000"})
+    rt.optimize(target_files=1)
+    rt1 = rt_ids()
+    rt_changed = sum(1 for k in rt1 if rt1[k][0] != rt0[k][0])
+    rt_dups = len(rt1) - len({i for i, _ in rt1.values()})
+    rt_ver_ok = (rt1["k05"][1] > rt0["k05"][1]
+                 and all(rt1[k][1] == rt0[k][1]
+                         for k in rt1 if k != "k05"))
+    shutil.rmtree(rt_root, ignore_errors=True)
+
     # -- r10 (VERDICT #3): incremental TEXT-dedup state — fold the
     # corpus change feed, compare decisions against a full rebuild
     from service_level_reporting_spark.operators import (
@@ -946,6 +978,7 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("_protocol", proto["minReaderVersion"],
           proto["minWriterVersion"], float(1 - proto_refused)),
          ("_admission", steps, want_steps, float(steps - want_steps)),
+         ("_rowtrack", rt_changed, rt_dups, float(0 if rt_ver_ok else 1)),
          ("_dedup_state", ds_sync["signed"], delta_ins, float(ds_div)),
          ("_dsrc", src_diverged, probe.pruned_files,
           float(src_cdf_rows - cdf_rows_direct)),

@@ -103,7 +103,24 @@ SUPPORTED_READER_FEATURES = frozenset({
     "columnMapping", "deletionVectors", "changeDataFeed"})
 SUPPORTED_WRITER_FEATURES = frozenset({
     "columnMapping", "deletionVectors", "changeDataFeed",
-    "checkConstraints"})
+    "checkConstraints", "rowTracking"})
+# r10 (VERDICT missing-gap c): ROW TRACKING — stable row identities that
+# survive rewrites (Delta's row tracking), so keyless consumers (matview
+# folds, ANN index maintenance, CDC joins) can identify a row without
+# key columns. Every add action carries a ``base_row_id`` (allocated at
+# COMMIT time against the log's high-water mark, so racing writers can
+# never collide) and a ``default_rcv`` (the commit version); a fresh
+# row's id is base_row_id + its parquet row index. Rewrites that
+# preserve identity (OPTIMIZE, bin-pack, CoW DELETE/UPDATE, merge_into
+# UPDATE clauses) MATERIALIZE the surviving rows' ids into the
+# rewritten files under these system columns; rows without a
+# materialized id (fresh inserts sharing a rewritten file) fall back to
+# base + row index — positional ids are allocated for the whole file,
+# so preserved and fresh rows can never collide (unused slots are gaps,
+# exactly Delta's design). The columns are stripped from every normal
+# read, the recorded schema, and column mapping.
+ROW_ID_COL = "_tx_row_id"
+ROW_VER_COL = "_tx_rcv"
 
 
 def _norm_dtype(dt):
@@ -605,6 +622,12 @@ class TxLogTable:
         # judged against the CURRENT state — exactly right: upgrading
         # requires speaking the table's current protocol.
         self._check_protocol(write=True)
+        # r10 row tracking: base row ids allocate at COMMIT time against
+        # the CURRENT high-water mark — a conflict retry re-enters here
+        # and re-stamps from the winner's hwm, so racing writers can
+        # never allocate overlapping id ranges (the caller's action list
+        # is never mutated; each attempt stamps a fresh copy).
+        actions = self._stamp_row_ids(actions, version)
         # r10 (VERDICT #7): commit timestamps are MONOTONIC in-commit
         # timestamps (Delta's ICT) — max(wall clock, previous commit's
         # ts + 1µs). The claim below serializes on version-1 being fully
@@ -638,6 +661,88 @@ class TxLogTable:
         if version > 0 and version % CHECKPOINT_EVERY == 0:
             self._write_checkpoint(version)
         return version
+
+    def row_tracking(self, version: int | None = None):
+        """Row-tracking state at ``version`` — ``{"enabled": True,
+        "highWaterMark": n}`` once enabled, else None."""
+        return self._replay_last("rowTracking", version)
+
+    def _stamp_row_ids(self, actions: list[dict], version: int):
+        """Allocate base row ids for adds that lack one (r10 row
+        tracking): returns a NEW action list (caller's untouched) with
+        each unstamped add copied and given ``base_row_id`` (contiguous
+        past the current high-water mark) + ``default_rcv`` (this
+        commit's version), and the commit's ``rowTracking`` action
+        refreshed to the new mark. Identity when tracking is off, when
+        every add is already stamped (restore/clone re-adds preserve
+        their original ranges), or when the commit carries its own
+        rowTracking action (enable's backfill)."""
+        if not any("add" in a and "base_row_id" not in a["add"]
+                   for a in actions):
+            return actions
+        if any("rowTracking" in a for a in actions):
+            return actions
+        rt = self._replay_last("rowTracking", version - 1) \
+            if version > 0 else None
+        if not rt or not rt.get("enabled"):
+            return actions
+        cursor = int(rt["highWaterMark"]) + 1
+        out = []
+        for a in actions:
+            if "add" in a and "base_row_id" not in a["add"]:
+                add = dict(a["add"])
+                add["base_row_id"] = cursor
+                add["default_rcv"] = version
+                cursor += max(int(add.get("rows", 0)), 1)
+                out.append({**a, "add": add})
+            else:
+                out.append(a)
+        out.append({"rowTracking": {"enabled": True,
+                                    "highWaterMark": cursor - 1}})
+        return out
+
+    def enable_row_tracking(self) -> int:
+        """Turn on row tracking (r10 — Delta's row tracking as a writer
+        feature): every LIVE file is re-added with a freshly allocated
+        ``base_row_id`` (metadata-only — zero data rewritten), the
+        high-water mark is recorded, and the protocol upgrades to the
+        features form with the ``rowTracking`` writer feature, all in
+        one atomic commit. Idempotent."""
+        attempt = 0
+        while True:
+            if self.row_tracking() is not None:
+                return self.latest_version()          # idempotent
+            base = self.latest_version()
+            live = self._resolve(base)
+            cursor = 0
+            readds = []
+            for a in live:
+                n = dict(a)
+                n["base_row_id"] = cursor
+                n["default_rcv"] = base + 1
+                cursor += max(int(n.get("rows", 0)), 1)
+                readds.append({"add": n})
+            p = self.table_protocol()
+            actions = readds + [
+                {"rowTracking": {"enabled": True,
+                                 "highWaterMark": cursor - 1}},
+                {"protocol": {
+                    "minReaderVersion": max(
+                        int(p.get("minReaderVersion", 1)),
+                        1 if "readerFeatures" not in p
+                        else FEATURES_READER_VERSION),
+                    "minWriterVersion": FEATURES_WRITER_VERSION,
+                    **({"readerFeatures": p["readerFeatures"]}
+                       if "readerFeatures" in p else {}),
+                    "writerFeatures": sorted(
+                        set(p.get("writerFeatures", ()))
+                        | {"rowTracking"})}}]
+            try:
+                return self.commit(actions, base + 1,
+                                   op="enable_row_tracking")
+            except VersionConflict:
+                _backoff(attempt)
+                attempt += 1
 
     def _latest_checkpoint(self, version: int) -> dict | None:
         """Parsed latest checkpoint META at or below `version`, or None —
@@ -863,7 +968,9 @@ class TxLogTable:
                        # expires the commits that carried them
                        "protocol": self._replay_last("protocol", version),
                        "columnMapping": self.column_mapping(version),
-                       "config": self._replay_last("config", version)},
+                       "config": self._replay_last("config", version),
+                       "rowTracking": self._replay_last("rowTracking",
+                                                        version)},
                       fh)
         os.replace(tmp, ckpt)          # atomic publish, idempotent rewrite
         ptr = os.path.join(self.log_dir, "_last_checkpoint")
@@ -1546,9 +1653,15 @@ class TxLogTable:
         import pyarrow.parquet as pq
 
         self._check_protocol(write=True)     # r9: fail before staging
+        # r10 row tracking: materialized row-id system columns ride the
+        # physical write but are INVISIBLE to constraints, the recorded
+        # schema, and column mapping — they are storage, not schema
+        sys_cols = [c for c in (ROW_ID_COL, ROW_VER_COL)
+                    if c in df.columns]
+        data_df = df.drop(*sys_cols) if sys_cols else df
         cons = self.constraints()
         if cons:
-            self._check(df, cons)
+            self._check(data_df, cons)
         # r8: the table schema lives in the LOG, not parquet footers —
         # enforce the evolution contract and stage the metaData action
         # BEFORE any file lands (a type conflict raises with nothing
@@ -1560,9 +1673,9 @@ class TxLogTable:
             from pyspark.sql.types import StructField, StructType
             meta_action = {"metaData": {"schemaString": StructType(
                 [StructField(f.name, _norm_dtype(f.dataType), True)
-                 for f in df.schema.fields]).json(), "reset": True}}
+                 for f in data_df.schema.fields]).json(), "reset": True}}
         else:
-            meta_action = self._schema_action(df)
+            meta_action = self._schema_action(data_df)
 
         if layout and self.cluster_by:
             df = df.repartitionByRange(*self.cluster_by)
@@ -1581,6 +1694,7 @@ class TxLogTable:
         phys: dict = {}
         if mapping is not None:
             phys = _l2p(mapping)
+            phys.update({c: c for c in sys_cols})   # system cols: as-is
             fresh = [c for c in df.columns if c not in phys]
             if fresh:
                 mid = int(mapping["maxId"])
@@ -1657,7 +1771,8 @@ class TxLogTable:
 
     def _files_df_meta(self, spark: SparkSession, files: list[dict],
                        merge_schema: bool = False,
-                       version: int | None = None) -> DataFrame:
+                       version: int | None = None,
+                       row_ids: bool = False) -> DataFrame:
         """The central file reader, deletion-vector-aware (r7 s2): data
         columns plus ``__file`` (table-relative path) and ``__ri``
         (parquet row index). Rows masked by any referenced DV are
@@ -1679,6 +1794,10 @@ class TxLogTable:
         8 GB broadcast cap / driver OOM). Consumer filters still push
         through the anti-join into both parquet scans."""
         prefix = os.path.abspath(self.path) + "/"
+        if row_ids:
+            # mixed files (some carry materialized ids, some don't) must
+            # all surface the system columns, null where absent
+            merge_schema = True
         mapping = self.column_mapping(version)
         if mapping is not None and not merge_schema:
             # r10 (ADVICE): with mapping on, a column added AFTER enable
@@ -1708,8 +1827,19 @@ class TxLogTable:
                          F.expr(f"substring(regexp_replace("
                                 f"_metadata.file_path, '^file:(//)?', ''), "
                                 f"{len(prefix) + 1})")).otherwise(fp)
-            return (df.withColumn("__file", rel)
-                      .withColumn("__ri", F.col("_metadata.row_index")))
+            df = (df.withColumn("__file", rel)
+                    .withColumn("__ri", F.col("_metadata.row_index")))
+            if not row_ids:
+                # r10 row tracking: materialized id columns are storage,
+                # not schema — strip them from every normal read (and
+                # BEFORE the clean/dirty union, whose branches may infer
+                # them inconsistently from different footers)
+                df = df.drop(ROW_ID_COL, ROW_VER_COL)
+            else:
+                for c in (ROW_ID_COL, ROW_VER_COL):
+                    if c not in df.columns:
+                        df = df.withColumn(c, F.lit(None).cast("long"))
+            return df
 
         clean = [a for a in files if not a.get("dv")]
         dirty = [a for a in files if a.get("dv")]
@@ -1750,7 +1880,9 @@ class TxLogTable:
                 cols.append(F.col(p).alias(f.name))
             else:
                 cols.append(F.lit(None).cast(f.dataType).alias(f.name))
-        cols += [F.col(c) for c in ("__file", "__ri") if c in df.columns]
+        cols += [F.col(c) for c in ("__file", "__ri",
+                                    ROW_ID_COL, ROW_VER_COL)
+                 if c in df.columns]
         return df.select(*cols)
 
     def _phys_ranges(self, ranges: dict,
@@ -1767,10 +1899,29 @@ class TxLogTable:
 
     def _files_df(self, spark: SparkSession, files: list[dict],
                   merge_schema: bool = False,
-                  version: int | None = None) -> DataFrame:
+                  version: int | None = None,
+                  row_ids: bool = False) -> DataFrame:
+        """Data-file frame; ``row_ids=True`` (r10 row tracking) attaches
+        the stable ``_tx_row_id`` / ``_tx_rcv`` system columns: the
+        materialized value where a rewrite preserved it, else
+        base_row_id + parquet row index / the add's default commit
+        version. Rewrite paths use it to CARRY identities;
+        read(with_row_ids=True) exposes them."""
         df = self._files_df_meta(spark, files, merge_schema=merge_schema,
-                                 version=version)
-        return df.drop("__file", "__ri")
+                                 version=version, row_ids=row_ids)
+        if not row_ids:
+            return df.drop("__file", "__ri")
+        m = spark.createDataFrame(
+            [(a["path"], a.get("base_row_id"), a.get("default_rcv"))
+             for a in files],
+            "__file string, __base long, __rcv long")
+        df = df.join(F.broadcast(m), "__file", "left")
+        return (df
+                .withColumn(ROW_ID_COL, F.coalesce(
+                    F.col(ROW_ID_COL), F.col("__base") + F.col("__ri")))
+                .withColumn(ROW_VER_COL, F.coalesce(
+                    F.col(ROW_VER_COL), F.col("__rcv")))
+                .drop("__file", "__ri", "__base", "__rcv"))
 
     # ---- table operations -------------------------------------------------
 
@@ -1880,6 +2031,9 @@ class TxLogTable:
         proto = self.table_protocol(version)
         if proto != {"minReaderVersion": 1, "minWriterVersion": 1}:
             actions.append({"protocol": proto})
+        rt = self.row_tracking(version)
+        if rt is not None:       # r10: clones keep the source's row ids
+            actions.append({"rowTracking": rt})
         t.commit(actions, 0, op="clone")
         return t
 
@@ -1976,14 +2130,20 @@ class TxLogTable:
 
     def read(self, spark: SparkSession, version: int | None = None,
              merge_schema: bool = False,
-             as_of_timestamp: float | None = None) -> DataFrame:
+             as_of_timestamp: float | None = None,
+             with_row_ids: bool = False) -> DataFrame:
         """Snapshot read at `version` (default latest). merge_schema=True
         reconciles files written with EVOLVED schemas (a column appended in
         later commits reads as NULL for older files) — parquet's
         mergeSchema, which is exactly how lakehouse add-column evolution
         works at the file layer; the log needs no schema registry for the
         additive case. ``as_of_timestamp`` (r7) resolves the snapshot by
-        commit time instead — TIMESTAMP AS OF time travel."""
+        commit time instead — TIMESTAMP AS OF time travel.
+
+        ``with_row_ids=True`` (r10 row tracking) appends ``_row_id`` and
+        ``_row_commit_version``: identities that are STABLE across
+        OPTIMIZE / bin-pack / CoW DELETE / CoW+MoR UPDATE / merge_into
+        UPDATE clauses — the handle keyless consumers join on."""
         if as_of_timestamp is not None:
             if version is not None:
                 raise ValueError("txlog read: give version OR "
@@ -1993,6 +2153,16 @@ class TxLogTable:
         files = self._resolve(version)
         if not files:
             raise ValueError("txlog: empty table (no snapshot to read)")
+        if with_row_ids:
+            if self.row_tracking(version) is None:
+                raise ValueError(
+                    "txlog read: row tracking is not enabled on this "
+                    "table — call enable_row_tracking() first.")
+            df = self._files_df(spark, files, merge_schema=True,
+                                version=version, row_ids=True)
+            return (df.withColumnRenamed(ROW_ID_COL, "_row_id")
+                    .withColumnRenamed(ROW_VER_COL,
+                                       "_row_commit_version"))
         return self._files_df(spark, files, merge_schema=merge_schema,
                               version=version)
 
@@ -2202,9 +2372,15 @@ class TxLogTable:
             *[F.col(c).alias(f"src_{c}") for c in non_key],
             F.lit(True).alias("_m"))
 
+        track = self.row_tracking() is not None
+
         def rewrite(touched: list[dict]) -> list[dict]:
-            target = (self._files_df(spark, touched) if touched
-                      else self.read(spark).limit(0))
+            # r10 row tracking: the target side carries its row ids, so
+            # WHEN MATCHED UPDATE preserves identity; NOT MATCHED
+            # inserts carry none and get fresh ids from the written
+            # file's base allocation at commit
+            target = (self._files_df(spark, touched, row_ids=track)
+                      if touched else self.read(spark).limit(0))
             tcols = target.columns
             joined = target.join(src, self.key_cols, "left")
             matched = F.coalesce(F.col("_m"), F.lit(False))
@@ -2233,6 +2409,13 @@ class TxLogTable:
                 else:
                     del_fire = del_fire | c
                     drop = drop | c
+            if ROW_VER_COL in values:
+                # r10 row tracking: a fired UPDATE clause bumps the
+                # row's commit version (NULL -> the rewrite commit's
+                # default_rcv at read time); the row ID is untouched
+                values[ROW_VER_COL] = F.when(
+                    upd_fire, F.lit(None).cast("long")
+                ).otherwise(values[ROW_VER_COL])
             tallies = joined.agg(
                 F.sum(upd_fire.cast("long")).alias("u"),
                 F.sum(del_fire.cast("long")).alias("d")).first()
@@ -2320,9 +2503,12 @@ class TxLogTable:
         since the point is the layout, not the count."""
         deadline = time.monotonic() + deadline_sec
 
+        track = self.row_tracking() is not None
+
         def compact(live: list[dict]) -> list[dict]:
             spark = _session()
-            df = self._files_df(spark, live)
+            # r10 row tracking: compaction must not change identities
+            df = self._files_df(spark, live, row_ids=track)
             if zorder_by is not None:
                 from service_level_reporting_spark.sources.sinks import _zvalue
                 ca, cb = zorder_by
@@ -2414,9 +2600,12 @@ class TxLogTable:
             return [a for a in live
                     if add_rows(a) < small_file_rows or a.get("dv")]
 
+        track = self.row_tracking() is not None
+
         def compact(sel: list[dict]) -> list[dict]:
             spark = _session()
-            df = self._files_df(spark, sel).localCheckpoint(eager=True)
+            df = self._files_df(spark, sel,
+                                row_ids=track).localCheckpoint(eager=True)
             if self.cluster_by:
                 return self._write_data_files(df)   # range layout sizes
             total = sum(add_rows(a) for a in sel)
@@ -2686,6 +2875,8 @@ class TxLogTable:
              for c, b in (column_ranges or {}).items()})
         deadline = time.monotonic() + deadline_sec
         matched = {"rows": 0}
+        # r10 row tracking: rewrites carry surviving rows' identities
+        track = self.row_tracking() is not None
 
         def prune(live: list[dict]) -> list[dict]:
             touched = self._overlapping(live, lo, hi)
@@ -2720,7 +2911,8 @@ class TxLogTable:
                 matched["rows"] = 0
                 return []
             spark = _session()
-            out, n = make_output(self._files_df(spark, touched))
+            out, n = make_output(self._files_df(spark, touched,
+                                                row_ids=track))
             matched["rows"] = n
             adds = self._write_data_files(out.localCheckpoint(eager=True))
             # an all-rows-deleted file would be an add with 0 rows and no
@@ -2844,10 +3036,28 @@ class TxLogTable:
                     f"column_ranges={column_ranges} exclude file(s) with "
                     "predicate-matching rows — widen the ranges.")
 
+        track = self.row_tracking() is not None
+
         def stage(touched: list[dict]):
             if not touched:
                 return [], None, 0
-            src = self._files_df_meta(spark, touched)
+            src = self._files_df_meta(spark, touched, row_ids=track)
+            if track:
+                # r10 row tracking: resolve each hit's stable id NOW
+                # (materialized value, else base + row index) so a MoR
+                # UPDATE's post-image CARRIES it; the commit version
+                # column stays NULL — the post-image file's default_rcv
+                # (this update's commit) is the bumped version
+                m = spark.createDataFrame(
+                    [(a["path"], a.get("base_row_id")) for a in touched],
+                    "__file string, __base long")
+                src = (src.join(F.broadcast(m), "__file", "left")
+                       .withColumn(ROW_ID_COL, F.coalesce(
+                           F.col(ROW_ID_COL),
+                           F.col("__base") + F.col("__ri")))
+                       .withColumn(ROW_VER_COL,
+                                   F.lit(None).cast("long"))
+                       .drop("__base"))
             hits = (src.filter(F.coalesce(cond, F.lit(False)))
                     .localCheckpoint(eager=True))
             per = {r["__file"]: r["n"]
@@ -2862,7 +3072,8 @@ class TxLogTable:
                          F.col("__ri").alias("row_index"))
              .coalesce(1).write.parquet(os.path.join(self.path, dv_rel)))
             data_cols = [c for c in src.columns
-                         if c not in ("__file", "__ri")]
+                         if c not in ("__file", "__ri",
+                                      ROW_ID_COL, ROW_VER_COL)]
             # the change-data sidecar is written with PHYSICAL names
             # (r9 column mapping) so CDF scans mix sidecars and data
             # files under ONE name set; readers map back to logical
@@ -2872,7 +3083,9 @@ class TxLogTable:
              .write.parquet(os.path.join(self.path, cdc_rel)))
             actions = []
             if assignments is not None:   # MoR UPDATE: post-image file
-                post = hits.select(*data_cols)
+                post = hits.select(*(data_cols + ([ROW_ID_COL,
+                                                   ROW_VER_COL]
+                                                  if track else [])))
                 for col, val in assignments.items():
                     if col not in data_cols:
                         raise ValueError(f"txlog update: no column {col!r}")
@@ -3010,6 +3223,16 @@ class TxLogTable:
                 dtype = src.schema[col].dataType
                 out = out.withColumn(
                     col, F.when(c, expr.cast(dtype)).otherwise(F.col(col)))
+            if ROW_VER_COL in src.columns:
+                # r10 row tracking: the row ID survives an update, but
+                # its commit version bumps — NULLing the materialized
+                # value makes the read fall back to the rewrite commit's
+                # default_rcv, which IS the update's version (Delta's
+                # rowCommitVersion semantics); untouched rows in the
+                # same rewritten file keep their original version
+                out = out.withColumn(
+                    ROW_VER_COL, F.when(c, F.lit(None).cast("long"))
+                    .otherwise(F.col(ROW_VER_COL)))
             return out, src.filter(c).count()
 
         return self._rewrite_where("update", key_range, make_output,

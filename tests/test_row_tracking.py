@@ -1,0 +1,163 @@
+"""Row tracking (r10 — Delta's row tracking as a writer feature): stable
+row identities that survive rewrites, so keyless consumers can identify
+rows without key columns. Pins: enable backfill, commit-time allocation
+(racing writers never collide), preservation through OPTIMIZE /
+bin-pack / CoW DELETE / CoW+MoR UPDATE / merge_into UPDATE clauses,
+commit-version bumps on update, clone carry, checkpoint+retention
+survival, and invisibility to normal reads and the recorded schema."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+from concurrent.futures import ThreadPoolExecutor
+
+import pytest
+from pyspark.sql import functions as F
+
+from service_level_reporting_spark.sources.txlog import (
+    CHECKPOINT_EVERY, ProtocolError, TxLogTable)
+
+
+@pytest.fixture()
+def table_path():
+    p = os.path.join(tempfile.gettempdir(),
+                     f"slr_rowtrack_{uuid.uuid4().hex[:8]}")
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+    shutil.rmtree(p + "_clone", ignore_errors=True)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long").coalesce(1)
+
+
+def _ids(spark, t):
+    return {r["k"]: (r["_row_id"], r["_row_commit_version"])
+            for r in t.read(spark, with_row_ids=True).collect()}
+
+
+def test_lifecycle_preserves_identities(spark, table_path):
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(_frame(spark, [(f"k{i:02d}", i) for i in range(10)]))
+    # not enabled: actionable raise; normal reads never see system cols
+    with pytest.raises(ValueError, match="row tracking is not enabled"):
+        t.read(spark, with_row_ids=True)
+    t.enable_row_tracking()
+    assert t.enable_row_tracking() == t.latest_version()   # idempotent
+    assert "rowTracking" in t.table_protocol()["writerFeatures"]
+    ids0 = _ids(spark, t)
+    assert len({i for i, _ in ids0.values()}) == 10        # all unique
+    assert "_row_id" not in t.read(spark).columns
+    sch, _ = t.table_schema_info()
+    assert {f.name for f in sch.fields} == {"k", "v"}      # not schema
+
+    # append: fresh unique ids; existing ids stable
+    t.append(_frame(spark, [(f"k{i:02d}", i) for i in range(10, 14)]))
+    ids1 = _ids(spark, t)
+    assert len({i for i, _ in ids1.values()}) == 14
+    assert all(ids1[k][0] == ids0[k][0] for k in ids0)
+
+    # CoW delete: survivors keep ids AND commit versions
+    t.delete(F.col("k") == "k03")
+    ids2 = _ids(spark, t)
+    assert len(ids2) == 13
+    assert all(ids2[k] == ids1[k] for k in ids2)
+
+    # CoW update: id stable, commit version bumps ONLY for the hit
+    t.update(F.col("k") == "k05", {"v": "v + 1000"})
+    ids3 = _ids(spark, t)
+    assert ids3["k05"][0] == ids2["k05"][0]
+    assert ids3["k05"][1] > ids2["k05"][1]
+    assert all(ids3[k] == ids2[k] for k in ids3 if k != "k05")
+
+    # MoR delete/update: identity trivially/materially preserved
+    t.delete(F.col("k") == "k09", mode="mor")
+    t.update(F.col("k") == "k07", {"v": "v + 5"}, mode="mor")
+    ids4 = _ids(spark, t)
+    assert "k09" not in ids4
+    assert ids4["k07"][0] == ids3["k07"][0]
+    assert ids4["k07"][1] > ids3["k07"][1]
+
+    # OPTIMIZE (DV purge included) and bin-pack change NO identity
+    t.optimize(target_files=2)
+    assert _ids(spark, t) == ids4
+    t.append(_frame(spark, [("k90", 90)]))
+    ids5 = _ids(spark, t)
+    t.optimize_bin_pack(small_file_rows=1000)
+    assert _ids(spark, t) == ids5
+
+    # merge_into: UPDATE clause preserves id + bumps version; NOT
+    # MATCHED INSERT mints a fresh unique id
+    src = _frame(spark, [("k02", 222), ("k_new", 7)])
+    t.merge_into(src, [
+        ("update", None, {"v": "src_v"}),
+        ("insert", None, None)])
+    ids6 = _ids(spark, t)
+    assert ids6["k02"][0] == ids5["k02"][0]
+    assert ids6["k02"][1] > ids5["k02"][1]
+    assert ids6["k_new"][0] not in {i for i, _ in ids5.values()}
+    assert len({i for i, _ in ids6.values()}) == len(ids6)
+    vals = {r["k"]: r["v"] for r in t.read(spark).collect()}
+    assert vals["k02"] == 222 and vals["k_new"] == 7
+
+    # clone keeps the source's identities
+    c = t.clone(table_path + "_clone")
+    assert _ids(spark, c) == ids6
+
+
+def test_concurrent_appends_never_collide(spark, table_path):
+    """Base ids allocate at COMMIT time against the current high-water
+    mark — a conflict retry re-stamps from the winner's mark, so racing
+    appenders can never produce duplicate row ids."""
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(_frame(spark, [("seed", 0)]))
+    t.enable_row_tracking()
+    dfs = [
+        spark.createDataFrame([(f"w{w}_{i}", w * 100 + i)
+                               for i in range(5)],
+                              "k string, v long").coalesce(1)
+        for w in range(4)]
+
+    def run(df):
+        TxLogTable.open(table_path).append(df)
+
+    with ThreadPoolExecutor(max_workers=4) as ex:
+        for f in [ex.submit(run, df) for df in dfs]:
+            f.result()
+    ids = _ids(spark, t)
+    assert len(ids) == 21
+    assert len({i for i, _ in ids.values()}) == 21          # no collision
+    hwm = t.row_tracking()["highWaterMark"]
+    assert hwm >= max(i for i, _ in ids.values())
+
+
+def test_survives_checkpoints_and_log_retention(spark, table_path):
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(_frame(spark, [(f"k{i:02d}", i) for i in range(6)]))
+    t.enable_row_tracking()
+    want = _ids(spark, t)
+    while t.latest_version() <= CHECKPOINT_EVERY + 2:
+        t.append(_frame(spark, [(f"x{t.latest_version()}", 1)]))
+    t.vacuum(retain_versions=3, min_age_sec=0, log_retain_versions=5)
+    assert t.earliest_version() > 0      # the enable commit is EXPIRED
+    t2 = TxLogTable.open(table_path)     # fresh handle: checkpoint seed
+    assert t2.row_tracking() is not None
+    got = _ids(spark, t2)
+    assert all(got[k] == want[k] for k in want)
+    assert len({i for i, _ in got.values()}) == len(got)
+
+    # a downlevel writer that doesn't speak rowTracking must refuse
+    v = t2.latest_version() + 1
+    import json as _json
+    with open(t2._commit_path(v), "w") as fh:
+        _json.dump({"ts": t2._commit_ts(v - 1) + 1e-6, "version": v,
+                    "actions": [{"protocol": {
+                        "minReaderVersion": 1, "minWriterVersion": 7,
+                        "writerFeatures": ["rowTracking",
+                                           "futureFeature99"]}}]}, fh)
+    t2._commit_memo.clear()
+    with pytest.raises(ProtocolError, match="futureFeature99"):
+        t2.append(_frame(spark, [("z", 1)]))
