@@ -761,6 +761,15 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
                    count (must be 0), v = 0 iff the updated row's
                    _row_commit_version bumped while every other row's
                    held;
+      '_replicate' — r10 keyless CDF replication: a row-tracked table
+                   (CONTAINING fully-duplicate rows no natural key can
+                   address) is bootstrapped into a replica keyed by
+                   _src_row_id, then append + CoW update + MoR delete
+                   + OPTIMIZE fold through changes(net=True,
+                   with_row_ids=True) — n = rows upserted by the fold,
+                   n2 = rows deleted, v = source-vs-replica multiset
+                   divergence after the mix (must be 0; the pure-carry
+                   OPTIMIZE contributes zero feed rows);
       '_dedup_state' — r10 incremental TEXT-dedup state (VERDICT #3):
                    a documents corpus staged as a txlog table, dedup
                    state built at two-thirds, the rest landed via
@@ -939,6 +948,35 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
                          for k in rt1 if k != "k05"))
     shutil.rmtree(rt_root, ignore_errors=True)
 
+    # -- r10 keyless CDF replication: row ids as the merge key, on a
+    # table whose rows include exact duplicates (unaddressable by any
+    # natural-key merge)
+    from service_level_reporting_spark.operators import replicate as _RP
+
+    rp_root = root + "_repl"
+    shutil.rmtree(rp_root, ignore_errors=True)
+    rs = TxLogTable(os.path.join(rp_root, "src"),
+                    key_cols=["k"], stats_col="k")
+    rs.append(spark.createDataFrame(
+        [("dup", 0)] * 3 + [(f"k{i:02d}", i) for i in range(30)],
+        "k string, v long").coalesce(2))
+    rs.enable_row_tracking()
+    _RP.replicate_bootstrap(spark, os.path.join(rp_root, "src"),
+                            os.path.join(rp_root, "rep"))
+    rs.append(spark.createDataFrame([("k80", 80), ("dup", 0)],
+                                    "k string, v long").coalesce(1))
+    rs.update(F.col("k") == "k04", {"v": "v + 100"})
+    rs.delete(F.col("k") == "k06", mode="mor")
+    fold = _RP.replicate_sync(spark, os.path.join(rp_root, "src"),
+                              os.path.join(rp_root, "rep"))
+    rs.optimize(target_files=1)          # pure carry: zero feed rows
+    fold2 = _RP.replicate_sync(spark, os.path.join(rp_root, "src"),
+                               os.path.join(rp_root, "rep"))
+    rp_div = (_RP.replica_divergence(spark, os.path.join(rp_root, "src"),
+                                     os.path.join(rp_root, "rep"))
+              + fold2["upserted"] + fold2["deleted"])
+    shutil.rmtree(rp_root, ignore_errors=True)
+
     # -- r10 (VERDICT #3): incremental TEXT-dedup state — fold the
     # corpus change feed, compare decisions against a full rebuild
     from service_level_reporting_spark.operators import (
@@ -979,6 +1017,8 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
           proto["minWriterVersion"], float(1 - proto_refused)),
          ("_admission", steps, want_steps, float(steps - want_steps)),
          ("_rowtrack", rt_changed, rt_dups, float(0 if rt_ver_ok else 1)),
+         ("_replicate", fold["upserted"], fold["deleted"],
+          float(rp_div)),
          ("_dedup_state", ds_sync["signed"], delta_ins, float(ds_div)),
          ("_dsrc", src_diverged, probe.pruned_files,
           float(src_cdf_rows - cdf_rows_direct)),

@@ -3049,15 +3049,23 @@ class TxLogTable:
                 # column stays NULL — the post-image file's default_rcv
                 # (this update's commit) is the bumped version
                 m = spark.createDataFrame(
-                    [(a["path"], a.get("base_row_id")) for a in touched],
-                    "__file string, __base long")
+                    [(a["path"], a.get("base_row_id"),
+                      a.get("default_rcv")) for a in touched],
+                    "__file string, __base long, __rcv long")
                 src = (src.join(F.broadcast(m), "__file", "left")
                        .withColumn(ROW_ID_COL, F.coalesce(
                            F.col(ROW_ID_COL),
                            F.col("__base") + F.col("__ri")))
+                       # the PRE-image's commit version, captured before
+                       # ROW_VER_COL is NULLed for the post-image carry
+                       # — the change-data sidecar records it so
+                       # changes(with_row_ids=True) can report the
+                       # deleted row's last version
+                       .withColumn("__pre_rcv", F.coalesce(
+                           F.col(ROW_VER_COL), F.col("__rcv")))
                        .withColumn(ROW_VER_COL,
                                    F.lit(None).cast("long"))
-                       .drop("__base"))
+                       .drop("__base", "__rcv"))
             hits = (src.filter(F.coalesce(cond, F.lit(False)))
                     .localCheckpoint(eager=True))
             per = {r["__file"]: r["n"]
@@ -3072,14 +3080,22 @@ class TxLogTable:
                          F.col("__ri").alias("row_index"))
              .coalesce(1).write.parquet(os.path.join(self.path, dv_rel)))
             data_cols = [c for c in src.columns
-                         if c not in ("__file", "__ri",
+                         if c not in ("__file", "__ri", "__pre_rcv",
                                       ROW_ID_COL, ROW_VER_COL)]
             # the change-data sidecar is written with PHYSICAL names
             # (r9 column mapping) so CDF scans mix sidecars and data
             # files under ONE name set; readers map back to logical
             l2p = _l2p(self.column_mapping())
-            (hits.select(*[F.col(c).alias(l2p.get(c, c))
-                           for c in data_cols])
+            side_cols = [F.col(c).alias(l2p.get(c, c))
+                         for c in data_cols]
+            if track:
+                # r10: pre-image identities ride the sidecar so the CDF
+                # can serve row ids for MoR deletes (the DV mask holds
+                # only (file, row_index) — not enough after the base
+                # file is later rewritten)
+                side_cols += [F.col(ROW_ID_COL),
+                              F.col("__pre_rcv").alias(ROW_VER_COL)]
+            (hits.select(*side_cols)
              .write.parquet(os.path.join(self.path, cdc_rel)))
             actions = []
             if assignments is not None:   # MoR UPDATE: post-image file
@@ -3387,8 +3403,8 @@ class TxLogTable:
         return out[::-1]
 
     def changes(self, spark: SparkSession, from_version: int,
-                to_version: int | None = None, net: bool = False
-                ) -> DataFrame:
+                to_version: int | None = None, net: bool = False,
+                with_row_ids: bool = False) -> DataFrame:
         """Change data feed for the half-open version range
         (from_version, to_version]: row-level changes reconstructed from
         the file-level log diff — each commit's added files surface as
@@ -3415,17 +3431,58 @@ class TxLogTable:
         whose driver-side plan cost grew with the range. A file both
         added and re-added in the range (RESTORE) appears once in the
         scan and fans out to each of its versions through the join —
-        multiset-exact."""
+        multiset-exact.
+
+        ``with_row_ids=True`` (r10 row tracking) appends ``_row_id`` /
+        ``_row_commit_version`` to every change row — the stable
+        identity handle that lets a KEYLESS consumer fold the feed
+        without any natural key: file-level legs resolve ids exactly
+        like ``read(with_row_ids=True)`` (materialized value, else the
+        file's base_row_id + parquet row index — a per-path constant,
+        so pre-enable commits of still-backfilled files report the id
+        RETROACTIVELY and a bootstrap feed from -1 stays coherent
+        across the enable boundary), and merge-on-read deletes read the
+        pre-image ids the change-data sidecar materialized at delete
+        time. Rows deleted before the backfill ever saw them have NULL
+        ids — identities that never existed are reported as such.
+        ``net=True`` then cancels carried pairs on (data, id) together,
+        so a rewrite that merely materializes ids still nets to zero
+        while a genuine UPDATE (same id, new data or bumped version)
+        survives as its delete+insert pair."""
         if to_version is None:
             to_version = self.latest_version()
         if from_version > to_version:
             raise ValueError("txlog changes: from_version > to_version")
         self._check_protocol(to_version)     # r9: actionable, pre-read
+        if with_row_ids and self.row_tracking(to_version) is None:
+            raise ValueError(
+                "txlog changes: row tracking is not enabled on this "
+                "table — call enable_row_tracking() first.")
         pairs = {"insert": [], "delete": []}   # (abs_path, version)
+        # r10 row tracking: abs_path -> (base_row_id, default_rcv). A
+        # path's base is assigned EXACTLY ONCE (at its commit-time stamp
+        # or the enable backfill) and every later re-add carries it, so
+        # one per-path entry — fed from every add sighted in the range
+        # AND the range-start snapshot — is enough, and it makes ids
+        # RETROACTIVE: a bootstrap feed from -1 reports a pre-enable
+        # insert with the id the backfill later assigned to that very
+        # file, so the net cancel stays coherent across the enable
+        # boundary. Files gone before enable have no sighting → NULL
+        # ids (identities that never existed). Change-data sidecar
+        # files carry materialized id columns instead and take no entry.
+        idmap: dict = {}
+
+        def sight(rel_or_abs: str, add: dict) -> None:
+            if add.get("base_row_id") is not None:
+                ap = os.path.abspath(os.path.join(self.path, rel_or_abs))
+                idmap[ap] = (add.get("base_row_id"),
+                             add.get("default_rcv"))
         # DV bookkeeping (r7 s2): cur tracks the live add per path so a
         # removed DV-carrying file contributes only its rows LIVE at
         # removal; entries = (rel_path, version, dv_chain) per side
         cur = {a["path"]: a for a in self._resolve(from_version)}
+        for q, a in cur.items():
+            sight(q, a)
         entries = {"insert": [], "delete": []}
 
         def exists_or_raise(q: str, v: int) -> str:
@@ -3459,9 +3516,26 @@ class TxLogTable:
                         pairs["insert"].append(
                             (exists_or_raise(a["add"]["path"], v), v))
             else:
+                dropped = {a["remove"] for a in rec["actions"]
+                           if "remove" in a}
                 for a in rec["actions"]:
                     if "add" in a and add_rows(a["add"]) > 0:
                         q = a["add"]["path"]
+                        prev = cur.get(q)
+                        if (prev is not None and q not in dropped
+                                and tuple(prev.get("dv", ()))
+                                == tuple(a["add"].get("dv", ()))):
+                            # METADATA-ONLY re-add (r10): a commit that
+                            # re-publishes a LIVE file with an unchanged
+                            # DV chain — enable_row_tracking's backfill,
+                            # a config re-stamp — moves no rows. Emitting
+                            # inserts here double-counted every backfilled
+                            # row for any feed that had already folded the
+                            # original add (the replay invariant broke
+                            # across the enable commit). RESTORE re-adds
+                            # of live files pair with a remove in the same
+                            # commit, so they still emit both sides.
+                            continue
                         pairs["insert"].append((exists_or_raise(q, v), v))
                         if a["add"].get("dv"):   # restore of a DV'd add
                             entries["insert"].append(
@@ -3475,10 +3549,17 @@ class TxLogTable:
             for a in rec["actions"]:
                 if "add" in a:
                     cur[a["add"]["path"]] = a["add"]
+                    sight(a["add"]["path"], a["add"])
                 elif "remove" in a:
                     cur.pop(a["remove"], None)
         if not pairs["insert"] and not pairs["delete"]:
-            return (self.read(spark, to_version).limit(0)
+            empty = self.read(spark, to_version).limit(0)
+            if with_row_ids:
+                empty = (empty
+                         .withColumn("_row_id", F.lit(None).cast("long"))
+                         .withColumn("_row_commit_version",
+                                     F.lit(None).cast("long")))
+            return (empty
                     .withColumn("_change_type", F.lit("insert"))
                     .withColumn("_commit_version", F.lit(0).cast("long")))
 
@@ -3524,8 +3605,21 @@ class TxLogTable:
                     .withColumn("_cdf_file",
                                 F.regexp_replace(F.input_file_name(),
                                                  "^file:(//)?", "")))
-            data_cols = [c for c in scan.columns if c != "_cdf_file"]
-            if dv is not None:
+            # r10 row tracking: materialized id columns are STORAGE, not
+            # data — files touched by a rewrite carry them, fresh files
+            # don't. They must never surface as data columns (the net
+            # groupBy would stop cancelling a carried row's NULL-id
+            # pre-image against its materialized-id post-image); they
+            # feed the id coalesce only when the caller asked for ids.
+            data_cols = [c for c in scan.columns
+                         if c not in ("_cdf_file", ROW_ID_COL,
+                                      ROW_VER_COL)]
+            if with_row_ids:
+                for c in (ROW_ID_COL, ROW_VER_COL):
+                    if c not in scan.columns:
+                        scan = scan.withColumn(c,
+                                               F.lit(None).cast("long"))
+            if dv is not None or with_row_ids:
                 # _metadata must be captured ON the scan (hidden columns
                 # don't survive the fmap join)
                 scan = scan.withColumn("row_index",
@@ -3545,9 +3639,29 @@ class TxLogTable:
                        .join(F.broadcast(dv),
                              ["file", "_commit_version", "row_index"],
                              "left_anti")
-                       .drop("file", "row_index"))
-            return (out.drop("_cdf_file")
-                    .select(*data_cols, "_change_type", "_commit_version"))
+                       .drop("file"))
+            if with_row_ids:
+                im = [(q, b, rc) for q, (b, rc) in idmap.items()]
+                if im:
+                    imap = spark.createDataFrame(
+                        im, "_cdf_file string, __base long, __rcv long")
+                    out = out.join(F.broadcast(imap), "_cdf_file",
+                                   "left")
+                else:
+                    out = (out.withColumn("__base",
+                                          F.lit(None).cast("long"))
+                           .withColumn("__rcv",
+                                       F.lit(None).cast("long")))
+                out = (out
+                       .withColumn("_row_id", F.coalesce(
+                           F.col(ROW_ID_COL),
+                           F.col("__base") + F.col("row_index")))
+                       .withColumn("_row_commit_version", F.coalesce(
+                           F.col(ROW_VER_COL), F.col("__rcv"))))
+            extra = (["_row_id", "_row_commit_version"]
+                     if with_row_ids else [])
+            return out.select(*data_cols, *extra,
+                              "_change_type", "_commit_version")
 
         ins, dels = one_scan("insert"), one_scan("delete")
         cdf = (ins if dels is None else dels if ins is None
@@ -3565,6 +3679,9 @@ class TxLogTable:
                 proj.append(F.col(p).alias(f.name) if p in cdf.columns
                             else F.lit(None).cast(f.dataType)
                             .alias(f.name))
+            if with_row_ids:
+                proj += [F.col("_row_id"),
+                         F.col("_row_commit_version")]
             cdf = cdf.select(*proj, "_change_type", "_commit_version")
         if not net:
             return cdf

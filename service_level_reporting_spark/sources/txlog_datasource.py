@@ -578,9 +578,23 @@ def _commit_file_sets(t: TxLogTable, start: int, end: int):
                      if "add" in a and add_rows(a["add"]) > 0
                      and not a["add"].get("dv")]
         else:
+            dropped = {a["remove"] for a in rec["actions"]
+                       if "remove" in a}
             for a in rec["actions"]:
                 if "add" in a and add_rows(a["add"]) > 0:
-                    adds.append((exists_or_raise(a["add"]["path"], v),
+                    q = a["add"]["path"]
+                    prev = cur.get(q)
+                    if (prev is not None and q not in dropped
+                            and tuple(prev.get("dv", ()))
+                            == tuple(a["add"].get("dv", ()))):
+                        # metadata-only re-add (r10): a LIVE file
+                        # re-published with an unchanged DV chain (row-
+                        # tracking backfill, config re-stamp) moves no
+                        # rows — emitting it double-folded every row
+                        # into any downstream stream (matview, sink)
+                        # that had already consumed the original add
+                        continue
+                    adds.append((exists_or_raise(q, v),
                                  tuple(a["add"].get("dv", ()))))
                 elif "remove" in a:
                     q = exists_or_raise(a["remove"], v)

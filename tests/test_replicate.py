@@ -1,0 +1,132 @@
+"""CDF-driven replication keyed by stable row ids (r10) — the keyless
+consumer the row-tracking feature exists for. Pins: replica == source
+after every lakehouse op (including on a table with FULLY DUPLICATE
+rows, where no natural-key merge can work), pure-carry rewrites move
+zero rows through the pipe, idempotent/no-op re-sync, crash-replay
+safety, and the NULL-id refusal."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from service_level_reporting_spark.operators.replicate import (
+    replica_divergence, replicate_bootstrap, replicate_sync, _read_sync,
+    _write_sync)
+from service_level_reporting_spark.sources.txlog import TxLogTable
+
+
+@pytest.fixture()
+def paths():
+    root = os.path.join(tempfile.gettempdir(),
+                        f"slr_repl_{uuid.uuid4().hex[:8]}")
+    yield os.path.join(root, "src"), os.path.join(root, "rep")
+    shutil.rmtree(root, ignore_errors=True)
+
+
+def _frame(spark, rows):
+    return spark.createDataFrame(rows, "k string, v long").coalesce(1)
+
+
+def test_replica_tracks_source_through_op_mix(spark, paths):
+    src_path, rep_path = paths
+    t = TxLogTable(src_path, key_cols=["k"], stats_col="k")
+    # duplicate rows on purpose: no natural key exists, only row ids
+    # can address these
+    t.append(_frame(spark, [("dup", 1), ("dup", 1), ("dup", 1)]
+                    + [(f"k{i:02d}", i) for i in range(8)]))
+    t.enable_row_tracking()
+
+    r = replicate_bootstrap(spark, src_path, rep_path)
+    assert r["rows"] == 11
+    assert replica_divergence(spark, src_path, rep_path) == 0
+
+    # several commits folded in ONE sync: append + CoW update + MoR
+    # delete + MoR update
+    t.append(_frame(spark, [("k90", 90), ("dup", 1)]))
+    t.update(F.col("k") == "k03", {"v": "v + 1000"})
+    t.delete(F.col("k") == "k05", mode="mor")
+    t.update(F.col("k") == "k07", {"v": "v + 7"}, mode="mor")
+    out = replicate_sync(spark, src_path, rep_path)
+    assert out["mode"] == "fold"
+    assert replica_divergence(spark, src_path, rep_path) == 0
+
+    # pure-carry rewrites net to ZERO rows through the pipe
+    t.optimize(target_files=1)
+    out = replicate_sync(spark, src_path, rep_path)
+    assert (out["upserted"], out["deleted"]) == (0, 0)
+    assert replica_divergence(spark, src_path, rep_path) == 0
+
+    # merge_into on the source (update + fresh insert)
+    t.merge_into(
+        spark.createDataFrame([("k02", 222), ("knew", 5)],
+                              "k string, v long"),
+        [("update", None, {"v": "src_v"}), ("insert", None, None)])
+    replicate_sync(spark, src_path, rep_path)
+    assert replica_divergence(spark, src_path, rep_path) == 0
+
+    # restore rolls the source back; the feed carries the rollback
+    t.restore(t.latest_version() - 1)
+    replicate_sync(spark, src_path, rep_path)
+    assert replica_divergence(spark, src_path, rep_path) == 0
+
+    # idempotent: same-version sync is a no-op
+    assert replicate_sync(spark, src_path, rep_path)["mode"] == "noop"
+
+    # duplicates were replicated as three ADDRESSABLE rows: delete one
+    # of them by id upstream (MoR predicate hits all three; use CoW on
+    # v to shrink to two via update? — simplest: delete ALL dups and
+    # re-check)
+    t.delete(F.col("k") == "dup", mode="mor")
+    replicate_sync(spark, src_path, rep_path)
+    assert replica_divergence(spark, src_path, rep_path) == 0
+
+
+def test_replay_after_crash_is_exactly_once(spark, paths):
+    """A sync that merged but crashed BEFORE advancing the watermark
+    re-runs the same merge on replay — upserts and deletes are
+    idempotent by id, so the replica converges, not double-folds."""
+    src_path, rep_path = paths
+    t = TxLogTable(src_path, key_cols=["k"], stats_col="k")
+    t.append(_frame(spark, [(f"k{i}", i) for i in range(6)]))
+    t.enable_row_tracking()
+    replicate_bootstrap(spark, src_path, rep_path)
+    t.update(F.col("k") == "k1", {"v": "v + 10"})
+    t.delete(F.col("k") == "k2")
+    before = _read_sync(rep_path)
+    replicate_sync(spark, src_path, rep_path)
+    # crash: watermark regresses, the merge's effect stays
+    _write_sync(rep_path, before)
+    out = replicate_sync(spark, src_path, rep_path)
+    assert out["mode"] == "fold"          # it DID re-fold the window
+    assert replica_divergence(spark, src_path, rep_path) == 0
+
+
+def test_unaddressable_rows_refused(spark, paths):
+    """Rows that churned before the enable backfill have NULL ids in a
+    bootstrap-range feed — the sync refuses them loudly instead of
+    silently guessing a key."""
+    src_path, rep_path = paths
+    t = TxLogTable(src_path, key_cols=["k"], stats_col="k")
+    t.append(_frame(spark, [("gone", 1), ("stays", 2)]))
+    v0 = t.latest_version()
+    t.delete(F.col("k") == "gone")
+    t.enable_row_tracking()
+    # hand-seed a replica whose watermark SPLITS the pre-enable
+    # insert/delete pair: the feed sees the delete of a never-
+    # backfilled file but not its insert, so a NULL-id row survives
+    # netting (a full-history feed would cancel it away)
+    replicate_bootstrap(spark, src_path, rep_path)
+    _write_sync(rep_path, {"version": v0})
+    with pytest.raises(ValueError, match="unaddressable"):
+        replicate_sync(spark, src_path, rep_path)
+    # re-seed: back in business
+    replicate_bootstrap(spark, src_path, rep_path)
+    t.append(_frame(spark, [("more", 3)]))
+    replicate_sync(spark, src_path, rep_path)
+    assert replica_divergence(spark, src_path, rep_path) == 0

@@ -161,3 +161,116 @@ def test_survives_checkpoints_and_log_retention(spark, table_path):
     t2._commit_memo.clear()
     with pytest.raises(ProtocolError, match="futureFeature99"):
         t2.append(_frame(spark, [("z", 1)]))
+
+
+def test_cdf_never_leaks_materialized_system_columns(spark, table_path):
+    """Rewrites MATERIALIZE _tx_row_id/_tx_rcv into data files; the CDF's
+    raw scans must strip them like every snapshot read does. Before the
+    r10 fix they surfaced as data columns and poisoned net=True's
+    group-by-all-columns cancel: a carried row's NULL-id pre-image and
+    materialized-id post-image stopped cancelling, so a pure-carry
+    OPTIMIZE emitted 2x(table) spurious net changes — double-folding
+    every keyless consumer (dedup_state, ann_index_incremental)."""
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(_frame(spark, [(f"k{i:02d}", i) for i in range(10)]))
+    t.enable_row_tracking()
+    t.append(_frame(spark, [(f"k{i:02d}", i) for i in range(10, 14)]))
+    carry_from = t.latest_version()
+    t.optimize(target_files=1)           # materializes ids into the file
+    cdf = t.changes(spark, -1)
+    assert not [c for c in cdf.columns if c.startswith("_tx_")]
+    # the pure-carry rewrite nets to ZERO effective changes
+    assert t.changes(spark, carry_from, net=True).count() == 0
+    # and the full-history net feed still reproduces the snapshot
+    net = t.changes(spark, -1, net=True)
+    assert {(r["k"], r["v"]) for r in net.collect()} == \
+        {(r["k"], r["v"]) for r in t.read(spark).collect()}
+
+
+def test_cdf_metadata_only_readd_moves_no_rows(spark, table_path):
+    """enable_row_tracking's backfill re-publishes every LIVE file with a
+    base_row_id — a METADATA-only commit. Before the r10 fix both CDF
+    walkers (table API and datasource) emitted those re-adds as inserts
+    with no matching delete, so an incremental consumer that had already
+    folded the original appends double-counted the whole table the
+    moment tracking was enabled mid-stream."""
+    from service_level_reporting_spark.sources.txlog_datasource import (
+        _commit_file_sets)
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(_frame(spark, [(f"k{i}", i) for i in range(3)]))
+    seen = t.latest_version()            # consumer already folded this
+    ev = t.enable_row_tracking()
+    assert t.changes(spark, seen, ev).count() == 0
+    sets = _commit_file_sets(t, seen, ev)
+    assert all(not adds and not removes for _, adds, removes in sets)
+    # RESTORE across a delete still emits: its re-add pairs with a
+    # remove in the same commit (or re-publishes a non-live path)
+    t.delete(F.col("k") == "k1")
+    v_del = t.latest_version()
+    t.restore(v_del - 1)
+    got = {(r["k"], r["_change_type"])
+           for r in t.changes(spark, v_del).collect()}
+    assert ("k1", "insert") in got
+
+
+def test_cdf_with_row_ids(spark, table_path):
+    """changes(with_row_ids=True): the stable identity handle on every
+    change row — the contract that lets a KEYLESS consumer fold the
+    feed. Pins: retroactive ids across the enable boundary (bootstrap
+    from -1 coheres), id stability across OPTIMIZE, MoR delete/update
+    pre-image ids from the change-data sidecar, rcv bump on update,
+    net-with-ids == snapshot-with-ids, and the not-enabled raise."""
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(_frame(spark, [(f"k{i:02d}", i) for i in range(6)]))
+    with pytest.raises(ValueError, match="row tracking is not enabled"):
+        t.changes(spark, -1, with_row_ids=True)
+    t.enable_row_tracking()
+    t.append(_frame(spark, [(f"k{i:02d}", i) for i in range(6, 9)]))
+    t.optimize(target_files=1)
+
+    r = t.changes(spark, -1, with_row_ids=True).collect()
+    assert {x["_row_id"] for x in r if x["_row_id"] is None} == set()
+    by_k = {}
+    for x in r:                     # every leg of one row: ONE identity
+        by_k.setdefault(x["k"], set()).add(x["_row_id"])
+    assert all(len(s) == 1 for s in by_k.values()), by_k
+
+    # MoR delete: the pre-image id rides the change-data sidecar
+    v = t.latest_version()
+    t.delete(F.col("k") == "k02", mode="mor")
+    mor = t.changes(spark, v, with_row_ids=True).collect()
+    assert [(x["_change_type"], x["_row_id"]) for x in mor] == \
+        [("delete", by_k["k02"].pop())]
+
+    # MoR update: same id on both legs, rcv bumps on the post-image
+    v = t.latest_version()
+    t.update(F.col("k") == "k04", {"v": "v + 100"}, mode="mor")
+    up = sorted(t.changes(spark, v, with_row_ids=True).collect(),
+                key=lambda x: x["_change_type"])
+    assert up[0]["_row_id"] == up[1]["_row_id"]
+    assert up[1]["_row_commit_version"] > up[0]["_row_commit_version"]
+
+    # the net feed with ids reproduces the id-bearing snapshot exactly
+    net = t.changes(spark, -1, net=True, with_row_ids=True)
+    assert {(x["k"], x["v"], x["_row_id"], x["_row_commit_version"])
+            for x in net.filter("_change_type = 'insert'").collect()} == \
+        {(x["k"], x["v"], x["_row_id"], x["_row_commit_version"])
+         for x in t.read(spark, with_row_ids=True).collect()}
+
+    # a row deleted BEFORE enable never had an identity: NULL id, and
+    # its insert/delete legs still cancel under net
+    p2 = table_path + "_pre"
+    t2 = TxLogTable(p2, key_cols=["k"], stats_col="k")
+    try:
+        t2.append(_frame(spark, [("gone", 1), ("stays", 2)]))
+        t2.delete(F.col("k") == "gone")
+        t2.enable_row_tracking()
+        feed = t2.changes(spark, -1, with_row_ids=True).collect()
+        gone = [x for x in feed if x["k"] == "gone"]
+        assert gone and all(x["_row_id"] is None for x in gone)
+        netted = t2.changes(spark, -1, net=True,
+                            with_row_ids=True).collect()
+        assert {x["k"] for x in netted} == {"stays"}
+    finally:
+        shutil.rmtree(p2, ignore_errors=True)

@@ -616,6 +616,10 @@ def _strip_schema_meta(t):
                               if "metaData" not in a]
             with open(p, "w") as fh:
                 _json.dump(rec, fh)
+    # hand-edited log: drop the handle's caches (r10 memoization —
+    # published commits are immutable in real life, this helper cheats)
+    t._commit_memo.clear()
+    t._snap_cache.clear()
 
 
 def test_schema_from_log_o1_footer_reads(spark, table_path, monkeypatch):
