@@ -63,6 +63,9 @@ from service_level_reporting_spark.sources.txlog import (
     bloom_may_contain, file_may_match)
 
 CDF_COLS = (("_change_type", "string"), ("_commit_version", "bigint"))
+# r10 s2: withRowIds=true appends the stable identity columns (row
+# tracking) — snapshot reads and the change feed alike
+ROW_COLS = (("_row_id", "bigint"), ("_row_commit_version", "bigint"))
 
 
 @dataclass
@@ -72,6 +75,9 @@ class _FilePart(InputPartition):
     commit_version: int | None
     rel: str | None = None       # table-relative path (DV row matching)
     dv: tuple = ()               # absolute DV dirs masking this file
+    row_ids: bool = False        # r10 s2: emit _row_id/_row_commit_version
+    base: int | None = None      # the add's base_row_id (file-level legs)
+    rcv: int | None = None       # the add's default_rcv
 
 
 def _stats_value(v) -> str:
@@ -181,14 +187,30 @@ def _pin_snapshot(path: str, options) -> dict:
     # snapshot (Delta's rule: a pre-upgrade version stays readable by a
     # reader that speaks its features; only commits <= the pin gate it)
     t._check_protocol(ending if mode == "changes" else version)
+    row_ids = str(options.get("withRowIds", "false")).lower() == "true"
     if mode == "changes":
         s = options.get("startingVersion", "-1")
         starting = t.latest_version() if s == "latest" else int(s)
+        if row_ids and (starting < 0
+                        or t.row_tracking(starting) is None):
+            # pre-enable commits can hold rows whose identity never
+            # existed; a stream can't learn ids retroactively across
+            # batches, so the contract is Delta's: snapshot-bootstrap
+            # (read withRowIds), then feed from that version
+            raise ValueError(
+                "txlog source: withRowIds on a change feed requires "
+                "startingVersion at or after enable_row_tracking() — "
+                "bootstrap from a snapshot read (withRowIds=true), "
+                "then start the feed at its version.")
         paths = sorted({q for _, adds, removes in _commit_file_sets(
-            t, starting, ending) for q, _ in adds + removes})
+            t, starting, ending) for q, *_ in adds + removes})
         if not paths:           # empty range (e.g. stream from 'latest'):
             paths = [a["path"] for a in t._resolve(version)]
     else:
+        if row_ids and t.row_tracking(version) is None:
+            raise ValueError(
+                "txlog source: withRowIds requires row tracking — call "
+                "enable_row_tracking() first.")
         paths = [a["path"] for a in t._resolve(version)]
     if not paths:
         raise ValueError("txlog source: empty table (no snapshot)")
@@ -207,7 +229,8 @@ def _pin_snapshot(path: str, options) -> dict:
     l2p = ({f["logical"]: f["physical"] for f in m["fields"]}
            if m is not None else None)
     return {"version": version, "ending": ending,
-            "schema": schema, "stats_safe": stats_safe, "mapping": l2p}
+            "schema": schema, "stats_safe": stats_safe, "mapping": l2p,
+            "row_ids": row_ids}
 
 
 def _dv_indexes(part: _FilePart) -> set:
@@ -229,21 +252,52 @@ def _read_file_batches(part: _FilePart, target_schema=None, mapping=None):
     masking deletion-vector rows (original-row-index based), appending
     the CDF literals when the partition carries them. With column
     mapping (r9) the file's PHYSICAL names resolve to the target's
-    logical fields through ``mapping`` (logical -> physical)."""
+    logical fields through ``mapping`` (logical -> physical).
+
+    ``part.row_ids`` (r10 s2) appends ``_row_id`` /
+    ``_row_commit_version``: the file's materialized ``_tx_*`` columns
+    where a rewrite preserved them, else the add's base_row_id + the
+    row's ORIGINAL parquet index (pre-DV-mask — identity is positional
+    in the file as written) / the add's default commit version — the
+    same coalesce the table API's reader performs, here per Arrow batch
+    with no extra scan or shuffle. Change-data sidecar partitions carry
+    materialized ids only (base is None)."""
     import pyarrow as pa
+    import pyarrow.compute as pc
     import pyarrow.parquet as pq
 
     dead = _dv_indexes(part) if part.dv else None
     offset = 0
     pf = pq.ParquetFile(part.path)
     for batch in pf.iter_batches():
+        n0 = batch.num_rows
+        orig = (list(range(offset, offset + n0))
+                if part.row_ids else None)
+        offset += n0
         if dead is not None:
-            n = batch.num_rows
-            keep = [offset + i not in dead for i in range(n)]
-            offset += n
+            keep = [offset - n0 + i not in dead for i in range(n0)]
             batch = batch.filter(pa.array(keep))
+            if orig is not None:
+                orig = [x for x, k in zip(orig, keep) if k]
             if batch.num_rows == 0:
                 continue
+        rid_arr = rcv_arr = None
+        if part.row_ids:
+            n = batch.num_rows
+            fall_id = (pa.array([part.base + i for i in orig],
+                                type=pa.int64())
+                       if part.base is not None
+                       else pa.nulls(n, type=pa.int64()))
+            fall_rcv = (pa.array([part.rcv] * n, type=pa.int64())
+                        if part.rcv is not None
+                        else pa.nulls(n, type=pa.int64()))
+            names = batch.schema.names
+            rid_arr = (pc.coalesce(batch.column("_tx_row_id").cast(
+                           pa.int64()), fall_id)
+                       if "_tx_row_id" in names else fall_id)
+            rcv_arr = (pc.coalesce(batch.column("_tx_rcv").cast(
+                           pa.int64()), fall_rcv)
+                       if "_tx_rcv" in names else fall_rcv)
         if target_schema is not None and (mapping is not None
                                           or batch.schema != target_schema):
             arrays = []
@@ -258,6 +312,10 @@ def _read_file_batches(part: _FilePart, target_schema=None, mapping=None):
                 else:
                     arrays.append(pa.nulls(batch.num_rows, type=field.type))
             batch = pa.RecordBatch.from_arrays(arrays, schema=target_schema)
+        if rid_arr is not None:
+            arrays = list(batch.columns) + [rid_arr, rcv_arr]
+            names = list(batch.schema.names) + [c for c, _ in ROW_COLS]
+            batch = pa.RecordBatch.from_arrays(arrays, names=names)
         if part.change_type is not None:
             n = batch.num_rows
             arrays = list(batch.columns) + [
@@ -282,6 +340,7 @@ class TxLogBatchReader(DataSourceReader):
         self.target_schema = pin["schema"]        # arrow, padded to on read
         self.stats_safe = pin["stats_safe"]       # ordering-safe stats col?
         self.mapping = pin.get("mapping")         # logical->physical (r9)
+        self.row_ids = pin.get("row_ids", False)  # withRowIds (r10 s2)
         t = TxLogTable.open(path)
         self.stats_col = t.stats_col
         self._table = t
@@ -372,12 +431,13 @@ class TxLogBatchReader(DataSourceReader):
         if self.mode == "changes":
             parts = [
                 _FilePart(os.path.join(t.path, p), ctype, v, rel=p,
-                          dv=tuple(os.path.join(t.path, d) for d in ch))
+                          dv=tuple(os.path.join(t.path, d) for d in ch),
+                          row_ids=self.row_ids, base=b, rcv=rc)
                 for v, adds, removes in _commit_file_sets(
                     t, self.starting, self.ending)
                 for ctype, entries in (("insert", adds),
                                        ("delete", removes))
-                for p, ch in entries]
+                for p, ch, b, rc in entries]
         else:
             live = t._resolve(self.version)
             # r9 column mapping: pushed-down bounds arrive LOGICAL-keyed,
@@ -434,7 +494,10 @@ class TxLogBatchReader(DataSourceReader):
                          os.path.join(t.path, a["path"]), None, None,
                          rel=a["path"],
                          dv=tuple(os.path.join(t.path, d)
-                                  for d in a.get("dv", ())))
+                                  for d in a.get("dv", ())),
+                         row_ids=self.row_ids,
+                         base=a.get("base_row_id"),
+                         rcv=a.get("default_rcv"))
                      for a in keep]
         # Spark requires >= 1 partition; an empty-scan sentinel reads nothing
         return parts or [_FilePart("", None, None)]
@@ -535,8 +598,15 @@ def drain_available(spark, table_path: str, checkpoint_dir: str,
 
 def _commit_file_sets(t: TxLogTable, start: int, end: int):
     """Per commit in (start, end]: ``(version, inserts, deletes)`` where
-    each side is a list of ``(table-relative path, dv_chain)`` entries,
-    verifying the files still exist (vacuum truncates the feed).
+    each side is a list of ``(table-relative path, dv_chain,
+    base_row_id, default_rcv)`` entries, verifying the files still
+    exist (vacuum truncates the feed). The id fields are per-path
+    constants (row tracking) fed from the range-start snapshot and
+    every add sighted in the walk — RETROACTIVE within the range, so a
+    file's insert leg carries the base a later backfill assigned to
+    that same path; None when the path was never sighted with one
+    (pre-enable churn, change-data sidecars — those carry materialized
+    id columns instead).
 
     Merge-on-read commits (r8): the delete side is served from the
     commit's CHANGE-DATA sidecar files (exactly the deleted rows, known
@@ -557,7 +627,15 @@ def _commit_file_sets(t: TxLogTable, start: int, end: int):
                 f"start the read later ({q})")
         return q
 
+    ids: dict = {}               # rel path -> (base_row_id, default_rcv)
+
+    def sight(q: str, add: dict) -> None:
+        if add.get("base_row_id") is not None:
+            ids[q] = (add.get("base_row_id"), add.get("default_rcv"))
+
     cur = {a["path"]: a for a in t._resolve(max(start, -1))}
+    for q, a in cur.items():
+        sight(q, a)
     out = []
     for v in range(start + 1, end + 1):
         p = t._commit_path(v)
@@ -603,10 +681,17 @@ def _commit_file_sets(t: TxLogTable, start: int, end: int):
         for a in rec["actions"]:
             if "add" in a:
                 cur[a["add"]["path"]] = a["add"]
+                sight(a["add"]["path"], a["add"])
             elif "remove" in a:
                 cur.pop(a["remove"], None)
         out.append((v, adds, removes))
-    return out
+    # second pass: stamp per-path ids (retroactive — a backfill later in
+    # the range covers earlier legs of the same path); sidecar paths and
+    # never-sighted files carry None
+    return [(v,
+             [(q, ch, *ids.get(q, (None, None))) for q, ch in adds],
+             [(q, ch, *ids.get(q, (None, None))) for q, ch in removes])
+            for v, adds, removes in out]
 
 
 class TxLogStreamReader(DataSourceStreamReader):
@@ -661,6 +746,18 @@ class TxLogStreamReader(DataSourceStreamReader):
         s = options.get("startingVersion", "-1")
         self.start_version = (self._table.latest_version()
                               if s == "latest" else int(s))
+        self.row_ids = (str(options.get("withRowIds", "false")).lower()
+                        == "true")
+        if self.row_ids and (
+                self.start_version < 0
+                or self._table.row_tracking(self.start_version) is None):
+            # identity can't be learned retroactively across micro-
+            # batches — Delta's contract: snapshot-bootstrap, then feed
+            raise ValueError(
+                "txlog stream: withRowIds requires startingVersion at "
+                "or after enable_row_tracking() — bootstrap from a "
+                "snapshot read (withRowIds=true), then start the feed "
+                "at its version.")
         self.target_schema = target_schema
         mc = int(options.get("maxCommitsPerTrigger", 0))
         mr = int(options.get("maxRowsPerTrigger", 0))
@@ -726,7 +823,7 @@ class TxLogStreamReader(DataSourceStreamReader):
                 t._raise_missing(v)  # expired (r9) vs corrupt, actionable
             with open(p) as fh:
                 rec = json.load(fh)
-            adds = [a["add"]["path"] for a in rec["actions"]
+            adds = [a["add"] for a in rec["actions"]
                     if "add" in a and add_rows(a["add"]) > 0]
             removes = [a["remove"] for a in rec["actions"] if "remove" in a]
             if self.mode == "changes":
@@ -738,10 +835,11 @@ class TxLogStreamReader(DataSourceStreamReader):
                         _FilePart(os.path.join(t.path, q), ctype, cv,
                                   rel=q,
                                   dv=tuple(os.path.join(t.path, d)
-                                           for d in ch))
+                                           for d in ch),
+                                  row_ids=self.row_ids, base=b, rcv=rc)
                         for ctype, entries in (("insert", cadds),
                                                ("delete", cremoves))
-                        for q, ch in entries]
+                        for q, ch, b, rc in entries]
             else:
                 dv_adds = any("add" in a and a["add"].get("dv")
                               for a in rec["actions"])
@@ -757,8 +855,11 @@ class TxLogStreamReader(DataSourceStreamReader):
                         "(merge/delete/update/optimize). Append-only "
                         "streams refuse changed data; set "
                         "skipChangeCommits=true or use mode=changes.")
-                parts += [_FilePart(os.path.join(t.path, q), None, None)
-                          for q in adds]
+                parts += [_FilePart(os.path.join(t.path, a["path"]),
+                                    None, None, row_ids=self.row_ids,
+                                    base=a.get("base_row_id"),
+                                    rcv=a.get("default_rcv"))
+                          for a in adds]
         return parts or [_FilePart("", None, None)]
 
     def read(self, partition: _FilePart):
@@ -782,7 +883,11 @@ class TxLogDataSource(DataSource):
     new-data-only), ``mergeSchema`` (read an additively-evolved table as
     the union of its files' schemas), ``skipChangeCommits`` (streaming),
     ``maxCommitsPerTrigger`` / ``maxRowsPerTrigger`` (streaming
-    admission control — a backlog drains as bounded micro-batches)."""
+    admission control — a backlog drains as bounded micro-batches),
+    ``withRowIds`` (r10 s2: append ``_row_id`` /
+    ``_row_commit_version`` — row tracking's stable identities — to
+    snapshot reads and change feeds alike; change feeds must start at
+    or after the enable version)."""
 
     @classmethod
     def name(cls) -> str:
@@ -813,10 +918,14 @@ class TxLogDataSource(DataSource):
         sch = StructType([StructField(f.name, f.dataType, True)
                           for f in sch])
         mode = self.options.get("mode", "")
-        if mode == "changes":
+        rid = ([f"{c} {typ}" for c, typ in ROW_COLS]
+               if pin.get("row_ids") else [])
+        if mode == "changes" or rid:
             ddl = ", ".join(
                 [f"`{f.name}` {f.dataType.simpleString()}" for f in sch]
-                + [f"{c} {typ}" for c, typ in CDF_COLS])
+                + rid
+                + ([f"{c} {typ}" for c, typ in CDF_COLS]
+                   if mode == "changes" else []))
             return ddl
         return sch
 

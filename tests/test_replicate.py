@@ -130,3 +130,38 @@ def test_unaddressable_rows_refused(spark, paths):
     t.append(_frame(spark, [("more", 3)]))
     replicate_sync(spark, src_path, rep_path)
     assert replica_divergence(spark, src_path, rep_path) == 0
+
+
+def test_delete_keys_frame_sourced_mor(spark, paths):
+    """delete_keys (r10 s2): MoR delete by KEY FRAME — semi-join
+    membership, no isin literal, typed pruning bounds derived from the
+    frame (provably match-free files carry by reference). Pins exact
+    match semantics, multi-column keys, derived-bound file pruning, and
+    the empty-schema raise."""
+    src_path, _ = paths
+    t = TxLogTable(src_path, key_cols=["k"], stats_col="k")
+    # three range-clustered files: keys k00..k09, k10..k19, k20..k29
+    for lo in (0, 10, 20):
+        t.append(_frame(spark, [(f"k{i:02d}", i)
+                                for i in range(lo, lo + 10)]))
+    keys = spark.createDataFrame([("k03",), ("k07",), ("k05",)],
+                                 "k string")
+    d = t.delete_keys(keys)
+    assert d["matched_rows"] == 3
+    # derived bounds [k03, k07] prune the k10+/k20+ files entirely:
+    # only file 1 gains a DV, the others carry untouched
+    assert d["dv_files"] == 1
+    left = {r["k"] for r in t.read(spark).collect()}
+    assert left == {f"k{i:02d}" for i in range(30)} - {"k03", "k05",
+                                                       "k07"}
+    # multi-column frame: only the exact (k, v) pair goes
+    t2keys = spark.createDataFrame([("k12", 12), ("k15", 999)],
+                                   "k string, v long")
+    d2 = t.delete_keys(t2keys)
+    assert d2["matched_rows"] == 1            # (k15, 999) matches nothing
+    assert "k12" not in {r["k"] for r in t.read(spark).collect()}
+    # the CDF serves the masked pre-images
+    ch = t.changes(spark, d2["version"] - 1, d2["version"]).collect()
+    assert [(r["k"], r["_change_type"]) for r in ch] == [("k12", "delete")]
+    with pytest.raises(ValueError, match="empty key frame"):
+        t.delete_keys(spark.createDataFrame([], "struct<>"))

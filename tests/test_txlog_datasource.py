@@ -718,3 +718,102 @@ def test_non_additive_evolution_pinned_errors(spark, table_path):
     with pytest.raises(Exception, match="Non-additive"):
         (spark.read.format("txlog").option("mergeSchema", "true")
          .load(table_path).collect())
+
+
+def test_with_row_ids_batch_parity(spark, table_path):
+    """withRowIds=true (r10 s2): the datasource's snapshot and change
+    feeds carry the SAME stable identities the table API resolves —
+    materialized-else-base+row-index, per Arrow batch executor-side —
+    and the feed refuses to start before the enable version (identity
+    can't be learned retroactively across micro-batches)."""
+    spark.dataSource.register(TxLogDataSource)
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(spark.createDataFrame(
+        [(f"k{i:02d}", i) for i in range(8)],
+        "k string, v long").coalesce(1))
+    t.enable_row_tracking()
+    ev = t.latest_version()
+    t.append(spark.createDataFrame([("k90", 90)],
+                                   "k string, v long").coalesce(1))
+    t.update(F.col("k") == "k03", {"v": "v + 100"})      # CoW rewrite
+    t.delete(F.col("k") == "k05", mode="mor")            # sidecar ids
+    t.update(F.col("k") == "k06", {"v": "v + 1"}, mode="mor")
+    t.optimize(target_files=1)                           # materializes
+
+    ds = (spark.read.format("txlog")
+          .option("withRowIds", "true").load(table_path))
+    assert sorted(map(tuple, ds.collect())) == sorted(
+        map(tuple, t.read(spark, with_row_ids=True)
+            .select(*ds.columns).collect()))
+
+    dc = (spark.read.format("txlog").option("mode", "changes")
+          .option("startingVersion", str(ev))
+          .option("withRowIds", "true").load(table_path))
+    assert sorted(map(tuple, dc.collect())) == sorted(
+        map(tuple, t.changes(spark, ev, with_row_ids=True)
+            .select(*dc.columns).collect()))
+
+    with pytest.raises(Exception, match="enable_row_tracking"):
+        (spark.read.format("txlog").option("mode", "changes")
+         .option("startingVersion", "-1")
+         .option("withRowIds", "true").load(table_path).collect())
+
+
+def test_with_row_ids_streaming_keyless_replication(spark, table_path):
+    """The streaming payoff: a capped CDC stream WITH row ids drains a
+    backlog of appends/updates/deletes/compaction, and a keyless
+    consumer folding each micro-batch by id (last-writer-wins within a
+    batch via _commit_version) reproduces the source snapshot exactly —
+    no natural key anywhere, duplicates included."""
+    from service_level_reporting_spark.sources.txlog_datasource import (
+        drain_available)
+
+    spark.dataSource.register(TxLogDataSource)
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(spark.createDataFrame(
+        [("dup", 0)] * 3 + [(f"k{i}", i) for i in range(6)],
+        "k string, v long").coalesce(1))
+    t.enable_row_tracking()
+    start = t.latest_version()
+    t.append(spark.createDataFrame([("k9", 9), ("dup", 0)],
+                                   "k string, v long").coalesce(1))
+    t.update(F.col("k") == "k2", {"v": "v + 20"})
+    t.delete(F.col("k") == "k4", mode="mor")
+    t.update(F.col("k") == "k5", {"v": "v + 1"}, mode="mor")
+    t.optimize(target_files=1)
+    t.append(spark.createDataFrame([("k8", 8)],
+                                   "k string, v long").coalesce(1))
+
+    replica: dict = {            # the keyless state: row id -> (k, v)
+        r["_row_id"]: (r["k"], r["v"])
+        for r in t.read(spark, with_row_ids=True)
+        .where(F.lit(False)).collect()}
+    # bootstrap = snapshot at `start` (withRowIds), like a real consumer
+    boot = (spark.read.format("txlog").option("version", str(start))
+            .option("withRowIds", "true").load(table_path))
+    for r in boot.collect():
+        replica[r["_row_id"]] = (r["k"], r["v"])
+
+    def fb(df, _bid):
+        # fold one micro-batch: per id, the LAST change wins (order by
+        # commit version; delete-then-insert within one version is an
+        # update — net=False feeds both legs)
+        rows = sorted(df.collect(),
+                      key=lambda r: (r["_commit_version"],
+                                     r["_change_type"] == "insert"))
+        for r in rows:
+            if r["_change_type"] == "insert":
+                replica[r["_row_id"]] = (r["k"], r["v"])
+            else:
+                replica.pop(r["_row_id"], None)
+
+    res = drain_available(
+        spark, table_path, table_path + "_ckpt",
+        lambda df: df.writeStream.foreachBatch(fb),
+        mode="changes", max_commits_per_trigger=2,
+        options={"startingVersion": str(start), "withRowIds": "true"})
+    assert res["passes"] >= 3          # the cap forced several batches
+
+    want = {r["_row_id"]: (r["k"], r["v"])
+            for r in t.read(spark, with_row_ids=True).collect()}
+    assert replica == want
