@@ -669,8 +669,8 @@ def sink_txlog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         armed = False       # armed just before the merge, not the appends
         injected = False
 
-        def _write_data_files(self, df):
-            adds = super()._write_data_files(df)
+        def _write_data_files(self, df, **kw):
+            adds = super()._write_data_files(df, **kw)
             if self.armed and not self.injected:
                 type(self).injected = True
                 self.commit([], self.latest_version() + 1)   # rogue claim
@@ -761,6 +761,14 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
                    count (must be 0), v = 0 iff the updated row's
                    _row_commit_version bumped while every other row's
                    held;
+      '_generated' — r10 s2 generated columns (Delta generation
+                   expressions): declare day GENERATED ALWAYS AS
+                   (date_format(minute,...)), append WITHOUT the
+                   column, UPDATE a referenced column — n = rows whose
+                   stored day mismatches the recomputed expression
+                   (must be 0: computed on write, recomputed through
+                   rewrites), n2 = the table's generated-column count,
+                   v = 0 iff a wrong-valued supply was refused;
       '_replicate' — r10 keyless CDF replication: a row-tracked table
                    (CONTAINING fully-duplicate rows no natural key can
                    address) is bootstrapped into a replica keyed by
@@ -948,6 +956,36 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
                          for k in rt1 if k != "k05"))
     shutil.rmtree(rt_root, ignore_errors=True)
 
+    # -- r10 s2 generated columns: compute on write, recompute through
+    # rewrites, refuse wrong supplies
+    from service_level_reporting_spark.sources.txlog import (
+        GeneratedColumnViolation)
+
+    gc_root = root + "_gen"
+    shutil.rmtree(gc_root, ignore_errors=True)
+    gt = TxLogTable(gc_root, key_cols=["k"], stats_col="k")
+    gt.add_generated_column("day", "string",
+                            "date_format(minute, 'yyyy-MM-dd')")
+    gt.append(spark.createDataFrame(
+        [(f"k{i}", f"2024-01-0{1 + i % 3} 0{i % 10}:0{i % 6}:00")
+         for i in range(30)], "k string, minute string")
+        .withColumn("minute", F.to_timestamp("minute")).coalesce(2))
+    gt.update(F.col("k") == "k3", {"minute": "minute + interval 2 days"})
+    gt.optimize(target_files=1)
+    gc_bad = (gt.read(spark)
+              .filter(~F.col("day").eqNullSafe(
+                  F.date_format("minute", "yyyy-MM-dd"))).count())
+    try:
+        gt.append(spark.createDataFrame(
+            [("x", "2024-01-01 00:00:00", "wrong")],
+            "k string, minute string, day string")
+            .withColumn("minute", F.to_timestamp("minute")))
+        gc_refused = 0
+    except GeneratedColumnViolation:
+        gc_refused = 1
+    gc_n = len(gt.generated_columns())
+    shutil.rmtree(gc_root, ignore_errors=True)
+
     # -- r10 keyless CDF replication: row ids as the merge key, on a
     # table whose rows include exact duplicates (unaddressable by any
     # natural-key merge)
@@ -1017,6 +1055,7 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
           proto["minWriterVersion"], float(1 - proto_refused)),
          ("_admission", steps, want_steps, float(steps - want_steps)),
          ("_rowtrack", rt_changed, rt_dups, float(0 if rt_ver_ok else 1)),
+         ("_generated", gc_bad, gc_n, float(1 - gc_refused)),
          ("_replicate", fold["upserted"], fold["deleted"],
           float(rp_div)),
          ("_dedup_state", ds_sync["signed"], delta_ins, float(ds_div)),

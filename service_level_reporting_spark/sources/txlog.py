@@ -164,6 +164,12 @@ class ConstraintViolation(Exception):
     """A write would land rows that fail an active CHECK constraint."""
 
 
+class GeneratedColumnViolation(Exception):
+    """A write supplied values for a generated column that do not match
+    its generation expression (r10 s2 — Delta raises the equivalent
+    DELTA_VIOLATE_CONSTRAINT_WITH_VALUES for generation expressions)."""
+
+
 class ProtocolError(ValueError):
     """The log requires a newer reader/writer than this implementation
     (r9, VERDICT item 8): a ``protocol`` action recorded a
@@ -961,6 +967,7 @@ class TxLogTable:
             json.dump({"version": version,
                        "files_parts": len(parts), "n_files": len(files),
                        "txns": txns, "constraints": cons,
+                       "generated": self.generated_columns(version),
                        "schema": sch.json() if sch is not None else None,
                        "schema_evolved": sev,
                        # r9: protocol / mapping / config ride checkpoints
@@ -1411,6 +1418,97 @@ class TxLogTable:
                 _backoff(attempt)
                 attempt += 1
 
+    # ---- generated columns (r10 s2, Delta generation expressions) --------
+
+    def generated_columns(self, version: int | None = None,
+                          use_checkpoint: bool = True) -> dict:
+        """Active generation expressions {name: {"dtype", "expr"}} at
+        ``version`` — generatedCol/drop_generated actions ride commits
+        and checkpoints exactly like CHECK constraints (per-name deltas,
+        so racing adds of DIFFERENT columns both land)."""
+        if version is None:
+            version = self.latest_version()
+        gens: dict[str, dict] = {}
+        if use_checkpoint:
+            ckpt, start = self._seed(version, "generated")
+        else:
+            ckpt, start = self._replay_base(version, "generated")
+        if ckpt is not None and ckpt.get("generated") is not None:
+            gens = dict(ckpt["generated"])
+        for v in range(start, version + 1):
+            rec = self._commit_record(v, use_memo=use_checkpoint)
+            if rec is None:
+                self._walk_missing(v)
+                continue
+            for a in rec["actions"]:
+                if "generatedCol" in a:
+                    g = a["generatedCol"]
+                    gens[g["name"]] = {"dtype": g["dtype"],
+                                       "expr": g["expr"]}
+                elif "drop_generated" in a:
+                    gens.pop(a["drop_generated"], None)
+        return gens
+
+    def add_generated_column(self, name: str, dtype: str,
+                             expr: str) -> int:
+        """Declare ``name`` GENERATED ALWAYS AS (expr) — Delta's
+        generation expressions. From this commit on, every write path
+        COMPUTES the column when the frame omits it and VALIDATES it
+        (null-safe equality) when the frame supplies it, at the single
+        write choke point — so the invariant value == expr holds for
+        every physical row, and a range-clustered or stats-pruned scan
+        on the generated column (day-from-timestamp is the canonical
+        case) is provably consistent with the expression.
+
+        The Delta restriction, kept: the declaration is only legal when
+        it cannot create rows that silently violate it — on an EMPTY
+        table (no recorded schema), or when the column already exists
+        and every existing row (including null-padded rows of files
+        written before an additive evolution) VALIDATES against the
+        expression first, exactly like add_constraint. Anything else is
+        refused with the remedy (rewrite with the column materialized)."""
+        sch, _ = self.table_schema_info()
+        if sch is not None:
+            if name not in {f.name for f in sch.fields}:
+                raise ValueError(
+                    f"txlog add_generated_column: column {name!r} is not "
+                    "in the recorded schema and the table already holds "
+                    "data — files written before the declaration would "
+                    "read NULL where the expression promises a value. "
+                    "Rewrite the table with the column materialized "
+                    "(overwrite), then declare it.")
+            snap = self.read(_session(), merge_schema=True)
+            bad = (snap.filter(~F.col(name).eqNullSafe(
+                       F.expr(expr).cast(dtype)))
+                   .limit(1).count())
+            if bad:
+                raise GeneratedColumnViolation(
+                    f"txlog add_generated_column: existing rows violate "
+                    f"{name} == ({expr}); nothing was committed.")
+        attempt = 0
+        while True:
+            try:
+                return self.commit(
+                    [{"generatedCol": {"name": name, "dtype": dtype,
+                                       "expr": expr}}],
+                    self.latest_version() + 1, op="add_generated_column")
+            except VersionConflict:
+                _backoff(attempt)
+                attempt += 1
+
+    def drop_generated_column(self, name: str) -> int:
+        """Drop the generation EXPRESSION (the column and its data
+        stay — it becomes a plain column, Delta parity)."""
+        attempt = 0
+        while True:
+            try:
+                return self.commit([{"drop_generated": name}],
+                                   self.latest_version() + 1,
+                                   op="drop_generated_column")
+            except VersionConflict:
+                _backoff(attempt)
+                attempt += 1
+
     # ---- column mapping: rename/drop without rewrite (r9, VERDICT 3) ----
 
     def enable_column_mapping(self) -> int:
@@ -1483,6 +1581,16 @@ class TxLogTable:
                 f"txlog {op}: column {col!r} is referenced by CHECK "
                 f"constraint(s) {hits} — drop them first "
                 "(drop_constraint), then re-add against the new name.")
+        # r10 s2: same rule for generation expressions — both a
+        # generated column itself and any column its expression reads
+        ghits = [n for n, g in self.generated_columns().items()
+                 if n == col or pat.search(g["expr"])]
+        if ghits:
+            raise ValueError(
+                f"txlog {op}: column {col!r} is (or is read by) "
+                f"generated column(s) {ghits} — drop the generation "
+                "expression first (drop_generated_column), then re-add "
+                "against the new name.")
 
     def rename_column(self, old: str, new: str) -> int:
         """ALTER TABLE RENAME COLUMN — metadata-only (r9): the mapping's
@@ -1634,7 +1742,8 @@ class TxLogTable:
 
     def _write_data_files(self, df: DataFrame,
                           layout: bool = True,
-                          schema_reset: bool = False) -> list[dict]:
+                          schema_reset: bool = False,
+                          regen_generated: bool = False) -> list[dict]:
         """Write df as immutable parquet files under a fresh subdir; return
         add-actions with footer-derived row counts and stats-column min/max
         (exactly what a catalog/commit service records).
@@ -1653,6 +1762,31 @@ class TxLogTable:
         import pyarrow.parquet as pq
 
         self._check_protocol(write=True)     # r9: fail before staging
+        # r10 s2 generated columns: compute-if-absent BEFORE anything
+        # else sees the frame (constraints may reference the generated
+        # column; the schema action and typed stats must include it),
+        # validate-if-present with null-safe equality — the invariant
+        # value == expr holds for every physical row ever written
+        # ``regen_generated`` (internal rewrite paths — UPDATE/merge/
+        # optimize): DROP and recompute instead of validating, Delta's
+        # rule that an update to a referenced column recomputes the
+        # generated value (untouched rows recompute to the same value —
+        # the expression is deterministic by contract)
+        for gname, g in self.generated_columns().items():
+            gexpr = F.expr(g["expr"]).cast(g["dtype"])
+            if regen_generated and gname in df.columns:
+                df = df.drop(gname)
+            if gname in df.columns:
+                if (df.filter(~F.col(gname).eqNullSafe(gexpr))
+                        .limit(1).count()):
+                    raise GeneratedColumnViolation(
+                        f"txlog: write supplies values for generated "
+                        f"column {gname!r} that do not match its "
+                        f"expression ({g['expr']}); no data was "
+                        "committed. Omit the column to have it "
+                        "computed.")
+            else:
+                df = df.withColumn(gname, gexpr)
         # r10 row tracking: materialized row-id system columns ride the
         # physical write but are INVISIBLE to constraints, the recorded
         # schema, and column mapping — they are storage, not schema
@@ -2019,6 +2153,9 @@ class TxLogTable:
             actions.append({"add": n})
         actions += [{"constraint": {"name": k, "expr": v}}
                     for k, v in sorted(self.constraints(version).items())]
+        actions += [{"generatedCol": {"name": k, **g}}
+                    for k, g in sorted(
+                        self.generated_columns(version).items())]
         sch, _ = self.table_schema_info(version)
         if sch is not None:   # schema rides the clone's v0 (r8): the
             # clone's readers derive it from THEIR log, no footer reads
@@ -2273,7 +2410,8 @@ class TxLogTable:
             # commit logically removes (same hazard as
             # merge_upsert_minutes; a production impl writes from
             # executors then commits)
-            return self._write_data_files(merged.localCheckpoint(eager=True))
+            return self._write_data_files(merged.localCheckpoint(eager=True),
+                                           regen_generated=True)
 
         base = self.latest_version()
         live = self._resolve(base)
@@ -2445,7 +2583,8 @@ class TxLogTable:
                 out = out.unionByName(ins)
             else:
                 counts["inserted"] = 0
-            return self._write_data_files(out.localCheckpoint(eager=True))
+            return self._write_data_files(out.localCheckpoint(eager=True),
+                                           regen_generated=True)
 
         base = self.latest_version()
         live = self._resolve(base)
@@ -2538,7 +2677,8 @@ class TxLogTable:
             # optimize OWNS its physical layout (coalesce / z-range):
             # cluster_by must not re-shuffle it away
             return self._write_data_files(df.localCheckpoint(eager=True),
-                                          layout=False)
+                                          layout=False,
+                                          regen_generated=True)
 
         base = self.latest_version()
         live = self._resolve(base)
@@ -2607,10 +2747,11 @@ class TxLogTable:
             df = self._files_df(spark, sel,
                                 row_ids=track).localCheckpoint(eager=True)
             if self.cluster_by:
-                return self._write_data_files(df)   # range layout sizes
+                return self._write_data_files(df, regen_generated=True)
             total = sum(add_rows(a) for a in sel)
             n_out = max(1, -(-total // target_rows_per_file))
             return self._write_data_files(df.coalesce(n_out),
+                                          regen_generated=True,
                                           layout=False)
 
         base = self.latest_version()
@@ -2833,6 +2974,7 @@ class TxLogTable:
             "column_mapping": (m or {}).get("mode"),
             "protocol": self.table_protocol(version),
             "constraints": self.constraints(version),
+            "generated_columns": self.generated_columns(version),
             "config": self.effective_config(version)}
 
     # ---- row-level operations (r6: DELETE / UPDATE / RESTORE / CDF) ------
@@ -2914,7 +3056,8 @@ class TxLogTable:
             out, n = make_output(self._files_df(spark, touched,
                                                 row_ids=track))
             matched["rows"] = n
-            adds = self._write_data_files(out.localCheckpoint(eager=True))
+            adds = self._write_data_files(out.localCheckpoint(eager=True),
+                                          regen_generated=True)
             # an all-rows-deleted file would be an add with 0 rows and no
             # stats (min None => never prunable); drop it from the commit
             return [a for a in adds
@@ -3122,7 +3265,8 @@ class TxLogTable:
                     expr = F.expr(val) if isinstance(val, str) else val
                     dtype = post.schema[col].dataType
                     post = post.withColumn(col, expr.cast(dtype))
-                actions += self._write_data_files(post)
+                actions += self._write_data_files(post,
+                                                  regen_generated=True)
             for a in touched:
                 d = per.get(a["path"], 0)
                 if not d:

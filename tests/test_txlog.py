@@ -241,8 +241,8 @@ def test_merge_logical_conflict_detection(spark, table_path):
         rogue_actions: list = []
         injected = False
 
-        def _write_data_files(self, df):
-            adds = super()._write_data_files(df)
+        def _write_data_files(self, df, **kw):
+            adds = super()._write_data_files(df, **kw)
             if not type(self).injected:
                 type(self).injected = True
                 plain = TxLogTable(self.path, self.key_cols, self.stats_col)
