@@ -274,3 +274,29 @@ def test_cdf_with_row_ids(spark, table_path):
         assert {x["k"] for x in netted} == {"stays"}
     finally:
         shutil.rmtree(p2, ignore_errors=True)
+
+
+def test_cdf_row_ids_with_column_mapping(spark, table_path):
+    """Interaction pin: with column mapping ON, the CDF's mapping
+    projection must carry _row_id/_row_commit_version through to the
+    renamed LOGICAL schema (the projection selects schema fields — a
+    regression would silently drop the id columns)."""
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(_frame(spark, [(f"k{i}", i) for i in range(4)]))
+    t.enable_row_tracking()
+    t.enable_column_mapping()
+    t.rename_column("v", "val")
+    t.append(spark.createDataFrame([("k9", 9)],
+                                   "k string, val long").coalesce(1))
+    feed = t.changes(spark, -1, with_row_ids=True)
+    assert feed.columns == ["k", "val", "_row_id",
+                            "_row_commit_version", "_change_type",
+                            "_commit_version"]
+    rows = feed.collect()
+    assert {r["k"] for r in rows} == {f"k{i}" for i in range(4)} | {"k9"}
+    assert all(r["_row_id"] is not None for r in rows)
+    # net feed with ids equals the id-bearing snapshot, renamed schema
+    net = t.changes(spark, -1, net=True, with_row_ids=True)
+    assert {(r["k"], r["val"], r["_row_id"]) for r in net.collect()} == \
+        {(r["k"], r["val"], r["_row_id"])
+         for r in t.read(spark, with_row_ids=True).collect()}
