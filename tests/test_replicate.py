@@ -165,3 +165,71 @@ def test_delete_keys_frame_sourced_mor(spark, paths):
     assert [(r["k"], r["_change_type"]) for r in ch] == [("k12", "delete")]
     with pytest.raises(ValueError, match="empty key frame"):
         t.delete_keys(spark.createDataFrame([], "struct<>"))
+
+
+def test_random_op_walk_replica_and_generated_invariants(spark, paths):
+    """Seeded random walk over the full r10-s2 surface on ONE table:
+    appends (duplicate rows included), CoW/MoR update+delete,
+    delete_keys, OPTIMIZE, bin-pack, RESTORE — with a generated column
+    active throughout and the replica synced at random points. Two
+    invariants after every sync: (1) replica == source by multiset
+    (divergence 0), (2) every stored generated value equals its
+    recomputed expression. Catches interactions no directed test
+    stages (e.g. restore across a MoR delete feeding the fold, a
+    bin-pack materializing ids under an active generation expression)."""
+    import random
+
+    src_path, rep_path = paths
+    t = TxLogTable(src_path, key_cols=["k"], stats_col="k")
+    t.add_generated_column("klen", "int", "length(k)")
+    t.append(_frame(spark, [("dup", 1)] * 2
+                    + [(f"k{i:02d}", i) for i in range(10)]))
+    t.enable_row_tracking()
+    replicate_bootstrap(spark, src_path, rep_path)
+
+    def check():
+        assert replica_divergence(spark, src_path, rep_path) == 0
+        snap = t.read(spark)
+        assert snap.filter(
+            ~F.col("klen").eqNullSafe(F.length("k"))).count() == 0
+
+    for seed in (7, 23):
+        rnd = random.Random(seed)
+        n_new = 100 * seed
+        for step in range(10):
+            kind = rnd.choice(
+                ["append", "cow_up", "mor_up", "cow_del", "mor_del",
+                 "del_keys", "optimize", "binpack", "restore"])
+            keys = [r["k"] for r in t.read(spark)
+                    .select("k").distinct().collect()]
+            pick = rnd.choice(sorted(keys)) if keys else "k00"
+            if kind == "append":
+                n_new += 1
+                t.append(_frame(spark, [(f"n{n_new}", n_new),
+                                        ("dup", 1)]))
+            elif kind == "cow_up":
+                t.update(F.col("k") == pick, {"v": "v + 1"})
+            elif kind == "mor_up":
+                t.update(F.col("k") == pick, {"v": "v + 2"},
+                         mode="mor")
+            elif kind == "cow_del":
+                t.delete(F.col("k") == pick)
+            elif kind == "mor_del":
+                t.delete(F.col("k") == pick, mode="mor")
+            elif kind == "del_keys":
+                t.delete_keys(spark.createDataFrame([(pick,)],
+                                                    "k string"))
+            elif kind == "optimize":
+                t.optimize(target_files=2)
+            elif kind == "binpack":
+                t.optimize_bin_pack(small_file_rows=4)
+            elif kind == "restore":
+                t.restore(max(t.latest_version() - 1,
+                              t.earliest_version()))
+            if t.read(spark).limit(1).count() == 0:
+                t.append(_frame(spark, [("reseed", 0)]))
+            if rnd.random() < 0.4:
+                replicate_sync(spark, src_path, rep_path)
+                check()
+        replicate_sync(spark, src_path, rep_path)
+        check()
