@@ -919,6 +919,7 @@ class TxLogTable:
         the batch was applied, False if skipped."""
         if batch_id <= self.last_txn_batch(writer):
             return False
+        cons0, gens0 = self.constraints(), self.generated_columns()
         adds = self._write_data_files(df)
         attempt = 0
         while True:
@@ -927,6 +928,13 @@ class TxLogTable:
             # SAME writer may have landed this batch while we wrote files
             if batch_id <= self.last_txn_batch(writer):
                 return False
+            # a constraint / generation expression landed since staging:
+            # re-validate the staged files (r10 s2, same as append)
+            cons1, gens1 = (self.constraints(base),
+                            self.generated_columns(base))
+            if (cons1, gens1) != (cons0, gens0):
+                self._revalidate_staged(adds, cons1, gens1)
+                cons0, gens0 = cons1, gens1
             try:
                 self.commit(adds, base + 1, op="streaming_append",
                             txn={"writer": writer, "batch": batch_id})
@@ -2059,13 +2067,51 @@ class TxLogTable:
 
     # ---- table operations -------------------------------------------------
 
+    def _revalidate_staged(self, adds: list[dict], cons: dict,
+                           gens: dict) -> None:
+        """Re-validate ALREADY-WRITTEN staged files after a concurrent
+        metadata commit landed mid-retry (r10 s2 — Delta fails such
+        transactions with a metadata-changed conflict; we re-check
+        instead, failing only actual violations): CHECK constraints
+        re-run as-is; generation expressions can only VALIDATE — the
+        files are immutable, so a new expression the staged files never
+        computed fails the write with nothing committed (the orphan
+        files age out via vacuum)."""
+        files = [a["add"] for a in adds if "add" in a]
+        if not files:
+            return
+        df = self._files_df(_session(), files)
+        if cons:
+            self._check(df, cons)
+        for gname, g in gens.items():
+            gexpr = F.expr(g["expr"]).cast(g["dtype"])
+            if gname not in df.columns or df.filter(
+                    ~F.col(gname).eqNullSafe(gexpr)).limit(1).count():
+                raise GeneratedColumnViolation(
+                    f"txlog: a generation expression for {gname!r} "
+                    "landed concurrently and this write's staged files "
+                    "do not satisfy it — re-run the write (nothing was "
+                    "committed).")
+
     def append(self, df: DataFrame) -> int:
         """Blind append: new files + adds; retries version races (with
         jittered backoff so a burst of appenders can't starve a concurrent
-        merge — appends never conflict logically, only on the version)."""
+        merge — appends never conflict logically, only on the version).
+        A constraint or generation expression committed mid-retry forces
+        re-validation of the staged files (r10 s2) — without it, the
+        blind re-commit would land rows the new rule never checked."""
+        cons0, gens0 = self.constraints(), self.generated_columns()
         adds = self._write_data_files(df)
         attempt = 0
         while True:
+            # append claims latest+1 at CALL time (no pinned base), so
+            # a metadata commit during staging never surfaces as a
+            # VersionConflict — the fingerprint check must run before
+            # EVERY attempt, not only on conflict (r10 s2)
+            cons1, gens1 = self.constraints(), self.generated_columns()
+            if (cons1, gens1) != (cons0, gens0):
+                self._revalidate_staged(adds, cons1, gens1)
+                cons0, gens0 = cons1, gens1
             try:
                 return self.commit(adds, self.latest_version() + 1,
                                    op="append")
@@ -2246,18 +2292,19 @@ class TxLogTable:
         path to a type change or a true column drop; phantom NULL fields
         from earlier evolution leave the schema, and the `evolved` flag
         recomputes from the post-overwrite log."""
-        cons0 = self.constraints()
+        cons0, gens0 = self.constraints(), self.generated_columns()
         adds = self._write_data_files(df, schema_reset=True)
         attempt = 0
         while True:
             base = self.latest_version()
             live = self._resolve(base)
             new_cons = self.constraints(base)
-            if new_cons != cons0:       # constraint landed mid-flight:
-                self._check(self._files_df(     # re-validate staged files
-                    _session(), [a["add"] for a in adds if "add" in a]),
-                    new_cons)
-                cons0 = new_cons
+            new_gens = self.generated_columns(base)
+            if (new_cons, new_gens) != (cons0, gens0):
+                # constraint / generation expression landed mid-flight:
+                # re-validate the staged files (r7; r10 s2 adds gens)
+                self._revalidate_staged(adds, new_cons, new_gens)
+                cons0, gens0 = new_cons, new_gens
             actions = adds + [{"remove": a["path"]} for a in live]
             try:
                 return self.commit(actions, base + 1, op="overwrite")
@@ -2415,7 +2462,8 @@ class TxLogTable:
 
         base = self.latest_version()
         live = self._resolve(base)
-        cons0 = self.constraints(base)
+        cons0 = (self.constraints(base),
+                 self.generated_columns(base))
         touched = self._prune_files(live, ranges, probes)
         adds = rewrite(touched)
         retries = rewrites = 0
@@ -2443,13 +2491,16 @@ class TxLogTable:
                 # rows, not a blind re-commit
                 if ({file_ident(a) for a in new_touched}
                         == {file_ident(a) for a in touched}
-                        and self.constraints(base) == cons0):
+                        and (self.constraints(base),
+                             self.generated_columns(base))
+                            == cons0):
                     # logical no-conflict: re-commit as-is, after the
                     # schema-race revalidation (r9, ADVICE)
                     adds = self._refresh_schema_action(adds)
                     continue
                 touched = new_touched
-                cons0 = self.constraints(base)
+                cons0 = (self.constraints(base),
+                         self.generated_columns(base))
                 adds = rewrite(touched)
                 rewrites += 1
 
@@ -2588,7 +2639,8 @@ class TxLogTable:
 
         base = self.latest_version()
         live = self._resolve(base)
-        cons0 = self.constraints(base)
+        cons0 = (self.constraints(base),
+                 self.generated_columns(base))
         touched = self._prune_files(live, ranges, probes)
         adds = rewrite(touched)
         retries = rebases = 0
@@ -2610,13 +2662,16 @@ class TxLogTable:
                 new_touched = self._prune_files(live, ranges, probes)
                 if ({file_ident(a) for a in new_touched}
                         == {file_ident(a) for a in touched}
-                        and self.constraints(base) == cons0):
+                        and (self.constraints(base),
+                             self.generated_columns(base))
+                            == cons0):
                     # logical no-conflict: re-commit as-is, after the
                     # schema-race revalidation (r9, ADVICE)
                     adds = self._refresh_schema_action(adds)
                     continue
                 touched = new_touched
-                cons0 = self.constraints(base)
+                cons0 = (self.constraints(base),
+                         self.generated_columns(base))
                 adds = rewrite(touched)
                 rebases += 1
 
@@ -2687,7 +2742,8 @@ class TxLogTable:
         if not live or (len(live) <= target_files and zorder_by is None
                         and not any(a.get("dv") for a in live)):
             return {"version": base, "compacted": 0, "files": len(live)}
-        cons0 = self.constraints(base)
+        cons0 = (self.constraints(base),
+                 self.generated_columns(base))
         adds = compact(live)
         retries = 0
         while True:
@@ -2706,11 +2762,14 @@ class TxLogTable:
                 new_live = self._resolve(base)
                 if ({file_ident(a) for a in new_live}
                         == {file_ident(a) for a in live}
-                        and self.constraints(base) == cons0):
+                        and (self.constraints(base),
+                             self.generated_columns(base))
+                            == cons0):
                     adds = self._refresh_schema_action(adds)
                     continue        # live set unchanged: re-commit as-is
                 live = new_live
-                cons0 = self.constraints(base)
+                cons0 = (self.constraints(base),
+                         self.generated_columns(base))
                 adds = compact(live)
 
     def optimize_bin_pack(self, small_file_rows: int,
@@ -2762,7 +2821,8 @@ class TxLogTable:
         if not sel or (len(sel) == 1 and not sel[0].get("dv")):
             return {"version": base, "compacted": 0, "purged_dv": 0,
                     "carried_files": len(live), "files": 0}
-        cons0 = self.constraints(base)
+        cons0 = (self.constraints(base),
+                 self.generated_columns(base))
         adds = compact(sel)
         retries = 0
         while True:
@@ -2784,11 +2844,14 @@ class TxLogTable:
                 new_sel = select(live)
                 if ({file_ident(a) for a in new_sel}
                         == {file_ident(a) for a in sel}
-                        and self.constraints(base) == cons0):
+                        and (self.constraints(base),
+                             self.generated_columns(base))
+                            == cons0):
                     adds = self._refresh_schema_action(adds)
                     continue        # selection unchanged: re-commit as-is
                 sel = new_sel
-                cons0 = self.constraints(base)
+                cons0 = (self.constraints(base),
+                         self.generated_columns(base))
                 if not sel or (len(sel) == 1 and not sel[0].get("dv")):
                     return {"version": base, "compacted": 0,
                             "purged_dv": 0, "carried_files": len(live),
@@ -3067,7 +3130,8 @@ class TxLogTable:
                  if "metaData" in a or a["add"]["rows"] > 0]
         base = self.latest_version()
         live = self._resolve(base)
-        cons0 = self.constraints(base)
+        cons0 = (self.constraints(base),
+                 self.generated_columns(base))
         touched = prune(live)
         check_scope(live, touched)
         adds = rewrite(touched)
@@ -3095,7 +3159,9 @@ class TxLogTable:
                 new_touched = prune(live)
                 if ({file_ident(a) for a in new_touched}
                         == {file_ident(a) for a in touched}
-                        and self.constraints(base) == cons0):
+                        and (self.constraints(base),
+                             self.generated_columns(base))
+                            == cons0):
                     # logical no-conflict: re-commit as-is (after the
                     # schema-race revalidation, r9 ADVICE — the rebase
                     # path below re-derives through rewrite() instead)
@@ -3104,15 +3170,15 @@ class TxLogTable:
                     continue
                 touched = new_touched
                 extra = self._refresh_schema_action(extra)
-                new_cons = self.constraints(base)
-                if new_cons != cons0 and extra:
-                    # an interleaved add_constraint must also gate the
-                    # pre-staged insert files (rewritten files re-validate
-                    # inside rewrite() via _write_data_files)
-                    self._check(self._files_df(
-                        _session(),
-                        [a["add"] for a in extra if "add" in a]), new_cons)
-                cons0 = new_cons
+                new_meta = (self.constraints(base),
+                            self.generated_columns(base))
+                if new_meta != cons0 and extra:
+                    # an interleaved add_constraint / generation
+                    # expression must also gate the pre-staged insert
+                    # files (rewritten files re-validate inside
+                    # rewrite() via _write_data_files)
+                    self._revalidate_staged(extra, *new_meta)
+                cons0 = new_meta
                 check_scope(live, touched)
                 adds = rewrite(touched)
                 rebases += 1
@@ -3283,7 +3349,8 @@ class TxLogTable:
 
         base = self.latest_version()
         live = self._resolve(base)
-        cons0 = self.constraints(base)
+        cons0 = (self.constraints(base),
+                 self.generated_columns(base))
         touched = prune(live)
         check_scope(live, touched)
         actions, extra, matched = stage(touched)
@@ -3324,7 +3391,8 @@ class TxLogTable:
                     actions = self._refresh_schema_action(actions)
                     continue
                 touched = new_touched
-                cons0 = self.constraints(base)
+                cons0 = (self.constraints(base),
+                         self.generated_columns(base))
                 check_scope(live, touched)
                 actions, extra, matched = stage(touched)
                 rebases += 1

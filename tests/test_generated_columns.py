@@ -154,3 +154,50 @@ def test_state_rides_checkpoints_clone_and_guards(spark, table_path):
     assert "describe" not in t2.generated_columns()
     d = t2.describe_detail()
     assert d["generated_columns"] == {}
+
+
+def test_concurrent_declaration_gates_staged_writes(spark, table_path):
+    """A generation expression committed while an append's files were
+    already staged must gate the commit: the staged files were written
+    under the old rules, and the append's blind retry loop would land
+    rows the new expression never checked (Delta fails these with a
+    metadata-changed conflict). The window is the NO-conflict one —
+    append claims latest+1 at call time, so the check must run before
+    every attempt, not only on VersionConflict."""
+
+    class _Race(TxLogTable):
+        fired = False
+
+        def _write_data_files(self, df, **kw):
+            adds = super()._write_data_files(df, **kw)
+            if not type(self).fired:
+                type(self).fired = True
+                TxLogTable.open(self.path).add_generated_column(
+                    "klen", "int", "length(k)")
+            return adds
+
+    def _f(rows):
+        return spark.createDataFrame(rows, "k string, klen int") \
+            .coalesce(1)
+
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(_f([("aa", 2), ("bbb", 3)]))        # valid pre-declaration
+
+    # staged values violate the mid-flight declaration -> refused
+    _Race.fired = False
+    rt = _Race(table_path, key_cols=["k"], stats_col="k")
+    v = rt.latest_version()
+    with pytest.raises(GeneratedColumnViolation,
+                       match="landed concurrently"):
+        rt.append(_f([("cccc", 99)]))
+    t2 = TxLogTable.open(table_path)
+    assert t2.latest_version() == v + 1          # only the declaration
+    assert "klen" in t2.generated_columns()
+
+    # staged values that SATISFY the new expression land fine
+    t2.drop_generated_column("klen")
+    _Race.fired = False
+    rt2 = _Race(table_path, key_cols=["k"], stats_col="k")
+    rt2.append(_f([("dddd", 4)]))
+    got = {r["k"]: r["klen"] for r in t2.read(spark).collect()}
+    assert got == {"aa": 2, "bbb": 3, "dddd": 4}
