@@ -11,11 +11,15 @@ primary-key contract with the producer, no full-table diff:
   replica's merge key ``_src_row_id`` (+ ``_src_rcv``, the row's last
   commit version — a consumer-visible staleness handle).
 - ``replicate_sync`` folds ``changes(net=True, with_row_ids=True)``
-  since the watermark as ONE atomic MERGE INTO: an id seen on the
-  insert side upserts (an UPDATE arrives as delete+insert of the same
-  id — the insert wins), an id seen only on the delete side deletes.
-  Cost is O(delta) plus the merge's key-range pruning on the replica —
-  never a source or replica rescan.
+  since the watermark: an id seen on the insert side upserts (an
+  UPDATE arrives as delete+insert of the same id — the insert wins),
+  an id seen only on the delete side deletes. The default fold is
+  MERGE-ON-READ (``delete_keys`` DV-mask + post-image append — write
+  volume O(delta) regardless of id scatter); ``mor=False`` keeps a
+  single-commit atomic MERGE INTO for range-clustered deltas. Cost is
+  O(delta) plus key-stats pruning on the replica — never a source or
+  replica rescan (the scattered case pays one replica semi-join pass,
+  no writes beyond the delta).
 - ``replica_divergence`` is the verification contract: multiset diff
   between the id-bearing source snapshot and the replica, 0 after any
   op mix (appends, CoW/MoR delete/update, merge_into, OPTIMIZE,
@@ -34,8 +38,9 @@ after a crash re-merges the same rows onto the same keys (upserts and
 deletes are idempotent by id).
 
 100 TB posture: the feed is one flat CDF plan (one scan per change
-type); the merge prunes replica files by ``_src_row_id`` min/max stats
-— ids allocate monotonically per commit, so delta ids cluster into few
+type); the fold prunes replica files by ``_src_row_id`` min/max stats
+(delete_keys derives its bounds from the changed-id frame itself) —
+ids allocate monotonically per commit, so delta ids cluster into few
 replica files, the same locality Delta's row-id spec exploits. Rows
 that predate ``enable_row_tracking`` and churned before the backfill
 carry NULL ids; the sync REFUSES them loudly (they are unaddressable)
