@@ -109,22 +109,24 @@ def replicate_sync(spark: SparkSession, source_path: str,
     """Fold the source's net change feed since the watermark into the
     replica — O(delta).
 
-    ``mor=True`` (default) applies the fold MERGE-ON-READ: one
-    ``delete_keys`` DV-mask of every changed id (the keys FRAME
-    semi-joins executor-side — no driver collect, no isin literal; a
-    small sidecar write, matched rows never move) + one append of the
-    post-images. Row ids scatter across the replica's files (any id
-    can change), so a copy-on-write merge cannot range-prune and
-    rewrites the WHOLE replica — measured at 2M rows / 2.5% delta: CoW
-    merge 11.2 s vs a 5.4 s full re-copy, i.e. worse than not
-    replicating incrementally at all. The MoR fold's write volume is
-    O(delta) regardless of scatter; DVs accrete between syncs and
-    ``optimize_bin_pack`` purges them like any MoR table. Crash
-    anywhere between the two commits and the watermark replays
-    idempotently: the re-run's mask matches the already-masked (or
-    re-appended) images and the append lands the same post-images —
-    converging by id, never double-folding. ``mor=False`` keeps the
-    single-commit atomic MERGE INTO for range-clustered deltas."""
+    ``mor=True`` (default) applies the fold MERGE-ON-READ in ONE atomic
+    commit: ``delete_keys(ids, append_df=post_images)`` DV-masks every
+    changed id (the keys FRAME semi-joins executor-side — no driver
+    collect, no isin literal; a small sidecar write, matched rows never
+    move) and lands the post-images in the SAME commit — readers see
+    the old images or the new, never a masked-but-absent gap, and a
+    crash cannot strand the replica mid-fold (r11, ADVICE — the r10
+    shape was two commits with exactly that window). Row ids scatter
+    across the replica's files (any id can change), so a copy-on-write
+    merge cannot range-prune and rewrites the WHOLE replica — measured
+    at 2M rows / 2.5% delta: CoW merge 11.2 s vs a 5.4 s full re-copy,
+    i.e. worse than not replicating incrementally at all. The MoR
+    fold's write volume is O(delta) regardless of scatter; DVs accrete
+    between syncs and ``optimize_bin_pack`` purges them like any MoR
+    table. A replayed sync after a crash re-masks and re-appends the
+    same images — converging by id, never double-folding. ``mor=False``
+    keeps the single-commit atomic MERGE INTO for range-clustered
+    deltas."""
     t = TxLogTable.open(source_path)
     meta = _read_sync(replica_path)
     last, cur = int(meta["version"]), t.latest_version()
@@ -155,9 +157,8 @@ def replicate_sync(spark: SparkSession, source_path: str,
                   .localCheckpoint(eager=True))
         n_up = images.count()
         n_del = pure_dels.count()
-        d = r.delete_keys(ch.select(ID_COL).distinct())
-        if n_up:
-            r.append(images)
+        d = r.delete_keys(ch.select(ID_COL).distinct(),
+                          append_df=images if n_up else None)
         _write_sync(replica_path, {"version": cur})
         return {"mode": "fold", "version": cur, "upserted": n_up,
                 "deleted": n_del, "masked": d.get("matched_rows", 0)}

@@ -790,12 +790,95 @@ class TxLogTable:
         return os.path.join(self.log_dir,
                             f"{version:020d}.{i:05d}.checkpoint.part")
 
-    def _ckpt_files(self, ckpt: dict) -> list[dict]:
+    # Parquet part layout (r11, VERDICT #2): scalar add fields are REAL
+    # typed columns; the variable-key payloads (typed stats, bloom) get
+    # their own string columns so a reader that doesn't need them skips
+    # their column chunks entirely — "stats only when pruning, paths
+    # only when planning". Anything else rides extra_json.
+    _PART_SCALARS = ("path", "rows", "min", "max", "dv",
+                     "base_row_id", "default_rcv")
+    _PART_JSON = {"stats": "stats_json", "bloom": "bloom_json"}
+
+    def _write_ckpt_part(self, pp: str, part: list[dict]) -> None:
+        """One checkpoint shard as a PARQUET file (r11, VERDICT #2 — the
+        r10 JSON parts made snapshot resolution driver-side json.loads
+        over the whole add-list; parquet reads columnar and
+        column-selectively). Written to a tmp name and os.replace'd."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        known = set(self._PART_SCALARS) | set(self._PART_JSON)
+        types = {"path": pa.string(), "rows": pa.int64(),
+                 "min": pa.string(), "max": pa.string(),
+                 "dv": pa.list_(pa.string()),
+                 "base_row_id": pa.int64(), "default_rcv": pa.int64()}
+        cols = {c: pa.array([a.get(c) for a in part], types[c])
+                for c in self._PART_SCALARS}
+        for k, cname in self._PART_JSON.items():
+            cols[cname] = pa.array(
+                [json.dumps(a[k]) if k in a else None for a in part],
+                pa.string())
+        cols["extra_json"] = pa.array(
+            [(json.dumps(x) if (x := {k: v for k, v in a.items()
+                                      if k not in known}) else None)
+             for a in part], pa.string())
+        tmp = pp + f".tmp.{uuid.uuid4().hex[:8]}"
+        pq.write_table(pa.table(cols), tmp)
+        os.replace(tmp, pp)
+
+    def _ckpt_files_parquet(self, ckpt: dict,
+                            columns: tuple | None) -> list[dict]:
+        """Read parquet checkpoint shards, optionally COLUMN-SELECTIVE:
+        ``columns`` names logical add fields ('path' is always included);
+        unrequested column chunks (typically the stats/bloom JSON — the
+        bulk of the bytes) are never read or parsed."""
+        import pyarrow.parquet as pq
+        phys = None
+        if columns is not None:
+            need = set(columns) | {"path"}
+            phys = set()
+            for c in need:
+                if c in self._PART_SCALARS:
+                    phys.add(c)
+                elif c in self._PART_JSON:
+                    phys.add(self._PART_JSON[c])
+                else:
+                    phys.add("extra_json")
+            phys = sorted(phys)
+        out: list[dict] = []
+        for i in range(int(ckpt["files_parts"])):
+            tbl = pq.read_table(self._part_path(ckpt["version"], i),
+                                columns=phys)
+            names = tbl.schema.names
+            data = [tbl.column(n).to_pylist() for n in names]
+            for row in zip(*data):
+                d: dict = {}
+                for name, v in zip(names, row):
+                    if v is None:
+                        continue
+                    if name == "stats_json":
+                        d["stats"] = json.loads(v)
+                    elif name == "bloom_json":
+                        d["bloom"] = json.loads(v)
+                    elif name == "extra_json":
+                        d.update(json.loads(v))
+                    else:
+                        d[name] = v
+                out.append(d)
+        return out
+
+    def _ckpt_files(self, ckpt: dict,
+                    columns: tuple | None = None) -> list[dict]:
         """The add-action payload of a checkpoint: inline ``files`` for
-        legacy single-JSON checkpoints (still readable, r10), else the
-        concatenation of its bounded .checkpoint.part shards."""
+        legacy single-JSON checkpoints (still readable, r10), JSON
+        .checkpoint.part shards (r10, still readable), or parquet shards
+        (r11 — ``parts_format`` marks them; same .checkpoint.part path
+        scheme so retention/vacuum handling is format-blind). ``columns``
+        requests a column-selective read (parquet shards only — legacy
+        formats are whole-payload by construction and ignore it)."""
         if ckpt.get("files") is not None:
             return ckpt["files"]
+        if ckpt.get("parts_format") == "parquet":
+            return self._ckpt_files_parquet(ckpt, columns)
         out: list[dict] = []
         for i in range(int(ckpt["files_parts"])):
             with open(self._part_path(ckpt["version"], i)) as fh:
@@ -964,15 +1047,13 @@ class TxLogTable:
         parts = [files[i:i + psz] for i in range(0, len(files), psz)] \
             or [[]]
         for i, part in enumerate(parts):
-            pp = self._part_path(version, i)
-            tmp = pp + f".tmp.{uuid.uuid4().hex[:8]}"
-            with open(tmp, "w") as fh:
-                json.dump(part, fh)
-            os.replace(tmp, pp)
+            # r11 (VERDICT #2): shards are PARQUET — columnar, typed,
+            # column-selective on read (legacy JSON shards still read)
+            self._write_ckpt_part(self._part_path(version, i), part)
         ckpt = os.path.join(self.log_dir, f"{version:020d}.checkpoint.json")
         tmp = ckpt + f".tmp.{uuid.uuid4().hex[:8]}"
         with open(tmp, "w") as fh:
-            json.dump({"version": version,
+            json.dump({"version": version, "parts_format": "parquet",
                        "files_parts": len(parts), "n_files": len(files),
                        "txns": txns, "constraints": cons,
                        "generated": self.generated_columns(version),
@@ -1396,24 +1477,84 @@ class TxLogTable:
             f"txlog: write violates CHECK constraint(s) {bad} "
             f"({ {n: cons[n] for n in bad} }); no data was committed.")
 
+    def _reject_generated_assignments(self, assignments: dict | None,
+                                      op: str) -> None:
+        """r11 (ADVICE): an UPDATE / merge_into SET targeting a GENERATED
+        column used to be silently dropped and recomputed
+        (regen_generated on the rewrite path), so the caller's value
+        vanished without error. Delta rejects such assignments outright;
+        so do we — the generated value is owned by its expression."""
+        if not assignments:
+            return
+        gens = self.generated_columns()
+        hit = [c for c in assignments if c in gens]
+        if hit:
+            raise GeneratedColumnViolation(
+                f"txlog {op}: column(s) {hit} are GENERATED ALWAYS AS "
+                "(...) — their values are recomputed from the "
+                "expression and cannot be assigned. Drop the "
+                "assignment(s); the rewrite recomputes them, or "
+                "drop_generated_column() first to make them plain.")
+
+    def _revalidate_since(self, validated_paths: set, base: int,
+                          cons: dict, gens: dict) -> set:
+        """Re-validate files that became live AFTER the snapshot a
+        metadata declaration originally validated (r11 ADVICE —
+        pinned-base retry of add_constraint / add_generated_column). A
+        concurrent append is writer-gated against the OLD rule set, so
+        its rows may violate the rule being declared; only NEW adds can
+        introduce violating rows (DV deletes and removes only drop
+        rows), so the re-check is O(delta files), never a full snapshot
+        re-scan. Returns the grown validated-path set."""
+        fresh = [a for a in self._resolve(base)
+                 if a["path"] not in validated_paths]
+        if fresh:
+            df = self._files_df(_session(), fresh, merge_schema=True,
+                                version=base)
+            if cons:
+                self._check(df, cons)
+            for gname, g in gens.items():
+                gexpr = F.expr(g["expr"]).cast(g["dtype"])
+                if gname not in df.columns or df.filter(
+                        ~F.col(gname).eqNullSafe(gexpr)).limit(1).count():
+                    raise GeneratedColumnViolation(
+                        f"txlog: rows appended concurrently with this "
+                        f"add_generated_column violate {gname} == "
+                        f"({g['expr']}); nothing was committed.")
+            validated_paths = validated_paths | {a["path"] for a in fresh}
+        return validated_paths
+
     def add_constraint(self, name: str, expr: str) -> int:
         """ALTER TABLE ADD CONSTRAINT name CHECK (expr): existing data is
         validated FIRST (the Delta contract — a constraint that current
         rows already violate is rejected), then the constraint rides a
         commit and every future write is checked at the single write
-        choke point (_write_data_files). Returns the commit version."""
-        if self.latest_version() >= 0:
-            snap = self.read(_session())
+        choke point (_write_data_files). Returns the commit version.
+
+        r11 (ADVICE): pinned-base commit + revalidate-on-conflict. The
+        old shape validated once and blind-retried, so an append landing
+        mid-flight (writer-gated against the OLD constraint set) could
+        hold violating rows the declaration never saw. Now the commit
+        claims exactly validated-base+1; a conflict re-pins and
+        re-checks ONLY the files that became live since (O(delta))."""
+        base = self.latest_version()
+        validated: set = set()
+        if base >= 0:
+            snap = self.read(_session(), version=base, merge_schema=True)
             self._check(snap, {name: expr})
+            validated = {a["path"] for a in self._resolve(base)}
         attempt = 0
         while True:
             try:
                 return self.commit(
                     [{"constraint": {"name": name, "expr": expr}}],
-                    self.latest_version() + 1, op="add_constraint")
+                    base + 1, op="add_constraint")
             except VersionConflict:
                 _backoff(attempt)
                 attempt += 1
+                base = self.latest_version()
+                validated = self._revalidate_since(
+                    validated, base, {name: expr}, {})
 
     def drop_constraint(self, name: str) -> int:
         attempt = 0
@@ -1475,6 +1616,8 @@ class TxLogTable:
         written before an additive evolution) VALIDATES against the
         expression first, exactly like add_constraint. Anything else is
         refused with the remedy (rewrite with the column materialized)."""
+        base = self.latest_version()
+        validated: set = set()
         sch, _ = self.table_schema_info()
         if sch is not None:
             if name not in {f.name for f in sch.fields}:
@@ -1485,7 +1628,7 @@ class TxLogTable:
                     "read NULL where the expression promises a value. "
                     "Rewrite the table with the column materialized "
                     "(overwrite), then declare it.")
-            snap = self.read(_session(), merge_schema=True)
+            snap = self.read(_session(), version=base, merge_schema=True)
             bad = (snap.filter(~F.col(name).eqNullSafe(
                        F.expr(expr).cast(dtype)))
                    .limit(1).count())
@@ -1493,16 +1636,27 @@ class TxLogTable:
                 raise GeneratedColumnViolation(
                     f"txlog add_generated_column: existing rows violate "
                     f"{name} == ({expr}); nothing was committed.")
+            validated = {a["path"] for a in self._resolve(base)}
+        # r11 (ADVICE): pinned-base commit at validated-base+1; a
+        # VersionConflict means rows may have landed that the snapshot
+        # validation never saw (their writer was gated against the OLD
+        # gens set) — re-check exactly those files before re-committing,
+        # preserving the documented 'value == expr holds for every
+        # physical row' invariant.
+        gens = {name: {"dtype": dtype, "expr": expr}}
         attempt = 0
         while True:
             try:
                 return self.commit(
                     [{"generatedCol": {"name": name, "dtype": dtype,
                                        "expr": expr}}],
-                    self.latest_version() + 1, op="add_generated_column")
+                    base + 1, op="add_generated_column")
             except VersionConflict:
                 _backoff(attempt)
                 attempt += 1
+                base = self.latest_version()
+                validated = self._revalidate_since(
+                    validated, base, {}, gens)
 
     def drop_generated_column(self, name: str) -> int:
         """Drop the generation EXPRESSION (the column and its data
@@ -1704,9 +1858,18 @@ class TxLogTable:
                 attempt += 1
 
     def _resolve(self, version: int | None = None,
-                 use_checkpoint: bool = True) -> list[dict]:
+                 use_checkpoint: bool = True,
+                 columns: tuple | None = None) -> list[dict]:
         """Live add-actions at `version` (default: latest): latest
-        checkpoint <= version, then replay newer commits' adds/removes."""
+        checkpoint <= version, then replay newer commits' adds/removes.
+
+        ``columns`` (r11, VERDICT #2): a planning-only consumer (vacuum's
+        live-path walk is the canonical one) names the add fields it
+        needs and the parquet checkpoint shards are read
+        COLUMN-SELECTIVELY — the stats/bloom JSON chunks, the bulk of a
+        big table's checkpoint bytes, are never read. Commit-tail adds
+        are full dicts either way (supersets are harmless). Selective
+        results bypass the snapshot cache in both directions."""
         if version is None:
             version = self.latest_version()
         if version < 0:
@@ -1715,21 +1878,24 @@ class TxLogTable:
         # resolved list per handle so repeated reads of one version parse
         # the checkpoint parts once. Only the checkpointed path caches:
         # use_checkpoint=False exists to VALIDATE, so it always re-reads.
-        if use_checkpoint and version in self._snap_cache:
+        if use_checkpoint and version in self._snap_cache \
+                and columns is None:
             return self._snap_cache[version]
         start = 0
         live: dict[str, dict] = {}
         if use_checkpoint:
             ckpt = self._latest_checkpoint(version)
             if ckpt is not None:
-                live = {a["path"]: a for a in self._ckpt_files(ckpt)}
+                live = {a["path"]: a
+                        for a in self._ckpt_files(ckpt, columns)}
                 start = ckpt["version"] + 1
         else:
             # r10 (VERDICT #1a): post-retention full replay seeds from
             # the oldest covering boundary checkpoint — see _replay_base
             ckpt, start = self._replay_base(version, "files")
             if ckpt is not None:
-                live = {a["path"]: a for a in self._ckpt_files(ckpt)}
+                live = {a["path"]: a
+                        for a in self._ckpt_files(ckpt, columns)}
         for v in range(start, version + 1):
             rec = self._commit_record(v, use_memo=use_checkpoint)
             if rec is None:
@@ -1740,7 +1906,7 @@ class TxLogTable:
                 elif "remove" in a:
                     live.pop(a["remove"], None)
         out = sorted(live.values(), key=lambda a: a["path"])
-        if use_checkpoint:
+        if use_checkpoint and columns is None:
             if len(self._snap_cache) >= SNAP_CACHE_MAX:
                 self._snap_cache.pop(next(iter(self._snap_cache)))
             self._snap_cache[version] = out
@@ -2098,26 +2264,33 @@ class TxLogTable:
         jittered backoff so a burst of appenders can't starve a concurrent
         merge — appends never conflict logically, only on the version).
         A constraint or generation expression committed mid-retry forces
-        re-validation of the staged files (r10 s2) — without it, the
-        blind re-commit would land rows the new rule never checked."""
-        cons0, gens0 = self.constraints(), self.generated_columns()
+        re-validation of the staged files (r10 s2).
+
+        r11 (ADVICE): PINNED-BASE commit, like streaming_append/
+        overwrite. The r10 shape read the metadata fingerprint and then
+        claimed a freshly re-read latest_version()+1, so a metadata
+        commit landing in that window was silently included in the
+        claimed base without revalidating the staged files (TOCTOU).
+        Now the base is pinned BEFORE each fingerprint read and the
+        commit claims exactly base+1 — any metadata commit after the
+        read surfaces as VersionConflict, which re-enters the loop and
+        re-runs the fingerprint check against the new pinned base."""
+        base = self.latest_version()
+        cons0, gens0 = self.constraints(base), self.generated_columns(base)
         adds = self._write_data_files(df)
         attempt = 0
         while True:
-            # append claims latest+1 at CALL time (no pinned base), so
-            # a metadata commit during staging never surfaces as a
-            # VersionConflict — the fingerprint check must run before
-            # EVERY attempt, not only on conflict (r10 s2)
-            cons1, gens1 = self.constraints(), self.generated_columns()
-            if (cons1, gens1) != (cons0, gens0):
-                self._revalidate_staged(adds, cons1, gens1)
-                cons0, gens0 = cons1, gens1
             try:
-                return self.commit(adds, self.latest_version() + 1,
-                                   op="append")
+                return self.commit(adds, base + 1, op="append")
             except VersionConflict:
                 _backoff(attempt)
                 attempt += 1
+                base = self.latest_version()
+                cons1, gens1 = (self.constraints(base),
+                                self.generated_columns(base))
+                if (cons1, gens1) != (cons0, gens0):
+                    self._revalidate_staged(adds, cons1, gens1)
+                    cons0, gens0 = cons1, gens1
                 # a racing writer may have recorded a conflicting type
                 # for a staged NEW column — revalidate (r9, ADVICE)
                 adds = self._refresh_schema_action(adds)
@@ -2539,6 +2712,8 @@ class TxLogTable:
             if kind == "update" and not assigns:
                 raise ValueError("merge_into: update clause needs "
                                  "assignments")
+            if kind == "update":
+                self._reject_generated_assignments(assigns, "merge_into")
         spark = source.sparkSession
         dup = (source.groupBy(*self.key_cols).count()
                .where(F.col("count") > 1).limit(1).count())
@@ -2901,8 +3076,14 @@ class TxLogTable:
 
         latest = self.latest_version()
         keep: set[str] = set()
+        keep_side: set[str] = set()
         for v in range(max(0, latest - retain_versions + 1), latest + 1):
-            keep.update(a["path"] for a in self._resolve(v))
+            # r11 (VERDICT #2): the live-path walk needs paths + dv
+            # chains only — column-selective shard read skips the
+            # stats/bloom chunks (the bulk of a big checkpoint)
+            for a in self._resolve(v, columns=("dv",)):
+                keep.add(a["path"])
+                keep_side.update(a.get("dv", ()))
         now = time.time()
         removed = 0
         would: list[str] = []
@@ -2930,10 +3111,7 @@ class TxLogTable:
         # the same trade as data files: space for deep time travel.
         import shutil as _shutil
 
-        keep_side: set[str] = set()
         for v in range(max(0, latest - retain_versions + 1), latest + 1):
-            for a in self._resolve(v):
-                keep_side.update(a.get("dv", ()))
             cp = self._commit_path(v)
             if os.path.exists(cp):
                 with open(cp) as fh:
@@ -3186,7 +3364,8 @@ class TxLogTable:
     def _delete_mor(self, cond, key_range, column_ranges,
                     deadline_sec: float, verify_scope: bool,
                     assignments: dict | None = None,
-                    keys: DataFrame | None = None) -> dict:
+                    keys: DataFrame | None = None,
+                    append_adds: list[dict] | None = None) -> dict:
         """DELETE as merge-on-read (r7 s2 deletion vectors): instead of
         rewriting every touched file (copy-on-write), record the deleted
         rows' (file, row_index) pairs in a DELETION VECTOR sidecar and
@@ -3357,12 +3536,18 @@ class TxLogTable:
         op = "delete_mor" if assignments is None else "update_mor"
         retries = rebases = 0
         while True:
-            if not actions:               # nothing matched: no commit
+            # r11 (ADVICE, replicate fold atomicity): pre-staged
+            # append_adds land in the SAME commit as the DV mask, so a
+            # reader never sees an updated row's pre-image masked but
+            # its post-image absent
+            all_actions = actions + list(append_adds or ())
+            if not all_actions:           # nothing matched: no commit
                 return {"version": base, "matched_rows": 0, "dv_files": 0,
                         "removed_files": 0, "carried_files": len(live),
+                        "appended_files": 0,
                         "retries": retries, "rebases": rebases}
             try:
-                v = self.commit(actions, base + 1, op=op,
+                v = self.commit(all_actions, base + 1, op=op,
                                 extra=extra)
                 return {"version": v, "matched_rows": matched,
                         "dv_files": sum(1 for a in actions if "add" in a
@@ -3372,6 +3557,9 @@ class TxLogTable:
                         "removed_files": sum(1 for a in actions
                                              if "remove" in a),
                         "carried_files": len(live) - len(touched),
+                        "appended_files": sum(1 for a in (append_adds
+                                                          or ())
+                                              if "add" in a),
                         "retries": retries, "rebases": rebases}
             except VersionConflict:
                 if time.monotonic() >= deadline:
@@ -3381,18 +3569,30 @@ class TxLogTable:
                 base = self.latest_version()
                 live = self._resolve(base)
                 new_touched = prune(live)
+                new_cons = (self.constraints(base),
+                            self.generated_columns(base))
+                if append_adds:
+                    append_adds = self._refresh_schema_action(
+                        list(append_adds))
+                    if new_cons != cons0:
+                        # staged append files were validated against the
+                        # OLD rule set — re-check before re-committing
+                        self._revalidate_staged(append_adds, *new_cons)
                 # fast path needs identical adds INCLUDING dv chains (an
                 # interleaved MoR delete on the same file must re-stage)
                 # and, when staging new rows, an unchanged constraint set
+                # r11 (ADVICE): compare the full (constraints, gens)
+                # TUPLE — the r10 diff changed cons0's shape but left
+                # this comparison on the bare dict, so it was always
+                # False and MoR UPDATE re-staged on every conflict.
                 if ([file_ident(a) for a in new_touched]
                         == [file_ident(a) for a in touched]
-                        and (assignments is None
-                             or self.constraints(base) == cons0)):
+                        and (assignments is None or new_cons == cons0)):
+                    cons0 = new_cons
                     actions = self._refresh_schema_action(actions)
                     continue
                 touched = new_touched
-                cons0 = (self.constraints(base),
-                         self.generated_columns(base))
+                cons0 = new_cons
                 check_scope(live, touched)
                 actions, extra, matched = stage(touched)
                 rebases += 1
@@ -3436,7 +3636,8 @@ class TxLogTable:
                                    column_ranges=column_ranges)
 
     def delete_keys(self, keys: DataFrame,
-                    deadline_sec: float = COMMIT_DEADLINE_SEC) -> dict:
+                    deadline_sec: float = COMMIT_DEADLINE_SEC,
+                    append_df: DataFrame | None = None) -> dict:
         """DELETE rows whose columns match a KEY FRAME — semi-join
         membership on the frame's columns (r10 s2). The frame-sourced
         variant of ``delete()`` for scattered high-cardinality key
@@ -3450,11 +3651,23 @@ class TxLogTable:
         agg), so files whose stats exclude the keys' span are PROVABLY
         match-free and carry by reference with no verification probe.
         The keys frame broadcasts into the match join — bounded by the
-        caller's delta, the same contract as merge's source."""
+        caller's delta, the same contract as merge's source.
+
+        ``append_df`` (r11, ADVICE): rows to land IN THE SAME COMMIT as
+        the mask — the atomic mask+append an upsert-by-key fold needs
+        (replicate_sync's MoR path): readers either see the old images
+        or the new, never the masked-but-not-yet-appended gap, and a
+        crash can no longer strand the replica in that state. The frame
+        stages through ``_write_data_files`` (CHECK constraints,
+        clustered layout) before the mask is computed; CDF serves the
+        masked pre-images from the sidecar and the appended rows as
+        inserts of the commit's new paths."""
         if not keys.columns:
             raise ValueError("txlog delete_keys: empty key frame schema")
+        adds = (self._write_data_files(append_df)
+                if append_df is not None else None)
         return self._delete_mor(None, None, None, deadline_sec, False,
-                                keys=keys)
+                                keys=keys, append_adds=adds)
 
     def update(self, condition, assignments: dict,
                key_range: tuple[str, str] | None = None,
@@ -3467,6 +3680,7 @@ class TxLogTable:
         existing type (an UPDATE never changes the schema). Scoping,
         pruning, the commit/retry protocol, and the ``key_range``
         assertion + ``verify_scope`` probe are delete's."""
+        self._reject_generated_assignments(assignments, "update")
         cond = F.expr(condition) if isinstance(condition, str) else condition
         if mode == "mor":
             return self._delete_mor(cond, key_range, column_ranges,

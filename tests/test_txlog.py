@@ -1062,10 +1062,15 @@ def test_checkpoint_sharding_counted_io(spark, table_path, monkeypatch):
     assert "files" not in meta and meta["files_parts"] == 3
     assert meta["n_files"] == 11
 
-    # fresh handle = cold cache; count every open under _txlog
+    # fresh handle = cold cache; count every open under _txlog (parquet
+    # part reads go through pq.read_table — r11 — counted separately)
+    import pyarrow.parquet as _pq
+
     t2 = TxLogTable.open(table_path)
     opened: list[str] = []
+    part_reads: list[str] = []
     real_open = builtins.open
+    real_read_table = _pq.read_table
 
     def counting_open(path, *a, **k):
         p = str(path)
@@ -1073,24 +1078,34 @@ def test_checkpoint_sharding_counted_io(spark, table_path, monkeypatch):
             opened.append(os.path.basename(p))
         return real_open(path, *a, **k)
 
+    def counting_read_table(path, *a, **k):
+        p = str(path)
+        if "_txlog" in p:
+            part_reads.append(os.path.basename(p))
+        return real_read_table(path, *a, **k)
+
     monkeypatch.setattr(builtins, "open", counting_open)
+    monkeypatch.setattr(_pq, "read_table", counting_read_table)
     # metadata walkers: NO part file is ever touched
     t2._txn_map()
     t2.constraints()
     t2.table_schema_info()
     assert not any(f.endswith(".checkpoint.part") for f in opened), opened
+    assert part_reads == []
     # resolution: exactly the 3 parts + meta + trailing commits
     opened.clear()
     files = t2._resolve()
     assert len(files) == 14
-    assert sum(f.endswith(".checkpoint.part") for f in opened) == 3
+    assert sum(f.endswith(".checkpoint.part") for f in part_reads) == 3
     # the pointer fast path: ONE meta open, no directory-wide re-parse
     assert sum(f.endswith(".checkpoint.json") for f in opened) == 1
     # repeat resolve of the same version: zero IO (snapshot cache)
     opened.clear()
+    part_reads.clear()
     assert t2._resolve() == files
-    assert opened == []
+    assert opened == [] and part_reads == []
     monkeypatch.setattr(builtins, "open", real_open)
+    monkeypatch.setattr(_pq, "read_table", real_read_table)
 
     # log retention removes expired parts along with expired metas
     for v in range(14, 22):
