@@ -120,7 +120,12 @@ def build_dedup_state(spark: SparkSession, corpus_path: str,
     t = TxLogTable.open(corpus_path)
     cur = t.latest_version()
     snap = t.read(spark)
-    sigs = signatures(snap)
+    # r11: RANGE-cluster the state by doc_id — signatures() leaves the
+    # frame hash-partitioned on doc_id (its groupBy shuffle), which
+    # scatters every id range across every file and defeats the fold's
+    # per-file key pruning (delete_keys' r11 keys_refine). Clustered,
+    # a delta that touches head+tail masks 2 files, not 32.
+    sigs = signatures(snap).repartitionByRange(F.col("doc_id"))
     st = _open_state(state_path)
     n = sigs.count()
     if st.latest_version() >= 0:
@@ -132,11 +137,23 @@ def build_dedup_state(spark: SparkSession, corpus_path: str,
 
 
 def dedup_state_sync(spark: SparkSession, corpus_path: str,
-                     state_path: str) -> dict:
+                     state_path: str, mor: bool = True) -> dict:
     """Fold the corpus change feed since the watermark into the state —
-    O(delta): signatures for changed docs only, ONE atomic MERGE INTO
-    (upsert inserts/updates, delete removals). Idempotent: a second
-    call at the same corpus version is a no-op."""
+    O(delta): signatures for changed docs only, applied in ONE atomic
+    state commit. Idempotent: a second call at the same corpus version
+    is a no-op; a replayed fold after a crash re-masks and re-appends
+    the same signatures (converging by doc_id).
+
+    ``mor=True`` (default, r11 — the BENCH_DEDUP_SYNC finding): the
+    fold is ``delete_keys(changed_ids, append_df=new_sigs)`` — a DV
+    mask of every changed doc plus the delta's signature file in one
+    commit, write volume O(delta) regardless of where the changed ids
+    sit. The previous MERGE INTO fold is copy-on-write: a delta
+    touching head+tail of the id space prunes nothing and rewrites the
+    WHOLE state (measured at 50k docs / 2.5% delta: merge fold wrote
+    the same bytes as a full rebuild and took 2.4x longer).
+    ``mor=False`` keeps the single-commit MERGE INTO for deltas that
+    are tightly id-clustered AND rewrite-tolerant."""
     t = TxLogTable.open(corpus_path)
     meta = _read_sync(state_path)
     last, cur = int(meta["version"]), t.latest_version()
@@ -152,17 +169,25 @@ def dedup_state_sync(spark: SparkSession, corpus_path: str,
     n_ins = sigs.count()
     # an UPDATE arrives as delete+insert of the same doc_id in the net
     # feed — the insert side wins (upsert); only keys with NO insert
-    # are true removals (merge_into rejects multi-row keys, rightly)
+    # are true removals
     pure_dels = (dels.join(sigs.select("doc_id"), "doc_id", "left_anti")
                  .localCheckpoint(eager=True))
     n_del = pure_dels.count()
+    st = _open_state(state_path)
+    if mor:
+        changed = (sigs.select("doc_id")
+                   .unionByName(pure_dels).distinct())
+        if n_ins or n_del:
+            st.delete_keys(changed, append_df=sigs if n_ins else None)
+        _write_sync(state_path, {"version": cur})
+        return {"mode": "fold", "version": cur, "signed": n_ins,
+                "deleted": n_del}
     src = sigs.withColumn("op", F.lit("upsert")).unionByName(
         pure_dels.select(
             "doc_id", F.lit(None).cast("string").alias("h"),
             F.lit(None).cast("array<bigint>").alias("mh"),
             F.lit(None).cast("array<bigint>").alias("bands"),
             F.lit("delete").alias("op")))
-    st = _open_state(state_path)
     if src.limit(1).count():
         st.merge_into(src, [
             ("delete", "src_op = 'delete'", None),

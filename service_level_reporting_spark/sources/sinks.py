@@ -736,6 +736,13 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
                    pushed stats-column filter at the LOG level before
                    partition planning, v = CDF row count through the
                    source's mode=changes path (must equal changes());
+      '_sql'     — r11 SQL/catalog surface: two txlog tables (the
+                   rowops table + a shallow clone) registered as
+                   views (register_table -> CREATE TEMPORARY VIEW ...
+                   USING txlog) and joined in PLAIN spark.sql — n/n2 =
+                   SQL-join vs Python-API-join row counts (must be
+                   equal), v = (join divergence) + (VERSION-AS-OF
+                   view vs read(version=...) divergence), must be 0;
       '_colmap'  — r9 column mapping: enable + RENAME COLUMN as a
                    metadata-only commit — n = (rows diverging from the
                    renamed recompute) + (data files changed by the
@@ -882,6 +889,37 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .option("endingVersion", str(v_to)).load(root)
                     .count())
     cdf_rows_direct = n_ins + n_del
+
+    # ---- r11 SQL/catalog surface (VERDICT #3): plain spark.sql over
+    # registered txlog views — two lakehouse tables joined in SQL must
+    # match the Python-API join row-for-row, and a VERSION-AS-OF view
+    # must match read(version=...) ---------------------------------------
+    from service_level_reporting_spark.sources.txlog_catalog import (
+        register_table)
+    shutil.rmtree(root + "_sqlclone", ignore_errors=True)
+    t.clone(root + "_sqlclone")
+    register_table(spark, "txsql_a", root)
+    register_table(spark, "txsql_b", root + "_sqlclone")
+    sql_join = spark.sql(
+        "SELECT a.indicator, a.minute, a.value, b.value AS value_b "
+        "FROM txsql_a a JOIN txsql_b b "
+        "ON a.indicator = b.indicator AND a.minute = b.minute")
+    py_join = (t.read(spark)
+               .join(TxLogTable.open(root + "_sqlclone").read(spark)
+                     .select("indicator", "minute",
+                             F.col("value").alias("value_b")),
+                     ["indicator", "minute"])
+               .select("indicator", "minute", "value", "value_b"))
+    sql_n, py_n = sql_join.count(), py_join.count()
+    sql_div = (sql_join.exceptAll(py_join)
+               .unionAll(py_join.exceptAll(sql_join)).count())
+    asof_sql = register_table(spark, "txsql_asof", root, version=v_from)
+    asof_py = t.read(spark, version=v_from)
+    asof_div = (asof_sql.exceptAll(asof_py)
+                .unionAll(asof_py.exceptAll(asof_sql)).count())
+    for vn in ("txsql_a", "txsql_b", "txsql_asof"):
+        spark.catalog.dropTempView(vn)
+    shutil.rmtree(root + "_sqlclone", ignore_errors=True)
 
     # ---- r9 legs: column mapping / log retention / protocol gate /
     # streaming admission control, each verified in-frame ----------------
@@ -1047,7 +1085,8 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ds_root, ignore_errors=True)
 
     return spark.createDataFrame(
-        [("_colmap", map_div + rewrote, t.latest_version(),
+        [("_sql", sql_n, py_n, float(sql_div + asof_div)),
+         ("_colmap", map_div + rewrote, t.latest_version(),
           float(map_src_div)),
          ("_retention", vac["removed_log_files"], t.earliest_version(),
           float(vac_div)),

