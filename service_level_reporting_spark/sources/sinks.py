@@ -743,6 +743,12 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
                    SQL-join vs Python-API-join row counts (must be
                    equal), v = (join divergence) + (VERSION-AS-OF
                    view vs read(version=...) divergence), must be 0;
+      '_widen'   — r11 type widening (Delta typeWidening feature):
+                   int files + long files under one widened schema on
+                   a side table — n = rows, n2 = its latest version,
+                   v = (value/dtype divergence through BOTH APIs
+                   against the expected long frame) + (1 iff a
+                   narrowing widen_column was NOT refused), must be 0;
       '_colmap'  — r9 column mapping: enable + RENAME COLUMN as a
                    metadata-only commit — n = (rows diverging from the
                    renamed recompute) + (data files changed by the
@@ -796,7 +802,8 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
                    (must be 0)."""
     import shutil
 
-    from service_level_reporting_spark.sources.txlog import TxLogTable
+    from service_level_reporting_spark.sources.txlog import (
+        SchemaEvolutionError, TxLogTable)
 
     root = _staging_dir(spark, sf_dir, "sink_txlog_rowops")
     shutil.rmtree(root, ignore_errors=True)
@@ -920,6 +927,36 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
     for vn in ("txsql_a", "txsql_b", "txsql_asof"):
         spark.catalog.dropTempView(vn)
     shutil.rmtree(root + "_sqlclone", ignore_errors=True)
+
+    # ---- r11 type widening (VERDICT #4): int files + long files under
+    # one widened schema, read up-cast through BOTH APIs ----------------
+    shutil.rmtree(root + "_widen", ignore_errors=True)
+    tw = TxLogTable(root + "_widen", key_cols=["k"], stats_col="k")
+    tw.append(spark.createDataFrame([("a", 1), ("b", 2)],
+                                    "k string, v int").coalesce(1))
+    tw.enable_type_widening()
+    tw.widen_column("v", "long")
+    tw.append(spark.createDataFrame([("c", 2 ** 40)],
+                                    "k string, v long").coalesce(1))
+    want_w = spark.createDataFrame(
+        [("a", 1), ("b", 2), ("c", 2 ** 40)], "k string, v long")
+    got_w = tw.read(spark)
+    via_w = spark.read.format("txlog").load(root + "_widen")
+    widen_div = (got_w.exceptAll(want_w)
+                 .unionAll(want_w.exceptAll(got_w)).count()
+                 + via_w.exceptAll(want_w)
+                 .unionAll(want_w.exceptAll(via_w)).count()
+                 + int(dict(got_w.dtypes)["v"] != "bigint")
+                 + int(dict(via_w.dtypes)["v"] != "bigint"))
+    # narrowing must refuse
+    try:
+        tw.widen_column("v", "int")
+        widen_refused = 0
+    except SchemaEvolutionError:
+        widen_refused = 1
+    widen_rows = got_w.count()
+    widen_ver = tw.latest_version()
+    shutil.rmtree(root + "_widen", ignore_errors=True)
 
     # ---- r9 legs: column mapping / log retention / protocol gate /
     # streaming admission control, each verified in-frame ----------------
@@ -1086,6 +1123,8 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return spark.createDataFrame(
         [("_sql", sql_n, py_n, float(sql_div + asof_div)),
+         ("_widen", widen_rows, widen_ver,
+          float(widen_div + (1 - widen_refused))),
          ("_colmap", map_div + rewrote, t.latest_version(),
           float(map_src_div)),
          ("_retention", vac["removed_log_files"], t.earliest_version(),

@@ -185,21 +185,35 @@ def test_random_op_walk_replica_and_generated_invariants(spark, paths):
     t.append(_frame(spark, [("dup", 1)] * 2
                     + [(f"k{i:02d}", i) for i in range(10)]))
     t.enable_row_tracking()
+    # r11: type widening active on BOTH tables — the walk widens the
+    # source's v mid-stream and the replica widens implicitly when the
+    # first long post-image folds in
+    t.enable_type_widening()
     replicate_bootstrap(spark, src_path, rep_path)
+    TxLogTable.open(rep_path).enable_type_widening()
 
     def check():
         assert replica_divergence(spark, src_path, rep_path) == 0
         snap = t.read(spark)
         assert snap.filter(
             ~F.col("klen").eqNullSafe(F.length("k"))).count() == 0
+        # r11: the SQL/catalog surface serves the same snapshot
+        from service_level_reporting_spark.sources.txlog_catalog import (
+            register_table)
+        view = register_table(spark, "walk_view", src_path)
+        assert (view.exceptAll(snap)
+                .unionAll(snap.exceptAll(view)).count()) == 0
+        spark.catalog.dropTempView("walk_view")
 
+    widened = False
     for seed in (7, 23):
         rnd = random.Random(seed)
         n_new = 100 * seed
         for step in range(10):
             kind = rnd.choice(
                 ["append", "cow_up", "mor_up", "cow_del", "mor_del",
-                 "del_keys", "optimize", "binpack", "restore"])
+                 "del_keys", "del_keys_app", "widen",
+                 "optimize", "binpack", "restore"])
             keys = [r["k"] for r in t.read(spark)
                     .select("k").distinct().collect()]
             pick = rnd.choice(sorted(keys)) if keys else "k00"
@@ -219,6 +233,20 @@ def test_random_op_walk_replica_and_generated_invariants(spark, paths):
             elif kind == "del_keys":
                 t.delete_keys(spark.createDataFrame([(pick,)],
                                                     "k string"))
+            elif kind == "del_keys_app":
+                # r11 atomic mask+append (the replicate/dedup-state
+                # fold primitive) as a first-class walk op
+                n_new += 1
+                t.delete_keys(
+                    spark.createDataFrame([(pick,)], "k string"),
+                    append_df=_frame(spark, [(f"n{n_new}", n_new)]))
+            elif kind == "widen":
+                if not widened:
+                    t.widen_column("v", "long")   # mid-walk widening
+                    widened = True
+                else:
+                    n_new += 1
+                    t.append(_frame(spark, [(f"n{n_new}", n_new)]))
             elif kind == "optimize":
                 t.optimize(target_files=2)
             elif kind == "binpack":
