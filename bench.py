@@ -368,6 +368,75 @@ def _ratio_block(timings: dict, baseline: dict, notes: dict) -> dict:
     return block
 
 
+def _pooled_sf10_block(w1: tuple, w2: tuple, gap_sec: float) -> dict:
+    """Two-window-pooled sf10 statistics (r12, VERDICT #2). Pair ratios
+    are formed WITHIN each window (same-weather neighbors) and pooled
+    across windows; medians/mins are over the pooled run arrays. The
+    quotable per-query number is the pooled ratio_of_medians (and the
+    trimmed pair median at >= 5 pairs), which the r11 two-window probe
+    showed is stable where single-window medians swing 2-7x."""
+    import statistics
+
+    (t1, b1, n1), (t2, b2, n2) = w1, w2
+    r1 = n1.pop("_runs", {})
+    r2 = n2.pop("_runs", {})
+    queries: dict = {}
+    baseline: dict = {}
+    runs: dict = {}
+    run_stats: dict = {}
+    for name in t1:
+        w1s, w1d = r1[name]["spark"], r1[name]["duckdb"]
+        w2s = r2.get(name, {}).get("spark", [])
+        w2d = r2.get(name, {}).get("duckdb", [])
+        s, d = w1s + w2s, w1d + w2d
+        pairs = ([round(a / x, 3) for a, x in zip(w1s, w1d) if x]
+                 + [round(a / x, 3) for a, x in zip(w2s, w2d) if x])
+        queries[name] = round(min(s), 4)
+        baseline[name] = round(min(d), 4) if d else None
+        st: dict = {"spark_min": round(min(s), 4),
+                    "spark_med": round(statistics.median(s), 4)}
+        if d:
+            st["duck_min"] = round(min(d), 4)
+            st["duck_med"] = round(statistics.median(d), 4)
+            st["ratio_of_medians"] = round(
+                st["spark_med"] / st["duck_med"], 3)
+        if pairs:
+            st["pair_ratios"] = pairs
+            st["pair_ratio_spread"] = round(max(pairs) / min(pairs), 3)
+            st["pair_ratio_med"] = round(statistics.median(pairs), 3)
+            if len(pairs) >= 5:
+                trimmed = sorted(pairs)[1:-1]
+                st["pair_ratio_trimmed_med"] = round(
+                    statistics.median(trimmed), 3)
+                st["pair_ratio_trimmed_spread"] = round(
+                    max(trimmed) / min(trimmed), 3)
+        runs[name] = {"spark": s, "duckdb": d}
+        run_stats[name] = st
+    valid = [n for n in queries if baseline.get(n) is not None]
+    base_total = round(sum(baseline[n] for n in valid), 4)
+    block = {
+        "sf": 10.0, "pooled_windows": 2,
+        "window_gap_sec": round(gap_sec, 1),
+        "queries": queries,
+        "total_sec": round(sum(queries.values()), 4),
+        "baseline_sec": baseline,
+        "baseline_total_sec": base_total,
+        "ratio_vs_baseline": (
+            round(sum(queries[n] for n in valid) / base_total, 3)
+            if base_total else None),
+        "per_query_ratio": {
+            n: (round(queries[n] / baseline[n], 3)
+                if baseline.get(n) else None) for n in queries},
+        "runs": runs, "run_stats": run_stats,
+        "windows": {"w1": {"queries": t1, "baseline_sec": b1, "runs": r1},
+                    "w2": {"queries": t2, "baseline_sec": b2, "runs": r2}},
+    }
+    notes = {**n1, **{f"w2_{k}": v for k, v in n2.items()}}
+    if notes:
+        block["baseline_notes"] = notes
+    return block
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -464,6 +533,16 @@ def main() -> None:
     # round (VERDICT r3 item 5) instead of via a manual tools/floor_curve.py
     # run. Embedding headliners are excluded as in the curve tool: already
     # sub-baseline at sf0.1/sf1 and their exact oracle is O(n^2) at 100x.
+    #
+    # r12 (VERDICT #2): TWO-WINDOW-POOLED by default. The r11 lesson is
+    # that single-window sf10 medians on this box are weather — DuckDB's
+    # own median swung 7.7x between the two BENCH_SF10.json windows, and
+    # the pooled read moved dedup_exact from 2.58x (one window) to 1.32x.
+    # Window 1 runs here; the lakehouse block's minutes of unrelated work
+    # form the inter-window gap; window 2 runs after it and the artifact
+    # quotes medians/pair-ratios over the POOLED pairs (per-window arrays
+    # preserved under "windows").
+    sf10_w1 = None
     if not os.environ.get("SPARK_GRAFT_SKIP_SF10"):
         try:
             from tools import floor_curve, scale_sweep
@@ -476,22 +555,40 @@ def main() -> None:
                              ("customer", "orders", "lineitem", "events",
                               "documents"))
                 spark.conf.set("spark.sql.shuffle.partitions", "32")
-                t10, b10, n10 = measure_pairwise(
+                sf10_w1 = measure_pairwise(
                     spark, floor_curve.SF10, floor_curve.AGG_HEADLINERS,
                     SF10_RUNS, cap_sec=SF1_DUCKDB_CAP_SEC, adaptive=True,
                     min_pairs=3)
-                result["sf10"] = {"sf": 10.0, **_ratio_block(t10, b10, n10)}
+                w1_end = time.time()
         except Exception as exc:  # noqa: BLE001 — artifact must survive
             result["sf10_error"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # ---- lakehouse ops block (r8, VERDICT item 7): merge_into /
     # delete_mor / changes-fold wall-times on a fresh synthetic table per
-    # repetition, tracked round-over-round like the query set.
+    # repetition, tracked round-over-round like the query set. Runs
+    # BETWEEN the two sf10 windows — it doubles as the window gap.
     if not os.environ.get("SPARK_GRAFT_SKIP_LAKEHOUSE"):
         try:
             result["lakehouse"] = _lakehouse_block(spark)
         except Exception as exc:  # noqa: BLE001 — artifact must survive
             result["lakehouse_error"] = f"{type(exc).__name__}: {exc}"[:300]
+
+    if sf10_w1 is not None:
+        try:
+            from tools import floor_curve
+
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+            sf10_w2 = measure_pairwise(
+                spark, floor_curve.SF10, floor_curve.AGG_HEADLINERS,
+                SF10_RUNS, cap_sec=SF1_DUCKDB_CAP_SEC, adaptive=True,
+                min_pairs=3)
+            result["sf10"] = _pooled_sf10_block(
+                sf10_w1, sf10_w2, time.time() - w1_end)
+        except Exception as exc:  # noqa: BLE001 — window 2 must not cost
+            # the whole block: fall back to the single-window shape
+            t10, b10, n10 = sf10_w1
+            result["sf10"] = {"sf": 10.0, **_ratio_block(t10, b10, n10)}
+            result["sf10_w2_error"] = f"{type(exc).__name__}: {exc}"[:300]
 
     # r5 (VERDICT item 3): the full JSON outgrew the driver's tail capture
     # in r4 ("parsed": null — a truncated string as the artifact of
@@ -521,10 +618,15 @@ def main() -> None:
     # when it falls outside the spread (kept condensed: the stdout line
     # must stay within the driver's tail capture).
     if "sf10" in result and "run_stats" in result["sf10"]:
+        if "pooled_windows" in result["sf10"]:
+            compact["sf10"]["pooled_windows"] = \
+                result["sf10"]["pooled_windows"]
         compact["sf10"]["per_query"] = {
             name: {"ratio_med": st.get("ratio_of_medians"),
                    "pairs": st.get("pair_ratios"),
-                   "spread": st.get("pair_ratio_spread")}
+                   "spread": st.get("pair_ratio_spread"),
+                   **({"trimmed_med": st["pair_ratio_trimmed_med"]}
+                      if "pair_ratio_trimmed_med" in st else {})}
             for name, st in result["sf10"]["run_stats"].items()}
     if "lakehouse" in result:
         # r9 (VERDICT item 6): per-op run arrays + spread ride the

@@ -401,6 +401,11 @@ def agg_partial_final_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "regional_supplier_volume",
+    # r12 (VERDICT #7) rotation: J1 FK-broadcast-join coverage in the
+    # driver window is carried by report_region_revenue; this second J1
+    # row moved to aux (still SQL-oracled in the pytest differential)
+    # to make room for agg_time_weighted (A12) in the 50-row window.
+    aux=True,
     oracle="""
     SELECT n.n_name AS nation,
            round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,

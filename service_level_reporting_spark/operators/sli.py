@@ -322,7 +322,8 @@ def filter_events_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "agg_time_weighted",
-    aux=True,
+    # r12 (VERDICT #7): rotated INTO the 50-row driver window (was aux
+    # since r5) so A12's hash check rides CORRECTNESS_r12+.
     oracle="""
     WITH seq AS (
         SELECT event_type,

@@ -123,6 +123,11 @@ BURN_WINDOW_H = 6
 
 @register(
     "slo_burn_rate_multiwindow",
+    # r12 (VERDICT #7) rotation: W2-W5 window coverage in the driver
+    # window is carried by window_suite_daily; this second W-row moved
+    # to aux (still SQL-oracled in the pytest differential) to make
+    # room for anomaly_seasonal_baseline (W7) in the 50-row window.
+    aux=True,
     oracle=f"""
     WITH hourly AS (
         SELECT strftime(ts, '%Y-%m-%d %H') AS hour,
@@ -318,7 +323,8 @@ ANOMALY_Z = 3.0
 
 @register(
     "anomaly_seasonal_baseline",
-    aux=True,
+    # r12 (VERDICT #7): rotated INTO the 50-row driver window (was aux
+    # since r6) so W7's hash check rides CORRECTNESS_r12+.
     oracle=f"""
     -- Cross-engine determinism: hourly means quantize to exact integer
     -- MILLI-units (v3 < 2^53), baseline moments are exact integer sums,

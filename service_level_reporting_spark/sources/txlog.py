@@ -62,6 +62,7 @@ CHECKPOINT_EVERY = 10
 CHECKPOINT_PART_ACTIONS = 25_000
 # bounded per-handle cache of resolved snapshots (version -> add list)
 SNAP_CACHE_MAX = 8
+CKPT_CACHE_MAX = 4          # r12: parsed checkpoint payloads per handle
 # Rewriting commits (merge/optimize) retry until this wall-clock deadline,
 # not a fixed count: each lost O_EXCL race is cheap to retry (the logical
 # conflict check below usually avoids re-running the Spark rewrite), and a
@@ -510,6 +511,13 @@ class TxLogTable:
         # so caching by version is safe across concurrent writers
         self.checkpoint_part_actions = CHECKPOINT_PART_ACTIONS
         self._snap_cache: dict[int, list] = {}
+        # r12 (VERDICT #1/#3): parsed checkpoint PAYLOADS, keyed by
+        # (ckpt version, columns) — checkpoint parts are immutable, so
+        # a handle pays the parquet/JSON parse once per checkpoint and
+        # every later _resolve of a NEWER version is O(commit tail).
+        # Shares add-dicts by reference with _snap_cache entries (both
+        # treat adds as immutable); cleared wherever _commit_memo is.
+        self._ckpt_cache: dict[tuple, list] = {}
         # bounded memo of parsed commit records (r10): checkpoint writes
         # and the seven state walkers replay the SAME trailing interval —
         # commit files are immutable once published (O_EXCL), so one
@@ -936,6 +944,19 @@ class TxLogTable:
                      "base_row_id", "default_rcv")
     _PART_JSON = {"stats": "stats_json", "bloom": "bloom_json"}
 
+    # r12 (VERDICT #3): the add fields a COPY-ON-WRITE rewrite
+    # (merge / merge_into / CoW delete / CoW update) consumes from the
+    # live set — prune (min/max/stats), retry identity (dv), reads
+    # (dv/base_row_id/default_rcv), row accounting (rows). Pointedly
+    # NOT bloom (added only when the op derived bloom probes) and NOT
+    # extra_json: touched files leave the log as bare removes, so
+    # nothing needs the fields back. MoR delete/update is EXCLUDED —
+    # it re-adds touched files' dicts wholesale (stats/bloom must stay
+    # the original file's), so stripping fields there would corrupt
+    # the re-added metadata; it resolves FULL and leans on _ckpt_cache.
+    _REWRITE_COLS = ("rows", "min", "max", "stats", "dv",
+                     "base_row_id", "default_rcv")
+
     def _write_ckpt_part(self, pp: str, part: list[dict]) -> None:
         """One checkpoint shard as a PARQUET file (r11, VERDICT #2 — the
         r10 JSON parts made snapshot resolution driver-side json.loads
@@ -1015,22 +1036,45 @@ class TxLogTable:
         return out
 
     def _ckpt_files(self, ckpt: dict,
-                    columns: tuple | None = None) -> list[dict]:
+                    columns: tuple | None = None,
+                    use_cache: bool = True) -> list[dict]:
         """The add-action payload of a checkpoint: inline ``files`` for
         legacy single-JSON checkpoints (still readable, r10), JSON
         .checkpoint.part shards (r10, still readable), or parquet shards
         (r11 — ``parts_format`` marks them; same .checkpoint.part path
         scheme so retention/vacuum handling is format-blind). ``columns``
         requests a column-selective read (parquet shards only — legacy
-        formats are whole-payload by construction and ignore it)."""
+        formats are whole-payload by construction and ignore it).
+
+        r12 (VERDICT #1): the parsed payload is CACHED per (checkpoint
+        version, columns) — part files are immutable once written, so
+        repeated resolves of successive versions over one checkpoint
+        (the merge→delete→fold cadence of any writer loop) parse it
+        once; a cached FULL payload also serves selective requests.
+        ``use_cache=False`` (the use_checkpoint=False validators) reads
+        the disk unconditionally and populates nothing — a validator
+        must trust no cache."""
         if ckpt.get("files") is not None:
             return ckpt["files"]
+        ck = (ckpt["version"],
+              None if columns is None else tuple(sorted(set(columns))))
+        if use_cache:
+            full = (ckpt["version"], None)
+            if full in self._ckpt_cache:
+                return self._ckpt_cache[full]
+            if ck in self._ckpt_cache:
+                return self._ckpt_cache[ck]
         if ckpt.get("parts_format") == "parquet":
-            return self._ckpt_files_parquet(ckpt, columns)
-        out: list[dict] = []
-        for i in range(int(ckpt["files_parts"])):
-            with open(self._part_path(ckpt["version"], i)) as fh:
-                out.extend(json.load(fh))
+            out = self._ckpt_files_parquet(ckpt, columns)
+        else:
+            out = []
+            for i in range(int(ckpt["files_parts"])):
+                with open(self._part_path(ckpt["version"], i)) as fh:
+                    out.extend(json.load(fh))
+        if use_cache:
+            if len(self._ckpt_cache) >= CKPT_CACHE_MAX:
+                self._ckpt_cache.pop(next(iter(self._ckpt_cache)))
+            self._ckpt_cache[ck] = out
         return out
 
     @staticmethod
@@ -2080,7 +2124,8 @@ class TxLogTable:
             ckpt, start = self._replay_base(version, "files")
             if ckpt is not None:
                 live = {a["path"]: a
-                        for a in self._ckpt_files(ckpt, columns)}
+                        for a in self._ckpt_files(ckpt, columns,
+                                                  use_cache=False)}
         for v in range(start, version + 1):
             rec = self._commit_record(v, use_memo=use_checkpoint)
             if rec is None:
@@ -2795,9 +2840,11 @@ class TxLogTable:
     def _overlapping(self, live: list[dict],
                      lo: str | None, hi: str | None) -> list[dict]:
         """Live files whose stats range may hold keys in [lo, hi] (None
-        bounds are conservative: statless file or unbounded update)."""
+        bounds are conservative: statless file or unbounded update).
+        ``.get``: a column-selective resolve (r12) materializes min=None
+        as an ABSENT key — same conservative keep as explicit None."""
         return [a for a in live
-                if a["min"] is None or lo is None
+                if a.get("min") is None or lo is None
                 or not (a["max"] < lo or a["min"] > hi)]
 
     def _key_ranges(self, df: DataFrame, cols: list[str]) -> dict:
@@ -2885,6 +2932,10 @@ class TxLogTable:
         (typed stats) instead of through the string trap."""
         ranges = self._key_ranges(updates, [*self.key_cols, self.stats_col])
         probes = self._bloom_probes(updates)
+        # r12 (VERDICT #3): rewrites resolve COLUMN-SELECTIVELY — the
+        # bloom column chunks are read only when this merge actually
+        # derived probes, extra_json never
+        rcols = self._REWRITE_COLS + (("bloom",) if probes else ())
         deadline = time.monotonic() + deadline_sec
 
         def rewrite(touched: list[dict]) -> list[dict]:
@@ -2903,7 +2954,7 @@ class TxLogTable:
                                            regen_generated=True)
 
         base = self.latest_version()
-        live = self._resolve(base)
+        live = self._resolve(base, columns=rcols)
         cons0 = (self.constraints(base),
                  self.generated_columns(base))
         touched = self._prune_files(live, ranges, probes)
@@ -2923,7 +2974,7 @@ class TxLogTable:
                 _backoff(retries)
                 retries += 1
                 base = self.latest_version()
-                live = self._resolve(base)
+                live = self._resolve(base, columns=rcols)
                 new_touched = self._prune_files(live, ranges, probes)
                 # fast path requires an unchanged touched set by
                 # CONTENT identity (path + dv chain: an interleaved MoR
@@ -2996,6 +3047,8 @@ class TxLogTable:
 
         ranges = self._key_ranges(source, [*self.key_cols, self.stats_col])
         probes = self._bloom_probes(source)
+        # r12 (VERDICT #3): column-selective resolve — see merge()
+        rcols = self._REWRITE_COLS + (("bloom",) if probes else ())
         deadline = time.monotonic() + deadline_sec
         counts = {"updated": 0, "deleted": 0, "inserted": 0}
 
@@ -3082,7 +3135,7 @@ class TxLogTable:
                                            regen_generated=True)
 
         base = self.latest_version()
-        live = self._resolve(base)
+        live = self._resolve(base, columns=rcols)
         cons0 = (self.constraints(base),
                  self.generated_columns(base))
         touched = self._prune_files(live, ranges, probes)
@@ -3102,7 +3155,7 @@ class TxLogTable:
                 _backoff(retries)
                 retries += 1
                 base = self.latest_version()
-                live = self._resolve(base)
+                live = self._resolve(base, columns=rcols)
                 new_touched = self._prune_files(live, ranges, probes)
                 if ({file_ident(a) for a in new_touched}
                         == {file_ident(a) for a in touched}
@@ -3446,6 +3499,7 @@ class TxLogTable:
         if removed_log and not dry_run:
             # expired commit files must not survive in the handle's memo
             self._commit_memo.clear()
+            self._ckpt_cache.clear()     # r12: nor expired part payloads
         return {"removed_files": removed, "retained_files": len(keep),
                 "removed_sidecars": removed_side,
                 "removed_log_files": removed_log,
@@ -3576,7 +3630,8 @@ class TxLogTable:
         extra = [a for a in (extra_adds or [])
                  if "metaData" in a or a["add"]["rows"] > 0]
         base = self.latest_version()
-        live = self._resolve(base)
+        # r12 (VERDICT #3): CoW rewrites never read bloom/extra_json
+        live = self._resolve(base, columns=self._REWRITE_COLS)
         cons0 = (self.constraints(base),
                  self.generated_columns(base))
         touched = prune(live)
@@ -3602,7 +3657,7 @@ class TxLogTable:
                 _backoff(retries)
                 retries += 1
                 base = self.latest_version()
-                live = self._resolve(base)
+                live = self._resolve(base, columns=self._REWRITE_COLS)
                 new_touched = prune(live)
                 if ({file_ident(a) for a in new_touched}
                         == {file_ident(a) for a in touched}

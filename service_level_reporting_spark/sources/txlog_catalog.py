@@ -36,6 +36,13 @@ REGISTRATION (the datasource's analysis-time pin — every query over
 one view sees one consistent snapshot, Delta's analysis rule).
 Re-register (``CREATE OR REPLACE`` under the hood) to advance to
 latest, or pass ``version=`` for a reproducible historical pin.
+``refresh_table(spark, name)`` (r12, VERDICT #4) is the long-lived
+consumer's advance-to-latest: it re-registers the view from its
+recorded registration (same path/options, fresh analysis-time pin),
+so an interactive SQL session sees commits a concurrent writer landed
+after registration — the temp-view analogue of Delta's ``REFRESH
+TABLE``. Views pinned to ``version=``/``timestamp_as_of=`` refuse to
+refresh (the pin IS their contract); re-register to move a pin.
 
 Scale note: the view is a thin alias for the datasource scan — each
 query plans one input partition per live data file of the pinned
@@ -99,6 +106,16 @@ def _ensure_registered(spark: SparkSession) -> None:
             raise
 
 
+# r12 (VERDICT #4): registrations recorded per (session, name) so
+# refresh_table can re-issue them verbatim. Global views key on the
+# app ("global") — they are application-wide by construction.
+_REGISTRY: dict[tuple, dict] = {}
+
+
+def _reg_key(spark: SparkSession, name: str, global_view: bool) -> tuple:
+    return ("global" if global_view else id(spark), name)
+
+
 def register_table(spark: SparkSession, name: str, path: str,
                    version: int | None = None,
                    timestamp_as_of: float | None = None,
@@ -118,7 +135,38 @@ def register_table(spark: SparkSession, name: str, path: str,
     scope = "GLOBAL TEMPORARY" if global_view else "TEMPORARY"
     spark.sql(f"CREATE OR REPLACE {scope} VIEW {name} "
               f"USING txlog OPTIONS ({clause})")
+    _REGISTRY[_reg_key(spark, name, global_view)] = {
+        "path": path, "version": version,
+        "timestamp_as_of": timestamp_as_of,
+        "merge_schema": merge_schema, "with_row_ids": with_row_ids,
+        "global_view": global_view}
     return spark.table(f"global_temp.{name}" if global_view else name)
+
+
+def refresh_table(spark: SparkSession, name: str,
+                  global_view: bool = False) -> DataFrame:
+    """Advance a registered view's pinned snapshot to the table's
+    CURRENT latest (r12, VERDICT #4): re-issues the recorded
+    registration, so a long-lived SQL consumer sees commits landed
+    after the original ``register_table`` — the temp-view analogue of
+    ``REFRESH TABLE``. Raises KeyError for a name this module never
+    registered (or another session's temp view) and ValueError for a
+    version-/timestamp-pinned view: the pin is the view's
+    reproducibility contract — re-register to move it."""
+    reg = _REGISTRY.get(_reg_key(spark, name, global_view))
+    if reg is None:
+        raise KeyError(
+            f"txlog refresh_table: {name!r} was not registered by "
+            "register_table in this session (temp views are "
+            "per-session; pass global_view=True for global_temp ones)")
+    if reg["version"] is not None or reg["timestamp_as_of"] is not None:
+        raise ValueError(
+            f"txlog refresh_table: view {name!r} is pinned "
+            f"(version={reg['version']}, "
+            f"timestamp_as_of={reg['timestamp_as_of']}) — a pinned "
+            "view is a reproducible snapshot by contract; "
+            "re-register to move the pin.")
+    return register_table(spark, name, **reg)
 
 
 @contextmanager
@@ -138,3 +186,4 @@ def sql_scope(spark: SparkSession, **tables: str):
                 spark.catalog.dropTempView(name)
             except Exception:
                 pass
+            _REGISTRY.pop(_reg_key(spark, name, False), None)

@@ -125,3 +125,40 @@ def test_identifier_guard(spark, table_path):
         register_table(spark, "bad-name; DROP", table_path)
     with pytest.raises(ValueError, match="identifier"):
         register_table(spark, "1leading", table_path)
+
+
+def test_refresh_table_advances_long_lived_consumer(spark, table_path):
+    """r12 (VERDICT #4): a long-lived SQL consumer's view advances to
+    commits a concurrent writer landed after registration — via
+    refresh_table, without the consumer knowing the table's path."""
+    from service_level_reporting_spark.sources.txlog_catalog import (
+        refresh_table)
+
+    w = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    w.append(_df(spark, [("a", 1), ("b", 2)]))
+    register_table(spark, "refr_t", table_path)
+    assert spark.sql("SELECT count(*) c FROM refr_t") \
+        .collect()[0]["c"] == 2
+    # concurrent writer advances the table: pinned view can't see it
+    w.append(_df(spark, [("c", 3)]))
+    w.delete("k = 'a'")
+    assert spark.sql("SELECT count(*) c FROM refr_t") \
+        .collect()[0]["c"] == 2
+    refresh_table(spark, "refr_t")
+    assert {r["k"] for r in spark.sql(
+        "SELECT k FROM refr_t").collect()} == {"b", "c"}
+    spark.catalog.dropTempView("refr_t")
+
+
+def test_refresh_table_guards(spark, table_path):
+    from service_level_reporting_spark.sources.txlog_catalog import (
+        refresh_table)
+
+    w = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    w.append(_df(spark, [("a", 1)]))
+    with pytest.raises(KeyError, match="not registered"):
+        refresh_table(spark, "never_registered_view")
+    register_table(spark, "refr_pin", table_path, version=0)
+    with pytest.raises(ValueError, match="pinned"):
+        refresh_table(spark, "refr_pin")
+    spark.catalog.dropTempView("refr_pin")
