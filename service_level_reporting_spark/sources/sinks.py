@@ -742,7 +742,10 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
                    USING txlog) and joined in PLAIN spark.sql — n/n2 =
                    SQL-join vs Python-API-join row counts (must be
                    equal), v = (join divergence) + (VERSION-AS-OF
-                   view vs read(version=...) divergence), must be 0;
+                   view vs read(version=...) divergence) + (r12
+                   refresh_table check: a concurrent commit invisible
+                   through the pinned view, visible after refresh),
+                   must be 0;
       '_widen'   — r11 type widening (Delta typeWidening feature):
                    int files + long files under one widened schema on
                    a side table — n = rows, n2 = its latest version,
@@ -924,6 +927,21 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
     asof_py = t.read(spark, version=v_from)
     asof_div = (asof_sql.exceptAll(asof_py)
                 .unionAll(asof_py.exceptAll(asof_sql)).count())
+    # r12 (VERDICT #4): a long-lived SQL consumer must NOT see a
+    # concurrent writer's commit through its pinned view, and MUST see
+    # it after refresh_table — verified on the self-contained clone.
+    from service_level_reporting_spark.sources.txlog_catalog import (
+        refresh_table)
+    tb = TxLogTable.open(root + "_sqlclone")
+    n_pin = spark.sql("SELECT count(*) c FROM txsql_b").collect()[0]["c"]
+    tb.append(tb.read(spark).limit(1).localCheckpoint(eager=True))
+    n_stale = spark.sql("SELECT count(*) c FROM txsql_b") \
+        .collect()[0]["c"]
+    refresh_table(spark, "txsql_b")
+    n_fresh = spark.sql("SELECT count(*) c FROM txsql_b") \
+        .collect()[0]["c"]
+    refresh_div = (int(n_stale != n_pin)          # pin must hold
+                   + int(n_fresh != n_pin + 1))   # refresh must advance
     for vn in ("txsql_a", "txsql_b", "txsql_asof"):
         spark.catalog.dropTempView(vn)
     shutil.rmtree(root + "_sqlclone", ignore_errors=True)
@@ -1122,7 +1140,7 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.rmtree(ds_root, ignore_errors=True)
 
     return spark.createDataFrame(
-        [("_sql", sql_n, py_n, float(sql_div + asof_div)),
+        [("_sql", sql_n, py_n, float(sql_div + asof_div + refresh_div)),
          ("_widen", widen_rows, widen_ver,
           float(widen_div + (1 - widen_refused))),
          ("_colmap", map_div + rewrote, t.latest_version(),
