@@ -493,6 +493,21 @@ def main() -> None:
     # assertions in tests/test_physical_plans.py are green. The
     # interleaved pairing bounds the damage to the ratio; the recorded
     # per-query run arrays carry the variance evidence.
+    # r12: the pooled sf10 ratios are floor-sensitive — in the r12
+    # quiet window BOTH engines posted their fastest recorded absolute
+    # medians (Spark resample 0.54 s, dedup 0.74 s, pricing 1.19 s —
+    # all-time bests; DuckDB resample 0.14 s, 4-12x faster than ITS
+    # r10/r11 windows), so the ratio inflates exactly when the query
+    # drops under ~1 s and Spark's ~0.3-0.4 s local-mode job floor
+    # (BASELINE.md "Implication") becomes the numerator's bulk. The
+    # quotable cross-window signal is the ABSOLUTE spark_med/duck_med
+    # columns in run_stats, which this artifact always carries.
+    result["sf10_floor_note_r12"] = (
+        "pooled sf10 ratios compare a ~0.3-0.4s-per-job local-mode"
+        " floor against an embedded engine once queries drop sub-second"
+        " - quote run_stats' absolute medians across rounds (r12 Spark"
+        " absolutes are all-time bests) before reading a ratio delta"
+        " as a regression; see SCALE.md §9")
     result["drift_note_r11"] = (
         "sf0.1 ratio 1.383 in a quiet r11 window (r9 1.109, r10 1.436):"
         " uniform inflation across all 7 headliners AND the DuckDB side"

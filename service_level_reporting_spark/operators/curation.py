@@ -584,3 +584,117 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "source", "n_overlap", "n_ngrams",
                 SF.r6(F.col("n_overlap") / F.col("n_ngrams")).alias("overlap_frac"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source (domain) quota sampling — crawl-pipeline staple: cap documents
+# per source so mega-domains can't dominate the training mix, keeping the
+# best K by a deterministic quality key (longest text, doc_id tie-break).
+# Reference scope: the ref has no corpus curation at all; this extends the
+# engine's LLM-pipeline surface (SURVEY §2.8, D30).
+# ---------------------------------------------------------------------------
+
+SOURCE_QUOTA = 5
+
+
+@register(
+    "corpus_source_quota",
+    aux=True,
+    oracle=f"""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents
+    )
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN rk <= {SOURCE_QUOTA} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN rk <= {SOURCE_QUOTA} THEN n_chars ELSE 0 END)
+                AS BIGINT) AS kept_chars
+    FROM ranked GROUP BY source
+    """,
+)
+def corpus_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document quota: keep the best SOURCE_QUOTA docs per
+    source (n_chars desc, doc_id tie-break), report kept/total per
+    source. 100 TB: the shuffle key is `source` and the window state is
+    one domain's docs; a mega-domain that skews a partition is exactly
+    AQE skew-join territory — and because only a BOUNDED top-K per
+    source is ever kept, the window swaps for a partial top-K aggregate
+    (map-side heap) at extreme skew without changing semantics."""
+    d = _docs(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"),
+                                             F.asc("doc_id"))
+    kept = F.col("rk") <= SOURCE_QUOTA
+    return (d.select("source", "doc_id", "n_chars")
+            .withColumn("rk", F.row_number().over(w))
+            .groupBy("source")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum(kept.cast("long")).alias("n_kept"),
+                 F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
+                 .alias("kept_chars")))
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe train/val/test split — assignment by a hash of the SOURCE,
+# never the document, so near-duplicate docs from one domain can't straddle
+# splits (the standard contamination guard). The split key is the md5 hex
+# prefix (identical in Spark and DuckDB), bucketed 13/2/1 of 16.
+# ---------------------------------------------------------------------------
+
+@register(
+    "corpus_split_leakage_safe",
+    aux=True,
+    oracle="""
+    WITH tagged AS (
+        SELECT source, doc_id,
+               CASE WHEN substr(md5(source), 1, 1) IN ('d', 'e')
+                        THEN 'val'
+                    WHEN substr(md5(source), 1, 1) = 'f' THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+    ),
+    per AS (
+        SELECT split, count(*) AS n_docs,
+               count(DISTINCT source) AS n_sources
+        FROM tagged GROUP BY split
+    ),
+    leak AS (
+        SELECT '_leakage' AS split,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(0 AS BIGINT) AS n_sources
+        FROM (SELECT source FROM tagged
+              GROUP BY source HAVING count(DISTINCT split) > 1)
+    )
+    SELECT * FROM per UNION ALL SELECT * FROM leak
+    """,
+)
+def corpus_split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic source-hash split (train/val/test ≈ 13/2/1 of 16
+    md5 buckets) with the leakage invariant VERIFIED IN-FRAME: the
+    '_leakage' row counts sources assigned to more than one split and
+    must read 0 by construction. 100 TB: the split tag is a pure
+    per-row projection (no shuffle); the per-split rollup aggregates
+    map-side; the leakage audit groups by source once — the same
+    shuffle the quota op already pays, and droppable in production
+    when the tag is provably a function of source alone."""
+    d = _docs(spark, sf_dir)
+    h1 = F.substring(F.md5(F.col("source")), 1, 1)
+    tagged = d.select(
+        "source", "doc_id",
+        F.when(h1.isin("d", "e"), "val")
+         .when(h1 == "f", "test")
+         .otherwise("train").alias("split"))
+    per = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"))
+    leak = (tagged.groupBy("source")
+            .agg(F.countDistinct("split").alias("ns"))
+            .where(F.col("ns") > 1)
+            .agg(F.count(F.lit(1)).alias("n_docs"))
+            .select(F.lit("_leakage").alias("split"),
+                    F.col("n_docs").cast("long"),
+                    F.lit(0).cast("long").alias("n_sources")))
+    return per.unionByName(leak)

@@ -1173,3 +1173,54 @@ def test_repetition_suite_semantics(spark, monkeypatch):
     assert (got[4]["top2_char_frac"], got[4]["top3_char_frac"],
             got[4]["dup5_token_frac"]) == (0.0, 0.0, 0.0)
     assert got[4]["keep"] == 1
+
+
+def test_corpus_source_quota_planted(spark, monkeypatch):
+    """corpus_source_quota (r12, aux, SQL-oracled): a mega-source is
+    capped at SOURCE_QUOTA kept docs chosen by n_chars desc with
+    doc_id tie-break; small sources keep everything."""
+    from service_level_reporting_spark.operators import curation as CU
+
+    rows = ([(i, "mega", 100 - i) for i in range(10)]      # 10 docs
+            + [(100 + i, "tiny", 50) for i in range(2)])   # 2 docs
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long")
+    monkeypatch.setattr(CU, "_docs", lambda s, d: docs)
+    got = {r["source"]: (r["n_docs"], r["n_kept"], r["kept_chars"])
+           for r in CU.corpus_source_quota(spark, "ignored").collect()}
+    # mega: top-5 by n_chars = docs 0..4 (chars 100..96)
+    assert got["mega"] == (10, 5, 100 + 99 + 98 + 97 + 96)
+    assert got["tiny"] == (2, 2, 100)
+    # tie-break: equal n_chars resolves by doc_id ASC
+    ties = spark.createDataFrame(
+        [(i, "t", 7) for i in range(8)],
+        "doc_id long, source string, n_chars long")
+    monkeypatch.setattr(CU, "_docs", lambda s, d: ties)
+    r = CU.corpus_source_quota(spark, "ignored").collect()[0]
+    assert (r["n_kept"], r["kept_chars"]) == (5, 35)
+
+
+def test_corpus_split_leakage_safe_planted(spark, monkeypatch):
+    """corpus_split_leakage_safe (r12, aux, SQL-oracled): every doc of
+    one source lands in ONE split (the '_leakage' row reads 0), splits
+    partition the corpus, and the assignment is md5-deterministic."""
+    from service_level_reporting_spark.operators import curation as CU
+
+    rows = [(s * 100 + i, f"src{s:02d}", 10)
+            for s in range(20) for i in range(3)]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long")
+    monkeypatch.setattr(CU, "_docs", lambda s, d: docs)
+    got = {r["split"]: (r["n_docs"], r["n_sources"])
+           for r in CU.corpus_split_leakage_safe(spark,
+                                                 "ignored").collect()}
+    assert got["_leakage"] == (0, 0)
+    per = {k: v for k, v in got.items() if k != "_leakage"}
+    assert sum(n for n, _ in per.values()) == 60       # partition
+    assert sum(s for _, s in per.values()) == 20       # no source split
+    # deterministic: same inputs, same assignment
+    import hashlib
+    want_val = sum(
+        1 for s in range(20)
+        if hashlib.md5(f"src{s:02d}".encode()).hexdigest()[0] in "de")
+    assert per.get("val", (0, 0))[1] == want_val
