@@ -136,22 +136,33 @@ def verdicts(spark: SparkSession, corpus_path: str,
 
 
 def packed_sequences(spark: SparkSession, corpus_path: str,
-                     work: str) -> DataFrame:
-    """(seq_id, n_docs, seq_tokens) — kept docs packed greedily into
-    PACK_BUDGET-token sequences in doc_id order. Deterministic function
-    of the kept set; at scale the window partitions by shard/stratum
-    (here one stratum: the fixture corpus is one shard)."""
+                     work: str, n_strata: int | None = None) -> DataFrame:
+    """(stratum, seq_id, n_docs, seq_tokens) — kept docs packed
+    greedily into PACK_BUDGET-token sequences in doc_id order within
+    each stratum. Deterministic function of the kept set.
+
+    ``n_strata`` (r12) is the scale knob the docstring used to only
+    promise: with it set, docs hash into ``pmod(doc_id, n_strata)``
+    strata and the running sum partitions BY STRATUM — N independent
+    window partitions instead of one global single-partition sort (the
+    WindowExec all-to-one-partition trap). Sequences are identified by
+    (stratum, seq_id); training consumers shuffle sequences anyway, so
+    per-stratum packing order is semantically equivalent. Default None
+    = one stratum (small corpora; keeps the exact r10 numbering)."""
     keep = (verdicts(spark, corpus_path, work)
             .where(F.col("verdict") == "keep").select("doc_id"))
     docs = (TxLogTable.open(corpus_path).read(spark)
             .join(keep, "doc_id")
             .select("doc_id", _tokens().alias("n_tok")))
-    w = (Window.orderBy("doc_id")
+    stratum = (F.pmod(F.col("doc_id"), F.lit(int(n_strata)))
+               if n_strata else F.lit(0)).cast("long")
+    docs = docs.withColumn("stratum", stratum)
+    w = (Window.partitionBy("stratum").orderBy("doc_id")
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     return (docs.withColumn("cum", F.sum("n_tok").over(w))
             .withColumn("seq_id", F.floor(
                 (F.col("cum") - F.col("n_tok")) / float(PACK_BUDGET)))
-            .groupBy("seq_id")
+            .groupBy("stratum", "seq_id")
             .agg(F.count(F.lit(1)).alias("n_docs"),
                  F.sum("n_tok").alias("seq_tokens")))
 

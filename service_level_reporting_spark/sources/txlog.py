@@ -2257,38 +2257,107 @@ class TxLogTable:
                 if not f.endswith(".parquet"):
                     continue
                 full = os.path.join(root, f)
-                meta = pq.ParquetFile(full).metadata
-                idx = {meta.schema.column(i).name: i
-                       for i in range(meta.num_columns)}[p_stats]
-                lo = hi = None
-                for rg in range(meta.num_row_groups):
-                    st = meta.row_group(rg).column(idx).statistics
-                    if st is None or not st.has_min_max:
-                        continue
-                    mn, mx = str(st.min), str(st.max)
-                    lo = mn if lo is None or mn < lo else lo
-                    hi = mx if hi is None or mx > hi else hi
-                add = {"path": os.path.relpath(full, self.path),
-                       "rows": meta.num_rows,
-                       "min": lo, "max": hi,
-                       **({"stats": s} if (s := _file_stats(meta)) else {})}
-                cols = {meta.schema.column(i).name
-                        for i in range(meta.num_columns)}
-                if (self.bloom_col is not None
-                        and p_bloom in cols and meta.num_rows > 0):
-                    # write-time cost: one column re-read per fresh file;
-                    # omitted (conservative) past BLOOM_MAX_DISTINCT
-                    col = pq.read_table(
-                        full, columns=[p_bloom])[p_bloom]
-                    distinct = set(col.to_pylist())
-                    if len(distinct) <= BLOOM_MAX_DISTINCT:
-                        bl = bloom_build(distinct)
-                        if bl is not None:
-                            add["bloom"] = bl
-                adds.append({"add": add})
+                adds.append({"add": self._footer_add(full, p_stats,
+                                                     p_bloom)})
         # the metaData action rides the SAME commit as the files it
         # describes — schema and data become visible atomically
         return [a for a in (meta_action, map_action) if a] + adds
+
+    def _footer_add(self, full: str, p_stats: str,
+                    p_bloom: str | None) -> dict:
+        """Add-action metadata for ONE parquet file from its footer:
+        row count, stats-column min/max (row-group statistics), typed
+        multi-column skip stats, and the optional bloom (one column
+        re-read, omitted past BLOOM_MAX_DISTINCT). Shared by the write
+        path and convert() — a registered pre-existing file gets
+        exactly the metadata a written file gets."""
+        import pyarrow.parquet as pq
+
+        meta = pq.ParquetFile(full).metadata
+        names = {meta.schema.column(i).name: i
+                 for i in range(meta.num_columns)}
+        lo = hi = None
+        if p_stats in names:
+            idx = names[p_stats]
+            for rg in range(meta.num_row_groups):
+                st = meta.row_group(rg).column(idx).statistics
+                if st is None or not st.has_min_max:
+                    continue
+                mn, mx = str(st.min), str(st.max)
+                lo = mn if lo is None or mn < lo else lo
+                hi = mx if hi is None or mx > hi else hi
+        add = {"path": os.path.relpath(full, self.path),
+               "rows": meta.num_rows,
+               "min": lo, "max": hi,
+               **({"stats": s} if (s := _file_stats(meta)) else {})}
+        if (self.bloom_col is not None
+                and p_bloom in names and meta.num_rows > 0):
+            # write-time cost: one column re-read per fresh file;
+            # omitted (conservative) past BLOOM_MAX_DISTINCT
+            col = pq.read_table(full, columns=[p_bloom])[p_bloom]
+            distinct = set(col.to_pylist())
+            if len(distinct) <= BLOOM_MAX_DISTINCT:
+                bl = bloom_build(distinct)
+                if bl is not None:
+                    add["bloom"] = bl
+        return add
+
+    @classmethod
+    def convert(cls, path: str, key_cols: list[str], stats_col: str,
+                cluster_by: list[str] | None = None,
+                bloom_col: str | None = None) -> "TxLogTable":
+        """CONVERT TO TXLOG (r12 — Delta's ``CONVERT TO DELTA``):
+        register the plain parquet files already under ``path`` as a
+        txlog table IN PLACE — no data is rewritten or moved. Every
+        discovered ``*.parquet`` (outside the table's own _txlog/ and
+        data/ namespaces) becomes an add-action with the SAME
+        footer-derived metadata a written file gets (row counts,
+        stats-column min/max, typed skip stats, bloom), the inferred
+        schema rides the v0 commit as metaData, and every later
+        operation — time travel, MERGE, DELETE/UPDATE, constraints,
+        OPTIMIZE, the data source, SQL views — works as if the table
+        had been written through the log from day one.
+
+        Refuses an already-converted path (commits exist) and a
+        directory whose files lack any of ``key_cols``/``stats_col``.
+        Registered files keep their original locations; later rewrites
+        land under data/ like any write (vacuum removes expired
+        ORIGINAL files by their logged paths, same as written ones)."""
+        t = cls(path, key_cols=key_cols, stats_col=stats_col,
+                cluster_by=cluster_by, bloom_col=bloom_col)
+        if t.latest_version() >= 0:
+            raise ValueError(
+                f"txlog convert: {path} already has commits — it IS a "
+                "txlog table; open() it instead.")
+        skip = (os.path.abspath(t.log_dir), os.path.abspath(t.data_dir),
+                os.path.join(os.path.abspath(path),
+                             "_symlink_format_manifest"))
+        found: list[str] = []
+        for root, dirs, fs in os.walk(path):
+            if os.path.abspath(root).startswith(skip):
+                dirs[:] = []
+                continue
+            for f in sorted(fs):
+                if f.endswith(".parquet"):
+                    found.append(os.path.join(root, f))
+        if not found:
+            raise ValueError(
+                f"txlog convert: no parquet files under {path}")
+        spark = _session()
+        df = spark.read.parquet(*found)
+        missing = [c for c in {*key_cols, stats_col,
+                               *(cluster_by or ()),
+                               *([bloom_col] if bloom_col else ())}
+                   if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"txlog convert: configured columns {missing} do not "
+                f"exist in the parquet data under {path}")
+        actions: list[dict] = [t._schema_action(df)]
+        actions += [{"add": t._footer_add(full, stats_col, bloom_col)}
+                    for full in found]
+        t.commit([a for a in actions if a], 0, op="convert")
+        return t
 
     def _dv_sidecar_rows(self, dv_rels) -> int:
         """Total recorded (file, row_index) pairs across DV sidecars —
@@ -2597,14 +2666,18 @@ class TxLogTable:
         return {"missing_data": missing_data, "missing_dv": missing_dv,
                 "foreign": foreign, "checked": len(files)}
 
-    def _copy_dv_sidecar(self, rel: str, target: "TxLogTable") -> str:
+    def _copy_dv_sidecar(self, rel: str, target: "TxLogTable",
+                         path_map: dict | None = None) -> str:
         """Copy one deletion-vector sidecar into ``target``'s dv/
         namespace, remapping each row's ``file`` key to the ABSOLUTE
         source path (what the clone's add actions — and therefore its
         readers' ``__file`` — use for foreign files). Keys that are
         already absolute (clone-of-clone) pass through os.path.join
-        untouched. Sidecars are small by construction (row indexes, not
-        rows), so this is a driver-side pyarrow copy."""
+        untouched. ``path_map`` (r12 deep clone) remaps keys to the
+        CLONE-LOCAL relative paths of the copied files instead — a key
+        missing from the map falls back to the absolute source path.
+        Sidecars are small by construction (row indexes, not rows), so
+        this is a driver-side pyarrow copy."""
         import pyarrow as pa
         import pyarrow.parquet as pq
 
@@ -2616,8 +2689,10 @@ class TxLogTable:
                     parts.append(pq.read_table(os.path.join(root, f)))
         tbl = pa.concat_tables(parts)
         prefix = os.path.abspath(self.path)
+        path_map = path_map or {}
         remapped = pa.array(
-            [os.path.join(prefix, v) for v in tbl["file"].to_pylist()],
+            [path_map.get(v, os.path.join(prefix, v))
+             for v in tbl["file"].to_pylist()],
             type=pa.string())
         tbl = tbl.set_column(tbl.schema.get_field_index("file"),
                              "file", remapped)
@@ -2628,7 +2703,8 @@ class TxLogTable:
         return new_rel
 
     def clone(self, target_path: str,
-              version: int | None = None) -> "TxLogTable":
+              version: int | None = None,
+              deep: bool = False) -> "TxLogTable":
         """SHALLOW CLONE (Delta parity): create a NEW table whose
         version-0 commit references the source snapshot's data files by
         ABSOLUTE path — zero bytes copied, instant at any size. Every
@@ -2649,7 +2725,16 @@ class TxLogTable:
         absolute source paths the clone's adds use — bytes copied stay
         O(DV), never O(data), and the clone owns its sidecars, so a
         later OPTIMIZE purge (or DV vacuum) on the source cannot
-        disturb the clone's snapshot."""
+        disturb the clone's snapshot.
+
+        ``deep=True`` (r12 — Delta DEEP CLONE): every referenced data
+        file is byte-copied into the clone's own data/ namespace (adds
+        keep the source's footer-derived stats/bloom — the content is
+        identical) and DV sidecar keys remap to the copied files'
+        clone-relative paths, so the clone is a fully self-contained
+        backup with NO source references: source vacuum can never
+        orphan it (verify_references() reports foreign=0). Cost is
+        O(data) — that is the point of a backup."""
         files = self._resolve(version)
         cfg_v = self.effective_config(version)   # config AT the snapshot
         t = TxLogTable(target_path, key_cols=cfg_v["key_cols"],
@@ -2659,16 +2744,35 @@ class TxLogTable:
         if t.latest_version() >= 0:
             raise ValueError(f"txlog clone: {target_path} already has "
                              "commits")
+        path_map: dict = {}   # source add path -> clone-relative path
+        if deep:
+            import shutil as _sh
+            sub = os.path.join("data", f"deep-{uuid.uuid4().hex[:12]}")
+            os.makedirs(os.path.join(t.path, sub), exist_ok=True)
+            for i, a in enumerate(files):
+                src = (a["path"] if os.path.isabs(a["path"])
+                       else os.path.join(self.path, a["path"]))
+                rel = os.path.join(sub, f"part-{i:05d}.parquet")
+                try:
+                    _sh.copy2(src, os.path.join(t.path, rel))
+                except FileNotFoundError:
+                    raise VacuumedReferenceError(
+                        f"txlog clone(deep): source file {src} no "
+                        "longer exists (vacuumed mid-clone?) — the "
+                        "deep copy cannot complete.") from None
+                path_map[a["path"]] = rel
         dv_map = {}           # source sidecar rel -> clone sidecar rel
         for a in files:
             for d in a.get("dv", ()):
                 if d not in dv_map:
-                    dv_map[d] = self._copy_dv_sidecar(d, t)
+                    dv_map[d] = self._copy_dv_sidecar(
+                        d, t, path_map if deep else None)
         actions = []
         for a in files:
             n = dict(a)
-            n["path"] = os.path.abspath(
-                os.path.join(self.path, a["path"]))
+            n["path"] = (path_map[a["path"]] if deep
+                         else os.path.abspath(
+                             os.path.join(self.path, a["path"])))
             if a.get("dv"):
                 n["dv"] = [dv_map[d] for d in a["dv"]]
             actions.append({"add": n})
@@ -2692,7 +2796,7 @@ class TxLogTable:
         rt = self.row_tracking(version)
         if rt is not None:       # r10: clones keep the source's row ids
             actions.append({"rowTracking": rt})
-        t.commit(actions, 0, op="clone")
+        t.commit(actions, 0, op="clone_deep" if deep else "clone")
         return t
 
     def _commit_ts(self, v: int) -> float | None:

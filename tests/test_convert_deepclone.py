@@ -1,0 +1,97 @@
+"""r12 migration/backup surface: CONVERT TO TXLOG (register a plain
+parquet directory in place — Delta's CONVERT TO DELTA) and DEEP CLONE
+(fully self-contained byte-copy — source vacuum can never orphan it)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+
+from service_level_reporting_spark.sources.txlog import (
+    TxLogTable, VacuumedReferenceError)
+
+
+@pytest.fixture()
+def work_dir():
+    p = os.path.join(tempfile.gettempdir(),
+                     f"slr_convert_{uuid.uuid4().hex[:8]}")
+    os.makedirs(p)
+    yield p
+    shutil.rmtree(p, ignore_errors=True)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k string, v int")
+
+
+def test_convert_registers_in_place_and_ops_work(spark, work_dir):
+    plain = os.path.join(work_dir, "plain")
+    # a pre-existing plain-parquet dataset: 2 files, no log
+    _df(spark, [("a", 1), ("b", 2)]).coalesce(1).write.parquet(plain)
+    _df(spark, [("c", 3)]).coalesce(1).write.mode("append").parquet(plain)
+    n_files = len([f for r, _, fs in os.walk(plain)
+                   for f in fs if f.endswith(".parquet")])
+    assert n_files >= 2
+
+    t = TxLogTable.convert(plain, key_cols=["k"], stats_col="k")
+    assert t.latest_version() == 0
+    live = t._resolve()
+    # every original file registered in place, with footer metadata
+    assert len(live) == n_files
+    assert all("stats" in a and a["rows"] >= 1 and a["min"] is not None
+               for a in live)
+    assert {(r["k"], r["v"]) for r in t.read(spark).collect()} \
+        == {("a", 1), ("b", 2), ("c", 3)}
+    # the converted table is a full citizen: merge + delete + travel
+    t.merge(_df(spark, [("b", 20)]).coalesce(1))
+    t.delete("k = 'a'")
+    assert {(r["k"], r["v"]) for r in t.read(spark).collect()} \
+        == {("b", 20), ("c", 3)}
+    assert {(r["k"], r["v"]) for r in t.read(spark, version=0).collect()} \
+        == {("a", 1), ("b", 2), ("c", 3)}
+    # the data source reads it too (schema from the v0 metaData)
+    from service_level_reporting_spark.sources.txlog_catalog import (
+        _ensure_registered)
+    _ensure_registered(spark)
+    via = spark.read.format("txlog").load(plain)
+    assert via.count() == 2
+
+    # re-convert refuses; bad config refuses
+    with pytest.raises(ValueError, match="already has commits"):
+        TxLogTable.convert(plain, key_cols=["k"], stats_col="k")
+    plain2 = os.path.join(work_dir, "plain2")
+    _df(spark, [("a", 1)]).write.parquet(plain2)
+    with pytest.raises(ValueError, match="do not exist"):
+        TxLogTable.convert(plain2, key_cols=["nope"], stats_col="k")
+
+
+def test_deep_clone_is_self_contained(spark, work_dir):
+    src_p = os.path.join(work_dir, "src")
+    s = TxLogTable(src_p, key_cols=["k"], stats_col="k")
+    s.append(_df(spark, [("a", 1), ("b", 2)]).coalesce(1))
+    s.append(_df(spark, [("c", 3), ("d", 4)]).coalesce(1))
+    s.delete("k = 'c'", mode="mor")        # live DV chain rides the clone
+    want = {(r["k"], r["v"]) for r in s.read(spark).collect()}
+
+    deep = s.clone(os.path.join(work_dir, "deep"), deep=True)
+    shallow = s.clone(os.path.join(work_dir, "shallow"))
+    # deep: zero foreign references; shallow: all foreign
+    assert deep.verify_references()["foreign"] == 0
+    assert shallow.verify_references()["foreign"] > 0
+    assert {(r["k"], r["v"]) for r in deep.read(spark).collect()} == want
+
+    # source vacuum (after an overwrite orphans the originals) breaks
+    # the SHALLOW clone but not the DEEP one
+    s.overwrite(_df(spark, [("z", 99)]).coalesce(1))
+    s.vacuum(retain_versions=1, min_age_sec=0)
+    assert {(r["k"], r["v"]) for r in deep.read(spark).collect()} == want
+    with pytest.raises(VacuumedReferenceError):
+        shallow.read(spark)
+
+    # the deep clone's history labels itself
+    assert deep.history()[-1]["op"] == "clone_deep"

@@ -125,3 +125,37 @@ def test_driver_leg_divergence_zero(spark):
     for part, (n, n2, vv) in out.items():
         assert vv == 0.0, (part, n, n2, vv)
     assert out["verdicts"][0] == out["verdicts"][1] > 0
+
+
+def test_packed_sequences_multi_stratum(spark, base_path):
+    """r12: n_strata partitions the packing window by pmod(doc_id, N) —
+    N independent window partitions instead of one global sort. Docs
+    and tokens are conserved exactly vs the single-stratum pack, every
+    stratum packs its own doc_id-ordered budget run, and fold == batch
+    holds at n_strata too."""
+    corpus = os.path.join(base_path, "corpus")
+    work = os.path.join(base_path, "work")
+    fresh = os.path.join(base_path, "fresh")
+    t = TxLogTable(corpus, key_cols=["doc_id"], stats_col="text")
+    t.append(_frame(spark, _rows(0, 60)))
+    CP.pipeline_sync(spark, corpus, work)
+    t.append(_frame(spark, _rows(60, 30)))
+    CP.pipeline_sync(spark, corpus, work)
+    CP.batch_recompute(spark, corpus, fresh)
+
+    one = CP.packed_sequences(spark, corpus, work)            # 1 stratum
+    eight = CP.packed_sequences(spark, corpus, work, n_strata=8)
+    # conservation: same docs, same tokens, regardless of strata
+    tot1 = one.agg(F.sum("n_docs"), F.sum("seq_tokens")).first()
+    tot8 = eight.agg(F.sum("n_docs"), F.sum("seq_tokens")).first()
+    assert tuple(tot1) == tuple(tot8)
+    # strata actually split the work
+    assert eight.select("stratum").distinct().count() > 1
+    # every stratum's non-final sequences are full by the greedy rule:
+    # adding the next doc would exceed the budget, so each seq except
+    # the stratum's last holds >= 1 doc and <= budget+max_doc tokens
+    assert eight.where(F.col("n_docs") < 1).count() == 0
+    # fold == batch at the same stratum count
+    assert (_ms(eight)
+            == _ms(CP.packed_sequences(spark, corpus, fresh,
+                                       n_strata=8)))

@@ -238,3 +238,35 @@ def test_slo_daily_health_has_no_expand(spark):
     assert "Expand" not in own, own
     assert own.count("HashAggregate") >= 4, own   # partial+final x 2 stages
     assert "partial_sum" in own, own
+
+
+def test_source_quota_single_shuffle_partial_agg(spark):
+    """corpus_source_quota (r12): ONE exchange on `source` feeds both
+    the rank window and the rollup (same key — Catalyst reuses the
+    partitioning), the final agg is partial/final split, and the scan
+    reads only the three consumed columns."""
+    from service_level_reporting_spark.operators.curation import (
+        corpus_source_quota)
+
+    import re
+
+    p = plan_str(corpus_source_quota(spark, SF_DIR_001))
+    # exactly ONE Exchange node in the tree: Sort->Window->partial/final
+    # HashAggregate all ride the same source-hash partitioning
+    assert len(re.findall(r"\+- Exchange", p)) == 1, p
+    assert "partial_count" in p or "partial" in p.lower(), p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema and "text" not in read_schema[0], p
+
+
+def test_split_leakage_safe_no_text_scan(spark):
+    """corpus_split_leakage_safe (r12): the split tag is a pure
+    projection — the scan must not read `text`, and both rollups
+    aggregate map-side (partial) before their exchanges."""
+    from service_level_reporting_spark.operators.curation import (
+        corpus_split_leakage_safe)
+
+    p = plan_str(corpus_split_leakage_safe(spark, SF_DIR_001))
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("text" not in ln for ln in read_schema), p
+    assert "partial_count" in p, p

@@ -121,6 +121,17 @@ def main(n_docs: int = 1_000_000) -> dict:
                                                     work_p)
                         .localCheckpoint(eager=True))
         stages["packed"] = {"sec": sec, "rows": pi.count()}
+        # r12: the multi-stratum pack — N window partitions instead of
+        # the single global sort; docs/tokens conserved (asserted)
+        sec, p32 = timed(lambda: CP.packed_sequences(
+            spark, corp_p, work_p, n_strata=32)
+            .localCheckpoint(eager=True))
+        from pyspark.sql import functions as _F
+        assert (tuple(pi.agg(_F.sum("n_docs"),
+                             _F.sum("seq_tokens")).first())
+                == tuple(p32.agg(_F.sum("n_docs"),
+                                 _F.sum("seq_tokens")).first()))
+        stages["packed_strata32"] = {"sec": sec, "rows": p32.count()}
         out["incremental"] = stages
         out["incremental_fold_sec"] = round(
             stages["quality_fold"]["sec"] + stages["dedup_fold"]["sec"],
