@@ -3513,7 +3513,24 @@ class TxLogTable:
         now = time.time()
         removed = 0
         would: list[str] = []
-        for root, _, files in os.walk(self.data_dir):
+        # r12 (CONVERT TO TXLOG): the walk covers the WHOLE table root,
+        # not just data/ — a converted table's registered-in-place
+        # originals live outside data/, and once a rewrite removes them
+        # from the log they must reclaim like any expired file. This is
+        # Delta's documented vacuum contract (the table directory is
+        # table-owned; untracked parquet in it is a vacuum candidate —
+        # don't store unrelated files inside a table root). The log,
+        # DV/CDC sidecars (retention handled separately below), and the
+        # manifest export are pruned from the walk.
+        skip_dirs = {os.path.abspath(self.log_dir),
+                     os.path.abspath(os.path.join(self.path, "dv")),
+                     os.path.abspath(os.path.join(self.path, "cdc")),
+                     os.path.abspath(os.path.join(
+                         self.path, "_symlink_format_manifest"))}
+        for root, dirs, files in os.walk(self.path):
+            dirs[:] = [d for d in dirs
+                       if os.path.abspath(os.path.join(root, d))
+                       not in skip_dirs]
             for f in files:
                 full = os.path.join(root, f)
                 rel = os.path.relpath(full, self.path)

@@ -95,3 +95,21 @@ def test_deep_clone_is_self_contained(spark, work_dir):
 
     # the deep clone's history labels itself
     assert deep.history()[-1]["op"] == "clone_deep"
+
+
+def test_vacuum_reclaims_converted_originals(spark, work_dir):
+    """r12: once a rewrite removes a registered-in-place original from
+    the live set, vacuum reclaims it from the table ROOT (the Delta
+    contract: the table directory is table-owned) — while files still
+    referenced by retained snapshots survive."""
+    plain = os.path.join(work_dir, "plainv")
+    _df(spark, [("a", 1), ("b", 2)]).coalesce(1).write.parquet(plain)
+    t = TxLogTable.convert(plain, key_cols=["k"], stats_col="k")
+    orig = [a["path"] for a in t._resolve()]
+    assert all(not p.startswith("data/") for p in orig)
+    t.overwrite(_df(spark, [("z", 9)]).coalesce(1))     # originals dead
+    res = t.vacuum(retain_versions=1, min_age_sec=0)
+    assert res["removed_files"] >= len(orig)
+    assert all(not os.path.exists(os.path.join(plain, p)) for p in orig)
+    assert {(r["k"], r["v"]) for r in t.read(spark).collect()} \
+        == {("z", 9)}
