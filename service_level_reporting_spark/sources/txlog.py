@@ -2329,12 +2329,16 @@ class TxLogTable:
             raise ValueError(
                 f"txlog convert: {path} already has commits — it IS a "
                 "txlog table; open() it instead.")
-        skip = (os.path.abspath(t.log_dir), os.path.abspath(t.data_dir),
-                os.path.join(os.path.abspath(path),
-                             "_symlink_format_manifest"))
+        skip = tuple(
+            d + os.sep for d in (os.path.abspath(t.log_dir),
+                                 os.path.abspath(t.data_dir),
+                                 os.path.join(os.path.abspath(path),
+                                              "_symlink_format_manifest")))
         found: list[str] = []
         for root, dirs, fs in os.walk(path):
-            if os.path.abspath(root).startswith(skip):
+            # trailing-sep compare: a sibling dir named e.g. "data2"
+            # must NOT be skipped by the "data" prefix
+            if (os.path.abspath(root) + os.sep).startswith(skip):
                 dirs[:] = []
                 continue
             for f in sorted(fs):
@@ -4397,8 +4401,18 @@ class TxLogTable:
         the half-open version range (version_at(from_ts),
         version_at(to_ts)] via two O(log n) header-only binary
         searches; everything else is changes()' documented contract
-        (net cancellation, row ids, the vacuum retention rule)."""
-        frm = self.version_at_timestamp(float(from_ts))
+        (net cancellation, row ids, the vacuum retention rule). A
+        ``from_ts`` OLDER than the table's first commit means "from
+        the beginning" (Delta's startingTimestamp rule) — the feed
+        starts at version 0; an expired-by-retention from_ts still
+        raises VersionExpiredError (the range truly cannot start
+        there)."""
+        try:
+            frm = self.version_at_timestamp(float(from_ts))
+        except VersionExpiredError:
+            raise
+        except ValueError:
+            frm = -1          # predates the table: include everything
         to = (None if to_ts is None
               else self.version_at_timestamp(float(to_ts)))
         return self.changes(spark, frm, to, net=net,

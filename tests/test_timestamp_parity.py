@@ -64,3 +64,18 @@ def test_restore_to_timestamp(spark, table_path):
     # a pre-table timestamp raises the documented error
     with pytest.raises(ValueError, match="newer than"):
         t.restore_to_timestamp(t._commit_ts(0) - 10.0)
+
+
+def test_changes_from_pre_table_timestamp_means_beginning(spark,
+                                                          table_path):
+    """Delta's startingTimestamp rule: a from_ts older than the first
+    commit starts the feed at the beginning (changes from -1)."""
+    t = TxLogTable(table_path, key_cols=["k"], stats_col="k")
+    t.append(_df(spark, [("a", 1)]))
+    t.append(_df(spark, [("b", 2)]))
+    early = t.changes_between_timestamps(spark, t._commit_ts(0) - 100.0,
+                                         net=True)
+    full = t.changes(spark, -1, net=True)
+    assert early.exceptAll(full).unionAll(
+        full.exceptAll(early)).count() == 0
+    assert early.count() == 2
