@@ -486,18 +486,27 @@ def clustered_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "key string, n long, n2 long, v double")
 
 
-def _zvalue(x, y, bits: int = 16):
-    """Interleave `bits` low bits of two long columns (Morton/Z-order) as
-    a pure JVM expression — 2*bits shift/mask/or terms, all inside
-    whole-stage codegen, no UDF."""
-    # disjoint bit positions => arithmetic sum == bitwise or (Column `|`
-    # is the BOOLEAN operator in the DataFrame DSL)
+def _zvalue_n(cols: list, bits: int = 16):
+    """N-column Morton/Z-order interleave (r12): bit ``i`` of column
+    ``j`` lands at position ``i*n + j`` — pure JVM shift/mask terms,
+    all inside whole-stage codegen, no UDF. Caller guarantees
+    ``n*bits <= 63`` (the optimize path sizes bits = 63 // n).
+    Disjoint bit positions => arithmetic sum == bitwise or (Column `|`
+    is the BOOLEAN operator in the DataFrame DSL)."""
+    n = len(cols)
     z = F.lit(0).cast("long")
     for i in range(bits):
-        z = (z
-             + F.shiftleft(F.shiftrightunsigned(x, i) % 2, 2 * i)
-             + F.shiftleft(F.shiftrightunsigned(y, i) % 2, 2 * i + 1))
+        for j, c in enumerate(cols):
+            z = z + F.shiftleft(F.shiftrightunsigned(c, i) % 2,
+                                i * n + j)
     return z
+
+
+def _zvalue(x, y, bits: int = 16):
+    """Two-column Morton interleave — the original r4 form, now a
+    special case of ``_zvalue_n`` (x even bits, y odd: identical
+    layout)."""
+    return _zvalue_n([x, y], bits)
 
 
 def zorder_layout_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

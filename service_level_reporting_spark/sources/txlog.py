@@ -3292,12 +3292,16 @@ class TxLogTable:
         file set unchanged — e.g. an empty commit — the same actions are
         re-committed without re-running the compaction).
 
-        ``zorder_by=(colA, colB)`` additionally Z-ORDERs the compacted
-        output: both columns are range-normalized to 16 bits, Morton-
-        interleaved (pure JVM expressions, sinks._zvalue), and the rows
-        sorted by the interleaved key before the write — so parquet
-        row-group min/max stats prune point predicates on EITHER column
+        ``zorder_by=(colA, colB, ...)`` additionally Z-ORDERs the
+        compacted output: each column is range-normalized to
+        ``min(16, 63 // n)`` bits, Morton-interleaved (pure JVM
+        expressions, sinks._zvalue_n — r12 generalizes the r6
+        two-column form to ANY n >= 2), and the rows sorted by the
+        interleaved key before the write — so parquet row-group
+        min/max stats prune point predicates on ANY of the columns
         (OPTIMIZE ZORDER BY as one atomic, snapshot-isolated commit).
+        More columns = fewer bits per dimension = coarser skipping on
+        each, the standard Z-order tradeoff (Delta recommends <= 4).
         Forces a rewrite even when the file count is already compact,
         since the point is the layout, not the count."""
         deadline = time.monotonic() + deadline_sec
@@ -3309,27 +3313,35 @@ class TxLogTable:
             # r10 row tracking: compaction must not change identities
             df = self._files_df(spark, live, row_ids=track)
             if zorder_by is not None:
-                from service_level_reporting_spark.sources.sinks import _zvalue
-                ca, cb = zorder_by
-                lo = df.agg(
-                    F.min(ca).alias("alo"), F.max(ca).alias("ahi"),
-                    F.min(cb).alias("blo"), F.max(cb).alias("bhi")).first()
-                if any(lo[c] is None for c in ("alo", "ahi", "blo", "bhi")):
+                from service_level_reporting_spark.sources.sinks import (
+                    _zvalue_n)
+                cols = list(zorder_by)
+                if len(cols) < 2:
+                    raise ValueError(
+                        "txlog optimize: zorder_by needs >= 2 columns "
+                        "(one column is plain clustering — use "
+                        "cluster_by)")
+                bits = max(1, min(16, 63 // len(cols)))
+                row = df.agg(*[f for i, c in enumerate(cols)
+                               for f in (F.min(c).alias(f"lo{i}"),
+                                         F.max(c).alias(f"hi{i}"))]
+                             ).first()
+                if any(v is None for v in row):
                     raise ValueError(
                         f"txlog optimize: zorder_by columns {zorder_by} "
                         "must be non-null numerics (a column is all NULL)")
-                aspan = max(1, int(lo["ahi"]) - int(lo["alo"]))
-                bspan = max(1, int(lo["bhi"]) - int(lo["blo"]))
-                nx = ((F.col(ca).cast("long") - int(lo["alo"]))
-                      * 65535 / aspan).cast("long")
-                ny = ((F.col(cb).cast("long") - int(lo["blo"]))
-                      * 65535 / bspan).cast("long")
+                norm = []
+                for i, c in enumerate(cols):
+                    span = max(1, int(row[f"hi{i}"]) - int(row[f"lo{i}"]))
+                    norm.append(
+                        ((F.col(c).cast("long") - int(row[f"lo{i}"]))
+                         * ((1 << bits) - 1) / span).cast("long"))
                 # range-partition on the Morton key so each output file
                 # covers a DISJOINT z-range (a hash repartition would
                 # scatter the curve across files and no file could be
                 # skipped); each z-range file spans only its quadrant's
-                # min/max in BOTH source columns
-                df = (df.withColumn("__z", _zvalue(nx, ny))
+                # min/max in EVERY source column
+                df = (df.withColumn("__z", _zvalue_n(norm, bits))
                         .repartitionByRange(target_files, "__z")
                         .sortWithinPartitions("__z").drop("__z"))
             else:

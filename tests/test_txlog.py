@@ -363,6 +363,51 @@ def test_optimize_zorder_by_two_dims(spark, table_path):
         assert skip >= 1, f"zorder layout prunes nothing on {col}"
 
 
+def test_optimize_zorder_by_three_dims(spark, table_path):
+    """r12: zorder_by generalizes to N columns (_zvalue_n round-robin
+    interleave, bits = 63 // n) — a point predicate on ANY of THREE
+    z-ordered columns skips row groups the scattered layout cannot."""
+    import pyarrow.parquet as pq
+
+    def skip_stats(files, column, value):
+        total = skippable = 0
+        for a in files:
+            md = pq.ParquetFile(os.path.join(table_path, a["path"])).metadata
+            ci = md.schema.to_arrow_schema().get_field_index(column)
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                total += 1
+                if st is not None and st.has_min_max and (
+                        value < st.min or value > st.max):
+                    skippable += 1
+        return total, skippable
+
+    import random
+    rng = random.Random(7)
+    rows = [(a, b, c) for a in range(16) for b in range(16)
+            for c in range(16)]
+    rng.shuffle(rows)
+    t = TxLogTable(table_path, key_cols=["a"], stats_col="a")
+    for i in range(4):
+        t.append(spark.createDataFrame(
+            rows[i * 1024:(i + 1) * 1024],
+            "a long, b long, c long").coalesce(1))
+    before = sorted(tuple(r) for r in t.read(spark).collect())
+    for col in ("a", "b", "c"):
+        assert skip_stats(t._resolve(), col, 2)[1] == 0
+
+    t.optimize(target_files=8, zorder_by=("a", "b", "c"))
+    after = sorted(tuple(r) for r in t.read(spark).collect())
+    assert after == before
+    for col in ("a", "b", "c"):
+        total, skip = skip_stats(t._resolve(), col, 2)
+        assert skip >= 1, f"3-dim zorder prunes nothing on {col}"
+    # one column refuses (that is cluster_by's job)
+    import pytest as _pt
+    with _pt.raises(ValueError, match=">= 2 columns"):
+        t.optimize(zorder_by=("a",))
+
+
 def test_additive_schema_evolution(spark, table_path):
     """A later append may carry a NEW column: merge_schema reads reconcile
     (old rows NULL in the added column, new rows carry values); time travel
