@@ -724,6 +724,12 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r6 row-level lakehouse leg: DELETE / UPDATE / RESTORE / history /
     change-data-feed on a TxLog table, each verified IN-FRAME (no driver
     collects):
+      '_convert' — r12 S37/S38: a plain parquet dir CONVERTed in place
+                   (n = original rows), MERGE works on it, then a DEEP
+                   CLONE of the converted table (n2 = references
+                   checked): v = (post-merge content divergence) +
+                   (deep-clone read divergence) + foreign refs +
+                   missing refs — must be 0;
       '_delete'  — n = files rewritten (stats-pruned to the one touched
                    day), n2 = files carried by reference, v = rows deleted;
       '_update'  — same shape for a scoped UPDATE;
@@ -1148,8 +1154,34 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
               + lf.exceptAll(lr).unionAll(lr.exceptAll(lf)).count())
     shutil.rmtree(ds_root, ignore_errors=True)
 
+    # -- r12 (S37/S38): CONVERT TO TXLOG + DEEP CLONE, in-frame --------
+    cv_root = root + "_convert"
+    shutil.rmtree(cv_root, ignore_errors=True)
+    (spark.createDataFrame([(f"c{i:02d}", i) for i in range(20)],
+                           "k string, v long")
+     .coalesce(2).write.parquet(cv_root))
+    cv_before = {(r["k"], r["v"]) for r in
+                 spark.read.parquet(cv_root).collect()}
+    ct = TxLogTable.convert(cv_root, key_cols=["k"], stats_col="k")
+    ct.merge(spark.createDataFrame([("c05", 500)],
+                                   "k string, v long").coalesce(1))
+    cv_after = {(r["k"], r["v"]) for r in ct.read(spark).collect()}
+    cv_want = {kv for kv in cv_before if kv[0] != "c05"} | {("c05", 500)}
+    cv_n = len(cv_before)
+    # deep clone of the converted table: zero foreign references, read
+    # parity with the source snapshot
+    dcl = ct.clone(cv_root + "_deep", deep=True)
+    dcl_refs = dcl.verify_references()
+    dcl_set = {(r["k"], r["v"]) for r in dcl.read(spark).collect()}
+    cv_div = (len(cv_after ^ cv_want) + len(dcl_set ^ cv_after)
+              + dcl_refs["foreign"] + len(dcl_refs["missing_data"]))
+    cv_deep_files = dcl_refs["checked"]
+    shutil.rmtree(cv_root + "_deep", ignore_errors=True)
+    shutil.rmtree(cv_root, ignore_errors=True)
+
     return spark.createDataFrame(
-        [("_sql", sql_n, py_n, float(sql_div + asof_div + refresh_div)),
+        [("_convert", cv_n, cv_deep_files, float(cv_div)),
+         ("_sql", sql_n, py_n, float(sql_div + asof_div + refresh_div)),
          ("_widen", widen_rows, widen_ver,
           float(widen_div + (1 - widen_refused))),
          ("_colmap", map_div + rewrote, t.latest_version(),
