@@ -643,7 +643,9 @@ class TxLogTable:
         commit file is missing. Safe because published commit files are
         immutable until vacuum expires them (which clears the memo);
         tests that hand-edit log files must clear ``_commit_memo`` (and
-        ``_snap_cache``) on the handle. ``use_memo=False`` reads the
+        ``_snap_cache``; hand-edited CHECKPOINT PARTS additionally need
+        ``_ckpt_cache`` cleared, r12) on the handle.
+        ``use_memo=False`` reads the
         disk unconditionally and populates nothing — the
         use_checkpoint=False VALIDATION walkers use it, since a
         validator must trust no cache."""

@@ -113,3 +113,23 @@ def test_vacuum_reclaims_converted_originals(spark, work_dir):
     assert all(not os.path.exists(os.path.join(plain, p)) for p in orig)
     assert {(r["k"], r["v"]) for r in t.read(spark).collect()} \
         == {("z", 9)}
+
+
+def test_deep_clone_pins_version_under_concurrent_appends(spark,
+                                                          work_dir):
+    """A deep clone of an explicit version is that version — commits
+    landing on the source while (or after) the copy runs never leak
+    into the clone, and the clone's own log starts fresh at v0."""
+    src_p = os.path.join(work_dir, "race_src")
+    s = TxLogTable(src_p, key_cols=["k"], stats_col="k")
+    s.append(_df(spark, [("a", 1)]).coalesce(1))           # v0
+    s.append(_df(spark, [("b", 2)]).coalesce(1))           # v1
+    pinned = s.latest_version()
+    s.append(_df(spark, [("c", 3)]).coalesce(1))           # v2: not ours
+    deep = s.clone(os.path.join(work_dir, "race_deep"),
+                   version=pinned, deep=True)
+    s.append(_df(spark, [("d", 4)]).coalesce(1))
+    assert {(r["k"], r["v"]) for r in deep.read(spark).collect()} \
+        == {("a", 1), ("b", 2)}
+    assert deep.latest_version() == 0
+    assert deep.verify_references()["foreign"] == 0
