@@ -166,8 +166,15 @@ def test_sequence_packing_invariants_property(spark, monkeypatch, n_toks,
         cum += n
     assert pack["n"] == len(seqs)
     assert pack["n2"] == len(n_toks)
-    assert pack["v"] == round(
-        sum(s / budget for s in seqs.values()) / len(seqs), 6)
+    # Spark's round() is HALF_UP over BigDecimal.valueOf(double) (shortest
+    # decimal repr), while Python's round() is banker's — at an exact tie
+    # (Hypothesis found fill = 3.03125/4 = 0.7578125) they differ by 1e-6.
+    # Recompute with the exact Spark semantics: Decimal(repr(x)) HALF_UP.
+    import decimal
+    fill = sum(s / budget for s in seqs.values()) / len(seqs)
+    want_v = float(decimal.Decimal(repr(fill)).quantize(
+        decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP))
+    assert pack["v"] == want_v, (pack["v"], want_v, fill)
 
 
 @given(st.integers(min_value=1, max_value=40),
