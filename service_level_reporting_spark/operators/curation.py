@@ -212,6 +212,7 @@ def dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SAMPLE_FRAC = 0.2
 PACK_BUDGET = 512
+SOURCE_QUOTA = 5
 MIX_ALPHA = 0.5
 CHUNK_WIDTH = 32
 CHUNK_STRIDE = 16
@@ -358,6 +359,42 @@ REDACTED = "[X]"
                CAST(sum(n_tok) AS BIGINT) AS n2,
                CAST(round(avg(nll), 6) AS DOUBLE) AS v
         FROM ldoc GROUP BY source
+    ),
+    quota_ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents
+    ),
+    quota AS (
+        SELECT 'quota' AS part, source AS key, count(*) AS n,
+               CAST(sum(CASE WHEN rk <= {SOURCE_QUOTA} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n2,
+               CAST(sum(CASE WHEN rk <= {SOURCE_QUOTA} THEN n_chars
+                             ELSE 0 END) AS DOUBLE) AS v
+        FROM quota_ranked GROUP BY source
+    ),
+    split_tagged AS (
+        SELECT source,
+               CASE WHEN substr(md5(source), 1, 1) IN ('d', 'e')
+                        THEN 'val'
+                    WHEN substr(md5(source), 1, 1) = 'f' THEN 'test'
+                    ELSE 'train' END AS split
+        FROM documents
+    ),
+    split_per AS (
+        SELECT 'split' AS part, split AS key, count(*) AS n,
+               count(DISTINCT source) AS n2,
+               CAST(round(count(*) * 1.0 / sum(count(*)) OVER (), 6)
+                    AS DOUBLE) AS v
+        FROM split_tagged GROUP BY split
+    ),
+    split_leak AS (
+        SELECT 'split' AS part, '_leakage' AS key,
+               CAST(count(*) AS BIGINT) AS n, CAST(0 AS BIGINT) AS n2,
+               CAST(0 AS DOUBLE) AS v
+        FROM (SELECT source FROM split_tagged
+              GROUP BY source HAVING count(DISTINCT split) > 1)
     )
     SELECT * FROM sample
     UNION ALL SELECT * FROM redact_pii
@@ -367,6 +404,9 @@ REDACTED = "[X]"
     UNION ALL SELECT * FROM mix
     UNION ALL SELECT * FROM chunk
     UNION ALL SELECT * FROM lmscore
+    UNION ALL SELECT * FROM quota
+    UNION ALL SELECT * FROM split_per
+    UNION ALL SELECT * FROM split_leak
     """,
 )
 def corpus_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -477,6 +517,49 @@ def corpus_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("lmscore").alias("part"), "key", "n", "n2", "v")
     )
 
+    # quota / split: the D30/D31 operators re-expressed onto the suite's
+    # 5-col schema so their correctness rides the driver's hash check
+    # without consuming a 50-row query slot (same window + agg plans as
+    # corpus_source_quota / corpus_split_leakage_safe below).
+    wq = Window.partitionBy("source").orderBy(F.desc("n_chars"),
+                                              F.asc("doc_id"))
+    keptq = F.col("rk") <= SOURCE_QUOTA
+    quota = (
+        d.select("source", "doc_id", "n_chars")
+        .withColumn("rk", F.row_number().over(wq))
+        .groupBy(F.col("source").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum(keptq.cast("long")).alias("n2"),
+             F.sum(F.when(keptq, F.col("n_chars")).otherwise(0))
+             .cast("double").alias("v"))
+        .select(F.lit("quota").alias("part"), "key", "n", "n2", "v")
+    )
+
+    h1 = F.substring(F.md5(F.col("source")), 1, 1)
+    tagged = d.select(
+        "source",
+        F.when(h1.isin("d", "e"), "val")
+         .when(h1 == "f", "test")
+         .otherwise("train").alias("split"))
+    split_per = (
+        tagged.groupBy(F.col("split").alias("key"))
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.countDistinct("source").alias("n2"))
+        .withColumn("v", SF.r6(F.col("n")
+                               / F.sum("n").over(Window.partitionBy()))
+                    .cast("double"))
+        .select(F.lit("split").alias("part"), "key", "n", "n2", "v")
+    )
+    split_leak = (
+        tagged.groupBy("source")
+        .agg(F.countDistinct("split").alias("ns"))
+        .where(F.col("ns") > 1)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.lit("split").alias("part"), F.lit("_leakage").alias("key"),
+                F.col("n"), F.lit(0).cast("long").alias("n2"),
+                F.lit(0.0).alias("v"))
+    )
+
     return (
         sample
         .unionByName(redact("pii", RE_PII))
@@ -488,6 +571,9 @@ def corpus_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(mix)
         .unionByName(chunk)
         .unionByName(lmscore)
+        .unionByName(quota)
+        .unionByName(split_per)
+        .unionByName(split_leak)
     )
 
 
@@ -593,8 +679,8 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Reference scope: the ref has no corpus curation at all; this extends the
 # engine's LLM-pipeline surface (SURVEY §2.8, D30).
 # ---------------------------------------------------------------------------
-
-SOURCE_QUOTA = 5
+# (SOURCE_QUOTA is defined with the other suite constants above so the
+# suite's oracle f-string can reference it at import time.)
 
 
 @register(
