@@ -682,11 +682,9 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (SOURCE_QUOTA is defined with the other suite constants above so the
 # suite's oracle f-string can reference it at import time.)
 
+QUOTA_SALTS = 32
 
-@register(
-    "corpus_source_quota",
-    aux=True,
-    oracle=f"""
+_QUOTA_ORACLE = f"""
     WITH ranked AS (
         SELECT source, doc_id, n_chars,
                row_number() OVER (PARTITION BY source
@@ -700,16 +698,18 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(sum(CASE WHEN rk <= {SOURCE_QUOTA} THEN n_chars ELSE 0 END)
                 AS BIGINT) AS kept_chars
     FROM ranked GROUP BY source
-    """,
-)
+    """
+
+
+@register("corpus_source_quota", aux=True, oracle=_QUOTA_ORACLE)
 def corpus_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document quota: keep the best SOURCE_QUOTA docs per
     source (n_chars desc, doc_id tie-break), report kept/total per
     source. 100 TB: the shuffle key is `source` and the window state is
     one domain's docs; a mega-domain that skews a partition is exactly
-    AQE skew-join territory — and because only a BOUNDED top-K per
-    source is ever kept, the window swaps for a partial top-K aggregate
-    (map-side heap) at extreme skew without changing semantics."""
+    where the skew-safe twin below (``corpus_source_quota_skewsafe``)
+    takes over — same semantics, salted pre-top-K so no single task ever
+    sorts the whole domain."""
     d = _docs(spark, sf_dir)
     w = Window.partitionBy("source").orderBy(F.desc("n_chars"),
                                              F.asc("doc_id"))
@@ -721,6 +721,52 @@ def corpus_source_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(kept.cast("long")).alias("n_kept"),
                  F.sum(F.when(kept, F.col("n_chars")).otherwise(0))
                  .alias("kept_chars")))
+
+
+def quota_skew_safe(d: DataFrame, n_salts: int = QUOTA_SALTS) -> DataFrame:
+    """Skew-safe per-source top-K: salt each row by hash(doc_id) into
+    ``n_salts`` subgroups, take the top SOURCE_QUOTA within each
+    (source, salt) — so the mega-domain's sort is spread over n_salts
+    tasks of n/n_salts rows each — then take the exact top SOURCE_QUOTA
+    from the ≤ n_salts·K survivors per source. Because every per-salt
+    winner set is a superset filter of the global winners (any global
+    top-K row is top-K within its own salt group), the two-phase result
+    equals the single-window result row-for-row, ties included (the
+    (n_chars desc, doc_id asc) order is total). Counts come from a plain
+    hash aggregate, which partial-aggregates map-side and is skew-immune.
+
+    At 100 TB with one domain = 50% of the corpus, the single-window plan
+    sorts that domain in ONE task; this plan never sorts more than
+    max(n/n_salts, n_salts·K) rows in a task, and n_salts scales with
+    the cluster. Verified equal to the window path in
+    tests/test_operator_edges.py and hash-checked against the same DuckDB
+    oracle as the window path (pytest differential)."""
+    salted = d.select(
+        "source", "doc_id", "n_chars",
+        F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).alias("salt"))
+    order = [F.desc("n_chars"), F.asc("doc_id")]
+    w1 = Window.partitionBy("source", "salt").orderBy(*order)
+    cand = (salted.withColumn("rk", F.row_number().over(w1))
+            .where(F.col("rk") <= SOURCE_QUOTA)
+            .drop("rk", "salt"))
+    w2 = Window.partitionBy("source").orderBy(*order)
+    kept = (cand.withColumn("rk", F.row_number().over(w2))
+            .where(F.col("rk") <= SOURCE_QUOTA))
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    kagg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("n_chars").cast("long").alias("kept_chars"))
+    return (counts.join(kagg, "source")
+            .select("source", "n_docs", "n_kept", "kept_chars"))
+
+
+@register("corpus_source_quota_skewsafe", aux=True, oracle=_QUOTA_ORACLE)
+def corpus_source_quota_skewsafe(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    """The salted two-phase twin of ``corpus_source_quota`` (see
+    ``quota_skew_safe``), registered with the SAME oracle so the pytest
+    differential hash-checks both physical strategies against DuckDB."""
+    return quota_skew_safe(_docs(spark, sf_dir))
 
 
 # ---------------------------------------------------------------------------

@@ -1200,6 +1200,31 @@ def test_corpus_source_quota_planted(spark, monkeypatch):
     assert (r["n_kept"], r["kept_chars"]) == (5, 35)
 
 
+def test_quota_skew_safe_equals_window(spark, monkeypatch):
+    """quota_skew_safe (r13) == the single-window path row-for-row on a
+    planted skew corpus (one mega-source dominating), across salt counts
+    including n_salts=1 (degenerate: identical plan shape) — and the
+    cross-salt tie case: 40 equal-n_chars docs spread over every salt
+    group must still resolve to the globally lowest doc_ids."""
+    from service_level_reporting_spark.operators import curation as CU
+
+    rows = ([(i, "mega", (i * 37) % 50) for i in range(4000)]
+            + [(10_000 + i, "tie", 7) for i in range(40)]
+            + [(20_000 + i, f"s{i % 7}", 5 + i) for i in range(60)])
+    docs = spark.createDataFrame(
+        rows, "doc_id long, source string, n_chars long")
+    monkeypatch.setattr(CU, "_docs", lambda s, d: docs)
+    win = sorted(map(tuple, CU.corpus_source_quota(spark, "x").collect()))
+    for ns in (1, 3, 32):
+        ss = sorted(map(tuple, CU.quota_skew_safe(docs, n_salts=ns)
+                        .collect()))
+        assert ss == win, f"n_salts={ns}"
+    # the tie source's winners are the 5 lowest doc_ids (7 chars each)
+    tiekept = {r["source"]: r for r in
+               CU.quota_skew_safe(docs).collect()}["tie"]
+    assert (tiekept["n_kept"], tiekept["kept_chars"]) == (5, 35)
+
+
 def test_corpus_split_leakage_safe_planted(spark, monkeypatch):
     """corpus_split_leakage_safe (r12, aux, SQL-oracled): every doc of
     one source lands in ONE split (the '_leakage' row reads 0), splits

@@ -259,6 +259,32 @@ def test_source_quota_single_shuffle_partial_agg(spark):
     assert read_schema and "text" not in read_schema[0], p
 
 
+def test_quota_skewsafe_no_single_domain_sort(spark):
+    """corpus_source_quota_skewsafe (r13): the full-data window sorts by
+    (source, salt) — a mega-domain spreads over n_salts tasks — and only
+    the bounded candidate set (≤ n_salts·K rows per source) is ever
+    sorted by source alone. The scan still prunes to three columns."""
+    import re
+
+    from service_level_reporting_spark.operators.curation import (
+        corpus_source_quota_skewsafe)
+
+    p = plan_str(corpus_source_quota_skewsafe(spark, SF_DIR_001))
+    # phase-1 exchange + window spec carry the salt key
+    assert re.search(r"hashpartitioning\(source#\d+L?, salt#\d+", p), p
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
+    assert len(specs) == 2, p
+    assert any("salt" in s for s in specs), p
+    # the full-data sort carries salt (formatted plans put the sort spec
+    # on an Arguments: line: [source ASC, salt ASC, n_chars DESC, ...]);
+    # salt-free sorts exist only downstream of the rk<=K filter
+    sort_specs = [ln for ln in p.splitlines()
+                  if ln.startswith("Arguments: [") and "NULLS" in ln]
+    assert any("salt#" in ln and "n_chars#" in ln for ln in sort_specs), p
+    read_schema = [ln for ln in p.splitlines() if "ReadSchema" in ln]
+    assert read_schema and all("text" not in ln for ln in read_schema), p
+
+
 def test_split_leakage_safe_no_text_scan(spark):
     """corpus_split_leakage_safe (r12): the split tag is a pure
     projection — the scan must not read `text`, and both rollups
