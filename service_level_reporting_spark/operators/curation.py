@@ -732,32 +732,51 @@ def quota_skew_safe(d: DataFrame, n_salts: int = QUOTA_SALTS) -> DataFrame:
     winner set is a superset filter of the global winners (any global
     top-K row is top-K within its own salt group), the two-phase result
     equals the single-window result row-for-row, ties included (the
-    (n_chars desc, doc_id asc) order is total). Counts come from a plain
-    hash aggregate, which partial-aggregates map-side and is skew-immune.
+    (n_chars desc, doc_id asc) order is total). Group counts ride the
+    same (source, salt) pass, so the full data shuffles exactly ONCE.
 
     At 100 TB with one domain = 50% of the corpus, the single-window plan
     sorts that domain in ONE task; this plan never sorts more than
     max(n/n_salts, n_salts·K) rows in a task, and n_salts scales with
     the cluster. Verified equal to the window path in
     tests/test_operator_edges.py and hash-checked against the same DuckDB
-    oracle as the window path (pytest differential)."""
+    oracle as the window path (pytest differential); the skew probe
+    (tools/quota_skew_probe.py → BENCH_QUOTA_SKEW.json) measures both
+    paths on a planted 50%-mega-domain corpus."""
     salted = d.select(
         "source", "doc_id", "n_chars",
         F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).alias("salt"))
-    order = [F.desc("n_chars"), F.asc("doc_id")]
-    w1 = Window.partitionBy("source", "salt").orderBy(*order)
-    cand = (salted.withColumn("rk", F.row_number().over(w1))
-            .where(F.col("rk") <= SOURCE_QUOTA)
-            .drop("rk", "salt"))
-    w2 = Window.partitionBy("source").orderBy(*order)
-    kept = (cand.withColumn("rk", F.row_number().over(w2))
-            .where(F.col("rk") <= SOURCE_QUOTA))
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
-    kagg = kept.groupBy("source").agg(
-        F.count(F.lit(1)).cast("long").alias("n_kept"),
-        F.sum("n_chars").cast("long").alias("kept_chars"))
-    return (counts.join(kagg, "source")
-            .select("source", "n_docs", "n_kept", "kept_chars"))
+    # Phase 1: ONE full-data shuffle, keyed (source, salt). The window's
+    # ExternalSorter spills to disk (unlike a collect_list buffer), so the
+    # per-task memory stays bounded even before the rk filter; the
+    # follow-up groupBy reuses the same partitioning (no new exchange)
+    # and reduces each (source, salt) group to one row carrying the group
+    # count and its ≤ K winners as a struct array. The struct's leading
+    # field is -n_chars so ascending array_sort == (n_chars desc, doc_id
+    # asc) — the operator's total order.
+    w1 = Window.partitionBy("source", "salt").orderBy(F.desc("n_chars"),
+                                                      F.asc("doc_id"))
+    kept1 = F.col("rk") <= SOURCE_QUOTA
+    g1 = (salted.withColumn("rk", F.row_number().over(w1))
+          .groupBy("source", "salt")
+          .agg(F.count(F.lit(1)).alias("cnt"),
+               F.collect_list(
+                   F.when(kept1, F.struct((-F.col("n_chars")).alias("neg"),
+                                          F.col("doc_id"),
+                                          F.col("n_chars"))))
+               .alias("cands")))
+    # Phase 2: merge per-salt winners — one row per (source, salt), so
+    # this shuffle moves ≤ n_salts rows of ≤ K structs per source.
+    top = F.slice(F.array_sort(F.flatten(F.collect_list("cands"))),
+                  1, SOURCE_QUOTA)
+    return (g1.groupBy("source")
+            .agg(F.sum("cnt").alias("n_docs"), top.alias("top"))
+            .select(
+                "source", "n_docs",
+                F.size("top").cast("long").alias("n_kept"),
+                F.aggregate("top", F.lit(0).cast("long"),
+                            lambda acc, x: acc + x["n_chars"])
+                .alias("kept_chars")))
 
 
 @register("corpus_source_quota_skewsafe", aux=True, oracle=_QUOTA_ORACLE)

@@ -270,11 +270,11 @@ def test_quota_skewsafe_no_single_domain_sort(spark):
         corpus_source_quota_skewsafe)
 
     p = plan_str(corpus_source_quota_skewsafe(spark, SF_DIR_001))
-    # phase-1 exchange + window spec carry the salt key
+    # phase-1 exchange + the ONLY window spec carry the salt key; phase 2
+    # is an array-merge aggregate, not a second window
     assert re.search(r"hashpartitioning\(source#\d+L?, salt#\d+", p), p
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", p)
-    assert len(specs) == 2, p
-    assert any("salt" in s for s in specs), p
+    assert len(specs) == 1 and "salt" in specs[0], p
     # the full-data sort carries salt (formatted plans put the sort spec
     # on an Arguments: line: [source ASC, salt ASC, n_chars DESC, ...]);
     # salt-free sorts exist only downstream of the rk<=K filter
