@@ -627,35 +627,31 @@ def main() -> None:
                 "ratio_vs_baseline": result[blk]["ratio_vs_baseline"]}
         elif f"{blk}_error" in result:
             compact[f"{blk}_error"] = result[f"{blk}_error"]
-    # r6 (VERDICT item 3): the sf10 per-query entries in the DRIVER's
-    # parsed artifact carry their own error bars — median ratio, per-pair
-    # ratios, and spread — so a round-over-round delta is quotable only
-    # when it falls outside the spread (kept condensed: the stdout line
-    # must stay within the driver's tail capture).
+    # r13 (VERDICT #6): the driver captures only the LAST ~2000 bytes of
+    # stdout and json-parses the final line — r12's compact line grew
+    # past that (pair arrays + lakehouse run arrays) and arrived
+    # truncated ("parsed": null). The stdout line now carries single
+    # numbers only (per-query trimmed-median ratios, per-op medians);
+    # run arrays, spreads, and pooled windows all live in BENCH.json.
     if "sf10" in result and "run_stats" in result["sf10"]:
-        if "pooled_windows" in result["sf10"]:
-            compact["sf10"]["pooled_windows"] = \
-                result["sf10"]["pooled_windows"]
-        compact["sf10"]["per_query"] = {
-            name: {"ratio_med": st.get("ratio_of_medians"),
-                   "pairs": st.get("pair_ratios"),
-                   "spread": st.get("pair_ratio_spread"),
-                   **({"trimmed_med": st["pair_ratio_trimmed_med"]}
-                      if "pair_ratio_trimmed_med" in st else {})}
+        compact["sf10"]["per_query_ratio_med"] = {
+            name: st.get("pair_ratio_trimmed_med",
+                         st.get("ratio_of_medians"))
             for name, st in result["sf10"]["run_stats"].items()}
     if "lakehouse" in result:
-        # r9 (VERDICT item 6): per-op run arrays + spread ride the
-        # compact line too — medians alone can't separate signal from
-        # this box's weather round-over-round
         compact["lakehouse"] = {
             "rows": result["lakehouse"]["rows"],
-            "runs": result["lakehouse"]["runs"],
-            "stats": result["lakehouse"]["stats"],
             "ops_med_sec": result["lakehouse"]["ops_med_sec"]}
     elif "lakehouse_error" in result:
         compact["lakehouse_error"] = result["lakehouse_error"]
     compact["full"] = "BENCH.json"
-    print(json.dumps(compact))
+    line = json.dumps(compact)
+    if len(line) > 1900:   # hard guard: never outgrow the tail capture
+        line = json.dumps({k: compact[k] for k in
+                           ("metric", "value", "unit", "queries", "sf",
+                            "baseline_total_sec", "ratio_vs_baseline",
+                            "full") if k in compact})
+    print(line)
     spark.stop()
 
 
