@@ -396,6 +396,67 @@ def bloom_build(values) -> dict | None:
             "b64": base64.b64encode(bytes(bits)).decode("ascii")}
 
 
+# r13 (VERDICT #4): utility loops that touch O(files)/O(data) leave the
+# driver past this many files — convert()'s footer reads and deep
+# clone's byte copies fan out over executors via sc.parallelize. Below
+# it, the driver loop wins (no job-launch overhead on tiny tables).
+DISTRIBUTE_MIN_FILES = 64
+
+
+def _footer_add_file(full: str, table_path: str, p_stats: str,
+                     p_bloom: str | None) -> dict:
+    """Add-action metadata for ONE parquet file from its footer: row
+    count, stats-column min/max (row-group statistics), typed
+    multi-column skip stats, and the optional bloom (one column
+    re-read, omitted past BLOOM_MAX_DISTINCT). Module-level and
+    self-free so convert() can ship it to executors (r13 — Delta's
+    CONVERT distributes discovery/stats collection the same way);
+    the write path calls it per fresh file via ``_footer_add``."""
+    import pyarrow.parquet as pq
+
+    meta = pq.ParquetFile(full).metadata
+    names = {meta.schema.column(i).name: i
+             for i in range(meta.num_columns)}
+    lo = hi = None
+    if p_stats in names:
+        idx = names[p_stats]
+        for rg in range(meta.num_row_groups):
+            st = meta.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                continue
+            mn, mx = str(st.min), str(st.max)
+            lo = mn if lo is None or mn < lo else lo
+            hi = mx if hi is None or mx > hi else hi
+    add = {"path": os.path.relpath(full, table_path),
+           "rows": meta.num_rows,
+           "min": lo, "max": hi,
+           **({"stats": s} if (s := _file_stats(meta)) else {})}
+    if p_bloom is not None and p_bloom in names and meta.num_rows > 0:
+        # write-time cost: one column re-read per fresh file;
+        # omitted (conservative) past BLOOM_MAX_DISTINCT
+        col = pq.read_table(full, columns=[p_bloom])[p_bloom]
+        distinct = set(col.to_pylist())
+        if len(distinct) <= BLOOM_MAX_DISTINCT:
+            bl = bloom_build(distinct)
+            if bl is not None:
+                add["bloom"] = bl
+    return add
+
+
+def _copy_file_pair(pair: tuple) -> str | None:
+    """Copy one (src, dst) pair; returns src on FileNotFoundError so
+    the driver can raise VacuumedReferenceError with the full picture.
+    Module-level and self-free: deep clone ships it to executors."""
+    import shutil
+
+    src, dst = pair
+    try:
+        shutil.copy2(src, dst)
+    except FileNotFoundError:
+        return src
+    return None
+
+
 def bloom_may_contain(bloom: dict, probes: list[str]) -> bool:
     """True when ANY canonical probe string may be present. Probes that
     failed canonicalization must not reach here (treat as may-match)."""
@@ -2267,42 +2328,14 @@ class TxLogTable:
 
     def _footer_add(self, full: str, p_stats: str,
                     p_bloom: str | None) -> dict:
-        """Add-action metadata for ONE parquet file from its footer:
-        row count, stats-column min/max (row-group statistics), typed
-        multi-column skip stats, and the optional bloom (one column
-        re-read, omitted past BLOOM_MAX_DISTINCT). Shared by the write
-        path and convert() — a registered pre-existing file gets
-        exactly the metadata a written file gets."""
-        import pyarrow.parquet as pq
-
-        meta = pq.ParquetFile(full).metadata
-        names = {meta.schema.column(i).name: i
-                 for i in range(meta.num_columns)}
-        lo = hi = None
-        if p_stats in names:
-            idx = names[p_stats]
-            for rg in range(meta.num_row_groups):
-                st = meta.row_group(rg).column(idx).statistics
-                if st is None or not st.has_min_max:
-                    continue
-                mn, mx = str(st.min), str(st.max)
-                lo = mn if lo is None or mn < lo else lo
-                hi = mx if hi is None or mx > hi else hi
-        add = {"path": os.path.relpath(full, self.path),
-               "rows": meta.num_rows,
-               "min": lo, "max": hi,
-               **({"stats": s} if (s := _file_stats(meta)) else {})}
-        if (self.bloom_col is not None
-                and p_bloom in names and meta.num_rows > 0):
-            # write-time cost: one column re-read per fresh file;
-            # omitted (conservative) past BLOOM_MAX_DISTINCT
-            col = pq.read_table(full, columns=[p_bloom])[p_bloom]
-            distinct = set(col.to_pylist())
-            if len(distinct) <= BLOOM_MAX_DISTINCT:
-                bl = bloom_build(distinct)
-                if bl is not None:
-                    add["bloom"] = bl
-        return add
+        """Add-action metadata for ONE parquet file from its footer —
+        see ``_footer_add_file`` (module-level so convert() can ship it
+        to executors). Shared by the write path and convert() — a
+        registered pre-existing file gets exactly the metadata a
+        written file gets."""
+        return _footer_add_file(
+            full, self.path, p_stats,
+            p_bloom if self.bloom_col is not None else None)
 
     @classmethod
     def convert(cls, path: str, key_cols: list[str], stats_col: str,
@@ -2345,7 +2378,8 @@ class TxLogTable:
                 continue
             for f in sorted(fs):
                 if f.endswith(".parquet"):
-                    found.append(os.path.join(root, f))
+                    # absolute: executors resolve against THEIR cwd
+                    found.append(os.path.abspath(os.path.join(root, f)))
         if not found:
             raise ValueError(
                 f"txlog convert: no parquet files under {path}")
@@ -2360,8 +2394,27 @@ class TxLogTable:
                 f"txlog convert: configured columns {missing} do not "
                 f"exist in the parquet data under {path}")
         actions: list[dict] = [t._schema_action(df)]
-        actions += [{"add": t._footer_add(full, stats_col, bloom_col)}
-                    for full in found]
+        # r13 (VERDICT #4): footer/stats collection is O(files) — past
+        # DISTRIBUTE_MIN_FILES it fans out over executors (Delta's
+        # CONVERT distributes the same step). RDD.map preserves input
+        # order through collect(), so both branches commit identical
+        # action lists. Discovery (the walk above) stays driver-side:
+        # listing is one stat per directory, footer reads are one open
+        # + parse + optional column read PER FILE — the serial wall.
+        table_abs = os.path.abspath(path)
+        want_bloom = bloom_col if bloom_col is not None else None
+        if len(found) <= DISTRIBUTE_MIN_FILES:
+            adds = [_footer_add_file(full, table_abs, stats_col,
+                                     want_bloom) for full in found]
+        else:
+            n_slices = min(len(found),
+                           spark.sparkContext.defaultParallelism * 4)
+            adds = (spark.sparkContext
+                    .parallelize(found, n_slices)
+                    .map(lambda full: _footer_add_file(
+                        full, table_abs, stats_col, want_bloom))
+                    .collect())
+        actions += [{"add": a} for a in adds]
         t.commit([a for a in actions if a], 0, op="convert")
         return t
 
@@ -2752,21 +2805,36 @@ class TxLogTable:
                              "commits")
         path_map: dict = {}   # source add path -> clone-relative path
         if deep:
-            import shutil as _sh
             sub = os.path.join("data", f"deep-{uuid.uuid4().hex[:12]}")
             os.makedirs(os.path.join(t.path, sub), exist_ok=True)
+            pairs = []
             for i, a in enumerate(files):
                 src = (a["path"] if os.path.isabs(a["path"])
                        else os.path.join(self.path, a["path"]))
                 rel = os.path.join(sub, f"part-{i:05d}.parquet")
-                try:
-                    _sh.copy2(src, os.path.join(t.path, rel))
-                except FileNotFoundError:
-                    raise VacuumedReferenceError(
-                        f"txlog clone(deep): source file {src} no "
-                        "longer exists (vacuumed mid-clone?) — the "
-                        "deep copy cannot complete.") from None
+                pairs.append((os.path.abspath(src),
+                              os.path.abspath(os.path.join(t.path, rel))))
                 path_map[a["path"]] = rel
+            # r13 (VERDICT #4): the byte copy is O(data) — past
+            # DISTRIBUTE_MIN_FILES it fans out over executors so a
+            # 100 TB backup rides the cluster's aggregate I/O, not one
+            # node's (shared storage assumed, as for any write). The
+            # driver loop stays for tiny tables.
+            if len(pairs) <= DISTRIBUTE_MIN_FILES:
+                missing = [m for m in map(_copy_file_pair, pairs)
+                           if m is not None]
+            else:
+                sc = _session().sparkContext
+                n_slices = min(len(pairs), sc.defaultParallelism * 4)
+                missing = [m for m in
+                           sc.parallelize(pairs, n_slices)
+                           .map(_copy_file_pair).collect()
+                           if m is not None]
+            if missing:
+                raise VacuumedReferenceError(
+                    f"txlog clone(deep): source file(s) {missing[:3]} "
+                    "no longer exist (vacuumed mid-clone?) — the deep "
+                    "copy cannot complete.")
         dv_map = {}           # source sidecar rel -> clone sidecar rel
         for a in files:
             for d in a.get("dv", ()):
