@@ -70,26 +70,33 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the canonical survivor a dedup pass would keep. The grand-total row
     carries corpus size + distinct-count (dup rows = difference).
 
-    Plan note: the total row is derived from the per-hash aggregate (one
-    partial/final shuffle on 16-byte keys + a tiny reduce over hash
-    groups), NOT via ROLLUP + countDistinct — that spelling forces an
-    expand of every document row and measured ~3x slower."""
+    Plan note (r13): ONE scan. The per-hash aggregate runs once (partial/
+    final shuffle on 16-byte keys), then a ROLLUP over the already-reduced
+    group rows derives both the per-hash output and the grand-total row —
+    at the total grouping level sum(n)=corpus size and count(*)=distinct
+    texts. The r2..r12 spelling unioned two branches, and since Catalyst
+    does not share common subtrees across a Union, the documents scan +
+    md5 + group shuffle all ran TWICE (plans/r13/dedup_exact_before.txt:
+    2 scans, 3 exchanges -> 1 scan, 2 exchanges, the second over group
+    rows only). ROLLUP's Expand here doubles GROUP rows, not document
+    rows — the r2 note about "ROLLUP + countDistinct 3x slower" was about
+    expanding the raw corpus; that path stays dead."""
     d = _docs(spark, sf_dir)
     groups = (
         d.groupBy(F.md5("text").alias("text_hash"))
-        .agg(F.count(F.lit(1)).alias("n_copies"),
-             F.min("doc_id").alias("keeper_doc_id"))
+        .agg(F.count(F.lit(1)).alias("_n"),
+             F.min("doc_id").alias("_keeper"))
     )
-    dups = groups.where(F.col("n_copies") > 1).select(
-        "text_hash", "n_copies",
-        F.lit(1).cast("long").alias("n_distinct_texts"), "keeper_doc_id")
-    total = groups.agg(
-        F.sum("n_copies").alias("n_copies"),
-        F.count(F.lit(1)).alias("n_distinct_texts"),
-        F.min("keeper_doc_id").alias("keeper_doc_id"),
-    ).select(F.lit("ALL").alias("text_hash"), "n_copies",
-             "n_distinct_texts", "keeper_doc_id")
-    return dups.unionByName(total)
+    return (
+        groups.rollup("text_hash")
+        .agg(F.sum("_n").alias("n_copies"),
+             F.count(F.lit(1)).alias("n_distinct_texts"),
+             F.min("_keeper").alias("keeper_doc_id"),
+             F.grouping("text_hash").alias("_g"))
+        .where((F.col("n_copies") > 1) | (F.col("_g") == 1))
+        .select(F.coalesce("text_hash", F.lit("ALL")).alias("text_hash"),
+                "n_copies", "n_distinct_texts", "keeper_doc_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -225,18 +225,26 @@ def agg_cross_group(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_weighted_average(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13: the v/w series used to be two separate filtered aggregations
+    # LEFT-joined on the hour — two full events scans, three exchanges and
+    # a broadcast build (plans/r13/agg_weighted_average_before.txt).
+    # Conditional aggregation computes both series in ONE scan + ONE hour
+    # shuffle: avg(value WHERE purchase) is the v series, sum(value WHERE
+    # view) is the w series (NULL when the hour has no view rows — exactly
+    # the LEFT-join miss), and the `_n_p > 0` filter reproduces the join's
+    # left side (only hours with >=1 purchase row exist in v). Oracle SQL
+    # keeps the join spelling; results are identical.
     ev = _events(spark, sf_dir)
-    v = (
-        ev.where(F.col("event_type") == "purchase")
+    is_p = F.col("event_type") == "purchase"
+    is_v = F.col("event_type") == "view"
+    joined = (
+        ev.where(F.col("event_type").isin("purchase", "view"))
         .groupBy(SF.hour("ts").alias("hr"))
-        .agg(F.avg("value").alias("v"))
+        .agg(F.avg(F.when(is_p, F.col("value"))).alias("v"),
+             F.count(F.when(is_p, F.lit(1))).alias("_n_p"),
+             F.sum(F.when(is_v, F.col("value"))).alias("w"))
+        .where(F.col("_n_p") > 0)
     )
-    w = (
-        ev.where(F.col("event_type") == "view")
-        .groupBy(SF.hour("ts").alias("hr"))
-        .agg(F.sum("value").alias("w"))
-    )
-    joined = v.join(w, "hr", "left")
     return joined.groupBy(SF.day_str("hr").alias("day")).agg(
         SF.r6(
             F.coalesce(
