@@ -411,20 +411,42 @@ REDACTED = "[X]"
 )
 def corpus_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sampling + redaction + profiling + sequence packing + source-mix
-    resampling in labeled parts (see block comment). Every part is a
-    single scan + tiny aggregate; the sampling and packing windows
-    partition by stratum (= shard at scale), the mix window runs over the
-    per-source grouped frame only. Hash-checked against DuckDB, including
-    the regexp_replace outputs (patterns stay in the Java∩RE2 common
-    dialect)."""
+    resampling in labeled parts (see block comment). Hash-checked against
+    DuckDB, including the regexp_replace outputs (patterns stay in the
+    Java∩RE2 common dialect).
+
+    Plan shape (r13, guide §2.3/§2.4): Catalyst does not share subtrees
+    across a Union, so the r5..r12 spelling re-scanned `documents` (and
+    re-tokenized `text`) once PER PART — 15 parquet scans in
+    plans/r13/corpus_curation_suite_before.txt. Now:
+    * ten parts (sample/profile×3/pack/mix/chunk/quota/split×2) read a
+      persisted NARROW base (lang, source, doc_id, n_chars, n_tok) — one
+      documents scan + ONE tokenize pass for all of them; `text` itself
+      never enters the cache;
+    * the two redact rows come from one fused aggregate over one text
+      scan (stack(2) splits the 6 measures into the two labeled rows);
+    * lmscore keeps its exploded-token pipeline but derives the corpus
+      token total from the frequency table (sum(n_t) == count of tok —
+      one fewer pass) and persists the exploded tok frame for its two
+      consumers (freq build + score join).
+    Result: 3 documents scans / 2 tokenize passes total, values
+    identical row-for-row (differential-verified at sf0.001/0.01/0.1)."""
+    from pyspark import StorageLevel
+
     d = _docs(spark, sf_dir)
+
+    n_tok = F.size(F.filter(F.split("text", " "), lambda t: t != F.lit("")))
+    base = (
+        d.select("lang", "source", "doc_id", "n_chars", n_tok.alias("n_tok"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
 
     wrk = Window.partitionBy("lang").orderBy(
         F.md5(F.col("doc_id").cast("string")), F.asc("doc_id"))
     wtot = Window.partitionBy("lang")
     in_sample = F.col("rk") <= F.ceil(SAMPLE_FRAC * F.col("n_total"))
     sample = (
-        d.select("lang", "doc_id")
+        base.select("lang", "doc_id")
         .withColumn("rk", F.row_number().over(wrk))
         .withColumn("n_total", F.count(F.lit(1)).over(wtot))
         .groupBy(F.col("lang").alias("key"))
@@ -434,29 +456,37 @@ def corpus_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.lit("sample").alias("part"), "key", "n", "n2", "v")
     )
 
-    def redact(key: str, pattern: str) -> DataFrame:
-        pat = F.lit(pattern)
-        return d.agg(
-            F.sum(F.regexp_count("text", pat)).alias("n"),
-            F.count(F.when(F.regexp_count("text", pat) > 0, 1)).alias("n2"),
-            F.sum(F.length(F.regexp_replace("text", pattern, REDACTED)))
-            .cast("double").alias("v"),
-        ).select(F.lit("redact").alias("part"), F.lit(key).alias("key"),
-                 "n", "n2", "v")
+    def redact_fused() -> DataFrame:
+        """Both redact rows from ONE text scan: six aggregates, then
+        stack(2) into the ('pii', 'blocklist') rows — same values as the
+        former two single-pattern aggregates."""
+        cols = []
+        for tag, pattern in (("p", RE_PII), ("b", RE_BLOCKLIST)):
+            pat = F.lit(pattern)
+            cols += [
+                F.sum(F.regexp_count("text", pat)).alias(f"{tag}_n"),
+                F.count(F.when(F.regexp_count("text", pat) > 0, 1))
+                .alias(f"{tag}_n2"),
+                F.sum(F.length(F.regexp_replace("text", pattern, REDACTED)))
+                .cast("double").alias(f"{tag}_v"),
+            ]
+        return d.agg(*cols).selectExpr(
+            "'redact' AS part",
+            "stack(2, 'pii', p_n, p_n2, p_v, "
+            "'blocklist', b_n, b_n2, b_v) AS (key, n, n2, v)")
 
     def profile(col: str, avg_expr) -> DataFrame:
-        return d.agg(
+        return base.agg(
             F.countDistinct(col).alias("n"),
             (F.count(F.lit(1)) - F.count(col)).alias("n2"),
             SF.r6(avg_expr).cast("double").alias("v"),
         ).select(F.lit("profile").alias("part"), F.lit(col).alias("key"),
                  "n", "n2", "v")
 
-    n_tok = F.size(F.filter(F.split("text", " "), lambda t: t != F.lit("")))
     wcum = (Window.partitionBy("lang").orderBy("doc_id")
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     pack = (
-        d.select("lang", "doc_id", n_tok.alias("n_tok"))
+        base.select("lang", "doc_id", "n_tok")
         .withColumn("cum", F.sum("n_tok").over(wcum))
         .withColumn("seq_id", F.floor((F.col("cum") - F.col("n_tok"))
                                       / float(PACK_BUDGET)))
@@ -473,7 +503,7 @@ def corpus_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     wall = Window.partitionBy()
     mix = (
-        d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+        base.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
         .withColumn("w_raw", F.pow("n_docs", F.lit(MIX_ALPHA)))
         .withColumn("w_sum", F.sum("w_raw").over(wall))
         .withColumn("n_total", F.sum("n_docs").over(wall))
@@ -487,7 +517,7 @@ def corpus_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_chunks = (F.ceil(F.greatest(F.col("n_tok") - CHUNK_WIDTH, F.lit(0))
                        / float(CHUNK_STRIDE)) + 1).cast("long")
     chunk = (
-        d.select("lang", n_tok.alias("n_tok"))
+        base.select("lang", "n_tok")
         .withColumn("k", n_chunks)
         .groupBy(F.col("lang").alias("key"))
         .agg(F.sum("k").alias("n"),
@@ -501,9 +531,12 @@ def corpus_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     tok = d.select(
         "doc_id", "source",
         F.explode(F.filter(F.split(F.lower("text"), " "),
-                           lambda t: t != F.lit(""))).alias("token"))
+                           lambda t: t != F.lit(""))).alias("token")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
-    tot = tok.agg(F.count(F.lit(1)).alias("n_total_tok"))
+    # corpus token total == sum of the per-token counts — read it off the
+    # (much smaller) freq table instead of a third pass over tok
+    tot = freq.agg(F.sum("n_t").alias("n_total_tok"))
     lmscore = (
         tok.join(freq, "token")
         .crossJoin(F.broadcast(tot))
@@ -525,7 +558,7 @@ def corpus_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                                               F.asc("doc_id"))
     keptq = F.col("rk") <= SOURCE_QUOTA
     quota = (
-        d.select("source", "doc_id", "n_chars")
+        base.select("source", "doc_id", "n_chars")
         .withColumn("rk", F.row_number().over(wq))
         .groupBy(F.col("source").alias("key"))
         .agg(F.count(F.lit(1)).alias("n"),
@@ -536,7 +569,7 @@ def corpus_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     h1 = F.substring(F.md5(F.col("source")), 1, 1)
-    tagged = d.select(
+    tagged = base.select(
         "source",
         F.when(h1.isin("d", "e"), "val")
          .when(h1 == "f", "test")
@@ -562,8 +595,7 @@ def corpus_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         sample
-        .unionByName(redact("pii", RE_PII))
-        .unionByName(redact("blocklist", RE_BLOCKLIST))
+        .unionByName(redact_fused())
         .unionByName(profile("lang", F.avg(F.length("lang"))))
         .unionByName(profile("source", F.avg(F.length("source"))))
         .unionByName(profile("n_chars", F.avg("n_chars")))

@@ -315,15 +315,27 @@ def dedup_near_dup_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimator is exact on identical sets); SimHash assigns each member its
     rep's signature, and the signature equi-join then emits intra-group
     pairs on its own."""
+    from pyspark import StorageLevel
     from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, Tokenizer
 
     d = _docs(spark, sf_dir)
-    groups = _text_groups(d)
-    reps = _rep_docs(d)
+    # r13 (guide §2.3): `groups` feeds four consumers (ma/mb/x/y) and
+    # `reps` two (the TF chain + SimHash) — without materialization each
+    # consumer re-scans documents and re-runs md5/the rep aggregate
+    # (plans/r13/dedup_near_dup_signatures_before.txt: 13 parquet scans).
+    # `tf` is the expensive one: Tokenizer→NGram(3)→HashingTF over the
+    # whole rep corpus, consumed by the LSH fit, BOTH approxSimilarityJoin
+    # sides, and the `eligible` semi-join — four full tokenize+hash passes
+    # before this persist.
+    groups = _text_groups(d).persist(StorageLevel.MEMORY_AND_DISK)
+    reps = _rep_docs(d).persist(StorageLevel.MEMORY_AND_DISK)
     tokens = Tokenizer(inputCol="text", outputCol="tokens").transform(reps)
     grams = NGram(n=3, inputCol="tokens", outputCol="grams").transform(tokens)
-    tf = HashingTF(inputCol="grams", outputCol="features", numFeatures=1 << 18,
-                   binary=True).transform(grams).where(F.size("grams") > 0)
+    tf = (HashingTF(inputCol="grams", outputCol="features",
+                    numFeatures=1 << 18, binary=True)
+          .transform(grams).where(F.size("grams") > 0)
+          .select("doc_id", "h", "features")
+          .persist(StorageLevel.MEMORY_AND_DISK))
     lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8,
                      seed=42).fit(tf)
     pairs = lsh.approxSimilarityJoin(tf, tf, 1.0 - JACCARD_THRESHOLD,

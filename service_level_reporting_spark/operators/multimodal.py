@@ -2872,14 +2872,24 @@ def assets_from_documents(docs: DataFrame) -> DataFrame:
     )
 
 
-def media_assets(docs: DataFrame) -> DataFrame:
+def media_assets(docs: DataFrame, only: str | None = None) -> DataFrame:
     """REAL-bytes asset table: image rows carry genuine BMP files, audio
     rows genuine RIFF/WAVE PCM, video rows genuine uncompressed AVI
     (RIFF container, raw-DIB frames — a stock player opens them; only
     COMPRESSED codecs are out-of-container). Synth stands in for
     object-storage ingestion; payloads are created inside the stage and
     consumed by decode stages downstream — they never enter a shuffle at
-    scale (features reduce first)."""
+    scale (features reduce first).
+
+    ``only`` ('image' | 'audio' | 'video', r13): restrict synthesis to one
+    modality class by filtering doc_ids BEFORE the mapInPandas stage. The
+    media class is a pure function of doc_id % 3, so the filtered output
+    is row-identical to the matching slice of the full table — without it
+    a leg that keeps only images still paid the audio+video synthesis
+    (guide §4.1: pass the Python stage only the rows it needs)."""
+    if only is not None:
+        cls = {"image": 0, "audio": 1, "video": 2}[only]
+        docs = docs.where(F.col("doc_id") % 3 == cls)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
@@ -2990,12 +3000,14 @@ def extract_features(assets: DataFrame, *, allow_fake: bool = True,
     return assets.mapInPandas(batches, schema=FEATURE_SCHEMA)
 
 
-def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_features(spark: SparkSession, sf_dir: str,
+                        assets: DataFrame | None = None) -> DataFrame:
     """Per-media feature rollup over REAL payloads: BMP pixels, WAV PCM,
     and AVI containers (avih dims + first-frame pixel mean) all decode for
     real — fake disabled everywhere."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    feats = extract_features(media_assets(docs), allow_fake=False)
+    feats = extract_features(
+        media_assets(docs) if assets is None else assets, allow_fake=False)
     return (
         feats.groupBy("media_type")
         .agg(
@@ -3263,13 +3275,15 @@ def multimodal_wav_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str,
+                               assets: DataFrame | None = None) -> DataFrame:
     """REAL image resize leg: every image asset (BMP, PNG, and JPEG)
     resampled to 64x64 and re-encoded in its own format; avg_decoded_w
     comes from re-decoding the output bytes, so a broken encoder cannot
     pass (it must equal target_w — pytest-pinned)."""
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    images = media_assets(docs).where(
+    images = (media_assets(docs, only="image") if assets is None
+              else assets).where(
         F.col("media_type").isin("image/bmp", "image/png", "image/jpeg",
                                  "image/gif"))
     resized = resize_assets(images, w=64, h=64)
@@ -3282,9 +3296,12 @@ def multimodal_resize_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str,
+                            assets: DataFrame | None = None) -> DataFrame:
     docs = load_tables(spark, sf_dir, ("documents",))["documents"]
-    frames = sample_frames(media_assets(docs), media="video/avi")
+    frames = sample_frames(
+        media_assets(docs, only="video") if assets is None else assets,
+        media="video/avi")
     return (
         frames.groupBy("frame_idx")
         .agg(F.count(F.lit(1)).alias("n_frames"),
@@ -3310,15 +3327,25 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("multimodal_pipeline")  # rows-only: Python-codec floats + video stub
 def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    feats = multimodal_features(spark, sf_dir).select(
+    from pyspark import StorageLevel
+
+    # r13 (guide §2.3/§4): the features/resize/frame legs each re-ran the
+    # FULL pure-Python codec synthesis (media_assets) — and the resize and
+    # frame legs then discarded 2/3 of what they synthesized. One persisted
+    # asset table now feeds all three legs (the wav leg keeps its fused
+    # synth+decode stage — it never materializes payloads; the phash/
+    # video/audio near-dup legs synthesize their own bounded planted sets).
+    docs = load_tables(spark, sf_dir, ("documents",))["documents"]
+    assets = media_assets(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    feats = multimodal_features(spark, sf_dir, assets=assets).select(
         F.lit("features").alias("stage"), F.col("media_type").alias("key"),
         F.col("n_assets").alias("n"), F.col("total_bytes"),
         F.col("avg_intensity").alias("metric"))
-    resized = multimodal_resize_pipeline(spark, sf_dir).select(
+    resized = multimodal_resize_pipeline(spark, sf_dir, assets=assets).select(
         F.lit("resize").alias("stage"), F.col("media_type").alias("key"),
         F.col("n_assets").alias("n"), F.col("total_bytes"),
         F.col("avg_decoded_w").alias("metric"))
-    frames = multimodal_frame_sample(spark, sf_dir).select(
+    frames = multimodal_frame_sample(spark, sf_dir, assets=assets).select(
         F.lit("frame_sample").alias("stage"),
         F.col("frame_idx").cast("string").alias("key"),
         F.col("n_frames").alias("n"), F.col("total_bytes"),

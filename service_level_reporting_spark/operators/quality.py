@@ -181,80 +181,88 @@ PSI_EPS_T = 1e-3                # Laplace smoothing, denominator
     """,
 )
 def data_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     t = load_tables(spark, sf_dir, ("events", "documents"))
     ev, docs = t["events"], t["documents"]
+    ts = F.col("ts").cast("timestamp")
 
-    # --- null_rate: one agg pass per table, unpivoted to labeled rows ----
-    def null_rows(df: DataFrame, table: str, cols: list[str]) -> DataFrame:
-        agg = df.agg(
-            F.count(F.lit(1)).alias("_total"),
-            *[F.sum(F.when(F.col(c).isNull(), 1).otherwise(0))
-              .cast("long").alias(c) for c in cols])
-        parts = [
-            agg.select(F.lit("null_rate").alias("part"),
-                       F.lit(f"{table}.{c}").alias("key"),
-                       F.col(c).alias("n"),
-                       F.col("_total").alias("n2"),
-                       SF.r6(F.col(c) / F.col("_total")).alias("v"))
-            for c in cols]
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
-        return out
+    # r13 (guide §2.3/§2.4): the r7..r12 spelling built each labeled row
+    # from its own 1-row aggregate — and since Catalyst does not share
+    # subtrees across a Union, every null_rate/constraint row re-SCANNED
+    # its table (plans/r13/data_quality_suite_before.txt: 20 scans). All
+    # of those rows are conditional sums over the same scan, so each
+    # table now pays ONE aggregate and stack() unpivots the labeled rows;
+    # v = round(n / n2, 6) holds for every one of them. Values identical.
 
-    nulls = null_rows(ev, "events", ["value", "props", "user_id"]).unionByName(
-        null_rows(docs, "documents", ["text", "lang"]))
+    # --- events: null_rate x3 + constraint x3 from ONE scan --------------
+    ev_checks = [
+        ("null_rate", "events.value", F.col("value").isNull()),
+        ("null_rate", "events.props", F.col("props").isNull()),
+        ("null_rate", "events.user_id", F.col("user_id").isNull()),
+        ("constraint", "value_non_negative", F.col("value") < 0),
+        ("constraint", "ts_in_epoch_window",
+         (ts < F.lit("2023-01-01").cast("timestamp"))
+         | (ts >= F.lit("2026-01-01").cast("timestamp"))),
+        ("constraint", "user_id_present", F.col("user_id").isNull()),
+    ]
+    ev_agg = ev.agg(
+        F.count(F.lit(1)).alias("_total"),
+        *[F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(f"_c{i}")
+          for i, (_, _, cond) in enumerate(ev_checks)])
+    ev_stack = ", ".join(f"'{part}', '{key}', _c{i}"
+                         for i, (part, key, _) in enumerate(ev_checks))
+    ev_rows = (ev_agg.selectExpr(
+        f"stack({len(ev_checks)}, {ev_stack}) AS (part, key, n)", "_total")
+        .select("part", "key", "n", F.col("_total").alias("n2"),
+                SF.r6(F.col("n") / F.col("_total")).alias("v")))
+
+    # --- documents: null_rate x2 + constraint x2 from ONE scan -----------
+    docs_agg = docs.agg(
+        F.count(F.lit(1)).alias("_total"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0))
+        .cast("long").alias("_nt"),
+        F.sum(F.when(F.col("lang").isNull(), 1).otherwise(0))
+        .cast("long").alias("_nl"),
+        (F.count(F.lit(1)) - F.countDistinct("doc_id"))
+        .cast("long").alias("_du"),
+        F.sum(F.when(F.length("text") != F.col("n_chars"), 1).otherwise(0))
+        .cast("long").alias("_cm"))
+    docs_rows = (docs_agg.selectExpr(
+        "stack(4, 'null_rate', 'documents.text', _nt, "
+        "'null_rate', 'documents.lang', _nl, "
+        "'constraint', 'doc_id_unique', _du, "
+        "'constraint', 'n_chars_matches_text', _cm) AS (part, key, n)",
+        "_total")
+        .select("part", "key", "n", F.col("_total").alias("n2"),
+                SF.r6(F.col("n") / F.col("_total")).alias("v")))
+
+    nulls_cons = ev_rows.unionByName(docs_rows)
 
     # --- profile: per-type count / distinct users / mean / stddev --------
-    prof = ev.groupBy("event_type").agg(
+    # one scan; stack() reshapes the avg/stddev columns into the two
+    # labeled rows (the former two selects re-ran the countDistinct agg)
+    prof = (ev.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
         F.countDistinct("user_id").alias("n2"),
         SF.r6(F.avg("value")).alias("avg_v"),
         SF.r6(F.stddev("value")).alias("sd_v"))
-    prof_avg = prof.select(
-        F.lit("profile_avg").alias("part"),
-        F.col("event_type").alias("key"), "n", "n2",
-        F.col("avg_v").alias("v"))
-    prof_sd = prof.select(
-        F.lit("profile_stddev").alias("part"),
-        F.col("event_type").alias("key"), "n", "n2",
-        F.col("sd_v").alias("v"))
-
-    # --- constraints: declarative checks, one conditional-sum agg each ---
-    def check(df: DataFrame, name: str, violated) -> DataFrame:
-        agg = df.agg(
-            F.sum(F.when(violated, 1).otherwise(0)).cast("long").alias("n"),
-            F.count(F.lit(1)).alias("n2"))
-        return agg.select(F.lit("constraint").alias("part"),
-                          F.lit(name).alias("key"), "n", "n2",
-                          SF.r6(F.col("n") / F.col("n2")).alias("v"))
-
-    ts = F.col("ts").cast("timestamp")
-    cons = (
-        check(ev, "value_non_negative", F.col("value") < 0)
-        .unionByName(check(
-            ev, "ts_in_epoch_window",
-            (ts < F.lit("2023-01-01").cast("timestamp"))
-            | (ts >= F.lit("2026-01-01").cast("timestamp"))))
-        .unionByName(check(ev, "user_id_present", F.col("user_id").isNull()))
-        .unionByName(
-            docs.agg((F.count(F.lit(1)) - F.countDistinct("doc_id"))
-                     .cast("long").alias("n"),
-                     F.count(F.lit(1)).alias("n2"))
-            .select(F.lit("constraint").alias("part"),
-                    F.lit("doc_id_unique").alias("key"), "n", "n2",
-                    SF.r6(F.col("n") / F.col("n2")).alias("v")))
-        .unionByName(check(docs, "n_chars_matches_text",
-                           F.length("text") != F.col("n_chars"))))
+        .selectExpr("event_type AS key", "n", "n2",
+                    "stack(2, 'profile_avg', avg_v, "
+                    "'profile_stddev', sd_v) AS (part, v)")
+        .select("part", "key", "n", "n2", "v"))
 
     # --- PSI drift: fixed-width buckets over the observed value range ----
     # bounds + per-side totals ride ONE broadcast 1-row frame — the CMS
     # lesson (r5): no driver collect in the operator body
     split = F.lit(PSI_SPLIT).cast("timestamp")
+    # bounds feeds the bucketing pass AND the psi_total row — persisted
+    # (1 row) so it costs one scan, not two
     bounds = ev.agg(
         F.min("value").alias("lo"), F.max("value").alias("hi"),
         F.sum(F.when(ts < split, 1).otherwise(0)).cast("long").alias("t1"),
-        F.sum(F.when(ts >= split, 1).otherwise(0)).cast("long").alias("t2"))
+        F.sum(F.when(ts >= split, 1).otherwise(0)).cast("long").alias("t2")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     span = F.when(F.col("hi") > F.col("lo"),
                   F.col("hi") - F.col("lo")).otherwise(F.lit(1.0))
     bucket = F.least(
@@ -262,13 +270,28 @@ def data_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest(F.lit(0), F.floor(
             (F.col("value") - F.col("lo")) / span * PSI_BUCKETS))
     ).cast("long")
-    g = (ev.crossJoin(F.broadcast(bounds))
-         .select(bucket.alias("bucket"),
-                 F.when(ts < split, 1).otherwise(0).alias("w1"),
-                 "t1", "t2")
-         .groupBy("bucket", "t1", "t2")
-         .agg(F.sum("w1").cast("long").alias("n1"),
-              F.sum(1 - F.col("w1")).cast("long").alias("nx")))
+
+    # --- psi_by_type (r7, VERDICT item 5): the same bucketed drift score
+    # PER SEGMENT — a single event_type's distribution shift must alarm
+    # even when the blended global distribution stays quiet. Bucket edges
+    # stay GLOBAL (comparable across segments); the before/after totals
+    # are per-type. Buckets empty for a type are skipped identically in
+    # both engines (their smoothed contribution is ~eps-sized).
+    # r13: the per-type bucket counts are computed FIRST (one bucketing
+    # pass over events) and persisted; the GLOBAL bucket counts are their
+    # per-bucket sums — exact integer addition, value-identical to the
+    # former second bucketing pass over raw events, for one scan less.
+    gt = (ev.crossJoin(F.broadcast(bounds))
+          .select("event_type", bucket.alias("bucket"),
+                  F.when(ts < split, 1).otherwise(0).alias("w1"))
+          .groupBy("event_type", "bucket")
+          .agg(F.sum("w1").cast("long").alias("n1"),
+               F.sum(1 - F.col("w1")).cast("long").alias("nx"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    g = (gt.groupBy("bucket")
+         .agg(F.sum("n1").cast("long").alias("n1"),
+              F.sum("nx").cast("long").alias("nx"))
+         .crossJoin(F.broadcast(bounds.select("t1", "t2"))))
     p = (F.col("n1") + PSI_EPS_N) / (F.col("t1") + PSI_EPS_T)
     q = (F.col("nx") + PSI_EPS_N) / (F.col("t2") + PSI_EPS_T)
     contrib = (p - q) * F.log(p / q)
@@ -284,20 +307,6 @@ def data_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("psi_total").alias("part"), F.lit("total").alias("key"),
         F.col("t1").alias("n"), F.col("t2").alias("n2"), "v")
 
-    # --- psi_by_type (r7, VERDICT item 5): the same bucketed drift score
-    # PER SEGMENT — a single event_type's distribution shift must alarm
-    # even when the blended global distribution stays quiet. Bucket edges
-    # stay GLOBAL (comparable across segments); the before/after totals
-    # are per-type. Buckets empty for a type are skipped identically in
-    # both engines (their smoothed contribution is ~eps-sized). Same
-    # shape as the global PSI: one groupBy, per-type totals joined back
-    # broadcast — no collect, no UDF.
-    gt = (ev.crossJoin(F.broadcast(bounds))
-          .select("event_type", bucket.alias("bucket"),
-                  F.when(ts < split, 1).otherwise(0).alias("w1"))
-          .groupBy("event_type", "bucket")
-          .agg(F.sum("w1").cast("long").alias("n1"),
-               F.sum(1 - F.col("w1")).cast("long").alias("nx")))
     tt = gt.groupBy("event_type").agg(
         F.sum("n1").cast("long").alias("t1"),
         F.sum("nx").cast("long").alias("t2"))
@@ -313,8 +322,7 @@ def data_quality_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                            F.col("t1").alias("n"),
                            F.col("t2").alias("n2"), "v"))
 
-    return (nulls.unionByName(prof_avg).unionByName(prof_sd)
-            .unionByName(cons).unionByName(psi_rows)
+    return (nulls_cons.unionByName(prof).unionByName(psi_rows)
             .unionByName(psi_by_type)
             .unionByName(psi_total).orderBy("part", "key"))
 

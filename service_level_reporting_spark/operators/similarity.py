@@ -1610,12 +1610,23 @@ def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin (kNN scan for the IVF legs, blocked-GEMM top-10 for LSH), so the
     driver artifact records the semantic quality number; pytest pins the
     floors on this column."""
+    from pyspark import StorageLevel
+
+    # r13 (guide §2.3): every leg's result is consumed TWICE (the labeled
+    # rows + its recall frame) and the exact-kNN twin THREE times (ivf/pq/
+    # mp recall) — and Catalyst re-runs the whole probe per consumer
+    # (plans/r13/similarity_ann_suite_before.txt: 61 Python-eval nodes).
+    # The leg RESULTS are <= k rows each, so persisting them makes each
+    # probe/GEMM pass run exactly once; values unchanged.
+    def _pin(df: DataFrame) -> DataFrame:
+        return df.persist(StorageLevel.MEMORY_AND_DISK)
+
     idx = shared_ivf_index(spark, sf_dir)
-    exact_knn = similarity_knn_query(spark, sf_dir).select("vec_id")
+    exact_knn = _pin(similarity_knn_query(spark, sf_dir).select("vec_id"))
     exact_pairs = similarity_topk_pairs(spark, sf_dir).select("vec_a", "vec_b")
-    ivf_raw = similarity_knn_ivf(spark, sf_dir, index=idx)
-    pq_raw = similarity_knn_ivf_pq(spark, sf_dir, index=idx)
-    lsh_raw = similarity_ann_lsh(spark, sf_dir)
+    ivf_raw = _pin(similarity_knn_ivf(spark, sf_dir, index=idx))
+    pq_raw = _pin(similarity_knn_ivf_pq(spark, sf_dir, index=idx))
+    lsh_raw = _pin(similarity_ann_lsh(spark, sf_dir))
 
     ivf = ivf_raw.select(
         F.lit("ivf_knn").alias("part"),
@@ -1639,7 +1650,7 @@ def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(
         _recall_frame(lsh_raw.select("vec_a", "vec_b"), exact_pairs,
                       ["vec_a", "vec_b"], 10)))
-    mp_raw = similarity_knn_lsh_multiprobe(spark, sf_dir)
+    mp_raw = _pin(similarity_knn_lsh_multiprobe(spark, sf_dir))
     mp = mp_raw.select(
         F.lit("lsh_mp_knn").alias("part"),
         F.col("vec_id").alias("vec_a"),

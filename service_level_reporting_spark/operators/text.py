@@ -186,6 +186,8 @@ def _profile_sql(lang: str) -> str:
     """,
 )
 def text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     d = _docs(spark, sf_dir)
 
     def widen(df, **parts):
@@ -204,33 +206,60 @@ def text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                          else F.lit(None).cast(typ)).alias(name))
         return df.select(*cols)
 
-    stats = widen(
-        text_stats(spark, sf_dir)
-        .withColumnsRenamed({"lang": "key1", "source": "key2"}),
-        part="stats")
+    def member_of(words):
+        # Single-arg lambda required: PySpark reads the lambda arity to pick
+        # the HOF signature, so a defaulted second arg breaks it.
+        return lambda t: t.isin(*words)
 
-    toks = F.split("text", " ")
-    # Repetition (MassiveText-style): fraction of duplicate word 2-grams.
-    # Built over a materialized token-array column — inlining the split into
-    # the zip_with would let CollapseProject re-expand it per reference.
+    # r13 (guide §2.3): the three parts used to scan documents (and split
+    # text) once EACH (plans/r13/text_profile_suite_before.txt: 3 scans).
+    # All their inputs are per-doc scalars, so one scan + one tokenize pass
+    # computes the lot into a narrow persisted frame; the three labeled
+    # aggregates (different group keys — that's 3 tiny shuffles, fine) now
+    # read ~60 bytes/doc instead of re-reading and re-splitting `text`.
+    # Expressions are IDENTICAL to the former per-part spellings — only the
+    # scan is shared; values are hash-checked unchanged.
     dup2 = F.when(
         F.size(F.col("toks")) >= 2,
         1.0 - F.size(F.array_distinct(F.col("grams")))
         / (F.size(F.col("toks")) - 1)).otherwise(F.lit(0.0))
-    scored = (
-        d.select("source", toks.alias("toks"))
+    perdoc = (
+        d.select("lang", "source", "n_chars", "text",
+                 F.split("text", " ").alias("toks"))
         .withColumn("grams", F.expr(
             "zip_with(slice(toks, 1, size(toks) - 1), "
             "slice(toks, 2, size(toks) - 1), (a, b) -> concat(a, ' ', b))"))
-        .select("source", F.size("toks").alias("n_tok"),
-                F.size(F.array_distinct("toks")).alias("n_uniq"),
-                F.size(F.filter(F.col("toks"),
-                                lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
-                dup2.alias("dup2"))
+        .select(
+            "lang", "source",
+            F.size("toks").alias("n_tok"),
+            F.size(F.regexp_extract_all("text", F.lit(TOKEN_REGEX), 0))
+            .alias("n_rtok"),
+            F.length("text").alias("len_text"),
+            (F.length("text") != F.col("n_chars")).alias("mismatch"),
+            F.size(F.array_distinct("toks")).alias("n_uniq"),
+            F.size(F.filter(F.col("toks"),
+                            lambda t: t.isin(*STOPWORDS))).alias("n_stop"),
+            dup2.alias("dup2"),
+            *[F.size(F.filter(F.col("toks"), member_of(words)))
+              .alias(f"s_{lang}") for lang, words in LANG_PROFILES.items()])
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+    stats = widen(
+        perdoc.groupBy(F.col("lang").alias("key1"),
+                       F.col("source").alias("key2")).agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.sum("n_rtok").cast("long").alias("n_regex_tokens"),
+            F.sum("len_text").cast("long").alias("n_chars_total"),
+            SF.r6(F.avg("len_text")).alias("avg_chars"),
+            F.count(F.when(F.col("mismatch"), F.lit(1)))
+            .alias("n_chars_mismatch")),
+        part="stats")
+
     diversity = F.col("n_uniq") / F.col("n_tok")
     quality = widen(
-        scored.groupBy(F.col("source").alias("key1")).agg(
+        perdoc.groupBy(F.col("source").alias("key1")).agg(
             F.count(F.lit(1)).alias("n_docs"),
             SF.r6(F.avg("n_tok")).alias("avg_tokens"),
             SF.r6(F.avg(diversity)).alias("avg_diversity"),
@@ -242,15 +271,7 @@ def text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         part="quality")
 
-    def member_of(words):
-        # Single-arg lambda required: PySpark reads the lambda arity to pick
-        # the HOF signature, so a defaulted second arg breaks it.
-        return lambda t: t.isin(*words)
-
-    scores = {
-        lang: F.size(F.filter(toks, member_of(words)))
-        for lang, words in LANG_PROFILES.items()
-    }
+    scores = {lang: F.col(f"s_{lang}") for lang in LANG_PROFILES}
     best = F.greatest(*scores.values())
     # Tie-break order must match the oracle's CASE order: de,en,es,fr,zh
     predicted = (
@@ -261,7 +282,7 @@ def text_profile_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("zh")
     )
     language = widen(
-        d.select(predicted.alias("key1"), F.col("lang").alias("key2"))
+        perdoc.select(predicted.alias("key1"), F.col("lang").alias("key2"))
         .groupBy("key1", "key2")
         .agg(F.count(F.lit(1)).alias("n_docs")),
         part="language")
@@ -502,9 +523,14 @@ def text_repetition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-coverage fraction of within-doc duplicated 5-grams (islands
     merge overlapping occurrences so each token counts once). ``keep`` =
     all three under the Gopher-shaped thresholds."""
+    from pyspark import StorageLevel
     from pyspark.sql.window import Window
 
     d = _docs(spark, sf_dir).select("doc_id", "text")
+    # r13 (guide §2.3): `stats` feeds FOUR consumers (t2, t3, the 5-gram
+    # coverage, and the final projection); unpersisted, each one re-scanned
+    # documents and re-split text (plans/r13/text_repetition_suite_before
+    # .txt: 4 parquet scans + 4 splits). One scan + one split now.
     stats = d.select(
         "doc_id", F.split("text", " ").alias("toks"),
         F.length("text").alias("n_chars")
@@ -512,7 +538,8 @@ def text_repetition_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "toks", "n_chars",
         F.size("toks").cast("long").alias("n_tokens"),
         SF.r6(1.0 - F.size(F.array_distinct("toks")) / F.size("toks"))
-            .alias("dup_word_frac"))
+            .alias("dup_word_frac")
+    ).persist(StorageLevel.MEMORY_AND_DISK)
 
     def grams(n: int) -> DataFrame:
         return (stats.filter(F.size("toks") >= n)

@@ -362,12 +362,20 @@ ANOMALY_Z = 3.0
     """,
 )
 def anomaly_seasonal_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     ev = load_tables(spark, sf_dir, ("events",))["events"]
+    # r13 (guide §2.3): `hourly` feeds the baseline build AND the scoring
+    # probe; unpersisted, each branch re-scanned events and re-ran the
+    # hourly aggregate (plans/r13/anomaly_seasonal_baseline_before.txt:
+    # 2 scans + 2 hash-agg exchanges). The persisted frame is tiny
+    # (n_series x hours), so one scan/agg serves both branches.
     hourly = (
         ev.groupBy("event_type",
                    F.date_trunc("hour", "ts").alias("hr"),
                    F.hour("ts").alias("hod"))
         .agg(F.round(F.avg("value") * 1000, 0).cast("long").alias("v3"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     split = F.lit(ANOMALY_SPLIT).cast("timestamp")
     baseline = (

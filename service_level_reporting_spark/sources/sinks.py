@@ -1256,45 +1256,65 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         minute-clustered vs Z-ORDERED layouts, point-predicate row-group
         skipping measured per dimension from footer stats (z-order must
         prune meaningfully on BOTH dims — pytest-pinned)."""
-    upsert = sink_upsert_merge(spark, sf_dir).select(
-        F.lit("upsert_merge").alias("part"),
-        F.col("indicator").alias("key"),
-        F.col("n_minutes").alias("n"),
-        F.col("n_distinct_minutes").alias("n2"),
-        F.col("sum_value").alias("v"),
-    )
-    bucketed = sink_bucketed_user_stats(spark, sf_dir).select(
-        F.lit("bucketed_groupby").alias("part"),
-        F.col("user_id").cast("string").alias("key"),
-        F.col("n_events").alias("n"),
-        F.lit(None).cast("long").alias("n2"),
-        F.col("avg_value").alias("v"),
-    )
-    incremental = incremental_daily_rollup(spark, sf_dir).select(
-        F.lit("incremental").alias("part"),
-        F.col("indicator").alias("key"),
-        F.col("total_points").alias("n"),
-        F.col("n_days").alias("n2"),
-        F.col("sum_value").alias("v"),
-    )
-    hll_inc = hll_incremental_rollup(spark, sf_dir).select(
-        F.lit("hll_incremental").alias("part"), "key", "n", "n2", "v")
-    compact = compact_small_files(spark, sf_dir).select(
-        F.lit("compact").alias("part"), "key", "n", "n2", "v")
-    cluster = clustered_layout_stats(spark, sf_dir).select(
-        F.lit("cluster").alias("part"), "key", "n", "n2", "v")
-    formats = format_roundtrip_stats(spark, sf_dir).select(
-        F.lit("formats").alias("part"), "key", "n", "n2", "v")
-    codecs = compression_codec_stats(spark, sf_dir).select(
-        F.lit("codecs").alias("part"), "key", "n", "n2", "v")
-    zorder = zorder_layout_stats(spark, sf_dir).select(
-        F.lit("zorder").alias("part"), "key", "n", "n2", "v")
-    txlog = sink_txlog_merge(spark, sf_dir).select(
-        F.lit("txlog").alias("part"), "key", "n", "n2", "v")
-    rowops = sink_txlog_rowops(spark, sf_dir).select(
-        F.lit("txlog_rowops").alias("part"), "key", "n", "n2", "v")
-    return (upsert.unionByName(bucketed).unionByName(incremental)
-            .unionByName(hll_inc).unionByName(compact).unionByName(cluster)
-            .unionByName(formats).unionByName(codecs)
-            .unionByName(zorder).unionByName(txlog).unionByName(rowops)
-            .orderBy("part", "key"))
+    # r13 (guide §2.6): the legs are INDEPENDENT eager jobs that used to
+    # run strictly sequentially, leaving most cores idle through each
+    # leg's single-task writes and driver-side staging; a small driver
+    # thread pool overlaps them so one leg's tail back-fills the others.
+    # Exception: compact / cluster / zorder temporarily mutate the
+    # SESSION conf spark.sql.files.maxRecordsPerFile — a concurrent
+    # write under a mutated cap would change another leg's file layout
+    # (codecs' byte counts, compact's file counts) — so those three run
+    # strictly serial AFTER the pool drains. Each leg's own work and its
+    # returned rows are unchanged.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _part(tag: str, df: DataFrame, cols=None) -> DataFrame:
+        return df.select(F.lit(tag).alias("part"),
+                         *(cols or [F.col("key"), F.col("n"),
+                                    F.col("n2"), F.col("v")]))
+
+    pooled = {
+        "upsert_merge": lambda: _part("upsert_merge",
+            sink_upsert_merge(spark, sf_dir),
+            [F.col("indicator").alias("key"),
+             F.col("n_minutes").alias("n"),
+             F.col("n_distinct_minutes").alias("n2"),
+             F.col("sum_value").alias("v")]),
+        "bucketed_groupby": lambda: _part("bucketed_groupby",
+            sink_bucketed_user_stats(spark, sf_dir),
+            [F.col("user_id").cast("string").alias("key"),
+             F.col("n_events").alias("n"),
+             F.lit(None).cast("long").alias("n2"),
+             F.col("avg_value").alias("v")]),
+        "incremental": lambda: _part("incremental",
+            incremental_daily_rollup(spark, sf_dir),
+            [F.col("indicator").alias("key"),
+             F.col("total_points").alias("n"),
+             F.col("n_days").alias("n2"),
+             F.col("sum_value").alias("v")]),
+        "hll_incremental": lambda: _part(
+            "hll_incremental", hll_incremental_rollup(spark, sf_dir)),
+        "formats": lambda: _part(
+            "formats", format_roundtrip_stats(spark, sf_dir)),
+        "codecs": lambda: _part(
+            "codecs", compression_codec_stats(spark, sf_dir)),
+        "txlog": lambda: _part("txlog", sink_txlog_merge(spark, sf_dir)),
+        "txlog_rowops": lambda: _part(
+            "txlog_rowops", sink_txlog_rowops(spark, sf_dir)),
+    }
+    with ThreadPoolExecutor(max_workers=4) as pool:
+        futs = {name: pool.submit(fn) for name, fn in pooled.items()}
+        results = {name: f.result() for name, f in futs.items()}
+    # conf-mutating legs: serial, pool fully drained
+    results["compact"] = _part("compact", compact_small_files(spark, sf_dir))
+    results["cluster"] = _part("cluster",
+                               clustered_layout_stats(spark, sf_dir))
+    results["zorder"] = _part("zorder", zorder_layout_stats(spark, sf_dir))
+
+    order = ("upsert_merge", "bucketed_groupby", "incremental",
+             "hll_incremental", "compact", "cluster", "formats", "codecs",
+             "zorder", "txlog", "txlog_rowops")
+    out = results[order[0]]
+    for name in order[1:]:
+        out = out.unionByName(results[name])
+    return out.orderBy("part", "key")

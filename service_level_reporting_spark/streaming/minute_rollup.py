@@ -465,37 +465,98 @@ def stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     atomic transactional batch markers, replayed batch skipped).
     Batch-equivalence per leg is pytest-pinned in
     tests/test_streaming_batch_equiv.py."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from service_level_reporting_spark.streaming.ann_index import (
         stream_lsh_index_summary)
     from service_level_reporting_spark.streaming.txlog_sink import (
         stream_txlog_ingest)
 
-    windows = stream_windows_suite(spark, sf_dir)
-    stateful = stream_stateful_suite(spark, sf_dir)
-    lsh_index = _part(stream_lsh_index_summary(spark, sf_dir),
-                      "lsh_index_maintain", F.col("table_idx"),
-                      F.lit(None), F.col("n_vectors"),
-                      F.col("max_bucket"))
-    # T10: exactly-once ingestion into the TxLog lakehouse table — the
-    # '_txn' key's n is (table_rows - source_rows) + replay_applied and
-    # must be 0 (no loss, no duplication, replayed batch skipped)
-    txlog_ingest = _part(stream_txlog_ingest(spark, sf_dir),
-                         "txlog_ingest", F.col("key"), F.lit(None),
-                         F.col("n"), F.col("n2").cast("double"))
+    # r13 (guide §2.6): the ten legs are INDEPENDENT availableNow queries
+    # that used to run strictly back-to-back — each one blocks on
+    # awaitTermination while most cores idle through its micro-batch tail.
+    # A driver pool overlaps them. Two shared-state hazards handled:
+    # * the normalized file-source staging dir is written ONCE serially
+    #   before the pool (its mtime-marker check is not rename-atomic);
+    # * _run_to_table pins spark.sql.shuffle.partitions per leg with a
+    #   set/restore — racy in a pool — so the suite pins the SAME value
+    #   for the whole pooled phase; every leg's inner set/restore then
+    #   writes that identical value (idempotent), and the caller's conf
+    #   is restored once at the end. Leg outputs are unchanged.
+    _staged_dir(spark, sf_dir)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
     null_ts = F.lit(None).cast("timestamp")
-    dedup = stateful.where(F.col("part") == "dedup").select(
-        F.lit("stateful_dedup").alias("part"),
-        F.col("event_type").alias("key"), null_ts.alias("win_start"),
-        "n", F.lit(None).cast("double").alias("metric"))
-    compliance = stateful.where(F.col("part") == "compliance").select(
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions",
+                       str(min(int(prev), 32)))
+        legs = {
+            "tumbling": lambda: _part(
+                stream_minute_tumbling(spark, sf_dir), "tumbling",
+                F.col("event_type"), F.col("minute"), F.col("n"),
+                F.col("avg_value")),
+            "sliding": lambda: _part(
+                stream_sliding_window(spark, sf_dir), "sliding",
+                F.lit(None), F.col("win_start"), F.col("n"),
+                F.col("avg_value")),
+            "session": lambda: _part(
+                stream_session_window(spark, sf_dir), "session",
+                F.col("user_id"), F.lit(None), F.col("n_events"),
+                F.col("n_sessions")),
+            "watermark": lambda: _part(
+                stream_watermark_late(spark, sf_dir), "watermark",
+                F.col("event_type"), F.col("hour"), F.col("n"),
+                F.lit(None)),
+            "checkpoint_sink": lambda: _part(
+                stream_sink_checkpointed(spark, sf_dir), "checkpoint_sink",
+                F.lit(None), F.lit(None), F.col("n_rows"),
+                F.col("sum_value")),
+            "stream_stream_join": lambda: _part(
+                stream_stream_join(spark, sf_dir), "stream_stream_join",
+                F.col("n_users"), F.lit(None), F.col("n_pairs"),
+                F.col("avg_lag_sec")),
+            "stateful_dedup": lambda: stream_stateful_dedup(
+                spark, sf_dir).select(
+                F.lit("stateful_dedup").alias("part"),
+                F.col("event_type").alias("key"),
+                null_ts.alias("win_start"),
+                F.col("n_unique_events").alias("n"),
+                F.lit(None).cast("double").alias("metric")),
+            "stateful_compliance": lambda: stream_stateful_compliance(
+                spark, sf_dir),
+            "lsh_index_maintain": lambda: _part(
+                stream_lsh_index_summary(spark, sf_dir),
+                "lsh_index_maintain", F.col("table_idx"),
+                F.lit(None), F.col("n_vectors"), F.col("max_bucket")),
+            # T10: exactly-once ingestion into the TxLog lakehouse table —
+            # the '_txn' key's n is (table_rows - source_rows) +
+            # replay_applied and must be 0 (no loss, no duplication,
+            # replayed batch skipped)
+            "txlog_ingest": lambda: _part(
+                stream_txlog_ingest(spark, sf_dir), "txlog_ingest",
+                F.col("key"), F.lit(None), F.col("n"),
+                F.col("n2").cast("double")),
+        }
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            futs = {k: pool.submit(fn) for k, fn in legs.items()}
+            res = {k: f.result() for k, f in futs.items()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    comp = res["stateful_compliance"]
+    compliance = comp.select(
         F.lit("stateful_compliance").alias("part"),
         F.col("event_type").alias("key"), null_ts.alias("win_start"),
         "n", F.col("compliance_pct").alias("metric"))
-    breaches = stateful.where(F.col("part") == "compliance").select(
+    breaches = comp.select(
         F.lit("stateful_breaches").alias("part"),
         F.col("event_type").alias("key"), null_ts.alias("win_start"),
-        F.col("breaches").alias("n"), F.lit(None).cast("double").alias("metric"))
-    return (windows.unionByName(dedup).unionByName(compliance)
-            .unionByName(breaches).unionByName(lsh_index)
-            .unionByName(txlog_ingest)
+        F.col("breaches").alias("n"),
+        F.lit(None).cast("double").alias("metric"))
+    windows = (res["tumbling"].unionByName(res["sliding"])
+               .unionByName(res["session"]).unionByName(res["watermark"])
+               .unionByName(res["checkpoint_sink"])
+               .unionByName(res["stream_stream_join"]))
+    return (windows.unionByName(res["stateful_dedup"])
+            .unionByName(compliance)
+            .unionByName(breaches).unionByName(res["lsh_index_maintain"])
+            .unionByName(res["txlog_ingest"])
             .orderBy("part", "key", "win_start"))
