@@ -85,13 +85,23 @@ def text_tfidf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     frame (BroadcastNestedLoopJoin of a scalar — never a shuffle); the
     rank window partitions by doc_id so its state is one doc's
     vocabulary."""
+    from pyspark import StorageLevel
+
     d = _docs(spark, sf_dir)
+    # r13 (guide §2.3): tf and df both consume the exploded token frame —
+    # unpersisted, documents was scanned and tokenized twice
+    # (plans/r13/text_tfidf_topk_before.txt: 3 scans). df also now derives
+    # from the (doc_id, token)-grouped tf frame instead of a separate
+    # tok.distinct() pass — count of tf rows per token IS the number of
+    # docs containing the token. One scan + one tokenize for both.
     tok = d.select(
         "doc_id",
         F.explode(F.filter(F.split(F.lower("text"), " "),
                            lambda t: t != F.lit(""))).alias("token"))
-    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
-    df = (tok.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df")))
+    tf = (tok.groupBy("doc_id", "token")
+          .agg(F.count(F.lit(1)).alias("tf"))
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    df = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     score = F.col("tf") * F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1.0))
     w = Window.partitionBy("doc_id").orderBy(F.desc(score), F.asc("token"))

@@ -819,12 +819,227 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
                    divergence across dedup PAIRS and cluster LABELS
                    (must be 0)."""
     import shutil
+    from concurrent.futures import ThreadPoolExecutor
 
     from service_level_reporting_spark.sources.txlog import (
         SchemaEvolutionError, TxLogTable)
+    from service_level_reporting_spark.sources.txlog_datasource import (
+        TxLogDataSource)
 
     root = _staging_dir(spark, sf_dir, "sink_txlog_rowops")
     shutil.rmtree(root, ignore_errors=True)
+    # registered up-front (not mid-chain) so pooled legs that read via
+    # spark.read.format('txlog') never race the registration
+    spark.dataSource.register(TxLogDataSource)
+
+    # r13 (guide §2.6): six legs operate on their OWN side tables and
+    # depend on nothing in the main table's commit history — they run as
+    # futures while the main rowops chain proceeds on this thread. The
+    # main chain itself (appends → delete → update → CDF → restore →
+    # merge → dsrc/sql/colmap/retention/protocol/admission) is ORDER-
+    # DEPENDENT (reported version numbers ride in the rows) and stays
+    # strictly sequential. Each leg's values are unchanged.
+
+    def _leg_widen() -> dict:
+        shutil.rmtree(root + "_widen", ignore_errors=True)
+        tw = TxLogTable(root + "_widen", key_cols=["k"], stats_col="k")
+        tw.append(spark.createDataFrame([("a", 1), ("b", 2)],
+                                        "k string, v int").coalesce(1))
+        tw.enable_type_widening()
+        tw.widen_column("v", "long")
+        tw.append(spark.createDataFrame([("c", 2 ** 40)],
+                                        "k string, v long").coalesce(1))
+        want_w = spark.createDataFrame(
+            [("a", 1), ("b", 2), ("c", 2 ** 40)], "k string, v long")
+        got_w = tw.read(spark)
+        via_w = spark.read.format("txlog").load(root + "_widen")
+        widen_div = (got_w.exceptAll(want_w)
+                     .unionAll(want_w.exceptAll(got_w)).count()
+                     + via_w.exceptAll(want_w)
+                     .unionAll(want_w.exceptAll(via_w)).count()
+                     + int(dict(got_w.dtypes)["v"] != "bigint")
+                     + int(dict(via_w.dtypes)["v"] != "bigint"))
+        # narrowing must refuse
+        try:
+            tw.widen_column("v", "int")
+            widen_refused = 0
+        except SchemaEvolutionError:
+            widen_refused = 1
+        out = {"rows": got_w.count(), "ver": tw.latest_version(),
+               "div": widen_div, "refused": widen_refused}
+        shutil.rmtree(root + "_widen", ignore_errors=True)
+        return out
+
+    def _leg_rowtrack() -> dict:
+        # r10 row tracking: identity survives rewrites, allocation never
+        # collides, update bumps the row's commit version
+        rt_root = root + "_rt"
+        shutil.rmtree(rt_root, ignore_errors=True)
+        rt = TxLogTable(rt_root, key_cols=["k"], stats_col="k")
+        rt.append(spark.createDataFrame(
+            [(f"k{i:02d}", i) for i in range(40)],
+            "k string, v long").coalesce(2))
+        rt.enable_row_tracking()
+
+        def rt_ids():
+            return {r["k"]: (r["_row_id"], r["_row_commit_version"])
+                    for r in rt.read(spark, with_row_ids=True).collect()}
+
+        rt0 = rt_ids()
+        rt.update(F.col("k") == "k05", {"v": "v + 1000"})
+        rt.optimize(target_files=1)
+        rt1 = rt_ids()
+        out = {
+            "changed": sum(1 for k in rt1 if rt1[k][0] != rt0[k][0]),
+            "dups": len(rt1) - len({i for i, _ in rt1.values()}),
+            "ver_ok": (rt1["k05"][1] > rt0["k05"][1]
+                       and all(rt1[k][1] == rt0[k][1]
+                               for k in rt1 if k != "k05"))}
+        shutil.rmtree(rt_root, ignore_errors=True)
+        return out
+
+    def _leg_generated() -> dict:
+        # r10 s2 generated columns: compute on write, recompute through
+        # rewrites, refuse wrong supplies
+        from service_level_reporting_spark.sources.txlog import (
+            GeneratedColumnViolation)
+
+        gc_root = root + "_gen"
+        shutil.rmtree(gc_root, ignore_errors=True)
+        gt = TxLogTable(gc_root, key_cols=["k"], stats_col="k")
+        gt.add_generated_column("day", "string",
+                                "date_format(minute, 'yyyy-MM-dd')")
+        gt.append(spark.createDataFrame(
+            [(f"k{i}", f"2024-01-0{1 + i % 3} 0{i % 10}:0{i % 6}:00")
+             for i in range(30)], "k string, minute string")
+            .withColumn("minute", F.to_timestamp("minute")).coalesce(2))
+        gt.update(F.col("k") == "k3",
+                  {"minute": "minute + interval 2 days"})
+        gt.optimize(target_files=1)
+        gc_bad = (gt.read(spark)
+                  .filter(~F.col("day").eqNullSafe(
+                      F.date_format("minute", "yyyy-MM-dd"))).count())
+        try:
+            gt.append(spark.createDataFrame(
+                [("x", "2024-01-01 00:00:00", "wrong")],
+                "k string, minute string, day string")
+                .withColumn("minute", F.to_timestamp("minute")))
+            gc_refused = 0
+        except GeneratedColumnViolation:
+            gc_refused = 1
+        out = {"bad": gc_bad, "n": len(gt.generated_columns()),
+               "refused": gc_refused}
+        shutil.rmtree(gc_root, ignore_errors=True)
+        return out
+
+    def _leg_replicate() -> dict:
+        # r10 keyless CDF replication: row ids as the merge key, on a
+        # table whose rows include exact duplicates (unaddressable by
+        # any natural-key merge)
+        from service_level_reporting_spark.operators import (
+            replicate as _RP)
+
+        rp_root = root + "_repl"
+        shutil.rmtree(rp_root, ignore_errors=True)
+        rs = TxLogTable(os.path.join(rp_root, "src"),
+                        key_cols=["k"], stats_col="k")
+        rs.append(spark.createDataFrame(
+            [("dup", 0)] * 3 + [(f"k{i:02d}", i) for i in range(30)],
+            "k string, v long").coalesce(2))
+        rs.enable_row_tracking()
+        _RP.replicate_bootstrap(spark, os.path.join(rp_root, "src"),
+                                os.path.join(rp_root, "rep"))
+        rs.append(spark.createDataFrame([("k80", 80), ("dup", 0)],
+                                        "k string, v long").coalesce(1))
+        rs.update(F.col("k") == "k04", {"v": "v + 100"})
+        rs.delete(F.col("k") == "k06", mode="mor")
+        fold = _RP.replicate_sync(spark, os.path.join(rp_root, "src"),
+                                  os.path.join(rp_root, "rep"))
+        rs.optimize(target_files=1)      # pure carry: zero feed rows
+        fold2 = _RP.replicate_sync(spark, os.path.join(rp_root, "src"),
+                                   os.path.join(rp_root, "rep"))
+        rp_div = (_RP.replica_divergence(
+            spark, os.path.join(rp_root, "src"),
+            os.path.join(rp_root, "rep"))
+            + fold2["upserted"] + fold2["deleted"])
+        out = {"upserted": fold["upserted"], "deleted": fold["deleted"],
+               "div": rp_div}
+        shutil.rmtree(rp_root, ignore_errors=True)
+        return out
+
+    def _leg_dedup_state() -> dict:
+        # r10 (VERDICT #3): incremental TEXT-dedup state — fold the
+        # corpus change feed, compare decisions against a full rebuild
+        from service_level_reporting_spark.operators import (
+            dedup_state as _DS)
+
+        docs = (load_tables(spark, sf_dir)["documents"]
+                .select("doc_id", "text").where(F.col("doc_id") < 120))
+        ds_root = root + "_dstate"
+        shutil.rmtree(ds_root, ignore_errors=True)
+        dc = TxLogTable(os.path.join(ds_root, "corpus"),
+                        key_cols=["doc_id"], stats_col="text")
+        dc.append(docs.where(F.col("doc_id") % 3 != 0).coalesce(2))
+        _DS.build_dedup_state(spark, os.path.join(ds_root, "corpus"),
+                              os.path.join(ds_root, "folded"))
+        dc.append(docs.where(F.col("doc_id") % 3 == 0).coalesce(2))
+        dc.delete(F.col("doc_id") % 10 == 1)
+        delta_ins = docs.where((F.col("doc_id") % 3 == 0)
+                               & (F.col("doc_id") % 10 != 1)).count()
+        ds_sync = _DS.dedup_state_sync(
+            spark, os.path.join(ds_root, "corpus"),
+            os.path.join(ds_root, "folded"))
+        _DS.build_dedup_state(spark, os.path.join(ds_root, "corpus"),
+                              os.path.join(ds_root, "fresh"))
+        pf = _DS.dedup_pairs_from_state(
+            spark, os.path.join(ds_root, "folded"))
+        pr = _DS.dedup_pairs_from_state(
+            spark, os.path.join(ds_root, "fresh"))
+        lf = _DS.dedup_labels_from_state(
+            spark, os.path.join(ds_root, "folded"))
+        lr = _DS.dedup_labels_from_state(
+            spark, os.path.join(ds_root, "fresh"))
+        ds_div = (pf.exceptAll(pr).unionAll(pr.exceptAll(pf)).count()
+                  + lf.exceptAll(lr).unionAll(lr.exceptAll(lf)).count())
+        out = {"signed": ds_sync["signed"], "delta_ins": delta_ins,
+               "div": ds_div}
+        shutil.rmtree(ds_root, ignore_errors=True)
+        return out
+
+    def _leg_convert() -> dict:
+        # r12 (S37/S38): CONVERT TO TXLOG + DEEP CLONE, in-frame
+        cv_root = root + "_convert"
+        shutil.rmtree(cv_root, ignore_errors=True)
+        (spark.createDataFrame([(f"c{i:02d}", i) for i in range(20)],
+                               "k string, v long")
+         .coalesce(2).write.parquet(cv_root))
+        cv_before = {(r["k"], r["v"]) for r in
+                     spark.read.parquet(cv_root).collect()}
+        ct = TxLogTable.convert(cv_root, key_cols=["k"], stats_col="k")
+        ct.merge(spark.createDataFrame([("c05", 500)],
+                                       "k string, v long").coalesce(1))
+        cv_after = {(r["k"], r["v"]) for r in ct.read(spark).collect()}
+        cv_want = ({kv for kv in cv_before if kv[0] != "c05"}
+                   | {("c05", 500)})
+        # deep clone of the converted table: zero foreign references,
+        # read parity with the source snapshot
+        dcl = ct.clone(cv_root + "_deep", deep=True)
+        dcl_refs = dcl.verify_references()
+        dcl_set = {(r["k"], r["v"]) for r in dcl.read(spark).collect()}
+        out = {"n": len(cv_before), "deep_files": dcl_refs["checked"],
+               "div": (len(cv_after ^ cv_want) + len(dcl_set ^ cv_after)
+                       + dcl_refs["foreign"]
+                       + len(dcl_refs["missing_data"]))}
+        shutil.rmtree(cv_root + "_deep", ignore_errors=True)
+        shutil.rmtree(cv_root, ignore_errors=True)
+        return out
+
+    pool = ThreadPoolExecutor(max_workers=4)
+    side = {name: pool.submit(fn) for name, fn in (
+        ("widen", _leg_widen), ("rowtrack", _leg_rowtrack),
+        ("generated", _leg_generated), ("replicate", _leg_replicate),
+        ("dedup_state", _leg_dedup_state), ("convert", _leg_convert))}
+
     t = TxLogTable(root, key_cols=["indicator", "minute"],
                    stats_col="minute")
     ev = load_tables(spark, sf_dir, ("events",))["events"]
@@ -896,10 +1111,10 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
                    .unionAll(mi_want.exceptAll(mi_got)).count())
 
     # the table as a first-class Spark source: snapshot equality via the
-    # registered format, log-level pushdown pruning, CDF through the source
+    # registered format (registered up-front), log-level pushdown pruning,
+    # CDF through the source
     from service_level_reporting_spark.sources.txlog_datasource import (
-        TxLogBatchReader, TxLogDataSource)
-    spark.dataSource.register(TxLogDataSource)
+        TxLogBatchReader)
     via_src = spark.read.format("txlog").load(root)
     direct = t.read(spark)
     src_diverged = (via_src.exceptAll(direct)
@@ -961,36 +1176,6 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.catalog.dropTempView(vn)
     shutil.rmtree(root + "_sqlclone", ignore_errors=True)
 
-    # ---- r11 type widening (VERDICT #4): int files + long files under
-    # one widened schema, read up-cast through BOTH APIs ----------------
-    shutil.rmtree(root + "_widen", ignore_errors=True)
-    tw = TxLogTable(root + "_widen", key_cols=["k"], stats_col="k")
-    tw.append(spark.createDataFrame([("a", 1), ("b", 2)],
-                                    "k string, v int").coalesce(1))
-    tw.enable_type_widening()
-    tw.widen_column("v", "long")
-    tw.append(spark.createDataFrame([("c", 2 ** 40)],
-                                    "k string, v long").coalesce(1))
-    want_w = spark.createDataFrame(
-        [("a", 1), ("b", 2), ("c", 2 ** 40)], "k string, v long")
-    got_w = tw.read(spark)
-    via_w = spark.read.format("txlog").load(root + "_widen")
-    widen_div = (got_w.exceptAll(want_w)
-                 .unionAll(want_w.exceptAll(got_w)).count()
-                 + via_w.exceptAll(want_w)
-                 .unionAll(want_w.exceptAll(via_w)).count()
-                 + int(dict(got_w.dtypes)["v"] != "bigint")
-                 + int(dict(via_w.dtypes)["v"] != "bigint"))
-    # narrowing must refuse
-    try:
-        tw.widen_column("v", "int")
-        widen_refused = 0
-    except SchemaEvolutionError:
-        widen_refused = 1
-    widen_rows = got_w.count()
-    widen_ver = tw.latest_version()
-    shutil.rmtree(root + "_widen", ignore_errors=True)
-
     # ---- r9 legs: column mapping / log retention / protocol gate /
     # streaming admission control, each verified in-frame ----------------
     from service_level_reporting_spark.sources.txlog import ProtocolError
@@ -1039,151 +1224,21 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
         steps += 1
     want_steps = -(-(head + 1) // 2)
 
-    # -- r10 row tracking: identity survives rewrites, allocation never
-    # collides, update bumps the row's commit version
-    rt_root = root + "_rt"
-    shutil.rmtree(rt_root, ignore_errors=True)
-    rt = TxLogTable(rt_root, key_cols=["k"], stats_col="k")
-    rt.append(spark.createDataFrame(
-        [(f"k{i:02d}", i) for i in range(40)],
-        "k string, v long").coalesce(2))
-    rt.enable_row_tracking()
-
-    def rt_ids():
-        return {r["k"]: (r["_row_id"], r["_row_commit_version"])
-                for r in rt.read(spark, with_row_ids=True).collect()}
-
-    rt0 = rt_ids()
-    rt.update(F.col("k") == "k05", {"v": "v + 1000"})
-    rt.optimize(target_files=1)
-    rt1 = rt_ids()
-    rt_changed = sum(1 for k in rt1 if rt1[k][0] != rt0[k][0])
-    rt_dups = len(rt1) - len({i for i, _ in rt1.values()})
-    rt_ver_ok = (rt1["k05"][1] > rt0["k05"][1]
-                 and all(rt1[k][1] == rt0[k][1]
-                         for k in rt1 if k != "k05"))
-    shutil.rmtree(rt_root, ignore_errors=True)
-
-    # -- r10 s2 generated columns: compute on write, recompute through
-    # rewrites, refuse wrong supplies
-    from service_level_reporting_spark.sources.txlog import (
-        GeneratedColumnViolation)
-
-    gc_root = root + "_gen"
-    shutil.rmtree(gc_root, ignore_errors=True)
-    gt = TxLogTable(gc_root, key_cols=["k"], stats_col="k")
-    gt.add_generated_column("day", "string",
-                            "date_format(minute, 'yyyy-MM-dd')")
-    gt.append(spark.createDataFrame(
-        [(f"k{i}", f"2024-01-0{1 + i % 3} 0{i % 10}:0{i % 6}:00")
-         for i in range(30)], "k string, minute string")
-        .withColumn("minute", F.to_timestamp("minute")).coalesce(2))
-    gt.update(F.col("k") == "k3", {"minute": "minute + interval 2 days"})
-    gt.optimize(target_files=1)
-    gc_bad = (gt.read(spark)
-              .filter(~F.col("day").eqNullSafe(
-                  F.date_format("minute", "yyyy-MM-dd"))).count())
     try:
-        gt.append(spark.createDataFrame(
-            [("x", "2024-01-01 00:00:00", "wrong")],
-            "k string, minute string, day string")
-            .withColumn("minute", F.to_timestamp("minute")))
-        gc_refused = 0
-    except GeneratedColumnViolation:
-        gc_refused = 1
-    gc_n = len(gt.generated_columns())
-    shutil.rmtree(gc_root, ignore_errors=True)
-
-    # -- r10 keyless CDF replication: row ids as the merge key, on a
-    # table whose rows include exact duplicates (unaddressable by any
-    # natural-key merge)
-    from service_level_reporting_spark.operators import replicate as _RP
-
-    rp_root = root + "_repl"
-    shutil.rmtree(rp_root, ignore_errors=True)
-    rs = TxLogTable(os.path.join(rp_root, "src"),
-                    key_cols=["k"], stats_col="k")
-    rs.append(spark.createDataFrame(
-        [("dup", 0)] * 3 + [(f"k{i:02d}", i) for i in range(30)],
-        "k string, v long").coalesce(2))
-    rs.enable_row_tracking()
-    _RP.replicate_bootstrap(spark, os.path.join(rp_root, "src"),
-                            os.path.join(rp_root, "rep"))
-    rs.append(spark.createDataFrame([("k80", 80), ("dup", 0)],
-                                    "k string, v long").coalesce(1))
-    rs.update(F.col("k") == "k04", {"v": "v + 100"})
-    rs.delete(F.col("k") == "k06", mode="mor")
-    fold = _RP.replicate_sync(spark, os.path.join(rp_root, "src"),
-                              os.path.join(rp_root, "rep"))
-    rs.optimize(target_files=1)          # pure carry: zero feed rows
-    fold2 = _RP.replicate_sync(spark, os.path.join(rp_root, "src"),
-                               os.path.join(rp_root, "rep"))
-    rp_div = (_RP.replica_divergence(spark, os.path.join(rp_root, "src"),
-                                     os.path.join(rp_root, "rep"))
-              + fold2["upserted"] + fold2["deleted"])
-    shutil.rmtree(rp_root, ignore_errors=True)
-
-    # -- r10 (VERDICT #3): incremental TEXT-dedup state — fold the
-    # corpus change feed, compare decisions against a full rebuild
-    from service_level_reporting_spark.operators import (
-        dedup_state as _DS)
-
-    docs = (load_tables(spark, sf_dir)["documents"]
-            .select("doc_id", "text").where(F.col("doc_id") < 120))
-    ds_root = root + "_dstate"
-    shutil.rmtree(ds_root, ignore_errors=True)
-    dc = TxLogTable(os.path.join(ds_root, "corpus"),
-                    key_cols=["doc_id"], stats_col="text")
-    dc.append(docs.where(F.col("doc_id") % 3 != 0).coalesce(2))
-    _DS.build_dedup_state(spark, os.path.join(ds_root, "corpus"),
-                          os.path.join(ds_root, "folded"))
-    dc.append(docs.where(F.col("doc_id") % 3 == 0).coalesce(2))
-    dc.delete(F.col("doc_id") % 10 == 1)
-    delta_ins = docs.where((F.col("doc_id") % 3 == 0)
-                           & (F.col("doc_id") % 10 != 1)).count()
-    ds_sync = _DS.dedup_state_sync(spark, os.path.join(ds_root, "corpus"),
-                                   os.path.join(ds_root, "folded"))
-    _DS.build_dedup_state(spark, os.path.join(ds_root, "corpus"),
-                          os.path.join(ds_root, "fresh"))
-    pf = _DS.dedup_pairs_from_state(spark, os.path.join(ds_root, "folded"))
-    pr = _DS.dedup_pairs_from_state(spark, os.path.join(ds_root, "fresh"))
-    lf = _DS.dedup_labels_from_state(spark,
-                                     os.path.join(ds_root, "folded"))
-    lr = _DS.dedup_labels_from_state(spark, os.path.join(ds_root, "fresh"))
-    ds_div = (pf.exceptAll(pr).unionAll(pr.exceptAll(pf)).count()
-              + lf.exceptAll(lr).unionAll(lr.exceptAll(lf)).count())
-    shutil.rmtree(ds_root, ignore_errors=True)
-
-    # -- r12 (S37/S38): CONVERT TO TXLOG + DEEP CLONE, in-frame --------
-    cv_root = root + "_convert"
-    shutil.rmtree(cv_root, ignore_errors=True)
-    (spark.createDataFrame([(f"c{i:02d}", i) for i in range(20)],
-                           "k string, v long")
-     .coalesce(2).write.parquet(cv_root))
-    cv_before = {(r["k"], r["v"]) for r in
-                 spark.read.parquet(cv_root).collect()}
-    ct = TxLogTable.convert(cv_root, key_cols=["k"], stats_col="k")
-    ct.merge(spark.createDataFrame([("c05", 500)],
-                                   "k string, v long").coalesce(1))
-    cv_after = {(r["k"], r["v"]) for r in ct.read(spark).collect()}
-    cv_want = {kv for kv in cv_before if kv[0] != "c05"} | {("c05", 500)}
-    cv_n = len(cv_before)
-    # deep clone of the converted table: zero foreign references, read
-    # parity with the source snapshot
-    dcl = ct.clone(cv_root + "_deep", deep=True)
-    dcl_refs = dcl.verify_references()
-    dcl_set = {(r["k"], r["v"]) for r in dcl.read(spark).collect()}
-    cv_div = (len(cv_after ^ cv_want) + len(dcl_set ^ cv_after)
-              + dcl_refs["foreign"] + len(dcl_refs["missing_data"]))
-    cv_deep_files = dcl_refs["checked"]
-    shutil.rmtree(cv_root + "_deep", ignore_errors=True)
-    shutil.rmtree(cv_root, ignore_errors=True)
+        wd = side["widen"].result()
+        rt = side["rowtrack"].result()
+        gc = side["generated"].result()
+        rp = side["replicate"].result()
+        ds = side["dedup_state"].result()
+        cv = side["convert"].result()
+    finally:
+        pool.shutdown(wait=True)
 
     return spark.createDataFrame(
-        [("_convert", cv_n, cv_deep_files, float(cv_div)),
+        [("_convert", cv["n"], cv["deep_files"], float(cv["div"])),
          ("_sql", sql_n, py_n, float(sql_div + asof_div + refresh_div)),
-         ("_widen", widen_rows, widen_ver,
-          float(widen_div + (1 - widen_refused))),
+         ("_widen", wd["rows"], wd["ver"],
+          float(wd["div"] + (1 - wd["refused"]))),
          ("_colmap", map_div + rewrote, t.latest_version(),
           float(map_src_div)),
          ("_retention", vac["removed_log_files"], t.earliest_version(),
@@ -1191,11 +1246,12 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
          ("_protocol", proto["minReaderVersion"],
           proto["minWriterVersion"], float(1 - proto_refused)),
          ("_admission", steps, want_steps, float(steps - want_steps)),
-         ("_rowtrack", rt_changed, rt_dups, float(0 if rt_ver_ok else 1)),
-         ("_generated", gc_bad, gc_n, float(1 - gc_refused)),
-         ("_replicate", fold["upserted"], fold["deleted"],
-          float(rp_div)),
-         ("_dedup_state", ds_sync["signed"], delta_ins, float(ds_div)),
+         ("_rowtrack", rt["changed"], rt["dups"],
+          float(0 if rt["ver_ok"] else 1)),
+         ("_generated", gc["bad"], gc["n"], float(1 - gc["refused"])),
+         ("_replicate", rp["upserted"], rp["deleted"], float(rp["div"])),
+         ("_dedup_state", ds["signed"], ds["delta_ins"],
+          float(ds["div"])),
          ("_dsrc", src_diverged, probe.pruned_files,
           float(src_cdf_rows - cdf_rows_direct)),
          ("_delete", d["rewritten_files"], d["carried_files"],
