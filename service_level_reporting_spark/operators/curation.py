@@ -678,11 +678,15 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     gets its train copies flagged (overlap 1.0), matching the per-doc rule."""
     from pyspark import StorageLevel
 
-    from service_level_reporting_spark.operators.dedup import (
-        _shingle_index, _text_groups)
+    from service_level_reporting_spark.operators.dedup import _shingle_index
 
     d = _docs(spark, sf_dir)
-    groups = _text_groups(d)
+    # r13 (guide §2.3): the clone map feeds the benchmark-slice semi-join
+    # AND the final per-doc expansion; the doc metadata join adds a third
+    # documents scan. Carrying `source` on the persisted clone map serves
+    # all three consumers from ONE documents scan (plus the rep-text agg).
+    groups = (d.select(F.md5("text").alias("h"), "doc_id", "source")
+              .persist(StorageLevel.MEMORY_AND_DISK))
     texts = (
         d.select(F.md5("text").alias("h"), "text")
         .groupBy("h").agg(F.first("text").alias("text"))
@@ -708,7 +712,6 @@ def corpus_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         groups.where(F.col("doc_id") % DECONTAM_MOD != 0)
         .join(hits.join(sizes, "h"), "h")
-        .join(d.select("doc_id", "source"), "doc_id")
         .select("doc_id", "source", "n_overlap", "n_ngrams",
                 SF.r6(F.col("n_overlap") / F.col("n_ngrams")).alias("overlap_frac"))
     )

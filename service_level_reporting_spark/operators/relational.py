@@ -207,6 +207,8 @@ def join_semi_anti_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup both sides, FULL OUTER keeps every key with per-side presence
     (the shape audits/backfills use to find rows missing from either
     side). All shuffle on the key only."""
+    from pyspark import StorageLevel
+
     t = load_tables(spark, sf_dir, ("customer", "orders", "events"))
     on = F.col("c_custkey") == F.col("o_custkey")
 
@@ -218,8 +220,15 @@ def join_semi_anti_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     anti = seg(t["customer"].join(t["orders"], on, "left_anti"), "without_orders")
     ev = t["events"]
     cut = F.lit("2024-01-15")
-    w1 = ev.where(F.col("ts") < cut).select("user_id").distinct()
-    w2 = ev.where(F.col("ts") >= cut).select("user_id").distinct()
+    # r13 (guide §2.3): each window's distinct-user set feeds THREE
+    # consumers (intersect, except, full-outer) — unpersisted, the raw
+    # events scan + distinct shuffle ran three times per window
+    # (plans/r13/join_semi_anti_setops_before.txt: 10 scans). The sets
+    # are small (distinct user ids); one scan + one distinct each now.
+    w1 = (ev.where(F.col("ts") < cut).select("user_id").distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK))
+    w2 = (ev.where(F.col("ts") >= cut).select("user_id").distinct()
+          .persist(StorageLevel.MEMORY_AND_DISK))
     retained = seg(w1.intersect(w2), "retained")
     churned = seg(w1.exceptAll(w2), "churned")
     fo = (w1.select(F.col("user_id").alias("au"))

@@ -479,9 +479,14 @@ def report_value_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def report_user_analytics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     ev = load_tables(spark, sf_dir, ("events",))["events"]
-    active = ev.select("user_id",
-                       F.date_trunc("day", "ts").alias("day")).distinct()
+    # r13 (guide §2.3): `active` feeds the cohort build AND the retention
+    # join — persisted so the events scan + distinct shuffle run once
+    active = (ev.select("user_id",
+                        F.date_trunc("day", "ts").alias("day")).distinct()
+              .persist(StorageLevel.MEMORY_AND_DISK))
     cohort = active.groupBy("user_id").agg(F.min("day").alias("d0"))
     offset = F.datediff(F.col("day"), F.col("d0")).cast("long")
     retention = (
