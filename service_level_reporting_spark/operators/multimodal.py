@@ -51,7 +51,7 @@ from pyspark.sql.types import (
     BinaryType, DoubleType, LongType, StringType, StructField, StructType)
 
 from service_level_reporting_spark.registry import register
-from service_level_reporting_spark.tables import load_tables
+from service_level_reporting_spark.tables import fanout_small_input, load_tables
 
 # Schema of the "asset" table a real pipeline would carry: opaque payload +
 # typed metadata. Synthesized deterministically from `documents` (no binary
@@ -670,15 +670,36 @@ _JPEG_HUFF_AC_CHR = (
      0xF9, 0xFA])
 
 
+_JPEG_DCT_D = None
+_JPEG_ZIG_ARR = None
+
+
 def _jpeg_dct_matrix():
     """Orthonormal 8x8 DCT-II basis D: forward coeffs = D @ block @ D.T,
-    inverse block = D.T @ coeffs @ D (D is orthogonal)."""
+    inverse block = D.T @ coeffs @ D (D is orthogonal). Memoized
+    (read-only) — it was rebuilt per encode/decode call."""
+    global _JPEG_DCT_D
     import numpy as np
 
-    k = np.arange(8, dtype=np.float64)
-    D = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * 0.5
-    D[0] *= 1.0 / np.sqrt(2.0)
-    return D
+    if _JPEG_DCT_D is None:
+        k = np.arange(8, dtype=np.float64)
+        D = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16) * 0.5
+        D[0] *= 1.0 / np.sqrt(2.0)
+        D.setflags(write=False)
+        _JPEG_DCT_D = D
+    return _JPEG_DCT_D
+
+
+def _jpeg_zig_arr():
+    """_JPEG_ZIGZAG as a cached numpy index array."""
+    global _JPEG_ZIG_ARR
+    import numpy as np
+
+    if _JPEG_ZIG_ARR is None:
+        z = np.array(_JPEG_ZIGZAG)
+        z.setflags(write=False)
+        _JPEG_ZIG_ARR = z
+    return _JPEG_ZIG_ARR
 
 
 def _jpeg_canonical_codes(bits, values):
@@ -699,17 +720,28 @@ def _jpeg_canonical_codes(bits, values):
     return out
 
 
+_JPEG_QT_CACHE: dict[int, list] = {}
+
+
 def _jpeg_quality_tables(quality: int):
-    """libjpeg-compatible quality scaling of the Annex K base tables."""
+    """libjpeg-compatible quality scaling of the Annex K base tables
+    (memoized per quality — rebuilt per frame it was ~10% of an MJPEG
+    encode; arrays are marked read-only so the cache cannot be mutated)."""
     import numpy as np
 
     if not 1 <= quality <= 100:
         raise ValueError(f"JPEG: quality must be 1..100, got {quality}")
+    got = _JPEG_QT_CACHE.get(quality)
+    if got is not None:
+        return got
     scale = 5000 // quality if quality < 50 else 200 - 2 * quality
     tabs = []
     for base in (_JPEG_Q_LUM, _JPEG_Q_CHR):
         q = [(min(max((b * scale + 50) // 100, 1), 255)) for b in base]
-        tabs.append(np.array(q, dtype=np.float64).reshape(8, 8))
+        arr = np.array(q, dtype=np.float64).reshape(8, 8)
+        arr.setflags(write=False)
+        tabs.append(arr)
+    _JPEG_QT_CACHE[quality] = tabs
     return tabs
 
 
@@ -782,6 +814,204 @@ def _jpeg_encode_block(zz, pred: int, dc_codes, ac_codes, bw) -> int:
     return dc
 
 
+def _jpeg_lut(tab: dict):
+    """(code_vals, code_lens) uint32/uint8 numpy LUTs over symbol index for
+    one canonical-Huffman table dict {sym: (code, len)}."""
+    import numpy as np
+
+    n = max(tab) + 1
+    vals = np.zeros(n, dtype=np.uint32)
+    lens = np.zeros(n, dtype=np.uint8)
+    for s, (c, ln) in tab.items():
+        vals[s] = c
+        lens[s] = ln
+    return vals, lens
+
+
+_JPEG_ENC_LUTS: list | None = None
+
+
+def _jpeg_enc_luts():
+    """Numpy LUTs for the four static Annex K baseline tables (cached —
+    encode_jpeg always uses these)."""
+    global _JPEG_ENC_LUTS
+    if _JPEG_ENC_LUTS is None:
+        _JPEG_ENC_LUTS = [
+            (_jpeg_lut(_jpeg_canonical_codes(*_JPEG_HUFF_DC_LUM)),
+             _jpeg_lut(_jpeg_canonical_codes(*_JPEG_HUFF_AC_LUM))),
+            (_jpeg_lut(_jpeg_canonical_codes(*_JPEG_HUFF_DC_CHR)),
+             _jpeg_lut(_jpeg_canonical_codes(*_JPEG_HUFF_AC_CHR))),
+        ]
+    return _JPEG_ENC_LUTS
+
+
+def _pack_bits_msb(vals, lens) -> bytes:
+    """Pack MSB-first bit items (value `vals[i]` occupying `lens[i]` bits)
+    into the JPEG entropy byte stream: spec padding (trailing 1-bits) and
+    0xFF00 byte stuffing (B.1.1.5) — bit-exact with _JpegBitWriter on the
+    same item sequence, but one vectorized pass instead of a Python call
+    per symbol (guide §4.2)."""
+    import numpy as np
+
+    if len(vals) == 0:
+        return b""
+    lens64 = lens.astype(np.int64)
+    ends = np.cumsum(lens64)
+    starts = ends - lens64
+    total = int(ends[-1])
+    nbytes = (total + 7) >> 3
+    # each item's bits land in an 8-byte big-endian window starting at its
+    # byte offset; disjoint bit positions mean add == bitwise-or, so
+    # overlapping windows accumulate without carries
+    shift = (64 - (starts & 7) - lens64).astype(np.uint64)
+    wide = vals.astype(np.uint64) << shift
+    b0 = (starts >> 3).astype(np.int64)
+    out = np.zeros(nbytes + 8, dtype=np.uint8)
+    for j in range(8):
+        np.add.at(out, b0 + j,
+                  ((wide >> np.uint64(8 * (7 - j))) & np.uint64(0xFF))
+                  .astype(np.uint8))
+    pad = (-total) % 8
+    if pad:
+        out[nbytes - 1] += (1 << pad) - 1        # spec: pad with 1-bits
+    arr = out[:nbytes]
+    ff = np.nonzero(arr == 0xFF)[0]
+    if len(ff):
+        arr = np.insert(arr, ff + 1, 0)          # 0xFF00 stuffing
+    return arr.tobytes()
+
+
+def _jpeg_entropy_scan(planes, factors) -> bytes:
+    """Vectorized baseline entropy-coded segment (replaces the per-MCU /
+    per-symbol Python loop over _jpeg_encode_block + _JpegBitWriter; those
+    remain as the reference implementation, pinned byte-identical by
+    pytest). Strategy: compute every (code, length) bit item with numpy,
+    order items by (block emission slot, within-block position), and pack
+    once (guide §4.2 — hand whole batches to vectorized native code)."""
+    import numpy as np
+
+    luts = _jpeg_enc_luts()
+    maxh = max(f[0] for f in factors)
+    maxv = max(f[1] for f in factors)
+    bpm = sum(h * v for h, v in factors)          # blocks per MCU
+    # flatten all components' blocks with their emission slot
+    z_parts, slot_parts, comp_parts = [], [], []
+    pre = 0
+    for ci, (hs, vs) in enumerate(factors):
+        q = planes[ci]                            # (bh, bw, 64) zigzagged
+        bh, bw_ = q.shape[0], q.shape[1]
+        by, bx = np.meshgrid(np.arange(bh), np.arange(bw_), indexing="ij")
+        mcux = bw_ // hs
+        m = (by // vs) * mcux + (bx // hs)
+        off = pre + (by % vs) * hs + (bx % hs)
+        slot_parts.append((m * bpm + off).reshape(-1))
+        z_parts.append(q.reshape(-1, 64))
+        comp_parts.append(np.full(bh * bw_, ci, dtype=np.int64))
+        pre += hs * vs
+    Z = np.concatenate(z_parts).astype(np.int64)
+    slots = np.concatenate(slot_parts)
+    comps = np.concatenate(comp_parts)
+    order = np.argsort(slots, kind="stable")      # slots are all distinct
+    Z, comps = Z[order], comps[order]
+    nblocks = Z.shape[0]
+    tsel = np.minimum(comps, 1)                   # table 0 = luma, 1 = chroma
+
+    def _bitlen(a):
+        # bit_length of non-negative int64 < 2^52: exact via frexp
+        return np.frexp(a.astype(np.float64))[1].astype(np.int64)
+
+    def _mag(v):
+        # F.1.2.1 magnitude coding: (size, appended bits)
+        size = _bitlen(np.abs(v))
+        bits = np.where(v >= 0, v, v + (1 << size) - 1)
+        return size, bits
+
+    # --- DC items: diff per component along its own emission order -------
+    dc = Z[:, 0].copy()
+    diff = np.empty_like(dc)
+    for ci in range(len(factors)):
+        sel = comps == ci
+        dcs = dc[sel]
+        diff[sel] = dcs - np.concatenate(([0], dcs[:-1]))
+    dsize, dbits = _mag(diff)
+    items = []      # (block_idx, within_key, val, len)
+
+    def emit(bidx, wkey, val, ln):
+        keep = ln > 0
+        items.append((bidx[keep] if isinstance(bidx, np.ndarray) else
+                      np.broadcast_to(bidx, val.shape)[keep],
+                      np.broadcast_to(wkey, val.shape)[keep]
+                      if np.isscalar(wkey) else wkey[keep],
+                      val[keep], ln[keep]))
+
+    bidx_all = np.arange(nblocks)
+    for t in range(2):
+        sel = tsel == t
+        dc_vals, dc_lens = luts[t][0]
+        emit(bidx_all[sel], 0, dc_vals[dsize[sel]].astype(np.int64),
+             dc_lens[dsize[sel]].astype(np.int64))
+        emit(bidx_all[sel], 1, dbits[sel], dsize[sel])
+
+    # --- AC items over all nonzero coefficients --------------------------
+    rows, cols = np.nonzero(Z[:, 1:])
+    cols = cols + 1
+    if len(rows):
+        first = np.concatenate(([True], rows[1:] != rows[:-1]))
+        prev = np.where(first, 0, np.concatenate(([0], cols[:-1])))
+        run = cols - prev - 1
+        v = Z[rows, cols]
+        size, bits = _mag(v)
+        t_ac = tsel[rows]
+        # ZRL items (run > 15): run>>4 copies before the value symbol
+        n_zrl = run >> 4
+        for t in range(2):
+            ac_vals, ac_lens = luts[t][1]
+            zsel = (n_zrl > 0) & (t_ac == t)
+            if zsel.any():
+                rep = np.repeat(np.nonzero(zsel)[0], n_zrl[zsel])
+                j = _seq_within(n_zrl[zsel])
+                emit(rows[rep], cols[rep] * 8 + 2 + j,
+                     np.broadcast_to(np.int64(ac_vals[0xF0]), rep.shape),
+                     np.broadcast_to(np.int64(ac_lens[0xF0]), rep.shape))
+            ssel = t_ac == t
+            sym = ((run[ssel] & 15) << 4) | size[ssel]
+            emit(rows[ssel], cols[ssel] * 8 + 6,
+                 ac_vals[sym].astype(np.int64),
+                 ac_lens[sym].astype(np.int64))
+            emit(rows[ssel], cols[ssel] * 8 + 7, bits[ssel], size[ssel])
+        last_nz = np.zeros(nblocks, dtype=np.int64)
+        np.maximum.at(last_nz, rows, cols)
+    else:
+        last_nz = np.zeros(nblocks, dtype=np.int64)
+    # --- EOB for every block whose last nonzero is not coefficient 63 ----
+    esel = last_nz != 63
+    for t in range(2):
+        ac_vals, ac_lens = luts[t][1]
+        bsel = esel & (tsel == t)
+        bb = bidx_all[bsel]
+        emit(bb, 64 * 8,
+             np.broadcast_to(np.int64(ac_vals[0x00]), bb.shape),
+             np.broadcast_to(np.int64(ac_lens[0x00]), bb.shape))
+
+    bidx = np.concatenate([i[0] for i in items])
+    wkey = np.concatenate([i[1] for i in items])
+    vals = np.concatenate([i[2] for i in items])
+    lens = np.concatenate([i[3] for i in items])
+    o = np.lexsort((wkey, bidx))
+    return _pack_bits_msb(vals[o].astype(np.uint32),
+                          lens[o].astype(np.uint8))
+
+
+def _seq_within(counts):
+    """[0..c0-1, 0..c1-1, ...] for a vector of repeat counts."""
+    import numpy as np
+
+    ends = np.cumsum(counts)
+    total = int(ends[-1])
+    idx = np.arange(total)
+    return idx - np.repeat(ends - counts, counts)
+
+
 def _jpeg_quantized_planes(pixels, quality: int, sampling: str):
     """Shared encode front half: RGB -> per-component MCU-padded grids of
     QUANTIZED ZIGZAG coefficients. Baseline and progressive encoders emit
@@ -807,7 +1037,7 @@ def _jpeg_quantized_planes(pixels, quality: int, sampling: str):
     ]
     qt = _jpeg_quality_tables(quality)
     D = _jpeg_dct_matrix()
-    zig = np.array(_JPEG_ZIGZAG)
+    zig = _jpeg_zig_arr()
     mcux = -(-w // (8 * maxh))
     mcuy = -(-h // (8 * maxv))
     planes = []
@@ -840,27 +1070,16 @@ def encode_jpeg(pixels, quality: int = 90, sampling: str = "444") -> bytes:
 
     planes, factors, qt, h, w, mcux, mcuy = _jpeg_quantized_planes(
         pixels, quality, sampling)
-    dc_tabs = (_jpeg_canonical_codes(*_JPEG_HUFF_DC_LUM),
-               _jpeg_canonical_codes(*_JPEG_HUFF_DC_CHR))
-    ac_tabs = (_jpeg_canonical_codes(*_JPEG_HUFF_AC_LUM),
-               _jpeg_canonical_codes(*_JPEG_HUFF_AC_CHR))
-    bw2 = _JpegBitWriter()
-    preds = [0, 0, 0]
-    for m in range(mcuy * mcux):
-        my, mx = divmod(m, mcux)
-        for ci in range(3):
-            hs, vs = factors[ci]
-            t = min(ci, 1)
-            for byi in range(vs):
-                for bxi in range(hs):
-                    preds[ci] = _jpeg_encode_block(
-                        planes[ci][my * vs + byi, mx * hs + bxi],
-                        preds[ci], dc_tabs[t], ac_tabs[t], bw2)
+    # r14 (guide §4.2): the per-MCU Python loop over _jpeg_encode_block +
+    # _JpegBitWriter dominated every synth/MJPEG encode; the vectorized
+    # scan emits byte-identical output (pytest-pinned against the retained
+    # reference loop) in a few numpy passes.
+    entropy = _jpeg_entropy_scan(planes, factors)
     out = bytearray(b"\xFF\xD8")                                  # SOI
     out += b"\xFF\xE0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00" \
         + struct.pack(">HH", 1, 1) + b"\x00\x00"                  # APP0
     for tid, tab in enumerate(qt):
-        zzq = bytes(int(tab.reshape(64)[z]) for z in _JPEG_ZIGZAG)
+        zzq = tab.reshape(64)[_jpeg_zig_arr()].astype("uint8").tobytes()
         out += b"\xFF\xDB" + struct.pack(">HB", 67, tid) + zzq    # DQT
     out += b"\xFF\xC0" + struct.pack(">HBHHB", 17, 8, h, w, 3)    # SOF0
     for cid in (1, 2, 3):
@@ -878,7 +1097,7 @@ def encode_jpeg(pixels, quality: int = 90, sampling: str = "444") -> bytes:
         t = 0 if cid == 1 else 1
         out += struct.pack("BB", cid, (t << 4) | t)
     out += b"\x00\x3F\x00"
-    out += bw2.flush()
+    out += entropy
     out += b"\xFF\xD9"                                            # EOI
     return bytes(out)
 
@@ -1396,7 +1615,7 @@ def _jpeg_decode_progressive(payload, pos, first_sos, qtabs, htabs,
         if scan is None:
             break
     # finish: zigzag grids -> pixels (same math as the baseline tail)
-    zig = np.array(_JPEG_ZIGZAG)
+    zig = _jpeg_zig_arr()
     D = _jpeg_dct_matrix()
     full = []
     for cid, hs, vs, tq in comps:
@@ -2475,7 +2694,7 @@ def decode_jpeg(payload: bytes):
                 else:
                     vals = list(body[o + 1:o + 1 + 64])
                 tab = np.zeros(64, dtype=np.float64)
-                tab[np.array(_JPEG_ZIGZAG)] = np.array(vals, dtype=np.float64)
+                tab[_jpeg_zig_arr()] = np.array(vals, dtype=np.float64)
                 qtabs[tq] = tab.reshape(8, 8)
                 o += 1 + n
         elif marker == 0xC4:                                      # DHT
@@ -2544,7 +2763,7 @@ def decode_jpeg(payload: bytes):
             raise ValueError("JPEG: scan references missing Huffman table")
         scan_tabs[cid] = (htabs[(0, td)], htabs[(1, ta)])
     D = _jpeg_dct_matrix()
-    zig = np.array(_JPEG_ZIGZAG)
+    zig = _jpeg_zig_arr()
     br = _JpegBitReader(payload, pos)
     preds = {cid: 0 for cid, _, _ in scan}
     comp_by_id = {c[0]: c for c in comps}
@@ -2925,7 +3144,12 @@ def media_assets(docs: DataFrame, only: str | None = None) -> DataFrame:
                 "payload": pd.Series(payloads, dtype="object"),
             })
 
-    return docs.select("doc_id").mapInPandas(batches, schema=ASSET_SCHEMA)
+    # r14 (guide §2.5): the test files are single small parquet files, so
+    # this scan is ONE partition and the whole pure-Python codec synthesis
+    # ran on one core; fan the 8-byte doc_ids out over the cluster first
+    # (scale-adaptive no-op when the scan already has enough splits).
+    return fanout_small_input(docs.select("doc_id")).mapInPandas(
+        batches, schema=ASSET_SCHEMA)
 
 
 def extract_features(assets: DataFrame, *, allow_fake: bool = True,
@@ -3258,7 +3482,8 @@ def wav_features(docs: DataFrame) -> DataFrame:
                 rows["rms"].append(round(d["rms"], 6))
             yield pd.DataFrame(rows)
 
-    return docs.where(F.col("doc_id") % 3 == 1).select("doc_id").mapInPandas(
+    return fanout_small_input(
+        docs.where(F.col("doc_id") % 3 == 1).select("doc_id")).mapInPandas(
         batches, schema=WAV_FEATURE_SCHEMA)
 
 
@@ -3357,27 +3582,46 @@ def multimodal_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("avg_rms").alias("metric"))
     # r4 session 2: cross-format image near-dup via pHash — byte dedup
     # cannot see that a JPEG re-encode duplicates a BMP; the perceptual
-    # hash must (planted_found == n2 is the recall claim in the row)
-    phash = multimodal_phash_dedup(spark, sf_dir).select(
-        F.lit("phash_dedup").alias("stage"), F.col("key"),
-        F.col("n"), F.col("n2").alias("total_bytes"),
-        F.col("v").alias("metric"))
+    # hash must (planted_found == n2 is the recall claim in the row).
     # r5 (VERDICT item 7): the video and audio near-dup legs ride in the
     # driver artifact as labeled stages with the same accounting shape as
     # phash_dedup — planted_found (must equal n_planted in total_bytes)
     # plus total_pairs, so all three modalities of the near-dup triplet
-    # are scored per-round, not only API-level pytest
-    vdup = multimodal_video_near_dup(spark, sf_dir).select(
+    # are scored per-round, not only API-level pytest.
+    # r14 (guide §2.6): the three legs run EAGER collects at build time
+    # and share nothing — overlap them from a small driver pool (their
+    # jobs/plans are unchanged, only the submission is concurrent, so
+    # every collected value is identical to the serial run).
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        f_ph = pool.submit(multimodal_phash_dedup, spark, sf_dir)
+        f_vd = pool.submit(multimodal_video_near_dup, spark, sf_dir)
+        f_ad = pool.submit(multimodal_audio_near_dup, spark, sf_dir)
+        phash, vdup, adup = f_ph.result(), f_vd.result(), f_ad.result()
+    phash = phash.select(
+        F.lit("phash_dedup").alias("stage"), F.col("key"),
+        F.col("n"), F.col("n2").alias("total_bytes"),
+        F.col("v").alias("metric"))
+    vdup = vdup.select(
         F.lit("video_near_dup").alias("stage"), F.col("key"),
         F.col("n"), F.col("n2").alias("total_bytes"),
         F.col("v").alias("metric"))
-    adup = multimodal_audio_near_dup(spark, sf_dir).select(
+    adup = adup.select(
         F.lit("audio_near_dup").alias("stage"), F.col("key"),
         F.col("n"), F.col("n2").alias("total_bytes"),
         F.col("v").alias("metric"))
-    return (feats.unionByName(resized).unionByName(frames)
-            .unionByName(wav).unionByName(phash)
-            .unionByName(vdup).unionByName(adup).orderBy("stage", "key"))
+    out = (feats.unionByName(resized).unionByName(frames)
+           .unionByName(wav).unionByName(phash)
+           .unionByName(vdup).unionByName(adup))
+    # r14 (ADVICE r13): the persisted asset table (raw BMP/WAV/AVI payload
+    # bytes) used to outlive the query in a long-lived session. The suite
+    # reduces to ~30 labeled rows — materialize them once (localCheckpoint
+    # truncates lineage; same rows) and release the heavyweight cache
+    # deterministically before returning.
+    out = out.localCheckpoint(eager=True)
+    assets.unpersist()
+    return out.orderBy("stage", "key")
 
 
 # The metadata/binary plumbing IS SQL-expressible (byte length, header hex) —
@@ -3595,9 +3839,20 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str,
                 "payload": pd.Series(payloads, dtype="object"),
             })
 
-    assets = (docs.where(F.col("doc_id").isin(ids)).select("doc_id")
-              .mapInPandas(build, schema=ASSET_SCHEMA))
-    pairs = image_near_dup_pairs(image_phashes(assets))
+    from pyspark import StorageLevel
+
+    # r14: fan the planted ids over tasks (one-partition scan otherwise)
+    # and persist the tiny pair set — it feeds THREE separate collects
+    # below, each of which previously re-ran the whole synth+hash+join.
+    assets = (fanout_small_input(
+        docs.where(F.col("doc_id").isin(ids)).select("doc_id"),
+        cap=len(ids)).mapInPandas(build, schema=ASSET_SCHEMA))
+    # r14 (guide §2.3): the 4-band union consumes the hash frame four
+    # times and Catalyst shares nothing across a Union — without the
+    # persist every decode+pHash pass (the expensive stage) ran 4x.
+    hashes = image_phashes(assets).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = (image_near_dup_pairs(hashes)
+             .persist(StorageLevel.MEMORY_AND_DISK))
     planted = pairs.where(
         F.col("asset_b") - F.col("asset_a") == CLONE_OFF)
     stats = pairs.agg(F.count(F.lit(1)).alias("total_pairs")).collect()[0]
@@ -3632,6 +3887,8 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str,
             expected[s],
             float(r["avg_ham"]) if r is not None
             and r["avg_ham"] is not None else None))
+    pairs.unpersist()
+    hashes.unpersist()
     return spark.createDataFrame(rows, "key string, n long, n2 long, v double")
 
 
@@ -3838,6 +4095,11 @@ def _near_dup_accounting(spark: SparkSession, pairs: DataFrame,
     discipline as multimodal_phash_dedup) feed a tiny literal frame:
     planted_found (n2 = the n_planted target), total_pairs (v = MIN
     planted match_frac — the weakest recovered pair rides in the row)."""
+    # NB (r14): do NOT persist `pairs` here even though it feeds two
+    # collects — caching swaps the subtree for an InMemoryRelation whose
+    # partition structure changes the float partial-sum grouping of the
+    # UNROUNDED avg(match_frac) below (measured last-ulp row drift). The
+    # duplicate execution is bounded: n_planted is fixed at any SF.
     planted = pairs.where(F.col("asset_b") - F.col("asset_a") == clone_off)
     total = pairs.agg(F.count(F.lit(1)).alias("total_pairs")).collect()[0]
     p = planted.agg(
@@ -3886,10 +4148,24 @@ def multimodal_video_near_dup(spark: SparkSession, sf_dir: str,
                 "payload": pd.Series(payloads, dtype="object"),
             })
 
+    # NB deliberately NOT fanned out (r14): this leg is bounded (n_planted
+    # docs at any SF, ~0.1 s of synth) and its accounting emits an
+    # UNROUNDED avg(match_frac) — changing the input partitioning changes
+    # float partial-sum grouping in the last ulp, which would change the
+    # declared rows (measured: 0.9586956000000001 vs ...5999999999).
     assets = (docs.where(F.col("doc_id").isin(ids)).select("doc_id")
               .mapInPandas(build, schema=ASSET_SCHEMA))
-    pairs = video_near_dup_pairs(video_phash_frames(assets))
-    return _near_dup_accounting(spark, pairs, CLONE_OFF, len(ids))
+    from pyspark import StorageLevel
+
+    # r14 (guide §2.3): frame hashes feed the per-asset counts AND the
+    # 4-band union — five consumers, so the AVI decode + per-frame pHash
+    # ran 5x without the persist (the tiny hash rows are what's cached,
+    # never payloads). The accounting aggregate itself is unchanged.
+    fh = video_phash_frames(assets).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = video_near_dup_pairs(fh)
+    out = _near_dup_accounting(spark, pairs, CLONE_OFF, len(ids))
+    fh.unpersist()
+    return out
 
 
 def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str,
@@ -3924,10 +4200,18 @@ def multimodal_audio_near_dup(spark: SparkSession, sf_dir: str,
                 "payload": pd.Series(payloads, dtype="object"),
             })
 
+    # same float-avg hazard as the video leg: bounded work, keep layout
     assets = (docs.where(F.col("doc_id").isin(ids)).select("doc_id")
               .mapInPandas(build, schema=ASSET_SCHEMA))
-    pairs = audio_near_dup_pairs(audio_phash_windows(assets))
-    return _near_dup_accounting(spark, pairs, CLONE_OFF, len(ids))
+    from pyspark import StorageLevel
+
+    # r14 (guide §2.3): same multi-consumer shape as the video leg — the
+    # WAV decode + FFT fingerprint ran once per banding-union branch.
+    aw = audio_phash_windows(assets).persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = audio_near_dup_pairs(aw)
+    out = _near_dup_accounting(spark, pairs, CLONE_OFF, len(ids))
+    aw.unpersist()
+    return out
 
 
 def synth_wav_melody(seed: int, n_notes: int = 12,

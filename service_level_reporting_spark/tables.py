@@ -109,6 +109,35 @@ def clear_table_cache() -> None:
     _CACHE.clear()
 
 
+def fanout_small_input(df: DataFrame, target: int | None = None,
+                       cap: int | None = None) -> DataFrame:
+    """Spread a narrow frame over the cluster before an expensive opaque
+    stage (guide §2.5 input skew / §2.6 idle capacity).
+
+    The test parquet files are single small files, so a scan yields ONE
+    partition — and every downstream mapInPandas/mapInArrow stage then runs
+    its whole Python workload on one core (r14: multimodal_pipeline's codec
+    stages spent ~50 s wall on a 32-core box exactly this way). A cluster
+    read of a 100 TB table natively has thousands of splits, so the fix must
+    be conditional: only repartition UP when the scan has fewer partitions
+    than the session's parallelism (scale-adaptive — never a constant), so
+    at scale this is a no-op and no payload-bearing shuffle is introduced.
+
+    ``cap`` bounds the partition count for small keyed inputs (e.g. 50
+    planted doc_ids: more partitions than rows is pure scheduling overhead).
+    Round-robin repartition is deterministic here (sort-before-repartition
+    is on by default) and every consumer below it is a per-row pure
+    function, so results are unchanged by layout.
+    """
+    sc = df.sparkSession.sparkContext
+    want = target or sc.defaultParallelism
+    if cap is not None:
+        want = min(want, cap)
+    if df.rdd.getNumPartitions() >= want:
+        return df
+    return df.repartition(want)
+
+
 def load_tables(spark: SparkSession, sf_dir: str,
                 names: tuple[str, ...] = TABLE_NAMES) -> dict[str, DataFrame]:
     """Load and normalize the named tables from ``{sf_dir}/{name}.parquet``.

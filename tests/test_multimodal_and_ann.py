@@ -1517,3 +1517,38 @@ def test_train_sample_survives_id_structured_corpus(spark):
     assert np.allclose(np.linalg.norm(x, axis=1), 1.0)
     c = SIM._train_centroids(x, k=4)
     assert c.shape == (4, SIM.EMB_DIM)
+
+
+def test_jpeg_vectorized_entropy_scan_bit_exact():
+    """r14: encode_jpeg's entropy-coded segment moved from the per-MCU
+    Python loop (_jpeg_encode_block + _JpegBitWriter) to a vectorized
+    numpy scan (_jpeg_entropy_scan). The retained reference loop pins the
+    new path BYTE-identical across sizes, qualities and both sampling
+    modes — any drift in Huffman items, DC prediction order, ZRL/EOB
+    emission, spec padding, or 0xFF00 stuffing fails here."""
+    for seed in range(12):
+        w = 17 + (seed * 7) % 40
+        h = 9 + (seed * 13) % 40
+        px = MM.synth_natural_image(seed, w, h)
+        for q, samp in ((90, "444"), (75, "420"), (10, "444"),
+                        (100, "420")):
+            planes, factors, qt, hh, ww, mcux, mcuy = \
+                MM._jpeg_quantized_planes(px, q, samp)
+            dc_tabs = (MM._jpeg_canonical_codes(*MM._JPEG_HUFF_DC_LUM),
+                       MM._jpeg_canonical_codes(*MM._JPEG_HUFF_DC_CHR))
+            ac_tabs = (MM._jpeg_canonical_codes(*MM._JPEG_HUFF_AC_LUM),
+                       MM._jpeg_canonical_codes(*MM._JPEG_HUFF_AC_CHR))
+            bw = MM._JpegBitWriter()
+            preds = [0, 0, 0]
+            for m in range(mcuy * mcux):
+                my, mx = divmod(m, mcux)
+                for ci in range(3):
+                    hs, vs = factors[ci]
+                    t = min(ci, 1)
+                    for byi in range(vs):
+                        for bxi in range(hs):
+                            preds[ci] = MM._jpeg_encode_block(
+                                planes[ci][my * vs + byi, mx * hs + bxi],
+                                preds[ci], dc_tabs[t], ac_tabs[t], bw)
+            assert MM._jpeg_entropy_scan(planes, factors) == bw.flush(), \
+                (seed, q, samp)

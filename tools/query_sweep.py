@@ -6,7 +6,14 @@ guide §1: measure first). Two timings per query:
                    computation from result collection (guide §1.4).
 
 Queries are labelled (setJobDescription) and run N times; the JSON keeps
-min/median per query plus the total. Heavy eager suites can be skipped via
+cold/min/median per query plus the total.  `spark.catalog.clearCache()` runs
+before EVERY rep: a query containing persist() registers its plan in the
+CacheManager, and without the clear reps 2+ silently substitute the live
+InMemoryRelation and measure cache-hit execution (VERDICT r13 "What's wrong"
+item 1 — warm-cache-flattered numbers).  With the clear, every rep pays the
+query's full per-invocation cost, which is what the driver pays; `*_cold` is
+the first rep (coldest JVM/JIT state), `*_min` the best of the equal-footing
+reps. Heavy eager suites can be skipped via
 --skip or run at a smaller SF via EAGER_SMALL.
 
 Usage: python tools/query_sweep.py [sf_dir] [reps] [out.json] [name ...]
@@ -43,17 +50,21 @@ def main() -> None:
             spark.sparkContext.setJobDescription(f"sweep:{name}")
             coll, noop = [], []
             for _ in range(reps):
+                spark.catalog.clearCache()   # no warm-cache reps (guide §1)
                 t0 = time.perf_counter()
                 qs[name](spark, sf_dir).collect()
                 coll.append(time.perf_counter() - t0)
             for _ in range(reps):
+                spark.catalog.clearCache()
                 t0 = time.perf_counter()
                 (qs[name](spark, sf_dir).write.format("noop")
                  .mode("overwrite").save())
                 noop.append(time.perf_counter() - t0)
             rec = {
+                "collect_cold": round(coll[0], 3),
                 "collect_min": round(min(coll), 3),
                 "collect_med": round(statistics.median(coll), 3),
+                "noop_cold": round(noop[0], 3),
                 "noop_min": round(min(noop), 3),
                 "noop_med": round(statistics.median(noop), 3),
             }
