@@ -545,8 +545,11 @@ def corpus_curation_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).persist(StorageLevel.MEMORY_AND_DISK)
     freq = tok.groupBy("token").agg(F.count(F.lit(1)).alias("n_t"))
     # corpus token total == sum of the per-token counts — read it off the
-    # (much smaller) freq table instead of a third pass over tok
-    tot = freq.agg(F.sum("n_t").alias("n_total_tok"))
+    # (much smaller) freq table instead of a third pass over tok; coalesce
+    # keeps the former count()-style 0-on-empty semantics (sum is NULL on
+    # an empty frame)
+    tot = freq.agg(F.coalesce(F.sum("n_t"), F.lit(0))
+                   .alias("n_total_tok"))
     lmscore = (
         tok.join(freq, "token")
         .crossJoin(F.broadcast(tot))

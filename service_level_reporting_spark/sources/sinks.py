@@ -842,6 +842,14 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def _leg_widen() -> dict:
         shutil.rmtree(root + "_widen", ignore_errors=True)
+        # per-leg finally (ADVICE r13): a failing leg must not leave its
+        # temp dir behind
+        try:
+            return _leg_widen_body()
+        finally:
+            shutil.rmtree(root + "_widen", ignore_errors=True)
+
+    def _leg_widen_body() -> dict:
         tw = TxLogTable(root + "_widen", key_cols=["k"], stats_col="k")
         tw.append(spark.createDataFrame([("a", 1), ("b", 2)],
                                         "k string, v int").coalesce(1))
@@ -865,16 +873,20 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
             widen_refused = 0
         except SchemaEvolutionError:
             widen_refused = 1
-        out = {"rows": got_w.count(), "ver": tw.latest_version(),
-               "div": widen_div, "refused": widen_refused}
-        shutil.rmtree(root + "_widen", ignore_errors=True)
-        return out
+        return {"rows": got_w.count(), "ver": tw.latest_version(),
+                "div": widen_div, "refused": widen_refused}
 
     def _leg_rowtrack() -> dict:
         # r10 row tracking: identity survives rewrites, allocation never
         # collides, update bumps the row's commit version
         rt_root = root + "_rt"
         shutil.rmtree(rt_root, ignore_errors=True)
+        try:
+            return _leg_rowtrack_body(rt_root)
+        finally:
+            shutil.rmtree(rt_root, ignore_errors=True)
+
+    def _leg_rowtrack_body(rt_root: str) -> dict:
         rt = TxLogTable(rt_root, key_cols=["k"], stats_col="k")
         rt.append(spark.createDataFrame(
             [(f"k{i:02d}", i) for i in range(40)],
@@ -889,14 +901,12 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
         rt.update(F.col("k") == "k05", {"v": "v + 1000"})
         rt.optimize(target_files=1)
         rt1 = rt_ids()
-        out = {
+        return {
             "changed": sum(1 for k in rt1 if rt1[k][0] != rt0[k][0]),
             "dups": len(rt1) - len({i for i, _ in rt1.values()}),
             "ver_ok": (rt1["k05"][1] > rt0["k05"][1]
                        and all(rt1[k][1] == rt0[k][1]
                                for k in rt1 if k != "k05"))}
-        shutil.rmtree(rt_root, ignore_errors=True)
-        return out
 
     def _leg_generated() -> dict:
         # r10 s2 generated columns: compute on write, recompute through
@@ -906,6 +916,15 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         gc_root = root + "_gen"
         shutil.rmtree(gc_root, ignore_errors=True)
+        try:
+            return _leg_generated_body(gc_root)
+        finally:
+            shutil.rmtree(gc_root, ignore_errors=True)
+
+    def _leg_generated_body(gc_root: str) -> dict:
+        from service_level_reporting_spark.sources.txlog import (
+            GeneratedColumnViolation)
+
         gt = TxLogTable(gc_root, key_cols=["k"], stats_col="k")
         gt.add_generated_column("day", "string",
                                 "date_format(minute, 'yyyy-MM-dd')")
@@ -927,10 +946,8 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
             gc_refused = 0
         except GeneratedColumnViolation:
             gc_refused = 1
-        out = {"bad": gc_bad, "n": len(gt.generated_columns()),
-               "refused": gc_refused}
-        shutil.rmtree(gc_root, ignore_errors=True)
-        return out
+        return {"bad": gc_bad, "n": len(gt.generated_columns()),
+                "refused": gc_refused}
 
     def _leg_replicate() -> dict:
         # r10 keyless CDF replication: row ids as the merge key, on a
@@ -941,6 +958,15 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         rp_root = root + "_repl"
         shutil.rmtree(rp_root, ignore_errors=True)
+        try:
+            return _leg_replicate_body(rp_root)
+        finally:
+            shutil.rmtree(rp_root, ignore_errors=True)
+
+    def _leg_replicate_body(rp_root: str) -> dict:
+        from service_level_reporting_spark.operators import (
+            replicate as _RP)
+
         rs = TxLogTable(os.path.join(rp_root, "src"),
                         key_cols=["k"], stats_col="k")
         rs.append(spark.createDataFrame(
@@ -962,10 +988,8 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, os.path.join(rp_root, "src"),
             os.path.join(rp_root, "rep"))
             + fold2["upserted"] + fold2["deleted"])
-        out = {"upserted": fold["upserted"], "deleted": fold["deleted"],
-               "div": rp_div}
-        shutil.rmtree(rp_root, ignore_errors=True)
-        return out
+        return {"upserted": fold["upserted"], "deleted": fold["deleted"],
+                "div": rp_div}
 
     def _leg_dedup_state() -> dict:
         # r10 (VERDICT #3): incremental TEXT-dedup state — fold the
@@ -977,6 +1001,15 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .select("doc_id", "text").where(F.col("doc_id") < 120))
         ds_root = root + "_dstate"
         shutil.rmtree(ds_root, ignore_errors=True)
+        try:
+            return _leg_dedup_state_body(docs, ds_root)
+        finally:
+            shutil.rmtree(ds_root, ignore_errors=True)
+
+    def _leg_dedup_state_body(docs: DataFrame, ds_root: str) -> dict:
+        from service_level_reporting_spark.operators import (
+            dedup_state as _DS)
+
         dc = TxLogTable(os.path.join(ds_root, "corpus"),
                         key_cols=["doc_id"], stats_col="text")
         dc.append(docs.where(F.col("doc_id") % 3 != 0).coalesce(2))
@@ -1001,15 +1034,20 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark, os.path.join(ds_root, "fresh"))
         ds_div = (pf.exceptAll(pr).unionAll(pr.exceptAll(pf)).count()
                   + lf.exceptAll(lr).unionAll(lr.exceptAll(lf)).count())
-        out = {"signed": ds_sync["signed"], "delta_ins": delta_ins,
-               "div": ds_div}
-        shutil.rmtree(ds_root, ignore_errors=True)
-        return out
+        return {"signed": ds_sync["signed"], "delta_ins": delta_ins,
+                "div": ds_div}
 
     def _leg_convert() -> dict:
         # r12 (S37/S38): CONVERT TO TXLOG + DEEP CLONE, in-frame
         cv_root = root + "_convert"
         shutil.rmtree(cv_root, ignore_errors=True)
+        try:
+            return _leg_convert_body(cv_root)
+        finally:
+            shutil.rmtree(cv_root + "_deep", ignore_errors=True)
+            shutil.rmtree(cv_root, ignore_errors=True)
+
+    def _leg_convert_body(cv_root: str) -> dict:
         (spark.createDataFrame([(f"c{i:02d}", i) for i in range(20)],
                                "k string, v long")
          .coalesce(2).write.parquet(cv_root))
@@ -1026,189 +1064,205 @@ def sink_txlog_rowops(spark: SparkSession, sf_dir: str) -> DataFrame:
         dcl = ct.clone(cv_root + "_deep", deep=True)
         dcl_refs = dcl.verify_references()
         dcl_set = {(r["k"], r["v"]) for r in dcl.read(spark).collect()}
-        out = {"n": len(cv_before), "deep_files": dcl_refs["checked"],
-               "div": (len(cv_after ^ cv_want) + len(dcl_set ^ cv_after)
-                       + dcl_refs["foreign"]
-                       + len(dcl_refs["missing_data"]))}
-        shutil.rmtree(cv_root + "_deep", ignore_errors=True)
-        shutil.rmtree(cv_root, ignore_errors=True)
-        return out
+        return {"n": len(cv_before), "deep_files": dcl_refs["checked"],
+                "div": (len(cv_after ^ cv_want) + len(dcl_set ^ cv_after)
+                        + dcl_refs["foreign"]
+                        + len(dcl_refs["missing_data"]))}
 
-    pool = ThreadPoolExecutor(max_workers=4)
+    # r14: 6 workers — the six side legs are tiny-job/commit-protocol
+    # bound, not CPU bound; with 4 workers two legs idled behind the pool
+    pool = ThreadPoolExecutor(max_workers=6)
     side = {name: pool.submit(fn) for name, fn in (
         ("widen", _leg_widen), ("rowtrack", _leg_rowtrack),
         ("generated", _leg_generated), ("replicate", _leg_replicate),
         ("dedup_state", _leg_dedup_state), ("convert", _leg_convert))}
-
-    t = TxLogTable(root, key_cols=["indicator", "minute"],
-                   stats_col="minute")
-    ev = load_tables(spark, sf_dir, ("events",))["events"]
-    for day in (1, 2, 3):
-        t.append(minute_rollup(
-            ev, (F.col("ts") >= f"2024-01-0{day}")
-            & (F.col("ts") < f"2024-01-0{day + 1}")).coalesce(1))
-    v_from = t.latest_version()
-
-    d = t.delete(
-        (F.col("minute") >= "2024-01-02 06:00:00")
-        & (F.col("minute") < "2024-01-02 18:00:00"),
-        key_range=("2024-01-02 06:00:00", "2024-01-02 18:00:00"))
-    # predicate and key_range agree (r7: update()'s verify_scope probe
-    # REJECTS a range narrower than the predicate's true key span — the
-    # pre-r7 form "indicator = 'error'" with a day-3 range was exactly
-    # the silent-skip footgun ADVICE flagged; day-1/2 error rows were
-    # never touched, so the produced table is unchanged by this fix)
-    u = t.update((F.col("indicator") == "error")
-                 & (F.col("minute") >= "2024-01-03")
-                 & (F.col("minute") < "2024-01-04"),
-                 {"value": "value * 2"},
-                 key_range=("2024-01-03 00:00:00", "2024-01-04 00:00:00"))
-    v_to = t.latest_version()
-
-    # CDF replay check, entirely as a Spark plan: multiset(from)+ins-del
-    # vs multiset(to) over all data columns
-    cdf = t.changes(spark, v_from, v_to)
-    data_cols = [c for c in cdf.columns if not c.startswith("_")]
-    delta = (cdf.groupBy(*data_cols)
-             .agg(F.sum(F.when(F.col("_change_type") == "insert", 1)
-                        .otherwise(-1)).alias("d")))
-    frm = (t.read(spark, v_from).groupBy(*data_cols)
-           .agg(F.count(F.lit(1)).alias("a")))
-    to = (t.read(spark, v_to).groupBy(*data_cols)
-          .agg(F.count(F.lit(1)).alias("b")))
-    mismatches = (frm.join(delta, data_cols, "full_outer")
-                  .join(to, data_cols, "full_outer")
-                  .where(F.coalesce("a", F.lit(0)) + F.coalesce("d", F.lit(0))
-                         != F.coalesce("b", F.lit(0)))
-                  .count())
-    n_ins = cdf.where(F.col("_change_type") == "insert").count()
-    n_del = cdf.where(F.col("_change_type") == "delete").count()
-
-    # RESTORE back past the delete+update; divergence vs that snapshot
-    t.restore(v_from)
-    diverged = (t.read(spark).exceptAll(t.read(spark, v_from))
-                .unionAll(t.read(spark, v_from).exceptAll(t.read(spark)))
-                .count())
-    hist = t.history()
-
-    # full MERGE INTO (r7): ordered WHEN clauses — update every matched
-    # 'error' row to the source's doubled value, insert clause present
-    # but vacuous (every source key matches). Verified IN-FRAME against
-    # the withColumn/when recompute of the same transformation.
-    m_from = t.latest_version()
-    pre_mi = t.read(spark, m_from)
-    mi_src = (pre_mi.where(F.col("indicator") == "error")
-              .select("indicator", "minute",
-                      (F.col("value") * 2).alias("value"), "n_points"))
-    mi = t.merge_into(mi_src, [
-        ("update", "src_n_points >= 1", {"value": "src_value"}),
-        ("insert", None, None)])
-    mi_want = pre_mi.withColumn(
-        "value", F.when(F.col("indicator") == "error",
-                        F.col("value") * 2).otherwise(F.col("value")))
-    mi_got = t.read(spark)
-    mi_diverged = (mi_got.exceptAll(mi_want)
-                   .unionAll(mi_want.exceptAll(mi_got)).count())
-
-    # the table as a first-class Spark source: snapshot equality via the
-    # registered format (registered up-front), log-level pushdown pruning,
-    # CDF through the source
-    from service_level_reporting_spark.sources.txlog_datasource import (
-        TxLogBatchReader)
-    via_src = spark.read.format("txlog").load(root)
-    direct = t.read(spark)
-    src_diverged = (via_src.exceptAll(direct)
-                    .unionAll(direct.exceptAll(via_src)).count())
-    from pyspark.sql.datasource import GreaterThanOrEqual
-    probe = TxLogBatchReader(root, {"path": root})
-    list(probe.pushFilters([GreaterThanOrEqual(
-        ("minute",), datetime.datetime(2024, 1, 3))]))
-    probe.partitions()
-    src_cdf_rows = (spark.read.format("txlog").option("mode", "changes")
-                    .option("startingVersion", str(v_from))
-                    .option("endingVersion", str(v_to)).load(root)
-                    .count())
-    cdf_rows_direct = n_ins + n_del
-
-    # ---- r11 SQL/catalog surface (VERDICT #3): plain spark.sql over
-    # registered txlog views — two lakehouse tables joined in SQL must
-    # match the Python-API join row-for-row, and a VERSION-AS-OF view
-    # must match read(version=...) ---------------------------------------
-    from service_level_reporting_spark.sources.txlog_catalog import (
-        register_table)
-    shutil.rmtree(root + "_sqlclone", ignore_errors=True)
-    t.clone(root + "_sqlclone")
-    register_table(spark, "txsql_a", root)
-    register_table(spark, "txsql_b", root + "_sqlclone")
-    sql_join = spark.sql(
-        "SELECT a.indicator, a.minute, a.value, b.value AS value_b "
-        "FROM txsql_a a JOIN txsql_b b "
-        "ON a.indicator = b.indicator AND a.minute = b.minute")
-    py_join = (t.read(spark)
-               .join(TxLogTable.open(root + "_sqlclone").read(spark)
-                     .select("indicator", "minute",
-                             F.col("value").alias("value_b")),
-                     ["indicator", "minute"])
-               .select("indicator", "minute", "value", "value_b"))
-    sql_n, py_n = sql_join.count(), py_join.count()
-    sql_div = (sql_join.exceptAll(py_join)
-               .unionAll(py_join.exceptAll(sql_join)).count())
-    asof_sql = register_table(spark, "txsql_asof", root, version=v_from)
-    asof_py = t.read(spark, version=v_from)
-    asof_div = (asof_sql.exceptAll(asof_py)
-                .unionAll(asof_py.exceptAll(asof_sql)).count())
-    # r12 (VERDICT #4): a long-lived SQL consumer must NOT see a
-    # concurrent writer's commit through its pinned view, and MUST see
-    # it after refresh_table — verified on the self-contained clone.
-    from service_level_reporting_spark.sources.txlog_catalog import (
-        refresh_table)
-    tb = TxLogTable.open(root + "_sqlclone")
-    n_pin = spark.sql("SELECT count(*) c FROM txsql_b").collect()[0]["c"]
-    tb.append(tb.read(spark).limit(1).localCheckpoint(eager=True))
-    n_stale = spark.sql("SELECT count(*) c FROM txsql_b") \
-        .collect()[0]["c"]
-    refresh_table(spark, "txsql_b")
-    n_fresh = spark.sql("SELECT count(*) c FROM txsql_b") \
-        .collect()[0]["c"]
-    refresh_div = (int(n_stale != n_pin)          # pin must hold
-                   + int(n_fresh != n_pin + 1))   # refresh must advance
-    for vn in ("txsql_a", "txsql_b", "txsql_asof"):
-        spark.catalog.dropTempView(vn)
-    shutil.rmtree(root + "_sqlclone", ignore_errors=True)
-
-    # ---- r9 legs: column mapping / log retention / protocol gate /
-    # streaming admission control, each verified in-frame ----------------
-    from service_level_reporting_spark.sources.txlog import ProtocolError
-    from service_level_reporting_spark.sources.txlog_datasource import (
-        TxLogStreamReader)
-
-    pre_map = t.read(spark).localCheckpoint(eager=True)
-    files_before = {a["path"] for a in t._resolve()}
-    t.enable_column_mapping()
-    t.rename_column("value", "value_x")
-    rewrote = len({a["path"] for a in t._resolve()} ^ files_before)
-    want_map = pre_map.withColumnRenamed("value", "value_x")
-    got_map = t.read(spark)
-    map_div = (got_map.exceptAll(want_map)
-               .unionAll(want_map.exceptAll(got_map)).count())
-    via_map = spark.read.format("txlog").load(root)
-    map_src_div = (via_map.exceptAll(got_map)
-                   .unionAll(got_map.exceptAll(via_map)).count())
-
-    pre_vac = t.read(spark).localCheckpoint(eager=True)
-    vac = t.vacuum(retain_versions=3, min_age_sec=0,
-                   log_retain_versions=5)
-    post_vac = t.read(spark)
-    vac_div = (post_vac.exceptAll(pre_vac)
-               .unionAll(pre_vac.exceptAll(post_vac)).count())
-
-    proto = t.table_protocol()
-    shutil.rmtree(root + "_proto", ignore_errors=True)
-    c_pr = t.clone(root + "_proto")
-    c_pr.commit([{"protocol": {"minReaderVersion": 99,
-                               "minWriterVersion": 99}}],
-                c_pr.latest_version() + 1, op="upgrade_protocol")
+    # ADVICE r13 (medium): the pool must outlive-proof the whole main
+    # chain — if any step below raises, the finally still joins the
+    # side-leg threads instead of leaking non-daemon workers.
     try:
+
+        t = TxLogTable(root, key_cols=["indicator", "minute"],
+                       stats_col="minute")
+        ev = load_tables(spark, sf_dir, ("events",))["events"]
+        for day in (1, 2, 3):
+            t.append(minute_rollup(
+                ev, (F.col("ts") >= f"2024-01-0{day}")
+                & (F.col("ts") < f"2024-01-0{day + 1}")).coalesce(1))
+        v_from = t.latest_version()
+
+        d = t.delete(
+            (F.col("minute") >= "2024-01-02 06:00:00")
+            & (F.col("minute") < "2024-01-02 18:00:00"),
+            key_range=("2024-01-02 06:00:00", "2024-01-02 18:00:00"))
+        # predicate and key_range agree (r7: update()'s verify_scope probe
+        # REJECTS a range narrower than the predicate's true key span — the
+        # pre-r7 form "indicator = 'error'" with a day-3 range was exactly
+        # the silent-skip footgun ADVICE flagged; day-1/2 error rows were
+        # never touched, so the produced table is unchanged by this fix)
+        u = t.update((F.col("indicator") == "error")
+                     & (F.col("minute") >= "2024-01-03")
+                     & (F.col("minute") < "2024-01-04"),
+                     {"value": "value * 2"},
+                     key_range=("2024-01-03 00:00:00", "2024-01-04 00:00:00"))
+        v_to = t.latest_version()
+
+        # CDF replay check, entirely as a Spark plan: multiset(from)+ins-del
+        # vs multiset(to) over all data columns
+        cdf = t.changes(spark, v_from, v_to)
+        data_cols = [c for c in cdf.columns if not c.startswith("_")]
+        delta = (cdf.groupBy(*data_cols)
+                 .agg(F.sum(F.when(F.col("_change_type") == "insert", 1)
+                            .otherwise(-1)).alias("d")))
+        frm = (t.read(spark, v_from).groupBy(*data_cols)
+               .agg(F.count(F.lit(1)).alias("a")))
+        to = (t.read(spark, v_to).groupBy(*data_cols)
+              .agg(F.count(F.lit(1)).alias("b")))
+        mismatches = (frm.join(delta, data_cols, "full_outer")
+                      .join(to, data_cols, "full_outer")
+                      .where(F.coalesce("a", F.lit(0)) + F.coalesce("d", F.lit(0))
+                             != F.coalesce("b", F.lit(0)))
+                      .count())
+        # one conditional-count job instead of two filtered count() scans
+        # (r14, guide §2.3 — same numbers, half the per-job floor)
+        _cdf_counts = cdf.agg(
+            F.count(F.when(F.col("_change_type") == "insert", 1))
+            .alias("i"),
+            F.count(F.when(F.col("_change_type") == "delete", 1))
+            .alias("d")).collect()[0]
+        n_ins, n_del = _cdf_counts["i"], _cdf_counts["d"]
+
+        # RESTORE back past the delete+update; divergence vs that snapshot
+        t.restore(v_from)
+        diverged = (t.read(spark).exceptAll(t.read(spark, v_from))
+                    .unionAll(t.read(spark, v_from).exceptAll(t.read(spark)))
+                    .count())
+        hist = t.history()
+
+        # full MERGE INTO (r7): ordered WHEN clauses — update every matched
+        # 'error' row to the source's doubled value, insert clause present
+        # but vacuous (every source key matches). Verified IN-FRAME against
+        # the withColumn/when recompute of the same transformation.
+        m_from = t.latest_version()
+        pre_mi = t.read(spark, m_from)
+        mi_src = (pre_mi.where(F.col("indicator") == "error")
+                  .select("indicator", "minute",
+                          (F.col("value") * 2).alias("value"), "n_points"))
+        mi = t.merge_into(mi_src, [
+            ("update", "src_n_points >= 1", {"value": "src_value"}),
+            ("insert", None, None)])
+        mi_want = pre_mi.withColumn(
+            "value", F.when(F.col("indicator") == "error",
+                            F.col("value") * 2).otherwise(F.col("value")))
+        mi_got = t.read(spark)
+        mi_diverged = (mi_got.exceptAll(mi_want)
+                       .unionAll(mi_want.exceptAll(mi_got)).count())
+
+        # the table as a first-class Spark source: snapshot equality via the
+        # registered format (registered up-front), log-level pushdown pruning,
+        # CDF through the source
+        from service_level_reporting_spark.sources.txlog_datasource import (
+            TxLogBatchReader)
+        via_src = spark.read.format("txlog").load(root)
+        direct = t.read(spark)
+        src_diverged = (via_src.exceptAll(direct)
+                        .unionAll(direct.exceptAll(via_src)).count())
+        from pyspark.sql.datasource import GreaterThanOrEqual
+        probe = TxLogBatchReader(root, {"path": root})
+        list(probe.pushFilters([GreaterThanOrEqual(
+            ("minute",), datetime.datetime(2024, 1, 3))]))
+        probe.partitions()
+        src_cdf_rows = (spark.read.format("txlog").option("mode", "changes")
+                        .option("startingVersion", str(v_from))
+                        .option("endingVersion", str(v_to)).load(root)
+                        .count())
+        cdf_rows_direct = n_ins + n_del
+
+        # ---- r11 SQL/catalog surface (VERDICT #3): plain spark.sql over
+        # registered txlog views — two lakehouse tables joined in SQL must
+        # match the Python-API join row-for-row, and a VERSION-AS-OF view
+        # must match read(version=...) ---------------------------------------
+        from service_level_reporting_spark.sources.txlog_catalog import (
+            register_table)
+        shutil.rmtree(root + "_sqlclone", ignore_errors=True)
+        t.clone(root + "_sqlclone")
+        # view names salted per invocation (ADVICE r13): temp views are
+        # session-global, and this leg runs inside the sink_suite pool — a
+        # fixed name would silently race any future leg using the same one
+        # (_run_to_table already salts its memory-sink names the same way)
+        import uuid as _uuid
+        _salt = _uuid.uuid4().hex[:8]
+        v_a, v_b, v_asof = (f"txsql_a_{_salt}", f"txsql_b_{_salt}",
+                            f"txsql_asof_{_salt}")
+        register_table(spark, v_a, root)
+        register_table(spark, v_b, root + "_sqlclone")
+        sql_join = spark.sql(
+            "SELECT a.indicator, a.minute, a.value, b.value AS value_b "
+            f"FROM {v_a} a JOIN {v_b} b "
+            "ON a.indicator = b.indicator AND a.minute = b.minute")
+        py_join = (t.read(spark)
+                   .join(TxLogTable.open(root + "_sqlclone").read(spark)
+                         .select("indicator", "minute",
+                                 F.col("value").alias("value_b")),
+                         ["indicator", "minute"])
+                   .select("indicator", "minute", "value", "value_b"))
+        sql_n, py_n = sql_join.count(), py_join.count()
+        sql_div = (sql_join.exceptAll(py_join)
+                   .unionAll(py_join.exceptAll(sql_join)).count())
+        asof_sql = register_table(spark, v_asof, root, version=v_from)
+        asof_py = t.read(spark, version=v_from)
+        asof_div = (asof_sql.exceptAll(asof_py)
+                    .unionAll(asof_py.exceptAll(asof_sql)).count())
+        # r12 (VERDICT #4): a long-lived SQL consumer must NOT see a
+        # concurrent writer's commit through its pinned view, and MUST see
+        # it after refresh_table — verified on the self-contained clone.
+        from service_level_reporting_spark.sources.txlog_catalog import (
+            refresh_table)
+        tb = TxLogTable.open(root + "_sqlclone")
+        n_pin = spark.sql(f"SELECT count(*) c FROM {v_b}").collect()[0]["c"]
+        tb.append(tb.read(spark).limit(1).localCheckpoint(eager=True))
+        n_stale = spark.sql(f"SELECT count(*) c FROM {v_b}") \
+            .collect()[0]["c"]
+        refresh_table(spark, v_b)
+        n_fresh = spark.sql(f"SELECT count(*) c FROM {v_b}") \
+            .collect()[0]["c"]
+        refresh_div = (int(n_stale != n_pin)          # pin must hold
+                       + int(n_fresh != n_pin + 1))   # refresh must advance
+        for vn in (v_a, v_b, v_asof):
+            spark.catalog.dropTempView(vn)
+        shutil.rmtree(root + "_sqlclone", ignore_errors=True)
+
+        # ---- r9 legs: column mapping / log retention / protocol gate /
+        # streaming admission control, each verified in-frame ----------------
+        from service_level_reporting_spark.sources.txlog import ProtocolError
+        from service_level_reporting_spark.sources.txlog_datasource import (
+            TxLogStreamReader)
+
+        pre_map = t.read(spark).localCheckpoint(eager=True)
+        files_before = {a["path"] for a in t._resolve()}
+        t.enable_column_mapping()
+        t.rename_column("value", "value_x")
+        rewrote = len({a["path"] for a in t._resolve()} ^ files_before)
+        want_map = pre_map.withColumnRenamed("value", "value_x")
+        got_map = t.read(spark)
+        map_div = (got_map.exceptAll(want_map)
+                   .unionAll(want_map.exceptAll(got_map)).count())
+        via_map = spark.read.format("txlog").load(root)
+        map_src_div = (via_map.exceptAll(got_map)
+                       .unionAll(got_map.exceptAll(via_map)).count())
+
+        pre_vac = t.read(spark).localCheckpoint(eager=True)
+        vac = t.vacuum(retain_versions=3, min_age_sec=0,
+                       log_retain_versions=5)
+        post_vac = t.read(spark)
+        vac_div = (post_vac.exceptAll(pre_vac)
+                   .unionAll(pre_vac.exceptAll(post_vac)).count())
+
+        proto = t.table_protocol()
+        shutil.rmtree(root + "_proto", ignore_errors=True)
+        c_pr = t.clone(root + "_proto")
+        c_pr.commit([{"protocol": {"minReaderVersion": 99,
+                                   "minWriterVersion": 99}}],
+                    c_pr.latest_version() + 1, op="upgrade_protocol")
         c_pr.read(spark)
         proto_refused = 0
     except ProtocolError:
@@ -1316,12 +1370,16 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # run strictly sequentially, leaving most cores idle through each
     # leg's single-task writes and driver-side staging; a small driver
     # thread pool overlaps them so one leg's tail back-fills the others.
-    # Exception: compact / cluster / zorder temporarily mutate the
-    # SESSION conf spark.sql.files.maxRecordsPerFile — a concurrent
-    # write under a mutated cap would change another leg's file layout
-    # (codecs' byte counts, compact's file counts) — so those three run
-    # strictly serial AFTER the pool drains. Each leg's own work and its
-    # returned rows are unchanged.
+    # r14 (VERDICT #5): compact / cluster / zorder temporarily mutate the
+    # SESSION conf spark.sql.files.maxRecordsPerFile — in r13 they ran
+    # strictly serial after the pool drained (~5 s of single-leg tail).
+    # Each now runs inside the pool under its OWN spark.newSession():
+    # same SparkContext, isolated SQLConf, so the scoped conf mutation
+    # cannot leak into a concurrently-writing leg. Their few result rows
+    # are collected off the isolated session and rebuilt on the caller's
+    # session (frames from different sessions must not be unioned).
+    # Invariant at each leg's definition site: pooled legs must not set
+    # MAIN-session conf — conf-mutating legs get an isolated session here.
     from concurrent.futures import ThreadPoolExecutor
 
     def _part(tag: str, df: DataFrame, cols=None) -> DataFrame:
@@ -1329,7 +1387,30 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                          *(cols or [F.col("key"), F.col("n"),
                                     F.col("n2"), F.col("v")]))
 
+    def _isolated(tag: str, fn):
+        """Run a conf-mutating leg on a cloned session; land its (tiny)
+        result rows back on the caller's session."""
+        def run() -> DataFrame:
+            s2 = spark.newSession()
+            # runtime conf set AFTER session creation does not propagate
+            # to newSession(); carry the one knob that shapes leg plans
+            s2.conf.set("spark.sql.shuffle.partitions",
+                        spark.conf.get("spark.sql.shuffle.partitions"))
+            df = fn(s2, sf_dir)
+            return _part(tag, spark.createDataFrame(df.collect(), df.schema))
+        return run
+
+    # Critical-path scheduling (r14, guide §2.6): txlog_rowops is ~half the
+    # suite's serial cost (22 s of 46 s per-leg total at sf0.1) — it must
+    # START first, not 8th, or the pool's first wave delays the leg that
+    # bounds the suite's wall time. Legs ordered longest-first (measured:
+    # plans/r14/sink_leg_probe.json); dict order == submission order.
     pooled = {
+        "txlog_rowops": lambda: _part(
+            "txlog_rowops", sink_txlog_rowops(spark, sf_dir)),
+        "hll_incremental": lambda: _part(
+            "hll_incremental", hll_incremental_rollup(spark, sf_dir)),
+        "txlog": lambda: _part("txlog", sink_txlog_merge(spark, sf_dir)),
         "upsert_merge": lambda: _part("upsert_merge",
             sink_upsert_merge(spark, sf_dir),
             [F.col("indicator").alias("key"),
@@ -1348,24 +1429,18 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.col("total_points").alias("n"),
              F.col("n_days").alias("n2"),
              F.col("sum_value").alias("v")]),
-        "hll_incremental": lambda: _part(
-            "hll_incremental", hll_incremental_rollup(spark, sf_dir)),
         "formats": lambda: _part(
             "formats", format_roundtrip_stats(spark, sf_dir)),
         "codecs": lambda: _part(
             "codecs", compression_codec_stats(spark, sf_dir)),
-        "txlog": lambda: _part("txlog", sink_txlog_merge(spark, sf_dir)),
-        "txlog_rowops": lambda: _part(
-            "txlog_rowops", sink_txlog_rowops(spark, sf_dir)),
+        # conf-mutating legs, isolated-session pooled (r14)
+        "zorder": _isolated("zorder", zorder_layout_stats),
+        "cluster": _isolated("cluster", clustered_layout_stats),
+        "compact": _isolated("compact", compact_small_files),
     }
-    with ThreadPoolExecutor(max_workers=4) as pool:
+    with ThreadPoolExecutor(max_workers=6) as pool:
         futs = {name: pool.submit(fn) for name, fn in pooled.items()}
         results = {name: f.result() for name, f in futs.items()}
-    # conf-mutating legs: serial, pool fully drained
-    results["compact"] = _part("compact", compact_small_files(spark, sf_dir))
-    results["cluster"] = _part("cluster",
-                               clustered_layout_stats(spark, sf_dir))
-    results["zorder"] = _part("zorder", zorder_layout_stats(spark, sf_dir))
 
     order = ("upsert_merge", "bucketed_groupby", "incremental",
              "hll_incremental", "compact", "cluster", "formats", "codecs",

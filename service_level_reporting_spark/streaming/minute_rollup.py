@@ -193,23 +193,36 @@ STATEFUL_TARGET_LO = 10.0
 STATEFUL_TARGET_HI = 90.0
 
 
+import threading
+
+_STAGE_LOCK = threading.Lock()
+
+
 def _staged_chunks_dir(spark: SparkSession, sf_dir: str, n_chunks: int = 4) -> str:
-    """Stage events as n_chunks parquet files (idempotent per sf)."""
+    """Stage events as n_chunks parquet files (idempotent per sf).
+
+    Serialized under a module lock (r14): three pooled suite legs share
+    this dir, and the marker check-then-write is not atomic — two pool
+    threads that both saw a stale marker started overlapping overwrite
+    jobs into the same _temporary (observed as a chmod-on-missing-part
+    task failure once the pool grew past 4 workers).
+    """
     from service_level_reporting_spark.scratch import app_scratch_dir
 
     tag = sf_dir.strip("/").replace("/", "_").replace(".", "_")
     dst_dir = app_scratch_dir(spark, f"slr_stream_chunks_{tag}")
     marker = os.path.join(dst_dir, "_STAGED")
     src = f"{sf_dir}/events.parquet"
-    if not (os.path.exists(marker)
-            and os.path.getmtime(marker) >= os.path.getmtime(src)):
-        from service_level_reporting_spark.tables import load_tables
+    with _STAGE_LOCK:
+        if not (os.path.exists(marker)
+                and os.path.getmtime(marker) >= os.path.getmtime(src)):
+            from service_level_reporting_spark.tables import load_tables
 
-        shutil.rmtree(dst_dir, ignore_errors=True)
-        ev = load_tables(spark, sf_dir, ("events",))["events"]
-        ev.repartition(n_chunks).write.mode("overwrite").parquet(dst_dir)
-        with open(marker, "w") as fh:
-            fh.write("ok")
+            shutil.rmtree(dst_dir, ignore_errors=True)
+            ev = load_tables(spark, sf_dir, ("events",))["events"]
+            ev.repartition(n_chunks).write.mode("overwrite").parquet(dst_dir)
+            with open(marker, "w") as fh:
+                fh.write("ok")
     return dst_dir
 
 
@@ -484,6 +497,7 @@ def stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     #   writes that identical value (idempotent), and the caller's conf
     #   is restored once at the end. Leg outputs are unchanged.
     _staged_dir(spark, sf_dir)
+    _staged_chunks_dir(spark, sf_dir)   # shared by three legs — stage once
     prev = spark.conf.get("spark.sql.shuffle.partitions")
     null_ts = F.lit(None).cast("timestamp")
     try:
@@ -536,7 +550,11 @@ def stream_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("key"), F.lit(None), F.col("n"),
                 F.col("n2").cast("double")),
         }
-        with ThreadPoolExecutor(max_workers=4) as pool:
+        # r14: 6 workers — each availableNow leg spends most of its wall in
+        # micro-batch scheduling/await, not compute; with 4 workers the ten
+        # legs ran in ~3 waves (measured, plans/r14): the extra overlap
+        # shaves a wave without fighting for cores
+        with ThreadPoolExecutor(max_workers=6) as pool:
             futs = {k: pool.submit(fn) for k, fn in legs.items()}
             res = {k: f.result() for k, f in futs.items()}
     finally:

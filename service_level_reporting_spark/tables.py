@@ -150,11 +150,20 @@ def load_tables(spark: SparkSession, sf_dir: str,
         key = (sf_dir.rstrip("/"), name)
         if key in _CACHE:
             cached = _CACHE[key]
-            # a cached frame from a stopped/old session is unusable — drop it
             if cached.sparkSession is spark:
                 out[name] = cached
                 continue
-            _CACHE.pop(key, None)
+            # a cached frame from a STOPPED session is unusable — drop it;
+            # but a different LIVE session (an isolated newSession leg
+            # sharing this SparkContext) must NOT evict the shared cache —
+            # it just bypasses it and reads parquet fresh (r14)
+            try:
+                stopped = (cached.sparkSession.sparkContext
+                           ._jsc.sc().isStopped())
+            except Exception:
+                stopped = True
+            if stopped:
+                _CACHE.pop(key, None)
         path = f"{sf_dir}/{name}.parquet"
         if name == "events":
             out[name] = _load_events(spark, path)
