@@ -33,10 +33,15 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_tables(spark, sf_dir, ("embeddings",))["embeddings"]
 
 
-def _emb_n(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, int | None]:
+def _emb_n(spark: SparkSession, sf_dir: str,
+           e_raw: DataFrame | None = None) -> tuple[DataFrame, int | None]:
     """Corpus frame + row count from the parquet footer (no scan job);
-    n is None only for non-parquet inputs, where callers count()."""
-    return _emb(spark, sf_dir), table_row_count(sf_dir, "embeddings")
+    n is None only for non-parquet inputs, where callers count().
+    ``e_raw``: caller-supplied corpus frame (r14: the ann suite passes one
+    shared persisted scan so its eight consumers fill a single cache
+    instead of each re-scanning the table)."""
+    return (e_raw if e_raw is not None else _emb(spark, sf_dir),
+            table_row_count(sf_dir, "embeddings"))
 
 
 EMB_DIM = 64
@@ -175,8 +180,9 @@ def _block_pair_sims(e_raw: DataFrame, threshold: float | None,
     LIMIT 10
     """,
 )
-def similarity_topk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e, n = _emb_n(spark, sf_dir)
+def similarity_topk_pairs(spark: SparkSession, sf_dir: str,
+                          e_raw: DataFrame | None = None) -> DataFrame:
+    e, n = _emb_n(spark, sf_dir, e_raw)
     # local_topk 64 >> global 10 so rounded-value boundary ties can't be
     # pruned away inside a tile before the global sort sees them
     sims = _block_pair_sims(e, threshold=None, local_topk=64, n_rows=n)
@@ -208,8 +214,9 @@ KNN_K = 5
     LIMIT {KNN_K}
     """,
 )
-def similarity_knn_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = _with_norm(_emb(spark, sf_dir))
+def similarity_knn_query(spark: SparkSession, sf_dir: str,
+                         e_raw: DataFrame | None = None) -> DataFrame:
+    e = _with_norm(e_raw if e_raw is not None else _emb(spark, sf_dir))
     q = (e.where(F.col("vec_id") == KNN_QUERY_VEC_ID)
          .select(F.col("emb").alias("ea"), F.col("norm").alias("na")))
     cos = _pair_cos("ea", "emb", "na", "norm")
@@ -245,8 +252,9 @@ EMB_DUP_THRESHOLD = 0.5
     aux=True,
 )
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
-                           threshold: float = EMB_DUP_THRESHOLD) -> DataFrame:
-    e, n = _emb_n(spark, sf_dir)
+                           threshold: float = EMB_DUP_THRESHOLD,
+                           e_raw: DataFrame | None = None) -> DataFrame:
+    e, n = _emb_n(spark, sf_dir, e_raw)
     sims = _block_pair_sims(e, threshold=threshold, local_topk=None,
                             n_rows=n)
     return sims.select("vec_a", "vec_b",
@@ -787,7 +795,8 @@ MP_FLIPS = 3   # probe buckets per table beyond the home bucket
 
 def similarity_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str,
                                   n_tables: int = ANN_TOPK_TABLES,
-                                  n_flips: int = MP_FLIPS) -> DataFrame:
+                                  n_flips: int = MP_FLIPS,
+                                  e_raw: DataFrame | None = None) -> DataFrame:
     """kNN of the query vector via multi-probe LSH: signature the corpus
     ONCE (same seeded planes as the index), look up the query's home +
     flip-probe buckets per table, exact-rescore the candidates. The probe
@@ -797,7 +806,7 @@ def similarity_knn_lsh_multiprobe(spark: SparkSession, sf_dir: str,
     layout, exactly an IVF probe's access pattern."""
     import numpy as np
 
-    e, n = _emb_n(spark, sf_dir)
+    e, n = _emb_n(spark, sf_dir, e_raw)
     n = n if n is not None else e.count()
     g = _planes_per_table(n)
     planes = np.array(_hyperplanes(n_tables * g, LSH_SEED))
@@ -955,7 +964,8 @@ def _tile_score(blocks: DataFrame, threshold: float | None,
 
 
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str,
-                       bucket_populations: DataFrame | None = None) -> DataFrame:
+                       bucket_populations: DataFrame | None = None,
+                       e_raw: DataFrame | None = None) -> DataFrame:
     """Multi-table hyperplane-LSH candidates + per-tile BLAS scoring.
 
     Candidates come only from same-(table, bucket) pairs across G=8 hash
@@ -967,7 +977,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str,
     a per-pair JVM expression was measured ~10x slower on dense buckets.
     Planes per table scale with corpus size (_planes_per_table) so the
     expected bucket stays near BLOCK_SIZE."""
-    e, n = _emb_n(spark, sf_dir)
+    e, n = _emb_n(spark, sf_dir, e_raw)
     sims = _lsh_tile_scores(e, ANN_TOPK_TABLES, threshold=None, local_topk=64,
                             n_rows=n, bucket_populations=bucket_populations)
     return (
@@ -1610,6 +1620,8 @@ def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     twin (kNN scan for the IVF legs, blocked-GEMM top-10 for LSH), so the
     driver artifact records the semantic quality number; pytest pins the
     floors on this column."""
+    from concurrent.futures import ThreadPoolExecutor
+
     from pyspark import StorageLevel
 
     # r13 (guide §2.3): every leg's result is consumed TWICE (the labeled
@@ -1621,12 +1633,45 @@ def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _pin(df: DataFrame) -> DataFrame:
         return df.persist(StorageLevel.MEMORY_AND_DISK)
 
-    idx = shared_ivf_index(spark, sf_dir)
-    exact_knn = _pin(similarity_knn_query(spark, sf_dir).select("vec_id"))
-    exact_pairs = similarity_topk_pairs(spark, sf_dir).select("vec_a", "vec_b")
-    ivf_raw = _pin(similarity_knn_ivf(spark, sf_dir, index=idx))
-    pq_raw = _pin(similarity_knn_ivf_pq(spark, sf_dir, index=idx))
-    lsh_raw = _pin(similarity_ann_lsh(spark, sf_dir))
+    # r14 (VERDICT #6, guide §2.3/§2.6): two structural fixes —
+    # * ONE shared persisted corpus scan (`e_shared`) feeds the LSH legs
+    #   and all three exact twins (before: five separate parquet scans+
+    #   normalizations into the pandas-UDF scoring pipelines);
+    # * the pinned leg results are FILLED CONCURRENTLY from a driver pool
+    #   (the probes are independent jobs; the single final collect used to
+    #   materialize them strictly one after another while 32 cores idled
+    #   through each leg's tail). The IVF index build — the suite's
+    #   longest serial chain — starts first and the IVF/PQ probes follow
+    #   it inside the pool. Row values are unchanged: same leg plans, same
+    #   persisted results, only their materialization overlaps.
+    e_shared = _pin(_emb(spark, sf_dir))
+    exact_knn = _pin(similarity_knn_query(spark, sf_dir, e_raw=e_shared)
+                     .select("vec_id"))
+    exact_pairs = _pin(similarity_topk_pairs(spark, sf_dir, e_raw=e_shared)
+                       .select("vec_a", "vec_b"))
+    lsh_raw = _pin(similarity_ann_lsh(spark, sf_dir, e_raw=e_shared))
+    mp_pin = _pin(similarity_knn_lsh_multiprobe(spark, sf_dir,
+                                                e_raw=e_shared))
+    exact_part = _pin(dedup_embedding_cosine(spark, sf_dir,
+                                             e_raw=e_shared))
+
+    def _fill(df: DataFrame) -> DataFrame:
+        df.count()          # materializes every column of the pinned plan
+        return df
+
+    with ThreadPoolExecutor(max_workers=6) as pool:
+        f_idx = pool.submit(shared_ivf_index, spark, sf_dir)
+        fills = [pool.submit(_fill, df) for df in
+                 (exact_knn, exact_pairs, lsh_raw, mp_pin, exact_part)]
+        idx = f_idx.result()
+        ivf_raw = _pin(similarity_knn_ivf(spark, sf_dir, index=idx))
+        pq_raw = _pin(similarity_knn_ivf_pq(spark, sf_dir, index=idx))
+        fills += [pool.submit(_fill, ivf_raw), pool.submit(_fill, pq_raw)]
+        for f in fills:
+            f.result()
+    # every consumer below reads the (tiny) pinned leg results; the wide
+    # shared scan has served its purpose — release it (VERDICT #9)
+    e_shared.unpersist()
 
     ivf = ivf_raw.select(
         F.lit("ivf_knn").alias("part"),
@@ -1650,7 +1695,7 @@ def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).crossJoin(F.broadcast(
         _recall_frame(lsh_raw.select("vec_a", "vec_b"), exact_pairs,
                       ["vec_a", "vec_b"], 10)))
-    mp_raw = _pin(similarity_knn_lsh_multiprobe(spark, sf_dir))
+    mp_raw = mp_pin
     mp = mp_raw.select(
         F.lit("lsh_mp_knn").alias("part"),
         F.col("vec_id").alias("vec_a"),
@@ -1662,7 +1707,7 @@ def similarity_ann_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
     # oracle every approximate part is judged against — ride in the suite
     # row itself (recall_at_k ≡ 1.0 by definition), which is what freed
     # dedup_embedding_cosine's standalone slot in the driver window.
-    exact = dedup_embedding_cosine(spark, sf_dir).select(
+    exact = exact_part.select(
         F.lit("exact_oracle").alias("part"), "vec_a", "vec_b",
         F.lit(None).cast("long").alias("label"), "cos_sim",
     ).withColumn("recall_at_k", F.lit(1.0))
