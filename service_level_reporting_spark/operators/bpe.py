@@ -139,8 +139,67 @@ def _apply_merges_udf(batch: list):
     return run
 
 
+# The aggregated (word, freq) vocab below this row count trains DRIVER-SIDE
+# (broadcast-small, like any dimension collect): the distributed loop's per
+# pass costs two shuffles + a Python stage + a checkpoint — pure per-job
+# floor once the vocab is tiny. Zipf puts even a 100 GB corpus well under
+# this; a 100 TB corpus (~10^8 distinct words) stays on the distributed
+# path. Same batched algorithm, same tie-breaks (UTF-8 binary string order
+# == Python code-point order), so the learned table is IDENTICAL —
+# pytest-pinned against the distributed path.
+BPE_DRIVER_VOCAB_CAP = 65536
+
+
+def _train_batches_driver(sym_rows: list, n_merges: int, batch_k: int,
+                          min_pair_freq: int) -> list:
+    """Driver-side replay of the SAME batched training loop over a
+    collected [(syms, freq)] vocab. Mirrors bpe_train's loop body exactly:
+    top want*4 candidate window by (freq desc, a, b), greedy compatible
+    filter, one left-to-right application pass per merge."""
+    vocab: dict = {}
+    for syms, freq in sym_rows:
+        t = tuple(syms)
+        vocab[t] = vocab.get(t, 0) + int(freq)
+    merges: list = []
+    while len(merges) < n_merges:
+        want = min(batch_k, n_merges - len(merges))
+        pairs: dict = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + f
+        cand = sorted(
+            ((f, a, b) for (a, b), f in pairs.items()
+             if f >= min_pair_freq),
+            key=lambda t: (-t[0], t[1], t[2]))[:want * 4]
+        batch = _compatible_top_k(
+            [{"a": a, "b": b, "pair_freq": f} for f, a, b in cand], want)
+        if not batch:
+            break
+        for a, b, freq in batch:
+            merges.append((len(merges), a, b, a + b, freq))
+        new_vocab: dict = {}
+        for syms, f in vocab.items():
+            s = list(syms)
+            for a, b in [(a, b) for a, b, _ in batch]:
+                i, res = 0, []
+                while i < len(s):
+                    if (i + 1 < len(s) and s[i] == a and s[i + 1] == b):
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(s[i])
+                        i += 1
+                s = res
+            t = tuple(s)
+            new_vocab[t] = new_vocab.get(t, 0) + f
+        vocab = new_vocab
+    return merges
+
+
 def bpe_train(spark: SparkSession, docs: DataFrame, n_merges: int = 40,
-              batch_k: int = 8, min_pair_freq: int = 2) -> list:
+              batch_k: int = 8, min_pair_freq: int = 2,
+              driver_vocab_cap: int = BPE_DRIVER_VOCAB_CAP) -> list:
     """Learn up to n_merges BPE merges; returns [(rank, a, b, merged,
     pair_freq)]. batch_k=1 is the exact textbook sequence; larger batches
     trade strict sequential order for ~K fewer corpus... vocab passes (the
@@ -150,6 +209,17 @@ def bpe_train(spark: SparkSession, docs: DataFrame, n_merges: int = 40,
     # partition count proportional to its (post-Zipf) size.
     vocab = vocab.repartition(max(2, spark.sparkContext.defaultParallelism
                                   // 4)).localCheckpoint(eager=True)
+    # r14 (guide §1.2 "the distributed algorithm"): the corpus-scale pass
+    # is word_freq_table above — everything after runs on the aggregated
+    # vocab. When that vocab is broadcast-small, the remaining passes are
+    # all scheduling floor: collect it once and replay the identical loop
+    # driver-side. Probe with limit(cap+1) so the decision never collects
+    # an unbounded frame.
+    small = vocab.select("syms", "freq").limit(driver_vocab_cap + 1).collect()
+    if len(small) <= driver_vocab_cap:
+        return _train_batches_driver(
+            [(r["syms"], r["freq"]) for r in small],
+            n_merges, batch_k, min_pair_freq)
     merges: list = []
     while len(merges) < n_merges:
         want = min(batch_k, n_merges - len(merges))

@@ -92,3 +92,26 @@ def test_suite_shape(spark):
     assert stats["total_bpe_tokens"] >= stats["total_pretokens"] > 0
     assert stats["bpe_per_pretoken_x1e6"] == round(
         stats["total_bpe_tokens"] / stats["total_pretokens"] * 1e6, 0)
+
+
+def test_driver_path_matches_distributed_path(spark, docs):
+    """r14: the small-vocab driver-side trainer must learn the IDENTICAL
+    merge table as the distributed pass loop (same batched algorithm,
+    same candidate window, same tie-breaks) — for the textbook batch_k=1
+    and the scale batch_k=8 shapes."""
+    for bk in (1, 8):
+        via_driver = bpe.bpe_train(spark, docs, n_merges=16, batch_k=bk)
+        via_spark = bpe.bpe_train(spark, docs, n_merges=16, batch_k=bk,
+                                  driver_vocab_cap=0)  # force distributed
+        assert via_driver == via_spark
+
+
+def test_driver_path_on_real_corpus(spark):
+    """Same equivalence over the sf0.001 documents table (exercises the
+    regex pretokenizer + real punctuation through both paths)."""
+    from service_level_reporting_spark.tables import load_tables
+
+    d = load_tables(spark, SF_DIR_001, ("documents",))["documents"]
+    assert (bpe.bpe_train(spark, d, n_merges=12, batch_k=4)
+            == bpe.bpe_train(spark, d, n_merges=12, batch_k=4,
+                             driver_vocab_cap=0))
