@@ -100,35 +100,111 @@ def _blocks(e_raw: DataFrame) -> DataFrame:
     )
 
 
+# Use the key-spread tile layout (below) once a corpus pairs into at least
+# this many GEMM tiles: under the plain broadcast join the tiny blocks
+# aggregate lands in 1-2 post-shuffle partitions (AQE coalescing), so every
+# tile runs on a couple of cores with blk_a-skew on top — fine for a
+# handful of cheap tiles, a 10-15x straggler once tiles are many/dense.
+# Below the bound the extra pair-key shuffle + second broadcast cost more
+# than they recover (measured at sf0.1: +0.5 s on a 15-tile corpus).
+TILE_SPREAD_MIN_TILES = 64
+
+
+def _id_block_span(sf_dir: str) -> int | None:
+    """Upper bound on the distinct block count from parquet FOOTER
+    column statistics (min/max vec_id) — zero Spark jobs, same seam as
+    table_row_count. None when stats are unavailable (non-parquet input).
+    Needed because a key-shifted corpus (the sf1 sweep set) spreads the
+    same row count over ~3x more partial blocks, which is exactly when
+    the tile spread pays."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        files = ([os.path.join(r, f) for r, _, fs in os.walk(path)
+                  for f in fs if f.endswith(".parquet")]
+                 if os.path.isdir(path) else [path])
+        lo = hi = None
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            ci = md.schema.to_arrow_schema().get_field_index("vec_id")
+            for g in range(md.num_row_groups):
+                st = md.row_group(g).column(ci).statistics
+                if st is None or not st.has_min_max:
+                    return None
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+        if lo is None:
+            return None
+        return int(hi) // BLOCK_SIZE - int(lo) // BLOCK_SIZE + 1
+    except Exception:
+        return None
+
+
 def _block_pair_sims(e_raw: DataFrame, threshold: float | None,
                      local_topk: int | None,
-                     n_rows: int | None = None) -> DataFrame:
+                     n_rows: int | None = None,
+                     blk_span: int | None = None) -> DataFrame:
     """All-pairs (vec_a < vec_b) cosine, blocked-GEMM.
 
     threshold: keep pairs with sim >= threshold. local_topk: keep the top-N
     of each block-pair tile (N chosen > global k so boundary ties survive).
     n_rows: corpus size hint (parquet footer / catalog stats) so choosing
     the broadcast-vs-shuffle tile strategy costs no count() scan.
+    blk_span: block-count upper bound from footer id stats (_id_block_span)
+    — selects the r14 key-spread layout when the tile count is large.
     """
     import numpy as np
     import pandas as pd
 
     blocks = _blocks(e_raw)
-    a = blocks.select(F.col("blk").alias("blk_a"), F.col("ids").alias("ids_a"),
-                      F.col("embs").alias("embs_a"))
-    b = blocks.select(F.col("blk").alias("blk_b"), F.col("ids").alias("ids_b"),
-                      F.col("embs").alias("embs_b"))
     # Broadcasting the blocked corpus is only sane while it FITS in one
     # executor (few hundred blocks); past that the upper-triangle pairing
     # becomes a shuffle range-join on block ids — same tiles, no broadcast.
     # (At genuinely large n you'd route through similarity_ann_lsh /
     # dedup_embedding_ann instead of any exact all-pairs plan.)
     n_blocks = (n_rows if n_rows is not None else e_raw.count()) // BLOCK_SIZE + 1
+    span = blk_span if blk_span is not None else n_blocks
     pair_cond = F.col("blk_a") <= F.col("blk_b")
-    if n_blocks <= 256:
+    a = blocks.select(F.col("blk").alias("blk_a"),
+                      F.col("ids").alias("ids_a"),
+                      F.col("embs").alias("embs_a"))
+    b = blocks.select(F.col("blk").alias("blk_b"),
+                      F.col("ids").alias("ids_b"),
+                      F.col("embs").alias("embs_b"))
+    if n_blocks > 256:
+        tiles = a.join(b, pair_cond)
+    elif span * (span + 1) // 2 < TILE_SPREAD_MIN_TILES:
         tiles = a.join(F.broadcast(b), pair_cond)
     else:
-        tiles = a.join(b, pair_cond)
+        # r14 (guide §8 / §2.5): the plain a.join(broadcast(b)) plan left
+        # the tile layout to the blocks AGGREGATE's partitioning — a
+        # handful of post-shuffle partitions (AQE coalesces a tiny
+        # aggregate), so all O(n_blk²) GEMM tiles ran on a couple of cores
+        # with blk_a-skew on top. Profiled on the key-shifted sf1 sweep
+        # set: the top-k kernel sat at 20-40 s; the same tiles under an
+        # even spread run in 2-4 s. Here only the ~40-byte PAIR KEYS are
+        # repartitioned (round-robin, deterministic) and both payload
+        # sides attach from ONE materialized block snapshot via broadcast
+        # hash joins — the shuffle moves keys, never payload, and tiles
+        # land evenly on every core. The kernel and the tile multiset are
+        # unchanged.
+        blocks = blocks.localCheckpoint(eager=True)
+        a = blocks.select(F.col("blk").alias("blk_a"),
+                          F.col("ids").alias("ids_a"),
+                          F.col("embs").alias("embs_a"))
+        b = blocks.select(F.col("blk").alias("blk_b"),
+                          F.col("ids").alias("ids_b"),
+                          F.col("embs").alias("embs_b"))
+        pair_keys = (blocks.select(F.col("blk").alias("blk_a"))
+                     .join(blocks.select(F.col("blk").alias("blk_b")),
+                           pair_cond))
+        want = e_raw.sparkSession.sparkContext.defaultParallelism
+        tiles = (pair_keys.repartition(want)
+                 .join(F.broadcast(a), "blk_a")
+                 .join(F.broadcast(b), "blk_b"))
 
     def unit_rows(embs) -> "np.ndarray":
         m = np.vstack(embs).astype(np.float64, copy=False)
@@ -185,7 +261,8 @@ def similarity_topk_pairs(spark: SparkSession, sf_dir: str,
     e, n = _emb_n(spark, sf_dir, e_raw)
     # local_topk 64 >> global 10 so rounded-value boundary ties can't be
     # pruned away inside a tile before the global sort sees them
-    sims = _block_pair_sims(e, threshold=None, local_topk=64, n_rows=n)
+    sims = _block_pair_sims(e, threshold=None, local_topk=64, n_rows=n,
+                            blk_span=_id_block_span(sf_dir))
     return (
         sims.select("vec_a", "vec_b", F.round("cos_sim_raw", 6).alias("cos_sim"))
         .orderBy(F.desc("cos_sim"), F.asc("vec_a"), F.asc("vec_b"))
@@ -256,7 +333,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str,
                            e_raw: DataFrame | None = None) -> DataFrame:
     e, n = _emb_n(spark, sf_dir, e_raw)
     sims = _block_pair_sims(e, threshold=threshold, local_topk=None,
-                            n_rows=n)
+                            n_rows=n, blk_span=_id_block_span(sf_dir))
     return sims.select("vec_a", "vec_b",
                        F.round("cos_sim_raw", 6).alias("cos_sim"))
 
