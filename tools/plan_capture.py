@@ -1,5 +1,5 @@
 """Capture .explain("formatted") for every registered query into
-plans/r13/<name>_<tag>.txt (r13 optimization round, guide §1: record the
+plans/$SLR_PLAN_ROUND/<name>_<tag>.txt (default r14, guide §1: record the
 plan shape — Exchange count, join strategy, PushedFilters/ReadSchema,
 BatchEvalPython nodes — before and after each change).
 
@@ -23,7 +23,7 @@ from service_level_reporting_spark import registry  # noqa: E402
 from service_level_reporting_spark.session import get_spark  # noqa: E402
 
 OUT = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-                   "plans", "r13")
+                   "plans", os.environ.get("SLR_PLAN_ROUND", "r14"))
 
 # Queries whose builder runs real work eagerly (writes, streaming, codec
 # decode) — capture those on the smallest SF so the capture stays cheap.
