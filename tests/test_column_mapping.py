@@ -13,6 +13,9 @@ import uuid
 from collections import Counter
 
 import pytest
+
+# r14: heavy system suite — builder-loop tier (driver fast tier skips it; run with -m "")
+pytestmark = __import__('pytest').mark.slow
 from pyspark.sql import functions as F
 
 from service_level_reporting_spark.sources.txlog import (

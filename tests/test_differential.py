@@ -8,6 +8,9 @@ from __future__ import annotations
 
 import pytest
 
+# r14: heavy system suite — builder-loop tier (driver fast tier skips it; run with -m "")
+pytestmark = __import__('pytest').mark.slow
+
 from service_level_reporting_spark import registry
 
 from .conftest import SF_DIR

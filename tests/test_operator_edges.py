@@ -7,6 +7,9 @@ dedup/fingerprint invariances.
 
 from __future__ import annotations
 
+# r14: heavy system suite — builder-loop tier (driver fast tier skips it; run with -m "")
+pytestmark = __import__('pytest').mark.slow
+
 import datetime as dt
 
 from pyspark.sql import functions as F

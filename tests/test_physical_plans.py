@@ -8,6 +8,9 @@ partial (map-side) aggregation before the shuffle.
 
 from __future__ import annotations
 
+# r14: heavy system suite — builder-loop tier (driver fast tier skips it; run with -m "")
+pytestmark = __import__('pytest').mark.slow
+
 from service_level_reporting_spark.operators.relational import pricing_summary
 from service_level_reporting_spark.operators.report import report_region_revenue
 from service_level_reporting_spark.operators.sli import filter_events_suite

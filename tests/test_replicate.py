@@ -13,6 +13,9 @@ import tempfile
 import uuid
 
 import pytest
+
+# r14: heavy system suite — builder-loop tier (driver fast tier skips it; run with -m "")
+pytestmark = __import__('pytest').mark.slow
 from pyspark.sql import functions as F
 
 from service_level_reporting_spark.operators.replicate import (

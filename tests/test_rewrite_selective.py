@@ -19,6 +19,9 @@ import tempfile
 import uuid
 
 import pytest
+
+# r14: heavy system suite — builder-loop tier (driver fast tier skips it; run with -m "")
+pytestmark = __import__('pytest').mark.slow
 import pyarrow.parquet as _pq
 
 from service_level_reporting_spark.sources.txlog import (

@@ -4,6 +4,9 @@ query must agree exactly."""
 
 from __future__ import annotations
 
+# r14: heavy system suite — builder-loop tier (driver fast tier skips it; run with -m "")
+pytestmark = __import__('pytest').mark.slow
+
 from pyspark.sql import functions as F
 
 from service_level_reporting_spark import functions as SF
