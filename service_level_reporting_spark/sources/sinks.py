@@ -1391,9 +1391,14 @@ def sink_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Run a conf-mutating leg on a cloned session; land its (tiny)
         result rows back on the caller's session."""
         def run() -> DataFrame:
+            from service_level_reporting_spark.session import configure
+
             s2 = spark.newSession()
-            # runtime conf set AFTER session creation does not propagate
-            # to newSession(); carry the one knob that shapes leg plans
+            # runtime confs set AFTER session creation do not propagate to
+            # newSession(): re-apply the engine's correctness confs (UTC,
+            # nanosAsLong, AQE — configure is idempotent) and carry the one
+            # knob that shapes leg plans
+            configure(s2)
             s2.conf.set("spark.sql.shuffle.partitions",
                         spark.conf.get("spark.sql.shuffle.partitions"))
             df = fn(s2, sf_dir)
