@@ -69,6 +69,17 @@ def get_spark(app_name: str = "slr-spark", master: str | None = None,
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
+    # r14 (guide §5, measured): this sandbox's guest-memory first-touch
+    # costs ~0.8 ms per fault region under host pressure (SCALE.md §9), so
+    # a python worker that TRIMS its heap between Arrow batches re-pays
+    # gigabytes of faults on every re-run of an allocation-heavy kernel
+    # (GEMM tiles, codecs). Pin glibc to retain the heap (trim threshold
+    # 256 MB) and serve big temporaries from it (mmap threshold 128 MB):
+    # workers keep ~150-200 MB resident each and re-runs stay warm.
+    # Inherited by the JVM -> pyspark.daemon -> workers; harmless on a
+    # normal host, env-overridable like every knob here.
+    os.environ.setdefault("MALLOC_TRIM_THRESHOLD_", str(256 * 1024 * 1024))
+    os.environ.setdefault("MALLOC_MMAP_THRESHOLD_", str(128 * 1024 * 1024))
     if shuffle_partitions is None:
         # Local mode: one shuffle partition per core keeps every stage busy
         # without tiny-task overhead at sf<=0.1. On a cluster this is left
